@@ -1,0 +1,137 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** One declared output column of a stream.
+  *
+  * Mirrors the reference's per-stream `columns` entries
+  * (reference: tap_rawpostgresql/tap.py:87-109 — flat name/type/nullable).
+  */
+final case class ColumnSpec(name: String, typeName: String, nullable: Boolean = false)
+
+/** Replication method of a stream (reference: tap.py:169 — INCREMENTAL iff
+  * a replication key is declared; FULL_TABLE otherwise).
+  */
+sealed trait ReplicationMethod
+object ReplicationMethod {
+  case object Incremental extends ReplicationMethod
+  case object FullTable extends ReplicationMethod
+}
+
+/** A stream: a named, schema-declared, optionally-incremental SQL query
+  * (reference: tap.py:61-113 config schema).
+  *
+  * @param name stream name
+  * @param sql arbitrary SQL text; may contain the `:rep_key_val` bind
+  *            parameter (reference: client.py:283,298)
+  * @param keyProperties primary-key column names
+  * @param replicationKey column used as the incremental watermark
+  * @param replicationKeyValueStart initial watermark when no state exists
+  *            (kept as the raw JSON string; typed via the declared column)
+  * @param columns declared output schema
+  * @param batchSize batch-file rotation size (reference: client.py:183 —
+  *            default 100,000)
+  */
+final case class StreamConfig(
+    name: String,
+    sql: String,
+    keyProperties: Seq[String] = Nil,
+    replicationKey: Option[String] = None,
+    replicationKeyValueStart: Option[String] = None,
+    columns: Seq[ColumnSpec] = Nil,
+    batchSize: Int = StreamConfig.DefaultBatchSize,
+    database: String = "postgres",
+    schema: String = "public") {
+
+  def replicationMethod: ReplicationMethod =
+    if (replicationKey.isDefined) ReplicationMethod.Incremental
+    else ReplicationMethod.FullTable
+
+  /** Stream id `{database}-{schema}-{name}` (reference: tap.py:160-165). */
+  def streamId: String = s"$database-$schema-$name"
+
+  def column(name: String): ColumnSpec =
+    columns.find(_.name == name).getOrElse {
+      throw new IllegalArgumentException(
+        s"stream '${this.name}': column '$name' not declared")
+    }
+}
+
+object StreamConfig {
+  val DefaultBatchSize = 100000
+}
+
+/** Batch-export file encoding + storage (reference: tap.py:121-144). */
+final case class BatchEncoding(format: String = "jsonl", compression: String = "gzip")
+final case class BatchStorage(root: String, prefix: String = "")
+final case class BatchConfig(encoding: BatchEncoding = BatchEncoding(),
+                             storage: BatchStorage = BatchStorage("file:///tmp"))
+
+/** Top-level tap config: connection + streams + batch settings
+  * (reference: tap.py:30-145 `config_jsonschema`).
+  */
+final case class TapConfig(
+    host: String = "localhost",
+    port: Int = 5432,
+    user: String = "",
+    password: String = "",
+    database: String = "postgres",
+    streams: Seq[StreamConfig] = Nil,
+    batchConfig: Option[BatchConfig] = None)
+
+/** JSON parsing for tap/stream configs via Jackson (ships in Spark's jars;
+  * parsed by explicit tree-walking so no module registration is needed).
+  */
+object ConfigParser {
+  private val mapper = new ObjectMapper()
+
+  def parseTap(json: String): TapConfig = {
+    val n = mapper.readTree(json)
+    val db = str(n, "database").getOrElse("postgres")
+    TapConfig(
+      host = str(n, "host").getOrElse("localhost"),
+      port = int(n, "port").getOrElse(5432),
+      user = str(n, "user").getOrElse(""),
+      password = str(n, "password").getOrElse(""),
+      database = db,
+      streams = opt(n, "streams").toSeq.flatMap(_.elements.asScala).map(parseStreamNode(_, db,
+        int(n, "batch_size").getOrElse(StreamConfig.DefaultBatchSize))),
+      batchConfig = opt(n, "batch_config").map(parseBatchConfig))
+  }
+
+  def parseStream(json: String): StreamConfig =
+    parseStreamNode(mapper.readTree(json), "postgres", StreamConfig.DefaultBatchSize)
+
+  private def parseStreamNode(n: JsonNode, database: String, defaultBatch: Int): StreamConfig =
+    StreamConfig(
+      name = str(n, "name").getOrElse(fail("stream missing 'name'")),
+      sql = str(n, "sql").getOrElse(fail("stream missing 'sql'")),
+      keyProperties = opt(n, "key_properties").toSeq
+        .flatMap(_.elements.asScala).map(_.asText),
+      replicationKey = str(n, "replication_key"),
+      replicationKeyValueStart = opt(n, "replication_key_value_start").map(_.asText),
+      columns = opt(n, "columns").toSeq.flatMap(_.elements.asScala).map { c =>
+        ColumnSpec(
+          name = str(c, "name").getOrElse(fail("column missing 'name'")),
+          typeName = str(c, "type").getOrElse(fail("column missing 'type'")),
+          nullable = opt(c, "nullable").exists(_.asBoolean(false)))
+      },
+      batchSize = int(n, "batch_size").getOrElse(defaultBatch),
+      database = database)
+
+  private def parseBatchConfig(n: JsonNode): BatchConfig =
+    BatchConfig(
+      encoding = opt(n, "encoding").map(e => BatchEncoding(
+        str(e, "format").getOrElse("jsonl"),
+        str(e, "compression").getOrElse("gzip"))).getOrElse(BatchEncoding()),
+      storage = opt(n, "storage").map(s => BatchStorage(
+        str(s, "root").getOrElse(fail("batch storage missing 'root'")),
+        str(s, "prefix").getOrElse(""))).getOrElse(BatchStorage("file:///tmp")))
+
+  private def opt(n: JsonNode, f: String): Option[JsonNode] =
+    Option(n.get(f)).filterNot(_.isNull)
+  private def str(n: JsonNode, f: String): Option[String] = opt(n, f).map(_.asText)
+  private def int(n: JsonNode, f: String): Option[Int] = opt(n, f).map(_.asInt)
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+}

@@ -1,0 +1,229 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, each designed
+  * around Spark's shuffle model:
+  *
+  *  - exact dedup: one hash-partitioned `groupBy` with map-side partial
+  *    aggregation — the minimum possible shuffle (key+min+count only).
+  *  - MinHash + LSH near-dup: shingle → signature (pure projection) →
+  *    band explode → bucket groupBy → candidate pairs → exact-Jaccard
+  *    verify. Only signatures and id pairs shuffle, never document text;
+  *    candidate generation is linear in corpus size, not quadratic.
+  *  - SimHash: 64-bit signature per doc (projection), banded bucketing for
+  *    candidates, Hamming-distance verify via `bit_count(a ^ b)`.
+  *  - exact n-gram Jaccard: explode-join on shingles — exact but heavier;
+  *    used as the verifier and as the small-scale oracle-checkable path.
+  *  - embedding cosine near-dup: see [[Similarity]]; pairs with cosine ≥ t.
+  */
+object Dedup {
+
+  /** Whitespace/case-normalized text — the exact-dup equality key. */
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Exact duplicate groups: normalized text → representative (min id) +
+    * copy count. Partial aggregation makes the shuffle carry one row per
+    * distinct text per map task; at 100 TB, group keys are the (short)
+    * normalized-text hash, so consider `xxhash64(norm)` as the key to keep
+    * shuffle rows narrow (kept as full text here so the oracle can verify).
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(normalizeText(col(textCol)).as("norm_text"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep exactly one row (min id) per normalized text. Aggregate-then-
+    * semi-join keeps the shuffle narrow (hash of text + id), unlike a
+    * window over the full rows.
+    */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df
+      .groupBy(xxhash64(normalizeText(col(textCol))).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Distinct word k-shingles of normalized text, as strings. Documents
+    * shorter than k tokens yield their full token span as one shingle.
+    */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = split(normalizeText(c), " ")
+    val n = greatest(size(toks) - lit(k - 1), lit(1))
+    array_distinct(transform(sequence(lit(1), n),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Mersenne prime 2^31−1: permutation modulus. Shingle hashes and the
+    * (a·h+b) mod p arithmetic stay well inside Long range.
+    */
+  val MinhashPrime = 2147483647L
+
+  /** Deterministic permutation coefficients from a seed. */
+  def permutations(nPerm: Int, seed: Long): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(nPerm)((1L + r.nextInt(Int.MaxValue - 2).toLong,
+      r.nextInt(Int.MaxValue - 1).toLong))
+  }
+
+  /** MinHash signature (array of nPerm Longs) over a shingle array —
+    * one projection, no shuffle; codegen'd built-ins only.
+    */
+  def minhashSignature(shingleCol: Column, nPerm: Int = 64, seed: Long = 42L): Column = {
+    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashPrime)))
+    // bind `hashes` once via the single-element-array trick: otherwise each
+    // of the nPerm permutation rows would re-hash every shingle string
+    element_at(
+      transform(array(hashes), hs =>
+        array(permutations(nPerm, seed).map { case (a, b) =>
+          array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(MinhashPrime))))
+        }: _*)), 1)
+  }
+
+  /** LSH band keys: the signature split into `bands` bands of
+    * `nPerm/bands` rows, each hashed with its band index. Equal band key →
+    * candidate pair. With nPerm=64, bands=16 (r=4), the S-curve threshold
+    * is ≈ (1/16)^(1/4) ≈ 0.5 Jaccard.
+    */
+  def lshBandKeys(sigCol: Column, nPerm: Int, bands: Int): Column = {
+    val r = nPerm / bands
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), concat_ws(",",
+        transform(slice(sigCol, b * r + 1, r), x => x.cast("string"))))
+    }: _*)
+  }
+
+  /** Near-duplicate pairs via MinHash LSH, verified with exact Jaccard.
+    *
+    * Plan shape (the part that matters at 100 TB):
+    *   1. per-doc signature: projection only;
+    *   2. explode band keys → `groupBy(bandKey)` — shuffles (bandKey, id)
+    *      pairs only (~bands × 8 bytes per doc, NOT the text);
+    *   3. buckets → candidate id pairs (i<j), `distinct` to dedup across
+    *      bands;
+    *   4. verify: join candidate ids back to shingle sets (two hash joins
+    *      on id) and compute exact Jaccard; filter ≥ threshold.
+    * Hot buckets (boilerplate docs) are capped at `maxBucket` ids to bound
+    * the quadratic pair blowup — the standard guardrail for skew.
+    */
+  def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
+                      k: Int = 3, nPerm: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5, seed: Long = 42L,
+                      maxBucket: Int = 1000): DataFrame = {
+    val withShingles = df.select(col(idCol).as("id"),
+      shingles(col(textCol), k).as("sh"))
+    val sigs = withShingles.select(col("id"), col("sh"),
+      minhashSignature(col("sh"), nPerm, seed).as("sig"))
+
+    val banded = sigs.select(col("id"),
+      explode(lshBandKeys(col("sig"), nPerm, bands)).as("band"))
+    val buckets = banded.groupBy("band")
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .where(size(col("ids")) > 1)
+    val candidates = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+
+    val shA = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity pairs via explode-join — the exact
+    * (no-false-negative) near-dup path, O(sum of posting-list²) in shared
+    * shingles. `maxDocFreq` prunes shingles shared by too many docs
+    * (boilerplate) — essential at scale, where a stop-shingle would
+    * otherwise create a quadratic bucket.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
+    val pruned = maxDocFreq match {
+      case Some(maxDf) =>
+        val hot = sh.groupBy("sh").count().where(col("count") > maxDf).select("sh")
+        sh.join(hot, Seq("sh"), "left_anti")
+      case None => sh
+    }
+    val sizes = df.select(col(idCol).as("id"), size(shingles(col(textCol), k)).as("sz"))
+    val common = pruned.as("x").join(pruned.as("y"), "sh")
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** Number of SimHash bits. 63 (not 64) keeps every power of two inside a
+    * positive Long, so the signature arithmetic needs no unsigned tricks.
+    */
+  val SimhashBits = 63
+
+  private val Pow2: Seq[Long] = (0 until SimhashBits).map(1L << _)
+
+  /** 63-bit SimHash over whitespace tokens: per-token xxhash64, each bit
+    * votes ±1, sign of the vote sum becomes the signature bit. Pure
+    * projection (aggregate/zip_with over the token array).
+    */
+  def simhash(c: Column): Column = {
+    val hashes = transform(split(normalizeText(c), " "), t => xxhash64(t))
+    val zeros = array((0 until SimhashBits).map(_ => lit(0L)): _*)
+    val pow2 = array(Pow2.map(lit(_)): _*)
+    val votes = aggregate(hashes, zeros, (acc, h) =>
+      zip_with(acc, pow2, (a, p) =>
+        a + when((h.bitwiseAND(p)) =!= 0, lit(1L)).otherwise(lit(-1L))))
+    aggregate(zip_with(votes, pow2, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (s, x) => s + x)
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 63 bits into `bands` chunks (docs
+    * within `maxDist` differing bits agree on at least one chunk when
+    * bands > maxDist — pigeonhole), bucket-join on chunk value, verify
+    * with exact Hamming distance. Same shuffle shape as MinHash LSH:
+    * only (chunkKey, id, sig) rows move.
+    */
+  def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
+                      bands: Int = 4, maxDist: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val width = SimhashBits / bands // bits per band (last band takes remainder)
+    val keys = array((0 until bands).map { b =>
+      val shifted = shiftright(col("sig"), b * width)
+      val masked = if (b == bands - 1) shifted
+        else shifted.bitwiseAND(lit((1L << width) - 1))
+      struct(lit(b).as("band"), masked.as("chunk"))
+    }: _*)
+    val banded = sigs.select(col("id"), col("sig"), explode(keys).as("key"))
+    val buckets = banded.groupBy(col("key"))
+      .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))), 1, maxBucket).as("members"))
+      .where(size(col("members")) > 1)
+    val pairs = buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("dist"))
+      .distinct()
+    pairs.where(col("dist") <= maxDist)
+  }
+}

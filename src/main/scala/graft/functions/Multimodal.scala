@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through the
+  * pipeline as opaque `binary` columns with a typed metadata struct.
+  *
+  * The Spark-side mechanics here — schema, partition-iterator decode,
+  * batch shape, deterministic sampling — are real and tested. The decode
+  * kernels themselves are STUBS (this container has no image/audio codecs):
+  * [[FakeCodec]] produces deterministic pseudo-features from the bytes so
+  * tests are reproducible; a real deployment swaps in a codec-backed
+  * [[MediaCodec]] without touching the plan shape.
+  */
+object Multimodal {
+
+  /** Metadata struct computed from the raw bytes — size, a magic-prefix
+    * hex, and a 64-bit content checksum. Pure projection.
+    */
+  def mediaMeta(binCol: Column): Column = struct(
+    length(binCol).as("size_bytes"),
+    hex(substring(binCol, 1, 4)).as("magic"),
+    xxhash64(binCol).as("checksum"))
+
+  /** Attach a binary payload column + metadata to a DataFrame. `srcCol`
+    * may be a string column (encoded to UTF-8 bytes) or already binary.
+    */
+  def ingest(df: DataFrame, srcCol: String,
+             binName: String = "content", metaName: String = "meta"): DataFrame = {
+    val bin = col(srcCol).cast(BinaryType)
+    df.withColumn(binName, bin).withColumn(metaName, mediaMeta(col(binName)))
+  }
+
+  /** Deterministic fixed-size byte "frames" from a payload — the
+    * frame-sampling plumbing (video → every nth chunk). Real byte slicing;
+    * only the interpretation (frames vs chunks) is domain-specific.
+    */
+  def frameSample(binCol: Column, nFrames: Int, frameBytes: Int): Column =
+    filter(
+      transform(sequence(lit(0), lit(nFrames - 1)),
+        i => binCol.substr(i * frameBytes + 1, lit(frameBytes))),
+      f => length(f) > 0)
+
+  /** STUB feature extraction as a pure projection: `dim` pseudo-features
+    * derived deterministically from the payload hash. A real extractor
+    * replaces this expression with a codec UDF or the [[decodePartitions]]
+    * path; the surrounding plan (projection over binary, no shuffle) is
+    * identical.
+    */
+  def fakeFeatures(binCol: Column, dim: Int): Column =
+    transform(sequence(lit(1), lit(dim)),
+      i => (pmod(xxhash64(binCol, i), lit(2000L)) - lit(1000L)).cast("double") / lit(1000.0))
+
+  /** Pluggable decode kernel. Implementations must be deterministic per
+    * byte payload for replayability.
+    */
+  trait MediaCodec extends Serializable {
+    def decode(bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in for an image/audio decoder (no codecs in this
+    * container): features are a simple byte-histogram projection — cheap,
+    * reproducible, and shaped like a real embedding.
+    */
+  final class FakeCodec(val dim: Int) extends MediaCodec {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        out(i % dim) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Partition-iterator decode — the Scala analog of `mapInPandas`: one
+    * codec instance per partition (amortizes model/codec init), rows
+    * streamed through it, binary in → features out. This is the last-resort
+    * imperative path per the design rules, justified because decode is
+    * genuinely per-row imperative work no Catalyst expression covers.
+    */
+  def decodePartitions(df: DataFrame, binCol: String, codec: MediaCodec,
+                       featName: String = "features"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(featName, ArrayType(FloatType, containsNull = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val feats = if (bytes == null) Array.empty[Float] else codec.decode(bytes)
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
+      }
+    }(enc)
+  }
+}

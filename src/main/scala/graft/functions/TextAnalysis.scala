@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, token counting, quality scoring, language ID, and
+  * document fingerprinting.
+  *
+  * Everything here is a pure per-row `Column` expression built from
+  * `org.apache.spark.sql.functions` — no UDFs, no shuffles: each operator
+  * stays inside whole-stage codegen and scales embarrassingly parallel
+  * (a 100 TB corpus is just more partitions; no skew concern because
+  * nothing groups).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count (0 for empty/blank text). */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, 0).otherwise(size(tokens(c)))
+
+  /** BPE-ish subword count: letter runs, single digits, and single
+    * non-alphanumeric marks each count as one token — a cheap, deterministic
+    * proxy for a real BPE tokenizer's token count.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0)))
+
+  def charCount(c: Column): Column = length(c)
+
+  /** Fraction of characters that are common punctuation. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  def digitRatio(c: Column): Column =
+    length(regexp_replace(c, "[^0-9]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+      "was", "for", "on", "with", "as", "by", "at", "it", "that", "this")
+
+  /** Fraction of whitespace tokens that are (English) stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val stops = EnglishStopwords.map(lit(_))
+    val hits = size(filter(tokens(c), t => t.isin(stops: _*)))
+    hits.cast("double") / greatest(tokenCount(c), lit(1)).cast("double")
+  }
+
+  def meanTokenLength(c: Column): Column =
+    aggregate(transform(tokens(c), t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+      .cast("double") / greatest(tokenCount(c), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: rewards reasonable length, a healthy
+    * stopword ratio (natural-language-ness), and low digit/punct noise.
+    * Weights are heuristic; the shape (bounded, monotone in each signal)
+    * is what matters for filtering.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / lit(100.0), lit(1.0))
+    val stopScore = least(stopwordRatio(c) * lit(4.0), lit(1.0))
+    val noise = punctRatio(c) + digitRatio(c)
+    val noiseScore = greatest(lit(1.0) - noise * lit(2.0), lit(0.0))
+    // no rounding: the raw IEEE combination is deterministic and
+    // oracle-comparable; rounding near dyadic halves is not
+    lenScore * lit(0.4) + stopScore * lit(0.3) + noiseScore * lit(0.3)
+  }
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Tie-break is deterministic: first language in this order
+    * wins at equal score; a document with no marker hits is "und".
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "que", "pour", "dans"),
+    "es" -> Seq("el", "los", "las", "de", "y", "que", "en", "un", "una", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "für"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "人", "这"))
+
+  def langScore(c: Column, markers: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(markers.map(lit(_)): _*)))
+
+  /** Predicted language code via marker-word argmax. Scores are packed into
+    * one array and the winner picked with array_max/array_position (first
+    * max wins — deterministic tie-break in LangMarkers order). A naive
+    * when-chain that repeats `greatest(scores…)` per branch duplicates the
+    * tokenize+filter subtree ~35×, which sends Catalyst optimization time
+    * through the roof — this form keeps each score subtree to a couple of
+    * occurrences.
+    */
+  def langId(c: Column): Column = {
+    val scores = array(LangMarkers.map { case (_, m) => langScore(c, m) }: _*)
+    val names = array(LangMarkers.map { case (lang, _) => lit(lang) }: _*)
+    val mx = array_max(scores)
+    when(mx === 0, lit("und"))
+      .otherwise(element_at(names, array_position(scores, mx).cast("int")))
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
+    * hash all character k-grams, take the min hash of each sliding window
+    * of `w` k-grams, and collapse the distinct mins into one 64-bit value.
+    * Near-identical documents share most window-min hashes, so this is a
+    * robust per-document signature for shingle-level dedup at scale —
+    * still a single codegen'd projection per row.
+    */
+  def fingerprint(c: Column, k: Int = 8, w: Int = 4): Column = {
+    val t = regexp_replace(lower(trim(c)), "\\s+", " ")
+    val nGrams = greatest(length(t) - lit(k - 1), lit(1))
+    val grams = transform(sequence(lit(1), nGrams), i => xxhash64(t.substr(i, lit(k))))
+    // Bind `grams` to a lambda variable (single-element-array trick) so the
+    // k-gram hash array is computed ONCE per row. Referencing the raw
+    // expression inside the window lambda would re-evaluate all ~n gram
+    // hashes for every window position — O(n²·k) per row instead of O(n·k).
+    val mins = element_at(
+      transform(array(grams), g =>
+        transform(sequence(lit(1), greatest(size(g) - lit(w - 1), lit(1))),
+          j => array_min(slice(g, j, lit(w))))), 1)
+    xxhash64(concat_ws(",", transform(array_sort(array_distinct(mins)), x => x.cast("string"))))
+  }
+}

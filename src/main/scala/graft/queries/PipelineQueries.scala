@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators as query entries: dedup (exact /
+  * MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine), similarity
+  * search (brute-force top-k + LSH ANN), text analysis, multimodal
+  * plumbing, and event sessionization.
+  *
+  * Hash-based operators (MinHash/SimHash/fingerprint/ANN) have no DuckDB
+  * oracle — their xxhash64 signatures are engine-specific — so they get
+  * rows-only checks here and value-level assertions in ScalaTest.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+
+    "dedup_exact" -> ((spark, dir) =>
+      Dedup.exactGroups(Tables.read(spark, dir, "documents"), "text", "doc_id")),
+
+    "dedup_exact_keep" -> ((spark, dir) =>
+      Dedup.dropExactDuplicates(Tables.read(spark, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "source")),
+
+    "dedup_ngram_jaccard" -> ((spark, dir) =>
+      Dedup.ngramJaccardPairs(Tables.read(spark, dir, "documents"),
+        "text", "doc_id", k = 3, threshold = 0.5)),
+
+    "dedup_minhash" -> ((spark, dir) =>
+      Dedup.minhashDupPairs(Tables.read(spark, dir, "documents"),
+        "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)),
+
+    "dedup_simhash" -> ((spark, dir) =>
+      Dedup.simhashDupPairs(Tables.read(spark, dir, "documents"),
+        "text", "doc_id", bands = 4, maxDist = 3)),
+
+    "dedup_embedding" -> ((spark, dir) =>
+      Similarity.cosineDupPairs(
+        Tables.read(spark, dir, "embeddings").filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", threshold = 0.4)),
+
+    "sim_topk_brute" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val scored = c.crossJoin(broadcast(q))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim"))
+      val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+    }),
+
+    "sim_ann_lsh" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      Similarity.annTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, nBits = 8)
+    }),
+
+    "text_stats" -> ((spark, dir) => {
+      val t = col("text")
+      Tables.read(spark, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(t).cast("long").as("n_bpeish"),
+        TextAnalysis.charCount(t).cast("long").as("char_len"),
+        TextAnalysis.punctRatio(t).as("punct_ratio"),
+        TextAnalysis.digitRatio(t).as("digit_ratio"),
+        TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+        TextAnalysis.meanTokenLength(t).as("mean_tok_len"),
+        TextAnalysis.qualityScore(t).as("quality"))
+    }),
+
+    "text_langid" -> ((spark, dir) =>
+      Tables.read(spark, dir, "documents").select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "text_fingerprint" -> ((spark, dir) =>
+      Tables.read(spark, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        Dedup.simhash(col("text")).as("simhash"))),
+
+    "multimodal_ingest" -> ((spark, dir) =>
+      Multimodal.ingest(Tables.read(spark, dir, "documents"), "text")
+        .select(col("doc_id"),
+          col("meta.size_bytes").cast("long").as("size_bytes"),
+          col("meta.magic").as("magic"))),
+
+    "multimodal_features" -> ((spark, dir) => {
+      val withBin = Multimodal.ingest(Tables.read(spark, dir, "documents"), "text")
+        .select("doc_id", "content")
+      Multimodal.decodePartitions(withBin, "content", new Multimodal.FakeCodec(16))
+        .select("doc_id", "features")
+    }),
+
+    "events_sessionize" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+      val gap = unix_timestamp(col("ts_s")) - unix_timestamp(lag(col("ts_s"), 1).over(w))
+      ev.withColumn("is_new",
+          when(gap.isNull || gap > 1800, 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("user_id", "event_id", "session_id")
+    }),
+
+    "events_hourly" -> ((spark, dir) =>
+      Tables.read(spark, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))))
+
+  private val stopList =
+    TextAnalysis.EnglishStopwords.map(s => s"'$s'").mkString("[", ",", "]")
+  private def markerList(lang: String): String =
+    TextAnalysis.LangMarkers.toMap.apply(lang).map(s => s"'$s'").mkString("[", ",", "]")
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+        |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_exact_keep" ->
+      """SELECT doc_id, lang, source FROM documents WHERE doc_id IN (
+        |SELECT MIN(doc_id) FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 1) + 1),
+        |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+        |co AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n
+        |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) AS jaccard
+        |FROM co JOIN sz a ON co.id_a = a.doc_id JOIN sz b ON co.id_b = b.doc_id
+        |WHERE CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(
+        |   list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |   (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin,
+    "sim_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round(
+        |   list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |   (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, sim FROM (
+        |  SELECT query_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s) t WHERE rank <= 10""".stripMargin,
+    "text_stats" -> s"""
+        |WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+        |  CAST(length(text) AS BIGINT) AS char_len,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS stopword_ratio,
+        |  CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS mean_tok_len
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_bpeish, char_len, punct_ratio, digit_ratio,
+        |  stopword_ratio, mean_tok_len,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  least(stopword_ratio * 4.0, 1.0) * 0.3 +
+        |  greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
+        |FROM m""".stripMargin,
+    "text_langid" -> s"""
+        |WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(${markerList("en")}, x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(${markerList("fr")}, x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(${markerList("es")}, x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(${markerList("de")}, x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(${markerList("zh")}, x))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+        |  WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+        |  WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+        |  WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+        |  WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
+        |  ELSE 'und' END AS lang_pred
+        |FROM s""".stripMargin,
+    "multimodal_ingest" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+        |hex(encode(substring(text, 1, 4))) AS magic FROM documents""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
+        |g AS (SELECT user_id, event_id, ts_s,
+        |  epoch(ts_s) - epoch(lag(ts_s, 1) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap
+        |  FROM e)
+        |SELECT user_id, event_id,
+        |CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM g""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}

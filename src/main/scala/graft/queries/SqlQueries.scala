@@ -1,0 +1,298 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The full-SQL surface the reference delegates to PostgreSQL (SURVEY §2.3),
+  * expressed through the DataFrame API so Catalyst plans it: aggregations,
+  * multi-way joins (broadcast + shuffle), semi/anti joins, windows, sorts/
+  * top-k, set ops, rollup, scalar functions, distinct and approximate
+  * aggregates.
+  *
+  * Oracle-parity conventions:
+  *  - double SUMs go through DECIMAL(18,x): decimal addition is exact and
+  *    associative, so Spark's partial-agg order and DuckDB's order agree;
+  *    the final value is cast back to double.
+  *  - windows order by (key, tiebreaker-id) so row_number is total.
+  *  - event timestamps are second-truncated before arithmetic (the parquet
+  *    carries nanoseconds; Spark truncates to µs on read, DuckDB keeps ns).
+  */
+object SqlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  def queries: Map[String, Q] = Map(
+
+    // TPC-H Q1-shaped pricing summary: partial+final hash aggregate,
+    // filter pushed to the parquet scan.
+    "q1_pricing_summary" -> ((spark, dir) => {
+      Tables.read(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // Q3-shaped: selective dim filter → two joins → agg → top-10.
+    // customer is broadcast (small side); lineitem⋈orders shuffles on the
+    // join key; ORDER BY + LIMIT plans as TakeOrderedAndProject.
+    "q3_top_orders" -> ((spark, dir) => {
+      val c = Tables.read(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.read(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15 00:00:00").cast("timestamp"))
+      val l = Tables.read(spark, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15 00:00:00").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5-shaped: 6-table star join. Dims (region/nation/supplier/customer)
+    // broadcast; only lineitem⋈orders is a shuffle join.
+    "q5_region_revenue" -> ((spark, dir) => {
+      val r = Tables.read(spark, dir, "region")
+      val n = Tables.read(spark, dir, "nation")
+      val s = Tables.read(spark, dir, "supplier")
+      val c = Tables.read(spark, dir, "customer")
+      val o = Tables.read(spark, dir, "orders")
+      val l = Tables.read(spark, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
+    // EXISTS → left_semi: no row multiplication, build side is just keys.
+    "q_semi_join" -> ((spark, dir) => {
+      val c = Tables.read(spark, dir, "customer")
+      val o = Tables.read(spark, dir, "orders").select("o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // NOT EXISTS → left_anti (customers with no URGENT order, so the
+    // result is non-empty at every scale factor).
+    "q_anti_join" -> ((spark, dir) => {
+      val c = Tables.read(spark, dir, "customer")
+      val o = Tables.read(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // Ranking window: top-3 orders per customer.
+    "q_window_topn" -> ((spark, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.read(spark, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // Sequence window over events: row_number + lag on second-truncated ts.
+    "q_window_running" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          (unix_timestamp(col("ts_s")) - unix_timestamp(lag(col("ts_s"), 1).over(w)))
+            .as("secs_since_prev"))
+    }),
+
+    // UNION / INTERSECT / EXCEPT in one result, tagged.
+    "q_setops" -> ((spark, dir) => {
+      val a = Tables.read(spark, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+      val b = Tables.read(spark, dir, "orders")
+        .filter(col("o_totalprice") > 150000.0).select(col("o_custkey").as("k"))
+      a.union(b).distinct().withColumn("src", lit("union"))
+        .unionAll(a.intersect(b).withColumn("src", lit("intersect")))
+        .unionAll(a.except(b).withColumn("src", lit("except")))
+    }),
+
+    // ROLLUP with exact decimal totals, through the native SQL path
+    // (Catalyst plans the same Expand + partial/final aggregate as the
+    // DataFrame `.rollup` API; SQL form used here because Dataset column
+    // resolution after rollup+coalesce trips the ambiguous-self-join
+    // check in Spark 4.1).
+    "q_rollup" -> ((spark, dir) => {
+      graft.Tables.register(spark, dir)
+      spark.sql(
+        """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+          |COUNT(*) AS n_customers,
+          |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_total
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+    }),
+
+    // Scalar string/math/conditional functions.
+    "q_scalar_funcs" -> ((spark, dir) => {
+      Tables.read(spark, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_type"), 1, 6).as("type_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("brand_size"),
+        round(col("p_retailprice") * 1.1, 4).as("adj_price"),
+        (col("p_size") % 5).as("size_mod"),
+        when(col("p_size") > 25, "L").when(col("p_size") > 10, "M")
+          .otherwise("S").as("size_class"))
+    }),
+
+    // Date/time functions.
+    "q_date_funcs" -> ((spark, dir) => {
+      Tables.read(spark, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_end"))
+    }),
+
+    // ORDER BY + LIMIT → TakeOrderedAndProject (no global sort).
+    "q_topk" -> ((spark, dir) => {
+      Tables.read(spark, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    }),
+
+    // count / exact distinct / min / max per group.
+    "q_distinct_agg" -> ((spark, dir) => {
+      Tables.read(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+    }),
+
+    // HLL approximate distinct — values are engine-specific, so this entry
+    // has no oracle (rows-only check); correctness is bounded-error by
+    // construction and asserted in ScalaTest against the exact count.
+    "q_approx_distinct" -> ((spark, dir) => {
+      Tables.read(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders) t WHERE rn <= 3""".stripMargin,
+    "q_window_running" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts_s FROM events)
+        |SELECT user_id, event_id,
+        |CAST(row_number() OVER w AS INTEGER) AS rn,
+        |lag(event_type, 1) OVER w AS prev_type,
+        |CAST(epoch(ts_s) - epoch(lag(ts_s, 1) OVER w) AS BIGINT) AS secs_since_prev
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)""".stripMargin,
+    "q_setops" ->
+      """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0)
+        |SELECT k, 'union' AS src FROM (SELECT k FROM a UNION SELECT k FROM b) u
+        |UNION ALL SELECT k, 'intersect' AS src FROM (SELECT k FROM a INTERSECT SELECT k FROM b) i
+        |UNION ALL SELECT k, 'except' AS src FROM (SELECT k FROM a EXCEPT SELECT k FROM b) e""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+        |COUNT(*) AS n_customers,
+        |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_total
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        |substring(p_type, 1, 6) AS type_prefix,
+        |CAST(length(p_name) AS BIGINT) AS name_len,
+        |concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+        |round(p_retailprice * 1.1, 4) AS adj_price,
+        |p_size % 5 AS size_mod,
+        |CASE WHEN p_size > 25 THEN 'L' WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class
+        |FROM part""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |CAST(dayofmonth(o_orderdate) AS INTEGER) AS o_day,
+        |CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+        |CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_end
+        |FROM orders""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |COUNT(DISTINCT o_custkey) AS n_customers,
+        |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import graft.config.ConfigParser
+import graft.operators.{Flattener, StreamMap, StreamMaps}
+import graft.sources.StreamSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the tap's own operator surface (SURVEY §2.1/§2.2):
+  * raw-SQL scan, incremental predicate, conformance, projection-drop,
+  * dialect rewriting, stream maps, flattening. Each runs the REAL engine
+  * path (config JSON → parse → StreamSource.native → conformance), not a
+  * hand-built equivalent.
+  */
+object TapQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def run(json: String): Q = (spark, dir) => {
+    Tables.register(spark, dir)
+    StreamSource.native(spark, ConfigParser.parseStream(json))
+  }
+
+  private val rawScanJson =
+    """{"name":"orders_big","sql":"SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders WHERE o_totalprice > 1000.0",
+      |"key_properties":["o_orderkey"],
+      |"columns":[{"name":"o_orderkey","type":"bigint"},{"name":"o_custkey","type":"bigint"},
+      |{"name":"o_totalprice","type":"double"},{"name":"o_orderdate","type":"datetime"}]}""".stripMargin
+
+  private val incrementalJson =
+    """{"name":"orders_inc","sql":"SELECT o_orderkey, o_custkey, o_orderdate FROM orders WHERE o_orderdate > :rep_key_val",
+      |"key_properties":["o_orderkey"],"replication_key":"o_orderdate",
+      |"replication_key_value_start":"1995-06-01 00:00:00",
+      |"columns":[{"name":"o_orderkey","type":"bigint"},{"name":"o_custkey","type":"bigint"},
+      |{"name":"o_orderdate","type":"datetime"}]}""".stripMargin
+
+  private val conformJson =
+    """{"name":"customer_conform","sql":"SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
+      |"key_properties":["c_custkey"],
+      |"columns":[{"name":"c_custkey","type":"string"},{"name":"c_name","type":"text"},
+      |{"name":"c_nationkey","type":"bigint"},{"name":"c_acctbal","type":"double"}]}""".stripMargin
+
+  // PG-isms from the reference's own test SQL (FIXTURES.md F4):
+  // '::uuid' cast + timestamptz literal, rewritten by SqlDialect.
+  private val dialectJson =
+    """{"name":"nation_dialect","sql":"SELECT '1441C21D-9921-4a1d-B239-9C6EA18AF234'::uuid AS id, timestamptz '2021-11-22T11:45:11.062824+00:00' AS last_updated, n_nationkey, n_name FROM nation",
+      |"key_properties":["n_nationkey"],
+      |"columns":[{"name":"id","type":"uuid"},{"name":"last_updated","type":"datetime"},
+      |{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"}]}""".stripMargin
+
+  // SELECT * but only 3 declared columns: conformance drops the rest
+  // (reference: client.py:147-154 unmapped-property drop).
+  private val projectionJson =
+    """{"name":"documents_proj","sql":"SELECT * FROM documents",
+      |"key_properties":["doc_id"],
+      |"columns":[{"name":"doc_id","type":"bigint"},{"name":"lang","type":"text"},
+      |{"name":"source","type":"text"}]}""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "tap_raw_sql_scan" -> run(rawScanJson),
+    "tap_incremental" -> run(incrementalJson),
+    "tap_conform_cast" -> run(conformJson),
+    "tap_dialect_rewrite" -> run(dialectJson),
+    "tap_projection" -> run(projectionJson),
+
+    "tap_stream_map" -> ((spark, dir) => {
+      val li = Tables.read(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_returnflag")
+      StreamMaps(li, StreamMap(
+        computed = Seq("revenue" -> "l_extendedprice * (1 - l_discount)"),
+        aliases = Seq("l_returnflag" -> "flag"),
+        dropped = Seq("l_quantity", "l_extendedprice", "l_discount"),
+        filter = Some("l_quantity > 10.0")))
+    }),
+
+    "tap_flatten" -> ((spark, dir) => {
+      val df = Tables.read(spark, dir, "customer").select(
+        struct(col("c_custkey").as("custkey"),
+          struct(col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("seg")).as("acct")).as("c"),
+        col("c_name"))
+      Flattener.flatten(df)
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "tap_raw_sql_scan" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        |FROM orders WHERE o_totalprice > 1000.0""".stripMargin,
+    "tap_incremental" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        |FROM orders WHERE o_orderdate > TIMESTAMP '1995-06-01 00:00:00'""".stripMargin,
+    "tap_conform_cast" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name,
+        |CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal FROM customer""".stripMargin,
+    "tap_dialect_rewrite" ->
+      """SELECT lower('1441C21D-9921-4a1d-B239-9C6EA18AF234') AS id,
+        |TIMESTAMP '2021-11-22 11:45:11.062824' AS last_updated, n_nationkey, n_name FROM nation""".stripMargin,
+    "tap_projection" -> "SELECT doc_id, lang, source FROM documents",
+    "tap_stream_map" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
+        |l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem WHERE l_quantity > 10.0""".stripMargin,
+    "tap_flatten" ->
+      """SELECT c_custkey AS c__custkey, c_acctbal AS c__acct__bal,
+        |c_mktsegment AS c__acct__seg, c_name FROM customer""".stripMargin)
+}

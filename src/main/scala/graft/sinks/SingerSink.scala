@@ -1,0 +1,54 @@
+package graft.sinks
+
+import graft.config.StreamConfig
+import graft.operators.Conformance
+import graft.state.TapState
+import graft.types.TypeMapper
+import org.apache.spark.sql.DataFrame
+import java.io.PrintStream
+
+/** Singer protocol emission: SCHEMA, then RECORDs, then STATE, one JSON
+  * object per stdout line (inherited behavior of `singer_sdk.Stream.sync`;
+  * reference invocation at tap_rawpostgresql/client.py:212).
+  *
+  * Message serialization is inherently a driver-side, ordered, line-oriented
+  * concern (the Singer spec is a stdout pipe), so this is the one place the
+  * engine iterates rows on the driver — via `toLocalIterator`, which holds
+  * at most one partition in memory, mirroring the reference's O(1)
+  * generator streaming (client.py:247-304).
+  */
+object SingerSink {
+
+  def emitSchema(stream: StreamConfig, out: PrintStream = System.out): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val keys = stream.keyProperties.map(q).mkString("[", ",", "]")
+    val bookmark = stream.replicationKey.map(k => s",\"bookmark_properties\":[${q(k)}]").getOrElse("")
+    out.println(
+      s"""{"type":"SCHEMA","stream":${q(stream.name)},"schema":${TypeMapper.jsonSchema(stream)},"key_properties":$keys$bookmark}""")
+  }
+
+  /** Emit RECORD messages. The DataFrame's JSON encoding happens
+    * distributed (executor-side `toJSON`); only the enveloped lines stream
+    * through the driver.
+    */
+  def emitRecords(df: DataFrame, stream: StreamConfig,
+                  out: PrintStream = System.out): Long = {
+    val serialized = Conformance.serializeTemporal(df)
+    var n = 0L
+    val prefix = s"""{"type":"RECORD","stream":"${stream.name}","record":"""
+    val it = serialized.toJSON.toLocalIterator()
+    while (it.hasNext) {
+      out.println(prefix + it.next() + "}")
+      n += 1
+    }
+    n
+  }
+
+  def emitState(state: TapState, out: PrintStream = System.out): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val bms = state.bookmarks.toSeq.sortBy(_._1).map { case (sid, v) =>
+      s"${q(sid)}:{${q("replication_key_value")}:${q(v)}}"
+    }.mkString("{", ",", "}")
+    out.println(s"""{"type":"STATE","value":{"bookmarks":$bms}}""")
+  }
+}

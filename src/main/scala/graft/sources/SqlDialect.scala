@@ -1,0 +1,111 @@
+package graft.sources
+
+import graft.types.TypeMapper
+import org.apache.spark.sql.types._
+
+/** PostgreSQL → Spark SQL dialect preprocessing.
+  *
+  * The reference ships stream SQL verbatim to PostgreSQL
+  * (reference: tap_rawpostgresql/client.py:300-302); our native path runs the
+  * same text through Spark's parser, so the PG-isms that appear in real
+  * configs are rewritten at the string level (SURVEY §7.3):
+  *   - `expr::type` casts  → `CAST(expr AS TYPE)`  (e.g. `'…'::uuid`)
+  *   - `timestamptz '…'` literals → `TIMESTAMP '…'`
+  *   - `:rep_key_val` bind parameter → typed literal (Spark SQL has no bind
+  *     parameters; the literal is rendered through the declared column type,
+  *     which also guards against injection — reference: client.py:283,298)
+  */
+object SqlDialect {
+
+  // operand: a quoted string literal (with '' escapes) or a (qualified) identifier
+  private val castRe =
+    """('(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_\.]*)\s*::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s+with(?:out)?\s+time\s+zone)?)""".r
+  private val tstzLitRe = """(?i)\btimestamptz\s*(')""".r
+  private val tsLitRe = """(?i)\btimestamp\s+with(?:out)?\s+time\s+zone\s*(')""".r
+
+  private val parenCastRe = """\)\s*::\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+
+  /** Rewrite PostgreSQL-flavored SQL into Spark-parseable SQL. */
+  def rewrite(sql: String): String = {
+    var out = sql
+    out = tstzLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
+    out = tsLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
+    // iterate to handle chained casts like x::text::int
+    var prev: String = null
+    while (prev != out) {
+      prev = out
+      out = castRe.replaceAllIn(out, m => {
+        val operand = m.group(1)
+        val tpe = sparkTypeName(m.group(2))
+        java.util.regex.Matcher.quoteReplacement(s"CAST($operand AS $tpe)")
+      })
+      out = rewriteParenCast(out)
+    }
+    out
+  }
+
+  /** Rewrite one `(...)::type` / `fn(...)::type` cast (balanced-paren scan;
+    * regex alone cannot match the operand). Iterated by `rewrite`.
+    */
+  private def rewriteParenCast(sql: String): String =
+    parenCastRe.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        var depth = 0
+        var j = m.start // index of ')'
+        var open = -1
+        while (j >= 0 && open < 0) {
+          sql.charAt(j) match {
+            case ')' => depth += 1
+            case '(' => depth -= 1; if (depth == 0) open = j
+            case _ =>
+          }
+          j -= 1
+        }
+        if (open < 0) sql // unbalanced; leave untouched
+        else {
+          var k = open - 1 // include a preceding function name, if any
+          while (k >= 0 && (sql.charAt(k).isLetterOrDigit || sql.charAt(k) == '_')) k -= 1
+          val start = k + 1
+          val operand = sql.substring(start, m.start + 1)
+          val tpe = sparkTypeName(m.group(1))
+          sql.substring(0, start) + s"CAST($operand AS $tpe)" + sql.substring(m.end)
+        }
+    }
+
+  /** Spark SQL name for a PG type string (uuid → STRING, etc.). */
+  def sparkTypeName(pgType: String): String =
+    TypeMapper.toDataType(pgType).sql
+
+  /** Render a value as a typed SQL literal for the given target type.
+    * Strings are single-quote escaped; timestamps/dates become typed
+    * literals so comparison semantics match the declared column.
+    */
+  def renderLiteral(value: String, dataType: DataType): String = dataType match {
+    case IntegerType | LongType | ShortType => value.trim.toLong.toString
+    case FloatType | DoubleType => value.trim.toDouble.toString
+    case _: DecimalType => BigDecimal(value.trim).toString
+    case BooleanType => value.trim.toBoolean.toString
+    case TimestampType => s"TIMESTAMP '${escape(value)}'"
+    case DateType => s"DATE '${escape(value)}'"
+    case _ => s"'${escape(value)}'"
+  }
+
+  private def escape(s: String): String = s.replace("'", "''")
+
+  /** Substitute the `:rep_key_val` bind parameter with a typed literal.
+    * Errors if the SQL references the parameter but no value is supplied
+    * (mirrors reference: client.py:278-281 / 287-298).
+    */
+  def bindRepKeyVal(sql: String, value: Option[String], dataType: DataType): String = {
+    val param = ":rep_key_val"
+    if (!sql.contains(param)) sql
+    else value match {
+      case Some(v) => sql.replace(param, renderLiteral(v, dataType))
+      case None =>
+        throw new IllegalStateException(
+          "SQL references :rep_key_val but no replication-key value is available " +
+            "(no state bookmark and no replication_key_value_start)")
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.config.{StreamConfig, TapConfig}
+import graft.operators.Conformance
+import graft.state.{Bookmarks, TapState}
+import graft.types.TypeMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stream execution: turn a `StreamConfig` into a `DataFrame`.
+  *
+  * Two paths, mirroring SURVEY §0:
+  *  - **native**: the stream SQL runs through Catalyst over registered
+  *    tables/views (`spark.sql`). This is the analytics path — predicate
+  *    pushdown, column pruning, join selection all come from Catalyst.
+  *  - **jdbc**: the SQL is pushed down to the remote database exactly like
+  *    the reference does (reference: tap_rawpostgresql/client.py:300-304),
+  *    via `spark.read.format("jdbc").option("query", …)` — plus partitioned
+  *    extraction options the reference lacks (it is a single cursor;
+  *    client.py:106-119), which is what makes 100 TB extraction parallel.
+  */
+object StreamSource {
+
+  /** Resolve watermark → rewrite dialect → bind param → execute → conform.
+    * The conformance `select` keeps column pruning effective: only declared
+    * columns survive the plan.
+    */
+  def native(spark: SparkSession, stream: StreamConfig,
+             state: TapState = Bookmarks.empty): DataFrame = {
+    require(stream.sql.trim.nonEmpty,
+      s"stream '${stream.name}': sql must not be empty") // reference: client.py:255-258
+    val start = Bookmarks.resolveStart(stream, state)
+    val repKeyType = stream.replicationKey.map(k =>
+      TypeMapper.toDataType(stream.column(k).typeName))
+      .getOrElse(org.apache.spark.sql.types.StringType)
+    val sql = SqlDialect.bindRepKeyVal(
+      SqlDialect.rewrite(stream.sql), start, repKeyType)
+    val df = spark.sql(sql)
+    Conformance.conform(df, stream.columns)
+  }
+
+  /** JDBC pushdown options for a stream. `partitionColumn`/bounds enable
+    * parallel extraction when the stream declares a numeric/timestamp
+    * replication key — each Spark task opens its own cursor over a slice.
+    */
+  def jdbcOptions(tap: TapConfig, stream: StreamConfig,
+                  state: TapState = Bookmarks.empty,
+                  numPartitions: Int = 1,
+                  bounds: Option[(String, String)] = None): Map[String, String] = {
+    val start = Bookmarks.resolveStart(stream, state)
+    val repKeyType = stream.replicationKey.map(k =>
+      TypeMapper.toDataType(stream.column(k).typeName))
+      .getOrElse(org.apache.spark.sql.types.StringType)
+    // No bind params in Spark JDBC either: render the typed literal
+    // before pushdown (reference binds server-side at client.py:300-303).
+    val sql = SqlDialect.bindRepKeyVal(stream.sql, start, repKeyType)
+    val base = Map(
+      "url" -> s"jdbc:postgresql://${tap.host}:${tap.port}/${tap.database}",
+      "user" -> tap.user,
+      "password" -> tap.password,
+      "driver" -> "org.postgresql.Driver",
+      "query" -> sql)
+    val partitioned = for {
+      (lo, hi) <- bounds
+      k <- stream.replicationKey
+      if numPartitions > 1
+    } yield Map(
+      // partitioned read requires dbtable, not query
+      "dbtable" -> s"(${sql}) AS graft_sub",
+      "partitionColumn" -> k,
+      "lowerBound" -> lo,
+      "upperBound" -> hi,
+      "numPartitions" -> numPartitions.toString) - "query"
+    partitioned.map(p => (base - "query") ++ p).getOrElse(base)
+  }
+
+  def jdbc(spark: SparkSession, tap: TapConfig, stream: StreamConfig,
+           state: TapState = Bookmarks.empty): DataFrame = {
+    val df = spark.read.format("jdbc")
+      .options(jdbcOptions(tap, stream, state)).load()
+    Conformance.conform(df, stream.columns)
+  }
+}

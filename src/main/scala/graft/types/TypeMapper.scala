@@ -1,0 +1,82 @@
+package graft.types
+
+import graft.config.{ColumnSpec, StreamConfig}
+import org.apache.spark.sql.types._
+
+/** Central type table: config type-string → Spark `DataType`, plus the
+  * JSON-schema emitter with the reference's required/nullable rules.
+  *
+  * Reference: type pass-through at tap_rawpostgresql/client.py:121-141,
+  * used at tap.py:175; required-rules at tap.py:180-183.
+  */
+object TypeMapper {
+
+  private val decimalRe = """(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  /** Config/PostgreSQL type string → Spark DataType. */
+  def toDataType(typeName: String): DataType = typeName.trim.toLowerCase match {
+    case "string" | "text" | "varchar" | "char" | "character varying" |
+         "uuid" | "json" | "jsonb" => StringType
+    case "int" | "integer" | "int4" | "serial" => IntegerType
+    case "bigint" | "int8" | "long" | "bigserial" => LongType
+    case "smallint" | "int2" => ShortType
+    case "datetime" | "timestamp" | "timestamptz" |
+         "timestamp with time zone" | "timestamp without time zone" => TimestampType
+    case "date" => DateType
+    case "bool" | "boolean" => BooleanType
+    case "float" | "real" | "float4" => FloatType
+    case "double" | "float8" | "double precision" | "number" => DoubleType
+    case "binary" | "bytea" | "blob" => BinaryType
+    case decimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported column type: '$other'")
+  }
+
+  /** Declared columns → Spark schema. */
+  def structType(cols: Seq[ColumnSpec]): StructType =
+    StructType(cols.map(c => StructField(c.name, toDataType(c.typeName), c.nullable)))
+
+  /** JSON-schema primitive name for a config type. */
+  def jsonSchemaType(typeName: String): String = toDataType(typeName) match {
+    case StringType | BinaryType | TimestampType | DateType => "string"
+    case IntegerType | LongType | ShortType => "integer"
+    case FloatType | DoubleType | _: DecimalType => "number"
+    case BooleanType => "boolean"
+    case other => throw new IllegalArgumentException(s"no json-schema mapping for $other")
+  }
+
+  /** A column is required (its JSON type array has no "null") iff it is
+    * NOT nullable, OR it is a key property, OR it is the replication key
+    * (reference: tap.py:180-183; test evidence FIXTURES.md F2/F3 — the
+    * same column is `["integer"]` when it is the replication key and
+    * `["integer","null"]` otherwise).
+    */
+  def isRequired(stream: StreamConfig, col: ColumnSpec): Boolean =
+    !col.nullable ||
+      stream.keyProperties.contains(col.name) ||
+      stream.replicationKey.contains(col.name)
+
+  /** Per-column JSON type array, e.g. `["integer","null"]`. */
+  def jsonTypeArray(stream: StreamConfig, col: ColumnSpec): Seq[String] = {
+    val base = jsonSchemaType(col.typeName)
+    if (isRequired(stream, col)) Seq(base) else Seq(base, "null")
+  }
+
+  /** Full JSON-schema document for a stream's declared columns. The schema
+    * is emitted from the *declared* config, never from `df.schema` (Spark
+    * widens nullability through operators).
+    */
+  def jsonSchema(stream: StreamConfig): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val props = stream.columns.map { c =>
+      val types = jsonTypeArray(stream, c).map(q).mkString("[", ",", "]")
+      val fmt = toDataType(c.typeName) match {
+        case TimestampType => ",\"format\":\"date-time\""
+        case DateType => ",\"format\":\"date\""
+        case _ => ""
+      }
+      s"${q(c.name)}:{\"type\":$types$fmt}"
+    }.mkString(",")
+    s"""{"type":"object","properties":{$props}}"""
+  }
+}

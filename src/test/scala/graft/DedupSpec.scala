@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "THE  Quick   brown fox jumps over the lazy dog"), // exact dup mod norm
+    (3L, "the quick brown fox jumps over the lazy cat"),    // near dup
+    (4L, "completely different text about spark engines"),
+    (5L, "the quick brown fox jumps over the lazy dog")     // exact dup
+  ).toDF("doc_id", "text")
+
+  test("exact groups pick min id and count copies") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(g.length === 3)
+    val dupRow = g.find(_.getLong(1) == 1L).get
+    assert(dupRow.getLong(2) === 3) // ids 1, 2, 5
+  }
+
+  test("dropExactDuplicates keeps one row per normalized text") {
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("shingles are distinct word k-grams; short docs yield one shingle") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "t")
+    val sh = df.select(col("id"), Dedup.shingles(col("t"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L) === Seq("a b c", "b c d"))
+    assert(sh(2L) === Seq("a b"))
+  }
+
+  test("exact ngram jaccard finds the near-dup pair with the exact value") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 1 and 3: 7 shingles each, 6 shared → jaccard 6/8 = 0.75
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 3L && math.abs(j - 0.75) < 1e-12 })
+    // exact dups have jaccard 1.0
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+    // unrelated doc 4 pairs with nothing
+    assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH finds near-dups and exact dups, verified by exact jaccard") {
+    val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
+      k = 3, nPerm = 64, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))
+    assert(pairs.contains((2L, 5L)))
+    assert(pairs.contains((1L, 3L))) // jaccard 0.75 ≥ banding threshold ≈ 0.5
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical texts collide, hamming small for near-dups") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L)) // same normalized tokens
+    assert(sigs(1L) === sigs(5L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 16)
+
+    val pairs = Dedup.simhashDupPairs(docs, "text", "doc_id", bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash signature approximates jaccard") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz")).toDF("doc_id", "text")
+    val sigs = df.select(Dedup.minhashSignature(
+        Dedup.shingles(col("text"), 2), nPerm = 256, seed = 7).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val est = sigs(0).zip(sigs(1)).count { case (a, b) => a == b } / 256.0
+    // true jaccard of 2-shingles: 8 shared / 10 union = 0.8
+    assert(math.abs(est - 0.8) < 0.15)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.config.{ColumnSpec, ConfigParser, StreamConfig}
+import graft.operators.{Conformance, Flattener, StreamMap, StreamMaps}
+import graft.functions.Multimodal
+import graft.sinks.SingerSink
+import graft.state.{Bookmarks, TapState}
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("flattener expands nested structs with __ names, depth-limited") {
+    val df = Seq((1, ("x", (2.5, "y")))).toDF("id", "c")
+      .select(col("id"), struct(col("c._1").as("a"),
+        struct(col("c._2._1").as("b1"), col("c._2._2").as("b2")).as("b")).as("c"))
+    assert(Flattener.flatten(df).columns.toSeq ===
+      Seq("id", "c__a", "c__b__b1", "c__b__b2"))
+    assert(Flattener.flatten(df, maxDepth = 1).columns.toSeq ===
+      Seq("id", "c__a", "c__b"))
+  }
+
+  test("stream maps: filter sees pre-drop columns; compute/alias/drop apply") {
+    val df = Seq((1, 10.0, "a"), (2, 3.0, "b")).toDF("id", "amt", "tag")
+    val out = StreamMaps(df, StreamMap(
+      computed = Seq("amt2" -> "amt * 2"),
+      aliases = Seq("tag" -> "label"),
+      dropped = Seq("amt"),
+      filter = Some("amt > 5.0")))
+    assert(out.columns.toSeq === Seq("id", "label", "amt2"))
+    val r = out.collect()
+    assert(r.length === 1 && r(0).getInt(0) === 1 && r(0).getDouble(2) === 20.0)
+  }
+
+  test("conformance serializes timestamps in reference ISO form") {
+    val df = spark.sql(
+      "SELECT TIMESTAMP '2021-11-22 11:45:11.062824' AS ts, DATE '2021-11-22' AS d")
+    val r = Conformance.serializeTemporal(df).collect()(0)
+    assert(r.getString(0) === "2021-11-22T11:45:11.062824+00:00")
+    assert(r.getString(1) === "2021-11-22")
+  }
+
+  test("singer sink emits SCHEMA/RECORD/STATE lines") {
+    val s = ConfigParser.parseStream(
+      """{"name":"t","sql":"SELECT 'Ichi' AS one, 2 AS two","key_properties":["one"],
+        |"replication_key":"two","replication_key_value_start":0,
+        |"columns":[{"name":"one","type":"text"},{"name":"two","type":"int","nullable":true}]}""".stripMargin)
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    SingerSink.emitSchema(s, out)
+    val df = graft.sources.StreamSource.native(spark, s)
+    val n = SingerSink.emitRecords(df, s, out)
+    SingerSink.emitState(TapState(Map(s.streamId -> "2")), out)
+    val lines = buf.toString("UTF-8").split("\n")
+    assert(n === 1 && lines.length === 3)
+    assert(lines(0).contains(""""type":"SCHEMA"""") &&
+      lines(0).contains(""""two":{"type":["integer"]}""")) // rep key ⇒ required
+    assert(lines(1) === """{"type":"RECORD","stream":"t","record":{"one":"Ichi","two":2}}""")
+    assert(lines(2).contains(""""postgres-public-t":{"replication_key_value":"2"}"""))
+  }
+
+  test("bookmarks save/load round-trip") {
+    val tmp = Files.createTempDirectory("graft-state").resolve("state.json").toString
+    val s = StreamConfig("t", "SELECT 1", replicationKey = Some("v"),
+      columns = Seq(ColumnSpec("v", "int")))
+    Bookmarks.save(tmp, TapState(Map(s.streamId -> "41")), Seq(s))
+    assert(Bookmarks.load(tmp).bookmark(s.streamId) === Some("41"))
+    assert(Bookmarks.load("/nonexistent/state.json") === Bookmarks.empty)
+  }
+
+  test("multimodal: meta, frame sampling, partition decode") {
+    val df = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text")
+    val ingested = Multimodal.ingest(df, "text")
+    val m = ingested.select(col("meta.size_bytes"), col("meta.magic")).collect()
+    assert(m(0).getInt(0) === 10 && m(0).getString(1) === "61626364")
+
+    val frames = ingested.select(
+      Multimodal.frameSample(col("content"), nFrames = 3, frameBytes = 4).as("f"))
+      .collect().map(_.getSeq[Array[Byte]](0))
+    assert(frames(0).map(new String(_)).toSeq === Seq("abcd", "efgh", "ij"))
+    assert(frames(1).map(new String(_)).toSeq === Seq("xy"))
+
+    val feats = Multimodal.decodePartitions(
+      ingested.select("doc_id", "content"), "content", new Multimodal.FakeCodec(4))
+    val row = feats.filter(col("doc_id") === 1L).select("features").collect()(0)
+      .getSeq[Float](0)
+    assert(row.length === 4)
+    // deterministic: 'a'+'e'+'i' = (97+101+105)/255 in slot 0
+    assert(math.abs(row(0) - (97 + 101 + 105) / 255.0f) < 1e-6)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("token counting") {
+    val df = Seq("the quick brown fox", "  padded  tokens  ", "", "one").toDF("t")
+    val counts = df.select(TextAnalysis.tokenCount(col("t"))).as[Int].collect()
+    assert(counts.toSeq === Seq(4, 2, 0, 1))
+  }
+
+  test("bpe-ish token counting splits words, digits and punctuation") {
+    val df = Seq("hello world", "a1b2!", "don't stop").toDF("t")
+    val counts = df.select(TextAnalysis.bpeishTokenCount(col("t"))).as[Int].collect()
+    // "a1b2!" → a, 1, b, 2, ! = 5 ; "don't stop" → don, ', t, stop = 4
+    assert(counts.toSeq === Seq(2, 5, 4))
+  }
+
+  test("ratios") {
+    val df = Seq("ab, cd!").toDF("t") // 7 chars, 2 punct, 0 digits
+    val r = df.select(
+      TextAnalysis.punctRatio(col("t")),
+      TextAnalysis.digitRatio(col("t"))).as[(Double, Double)].head()
+    assert(math.abs(r._1 - 2.0 / 7.0) < 1e-12)
+    assert(r._2 === 0.0)
+  }
+
+  test("stopword ratio") {
+    val df = Seq("the cat and the dog").toDF("t") // the, and, the = 3 of 5
+    val r = df.select(TextAnalysis.stopwordRatio(col("t"))).as[Double].head()
+    assert(math.abs(r - 0.6) < 1e-12)
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = Seq(
+      "the cat sat on the mat and it was happy",
+      "le chat est sur la table et il est content",
+      "el gato está en la mesa y es feliz",
+      "der Hund und die Katze sind nicht da",
+      "xyzzy plugh").toDF("t")
+    val langs = df.select(TextAnalysis.langId(col("t"))).as[String].collect()
+    assert(langs.toSeq === Seq("en", "fr", "es", "de", "und"))
+  }
+
+  test("fingerprint is stable and perturbation-sensitive") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "an utterly different document about query engines")).toDF("id", "t")
+    val fps = df.select(col("id"), TextAnalysis.fingerprint(col("t")))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("quality score is bounded and ranks clean text above noise") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and it was a good day for running",
+      "@@@ ### 12345 67890 !!!").toDF("t")
+    val q = df.select(TextAnalysis.qualityScore(col("t"))).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+}

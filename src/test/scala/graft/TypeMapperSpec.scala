@@ -1,0 +1,62 @@
+package graft
+
+import graft.config.{ColumnSpec, StreamConfig}
+import graft.types.TypeMapper
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TypeMapperSpec extends AnyFunSuite {
+
+  test("core type mappings") {
+    assert(TypeMapper.toDataType("text") === StringType)
+    assert(TypeMapper.toDataType("string") === StringType)
+    assert(TypeMapper.toDataType("uuid") === StringType)
+    assert(TypeMapper.toDataType("int") === IntegerType)
+    assert(TypeMapper.toDataType("bigint") === LongType)
+    assert(TypeMapper.toDataType("datetime") === TimestampType)
+    assert(TypeMapper.toDataType("timestamptz") === TimestampType)
+    assert(TypeMapper.toDataType("bool") === BooleanType)
+    assert(TypeMapper.toDataType("double precision") === DoubleType)
+    assert(TypeMapper.toDataType("DECIMAL(12,2)") === DecimalType(12, 2))
+    assert(TypeMapper.toDataType("bytea") === BinaryType)
+    assertThrows[IllegalArgumentException](TypeMapper.toDataType("wat"))
+  }
+
+  // Reference semantics (tap.py:180-183, FIXTURES.md F2 vs F3): the same
+  // nullable column is required iff it is a key property or the
+  // replication key.
+  test("required/nullable rules match the reference") {
+    val cols = Seq(
+      ColumnSpec("one", "text"),
+      ColumnSpec("two", "int", nullable = true),
+      ColumnSpec("three", "text", nullable = true),
+      ColumnSpec("four", "text", nullable = false))
+
+    val incremental = StreamConfig("test", "SELECT 1", keyProperties = Seq("one"),
+      replicationKey = Some("two"), columns = cols)
+    assert(TypeMapper.jsonTypeArray(incremental, cols(0)) === Seq("string"))
+    assert(TypeMapper.jsonTypeArray(incremental, cols(1)) === Seq("integer")) // rep key
+    assert(TypeMapper.jsonTypeArray(incremental, cols(2)) === Seq("string", "null"))
+    assert(TypeMapper.jsonTypeArray(incremental, cols(3)) === Seq("string"))
+
+    val fullTable = StreamConfig("test", "SELECT 1", keyProperties = Seq("one"),
+      columns = cols)
+    assert(TypeMapper.jsonTypeArray(fullTable, cols(1)) === Seq("integer", "null"))
+  }
+
+  test("structType preserves declared nullability") {
+    val st = TypeMapper.structType(Seq(
+      ColumnSpec("a", "int"), ColumnSpec("b", "text", nullable = true)))
+    assert(st === StructType(Seq(
+      StructField("a", IntegerType, nullable = false),
+      StructField("b", StringType, nullable = true))))
+  }
+
+  test("json schema emission") {
+    val s = StreamConfig("t", "SELECT 1", keyProperties = Seq("id"),
+      columns = Seq(ColumnSpec("id", "int"), ColumnSpec("at", "datetime", nullable = true)))
+    val js = TypeMapper.jsonSchema(s)
+    assert(js.contains(""""id":{"type":["integer"]}"""))
+    assert(js.contains(""""at":{"type":["string","null"],"format":"date-time"}"""))
+  }
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle on the same parquet tables. Usage:
+    python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm_cell(v):
+    import datetime, decimal, math
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+def load_parquet_rows(path_dir):
+    files = glob.glob(os.path.join(path_dir, "*.parquet"))
+    if not files:
+        return None, None
+    import pyarrow as pa
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    cols = sorted(tbl.column_names)
+    rows = []
+    data = {c: tbl[c].to_pylist() for c in cols}
+    for i in range(tbl.num_rows):
+        rows.append(tuple(norm_cell(data[c][i]) for c in cols))
+    rows.sort(key=repr)
+    return cols, rows
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    qdirs = [d for d in os.listdir(out_dir)
+             if os.path.isdir(os.path.join(out_dir, d))]
+    for name in sorted(qdirs):
+        cols, rows = load_parquet_rows(os.path.join(out_dir, name))
+        if cols is None:
+            results[name] = "EMPTY-OUTPUT"
+            continue
+        if name not in oracle:
+            results[name] = f"rows-only ({len(rows)} rows)" + (" FAIL-ZERO" if len(rows) == 0 else "")
+            continue
+        try:
+            res = con.sql(oracle[name])
+            ocols = sorted(res.columns)
+            order = [res.columns.index(c) for c in ocols]
+            orows = [tuple(norm_cell(r[i]) for i in order) for r in res.fetchall()]
+            orows.sort(key=repr)
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR: {e}"
+            continue
+        if cols != ocols:
+            results[name] = f"SCHEMA-MISMATCH spark={cols} oracle={ocols}"
+        elif len(rows) != len(orows):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(rows)} oracle={len(orows)}"
+        elif rows != orows:
+            # find first diff
+            diff = next((i for i, (a, b) in enumerate(zip(rows, orows)) if a != b), -1)
+            results[name] = (f"VALUE-MISMATCH at sorted-row {diff}:\n"
+                             f"    spark : {rows[diff]}\n"
+                             f"    oracle: {orows[diff]}")
+        else:
+            results[name] = f"OK ({len(rows)} rows)"
+    n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only")) and "FAIL" not in v)
+    for name, v in sorted(results.items()):
+        flag = "PASS" if (v.startswith(("OK", "rows-only")) and "FAIL" not in v) else "FAIL"
+        print(f"[{flag}] {name}: {v}")
+    print(f"\n{n_ok}/{len(results)} pass")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+if __name__ == "__main__":
+    main()
