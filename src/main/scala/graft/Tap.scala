@@ -1,0 +1,101 @@
+package graft
+
+import graft.config.{ConfigParser, StreamConfig, TapConfig}
+import graft.sinks.{BatchManifest, BatchSink, SingerSink}
+import graft.sources.StreamSource
+import graft.state.{Bookmarks, TapState}
+import graft.types.TypeMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.io.PrintStream
+
+/** The tap orchestrator — the engine's equivalent of the SDK's
+  * `Tap.sync_all` (reference: invoked from tap_rawpostgresql/tap.py via
+  * singer_sdk): for each configured stream, resolve the watermark, execute,
+  * emit (Singer messages or batch files), and advance the state bookmark.
+  */
+object Tap {
+
+  /** Result of one stream sync. */
+  final case class StreamResult(stream: StreamConfig, records: Long,
+                                manifests: Seq[BatchManifest])
+
+  /** Sync every stream: Singer mode (SCHEMA/RECORD per stream, one STATE
+    * at the end) or batch mode when `tap.batchConfig` is set.
+    */
+  def syncAll(spark: SparkSession, tap: TapConfig,
+              statePath: Option[String] = None,
+              out: PrintStream = System.out): (Seq[StreamResult], TapState) = {
+    var state = statePath.map(Bookmarks.load).getOrElse(Bookmarks.empty)
+    val results = tap.streams.map { s =>
+      val df = StreamSource.native(spark, s, state)
+      val r = tap.batchConfig match {
+        case Some(bc) =>
+          val manifests = BatchSink.write(df, s, bc)
+          StreamResult(s, -1, manifests)
+        case None =>
+          SingerSink.emitSchema(s, out)
+          val n = SingerSink.emitRecords(df, s, out)
+          StreamResult(s, n, Nil)
+      }
+      state = Bookmarks.advance(s, df, state)
+      r
+    }
+    SingerSink.emitState(state, out)
+    statePath.foreach(p => Bookmarks.save(p, state, tap.streams))
+    (results, state)
+  }
+
+  /** `--discover`: the Singer catalog. As in the reference, the catalog for
+    * this tap comes from the configured streams (tap.py:211-215), not DB
+    * introspection.
+    */
+  def catalogJson(tap: TapConfig): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val entries = tap.streams.map { s =>
+      val keys = s.keyProperties.map(q).mkString("[", ",", "]")
+      val repKey = s.replicationKey.map(k => s",${q("replication_key")}:${q(k)}").getOrElse("")
+      val method = if (s.replicationKey.isDefined) "INCREMENTAL" else "FULL_TABLE"
+      s"""{"tap_stream_id":${q(s.streamId)},"stream":${q(s.name)},"schema":${TypeMapper.jsonSchema(s)},"key_properties":$keys,"replication_method":${q(method)}$repKey}"""
+    }
+    s"""{"streams":${entries.mkString("[", ",", "]")}}"""
+  }
+
+  /** `--about`: capabilities/settings self-description (reference README:40,
+    * capabilities at tap.py:244-259).
+    */
+  def aboutJson: String =
+    """{"name":"graft","capabilities":["state","catalog","discover","about","stream-maps","flattening","batch"],"settings":["host","port","user","password","database","streams","batch_config","batch_size"]}"""
+}
+
+/** CLI entry point mirroring the reference's (`tap.py:262-263`):
+  * `graft.Main --config cfg.json [--discover|--about] [--state state.json]`.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k -> v
+    }.toMap
+    val flags = args.filter(a => a == "--discover" || a == "--about" || a == "--version").toSet
+
+    if (flags("--version")) { println("graft 0.1.0"); return }
+    val cfgPath = opts.getOrElse("--config",
+      sys.error("usage: graft.Main --config <cfg.json> [--discover|--about] [--state <state.json>]"))
+    val tap = ConfigParser.parseTap(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(cfgPath)))
+
+    if (flags("--about")) { println(Tap.aboutJson); return }
+    if (flags("--discover")) { println(Tap.catalogJson(tap)); return }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-tap")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try Tap.syncAll(spark, tap, opts.get("--state"))
+    finally spark.stop()
+  }
+}

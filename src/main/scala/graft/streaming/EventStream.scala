@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table: the unbounded-stream
+  * counterpart of the tap's bounded incremental extraction. The reference
+  * has no streaming surface (SURVEY §1.1 — "INCREMENTAL" is resumable
+  * batch), so this module is part of the pipeline extension: the same
+  * event analytics expressed as continuous queries with watermarks and
+  * stateful aggregation.
+  *
+  * `readEvents` streams the parquet directory; in production the source
+  * would be Kafka/files landing continuously — the downstream plan is
+  * identical, which is the point of the unified Dataset API.
+  */
+object EventStream {
+
+  /** Raw schema of the events parquet (ts as nano Long — Spark 4 refuses
+    * TIMESTAMP(NANOS) otherwise; converted to µs TimestampType on read).
+    */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the fixture is a single file; the file stream source needs a
+    // directory basePath with a glob that selects just the events table
+    spark.readStream.schema(RawSchema)
+      .option("basePath", sfDir)
+      .parquet(s"$sfDir/{events}.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling-window counts/sums per event type with a 1-hour watermark:
+    * late events beyond the watermark are dropped, state is bounded —
+    * the standard scalable shape for time-bucketed aggregation.
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  final case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, value_sum: Double)
+
+  /** Stateful per-user running totals via mapGroupsWithState — the
+    * KeyValueGroupedDataset state API the pipeline uses for custom
+    * accumulators (one state row per user key, hash-partitioned).
+    */
+  def userTotals(events: Dataset[UserEvent]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (user: Long, evts: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(user, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.value_sum
+          evts.foreach { e => n += 1; s += e.value }
+          val next = UserTotals(user, n, s)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against the (static) fixture
+    * files via the memory sink; returns the result table name.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("streaming hourly counts match the batch aggregation") {
+    val stream = EventStream.hourlyCounts(
+      EventStream.readEvents(spark, SparkTestSession.Sf))
+    EventStream.runToMemory(stream, "hourly_out", OutputMode.Complete())
+    val streamed = spark.table("hourly_out")
+      .select("hour_start", "event_type", "n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+
+    val batch = Tables.read(spark, SparkTestSession.Sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("stateful user totals match batch totals") {
+    val evts = EventStream.readEvents(spark, SparkTestSession.Sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[EventStream.UserEvent]
+    EventStream.runToMemory(EventStream.userTotals(evts).toDF(),
+      "user_totals_out", OutputMode.Update())
+    val streamed = spark.table("user_totals_out")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toMap
+
+    val batch = Tables.read(spark, SparkTestSession.Sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === batch)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.config.ConfigParser
+import graft.state.Bookmarks
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end tap orchestration: multi-stream sync, state advance across
+  * runs (resumable incremental — the reference's core behavior), catalog
+  * and about output.
+  */
+class TapSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val cfgJson =
+    """{"database":"db1","streams":[
+      |{"name":"s1","sql":"SELECT * FROM (SELECT 1 AS v UNION ALL SELECT 5 UNION ALL SELECT 9) WHERE v > :rep_key_val",
+      | "key_properties":["v"],"replication_key":"v","replication_key_value_start":0,
+      | "columns":[{"name":"v","type":"int"}]},
+      |{"name":"s2","sql":"SELECT 'x' AS a","key_properties":["a"],
+      | "columns":[{"name":"a","type":"text"}]}
+      |]}""".stripMargin
+
+  test("sync_all emits schema+records per stream and advances state across runs") {
+    val tap = ConfigParser.parseTap(cfgJson)
+    assert(tap.streams.map(_.streamId) === Seq("db1-public-s1", "db1-public-s2"))
+    val statePath = Files.createTempDirectory("tap").resolve("state.json").toString
+
+    val buf1 = new ByteArrayOutputStream()
+    val (res1, st1) = Tap.syncAll(spark, tap, Some(statePath), new PrintStream(buf1, true, "UTF-8"))
+    assert(res1.map(_.records) === Seq(3, 1))
+    assert(st1.bookmark("db1-public-s1") === Some("9"))
+    val lines1 = buf1.toString("UTF-8").split("\n")
+    assert(lines1.count(_.contains(""""type":"SCHEMA"""")) === 2)
+    assert(lines1.count(_.contains(""""type":"RECORD"""")) === 4)
+    assert(lines1.last.contains(""""type":"STATE""""))
+
+    // second run resumes from the bookmark: v > 9 → no new records for s1
+    val buf2 = new ByteArrayOutputStream()
+    val (res2, _) = Tap.syncAll(spark, tap, Some(statePath), new PrintStream(buf2, true, "UTF-8"))
+    assert(res2.map(_.records) === Seq(0, 1))
+    // bookmark survives an empty sync (no regression to start value)
+    assert(Bookmarks.load(statePath).bookmark("db1-public-s1") === Some("9"))
+  }
+
+  test("catalog and about output") {
+    val tap = ConfigParser.parseTap(cfgJson)
+    val cat = Tap.catalogJson(tap)
+    assert(cat.contains(""""tap_stream_id":"db1-public-s1""""))
+    assert(cat.contains(""""replication_method":"INCREMENTAL""""))
+    assert(cat.contains(""""replication_method":"FULL_TABLE""""))
+    assert(cat.contains(""""v":{"type":["integer"]}"""))
+    assert(Tap.aboutJson.contains("\"capabilities\""))
+  }
+}
