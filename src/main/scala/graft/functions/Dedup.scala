@@ -51,9 +51,13 @@ object Dedup {
     */
   def shingles(c: Column, k: Int): Column = {
     val toks = split(normalizeText(c), " ")
-    val n = greatest(size(toks) - lit(k - 1), lit(1))
-    array_distinct(transform(sequence(lit(1), n),
-      i => concat_ws(" ", slice(toks, i, lit(k)))))
+    // bind the token array once (single-element-array trick): a raw `toks`
+    // reference inside the position lambda would re-split the whole text
+    // for every shingle position — O(len²) per row
+    element_at(transform(array(toks), ts =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(ts) - lit(k - 1), lit(1))),
+        i => concat_ws(" ", slice(ts, i, lit(k)))))), 1)
   }
 
   // ---------------------------------------------------------------- MinHash
@@ -71,9 +75,17 @@ object Dedup {
   }
 
   /** MinHash signature (array of nPerm Longs) over a shingle array —
-    * one projection, no shuffle; codegen'd built-ins only.
+    * one projection, no shuffle. Delegates to the native Catalyst
+    * expression ([[graft.plans.MinHashSig]]): one tight loop per row vs
+    * ~nPerm×|shingles| interpreted lambda steps for the builtin-HOF form
+    * below (kept as [[minhashSignatureHof]]; both produce identical
+    * signatures).
     */
-  def minhashSignature(shingleCol: Column, nPerm: Int = 64, seed: Long = 42L): Column = {
+  def minhashSignature(shingleCol: Column, nPerm: Int = 64, seed: Long = 42L): Column =
+    graft.plans.SignatureExpressions.minhashSig(shingleCol, nPerm, seed)
+
+  /** Builtin-higher-order-function formulation of [[minhashSignature]]. */
+  def minhashSignatureHof(shingleCol: Column, nPerm: Int = 64, seed: Long = 42L): Column = {
     val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashPrime)))
     // bind `hashes` once via the single-element-array trick: otherwise each
     // of the nPerm permutation rows would re-hash every shingle string
@@ -179,18 +191,29 @@ object Dedup {
   private val Pow2: Seq[Long] = (0 until SimhashBits).map(1L << _)
 
   /** 63-bit SimHash over whitespace tokens: per-token xxhash64, each bit
-    * votes ±1, sign of the vote sum becomes the signature bit. Pure
-    * projection (aggregate/zip_with over the token array).
+    * votes ±1, sign of the vote sum becomes the signature bit. Native
+    * Catalyst expression ([[graft.plans.SimHash64]]); the builtin-HOF
+    * form is kept as [[simhashHof]] (identical output).
     */
-  def simhash(c: Column): Column = {
+  def simhash(c: Column): Column =
+    graft.plans.SignatureExpressions.simhash64(split(normalizeText(c), " "))
+
+  /** Builtin-higher-order-function formulation of [[simhash]]. */
+  def simhashHof(c: Column): Column = {
     val hashes = transform(split(normalizeText(c), " "), t => xxhash64(t))
     val zeros = array((0 until SimhashBits).map(_ => lit(0L)): _*)
     val pow2 = array(Pow2.map(lit(_)): _*)
-    val votes = aggregate(hashes, zeros, (acc, h) =>
-      zip_with(acc, pow2, (a, p) =>
-        a + when((h.bitwiseAND(p)) =!= 0, lit(1L)).otherwise(lit(-1L))))
-    aggregate(zip_with(votes, pow2, (v, p) => when(v > 0, p).otherwise(lit(0L))),
-      lit(0L), (s, x) => s + x)
+    // bind [pow2, hashes] once — a literal array referenced inside a
+    // per-token lambda would be re-materialized for every token
+    element_at(transform(array(array(pow2, hashes)), ba => {
+      val p2 = element_at(ba, 1)
+      val hs = element_at(ba, 2)
+      val votes = aggregate(hs, zeros, (acc, h) =>
+        zip_with(acc, p2, (a, p) =>
+          a + when((h.bitwiseAND(p)) =!= 0, lit(1L)).otherwise(lit(-1L))))
+      aggregate(zip_with(votes, p2, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+        lit(0L), (s, x) => s + x)
+    }), 1)
   }
 
   /** Hamming distance between two SimHash values. */
