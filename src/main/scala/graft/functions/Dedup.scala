@@ -160,7 +160,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
+    // explode 64-bit shingle hashes, not strings: the self-join shuffle
+    // then carries (8-byte key, id) rows; collision odds over N distinct
+    // shingles are ~N²/2^65 — immaterial against a 64-bit space
+    val sh = df.select(col(idCol).as("id"),
+      explode(transform(shingles(col(textCol), k), s => xxhash64(s))).as("sh"))
     val pruned = maxDocFreq match {
       case Some(maxDf) =>
         val hot = sh.groupBy("sh").count().where(col("count") > maxDf).select("sh")

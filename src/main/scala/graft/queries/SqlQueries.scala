@@ -205,6 +205,85 @@ object SqlQueries {
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }),
+
+    // CUBE: all grouping-set combinations of (priority, status).
+    "q_cube" -> ((spark, dir) => {
+      Tables.read(spark, dir, "orders")
+        .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("price_total"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("price_total"))
+    }),
+
+    // Theta join (non-equi): nation pairs within the same region —
+    // BroadcastNestedLoopJoin territory; fine because both sides are dims.
+    "q_theta_join" -> ((spark, dir) => {
+      val n1 = Tables.read(spark, dir, "nation")
+        .select(col("n_nationkey").as("k1"), col("n_name").as("nation_a"),
+          col("n_regionkey").as("r1"))
+      val n2 = Tables.read(spark, dir, "nation")
+        .select(col("n_nationkey").as("k2"), col("n_name").as("nation_b"),
+          col("n_regionkey").as("r2"))
+      n1.join(n2, col("r1") === col("r2") && col("k1") < col("k2"))
+        .select("nation_a", "nation_b")
+    }),
+
+    // Correlated scalar subquery (decorrelated to a window by Catalyst):
+    // orders above their customer's average order value.
+    "q_corr_subquery" -> ((spark, dir) => {
+      val w = Window.partitionBy("o_custkey")
+      Tables.read(spark, dir, "orders")
+        .withColumn("cust_avg",
+          sum(dec2(col("o_totalprice"))).over(w).cast("double") /
+            count(lit(1)).over(w))
+        .where(col("o_totalprice") > col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // String function battery.
+    "q_string_funcs" -> ((spark, dir) => {
+      Tables.read(spark, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        replace(col("p_type"), lit(" "), lit("_")).as("type_snake"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_padded"),
+        reverse(col("p_brand")).as("brand_rev"),
+        ltrim(rtrim(col("p_name"))).as("name_trim"),
+        repeat(lit("*"), col("p_size") % 5).as("stars"))
+    }),
+
+    // Conditional/null functions: nullif/coalesce/least/greatest/CASE.
+    "q_conditional" -> ((spark, dir) => {
+      Tables.read(spark, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_or_flag"),
+        least(col("l_quantity"), col("l_discount") * 100).as("least_v"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        when(col("l_returnflag") === "R", col("l_extendedprice") * -1)
+          .otherwise(col("l_extendedprice")).as("signed_price"))
+    }),
+
+    // Conditional aggregation (FILTER-style, expressed portably as
+    // sum/count over CASE so Spark and the oracle agree on empty groups).
+    "q_agg_filter" -> ((spark, dir) => {
+      Tables.read(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_high_disc"),
+          sum(when(col("l_linestatus") === "F",
+            dec2(col("l_quantity"))).otherwise(lit(null))).cast("double").as("qty_f"),
+          count(lit(1)).as("n_total"))
+    }),
+
+    // Word count over exploded tokens — generator (explode) + agg.
+    "q_wordcount" -> ((spark, dir) => {
+      Tables.read(spark, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -294,5 +373,48 @@ object SqlQueries {
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |COUNT(DISTINCT o_custkey) AS n_customers,
         |MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
-        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |COALESCE(o_orderstatus, 'ALL') AS status,
+        |COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_total
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin,
+    "q_theta_join" ->
+      """SELECT a.n_name AS nation_a, b.n_name AS nation_b
+        |FROM nation a JOIN nation b
+        |ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey""".stripMargin,
+    "q_corr_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |replace(p_type, ' ', '_') AS type_snake,
+        |lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+        |reverse(p_brand) AS brand_rev,
+        |ltrim(rtrim(p_name)) AS name_trim,
+        |repeat('*', p_size % 5) AS stars
+        |FROM part""".stripMargin,
+    "q_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        |COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_or_flag,
+        |LEAST(l_quantity, l_discount * 100) AS least_v,
+        |GREATEST(l_tax, l_discount) AS max_rate,
+        |CASE WHEN l_returnflag = 'R' THEN l_extendedprice * -1
+        |     ELSE l_extendedprice END AS signed_price
+        |FROM lineitem""".stripMargin,
+    "q_agg_filter" ->
+      """SELECT l_returnflag,
+        |CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+        |CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |  THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE NULL END) AS DOUBLE) AS qty_f,
+        |COUNT(*) AS n_total
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents) t GROUP BY word""".stripMargin)
 }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.config.{ColumnSpec, StreamConfig}
+import graft.sources.SqlDialect
+import graft.types.TypeMapper
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the pure layers: type mapping, literal rendering,
+  * dialect rewriting, required/nullable schema rules (§2.4.1).
+  * Uses raw ScalaCheck generators with a fixed seed (the scalatest-plus
+  * bridge is not in the offline artifact cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](gen: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(g1, g2))(f.tupled)
+
+  private val supportedTypes = Gen.oneOf(
+    "text", "string", "varchar", "uuid", "int", "integer", "bigint",
+    "smallint", "datetime", "timestamp", "timestamptz", "date", "bool",
+    "boolean", "float", "double", "bytea", "decimal(10,2)")
+
+  test("every supported type maps to a DataType with a JSON-schema name") {
+    forAll(supportedTypes) { t =>
+      val dt = TypeMapper.toDataType(t)
+      assert(dt !== null)
+      assert(TypeMapper.jsonSchemaType(t).nonEmpty)
+    }
+  }
+
+  test("type mapping is case-insensitive and whitespace-tolerant") {
+    forAll(supportedTypes) { t =>
+      assert(TypeMapper.toDataType(t.toUpperCase) === TypeMapper.toDataType(t))
+      assert(TypeMapper.toDataType(s"  $t  ") === TypeMapper.toDataType(t))
+    }
+  }
+
+  test("required iff not-nullable OR key property OR replication key") {
+    val gen = for {
+      nullable <- Gen.oneOf(true, false)
+      isKey <- Gen.oneOf(true, false)
+      isRepKey <- Gen.oneOf(true, false)
+    } yield (nullable, isKey, isRepKey)
+    forAll(gen) { case (nullable, isKey, isRepKey) =>
+      val col = ColumnSpec("c", "int", nullable)
+      val s = StreamConfig("s", "SELECT 1",
+        keyProperties = if (isKey) Seq("c") else Nil,
+        replicationKey = if (isRepKey) Some("c") else None,
+        columns = Seq(col))
+      val expected = !nullable || isKey || isRepKey
+      assert(TypeMapper.isRequired(s, col) === expected)
+      assert(TypeMapper.jsonTypeArray(s, col).contains("null") === !expected)
+    }
+  }
+
+  test("string literal rendering escapes any quotes reversibly") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val lit = SqlDialect.renderLiteral(s, StringType)
+      assert(lit.head === '\'' && lit.last === '\'')
+      val inner = lit.substring(1, lit.length - 1)
+      assert(inner.replace("''", "'") === s)
+    }
+  }
+
+  test("numeric literal rendering round-trips") {
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { n =>
+      assert(SqlDialect.renderLiteral(n.toString, LongType).toLong === n)
+    }
+  }
+
+  test("bindRepKeyVal leaves SQL without the parameter untouched") {
+    forAll(Gen.alphaNumStr.suchThat(!_.contains(":rep_key_val"))) { sql =>
+      assert(SqlDialect.bindRepKeyVal(sql, Some("1"), LongType) === sql)
+    }
+  }
+
+  test("rewrite eliminates all identifier/literal ::casts of supported types") {
+    val idGen = Gen.identifier.suchThat(_.nonEmpty)
+    forAll(idGen, supportedTypes.suchThat(!_.contains("("))) { (ident, t) =>
+      val out = SqlDialect.rewrite(s"select $ident::$t from t")
+      assert(!out.contains("::"), out)
+      assert(out.contains("CAST("))
+    }
+  }
+}
