@@ -31,12 +31,15 @@ case class MinHashSig(child: Expression, nPerm: Int, seed: Long)
 
   private val Prime = 2147483647L
 
-  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
+  // drawn as interleaved (a,b) pairs — MUST match Dedup.permutations so
+  // the native and builtin-HOF formulations produce identical signatures
+  @transient private lazy val perms: Array[(Long, Long)] = {
     val r = new scala.util.Random(seed)
-    val a = Array.fill(nPerm)(1L + r.nextInt(Int.MaxValue - 2).toLong)
-    val b = Array.fill(nPerm)(r.nextInt(Int.MaxValue - 1).toLong)
-    (a, b)
+    Array.fill(nPerm)((1L + r.nextInt(Int.MaxValue - 2).toLong,
+      r.nextInt(Int.MaxValue - 1).toLong))
   }
+  @transient private lazy val as: Array[Long] = perms.map(_._1)
+  @transient private lazy val bs: Array[Long] = perms.map(_._2)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

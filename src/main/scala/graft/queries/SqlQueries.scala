@@ -284,6 +284,42 @@ object SqlQueries {
       Tables.read(spark, dir, "documents")
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
+    }),
+
+    // As-of join (point-in-time lookup): each purchase gets the ts of the
+    // user's latest click at-or-before it. One shuffle (union+window) —
+    // see operators/AsOfJoin for the scale rationale.
+    "q_asof_join" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          date_trunc("second", col("ts")).as("click_s"))
+      graft.operators.AsOfJoin.asOf(purchases, clicks,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          payload = Seq("click_s"))
+        .select("user_id", "event_id", "asof_click_s")
+    }),
+
+    // Pivot: order counts per priority × status (fixed value list keeps
+    // the output schema deterministic; nulls → 0 on both sides).
+    "q_pivot" -> ((spark, dir) => {
+      val p = Tables.read(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+      p.select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+    }),
+
+    // Semi-structured JSON column: extract a field from the props blob.
+    "q_json_props" -> ((spark, dir) => {
+      Tables.read(spark, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -416,5 +452,21 @@ object SqlQueries {
     "q_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
-        |  FROM documents) t GROUP BY word""".stripMargin)
+        |  FROM documents) t GROUP BY word""".stripMargin,
+    "q_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, date_trunc('second', ts) AS click_s
+        |      FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, CAST(r.click_s AS TIMESTAMP) AS asof_click_s
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events""".stripMargin)
 }
