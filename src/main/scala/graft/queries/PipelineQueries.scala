@@ -118,7 +118,51 @@ object PipelineQueries {
       Tables.read(spark, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))))
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))),
+
+    // Flagship composed curation pipeline: exact-dedup → quality gate →
+    // language ID → per-doc features. Every stage is a narrow projection
+    // except the dedup semi-join; the whole thing is one Catalyst plan.
+    "pipeline_curate" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val deduped = graft.functions.Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      val t = col("text")
+      deduped
+        .select(col("doc_id"),
+          TextAnalysis.langId(t).as("lang_pred"),
+          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(t).as("quality"))
+        .where(col("quality") >= 0.5)
+    }),
+
+    // Salted two-phase aggregation — identical results to the direct
+    // groupBy (the oracle IS the direct form), with the hot-key shuffle
+    // split across 8 sub-keys.
+    "q_salted_agg" -> ((spark, dir) => {
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"))
+      graft.functions.Skew.saltedAgg(li,
+          Seq("l_returnflag", "l_linestatus"), buckets = 8,
+          aggs = Seq("qty" -> "sum", "qty" -> "count"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("count_qty").as("count_qty"))
+    }),
+
+    // Deterministic content-keyed sampling (hash membership) — rows-only:
+    // xxhash64 membership is engine-specific; determinism + composability
+    // are asserted in SamplingSpec.
+    "sample_hash" -> ((spark, dir) =>
+      graft.functions.Sampling.hashSample(
+        Tables.read(spark, dir, "documents"), "doc_id", fraction = 0.2)
+        .select("doc_id", "lang", "source")),
+
+    "sample_stratified" -> ((spark, dir) =>
+      graft.functions.Sampling.stratifiedHashSample(
+        Tables.read(spark, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "fr" -> 0.1, "de" -> 0.1, "es" -> 0.1, "zh" -> 0.1))
+        .select("doc_id", "lang")))
 
   private val stopList =
     TextAnalysis.EnglishStopwords.map(s => s"'$s'").mkString("[", ",", "]")
@@ -224,5 +268,47 @@ object PipelineQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |COUNT(*) AS n_events,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |COUNT(*) AS count_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "pipeline_curate" -> s"""
+        |WITH kept AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id IN (
+        |    SELECT MIN(doc_id) FROM documents
+        |    GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+        |t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        |  FROM kept),
+        |m AS (SELECT doc_id, toks, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS stopword_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id, toks, n_tokens,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  least(stopword_ratio * 4.0, 1.0) * 0.3 +
+        |  greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
+        |  FROM m),
+        |s AS (SELECT doc_id, n_tokens, quality,
+        |  len(list_filter(toks, x -> list_contains(${markerList("en")}, x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(${markerList("fr")}, x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(${markerList("es")}, x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(${markerList("de")}, x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(${markerList("zh")}, x))) AS s_zh
+        |  FROM q)
+        |SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+        |  WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+        |  WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+        |  WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+        |  WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
+        |  ELSE 'und' END AS lang_pred,
+        |  n_tokens, quality
+        |FROM s WHERE quality >= 0.5""".stripMargin)
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.{Sampling, Skew}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hash sample is deterministic, partitioning-independent, composable") {
+    val df = spark.range(0, 10000).toDF("id")
+    val s20a = Sampling.hashSample(df, "id", 0.2).select("id").as[Long].collect().toSet
+    val s20b = Sampling.hashSample(df.repartition(13), "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(s20a === s20b) // survives repartitioning
+    val s05 = Sampling.hashSample(df, "id", 0.05).select("id").as[Long].collect().toSet
+    assert(s05.subsetOf(s20a)) // nested fractions
+    assert(math.abs(s20a.size / 10000.0 - 0.2) < 0.02)
+    assert(math.abs(s05.size / 10000.0 - 0.05) < 0.01)
+  }
+
+  test("stratified hash sample respects per-stratum fractions") {
+    val df = spark.range(0, 10000)
+      .select(col("id"), when(col("id") % 2 === 0, "a").otherwise("b").as("s"))
+    val out = Sampling.stratifiedHashSample(df, "id", "s", Map("a" -> 0.5, "b" -> 0.1))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(out("a") / 5000.0 - 0.5) < 0.05)
+    assert(math.abs(out("b") / 5000.0 - 0.1) < 0.03)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val df = Tables.read(spark, SparkTestSession.Sf, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("qty"))
+    val direct = df.groupBy("l_returnflag")
+      .agg(sum(col("qty")).as("s"), count(col("qty")).as("c"),
+        min(col("qty")).as("mn"), max(col("qty")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDecimal(1), r.getLong(2),
+        r.getDecimal(3), r.getDecimal(4))).toMap
+    val salted = Skew.saltedAgg(df, Seq("l_returnflag"), buckets = 8,
+        aggs = Seq("qty" -> "sum", "qty" -> "count", "qty" -> "min", "qty" -> "max"))
+      .collect().map(r => r.getString(0) -> (r.getDecimal(1), r.getLong(2),
+        r.getDecimal(3), r.getDecimal(4))).toMap
+    assert(salted.keySet === direct.keySet)
+    direct.foreach { case (k, (s, c, mn, mx)) =>
+      val (s2, c2, mn2, mx2) = salted(k)
+      assert(s2.compareTo(s) === 0 && c2 === c &&
+        mn2.compareTo(mn) === 0 && mx2.compareTo(mx) === 0, k)
+    }
+  }
+}
