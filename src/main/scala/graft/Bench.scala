@@ -21,7 +21,8 @@ object Bench {
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
     "q_window_topn", "dedup_exact", "dedup_minhash",
     "dedup_ngram_jaccard", "text_stats", "sim_topk_brute",
-    "events_sessionize", "events_hourly")
+    "events_sessionize", "events_hourly", "q_asof_join",
+    "pipeline_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -64,6 +64,18 @@ object PipelineQueries {
         "vec_id", "embedding", k = 10, nBits = 8)
     }),
 
+    // IVF coarse-quantizer ANN: KMeans lists + nProbe search (the
+    // clustered-data scale path; LSH above is the data-independent one).
+    "sim_ivf" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val index = graft.functions.IvfIndex.build(emb, "vec_id", "embedding",
+        nLists = 16)
+      graft.functions.IvfIndex.search(index,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nProbe = 4)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     "text_stats" -> ((spark, dir) => {
       val t = col("text")
       Tables.read(spark, dir, "documents").select(
