@@ -133,8 +133,17 @@ object Dedup {
 
     val banded = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), nPerm, bands)).as("band"))
-    val buckets = banded.groupBy("band")
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+    // cap bucket membership BEFORE collect_list: the row_number window
+    // bounds both the quadratic pair blowup and the per-bucket memory of
+    // the collect (a collect-then-slice would still materialize a
+    // pathological bucket in one aggregation buffer)
+    val bandW = org.apache.spark.sql.expressions.Window
+      .partitionBy("band").orderBy("id")
+    val capped = banded
+      .withColumn("__rn", row_number().over(bandW))
+      .where(col("__rn") <= maxBucket)
+    val buckets = capped.groupBy("band")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) > 1)
     val candidates = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -241,8 +250,14 @@ object Dedup {
       struct(lit(b).as("band"), masked.as("chunk"))
     }: _*)
     val banded = sigs.select(col("id"), col("sig"), explode(keys).as("key"))
-    val buckets = banded.groupBy(col("key"))
-      .agg(slice(sort_array(collect_list(struct(col("id"), col("sig")))), 1, maxBucket).as("members"))
+    // cap before collect — see minhashDupPairs for the rationale
+    val keyW = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy("id")
+    val capped = banded
+      .withColumn("__rn", row_number().over(keyW))
+      .where(col("__rn") <= maxBucket)
+    val buckets = capped.groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("members"))
       .where(size(col("members")) > 1)
     val pairs = buckets
       .select(explode(col("members")).as("a"), col("members"))
