@@ -174,7 +174,15 @@ object PipelineQueries {
       graft.functions.Sampling.stratifiedHashSample(
         Tables.read(spark, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.5, "fr" -> 0.1, "de" -> 0.1, "es" -> 0.1, "zh" -> 0.1))
-        .select("doc_id", "lang")))
+        .select("doc_id", "lang")),
+
+    // Per-group deterministic reservoir (custom TypedImperativeAggregate,
+    // bottom-k sketch): k example sources per language.
+    "sample_reservoir" -> ((spark, dir) =>
+      Tables.read(spark, dir, "documents")
+        .groupBy("lang")
+        .agg(graft.plans.ReservoirSample.reservoir(col("source"), 5)
+          .as("source_sample"))))
 
   private val stopList =
     TextAnalysis.EnglishStopwords.map(s => s"'$s'").mkString("[", ",", "]")
