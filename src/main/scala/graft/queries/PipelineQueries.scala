@@ -132,6 +132,19 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))),
 
+    // Native session_window (gap-based session assignment; merge iff
+    // inter-event gap < 30 min — note STRICT inequality, mirrored in the
+    // oracle's `gap >= 1800` new-session rule). Works identically as a
+    // streaming query (StreamingSpec).
+    "events_session_window" -> ((spark, dir) => {
+      Tables.read(spark, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"))
+        .groupBy(session_window(col("ts_s"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+    }),
+
     // Flagship composed curation pipeline: exact-dedup → quality gate →
     // language ID → per-doc features. Every stage is a narrow projection
     // except the dedup semi-join; the whole thing is one Catalyst plan.
@@ -289,6 +302,18 @@ object PipelineQueries {
         |COUNT(*) AS n_events,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
+        |g AS (SELECT user_id, event_id, ts_s,
+        |  epoch(ts_s) - epoch(lag(ts_s, 1) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap
+        |  FROM e),
+        |s AS (SELECT user_id, ts_s,
+        |  SUM(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(MIN(ts_s) AS TIMESTAMP) AS session_start,
+        |COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -320,6 +320,27 @@ object SqlQueries {
       Tables.read(spark, dir, "events")
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+    }),
+
+    // Exact percentiles (sort-based, linear interpolation).
+    "q_percentile" -> ((spark, dir) => {
+      Tables.read(spark, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Array functions over the embedding column (no arithmetic — raw
+    // element/extremum extraction, so floats compare exactly).
+    "q_array_funcs" -> ((spark, dir) => {
+      Tables.read(spark, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        array_min(col("embedding")).as("emb_min"),
+        array_max(col("embedding")).as("emb_max"),
+        element_at(col("embedding"), 1).as("first_val"),
+        slice(col("embedding"), 1, 4).as("head4"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -468,5 +489,19 @@ object SqlQueries {
     "q_json_props" ->
       """SELECT event_id,
         |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |quantile_cont(o_totalprice, 0.5) AS p50,
+        |quantile_cont(o_totalprice, 0.9) AS p90,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |CAST(len(embedding) AS INTEGER) AS dim,
+        |list_min(embedding) AS emb_min,
+        |list_max(embedding) AS emb_max,
+        |embedding[1] AS first_val,
+        |embedding[1:4] AS head4
+        |FROM embeddings""".stripMargin)
 }

@@ -24,6 +24,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming session_window matches the batch session query") {
+    import org.apache.spark.sql.functions.{session_window => sw}
+    val streamed = EventStream.readEvents(spark, SparkTestSession.Sf)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"))
+      .withWatermark("ts_s", "1 hour")
+      .groupBy(sw(col("ts_s"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    EventStream.runToMemory(streamed, "sessions_out",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val got = spark.table("sessions_out")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+
+    val batch = SparkEntry.queries("events_session_window")(spark, SparkTestSession.Sf)
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(got === batch)
+  }
+
   test("stateful user totals match batch totals") {
     val evts = EventStream.readEvents(spark, SparkTestSession.Sf)
       .select(col("user_id"), col("event_id"), col("value"))
