@@ -331,6 +331,19 @@ object SqlQueries {
           count(lit(1)).as("n"))
     }),
 
+    // RANGE window frame: 30-day trailing order count/value per customer,
+    // keyed on epoch seconds (decimal sum keeps the frame total exact
+    // regardless of the engine's frame-aggregation tree).
+    "q_window_range" -> ((spark, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-30L * 86400, 0)
+      Tables.read(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_trailing_30d"),
+        sum(dec2(col("o_totalprice"))).over(w).cast("double").as("spend_30d"))
+    }),
+
     // Array functions over the embedding column (no arithmetic — raw
     // element/extremum extraction, so floats compare exactly).
     "q_array_funcs" -> ((spark, dir) => {
@@ -496,6 +509,13 @@ object SqlQueries {
         |quantile_cont(o_totalprice, 0.9) AS p90,
         |COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |COUNT(*) OVER w AS n_trailing_30d,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_array_funcs" ->
       """SELECT vec_id,
         |CAST(len(embedding) AS INTEGER) AS dim,
