@@ -47,6 +47,10 @@ object Profile {
       Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)))
     time("ngram jaccard (2nd)")(noop(
       Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)))
+    time("jaccard prefix-filter")(noop(
+      Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id", 3, 0.5)))
+    time("jaccard prefix (2nd)")(noop(
+      Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id", 3, 0.5)))
     spark.stop()
   }
 }

@@ -74,6 +74,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefix-filtered jaccard equals the naive explode-join exactly") {
+    val docs500 = Tables.read(spark, SparkTestSession.Sf, "documents")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e12))).toSet
+    val naive = normalize(
+      Dedup.ngramJaccardPairs(docs500, "text", "doc_id", k = 3, threshold = 0.5))
+    val prefix = normalize(
+      Dedup.ngramJaccardPairsPrefix(docs500, "text", "doc_id", k = 3, threshold = 0.5))
+    assert(naive.nonEmpty)
+    assert(prefix === naive)
+  }
+
   test("minhash signature approximates jaccard") {
     val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
       (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz")).toDF("doc_id", "text")
