@@ -78,7 +78,18 @@ final case class TapConfig(
     password: String = "",
     database: String = "postgres",
     streams: Seq[StreamConfig] = Nil,
-    batchConfig: Option[BatchConfig] = None)
+    batchConfig: Option[BatchConfig] = None,
+    /** Full JDBC URL override (else built from host/port/database as
+      * PostgreSQL, matching the reference's connector; client.py:33-38).
+      * Lets the same engine extract from any JDBC source.
+      */
+    jdbcUrl: Option[String] = None,
+    jdbcDriver: Option[String] = None) {
+  def resolvedJdbcUrl: String =
+    jdbcUrl.getOrElse(s"jdbc:postgresql://$host:$port/$database")
+  def resolvedJdbcDriver: String =
+    jdbcDriver.getOrElse("org.postgresql.Driver")
+}
 
 /** JSON parsing for tap/stream configs via Jackson (ships in Spark's jars;
   * parsed by explicit tree-walking so no module registration is needed).
@@ -97,7 +108,9 @@ object ConfigParser {
       database = db,
       streams = opt(n, "streams").toSeq.flatMap(_.elements.asScala).map(parseStreamNode(_, db,
         int(n, "batch_size").getOrElse(StreamConfig.DefaultBatchSize))),
-      batchConfig = opt(n, "batch_config").map(parseBatchConfig))
+      batchConfig = opt(n, "batch_config").map(parseBatchConfig),
+      jdbcUrl = str(n, "jdbc_url"),
+      jdbcDriver = str(n, "jdbc_driver"))
   }
 
   def parseStream(json: String): StreamConfig =

@@ -54,10 +54,10 @@ object StreamSource {
     // before pushdown (reference binds server-side at client.py:300-303).
     val sql = SqlDialect.bindRepKeyVal(stream.sql, start, repKeyType)
     val base = Map(
-      "url" -> s"jdbc:postgresql://${tap.host}:${tap.port}/${tap.database}",
+      "url" -> tap.resolvedJdbcUrl,
       "user" -> tap.user,
       "password" -> tap.password,
-      "driver" -> "org.postgresql.Driver",
+      "driver" -> tap.resolvedJdbcDriver,
       "query" -> sql)
     val partitioned = for {
       (lo, hi) <- bounds
