@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed-table layout: pre-partitioning fact tables by join key makes
+  * the fact⋈fact join shuffle-free — the table-layout half of the 100 TB
+  * story (the other half is broadcast dims). Asserted by plan shape: the
+  * bucketed join plans with NO shuffle exchange on either side.
+  */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("bucketed fact-fact join plans without a shuffle exchange") {
+    // default warehouse dir (static conf); managed tables dropped below
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val li = Tables.read(spark, SparkTestSession.Sf, "lineitem")
+      val o = Tables.read(spark, SparkTestSession.Sf, "orders")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_bucketed")
+      o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("o_bucketed")
+
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+
+      // join inputs read bucket-aligned: no Exchange below the join
+      val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin")
+      assert(joinPart.length >= 2, s"expected a shuffle-family join:\n$plan")
+      val belowJoin = joinPart.last
+      assert(!belowJoin.contains("Exchange hashpartitioning(l_orderkey") &&
+        !belowJoin.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join must not re-shuffle its inputs:\n$plan")
+
+      // and the result matches the unbucketed join
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+      assert(got.keySet === expected.keySet)
+      expected.foreach { case (k, v) => assert(got(k).compareTo(v) === 0, k) }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
