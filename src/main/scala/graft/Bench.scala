@@ -20,8 +20,8 @@ object Bench {
   val Headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
     "q_window_topn", "dedup_exact", "dedup_minhash",
-    "dedup_ngram_jaccard", "text_stats", "sim_topk_brute",
-    "events_sessionize", "events_hourly", "q_asof_join",
+    "dedup_ngram_jaccard", "text_stats", "text_stats_native",
+    "sim_topk_brute", "events_sessionize", "events_hourly", "q_asof_join",
     "pipeline_curate")
 
   def main(args: Array[String]): Unit = {

@@ -90,6 +90,30 @@ object PipelineQueries {
         TextAnalysis.qualityScore(t).as("quality"))
     }),
 
+    // Same metrics as text_stats from the single-pass native expression
+    // (plans/TextStatsExpr): one string scan instead of ~6 regex passes.
+    // Per-row equality with the HOF form is proven in TextStatsExprSpec,
+    // so it shares text_stats' oracle.
+    "text_stats_native" -> ((spark, dir) => {
+      val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+      Tables.read(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.TextStatsExpr.textStats(col("text")).as("s"))
+        .select(col("doc_id"),
+          col("s.n_tokens").as("n_tokens"),
+          col("s.n_bpeish").as("n_bpeish"),
+          col("s.char_len").as("char_len"),
+          (d(col("s.n_punct")) / d(greatest(col("s.char_len"), lit(1)))).as("punct_ratio"),
+          (d(col("s.n_digit")) / d(greatest(col("s.char_len"), lit(1)))).as("digit_ratio"),
+          (d(col("s.n_stop")) / d(greatest(col("s.n_tokens"), lit(1)))).as("stopword_ratio"),
+          (d(col("s.tok_len_sum")) / d(greatest(col("s.n_tokens"), lit(1)))).as("mean_tok_len"))
+        .withColumn("quality",
+          least(d(col("n_tokens")) / lit(100.0), lit(1.0)) * lit(0.4) +
+            least(col("stopword_ratio") * lit(4.0), lit(1.0)) * lit(0.3) +
+            greatest(lit(1.0) - (col("punct_ratio") + col("digit_ratio")) * lit(2.0),
+              lit(0.0)) * lit(0.3))
+    }),
+
     "text_langid" -> ((spark, dir) =>
       Tables.read(spark, dir, "documents").select(
         col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
@@ -202,7 +226,7 @@ object PipelineQueries {
   private def markerList(lang: String): String =
     TextAnalysis.LangMarkers.toMap.apply(lang).map(s => s"'$s'").mkString("[", ",", "]")
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = moreOracles ++ Map(
     "dedup_exact" ->
       """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
         |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
@@ -247,7 +271,10 @@ object PipelineQueries {
         |  SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM s) t WHERE rank <= 10""".stripMargin,
-    "text_stats" -> s"""
+    "text_stats_native" -> textStatsOracle,
+    "text_stats" -> textStatsOracle)
+
+  private lazy val textStatsOracle: String = s"""
         |WITH t AS (SELECT doc_id, text,
         |  string_split_regex(trim(text), '\\s+') AS toks,
         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
@@ -266,7 +293,9 @@ object PipelineQueries {
         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
         |  least(stopword_ratio * 4.0, 1.0) * 0.3 +
         |  greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
-        |FROM m""".stripMargin,
+        |FROM m""".stripMargin
+
+  private lazy val moreOracles: Map[String, String] = Map(
     "text_langid" -> s"""
         |WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         |s AS (SELECT doc_id,
