@@ -331,6 +331,40 @@ object SqlQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Window navigation: first/last/nth value over an explicit frame.
+    "q_window_nav" -> ((spark, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.read(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+    }),
+
+    // Multiset set ops: EXCEPT ALL / INTERSECT ALL keep duplicates.
+    "q_setops_all" -> ((spark, dir) => {
+      val a = Tables.read(spark, dir, "lineitem").select(col("l_suppkey").as("k"))
+      val b = Tables.read(spark, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k"))
+      a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_except"))
+        .join(a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_intersect")),
+          Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+    }),
+
+    // LIKE-family filters.
+    "q_like_filter" -> ((spark, dir) => {
+      Tables.read(spark, dir, "part")
+        .where(col("p_type").like("%BRASS%") ||
+          col("p_name").like("a%") ||
+          col("p_brand").rlike("[13]$"))
+        .select("p_partkey", "p_name", "p_type", "p_brand")
+    }),
+
     // RANGE window frame: 30-day trailing order count/value per customer,
     // keyed on epoch seconds (decimal sum keeps the frame total exact
     // regardless of the engine's frame-aggregation tree).
@@ -509,6 +543,27 @@ object SqlQueries {
         |quantile_cont(o_totalprice, 0.9) AS p90,
         |COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |first_value(o_orderkey) OVER w AS first_order,
+        |last_value(o_orderkey) OVER w AS last_order,
+        |nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_setops_all" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem),
+        |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+        |e AS (SELECT k, COUNT(*) AS n_except FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t GROUP BY k),
+        |i AS (SELECT k, COUNT(*) AS n_intersect FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t GROUP BY k)
+        |SELECT COALESCE(e.k, i.k) AS k,
+        |COALESCE(n_except, 0) AS n_except,
+        |COALESCE(n_intersect, 0) AS n_intersect
+        |FROM e FULL OUTER JOIN i ON e.k = i.k""".stripMargin,
+    "q_like_filter" ->
+      """SELECT p_partkey, p_name, p_type, p_brand FROM part
+        |WHERE p_type LIKE '%BRASS%' OR p_name LIKE 'a%'
+        |OR regexp_matches(p_brand, '[13]$')""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey,
         |COUNT(*) OVER w AS n_trailing_30d,
