@@ -27,18 +27,28 @@ object Tap {
               out: PrintStream = System.out): (Seq[StreamResult], TapState) = {
     var state = statePath.map(Bookmarks.load).getOrElse(Bookmarks.empty)
     val results = tap.streams.map { s =>
+      // Persist so the emit action and the bookmark max() read the SAME
+      // materialized result. Without this, a live JDBC source (or any
+      // nondeterministic SQL) could commit rows between the two lazy
+      // executions and the bookmark would overshoot the rows actually
+      // emitted, permanently skipping them on the next incremental run —
+      // the reference derives the bookmark from processed records
+      // (singer_sdk _sync_records), so must we.
       val df = StreamSource.native(spark, s, state)
-      val r = tap.batchConfig match {
-        case Some(bc) =>
-          val manifests = BatchSink.write(df, s, bc)
-          StreamResult(s, -1, manifests)
-        case None =>
-          SingerSink.emitSchema(s, out)
-          val n = SingerSink.emitRecords(df, s, out)
-          StreamResult(s, n, Nil)
-      }
-      state = Bookmarks.advance(s, df, state)
-      r
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val r = tap.batchConfig match {
+          case Some(bc) =>
+            val manifests = BatchSink.write(df, s, bc)
+            StreamResult(s, -1, manifests)
+          case None =>
+            SingerSink.emitSchema(s, out)
+            val n = SingerSink.emitRecords(df, s, out)
+            StreamResult(s, n, Nil)
+        }
+        state = Bookmarks.advance(s, df, state)
+        r
+      } finally df.unpersist(false)
     }
     SingerSink.emitState(state, out)
     statePath.foreach(p => Bookmarks.save(p, state, tap.streams))
@@ -71,11 +81,30 @@ object Tap {
   * `graft.Main --config cfg.json [--discover|--about] [--state state.json]`.
   */
 object Main {
+  private val ValueOpts = Set("--config", "--state")
+  private val FlagOpts = Set("--discover", "--about", "--version")
+
+  /** Iterative arg parse: only options known to take a value consume the
+    * next token, so `--discover --config cfg.json` parses the same as
+    * `--config cfg.json --discover` (position-insensitive).
+    */
+  private[graft] def parseArgs(args: Array[String]): (Map[String, String], Set[String]) = {
+    var opts = Map.empty[String, String]
+    var flags = Set.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (FlagOpts(a)) { flags += a; i += 1 }
+      else if (ValueOpts(a)) {
+        if (i + 1 >= args.length) sys.error(s"option $a requires a value")
+        opts += (a -> args(i + 1)); i += 2
+      } else sys.error(s"unknown argument: $a")
+    }
+    (opts, flags)
+  }
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k -> v
-    }.toMap
-    val flags = args.filter(a => a == "--discover" || a == "--about" || a == "--version").toSet
+    val (opts, flags) = parseArgs(args)
 
     if (flags("--version")) { println("graft 0.1.0"); return }
     val cfgPath = opts.getOrElse("--config",

@@ -130,11 +130,17 @@ object PipelineQueries {
           col("meta.size_bytes").cast("long").as("size_bytes"),
           col("meta.magic").as("magic"))),
 
+    // Rows-only: features stay distributed as Array[Float]; the emitted
+    // columns are scalar summaries (driver compare can't sort array cells).
     "multimodal_features" -> ((spark, dir) => {
       val withBin = Multimodal.ingest(Tables.read(spark, dir, "documents"), "text")
         .select("doc_id", "content")
       Multimodal.decodePartitions(withBin, "content", new Multimodal.FakeCodec(16))
-        .select("doc_id", "features")
+        .select(col("doc_id"),
+          size(col("features")).as("n_feats"),
+          round(element_at(col("features"), 1).cast("double"), 3).as("f0"),
+          round(aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 3).as("feat_sum"))
     }),
 
     "events_sessionize" -> ((spark, dir) => {
@@ -218,8 +224,9 @@ object PipelineQueries {
     "sample_reservoir" -> ((spark, dir) =>
       Tables.read(spark, dir, "documents")
         .groupBy("lang")
-        .agg(graft.plans.ReservoirSample.reservoir(col("source"), 5)
-          .as("source_sample"))))
+        .agg(array_join(
+          array_sort(graft.plans.ReservoirSample.reservoir(col("source"), 5)),
+          "|").as("source_sample"))))
 
   private val stopList =
     TextAnalysis.EnglishStopwords.map(s => s"'$s'").mkString("[", ",", "]")

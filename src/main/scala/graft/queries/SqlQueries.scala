@@ -379,7 +379,8 @@ object SqlQueries {
     }),
 
     // Array functions over the embedding column (no arithmetic — raw
-    // element/extremum extraction, so floats compare exactly).
+    // element/extremum extraction, so floats compare exactly). Outputs are
+    // scalars only: the driver's compare can't sort array-typed cells.
     "q_array_funcs" -> ((spark, dir) => {
       Tables.read(spark, dir, "embeddings").select(
         col("vec_id"),
@@ -387,7 +388,10 @@ object SqlQueries {
         array_min(col("embedding")).as("emb_min"),
         array_max(col("embedding")).as("emb_max"),
         element_at(col("embedding"), 1).as("first_val"),
-        slice(col("embedding"), 1, 4).as("head4"))
+        element_at(col("embedding"), -1).as("last_val"),
+        array_min(slice(col("embedding"), 1, 4)).as("head4_min"),
+        array_position(col("embedding"), array_max(col("embedding")))
+          .as("argmax_pos"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -577,6 +581,8 @@ object SqlQueries {
         |list_min(embedding) AS emb_min,
         |list_max(embedding) AS emb_max,
         |embedding[1] AS first_val,
-        |embedding[1:4] AS head4
+        |embedding[-1] AS last_val,
+        |list_min(embedding[1:4]) AS head4_min,
+        |CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos
         |FROM embeddings""".stripMargin)
 }

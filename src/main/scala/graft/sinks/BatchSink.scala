@@ -32,7 +32,10 @@ object BatchSink {
             tapName: String = "tap-rawpostgresql"): Seq[BatchManifest] = {
     require(batch.encoding.format == "jsonl",
       s"unsupported batch format: ${batch.encoding.format}")
+    // Normalize before reporting: anything other than gzip writes plain
+    // .json, and the manifest must say what was actually applied.
     val gzip = batch.encoding.compression == "gzip"
+    val appliedCompression = if (gzip) "gzip" else "none"
     val root = Paths.get(URI.create(
       if (batch.storage.root.contains(":")) batch.storage.root
       else s"file://${batch.storage.root}"))
@@ -46,10 +49,12 @@ object BatchSink {
       .json(outDir.toString)
 
     val ext = if (gzip) ".json.gz" else ".json"
-    val parts = Files.list(outDir).iterator.asScala
-      .filter(p => p.getFileName.toString.startsWith("part-") &&
-        p.getFileName.toString.endsWith(ext))
-      .toSeq.sortBy(_.getFileName.toString)
+    val parts = scala.util.Using.resource(Files.list(outDir)) { s =>
+      s.iterator.asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(ext))
+        .toSeq
+    }.sortBy(_.getFileName.toString)
 
     val syncId = UUID.randomUUID().toString
     val renamed: Seq[Path] = parts.zipWithIndex.map { case (p, i) =>
@@ -59,11 +64,13 @@ object BatchSink {
       target
     }
     Files.deleteIfExists(outDir.resolve("_SUCCESS"))
-    Files.list(outDir).iterator.asScala.foreach(Files.deleteIfExists(_))
+    scala.util.Using.resource(Files.list(outDir)) { s =>
+      s.iterator.asScala.toSeq
+    }.foreach(Files.deleteIfExists(_))
     Files.deleteIfExists(outDir)
 
     // one manifest per chunk file, matching the reference's per-chunk yield
     renamed.map(p => BatchManifest(batch.encoding.format,
-      batch.encoding.compression, Seq(p.toUri.toString)))
+      appliedCompression, Seq(p.toUri.toString)))
   }
 }

@@ -28,17 +28,24 @@ object SingerSink {
   }
 
   /** Emit RECORD messages. The DataFrame's JSON encoding happens
-    * distributed (executor-side `toJSON`); only the enveloped lines stream
-    * through the driver.
+    * distributed (executor-side `to_json`); only the enveloped lines stream
+    * through the driver. `ignoreNullFields=false` so null-valued columns
+    * appear as explicit JSON nulls — `df.toJSON` would drop them, but the
+    * reference/singer_sdk emits every declared column in each RECORD and
+    * strict Singer targets check schema parity.
     */
   def emitRecords(df: DataFrame, stream: StreamConfig,
                   out: PrintStream = System.out): Long = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
     val serialized = Conformance.serializeTemporal(df)
+    val jsonLines = serialized.select(to_json(
+      struct(serialized.columns.map(col).toIndexedSeq: _*),
+      java.util.Map.of("ignoreNullFields", "false")))
     var n = 0L
     val prefix = s"""{"type":"RECORD","stream":"${stream.name}","record":"""
-    val it = serialized.toJSON.toLocalIterator()
+    val it = jsonLines.toLocalIterator()
     while (it.hasNext) {
-      out.println(prefix + it.next() + "}")
+      out.println(prefix + it.next().getString(0) + "}")
       n += 1
     }
     n

@@ -12,11 +12,22 @@ import org.apache.spark.sql.types._
 object TypeMapper {
 
   private val decimalRe = """(?:decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val decimalPrecRe = """(?:decimal|numeric)\s*\(\s*(\d+)\s*\)""".r
+  private val charLenRe =
+    """(?:varchar|char|character varying|character|bpchar|nvarchar)\s*\(\s*\d+\s*\)""".r
 
-  /** Config/PostgreSQL type string → Spark DataType. */
+  /** Config/PostgreSQL type string → Spark DataType. Real configs use
+    * parameterized spellings (`varchar(255)`, `numeric`, `numeric(12)`) —
+    * the reference passes these through to the SDK untouched, so accept
+    * them here too.
+    */
   def toDataType(typeName: String): DataType = typeName.trim.toLowerCase match {
     case "string" | "text" | "varchar" | "char" | "character varying" |
+         "character" | "bpchar" | "nvarchar" |
          "uuid" | "json" | "jsonb" => StringType
+    case charLenRe() => StringType
+    case "decimal" | "numeric" => DecimalType(38, 18)
+    case decimalPrecRe(p) => DecimalType(p.toInt, 0)
     case "int" | "integer" | "int4" | "serial" => IntegerType
     case "bigint" | "int8" | "long" | "bigserial" => LongType
     case "smallint" | "int2" => ShortType

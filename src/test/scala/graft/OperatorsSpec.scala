@@ -63,6 +63,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lines(2).contains(""""postgres-public-t":{"replication_key_value":"2"}"""))
   }
 
+  // ADVICE r1 (medium): RECORD messages must carry every declared column —
+  // null values as explicit JSON nulls, not omitted keys.
+  test("singer sink emits explicit nulls for null-valued columns") {
+    val s = ConfigParser.parseStream(
+      """{"name":"t","sql":"SELECT 'a' AS one, CAST(NULL AS INT) AS two","key_properties":["one"],
+        |"columns":[{"name":"one","type":"text"},{"name":"two","type":"int","nullable":true}]}""".stripMargin)
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    val df = graft.sources.StreamSource.native(spark, s)
+    SingerSink.emitRecords(df, s, out)
+    assert(buf.toString("UTF-8").trim ===
+      """{"type":"RECORD","stream":"t","record":{"one":"a","two":null}}""")
+  }
+
   test("bookmarks save/load round-trip") {
     val tmp = Files.createTempDirectory("graft-state").resolve("state.json").toString
     val s = StreamConfig("t", "SELECT 1", replicationKey = Some("v"),

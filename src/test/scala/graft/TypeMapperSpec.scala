@@ -22,6 +22,31 @@ class TypeMapperSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TypeMapper.toDataType("wat"))
   }
 
+  // Real-world PG config spellings the reference passes through untouched
+  // (ADVICE r1): parameterized character types and bare/precision-only
+  // numerics must not fall through to the unsupported-type error.
+  test("parameterized and bare numeric type spellings") {
+    assert(TypeMapper.toDataType("varchar(255)") === StringType)
+    assert(TypeMapper.toDataType("char(10)") === StringType)
+    assert(TypeMapper.toDataType("character varying(64)") === StringType)
+    assert(TypeMapper.toDataType("CHARACTER(8)") === StringType)
+    assert(TypeMapper.toDataType("nvarchar(32)") === StringType)
+    assert(TypeMapper.toDataType("numeric") === DecimalType(38, 18))
+    assert(TypeMapper.toDataType("decimal") === DecimalType(38, 18))
+    assert(TypeMapper.toDataType("numeric(12)") === DecimalType(12, 0))
+    assert(TypeMapper.toDataType("NUMERIC(10, 4)") === DecimalType(10, 4))
+  }
+
+  test("CLI arg parsing is position-insensitive (ADVICE r1)") {
+    val (o1, f1) = Main.parseArgs(Array("--discover", "--config", "c.json"))
+    assert(o1 === Map("--config" -> "c.json") && f1 === Set("--discover"))
+    val (o2, f2) = Main.parseArgs(Array("--config", "c.json", "--state", "s.json", "--about"))
+    assert(o2 === Map("--config" -> "c.json", "--state" -> "s.json"))
+    assert(f2 === Set("--about"))
+    assertThrows[RuntimeException](Main.parseArgs(Array("--config")))
+    assertThrows[RuntimeException](Main.parseArgs(Array("--wat", "x")))
+  }
+
   // Reference semantics (tap.py:180-183, FIXTURES.md F2 vs F3): the same
   // nullable column is required iff it is a key property or the
   // replication key.
