@@ -46,8 +46,22 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Distinct xxhash64 values of the word k-shingles of text — the native
+    * one-pass form ([[graft.plans.WordShingleHashes]]): normalization is a
+    * single regex pass, then every shingle is hashed as a contiguous byte
+    * range of the normalized string. Values are identical to
+    * `transform(shingles(c, k), s => xxhash64(s))` (asserted in DedupSpec)
+    * at a fraction of the cost — this is the form every dedup operator
+    * below consumes, so documents shuffle as arrays of 8-byte hashes,
+    * never as shingle strings.
+    */
+  def shingleHashes(c: Column, k: Int): Column =
+    graft.plans.ShingleExpressions.wordShingleHashes(normalizeText(c), k)
+
   /** Distinct word k-shingles of normalized text, as strings. Documents
     * shorter than k tokens yield their full token span as one shingle.
+    * Kept as the readable reference formulation; the hot paths use
+    * [[shingleHashes]].
     */
   def shingles(c: Column, k: Int): Column = {
     val toks = split(normalizeText(c), " ")
@@ -126,9 +140,12 @@ object Dedup {
                       k: Int = 3, nPerm: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5, seed: Long = 42L,
                       maxBucket: Int = 1000): DataFrame = {
+    // shingle HASHES (array<long>), not strings: signatures are identical
+    // (MinHashSig hashes strings to exactly these values first) and the
+    // verify join shuffles 8-byte elements instead of shingle text
     val withShingles = df.select(col(idCol).as("id"),
-      shingles(col(textCol), k).as("sh"))
-    val sigs = withShingles.select(col("id"), col("sh"),
+      shingleHashes(col(textCol), k).as("sh"))
+    val sigs = withShingles.select(col("id"),
       minhashSignature(col("sh"), nPerm, seed).as("sig"))
 
     val banded = sigs.select(col("id"),
@@ -173,14 +190,14 @@ object Dedup {
     // then carries (8-byte key, id) rows; collision odds over N distinct
     // shingles are ~N²/2^65 — immaterial against a 64-bit space
     val sh = df.select(col(idCol).as("id"),
-      explode(transform(shingles(col(textCol), k), s => xxhash64(s))).as("sh"))
+      explode(shingleHashes(col(textCol), k)).as("sh"))
     val pruned = maxDocFreq match {
       case Some(maxDf) =>
         val hot = sh.groupBy("sh").count().where(col("count") > maxDf).select("sh")
         sh.join(hot, Seq("sh"), "left_anti")
       case None => sh
     }
-    val sizes = df.select(col(idCol).as("id"), size(shingles(col(textCol), k)).as("sz"))
+    val sizes = df.select(col(idCol).as("id"), size(shingleHashes(col(textCol), k)).as("sz"))
     val common = pruned.as("x").join(pruned.as("y"), "sh")
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .where(col("id_a") < col("id_b"))
@@ -222,7 +239,7 @@ object Dedup {
   def ngramJaccardPairsPrefix(df: DataFrame, textCol: String, idCol: String,
                               k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
-      transform(shingles(col(textCol), k), s => xxhash64(s)).as("sh"))
+      shingleHashes(col(textCol), k).as("sh"))
     val exploded = sets.select(col("id"), explode(col("sh")).as("h"))
     val dfCounts = exploded.groupBy("h").agg(count(lit(1)).as("df"))
 

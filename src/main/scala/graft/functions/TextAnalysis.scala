@@ -101,6 +101,47 @@ object TextAnalysis {
       .otherwise(element_at(names, array_position(scores, mx).cast("int")))
   }
 
+  // ------------------------------------------------- native one-pass forms
+
+  /** One-pass native stats struct ([[graft.plans.TextStatsExpr]]): every
+    * counter the HOF forms above derive from ~6 regex/split passes, in a
+    * single scan. Field-level equality with the HOF forms is asserted in
+    * TextStatsExprSpec.
+    */
+  def stats(c: Column): Column = graft.plans.TextStatsExpr.textStats(c)
+
+  /** [[qualityScore]] derived from the one-pass stats struct — identical
+    * arithmetic, so oracle-compatible. Project the struct to a named
+    * column first; Catalyst keeps a multiply-referenced non-cheap alias
+    * un-collapsed, so the scan happens once per row.
+    */
+  def qualityScoreFromStats(s: Column): Column = {
+    val d = (x: Column) => x.cast("double")
+    val lenScore = least(d(s.getField("n_tokens")) / lit(100.0), lit(1.0))
+    val stopRatio = d(s.getField("n_stop")) / d(greatest(s.getField("n_tokens"), lit(1)))
+    val stopScore = least(stopRatio * lit(4.0), lit(1.0))
+    val noise =
+      d(s.getField("n_punct")) / d(greatest(s.getField("char_len"), lit(1))) +
+        d(s.getField("n_digit")) / d(greatest(s.getField("char_len"), lit(1)))
+    val noiseScore = greatest(lit(1.0) - noise * lit(2.0), lit(0.0))
+    lenScore * lit(0.4) + stopScore * lit(0.3) + noiseScore * lit(0.3)
+  }
+
+  /** Native one-pass [[langId]] ([[graft.plans.LangScores]] counts all
+    * languages' marker hits in one tokenization): same argmax + tie-break.
+    * The scores array is bound once via the single-element-array trick so
+    * the pass runs once per row, not once per reference.
+    */
+  def langIdNative(c: Column): Column = {
+    val names = array(LangMarkers.map { case (lang, _) => lit(lang) }: _*)
+    element_at(
+      transform(array(graft.plans.ShingleExpressions.langScores(c)), sc => {
+        val mx = array_max(sc)
+        when(mx === 0, lit("und"))
+          .otherwise(element_at(names, array_position(sc, mx).cast("int")))
+      }), 1)
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
     * hash all character k-grams, take the min hash of each sliding window
     * of `w` k-grams, and collapse the distinct mins into one 64-bit value.

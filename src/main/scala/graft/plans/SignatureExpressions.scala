@@ -23,13 +23,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 
 /** MinHash signature: array<long> of length `nPerm` over an array<string>
-  * of shingles. h_j(x) = (a_j·x + b_j) mod p, p = 2^31−1, x = xxhash64
-  * mod p; deterministic coefficients from `seed`.
+  * of shingles OR an array<long> of pre-hashed shingles (xxhash64 values,
+  * e.g. from [[WordShingleHashes]] — identical signatures either way).
+  * h_j(x) = (a_j·x + b_j) mod p, p = 2^31−1, x = xxhash64 mod p;
+  * deterministic coefficients from `seed`.
   */
 case class MinHashSig(child: Expression, nPerm: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
 
   private val Prime = 2147483647L
+
+  @transient private lazy val preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   // drawn as interleaved (a,b) pairs — MUST match Dedup.permutations so
   // the native and builtin-HOF formulations produce identical signatures
@@ -50,9 +57,11 @@ case class MinHashSig(child: Expression, nPerm: Int, seed: Long)
     val mins = Array.fill(nPerm)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
+      val raw =
+        if (preHashed) arr.getLong(i)
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       val h = {
-        val x = XxHash64Function.hash(s, StringType, 42L) % Prime
+        val x = raw % Prime
         if (x < 0) x + Prime else x
       }
       var j = 0

@@ -181,12 +181,16 @@ object PipelineQueries {
     "pipeline_curate" -> ((spark, dir) => {
       val docs = Tables.read(spark, dir, "documents")
       val deduped = graft.functions.Dedup.dropExactDuplicates(docs, "text", "doc_id")
-      val t = col("text")
+      // native one-pass stats + one-pass lang scores: two scans per row
+      // total, vs ~8 regex/split/filter passes in the HOF forms — same
+      // values (TextStatsExprSpec / TextAnalysisSpec), same oracle
       deduped
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.stats(col("text")).as("s"))
         .select(col("doc_id"),
-          TextAnalysis.langId(t).as("lang_pred"),
-          TextAnalysis.tokenCount(t).cast("long").as("n_tokens"),
-          TextAnalysis.qualityScore(t).as("quality"))
+          TextAnalysis.langIdNative(col("text")).as("lang_pred"),
+          col("s.n_tokens").as("n_tokens"),
+          TextAnalysis.qualityScoreFromStats(col("s")).as("quality"))
         .where(col("quality") >= 0.5)
     }),
 

@@ -38,6 +38,25 @@ class DedupSpec extends AnyFunSuite {
     assert(sh(2L) === Seq("a b"))
   }
 
+  // The native one-pass byte-range form must produce exactly the hashes of
+  // the HOF form (xxhash64 of each distinct shingle string) — including
+  // edge cases: short docs, empty text, repeated shingles, multi-space/
+  // mixed-case input (normalization), and non-ASCII (UTF-8 byte ranges).
+  test("native shingleHashes equals xxhash64 over HOF shingles") {
+    val edge = Seq(
+      (10L, ""), (11L, "   "), (12L, "one"), (13L, "one two"),
+      (14L, "a a a a a a"), (15L, "Héllo wörld naïve café résumé"),
+      (16L, "tab\tand\nnewline   spaced")
+    ).toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val both = docs.union(edge).select(
+        Dedup.shingleHashes(col("text"), k).as("native"),
+        transform(Dedup.shingles(col("text"), k), s => xxhash64(s)).as("hof"))
+      assert(both.where(not(col("native") === col("hof"))).count() === 0,
+        s"k=$k mismatch")
+    }
+  }
+
   test("exact ngram jaccard finds the near-dup pair with the exact value") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

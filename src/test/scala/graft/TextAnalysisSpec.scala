@@ -47,6 +47,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(langs.toSeq === Seq("en", "fr", "es", "de", "und"))
   }
 
+  // Native one-pass LangScores/langIdNative must agree with the HOF form
+  // on every fixture document plus edge cases.
+  test("native langIdNative equals HOF langId") {
+    val df = Seq(
+      "the cat sat on the mat and it was happy",
+      "le chat est sur la table et il est content",
+      "el gato está en la mesa y es feliz",
+      "der Hund und die Katze sind nicht da",
+      "的 是 在 了 和",
+      "xyzzy plugh", "", "   ", "de de la la und und" // cross-language ties
+    ).toDF("t")
+    val both = df.select(TextAnalysis.langId(col("t")).as("hof"),
+      TextAnalysis.langIdNative(col("t")).as("native"))
+    assert(both.where(col("hof") =!= col("native")).count() === 0)
+    val fixture = SparkTestSession.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val bothF = fixture.select(TextAnalysis.langId(col("text")).as("hof"),
+      TextAnalysis.langIdNative(col("text")).as("native"))
+    assert(bothF.where(col("hof") =!= col("native")).count() === 0)
+  }
+
+  // qualityScoreFromStats must reproduce qualityScore bit-for-bit (same
+  // IEEE operation order) over the fixture corpus.
+  test("native quality-from-stats equals HOF qualityScore") {
+    val fixture = SparkTestSession.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"), TextAnalysis.stats(col("text")).as("s"))
+    val both = fixture.select(
+      TextAnalysis.qualityScore(col("text")).as("hof"),
+      TextAnalysis.qualityScoreFromStats(col("s")).as("native"))
+    assert(both.where(col("hof") =!= col("native")).count() === 0)
+  }
+
   test("fingerprint is stable and perturbation-sensitive") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
