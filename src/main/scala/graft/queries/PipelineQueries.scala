@@ -209,16 +209,18 @@ object PipelineQueries {
           col("count_qty").as("count_qty"))
     }),
 
-    // Deterministic content-keyed sampling (hash membership) — rows-only:
-    // xxhash64 membership is engine-specific; determinism + composability
-    // are asserted in SamplingSpec.
+    // Deterministic content-keyed sampling, portable form: membership is
+    // an md5-hex-prefix compare any engine reproduces bit-for-bit, so the
+    // DuckDB oracle verifies the exact sample. The cheaper xxhash64 form
+    // ([[Sampling.hashSample]]) keeps its determinism/composability
+    // contract asserted in SamplingSpec.
     "sample_hash" -> ((spark, dir) =>
-      graft.functions.Sampling.hashSample(
+      graft.functions.Sampling.portableHashSample(
         Tables.read(spark, dir, "documents"), "doc_id", fraction = 0.2)
         .select("doc_id", "lang", "source")),
 
     "sample_stratified" -> ((spark, dir) =>
-      graft.functions.Sampling.stratifiedHashSample(
+      graft.functions.Sampling.portableStratifiedSample(
         Tables.read(spark, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.5, "fr" -> 0.1, "de" -> 0.1, "es" -> 0.1, "zh" -> 0.1))
         .select("doc_id", "lang")),
@@ -328,6 +330,16 @@ object PipelineQueries {
     "multimodal_ingest" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
         |hex(encode(substring(text, 1, 4))) AS magic FROM documents""".stripMargin,
+    "sample_hash" -> s"""
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |  < '${graft.functions.Sampling.hexCut(0.2)}'""".stripMargin,
+    "sample_stratified" -> s"""
+        |SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '${graft.functions.Sampling.hexCut(0.5)}'
+        |  ELSE '${graft.functions.Sampling.hexCut(0.1)}' END
+        |AND lang IN ('en','fr','de','es','zh')""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
         |g AS (SELECT user_id, event_id, ts_s,

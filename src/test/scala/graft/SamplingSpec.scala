@@ -29,6 +29,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(out("b") / 5000.0 - 0.1) < 0.03)
   }
 
+  test("portable md5 sample: deterministic, composable, correct hex cuts") {
+    val df = spark.range(0, 10000).toDF("id")
+    val s20a = Sampling.portableHashSample(df, "id", 0.2).select("id").as[Long].collect().toSet
+    val s20b = Sampling.portableHashSample(df.repartition(7), "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(s20a === s20b)
+    val s05 = Sampling.portableHashSample(df, "id", 0.05).select("id").as[Long].collect().toSet
+    assert(s05.subsetOf(s20a))
+    assert(math.abs(s20a.size / 10000.0 - 0.2) < 0.02)
+    assert(Sampling.hexCut(0.2) === "33333333")
+    assert(Sampling.hexCut(0.5) === "80000000")
+    assert(Sampling.hexCut(1.0) === "ffffffff")
+    // fraction 1.0 keeps everything (no 9-digit-hex comparison trap)
+    assert(Sampling.portableHashSample(df, "id", 1.0).count() === 10000)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = Tables.read(spark, SparkTestSession.Sf, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("qty"))
