@@ -27,7 +27,7 @@ object SqlQueries {
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
 
-  def queries: Map[String, Q] = Map(
+  def queries: Map[String, Q] = Map[String, Q](
 
     // TPC-H Q1-shaped pricing summary: partial+final hash aggregate,
     // filter pushed to the parquet scan.
@@ -392,9 +392,160 @@ object SqlQueries {
         array_min(slice(col("embedding"), 1, 4)).as("head4_min"),
         array_position(col("embedding"), array_max(col("embedding")))
           .as("argmax_pos"))
-    }))
+    })) ++ statsQueries
 
-  def oracles: Map[String, String] = Map(
+  /** Statistical aggregates, ordered-set/window distribution functions,
+    * string aggregation, regexp extraction, map functions, union-by-name,
+    * EXISTS subqueries (SQL text path), GROUPING SETS, and null-handling
+    * semantics — the wider scalar/aggregate surface of SURVEY §2.3.
+    */
+  private def statsQueries: Map[String, Q] = Map(
+
+    // Variance/stddev/correlation via EXACT decimal sums, final arithmetic
+    // in double with the same expression structure as the oracle: decimal
+    // addition is order-independent, so the result is identical at any
+    // parallelism — the pattern for order-safe float stats at scale.
+    // Columns are chosen so every decimal sum's mantissa fits in 53 bits
+    // (quantity ≤ 50, discount ≤ 0.10): the decimal→double conversion is
+    // then EXACT in any engine. (Large decimals hit a 1-ulp cross-engine
+    // gap: Spark converts correctly-rounded via BigDecimal, DuckDB rounds
+    // int128→double then divides by 10^scale — two roundings.)
+    "q_stats_agg" -> ((spark, dir) => {
+      val li = Tables.read(spark, dir, "lineitem").select(
+        col("l_returnflag").as("rf"),
+        dec2(col("l_quantity")).as("q"),
+        dec2(col("l_discount")).as("dc"))
+      val d = (c: Column) => c.cast("double")
+      li.groupBy("rf").agg(
+          count(lit(1)).as("n"),
+          d(sum(col("q"))).as("sq"),
+          d(sum(col("q") * col("q"))).as("sq2"),
+          d(sum(col("dc"))).as("sd"),
+          d(sum(col("dc") * col("dc"))).as("sd2"),
+          d(sum(col("q") * col("dc"))).as("sqd"))
+        .select(col("rf"), col("n"),
+          ((col("sq2") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+            .as("var_qty"),
+          sqrt((col("sq2") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+            .as("stddev_qty"),
+          ((col("n") * col("sqd") - col("sq") * col("sd")) /
+            (sqrt(col("n") * col("sq2") - col("sq") * col("sq")) *
+              sqrt(col("n") * col("sd2") - col("sd") * col("sd"))))
+            .as("corr_qty_disc"))
+    }),
+
+    // Ordered string aggregation: deterministic order via sort, so the
+    // concatenation is reproducible at any parallelism.
+    "q_string_agg" -> ((spark, dir) => {
+      val n = Tables.read(spark, dir, "nation")
+      val r = Tables.read(spark, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name"))))
+          .as("nations"),
+          count(lit(1)).as("n_nations"))
+    }),
+
+    // Distribution window functions: ntile/percent_rank/cume_dist over a
+    // total order (price + key tiebreak).
+    "q_window_dist" -> ((spark, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.read(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        dense_rank().over(w).as("drank"))
+    }),
+
+    // Frame-bounded navigation: first/last/nth over the full partition.
+    "q_first_last" -> ((spark, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.read(spark, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("cheapest_order"),
+        last(col("o_orderkey")).over(w).as("priciest_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_cheapest"))
+    }),
+
+    // Regexp extraction/counting: group capture and replacement (patterns
+    // restricted to the RE subset Java and RE2 agree on).
+    "q_regexp" -> ((spark, dir) =>
+      Tables.read(spark, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)", 2).as("second_word"),
+        regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_masked"),
+        size(split(col("p_name"), " ")).as("n_words"))),
+
+    // Map functions: construction, lookup, keys/size — emitted as scalars.
+    "q_map_funcs" -> ((spark, dir) =>
+      Tables.read(spark, dir, "nation").select(
+        col("n_nationkey"),
+        element_at(
+          map_from_arrays(array(lit("name"), lit("key")),
+            array(col("n_name"), col("n_nationkey").cast("string"))),
+          "name").as("m_name"),
+        size(map_from_arrays(array(lit("a"), lit("b")),
+          array(lit(1), lit(2)))).as("m_size"))),
+
+    // Union by name with missing-column fill — schema-evolution append,
+    // the thing a long-lived ingest pipeline does every schema change.
+    "q_union_by_name" -> ((spark, dir) => {
+      val o = Tables.read(spark, dir, "orders")
+      val a = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val b = o.where(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey"), col("o_orderkey")) // reordered, missing col
+      a.unionByName(b, allowMissingColumns = true)
+    }),
+
+    // Correlated EXISTS / NOT EXISTS through the SQL-text path (the
+    // reference's native surface is raw SQL — this exercises Spark's
+    // parser + decorrelation on the same text DuckDB runs).
+    "q_exists_sql" -> ((spark, dir) => {
+      Tables.register(spark, dir)
+      spark.sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 250000)
+          |  AND NOT EXISTS (SELECT 1 FROM orders o2
+          |                  WHERE o2.o_custkey = c.c_custkey
+          |                    AND o2.o_orderpriority = '1-URGENT')""".stripMargin)
+    }),
+
+    // Explicit GROUPING SETS with grouping() flags via SQL text.
+    "q_grouping_sets" -> ((spark, dir) => {
+      Tables.register(spark, dir)
+      spark.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+          |                        (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // Null semantics: nullif-created nulls through count(*) vs count(col),
+    // distinct counts, coalesce, and a nullable group key (nulls group
+    // together in both engines).
+    "q_null_handling" -> ((spark, dir) =>
+      Tables.read(spark, dir, "lineitem")
+        .select(nullif(col("l_returnflag"), lit("N")).as("rf"),
+          col("l_quantity"), col("l_linenumber"))
+        .groupBy("rf")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("rf")).as("n_nonnull"),
+          countDistinct(col("l_linenumber")).as("n_lines"),
+          sum(when(col("rf").isNull, dec2(col("l_quantity")))
+            .otherwise(dec2(lit(0)))).cast("double").as("null_qty"))))
+
+  def oracles: Map[String, String] = Map[String, String](
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -584,5 +735,82 @@ object SqlQueries {
         |embedding[-1] AS last_val,
         |list_min(embedding[1:4]) AS head4_min,
         |CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos
-        |FROM embeddings""".stripMargin)
+        |FROM embeddings""".stripMargin) ++ statsOracles
+
+  private def statsOracles: Map[String, String] = Map(
+    "q_stats_agg" ->
+      """WITH s AS (SELECT l_returnflag AS rf, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq2,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd2,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd
+        |  FROM lineitem GROUP BY 1)
+        |SELECT rf, n,
+        |  (sq2 - sq * sq / n) / (n - 1) AS var_qty,
+        |  sqrt((sq2 - sq * sq / n) / (n - 1)) AS stddev_qty,
+        |  (n * sqd - sq * sd) /
+        |    (sqrt(n * sq2 - sq * sq) * sqrt(n * sd2 - sd * sd)) AS corr_qty_disc
+        |FROM s""".stripMargin,
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        |CAST(ntile(4) OVER w AS INT) AS quartile,
+        |percent_rank() OVER w AS pct_rank,
+        |cume_dist() OVER w AS cume,
+        |CAST(dense_rank() OVER w AS INT) AS drank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "q_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |first_value(o_orderkey) OVER w AS cheapest_order,
+        |last_value(o_orderkey) OVER w AS priciest_order,
+        |nth_value(o_orderkey, 2) OVER w AS second_cheapest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_regexp" ->
+      """SELECT p_partkey,
+        |COALESCE(regexp_extract(p_name, '^([a-z]+) ([a-z]+)', 2), '') AS second_word,
+        |regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked,
+        |CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+        |FROM part""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT n_nationkey, n_name AS m_name, 2 AS m_size FROM nation""".stripMargin,
+    "q_union_by_name" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, NULL AS o_totalprice FROM orders
+        |WHERE o_orderpriority = '5-LOW'""".stripMargin,
+    "q_exists_sql" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 250000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey
+        |                    AND o2.o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), ())""".stripMargin,
+    "q_null_handling" ->
+      """SELECT nullif(l_returnflag, 'N') AS rf,
+        |COUNT(*) AS n_rows,
+        |COUNT(nullif(l_returnflag, 'N')) AS n_nonnull,
+        |COUNT(DISTINCT l_linenumber) AS n_lines,
+        |CAST(SUM(CASE WHEN nullif(l_returnflag, 'N') IS NULL
+        |  THEN CAST(l_quantity AS DECIMAL(18,2))
+        |  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS null_qty
+        |FROM lineitem GROUP BY 1""".stripMargin)
 }
