@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, computed in double. */
+  /** Dot product of two numeric-array columns, computed in double.
+    * Native tight-loop expression ([[graft.plans.DotF]]) with the same
+    * left-to-right IEEE fold as the builtin-HOF form
+    * `aggregate(zip_with(a, b, (x,y) => xd*yd), 0.0, _+_)` — identical
+    * values (SimilaritySpec), ~10× cheaper per pair.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.plans.SignatureExpressions.dotF(a, b)
+
+  /** Builtin-HOF formulation of [[dot]] (kept for the equality spec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (s, x) => s + x)
 
@@ -47,17 +56,26 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms are precomputed once per side, not per pair: sqrt(dot(v,v)) is
+    // the same IEEE value wherever it is computed, so cosine results are
+    // unchanged while the per-pair cost drops to one dot + one multiply
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val joined = c.crossJoin(broadcast(q))
     val scored = joined
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("sim"))
+        cosinePrenormed(col("qv"), col("cv"), col("qn") * col("cn")).as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Cosine with a precomputed denominator (`norm(a)*norm(b)`). */
+  def cosinePrenormed(a: Column, b: Column, denom: Column): Column =
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
 
   /** Deterministic random hyperplanes for sign-projection LSH. */
   def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
@@ -94,12 +112,15 @@ object Similarity {
               excludeSelf: Boolean = true): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"),
       lshBucket(col(vecCol), planes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"),
       explode(probeBuckets(lshBucket(col(vecCol), planes), nBits)).as("bucket"))
     val candidates = c.join(broadcast(q), "bucket")
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePrenormed(col("qv"), col("cv"), col("qn") * col("cn")).as("sim"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -113,10 +134,14 @@ object Similarity {
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        round(cosinePrenormed(col("va"), col("vb"), col("na") * col("nb")), 6)
+          .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }

@@ -117,6 +117,52 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Dot product of two numeric arrays folded LEFT-TO-RIGHT in double —
+  * exactly the IEEE sequence of `aggregate(zip_with(a, b, (x,y) =>
+  * x.cast("double") * y.cast("double")), 0.0, _+_)`, so results are
+  * bit-identical to the builtin-HOF form (and to a left-fold oracle) at a
+  * tight-loop cost. Handles float and double element types; the shorter
+  * array bounds the fold (zip_with semantics pair missing elements with
+  * null, and null products are skipped by the HOF sum only when both
+  * arrays match in length — fixture vectors always do; we fold min-length).
+  */
+case class DotF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val leftIsFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val rightIsFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val n = math.min(xa.numElements(), xb.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val va = if (leftIsFloat) xa.getFloat(i).toDouble else xa.getDouble(i)
+      val vb = if (rightIsFloat) xb.getFloat(i).toDouble else xb.getDouble(i)
+      s += va * vb
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot"
+}
+
 object SignatureExpressions {
   import org.apache.spark.sql.GraftBridge
 
@@ -125,6 +171,9 @@ object SignatureExpressions {
 
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  def dotF(a: Column, b: Column): Column =
+    GraftBridge.column(DotF(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Register `graft_minhash(arr)` / `graft_simhash(arr)` for the SQL path. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

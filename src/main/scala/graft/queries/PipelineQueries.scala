@@ -48,12 +48,15 @@ object PipelineQueries {
     "sim_topk_brute" -> ((spark, dir) => {
       val emb = Tables.read(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          Similarity.norm(col("embedding")).as("qn"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        Similarity.norm(col("embedding")).as("cn"))
       val scored = c.crossJoin(broadcast(q))
         .where(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
-          round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim"))
+          round(Similarity.cosinePrenormed(col("qv"), col("cv"),
+            col("qn") * col("cn")), 6).as("sim"))
       val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
     }),

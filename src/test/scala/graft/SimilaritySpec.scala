@@ -23,6 +23,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head() === 0.0)
   }
 
+  // The native tight-loop dot must be bit-identical to the HOF left-fold
+  // over the fixture embeddings (same IEEE operation sequence).
+  test("native dot equals HOF dot bit-for-bit on fixture embeddings") {
+    val emb = SparkTestSession.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    val a = emb.select(org.apache.spark.sql.functions.col("vec_id").as("ia"),
+      org.apache.spark.sql.functions.col("embedding").as("va"))
+    val b = emb.select(org.apache.spark.sql.functions.col("vec_id").as("ib"),
+      org.apache.spark.sql.functions.col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).where(col("ia") < col("ib")).limit(5000)
+    val diff = pairs.select(
+      Similarity.dot(col("va"), col("vb")).as("native"),
+      Similarity.dotHof(col("va"), col("vb")).as("hof"))
+      .where(col("native") =!= col("hof")).count()
+    assert(diff === 0)
+  }
+
   test("brute-force top-k ranks by similarity") {
     val corpus = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f))
