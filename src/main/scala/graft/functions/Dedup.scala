@@ -143,24 +143,19 @@ object Dedup {
     // shingle HASHES (array<long>), not strings: signatures are identical
     // (MinHashSig hashes strings to exactly these values first) and the
     // verify join shuffles 8-byte elements instead of shingle text
-    val withShingles = df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), k).as("sh"))
+    val withShingles = rebalance(df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), k).as("sh")))
     val sigs = withShingles.select(col("id"),
       minhashSignature(col("sh"), nPerm, seed).as("sig"))
 
     val banded = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), nPerm, bands)).as("band"))
-    // cap bucket membership BEFORE collect_list: the row_number window
-    // bounds both the quadratic pair blowup and the per-bucket memory of
-    // the collect (a collect-then-slice would still materialize a
-    // pathological bucket in one aggregation buffer)
-    val bandW = org.apache.spark.sql.expressions.Window
-      .partitionBy("band").orderBy("id")
-    val capped = banded
-      .withColumn("__rn", row_number().over(bandW))
-      .where(col("__rn") <= maxBucket)
-    val buckets = capped.groupBy("band")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    // bounded bottom-k aggregate caps bucket membership (k smallest ids —
+    // identical to the row_number-window cap) in ONE aggregation with O(k)
+    // buffers: no extra sort stage, and a pathological hot bucket never
+    // materializes beyond k ids in any partial buffer
+    val buckets = banded.groupBy("band")
+      .agg(graft.plans.BottomKLongs.bottomK(col("id"), maxBucket).as("ids"))
       .where(size(col("ids")) > 1)
     val candidates = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
@@ -183,28 +178,42 @@ object Dedup {
     * (boilerplate) — essential at scale, where a stop-shingle would
     * otherwise create a quadratic bucket.
     */
+  /** Rebalance a narrow-source projection to the session's shuffle
+    * parallelism: a single-file parquet scan otherwise leaves per-row
+    * signature work on one core. The exchanged rows are ids + hash arrays
+    * (never text), so the shuffle is cheap; inputs that already have
+    * enough splits pass through untouched.
+    */
+  private def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Option[Int] = None): DataFrame = {
     // explode 64-bit shingle hashes, not strings: the self-join shuffle
     // then carries (8-byte key, id) rows; collision odds over N distinct
-    // shingles are ~N²/2^65 — immaterial against a 64-bit space
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingleHashes(col(textCol), k)).as("sh"))
-    val pruned = maxDocFreq match {
+    // shingles are ~N²/2^65 — immaterial against a 64-bit space.
+    // Each doc's set size rides along the exploded rows (+4 bytes/row) and
+    // is recovered with first() after the pair groupBy — no per-doc sizes
+    // table, no extra joins, nothing that would need broadcasting a
+    // billion-doc side at scale.
+    val base = rebalance(df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), k).as("shs")))
+    val sh0 = base.select(col("id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("sh"))
+    val sh = maxDocFreq match {
       case Some(maxDf) =>
-        val hot = sh.groupBy("sh").count().where(col("count") > maxDf).select("sh")
-        sh.join(hot, Seq("sh"), "left_anti")
-      case None => sh
+        val hot = sh0.groupBy("sh").count().where(col("count") > maxDf).select("sh")
+        sh0.join(hot, Seq("sh"), "left_anti")
+      case None => sh0
     }
-    val sizes = df.select(col(idCol).as("id"), size(shingleHashes(col(textCol), k)).as("sz"))
-    val common = pruned.as("x").join(pruned.as("y"), "sh")
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    sh.as("x").join(sh.as("y"), "sh")
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("x.sz")).as("sz_a"), first(col("y.sz")).as("sz_b"))
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common")).cast("double")).as("jaccard"))

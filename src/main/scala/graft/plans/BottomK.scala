@@ -1,0 +1,95 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded bottom-k of a long column — the k SMALLEST distinct values,
+  * ascending. A `TypedImperativeAggregate` whose buffer never exceeds k
+  * entries, so capping a pathological LSH bucket costs O(k) memory per
+  * aggregation buffer and one shuffle, unlike a row_number window (extra
+  * sort stage) or collect-then-slice (unbounded buffer).
+  *
+  * Commutative + associative + idempotent (set-min semantics), so any
+  * partial/final merge tree yields the same result — safe map-side.
+  * Equivalent, for `groupBy(bucket)`, to
+  * `sort_array(collect_list(id))[1..k]` with bounded memory.
+  */
+case class BottomKLongs(
+    child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def offer(b: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    b.add(v)
+    if (b.size > k) b.remove(b.last())
+  }
+
+  override def update(b: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) offer(b, v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) offer(b, it.next())
+    b
+  }
+
+  override def eval(b: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](b.size)
+    val it = b.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    val it = b.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { b.add(in.readLong()); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BottomKLongs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKLongs =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BottomKLongs =
+    copy(child = c.head)
+  override def prettyName: String = "graft_bottom_k"
+}
+
+object BottomKLongs {
+  def bottomK(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      BottomKLongs(org.apache.spark.sql.GraftBridge.expression(c), k)
+        .toAggregateExpression())
+}

@@ -57,6 +57,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  // Bounded bottom-k aggregate ≡ sort_array(collect_list)[1..k] — the LSH
+  // bucket cap — including under repartitioning (merge-tree independence).
+  test("bottomK longs equals sorted-collect prefix") {
+    val df = spark.range(0, 1000)
+      .select((col("id") % 7).as("g"), ((col("id") * 37) % 1000).as("v"))
+      .repartition(13)
+    val both = df.groupBy("g").agg(
+      graft.plans.BottomKLongs.bottomK(col("v"), 20).as("bk"),
+      slice(sort_array(collect_list(col("v"))), 1, 20).as("ref"))
+    assert(both.where(not(col("bk") === col("ref"))).count() === 0)
+  }
+
   test("exact ngram jaccard finds the near-dup pair with the exact value") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
