@@ -88,6 +88,34 @@ object Multimodal {
     }
   }
 
+  /** Parsed container header metadata (format + dimensions) from real
+    * magic-byte/header parsing — see [[graft.plans.MediaHeaderExpr]].
+    * A pure projection: scan → header-parse → filter/route by format.
+    */
+  def mediaHeader(binCol: Column): Column =
+    graft.plans.MediaHeaderExpr.mediaHeader(binCol)
+
+  /** Config-selected codec registry: a deployment names its decode kernel
+    * in config (`"fake:16"`, `"identity"`), new codecs register here, and
+    * the plan shape ([[decodePartitions]]) never changes. The container
+    * has no image/audio libraries, so the real-codec entries are exactly
+    * the seam a deployment fills.
+    */
+  def codecFor(spec: String): MediaCodec = spec.split(":").toList match {
+    case "fake" :: dim :: Nil => new FakeCodec(dim.toInt)
+    case "fake" :: Nil => new FakeCodec(16)
+    case "identity" :: Nil => IdentityCodec
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown codec '${other.mkString(":")}' — register it in Multimodal.codecFor")
+  }
+
+  /** Pass-through codec: raw bytes as floats (for byte-level models). */
+  object IdentityCodec extends MediaCodec {
+    def decode(bytes: Array[Byte]): Array[Float] =
+      bytes.map(b => (b & 0xff).toFloat)
+  }
+
   /** Partition-iterator decode — the Scala analog of `mapInPandas`: one
     * codec instance per partition (amortizes model/codec init), rows
     * streamed through it, binary in → features out. This is the last-resort

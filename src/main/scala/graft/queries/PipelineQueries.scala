@@ -131,7 +131,10 @@ object PipelineQueries {
       Multimodal.ingest(Tables.read(spark, dir, "documents"), "text")
         .select(col("doc_id"),
           col("meta.size_bytes").cast("long").as("size_bytes"),
-          col("meta.magic").as("magic"))),
+          col("meta.magic").as("magic"),
+          // real magic-byte parse; text payloads classify as "unknown"
+          Multimodal.mediaHeader(col("content")).getField("format")
+            .as("media_format"))),
 
     // Rows-only: features stay distributed as Array[Float]; the emitted
     // columns are scalar summaries (driver compare can't sort array cells).
@@ -332,7 +335,8 @@ object PipelineQueries {
         |FROM s""".stripMargin,
     "multimodal_ingest" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
-        |hex(encode(substring(text, 1, 4))) AS magic FROM documents""".stripMargin,
+        |hex(encode(substring(text, 1, 4))) AS magic,
+        |'unknown' AS media_format FROM documents""".stripMargin,
     "sample_hash" -> s"""
         |SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

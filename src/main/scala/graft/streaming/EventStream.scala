@@ -73,6 +73,54 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` on a content
+    * key — the continuous counterpart of [[graft.functions.Dedup
+    * .dropExactDuplicates]]. State holds one entry per distinct key seen
+    * within the watermark horizon and is evicted after it, which is what
+    * makes exact dedup feasible on an unbounded stream (a plain
+    * dropDuplicates would grow state forever).
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  final case class DocIn(doc_id: Long, minhash: Seq[Long], ts: java.sql.Timestamp)
+  final case class NearDupVerdict(doc_id: Long, dup_of: Long, overlap: Int)
+
+  /** Streaming MinHash near-dup index via flatMapGroupsWithState: documents
+    * arrive keyed by LSH band bucket; each bucket's state keeps the first
+    * (id, signature) seen per bucket, and later arrivals are emitted with
+    * their signature overlap against the bucket representative. This is
+    * the stateful-index shape for continuous near-dup filtering: state is
+    * one signature per active bucket (bounded by ProcessingTimeTimeout in
+    * production; NoTimeout here for deterministic tests).
+    */
+  def minhashBucketIndex(docs: Dataset[(Long, Long, Seq[Long])])
+      : Dataset[NearDupVerdict] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Seq[Long]), NearDupVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Seq[Long])],
+         state: GroupState[(Long, Seq[Long])]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupVerdict]
+          var rep = state.getOption
+          rows.toSeq.sortBy(_._1).foreach { case (id, _, sig) =>
+            rep match {
+              case None =>
+                rep = Some((id, sig))
+                state.update((id, sig))
+              case Some((repId, repSig)) if repId != id =>
+                val overlap = sig.zip(repSig).count { case (a, b) => a == b }
+                out += NearDupVerdict(id, repId, overlap)
+              case _ => ()
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the (static) fixture
     * files via the memory sink; returns the result table name.
     */

@@ -111,4 +111,41 @@ class OperatorsSpec extends AnyFunSuite {
     // deterministic: 'a'+'e'+'i' = (97+101+105)/255 in slot 0
     assert(math.abs(row(0) - (97 + 101 + 105) / 255.0f) < 1e-6)
   }
+
+  test("multimodal: real container-header parsing by magic bytes") {
+    // hand-crafted minimal headers (published container layouts)
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x01, 0x40, /* w=320 */ 0, 0, 0x00, 0xF0 /* h=240 */).map(_.toByte)
+    val gif = ("GIF89a".getBytes.toSeq ++
+      Seq(0x40, 0x01, 0xF0, 0x00).map(_.toByte)).toArray // w=320 h=240 LE
+    val jpeg = Array[Int](0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x04, 0x00, 0x00, // APP0 len 4
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0xF0, 0x01, 0x40, 0x03, 0, 0, 0
+    ).map(_.toByte) // SOF0: h=240 w=320
+    val wav = ("RIFF".getBytes.toSeq ++ Seq.fill(4)(0.toByte) ++
+      "WAVEfmt ".getBytes.toSeq ++ Seq.fill(6)(0.toByte) ++
+      Seq(0x02, 0x00).map(_.toByte) ++ // channels=2 @22
+      Seq(0x44, 0xAC, 0x00, 0x00).map(_.toByte)).toArray // 44100 @24
+    val junk = "not a media file".getBytes
+
+    val df = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, wav), (5L, junk))
+      .toDF("id", "content")
+    val got = df.select(col("id"), Multimodal.mediaHeader(col("content")).as("h"))
+      .select(col("id"), col("h.format"), col("h.width"), col("h.height"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got(1L) === (("png", 320, 240)))
+    assert(got(2L) === (("gif", 320, 240)))
+    assert(got(3L) === (("jpeg", 320, 240)))
+    assert(got(4L) === (("wav", 44100, 2)))
+    assert(got(5L) === (("unknown", -1, -1)))
+  }
+
+  test("multimodal: codec registry resolves config-named codecs") {
+    assert(Multimodal.codecFor("fake:8").decode("ab".getBytes).length === 8)
+    assert(Multimodal.codecFor("identity").decode(Array[Byte](0, 65, -1)).toSeq
+      === Seq(0.0f, 65.0f, 255.0f))
+    assertThrows[IllegalArgumentException](Multimodal.codecFor("h264"))
+  }
 }

@@ -43,6 +43,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming dedup-within-watermark removes duplicate event keys") {
+    // events keyed by (user_id, event_type) — duplicates within the
+    // watermark horizon collapse to one row each
+    val evts = EventStream.readEvents(spark, SparkTestSession.Sf)
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val dedup = EventStream.dedupWithinWatermark(evts,
+      Seq("user_id", "event_type"), "10 minutes")
+    EventStream.runToMemory(dedup, "dedup_out", OutputMode.Append())
+    val got = spark.table("dedup_out").select("user_id", "event_type")
+      .as[(Long, String)].collect()
+    val distinctKeys = Tables.read(spark, SparkTestSession.Sf, "events")
+      .select("user_id", "event_type").distinct().count()
+    // every distinct key appears at least once; far fewer rows than events
+    assert(got.map(x => x).toSet.size === distinctKeys)
+    val total = Tables.read(spark, SparkTestSession.Sf, "events").count()
+    assert(got.length < total)
+  }
+
+  test("streaming minhash bucket index flags near-dup arrivals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Seq[Long])]
+    // bucket 7: doc 1 is the representative; docs 2 (identical sig) and 3
+    // (half-overlapping sig) arrive later. bucket 9: doc 4 alone.
+    val sigA = Seq(1L, 2L, 3L, 4L)
+    val sigB = Seq(1L, 2L, 9L, 9L)
+    in.addData((1L, 7L, sigA), (2L, 7L, sigA), (3L, 7L, sigB), (4L, 9L, sigA))
+    val q = EventStream.minhashBucketIndex(in.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nn_idx_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("nn_idx_out")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((2L, 1L, 4), (3L, 1L, 2)))
+  }
+
   test("stateful user totals match batch totals") {
     val evts = EventStream.readEvents(spark, SparkTestSession.Sf)
       .select(col("user_id"), col("event_id"), col("value"))
