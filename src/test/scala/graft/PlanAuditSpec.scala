@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audits for the headline queries: the properties that make
+  * these plans survive a 100× scale-up, asserted against the actual
+  * executed/optimized plans rather than trusted from the code shape —
+  * filter pushdown into the parquet scan, column pruning, broadcast of
+  * dim sides, top-k as TakeOrderedAndProject, and map-side partial
+  * aggregation.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, SparkTestSession.Sf)
+      .queryExecution.executedPlan.toString
+
+  /** Plan AFTER execution — AQE finalizes join strategy and codegen spans
+    * only once stages run.
+    */
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, SparkTestSession.Sf)
+    df.collect() // finalize THIS queryExecution's adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter pushed to parquet; only needed columns read") {
+    val plan = executedPlan("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter must reach the scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan must prune unused columns:\n$readSchema")
+  }
+
+  test("q1: aggregation is partial+final (map-side combine)") {
+    val plan = executedPlan("q1_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
+  test("q3/q5: dim sides broadcast, fact join shuffles") {
+    // disable size-based auto-broadcast: at fixture scale EVERYTHING is
+    // broadcastable, which is exactly the plan that would not survive
+    // 100×. Only the explicit broadcast() hints may broadcast.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (q <- Seq("q3_top_orders", "q5_region_revenue")) {
+        val plan = executedPlan(q)
+        assert(plan.contains("BroadcastHashJoin"), s"$q: dims must broadcast:\n$plan")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$q: the fact-fact join must be a shuffle join (broadcastable " +
+            s"only at toy scale):\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("q_topk plans as TakeOrderedAndProject (no full sort)") {
+    val plan = executedPlan("q_topk")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not full-sort:\n$plan")
+  }
+
+  test("dedup_exact shuffles aggregated keys, not rows (partial agg)") {
+    val plan = executedPlan("dedup_exact")
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"exact dedup must partial-aggregate before the exchange:\n$plan")
+  }
+
+  test("tap incremental predicate reaches the parquet scan") {
+    val plan = executedPlan("tap_incremental")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"the replication-key watermark must push into the scan:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan-side of q1") {
+    // `*(n)` prefixes mark WholeStageCodegen spans in the finalized plan
+    val plan = finalPlan("q1_pricing_summary")
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
+      s"expected codegen spans (*(n) markers):\n$plan")
+  }
+}
