@@ -231,6 +231,21 @@ object PipelineQueries {
         Map("en" -> 0.5, "fr" -> 0.1, "de" -> 0.1, "es" -> 0.1, "zh" -> 0.1))
         .select("doc_id", "lang")),
 
+    // One-pass mergeable quantile sketch (t-digest style custom
+    // TypedImperativeAggregate) — rows-only: estimates are
+    // digest-specific; rank-accuracy bounds asserted in QuantileDigestSpec.
+    "q_tdigest" -> ((spark, dir) => {
+      val digest = graft.plans.QuantileDigest.tdigest(
+        col("l_extendedprice"), Seq(0.25, 0.5, 0.99), delta = 100)
+      Tables.read(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(digest.as("qs"))
+        .select(col("l_returnflag"),
+          round(element_at(col("qs"), 1), 2).as("p25"),
+          round(element_at(col("qs"), 2), 2).as("p50"),
+          round(element_at(col("qs"), 3), 2).as("p99"))
+    }),
+
     // Per-group deterministic reservoir (custom TypedImperativeAggregate,
     // bottom-k sketch): k example sources per language.
     "sample_reservoir" -> ((spark, dir) =>
