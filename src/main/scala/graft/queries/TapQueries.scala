@@ -41,13 +41,17 @@ object TapQueries {
       |"columns":[{"name":"c_custkey","type":"string"},{"name":"c_name","type":"text"},
       |{"name":"c_nationkey","type":"bigint"},{"name":"c_acctbal","type":"double"}]}""".stripMargin
 
-  // PG-isms from the reference's own test SQL (FIXTURES.md F4):
-  // '::uuid' cast + timestamptz literal, rewritten by SqlDialect.
+  // PG-isms from the reference's own test SQL (FIXTURES.md F4) plus the
+  // wider real-config surface: '::uuid' cast, timestamptz literal,
+  // double-quoted identifier, posix-regex match (~), and
+  // extract(epoch from …) — all rewritten by SqlDialect.
   private val dialectJson =
-    """{"name":"nation_dialect","sql":"SELECT '1441C21D-9921-4a1d-B239-9C6EA18AF234'::uuid AS id, timestamptz '2021-11-22T11:45:11.062824+00:00' AS last_updated, n_nationkey, n_name FROM nation",
+    """{"name":"nation_dialect","sql":"SELECT '1441C21D-9921-4a1d-B239-9C6EA18AF234'::uuid AS id, timestamptz '2021-11-22T11:45:11.062824+00:00' AS last_updated, extract(epoch from timestamp '2021-11-22 00:00:00') AS epoch_s, \"n_nationkey\", n_name, CASE WHEN n_name ~ '^A' THEN 1 ELSE 0 END AS starts_a FROM nation",
       |"key_properties":["n_nationkey"],
       |"columns":[{"name":"id","type":"uuid"},{"name":"last_updated","type":"datetime"},
-      |{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"}]}""".stripMargin
+      |{"name":"epoch_s","type":"bigint"},
+      |{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"},
+      |{"name":"starts_a","type":"int"}]}""".stripMargin
 
   // SELECT * but only 3 declared columns: conformance drops the rest
   // (reference: client.py:147-154 unmapped-property drop).
@@ -96,7 +100,11 @@ object TapQueries {
         |CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal FROM customer""".stripMargin,
     "tap_dialect_rewrite" ->
       """SELECT lower('1441C21D-9921-4a1d-B239-9C6EA18AF234') AS id,
-        |TIMESTAMP '2021-11-22 11:45:11.062824' AS last_updated, n_nationkey, n_name FROM nation""".stripMargin,
+        |TIMESTAMP '2021-11-22 11:45:11.062824' AS last_updated,
+        |CAST(epoch(TIMESTAMP '2021-11-22 00:00:00') AS BIGINT) AS epoch_s,
+        |n_nationkey, n_name,
+        |CASE WHEN regexp_matches(n_name, '^A') THEN 1 ELSE 0 END AS starts_a
+        |FROM nation""".stripMargin,
     "tap_projection" -> "SELECT doc_id, lang, source FROM documents",
     "tap_stream_map" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag AS flag,

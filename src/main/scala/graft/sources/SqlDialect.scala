@@ -25,11 +25,64 @@ object SqlDialect {
 
   private val parenCastRe = """\)\s*::\s*([A-Za-z_][A-Za-z0-9_]*)""".r
 
+  // posix-regex match operators; the case-insensitive forms fold the
+  // (?i) flag into the pattern literal
+  private val ciNotMatchRe = """!~\*\s*('(?:[^']|'')*')""".r
+  private val ciMatchRe = """~\*\s*('(?:[^']|'')*')""".r
+  private val epochRe = """(?i)\bextract\s*\(\s*epoch\s+from\s+([^()]+)\)""".r
+  private val dquoteIdentRe = """"([A-Za-z_][A-Za-z0-9_$]*)"""".r
+
+  /** Apply `f` to the spans of `sql` OUTSIDE single-quoted string literals
+    * ('' escapes respected) — rewrites that must not touch literal text.
+    */
+  private def mapOutsideStrings(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val code = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && c == '\'') {
+        out.append(f(code.toString())); code.clear()
+        out.append(c); inStr = true
+      } else if (inStr && c == '\'') {
+        out.append(c)
+        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+          out.append('\''); i += 1 // escaped quote stays inside the literal
+        } else inStr = false
+      } else if (inStr) out.append(c)
+      else code.append(c)
+      i += 1
+    }
+    out.append(f(code.toString()))
+    out.toString()
+  }
+
   /** Rewrite PostgreSQL-flavored SQL into Spark-parseable SQL. */
   def rewrite(sql: String): String = {
     var out = sql
     out = tstzLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     out = tsLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
+    // case-insensitive regex matches first (their patterns absorb (?i)),
+    // longest operator first so !~* is not eaten by ~*
+    out = ciNotMatchRe.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "NOT RLIKE " + foldCaseFlag(m.group(1))))
+    out = ciMatchRe.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        "RLIKE " + foldCaseFlag(m.group(1))))
+    out = mapOutsideStrings(out) { code =>
+      var c = code
+      // PG quotes identifiers with "…"; Spark uses backticks
+      c = dquoteIdentRe.replaceAllIn(c, m =>
+        java.util.regex.Matcher.quoteReplacement("`" + m.group(1) + "`"))
+      c = c.replaceAll("""!~(?![\*~])""", " NOT RLIKE ")
+      c = c.replaceAll("""(?<![!<>=~])~(?![~*=])""", " RLIKE ")
+      c
+    }
+    out = epochRe.replaceAllIn(out, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"UNIX_TIMESTAMP(${m.group(1).trim})"))
     // iterate to handle chained casts like x::text::int
     var prev: String = null
     while (prev != out) {
@@ -43,6 +96,10 @@ object SqlDialect {
     }
     out
   }
+
+  /** `'pat'` → `'(?i)pat'` (single-quoted literal in, literal out). */
+  private def foldCaseFlag(lit: String): String =
+    "'(?i)" + lit.substring(1)
 
   /** Rewrite one `(...)::type` / `fn(...)::type` cast (balanced-paren scan;
     * regex alone cannot match the operand). Iterated by `rewrite`.

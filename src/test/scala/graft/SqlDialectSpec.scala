@@ -30,6 +30,34 @@ class SqlDialectSpec extends AnyFunSuite {
       "select CAST('it''s' AS STRING)")
   }
 
+  test("posix regex operators rewrite to RLIKE forms") {
+    assert(SqlDialect.rewrite("select * from t where name ~ '^ab'") ===
+      "select * from t where name  RLIKE  '^ab'")
+    assert(SqlDialect.rewrite("select * from t where name ~* '^ab'") ===
+      "select * from t where name RLIKE '(?i)^ab'")
+    assert(SqlDialect.rewrite("select * from t where name !~ '^ab'") ===
+      "select * from t where name  NOT RLIKE  '^ab'")
+    assert(SqlDialect.rewrite("select * from t where name !~* '^ab'") ===
+      "select * from t where name NOT RLIKE '(?i)^ab'")
+    // a ~ inside a string literal is untouched
+    assert(SqlDialect.rewrite("select '~tilde~' as s") === "select '~tilde~' as s")
+  }
+
+  test("extract(epoch from ts) rewrites to unix_timestamp") {
+    assert(SqlDialect.rewrite("select extract(epoch from created_at) from t") ===
+      "select UNIX_TIMESTAMP(created_at) from t")
+    assert(SqlDialect.rewrite("select EXTRACT(EPOCH FROM ts) > 100 from t") ===
+      "select UNIX_TIMESTAMP(ts) > 100 from t")
+  }
+
+  test("double-quoted identifiers become backticks (PG identifier semantics)") {
+    assert(SqlDialect.rewrite("""select "userId", "from" from "myTable"""") ===
+      "select `userId`, `from` from `myTable`")
+    // double quotes inside a string literal are untouched
+    assert(SqlDialect.rewrite("""select 'he said "hi"' as s""") ===
+      """select 'he said "hi"' as s""")
+  }
+
   test("rep_key_val binding renders typed literals") {
     assert(SqlDialect.bindRepKeyVal("a > :rep_key_val", Some("42"), LongType) === "a > 42")
     assert(SqlDialect.bindRepKeyVal("a > :rep_key_val", Some("2021-01-01 00:00:00"), TimestampType) ===
