@@ -74,9 +74,11 @@ object StreamSource {
   }
 
   def jdbc(spark: SparkSession, tap: TapConfig, stream: StreamConfig,
-           state: TapState = Bookmarks.empty): DataFrame = {
+           state: TapState = Bookmarks.empty,
+           numPartitions: Int = 1,
+           bounds: Option[(String, String)] = None): DataFrame = {
     val df = spark.read.format("jdbc")
-      .options(jdbcOptions(tap, stream, state)).load()
+      .options(jdbcOptions(tap, stream, state, numPartitions, bounds)).load()
     Conformance.conform(df, stream.columns)
   }
 }

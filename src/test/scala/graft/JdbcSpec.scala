@@ -61,4 +61,36 @@ class JdbcSpec extends AnyFunSuite {
       graft.state.Bookmarks.empty)
     assert(st2.bookmark(derbyTap.streams.head.streamId) === Some("3"))
   }
+
+  test("live partitioned JDBC extraction: parallel cursors, same rows") {
+    // the genuine scale improvement over the reference's single cursor
+    // (client.py:300-304): N Spark tasks each open their own slice cursor
+    Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val url = "jdbc:derby:memory:graftpart;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE evts (id BIGINT, v VARCHAR(16))")
+      val ps = conn.prepareStatement("INSERT INTO evts VALUES (?, ?)")
+      (1 to 1000).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"v$i"); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+
+    val tap2 = ConfigParser.parseTap(
+      """{"jdbc_url":"jdbc:derby:memory:graftpart","jdbc_driver":"org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        |"streams":[{"name":"evts","sql":"SELECT id, v FROM evts WHERE id > :rep_key_val",
+        | "key_properties":["id"],"replication_key":"id","replication_key_value_start":0,
+        | "columns":[{"name":"id","type":"bigint"},{"name":"v","type":"text"}]}]}""".stripMargin)
+
+    val partitioned = StreamSource.jdbc(SparkTestSession.spark, tap2,
+      tap2.streams.head, numPartitions = 4, bounds = Some(("1", "1000")))
+    assert(partitioned.rdd.getNumPartitions === 4,
+      "expected one input slice per configured partition")
+    val single = StreamSource.jdbc(SparkTestSession.spark, tap2, tap2.streams.head)
+    assert(partitioned.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === single.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
+    assert(partitioned.count() === 1000)
+  }
 }

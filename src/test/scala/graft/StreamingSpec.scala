@@ -79,6 +79,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((2L, 1L, 4), (3L, 1L, 2)))
   }
 
+  test("streaming near-dup end-to-end: real signatures over a doc stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Dedup
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "THE  Quick  brown fox jumps over the lazy dog"), // dup mod norm
+      (3L, "an utterly different document about query engines"))
+    // signature + first-band bucket are pure projections — identical
+    // expressions work on the stream and in batch
+    val sigs = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Dedup.minhashSignature(
+          Dedup.shingleHashes(col("text"), 3), 64, 42L).as("sig"))
+      .select(col("doc_id"),
+        element_at(Dedup.lshBandKeys(col("sig"), 64, 16), 1).as("bucket"),
+        col("sig"))
+      .as[(Long, Long, Seq[Long])]
+    val q = EventStream.minhashBucketIndex(sigs).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_neardup_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("stream_neardup_out")
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    // doc 2 normalizes identically to doc 1: same bucket, full 64-row
+    // signature overlap; doc 3 lands in a different bucket (no verdict)
+    assert(got(2L) === ((1L, 64)))
+    assert(!got.contains(3L))
+  }
+
   test("stateful user totals match batch totals") {
     val evts = EventStream.readEvents(spark, SparkTestSession.Sf)
       .select(col("user_id"), col("event_id"), col("value"))
