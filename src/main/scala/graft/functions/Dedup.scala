@@ -333,21 +333,19 @@ object Dedup {
       struct(lit(b).as("band"), masked.as("chunk"))
     }: _*)
     val banded = sigs.select(col("id"), col("sig"), explode(keys).as("key"))
-    // cap before collect — see minhashDupPairs for the rationale
-    val keyW = org.apache.spark.sql.expressions.Window
-      .partitionBy("key").orderBy("id")
-    val capped = banded
-      .withColumn("__rn", row_number().over(keyW))
-      .where(col("__rn") <= maxBucket)
-    val buckets = capped.groupBy(col("key"))
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("members"))
+    // bounded bottom-k pair aggregate caps bucket membership (k smallest
+    // ids, each carrying its signature) in one aggregation with O(k)
+    // buffers — same rationale as minhashDupPairs
+    val buckets = banded.groupBy(col("key"))
+      .agg(graft.plans.BottomKPairs.bottomKPairs(col("id"), col("sig"), maxBucket)
+        .as("members"))
       .where(size(col("members")) > 1)
     val pairs = buckets
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming(col("a.sig"), col("b.sig")).as("dist"))
+        hamming(col("a.payload"), col("b.payload")).as("dist"))
       .distinct()
     pairs.where(col("dist") <= maxDist)
   }

@@ -93,3 +93,98 @@ object BottomKLongs {
       BottomKLongs(org.apache.spark.sql.GraftBridge.expression(c), k)
         .toAggregateExpression())
 }
+
+/** Bounded bottom-k of (key: long, payload: long) pairs ordered by key —
+  * the k smallest distinct keys, each carrying its payload, ascending.
+  * Same bounded-buffer/merge-anywhere properties as [[BottomKLongs]];
+  * used to cap LSH buckets whose members carry a signature
+  * (SimHash: (id, sig)). Output `array<struct<id:long, payload:long>>`.
+  */
+case class BottomKPairs(
+    keyExpr: Expression, payloadExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(keyExpr, payloadExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("payload", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Long] =
+    new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+
+  private def offer(b: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                    key: Long, payload: Long): Unit = {
+    if (!b.containsKey(key)) {
+      b.put(key, payload)
+      if (b.size > k) b.remove(b.lastKey())
+    }
+  }
+
+  override def update(b: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                      input: InternalRow): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val kv = keyExpr.eval(input)
+    val pv = payloadExpr.eval(input)
+    if (kv != null && pv != null)
+      offer(b, kv.asInstanceOf[Long], pv.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: java.util.TreeMap[java.lang.Long, java.lang.Long],
+                     other: java.util.TreeMap[java.lang.Long, java.lang.Long]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); offer(b, e.getKey, e.getValue) }
+    b
+  }
+
+  override def eval(b: java.util.TreeMap[java.lang.Long, java.lang.Long]): Any = {
+    val out = new Array[Any](b.size)
+    val it = b.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(e.getKey.longValue(), e.getValue.longValue())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: java.util.TreeMap[java.lang.Long, java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.size)
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); out.writeLong(e.getKey); out.writeLong(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+    var i = 0
+    while (i < n) { b.put(in.readLong(), in.readLong()); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BottomKPairs =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKPairs =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BottomKPairs =
+    copy(keyExpr = c(0), payloadExpr = c(1))
+  override def prettyName: String = "graft_bottom_k_pairs"
+}
+
+object BottomKPairs {
+  def bottomKPairs(key: Column, payload: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      BottomKPairs(org.apache.spark.sql.GraftBridge.expression(key),
+        org.apache.spark.sql.GraftBridge.expression(payload), k)
+        .toAggregateExpression())
+}
