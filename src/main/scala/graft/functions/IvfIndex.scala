@@ -49,6 +49,31 @@ object IvfIndex {
       d * d
     }), lit(0.0), (s, x) => s + x)
 
+  /** Persist the index: centroids as one small parquet, the assigned
+    * corpus PARTITIONED BY list_id — so a later probe of `nProbe` lists
+    * reads only those lists' files (partition pruning does the IVF "read
+    * only the inverted lists" trick at the storage layer).
+    */
+  def save(index: Index, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/lists")
+  }
+
+  /** Reload a saved index. Searches over a loaded index prune to the
+    * probed list partitions at the parquet scan.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    Index(centroids, spark.read.parquet(s"$path/lists"))
+  }
+
   /** Exact top-k within the probed lists. Queries are broadcast; the
     * corpus side is filtered to probed lists *before* scoring.
     */

@@ -32,4 +32,38 @@ class IvfIndexSpec extends AnyFunSuite {
     val recall = (exact intersect half).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("IVF index persists: save/load round-trip, list-partitioned layout") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 4)
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nLists = 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.save(index, dir)
+
+    // layout: one partition directory per inverted list
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("list_id=")).map(_.getName).sorted
+    assert(listDirs.length === 6, listDirs.mkString(","))
+
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.map(_._1).toSeq === index.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.zip(index.centroids).forall {
+      case ((_, a), (_, b)) => a.toSeq == b.toSeq })
+
+    val fresh = IvfIndex.search(index, queries, "vec_id", "embedding",
+        k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val reloaded = IvfIndex.search(loaded, queries, "vec_id", "embedding",
+        k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(reloaded === fresh)
+
+    // probe pruning reaches the file source: the scan over the loaded
+    // lists carries a list_id partition filter
+    val probedPlan = IvfIndex.search(loaded, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2).queryExecution.executedPlan.toString
+    assert(probedPlan.contains("PartitionFilters") ||
+      probedPlan.contains("dynamicpruning") || probedPlan.contains("list_id"),
+      s"expected list_id pruning evidence:\n$probedPlan")
+  }
 }
