@@ -61,11 +61,21 @@ object TapQueries {
       |"columns":[{"name":"doc_id","type":"bigint"},{"name":"lang","type":"text"},
       |{"name":"source","type":"text"}]}""".stripMargin
 
+  // PG `DISTINCT ON`: first lineitem per order under the declared ORDER
+  // BY — rewritten by SqlDialect into a row_number window; DuckDB runs
+  // the original form natively as the oracle.
+  private val distinctOnJson =
+    """{"name":"li_first","sql":"SELECT DISTINCT ON (l_orderkey) l_orderkey, l_linenumber, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity DESC, l_linenumber",
+      |"key_properties":["l_orderkey"],
+      |"columns":[{"name":"l_orderkey","type":"bigint"},{"name":"l_linenumber","type":"int"},
+      |{"name":"l_quantity","type":"double"}]}""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "tap_raw_sql_scan" -> run(rawScanJson),
     "tap_incremental" -> run(incrementalJson),
     "tap_conform_cast" -> run(conformJson),
     "tap_dialect_rewrite" -> run(dialectJson),
+    "tap_distinct_on" -> run(distinctOnJson),
     "tap_projection" -> run(projectionJson),
 
     "tap_stream_map" -> ((spark, dir) => {
@@ -105,6 +115,9 @@ object TapQueries {
         |n_nationkey, n_name,
         |CASE WHEN regexp_matches(n_name, '^A') THEN 1 ELSE 0 END AS starts_a
         |FROM nation""".stripMargin,
+    "tap_distinct_on" ->
+      """SELECT DISTINCT ON (l_orderkey) l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_quantity DESC, l_linenumber""".stripMargin,
     "tap_projection" -> "SELECT doc_id, lang, source FROM documents",
     "tap_stream_map" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag AS flag,

@@ -60,7 +60,7 @@ object SqlDialect {
 
   /** Rewrite PostgreSQL-flavored SQL into Spark-parseable SQL. */
   def rewrite(sql: String): String = {
-    var out = sql
+    var out = rewriteDistinctOn(sql)
     out = tstzLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     out = tsLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     // case-insensitive regex matches first (their patterns absorb (?i)),
@@ -100,6 +100,87 @@ object SqlDialect {
   /** `'pat'` → `'(?i)pat'` (single-quoted literal in, literal out). */
   private def foldCaseFlag(lit: String): String =
     "'(?i)" + lit.substring(1)
+
+  private val distinctOnRe = """(?is)^\s*select\s+distinct\s+on\s*\(""".r
+
+  /** Rewrite PostgreSQL `SELECT DISTINCT ON (keys) cols FROM … ORDER BY
+    * keys, tiebreak` — keep the first row per key group under the ORDER BY
+    * — into the Spark/ANSI row_number-window form:
+    * `SELECT cols FROM (SELECT cols, row_number() OVER (PARTITION BY keys
+    * ORDER BY full-order) AS __rn FROM …) WHERE __rn = 1`.
+    *
+    * Handles the common top-level single-SELECT form (the shape stream
+    * configs use); statements where DISTINCT ON is nested in a subquery
+    * are left unchanged. Called from [[rewrite]] before the cast passes.
+    */
+  def rewriteDistinctOn(sql: String): String = {
+    val m = distinctOnRe.findFirstMatchIn(sql).getOrElse(return sql)
+    // balanced-paren scan for the ON (…) key list
+    val openIdx = m.end - 1
+    var depth = 0
+    var i = openIdx
+    var close = -1
+    while (i < sql.length && close < 0) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return sql
+    val keys = sql.substring(openIdx + 1, close).trim
+    val rest = sql.substring(close + 1)
+
+    // split the remainder at top level: select list | FROM … | ORDER BY … [LIMIT …]
+    def topLevelIndexOf(s: String, kw: String): Int = {
+      val upper = s.toUpperCase
+      var d = 0
+      var j = 0
+      var inStr = false
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+            if (d == 0 && upper.startsWith(kw, j) &&
+              (j == 0 || !s.charAt(j - 1).isLetterOrDigit) &&
+              (j + kw.length >= s.length || !s.charAt(j + kw.length).isLetterOrDigit))
+              return j
+        }
+        j += 1
+      }
+      -1
+    }
+    val fromIdx = topLevelIndexOf(rest, "FROM")
+    if (fromIdx < 0) return sql
+    val selectList = rest.substring(0, fromIdx).trim
+    val afterSelect = rest.substring(fromIdx)
+    val orderIdx = topLevelIndexOf(afterSelect, "ORDER")
+    val (body, orderClause) =
+      if (orderIdx < 0) (afterSelect, "")
+      else (afterSelect.substring(0, orderIdx), afterSelect.substring(orderIdx))
+    val limitIdx = topLevelIndexOf(orderClause, "LIMIT")
+    val (orderBy, limit) =
+      if (limitIdx < 0) (orderClause, "")
+      else (orderClause.substring(0, limitIdx), orderClause.substring(limitIdx))
+    // PG requires ORDER BY to start with the DISTINCT ON keys; with no
+    // ORDER BY the keys themselves give a deterministic (arbitrary-pick
+    // replaced by first-by-key) order
+    val windowOrder =
+      if (orderBy.isEmpty) keys
+      else orderBy.trim.replaceFirst("(?is)^order\\s+by\\s+", "")
+    // outer `* EXCEPT (__rn)` keeps the select list's OUTPUT columns
+    // without re-evaluating aliased expressions against the base table
+    s"SELECT * EXCEPT (__rn) FROM (SELECT $selectList, row_number() OVER " +
+      s"(PARTITION BY $keys ORDER BY $windowOrder) AS __rn ${body.trim}) " +
+      s"WHERE __rn = 1" +
+      (if (orderBy.nonEmpty) " " + orderBy.trim else "") +
+      (if (limit.nonEmpty) " " + limit.trim else "")
+  }
 
   /** Rewrite one `(...)::type` / `fn(...)::type` cast (balanced-paren scan;
     * regex alone cannot match the operand). Iterated by `rewrite`.

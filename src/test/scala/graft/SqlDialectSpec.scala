@@ -58,6 +58,25 @@ class SqlDialectSpec extends AnyFunSuite {
       """select 'he said "hi"' as s""")
   }
 
+  test("DISTINCT ON rewrites to a row_number window") {
+    val got = SqlDialect.rewrite(
+      "SELECT DISTINCT ON (user_id) user_id, ts, v FROM t ORDER BY user_id, ts DESC")
+    assert(got ===
+      "SELECT * EXCEPT (__rn) FROM (SELECT user_id, ts, v, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY user_id, ts DESC) AS __rn FROM t) " +
+        "WHERE __rn = 1 ORDER BY user_id, ts DESC")
+    // without ORDER BY the keys give the deterministic pick
+    assert(SqlDialect.rewrite("SELECT DISTINCT ON (a) a, b FROM t") ===
+      "SELECT * EXCEPT (__rn) FROM (SELECT a, b, row_number() OVER " +
+        "(PARTITION BY a ORDER BY a) AS __rn FROM t) WHERE __rn = 1")
+    // LIMIT survives after the window filter
+    val lim = SqlDialect.rewrite(
+      "SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b LIMIT 5")
+    assert(lim.endsWith("WHERE __rn = 1 ORDER BY a, b LIMIT 5"))
+    // non-DISTINCT-ON statements untouched
+    assert(SqlDialect.rewrite("SELECT DISTINCT a FROM t") === "SELECT DISTINCT a FROM t")
+  }
+
   test("rep_key_val binding renders typed literals") {
     assert(SqlDialect.bindRepKeyVal("a > :rep_key_val", Some("42"), LongType) === "a > 42")
     assert(SqlDialect.bindRepKeyVal("a > :rep_key_val", Some("2021-01-01 00:00:00"), TimestampType) ===
