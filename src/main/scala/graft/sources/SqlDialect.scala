@@ -58,9 +58,48 @@ object SqlDialect {
     out.toString()
   }
 
+  private val stringAggRe = """(?i)\bstring_agg\s*\(""".r
+
+  /** Rewrite PG `string_agg(expr, delim [ORDER BY …])` to Spark 4's
+    * `listagg(expr, delim) [WITHIN GROUP (ORDER BY …)]`. Iterates over
+    * every occurrence; arguments found by balanced-paren scan, the
+    * optional ORDER BY located at the argument top level.
+    */
+  def rewriteStringAgg(sql: String): String = {
+    val m = stringAggRe.findFirstMatchIn(sql).getOrElse(return sql)
+    val openIdx = m.end - 1
+    var depth = 0
+    var i = openIdx
+    var close = -1
+    var inStr = false
+    while (i < sql.length && close < 0) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return sql
+    val args = sql.substring(openIdx + 1, close)
+    val orderIdx = topLevelIndexOf(args, "ORDER")
+    val replaced =
+      if (orderIdx < 0) s"listagg($args)"
+      else {
+        val core = args.substring(0, orderIdx).trim.stripSuffix(",").trim
+        val orderBy = args.substring(orderIdx).trim
+        s"listagg($core) WITHIN GROUP ($orderBy)"
+      }
+    rewriteStringAgg(
+      sql.substring(0, m.start) + replaced + sql.substring(close + 1))
+  }
+
   /** Rewrite PostgreSQL-flavored SQL into Spark-parseable SQL. */
   def rewrite(sql: String): String = {
-    var out = rewriteDistinctOn(sql)
+    var out = rewriteStringAgg(rewriteDistinctOn(sql))
     out = tstzLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     out = tsLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     // case-insensitive regex matches first (their patterns absorb (?i)),
@@ -103,6 +142,32 @@ object SqlDialect {
 
   private val distinctOnRe = """(?is)^\s*select\s+distinct\s+on\s*\(""".r
 
+  /** First top-level (outside parens and string literals) occurrence of
+    * keyword `kw` (upper-case) in `s` as a whole word, or -1.
+    */
+  private def topLevelIndexOf(s: String, kw: String): Int = {
+    val upper = s.toUpperCase
+    var d = 0
+    var j = 0
+    var inStr = false
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => d += 1
+        case ')' => d -= 1
+        case _ =>
+          if (d == 0 && upper.startsWith(kw, j) &&
+            (j == 0 || !s.charAt(j - 1).isLetterOrDigit) &&
+            (j + kw.length >= s.length || !s.charAt(j + kw.length).isLetterOrDigit))
+            return j
+      }
+      j += 1
+    }
+    -1
+  }
+
   /** Rewrite PostgreSQL `SELECT DISTINCT ON (keys) cols FROM … ORDER BY
     * keys, tiebreak` — keep the first row per key group under the ORDER BY
     * — into the Spark/ANSI row_number-window form:
@@ -132,29 +197,6 @@ object SqlDialect {
     val keys = sql.substring(openIdx + 1, close).trim
     val rest = sql.substring(close + 1)
 
-    // split the remainder at top level: select list | FROM … | ORDER BY … [LIMIT …]
-    def topLevelIndexOf(s: String, kw: String): Int = {
-      val upper = s.toUpperCase
-      var d = 0
-      var j = 0
-      var inStr = false
-      while (j < s.length) {
-        val c = s.charAt(j)
-        if (inStr) { if (c == '\'') inStr = false }
-        else c match {
-          case '\'' => inStr = true
-          case '(' => d += 1
-          case ')' => d -= 1
-          case _ =>
-            if (d == 0 && upper.startsWith(kw, j) &&
-              (j == 0 || !s.charAt(j - 1).isLetterOrDigit) &&
-              (j + kw.length >= s.length || !s.charAt(j + kw.length).isLetterOrDigit))
-              return j
-        }
-        j += 1
-      }
-      -1
-    }
     val fromIdx = topLevelIndexOf(rest, "FROM")
     if (fromIdx < 0) return sql
     val selectList = rest.substring(0, fromIdx).trim

@@ -77,6 +77,33 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(SqlDialect.rewrite("SELECT DISTINCT a FROM t") === "SELECT DISTINCT a FROM t")
   }
 
+  test("string_agg rewrites to listagg / WITHIN GROUP") {
+    assert(SqlDialect.rewrite("SELECT string_agg(name, ',') FROM t") ===
+      "SELECT listagg(name, ',') FROM t")
+    assert(SqlDialect.rewrite(
+      "SELECT string_agg(name, ', ' ORDER BY name DESC) FROM t GROUP BY g") ===
+      "SELECT listagg(name, ', ') WITHIN GROUP (ORDER BY name DESC) FROM t GROUP BY g")
+    // multiple occurrences, nested function args
+    assert(SqlDialect.rewrite(
+      "SELECT string_agg(upper(a), ','), string_agg(b, ';' ORDER BY b) FROM t") ===
+      "SELECT listagg(upper(a), ','), listagg(b, ';') WITHIN GROUP (ORDER BY b) FROM t")
+  }
+
+  test("rewritten string_agg and DISTINCT ON execute in Spark") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    Seq((1, "b"), (1, "a"), (2, "c"), (1, "a2")).toDF("g", "v")
+      .createOrReplaceTempView("dialect_exec_t")
+    val agg = spark.sql(SqlDialect.rewrite(
+      "SELECT g, string_agg(v, ',' ORDER BY v) AS vs FROM dialect_exec_t GROUP BY g"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(agg === Map(1 -> "a,a2,b", 2 -> "c"))
+    val first = spark.sql(SqlDialect.rewrite(
+      "SELECT DISTINCT ON (g) g, v FROM dialect_exec_t ORDER BY g, v"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(first === Map(1 -> "a", 2 -> "c"))
+  }
+
   test("rep_key_val binding renders typed literals") {
     assert(SqlDialect.bindRepKeyVal("a > :rep_key_val", Some("42"), LongType) === "a > 42")
     assert(SqlDialect.bindRepKeyVal("a > :rep_key_val", Some("2021-01-01 00:00:00"), TimestampType) ===
