@@ -162,6 +162,27 @@ object PipelineQueries {
         .select("user_id", "event_id", "session_id")
     }),
 
+    // Funnel analysis: per user, first signup → first view after it →
+    // first purchase after that, plus step-conversion flags. One
+    // hash-partitioned aggregation over (user, type-conditional mins) —
+    // no self-joins, so the shuffle carries one row per user.
+    "events_funnel" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      val firstSignup = min(when(col("event_type") === "signup", col("ts_s")))
+      val agged = ev.groupBy("user_id").agg(firstSignup.as("t_signup"),
+        collect_list(when(col("event_type") === "view", col("ts_s"))).as("views"),
+        collect_list(when(col("event_type") === "purchase", col("ts_s"))).as("buys"))
+      agged.select(col("user_id"), col("t_signup"), col("buys"),
+          array_min(filter(col("views"), v => v > col("t_signup"))).as("t_view"))
+        .withColumn("t_buy",
+          array_min(filter(col("buys"), b => b > col("t_view"))))
+        .select(col("user_id"), col("t_signup"), col("t_view"), col("t_buy"),
+          (col("t_signup").isNotNull && col("t_view").isNotNull).as("reached_view"),
+          (col("t_view").isNotNull && col("t_buy").isNotNull).as("reached_buy"))
+    }),
+
     "events_hourly" -> ((spark, dir) =>
       Tables.read(spark, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
@@ -352,6 +373,20 @@ object PipelineQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
         |hex(encode(substring(text, 1, 4))) AS magic,
         |'unknown' AS media_format FROM documents""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events),
+        |a AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN ts_s END) AS t_signup,
+        |  list(ts_s) FILTER (WHERE event_type = 'view') AS views,
+        |  list(ts_s) FILTER (WHERE event_type = 'purchase') AS buys
+        |  FROM e GROUP BY user_id),
+        |b AS (SELECT user_id, t_signup, buys,
+        |  list_min(list_filter(views, v -> v > t_signup)) AS t_view FROM a)
+        |SELECT user_id, t_signup, t_view,
+        |  list_min(list_filter(buys, x -> x > t_view)) AS t_buy,
+        |  (t_signup IS NOT NULL AND t_view IS NOT NULL) AS reached_view,
+        |  (t_view IS NOT NULL AND list_min(list_filter(buys, x -> x > t_view)) IS NOT NULL) AS reached_buy
+        |FROM b""".stripMargin,
     "sample_hash" -> s"""
         |SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

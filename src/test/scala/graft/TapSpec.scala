@@ -44,6 +44,31 @@ class TapSpec extends AnyFunSuite {
     assert(Bookmarks.load(statePath).bookmark("db1-public-s1") === Some("9"))
   }
 
+  // Regression for ADVICE r1 (high): with a nondeterministic source the
+  // bookmark must be the max of the rows actually EMITTED, not of a
+  // second execution. syncAll persists the stream before emit+advance,
+  // so the rand()-keyed stream's emitted max and the state bookmark agree
+  // — without the persist this flaked (two executions, two rand draws).
+  test("bookmark derives from the same execution that emitted (nondeterministic source)") {
+    val tap = ConfigParser.parseTap(
+      """{"database":"db1","streams":[
+        |{"name":"nd","sql":"SELECT CAST(rand() * 1000000 AS INT) AS r, id FROM range(50)",
+        | "key_properties":["id"],"replication_key":"r",
+        | "replication_key_value_start":-1,
+        | "columns":[{"name":"r","type":"int"},{"name":"id","type":"bigint"}]}
+        |]}""".stripMargin)
+    for (_ <- 1 to 3) {
+      val buf = new ByteArrayOutputStream()
+      val (_, st) = Tap.syncAll(spark, tap, None, new PrintStream(buf, true, "UTF-8"))
+      val emittedMax = buf.toString("UTF-8").split("\n")
+        .filter(_.contains(""""type":"RECORD""""))
+        .map(l => """"r":(-?\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+        .max
+      assert(st.bookmark("db1-public-nd") === Some(emittedMax.toString),
+        "bookmark must equal the max replication-key value among emitted records")
+    }
+  }
+
   test("catalog and about output") {
     val tap = ConfigParser.parseTap(cfgJson)
     val cat = Tap.catalogJson(tap)
