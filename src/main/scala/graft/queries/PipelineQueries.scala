@@ -183,6 +183,25 @@ object PipelineQueries {
           (col("t_view").isNotNull && col("t_buy").isNotNull).as("reached_buy"))
     }),
 
+    // Retention cohorts: users grouped by signup day; D1/D7 retention =
+    // any activity exactly 1/7 days later. Same one-row-per-user shuffle
+    // shape as the funnel.
+    "events_retention" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "signup", col("day"))).as("signup_day"),
+          collect_set(col("day")).as("days"))
+        .where(col("signup_day").isNotNull)
+        .select(col("user_id"), col("signup_day"),
+          array_contains(col("days"), date_add(col("signup_day"), 1)).as("d1"),
+          array_contains(col("days"), date_add(col("signup_day"), 7)).as("d7"))
+        .groupBy(col("signup_day").as("cohort_day"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("d1").cast("int")).as("n_d1"),
+          sum(col("d7").cast("int")).as("n_d7"))
+    }),
+
     "events_hourly" -> ((spark, dir) =>
       Tables.read(spark, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
@@ -387,6 +406,18 @@ object PipelineQueries {
         |  (t_signup IS NOT NULL AND t_view IS NOT NULL) AS reached_view,
         |  (t_view IS NOT NULL AND list_min(list_filter(buys, x -> x > t_view)) IS NOT NULL) AS reached_buy
         |FROM b""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+        |p AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN day END) AS signup_day,
+        |  list(DISTINCT day) AS days FROM e GROUP BY user_id),
+        |r AS (SELECT user_id, signup_day,
+        |  list_contains(days, signup_day + 1) AS d1,
+        |  list_contains(days, signup_day + 7) AS d7
+        |  FROM p WHERE signup_day IS NOT NULL)
+        |SELECT signup_day AS cohort_day, COUNT(*) AS n_users,
+        |  SUM(CAST(d1 AS INT)) AS n_d1, SUM(CAST(d7 AS INT)) AS n_d7
+        |FROM r GROUP BY signup_day""".stripMargin,
     "sample_hash" -> s"""
         |SELECT doc_id, lang, source FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

@@ -286,6 +286,21 @@ object SqlQueries {
         .groupBy("word").agg(count(lit(1)).as("n"))
     }),
 
+    // Bigram collocations: adjacent token pairs via a bound token array
+    // (single-element-array trick — a raw reference inside the position
+    // lambda would re-split the text per position), exploded and counted.
+    "q_bigrams" -> ((spark, dir) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val bigrams = element_at(transform(array(toks), ts =>
+        when(size(ts) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), greatest(size(ts) - 1, lit(1))),
+            i => concat_ws(" ", slice(ts, i, lit(2)))))), 1)
+      Tables.read(spark, dir, "documents")
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(50)
+    }),
+
     // As-of join (point-in-time lookup): each purchase gets the ts of the
     // user's latest click at-or-before it. One shuffle (union+window) —
     // see operators/AsOfJoin for the scale rationale.
@@ -804,6 +819,12 @@ object SqlQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
         |                        (o_orderpriority), ())""".stripMargin,
+    "q_bigrams" ->
+      """WITH t AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |  i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     "q_null_handling" ->
       """SELECT nullif(l_returnflag, 'N') AS rf,
         |COUNT(*) AS n_rows,
