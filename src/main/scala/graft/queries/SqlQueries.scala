@@ -376,6 +376,7 @@ object SqlQueries {
       Tables.read(spark, dir, "part")
         .where(col("p_type").like("%BRASS%") ||
           col("p_name").like("a%") ||
+          col("p_name").ilike("SA%") || // case-insensitive LIKE (PG ILIKE)
           col("p_brand").rlike("[13]$"))
         .select("p_partkey", "p_name", "p_type", "p_brand")
     }),
@@ -733,6 +734,7 @@ object SqlQueries {
     "q_like_filter" ->
       """SELECT p_partkey, p_name, p_type, p_brand FROM part
         |WHERE p_type LIKE '%BRASS%' OR p_name LIKE 'a%'
+        |OR p_name ILIKE 'SA%'
         |OR regexp_matches(p_brand, '[13]$')""".stripMargin,
     "q_window_range" ->
       """SELECT o_custkey, o_orderkey,

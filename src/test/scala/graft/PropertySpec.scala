@@ -95,4 +95,21 @@ class PropertySpec extends AnyFunSuite {
       assert(out.contains("CAST("))
     }
   }
+
+  // Rewriting is idempotent: a second pass over already-rewritten SQL
+  // must be a no-op (no RLIKE RLIKE, no double CAST wrapping, no window
+  // re-wrapping) — the property that makes the preprocessing safe to
+  // apply defensively at multiple layers.
+  test("dialect rewrite is idempotent on representative PG statements") {
+    val samples = Seq(
+      "select a::int, b::text from t where c ~ '^x' and d !~* 'y'",
+      "SELECT DISTINCT ON (g) g, v FROM t ORDER BY g, v DESC LIMIT 3",
+      "select string_agg(v, ',' ORDER BY v), extract(epoch from ts) from t group by g",
+      """select "userId", 'lit''eral', timestamptz '2021-01-01 00:00:00' from "T"""",
+      "select x from t where y ilike 'a%'")
+    samples.foreach { sql =>
+      val once = SqlDialect.rewrite(sql)
+      assert(SqlDialect.rewrite(once) === once, s"not idempotent for: $sql")
+    }
+  }
 }
