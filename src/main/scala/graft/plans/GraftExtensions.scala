@@ -9,18 +9,37 @@ import org.apache.spark.sql.SparkSessionExtensions
   * any Scala imports.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+  private def inject(e: SparkSessionExtensions, name: String, clazz: Class[_],
+                     builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name), builder))
+
+  private def intArg(exprs: Seq[Expression], i: Int, name: String): Int =
+    exprs(i) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be an integer literal, got $other")
+    }
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[MinHashSig].getName, "graft_minhash"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          MinHashSig(exprs.head, 64, 42L)))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[SimHash64].getName, "graft_simhash"),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-          SimHash64(exprs.head)))
+    inject(e, "graft_minhash", classOf[MinHashSig],
+      exprs => MinHashSig(exprs.head, 64, 42L))
+    inject(e, "graft_simhash", classOf[SimHash64],
+      exprs => SimHash64(exprs.head))
+    // graft_shingle_hashes(normalized_text, k)
+    inject(e, "graft_shingle_hashes", classOf[WordShingleHashes],
+      exprs => WordShingleHashes(exprs.head,
+        intArg(exprs, 1, "graft_shingle_hashes")))
+    inject(e, "graft_text_stats", classOf[TextStatsExpr],
+      exprs => TextStatsExpr(exprs.head))
+    inject(e, "graft_lang_scores", classOf[LangScores],
+      exprs => LangScores(exprs.head))
+    inject(e, "graft_media_header", classOf[MediaHeaderExpr],
+      exprs => MediaHeaderExpr(exprs.head))
+    inject(e, "graft_dot", classOf[DotF],
+      exprs => DotF(exprs(0), exprs(1)))
   }
 }

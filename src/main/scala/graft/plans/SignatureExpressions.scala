@@ -175,11 +175,32 @@ object SignatureExpressions {
   def dotF(a: Column, b: Column): Column =
     GraftBridge.column(DotF(GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** Register `graft_minhash(arr)` / `graft_simhash(arr)` for the SQL path. */
+  /** Register every native expression for the SQL path (same builders the
+    * [[GraftExtensions]] deployment hook injects via spark.sql.extensions
+    * — that config is a static conf, so in-process sessions use this).
+    */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    def intArg(exprs: Seq[Expression], i: Int, name: String): Int =
+      exprs(i) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be an integer literal, got $other")
+      }
     GraftBridge.registerTempFunction(spark, "graft_minhash",
       exprs => MinHashSig(exprs.head, 64, 42L))
     GraftBridge.registerTempFunction(spark, "graft_simhash",
       exprs => SimHash64(exprs.head))
+    GraftBridge.registerTempFunction(spark, "graft_shingle_hashes",
+      exprs => WordShingleHashes(exprs.head,
+        intArg(exprs, 1, "graft_shingle_hashes")))
+    GraftBridge.registerTempFunction(spark, "graft_text_stats",
+      exprs => TextStatsExpr(exprs.head))
+    GraftBridge.registerTempFunction(spark, "graft_lang_scores",
+      exprs => LangScores(exprs.head))
+    GraftBridge.registerTempFunction(spark, "graft_media_header",
+      exprs => MediaHeaderExpr(exprs.head))
+    GraftBridge.registerTempFunction(spark, "graft_dot",
+      exprs => DotF(exprs(0), exprs(1)))
   }
 }

@@ -32,4 +32,30 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(sqlSig.getLong(1) === apiRow.getLong(1))
     assert(apiRow.getLong(1) === hofRow.getLong(1))
   }
+
+  // Every native expression is SQL-callable after registration (the same
+  // builders GraftExtensions injects via spark.sql.extensions for
+  // spark-submit deployments — a static conf, so tested via the in-process
+  // registration path here).
+  test("all native functions are callable from plain SQL") {
+    SignatureExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |  size(graft_shingle_hashes('a b c d', 2)) AS n_shingles,
+        |  graft_text_stats('hello there world').n_tokens AS n_tokens,
+        |  graft_media_header(CAST('junk' AS BINARY)).format AS fmt,
+        |  element_at(graft_lang_scores('the cat and the dog'), 1) AS en_hits,
+        |  size(graft_minhash(array('x'))) AS sig_len,
+        |  graft_simhash(array('a', 'b')) IS NOT NULL AS sh_ok
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getInt(1) === 3)
+    assert(r.getLong(2) === 3L)
+    assert(r.getString(3) === "unknown")
+    assert(r.getInt(4) === 3) // "the" ×2 + "and" in the en marker list
+    assert(r.getInt(5) === 64)
+    assert(r.getBoolean(6))
+  }
 }
