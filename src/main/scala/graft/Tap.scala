@@ -43,7 +43,10 @@ object Tap {
             StreamResult(s, -1, manifests)
           case None =>
             SingerSink.emitSchema(s, out)
-            val n = SingerSink.emitRecords(df, s, out)
+            val te = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
+              .format(java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
+            val n = SingerSink.emitRecords(df, s, out, Some(te))
             StreamResult(s, n, Nil)
         }
         state = Bookmarks.advance(s, df, state)

@@ -35,17 +35,23 @@ object SingerSink {
     * strict Singer targets check schema parity.
     */
   def emitRecords(df: DataFrame, stream: StreamConfig,
-                  out: PrintStream = System.out): Long = {
+                  out: PrintStream = System.out,
+                  timeExtracted: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, struct, to_json}
     val serialized = Conformance.serializeTemporal(df)
     val jsonLines = serialized.select(to_json(
       struct(serialized.columns.map(col).toIndexedSeq: _*),
       java.util.Map.of("ignoreNullFields", "false")))
     var n = 0L
+    // singer_sdk stamps each RECORD with time_extracted (ISO8601 UTC);
+    // one timestamp per sync — resolved by the caller so tests stay
+    // deterministic and all of a stream's records agree
+    val te = timeExtracted
+      .map(t => s""","time_extracted":"$t"""").getOrElse("")
     val prefix = s"""{"type":"RECORD","stream":"${stream.name}","record":"""
     val it = jsonLines.toLocalIterator()
     while (it.hasNext) {
-      out.println(prefix + it.next().getString(0) + "}")
+      out.println(prefix + it.next().getString(0) + te + "}")
       n += 1
     }
     n

@@ -63,6 +63,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lines(2).contains(""""postgres-public-t":{"replication_key_value":"2"}"""))
   }
 
+  test("singer sink stamps time_extracted when provided") {
+    val s = ConfigParser.parseStream(
+      """{"name":"t","sql":"SELECT 1 AS v","key_properties":["v"],
+        |"columns":[{"name":"v","type":"int"}]}""".stripMargin)
+    val buf = new ByteArrayOutputStream()
+    val out = new PrintStream(buf, true, "UTF-8")
+    val df = graft.sources.StreamSource.native(spark, s)
+    SingerSink.emitRecords(df, s, out,
+      timeExtracted = Some("2026-08-12T00:00:00.000000+00:00"))
+    assert(buf.toString("UTF-8").trim ===
+      """{"type":"RECORD","stream":"t","record":{"v":1},""" +
+        """"time_extracted":"2026-08-12T00:00:00.000000+00:00"}""")
+  }
+
   // ADVICE r1 (medium): RECORD messages must carry every declared column —
   // null values as explicit JSON nulls, not omitted keys.
   test("singer sink emits explicit nulls for null-valued columns") {
