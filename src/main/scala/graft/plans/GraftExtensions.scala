@@ -41,5 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => MediaHeaderExpr(exprs.head))
     inject(e, "graft_dot", classOf[DotF],
       exprs => DotF(exprs(0), exprs(1)))
+    inject(e, "graft_reservoir", classOf[ReservoirSample],
+      exprs => ReservoirSample(exprs.head, intArg(exprs, 1, "graft_reservoir"), 42L))
+    inject(e, "graft_bottom_k", classOf[BottomKLongs],
+      exprs => BottomKLongs(exprs.head, intArg(exprs, 1, "graft_bottom_k")))
+    inject(e, "graft_tdigest", classOf[QuantileDigest],
+      exprs => QuantileDigest(exprs.head,
+        Seq(0.25, 0.5, 0.75, 0.99), intArg(exprs, 1, "graft_tdigest")))
   }
 }

@@ -202,5 +202,15 @@ object SignatureExpressions {
       exprs => MediaHeaderExpr(exprs.head))
     GraftBridge.registerTempFunction(spark, "graft_dot",
       exprs => DotF(exprs(0), exprs(1)))
+    // aggregates: the analyzer wraps a bare AggregateFunction returned by
+    // a registry builder into an AggregateExpression
+    GraftBridge.registerTempFunction(spark, "graft_reservoir",
+      exprs => ReservoirSample(exprs.head,
+        intArg(exprs, 1, "graft_reservoir"), 42L))
+    GraftBridge.registerTempFunction(spark, "graft_bottom_k",
+      exprs => BottomKLongs(exprs.head, intArg(exprs, 1, "graft_bottom_k")))
+    GraftBridge.registerTempFunction(spark, "graft_tdigest",
+      exprs => QuantileDigest(exprs.head,
+        Seq(0.25, 0.5, 0.75, 0.99), intArg(exprs, 1, "graft_tdigest")))
   }
 }

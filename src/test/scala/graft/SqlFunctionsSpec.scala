@@ -58,4 +58,25 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r.getInt(5) === 64)
     assert(r.getBoolean(6))
   }
+
+  test("custom aggregates are callable from plain SQL") {
+    SignatureExpressions.register(spark)
+    spark.range(0, 1000).selectExpr("id % 5 AS g", "id AS v",
+      "CAST(id AS STRING) AS s", "CAST(id AS DOUBLE) AS d")
+      .createOrReplaceTempView("sqlagg_t")
+    val r = spark.sql(
+      """SELECT g,
+        |  graft_bottom_k(v, 3) AS bottom3,
+        |  size(graft_reservoir(s, 5)) AS n_sample,
+        |  element_at(graft_tdigest(d, 100), 2) AS p50
+        |FROM sqlagg_t GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(r.length === 5)
+    assert(r(0).getSeq[Long](1) === Seq(0L, 5L, 10L))
+    assert(r(1).getSeq[Long](1) === Seq(1L, 6L, 11L))
+    assert(r.forall(_.getInt(2) === 5))
+    // per-group median of {g, g+5, …, g+995} ≈ 497.5 + g
+    r.zipWithIndex.foreach { case (row, g) =>
+      assert(math.abs(row.getDouble(3) - (497.5 + g)) < 25, row.getDouble(3))
+    }
+  }
 }
