@@ -58,6 +58,26 @@ object Tap {
     (results, state)
   }
 
+  /** Parse a (possibly user-edited) Singer catalog and return the selected
+    * tap_stream_ids — the `--catalog` selection flow (reference: CATALOG
+    * capability, tap.py:252; Singer convention: a stream is selected
+    * unless its root-breadcrumb metadata says `"selected": false`).
+    */
+  def selectedStreams(catalogJson: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(catalogJson)
+    Option(root.get("streams")).map(_.elements().asScala.flatMap { s =>
+      val id = Option(s.get("tap_stream_id")).map(_.asText)
+      val deselected = Option(s.get("metadata")).exists(_.elements().asScala.exists { m =>
+        val rootCrumb = Option(m.get("breadcrumb")).forall(_.isEmpty)
+        val sel = Option(m.get("metadata")).flatMap(md => Option(md.get("selected")))
+        rootCrumb && sel.exists(n => n.isBoolean && !n.asBoolean)
+      })
+      if (deselected) None else id
+    }.toSet).getOrElse(Set.empty)
+  }
+
   /** `--discover`: the Singer catalog. As in the reference, the catalog for
     * this tap comes from the configured streams (tap.py:211-215), not DB
     * introspection.
@@ -84,7 +104,7 @@ object Tap {
   * `graft.Main --config cfg.json [--discover|--about] [--state state.json]`.
   */
 object Main {
-  private val ValueOpts = Set("--config", "--state")
+  private val ValueOpts = Set("--config", "--state", "--catalog")
   private val FlagOpts = Set("--discover", "--about", "--version")
 
   /** Iterative arg parse: only options known to take a value consume the
@@ -111,12 +131,21 @@ object Main {
 
     if (flags("--version")) { println("graft 0.1.0"); return }
     val cfgPath = opts.getOrElse("--config",
-      sys.error("usage: graft.Main --config <cfg.json> [--discover|--about] [--state <state.json>]"))
+      sys.error("usage: graft.Main --config <cfg.json> [--discover|--about] " +
+        "[--state <state.json>] [--catalog <catalog.json>]"))
     val tap = ConfigParser.parseTap(
       java.nio.file.Files.readString(java.nio.file.Paths.get(cfgPath)))
 
     if (flags("--about")) { println(Tap.aboutJson); return }
     if (flags("--discover")) { println(Tap.catalogJson(tap)); return }
+
+    // --catalog: run only the streams the supplied catalog selects
+    val selected = opts.get("--catalog").map(p => Tap.selectedStreams(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+    val effectiveTap = selected match {
+      case Some(ids) => tap.copy(streams = tap.streams.filter(s => ids(s.streamId)))
+      case None => tap
+    }
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -127,7 +156,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try Tap.syncAll(spark, tap, opts.get("--state"))
+    try Tap.syncAll(spark, effectiveTap, opts.get("--state"))
     finally spark.stop()
   }
 }

@@ -69,6 +69,24 @@ class TapSpec extends AnyFunSuite {
     }
   }
 
+  // Singer --catalog selection: streams deselect via root-breadcrumb
+  // metadata {"selected": false}; everything else stays selected.
+  test("catalog selection round-trips and honors selected:false") {
+    val tap = ConfigParser.parseTap(cfgJson)
+    val cat = Tap.catalogJson(tap)
+    assert(Tap.selectedStreams(cat) === Set("db1-public-s1", "db1-public-s2"))
+    val edited =
+      """{"streams":[
+        |{"tap_stream_id":"db1-public-s1","stream":"s1",
+        | "metadata":[{"breadcrumb":[],"metadata":{"selected":false}}]},
+        |{"tap_stream_id":"db1-public-s2","stream":"s2",
+        | "metadata":[{"breadcrumb":["properties","a"],"metadata":{"selected":false}}]}
+        |]}""".stripMargin
+    // s1 deselected at the root; s2's property-level deselect does NOT
+    // deselect the stream
+    assert(Tap.selectedStreams(edited) === Set("db1-public-s2"))
+  }
+
   test("catalog and about output") {
     val tap = ConfigParser.parseTap(cfgJson)
     val cat = Tap.catalogJson(tap)
