@@ -317,6 +317,25 @@ object SqlQueries {
         .select("user_id", "event_id", "asof_click_s")
     }),
 
+    // Same semantics via the CUSTOM physical operator (AsOfJoinExec:
+    // LogicalPlan + Strategy + co-partitioned sorted merge) — checked
+    // against DuckDB's native ASOF JOIN like the window form above.
+    // Second-truncated timestamps on BOTH sides: ties then resolve to
+    // the same (equal) carried value in every implementation.
+    "q_asof_join_native" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          date_trunc("second", col("ts")).as("click_s"))
+      graft.plans.AsOfJoinPlan.asOf(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user",
+          leftTime = "ts_s", rightTime = "click_s")
+        .select(col("user_id"), col("event_id"), col("click_s").as("asof_click_s"))
+    }),
+
     // Pivot: order counts per priority × status (fixed value list keeps
     // the output schema deterministic; nulls → 0 on both sides).
     "q_pivot" -> ((spark, dir) => {
@@ -698,6 +717,13 @@ object SqlQueries {
         |      FROM events WHERE event_type = 'click')
         |SELECT l.user_id, l.event_id, CAST(r.click_s AS TIMESTAMP) AS asof_click_s
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+    "q_asof_join_native" ->
+      """WITH l AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
+        |      FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id AS c_user, date_trunc('second', ts) AS click_s
+        |      FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, CAST(r.click_s AS TIMESTAMP) AS asof_click_s
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.c_user AND r.click_s <= l.ts_s""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,

@@ -40,4 +40,65 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select("asof_name", "asof_version").collect()(0)
     assert(row.getString(0) === "cfgA" && row.getInt(1) === 7)
   }
+
+  // The custom physical operator (LogicalPlan + Strategy + merge-join
+  // SparkPlan) must agree with the window-composition form on the same
+  // inputs — including the ≤ tie rule and unmatched-left nulls.
+  test("custom AsOfJoinExec agrees with the window composition") {
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:05")),
+      (1L, 101L, ts("2024-01-01 10:00:00")),
+      (1L, 102L, ts("2024-01-01 09:00:00")),
+      (2L, 200L, ts("2024-01-01 10:30:00")),
+      (3L, 300L, ts("2024-01-01 11:00:00")) // key with no right rows at all
+    ).toDF("key", "trade_id", "t")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:03"), 11.0),
+      (2L, ts("2024-01-01 10:00:00"), 20.0),
+      (4L, ts("2024-01-01 00:00:00"), 40.0) // right-only key
+    ).toDF("key", "t", "price")
+
+    val rq = quotes.toDF("qkey", "qt", "price")
+    val got = graft.plans.AsOfJoinPlan.asOf(trades, rq,
+      leftKey = "key", rightKey = "qkey", leftTime = "t", rightTime = "qt")
+    val rows = got.select("trade_id", "price").as[(Long, Option[Double])]
+      .collect().toMap
+    val expected = AsOfJoin.asOf(trades, quotes, "key", "t", "t", Seq("price"))
+      .select("trade_id", "asof_price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(rows === expected)
+    assert(rows(300L) === None)
+
+    // the plan really is the custom exec, fed by per-side sorts
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"),
+      s"expected the custom operator in the plan:\n$plan")
+  }
+
+  // fixture-scale equivalence on the events table (purchases ← clicks):
+  // the custom merge operator and the window composition agree row-for-row
+  test("custom AsOfJoinExec matches the window form on fixture events") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.read(spark, SparkTestSession.Sf, "events")
+      .withColumn("ts", org.apache.spark.sql.functions
+        .date_trunc("second", col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS click_id")
+
+    val custom = graft.plans.AsOfJoinPlan.asOf(purchases, clicks,
+        leftKey = "user_id", rightKey = "c_user",
+        leftTime = "ts", rightTime = "c_ts")
+      .select("event_id", "c_ts").as[(Long, Option[Timestamp])]
+      .collect().toMap
+    val window = AsOfJoin.asOf(purchases,
+        clicks.selectExpr("c_user AS user_id", "c_ts", "click_id"),
+        "user_id", "ts", "c_ts", Seq("c_ts"))
+      .select("event_id", "asof_c_ts").as[(Long, Option[Timestamp])]
+      .collect().toMap
+    assert(custom.size === window.size)
+    assert(custom === window)
+  }
 }
