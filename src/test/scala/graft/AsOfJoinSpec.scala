@@ -76,6 +76,49 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"expected the custom operator in the plan:\n$plan")
   }
 
+  // Bucketed-table layout + the custom operator: both sides bucketed on
+  // the key satisfy AsOfJoinExec's ClusteredDistribution, so the plan has
+  // NO shuffle exchange — only local per-partition sorts. This is the
+  // operator's 100 TB story: a point-in-time lookup against a maintained
+  // bucketed state table never reshuffles either side.
+  test("custom as-of over bucketed tables plans without a shuffle") {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val ev = Tables.read(spark, SparkTestSession.Sf, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+    try {
+      ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+        .write.mode("overwrite").bucketBy(4, "user_id").sortBy("user_id", "ts")
+        .saveAsTable("asof_l_b")
+      ev.filter(col("event_type") === "click")
+        .selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS click_id")
+        .write.mode("overwrite").bucketBy(4, "c_user").sortBy("c_user", "c_ts")
+        .saveAsTable("asof_r_b")
+
+      val out = graft.plans.AsOfJoinPlan.asOf(
+        spark.table("asof_l_b"), spark.table("asof_r_b"),
+        "user_id", "c_user", "ts", "c_ts")
+      val gotRows = out.select("event_id", "c_ts")
+        .as[(Long, Option[Timestamp])].collect().toMap
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed as-of must not shuffle either side:\n$plan")
+
+      val unbucketed = graft.plans.AsOfJoinPlan.asOf(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts"),
+        ev.filter(col("event_type") === "click")
+          .selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS click_id"),
+        "user_id", "c_user", "ts", "c_ts")
+        .select("event_id", "c_ts").as[(Long, Option[Timestamp])]
+        .collect().toMap
+      assert(gotRows === unbucketed)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_l_b")
+      spark.sql("DROP TABLE IF EXISTS asof_r_b")
+    }
+  }
+
   // fixture-scale equivalence on the events table (purchases ← clicks):
   // the custom merge operator and the window composition agree row-for-row
   test("custom AsOfJoinExec matches the window form on fixture events") {
