@@ -137,6 +137,7 @@ object Main {
       java.nio.file.Files.readString(java.nio.file.Paths.get(cfgPath)))
 
     if (flags("--about")) { println(Tap.aboutJson); return }
+    ConfigParser.validate(tap)
     if (flags("--discover")) { println(Tap.catalogJson(tap)); return }
 
     // --catalog: run only the streams the supplied catalog selects

@@ -147,4 +147,34 @@ object ConfigParser {
   private def str(n: JsonNode, f: String): Option[String] = opt(n, f).map(_.asText)
   private def int(n: JsonNode, f: String): Option[Int] = opt(n, f).map(_.asInt)
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+  /** Cross-field validation, the engine's analog of the reference's
+    * config_jsonschema gate (tap.py:30-145) plus the runtime checks its
+    * SDK applies: every problem reported at once with the stream name
+    * attached, instead of failing mid-sync.
+    */
+  def validate(tap: TapConfig): Unit = {
+    val problems = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dupNames = tap.streams.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    dupNames.foreach(n => problems += s"duplicate stream name '$n'")
+    tap.streams.foreach { s =>
+      val where = s"stream '${s.name}'"
+      if (s.sql.trim.isEmpty) problems += s"$where: empty sql"
+      if (s.columns.isEmpty) problems += s"$where: no columns declared"
+      val colNames = s.columns.map(_.name).toSet
+      s.keyProperties.filterNot(colNames).foreach(k =>
+        problems += s"$where: key_properties column '$k' not declared")
+      s.replicationKey.filterNot(colNames).foreach(k =>
+        problems += s"$where: replication_key column '$k' not declared")
+      s.columns.foreach { c =>
+        try graft.types.TypeMapper.toDataType(c.typeName)
+        catch { case e: IllegalArgumentException =>
+          problems += s"$where: column '${c.name}': ${e.getMessage}" }
+      }
+      if (s.batchSize <= 0) problems += s"$where: batch_size must be positive"
+    }
+    if (problems.nonEmpty)
+      throw new IllegalArgumentException(
+        s"invalid tap config:\n  ${problems.mkString("\n  ")}")
+  }
 }

@@ -87,6 +87,26 @@ class TapSpec extends AnyFunSuite {
     assert(Tap.selectedStreams(edited) === Set("db1-public-s2"))
   }
 
+  test("config validation reports every problem with stream context") {
+    val bad = ConfigParser.parseTap(
+      """{"streams":[
+        |{"name":"a","sql":" ","key_properties":["missing"],
+        | "replication_key":"also_missing","batch_size":0,
+        | "columns":[{"name":"x","type":"wat"}]},
+        |{"name":"a","sql":"SELECT 1","columns":[{"name":"y","type":"int"}]}
+        |]}""".stripMargin)
+    val e = intercept[IllegalArgumentException](ConfigParser.validate(bad))
+    val msg = e.getMessage
+    assert(msg.contains("duplicate stream name 'a'"))
+    assert(msg.contains("empty sql"))
+    assert(msg.contains("key_properties column 'missing' not declared"))
+    assert(msg.contains("replication_key column 'also_missing' not declared"))
+    assert(msg.contains("unsupported column type"))
+    assert(msg.contains("batch_size must be positive"))
+    // a clean config passes
+    ConfigParser.validate(ConfigParser.parseTap(cfgJson))
+  }
+
   test("catalog and about output") {
     val tap = ConfigParser.parseTap(cfgJson)
     val cat = Tap.catalogJson(tap)
