@@ -121,6 +121,54 @@ object EventStream {
       }
   }
 
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                              n_events: Long)
+
+  /** Gap-based sessionization with EVENT-TIME TIMEOUT: a user's session
+    * closes (and emits) when the watermark passes last-event + gap —
+    * the flatMapGroupsWithState shape for custom session semantics that
+    * `session_window` can't express (e.g. per-session derived state).
+    * State per user is O(1): (start, last, count).
+    */
+  def sessionizeWithTimeout(events: Dataset[SessionEvent],
+                            gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evts: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          if (state.hasTimedOut) {
+            val s = state.get
+            out += SessionOut(user, new java.sql.Timestamp(s.start), s.n)
+            state.remove()
+          } else {
+            val times = evts.map(_.ts.getTime).toArray.sorted
+            var cur = state.getOption.orNull
+            times.foreach { t =>
+              cur match {
+                case null => cur = SessionState(t, t, 1)
+                case s if t - s.last < gapMs =>
+                  cur = SessionState(s.start, math.max(s.last, t), s.n + 1)
+                case s => // gap exceeded within the batch: emit, start anew
+                  out += SessionOut(user, new java.sql.Timestamp(s.start), s.n)
+                  cur = SessionState(t, t, 1)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.last + gapMs)
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the (static) fixture
     * files via the memory sink; returns the result table name.
     */

@@ -111,6 +111,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.contains(3L))
   }
 
+  // Watermark semantics: an event older than (max event time − watermark)
+  // arriving in a LATER batch is dropped from an Append-mode windowed
+  // aggregation — the bounded-state guarantee that makes unbounded
+  // streams tractable.
+  test("watermark drops late events from append-mode aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: events in [10:00) and [10:20) → watermark advances to 10:19
+    in.addData((t("2024-01-01 10:05:00"), 1L), (t("2024-01-01 10:29:00"), 2L))
+    q.processAllAvailable()
+    // batch 2: a late event for the already-finalized 10:00 window + one
+    // current event
+    in.addData((t("2024-01-01 10:01:00"), 3L), (t("2024-01-01 10:31:00"), 4L))
+    q.processAllAvailable()
+    // batch 3: advance far enough to close every window
+    in.addData((t("2024-01-01 11:00:00"), 5L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("late_out")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    // the 10:00 window finalized with ONE event — the late arrival (3L)
+    // was dropped, not merged
+    assert(got(t("2024-01-01 10:00:00")) === 1L)
+    assert(got(t("2024-01-01 10:20:00")) === 1L)
+    assert(got(t("2024-01-01 10:30:00")) === 1L)
+  }
+
+  // Event-time-timeout sessionization: sessions close when the watermark
+  // passes last-event + gap; per-batch splits and cross-batch merges both
+  // behave like the batch session_window query.
+  test("event-time-timeout sessionization emits gap-separated sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[EventStream.SessionEvent]
+    val q = EventStream.sessionizeWithTimeout(in.toDS(), gapMinutes = 30).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_timeout_out").start()
+
+    // user 1: two events 10 min apart (one session), then a 40-min gap
+    // within the same batch (second session)
+    in.addData(
+      EventStream.SessionEvent(1L, t("2024-01-01 10:00:00")),
+      EventStream.SessionEvent(1L, t("2024-01-01 10:10:00")),
+      EventStream.SessionEvent(1L, t("2024-01-01 10:50:00")))
+    q.processAllAvailable()
+    // user 1 extends the open session cross-batch; user 2 starts one
+    in.addData(
+      EventStream.SessionEvent(1L, t("2024-01-01 11:05:00")),
+      EventStream.SessionEvent(2L, t("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    // advance the watermark far past every open session → timeouts fire
+    in.addData(EventStream.SessionEvent(99L, t("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sess_timeout_out")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .filter(_._1 != 99L).map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(
+      (1L, t("2024-01-01 10:00:00")) -> 2L,  // 10:00 + 10:10
+      (1L, t("2024-01-01 10:50:00")) -> 2L,  // 10:50 + 11:05 (cross-batch)
+      (2L, t("2024-01-01 11:00:00")) -> 1L))
+  }
+
   test("stateful user totals match batch totals") {
     val evts = EventStream.readEvents(spark, SparkTestSession.Sf)
       .select(col("user_id"), col("event_id"), col("value"))
