@@ -153,10 +153,21 @@ object Dedup {
     // bounded bottom-k aggregate caps bucket membership (k smallest ids —
     // identical to the row_number-window cap) in ONE aggregation with O(k)
     // buffers: no extra sort stage, and a pathological hot bucket never
-    // materializes beyond k ids in any partial buffer
-    val buckets = banded.groupBy("band")
-      .agg(graft.plans.BottomKLongs.bottomK(col("id"), maxBucket).as("ids"))
-      .where(size(col("ids")) > 1)
+    // materializes beyond k ids in any partial buffer. The native
+    // aggregate is Long-specialized; other id types take the window cap.
+    val idIsLong =
+      df.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    val buckets = (if (idIsLong)
+      banded.groupBy("band")
+        .agg(graft.plans.BottomKLongs.bottomK(col("id"), maxBucket).as("ids"))
+    else {
+      val bandW = org.apache.spark.sql.expressions.Window
+        .partitionBy("band").orderBy("id")
+      banded.withColumn("__rn", row_number().over(bandW))
+        .where(col("__rn") <= maxBucket)
+        .groupBy("band")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+    }).where(size(col("ids")) > 1)
     val candidates = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
@@ -335,11 +346,23 @@ object Dedup {
     val banded = sigs.select(col("id"), col("sig"), explode(keys).as("key"))
     // bounded bottom-k pair aggregate caps bucket membership (k smallest
     // ids, each carrying its signature) in one aggregation with O(k)
-    // buffers — same rationale as minhashDupPairs
-    val buckets = banded.groupBy(col("key"))
-      .agg(graft.plans.BottomKPairs.bottomKPairs(col("id"), col("sig"), maxBucket)
-        .as("members"))
-      .where(size(col("members")) > 1)
+    // buffers — same rationale as minhashDupPairs; non-bigint ids take
+    // the window cap
+    val idIsLong =
+      df.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    val buckets = (if (idIsLong)
+      banded.groupBy(col("key"))
+        .agg(graft.plans.BottomKPairs.bottomKPairs(col("id"), col("sig"), maxBucket)
+          .as("members"))
+    else {
+      val keyW = org.apache.spark.sql.expressions.Window
+        .partitionBy("key").orderBy("id")
+      banded.withColumn("__rn", row_number().over(keyW))
+        .where(col("__rn") <= maxBucket)
+        .groupBy(col("key"))
+        .agg(sort_array(collect_list(
+          struct(col("id"), col("sig").as("payload")))).as("members"))
+    }).where(size(col("members")) > 1)
     val pairs = buckets
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))

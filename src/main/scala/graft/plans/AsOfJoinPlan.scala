@@ -157,8 +157,17 @@ object AsOfJoinPlan {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column '$name' in ${p.output.map(_.name)}"))
-    GraftBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTime), attr(rPlan, rightTime))
+    // the merge compares key/time values with ONE ordering per pair — a
+    // type mismatch (bigint vs int key) would ClassCastException on
+    // executors mid-job; fail fast at the driver instead
+    require(lk.dataType == rk.dataType,
+      s"as-of key type mismatch: $leftKey is ${lk.dataType.sql}, " +
+        s"$rightKey is ${rk.dataType.sql} — cast one side first")
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: $leftTime is ${lt.dataType.sql}, " +
+        s"$rightTime is ${rt.dataType.sql} — cast one side first")
+    GraftBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt))
   }
 }

@@ -30,6 +30,14 @@ case class BottomKLongs(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // fail at ANALYSIS, not with an executor ClassCastException mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bottom_k requires a BIGINT column, got ${other.sql} — cast or use the window-cap form")
+    }
+
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
@@ -113,12 +121,23 @@ case class BottomKPairs(
     StructField("id", LongType, nullable = false),
     StructField("payload", LongType, nullable = false))), containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (keyExpr.dataType, payloadExpr.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (kt, pt) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bottom_k_pairs requires BIGINT columns, got (${kt.sql}, ${pt.sql})")
+    }
+
   override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Long] =
     new java.util.TreeMap[java.lang.Long, java.lang.Long]()
 
   private def offer(b: java.util.TreeMap[java.lang.Long, java.lang.Long],
                     key: Long, payload: Long): Unit = {
-    if (!b.containsKey(key)) {
+    val existing = b.get(key)
+    // duplicate keys keep the SMALLEST payload: set-min semantics on both
+    // fields makes the result independent of update/merge order
+    if (existing == null || payload < existing) {
       b.put(key, payload)
       if (b.size > k) b.remove(b.lastKey())
     }

@@ -133,14 +133,28 @@ case class DotF(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  @transient private lazy val leftIsFloat = left.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def reader(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _) => (x, i) => x.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (x, i) => x.getDouble(i)
+    case ArrayType(LongType, _) => (x, i) => x.getLong(i).toDouble
+    case ArrayType(IntegerType, _) => (x, i) => x.getInt(i).toDouble
+    case ArrayType(ShortType, _) => (x, i) => x.getShort(i).toDouble
+    case other => throw new IllegalArgumentException(
+      s"graft_dot requires a numeric array, got ${other.sql}")
   }
-  @transient private lazy val rightIsFloat = right.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
+  // resolved per element type: reading a long array with getDouble would
+  // reinterpret integer bits as IEEE doubles — garbage, not an error
+  @transient private lazy val readLeft = reader(left.dataType)
+  @transient private lazy val readRight = reader(right.dataType)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType | LongType | IntegerType | ShortType, _),
+            ArrayType(FloatType | DoubleType | LongType | IntegerType | ShortType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires numeric arrays, got (${l.sql}, ${r.sql})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
@@ -149,9 +163,7 @@ case class DotF(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      val va = if (leftIsFloat) xa.getFloat(i).toDouble else xa.getDouble(i)
-      val vb = if (rightIsFloat) xb.getFloat(i).toDouble else xb.getDouble(i)
-      s += va * vb
+      s += readLeft(xa, i) * readRight(xb, i)
       i += 1
     }
     java.lang.Double.valueOf(s)

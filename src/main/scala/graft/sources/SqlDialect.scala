@@ -32,6 +32,19 @@ object SqlDialect {
   private val epochRe = """(?i)\bextract\s*\(\s*epoch\s+from\s+([^()]+)\)""".r
   private val dquoteIdentRe = """"([A-Za-z_][A-Za-z0-9_$]*)"""".r
 
+  /** True iff position `idx` falls inside a single-quoted string literal
+    * ('' escapes toggle twice, netting out correctly).
+    */
+  private def inLiteral(sql: String, idx: Int): Boolean = {
+    var inStr = false
+    var i = 0
+    while (i < idx) {
+      if (sql.charAt(i) == '\'') inStr = !inStr
+      i += 1
+    }
+    inStr
+  }
+
   /** Apply `f` to the spans of `sql` OUTSIDE single-quoted string literals
     * ('' escapes respected) — rewrites that must not touch literal text.
     */
@@ -66,7 +79,8 @@ object SqlDialect {
     * optional ORDER BY located at the argument top level.
     */
   def rewriteStringAgg(sql: String): String = {
-    val m = stringAggRe.findFirstMatchIn(sql).getOrElse(return sql)
+    val m = stringAggRe.findAllMatchIn(sql)
+      .find(mm => !inLiteral(sql, mm.start)).getOrElse(return sql)
     val openIdx = m.end - 1
     var depth = 0
     var i = openIdx
@@ -103,13 +117,22 @@ object SqlDialect {
     out = tstzLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     out = tsLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     // case-insensitive regex matches first (their patterns absorb (?i)),
-    // longest operator first so !~* is not eaten by ~*
-    out = ciNotMatchRe.replaceAllIn(out, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        "NOT RLIKE " + foldCaseFlag(m.group(1))))
-    out = ciMatchRe.replaceAllIn(out, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        "RLIKE " + foldCaseFlag(m.group(1))))
+    // longest operator first so !~* is not eaten by ~*; trigger positions
+    // inside string literals are left untouched
+    locally {
+      val s1 = out
+      out = ciNotMatchRe.replaceSomeIn(s1, m =>
+        if (inLiteral(s1, m.start)) None
+        else Some(java.util.regex.Matcher.quoteReplacement(
+          "NOT RLIKE " + foldCaseFlag(m.group(1)))))
+    }
+    locally {
+      val s2 = out
+      out = ciMatchRe.replaceSomeIn(s2, m =>
+        if (inLiteral(s2, m.start)) None
+        else Some(java.util.regex.Matcher.quoteReplacement(
+          "RLIKE " + foldCaseFlag(m.group(1)))))
+    }
     out = mapOutsideStrings(out) { code =>
       var c = code
       // PG quotes identifiers with "…"; Spark uses backticks
@@ -119,9 +142,13 @@ object SqlDialect {
       c = c.replaceAll("""(?<![!<>=~])~(?![~*=])""", " RLIKE ")
       c
     }
-    out = epochRe.replaceAllIn(out, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"UNIX_TIMESTAMP(${m.group(1).trim})"))
+    locally {
+      val s3 = out
+      out = epochRe.replaceSomeIn(s3, m =>
+        if (inLiteral(s3, m.start)) None
+        else Some(java.util.regex.Matcher.quoteReplacement(
+          s"UNIX_TIMESTAMP(${m.group(1).trim})")))
+    }
     // iterate to handle chained casts like x::text::int
     var prev: String = null
     while (prev != out) {
@@ -202,26 +229,38 @@ object SqlDialect {
     val selectList = rest.substring(0, fromIdx).trim
     val afterSelect = rest.substring(fromIdx)
     val orderIdx = topLevelIndexOf(afterSelect, "ORDER")
-    val (body, orderClause) =
+    val (body0, orderClause) =
       if (orderIdx < 0) (afterSelect, "")
       else (afterSelect.substring(0, orderIdx), afterSelect.substring(orderIdx))
-    val limitIdx = topLevelIndexOf(orderClause, "LIMIT")
-    val (orderBy, limit) =
-      if (limitIdx < 0) (orderClause, "")
-      else (orderClause.substring(0, limitIdx), orderClause.substring(limitIdx))
+    // LIMIT may live after the ORDER BY or (with no ORDER BY) at the end
+    // of the body; PG applies it AFTER dedup either way, so hoist it out
+    val (body, limit) = {
+      val inOrder = topLevelIndexOf(orderClause, "LIMIT")
+      if (inOrder >= 0) (body0, orderClause.substring(inOrder))
+      else {
+        val inBody = topLevelIndexOf(body0, "LIMIT")
+        if (inBody >= 0) (body0.substring(0, inBody), body0.substring(inBody))
+        else (body0, "")
+      }
+    }
+    val orderBy = {
+      val inOrder = topLevelIndexOf(orderClause, "LIMIT")
+      if (inOrder >= 0) orderClause.substring(0, inOrder) else orderClause
+    }
     // PG requires ORDER BY to start with the DISTINCT ON keys; with no
     // ORDER BY the keys themselves give a deterministic (arbitrary-pick
     // replaced by first-by-key) order
     val windowOrder =
       if (orderBy.isEmpty) keys
       else orderBy.trim.replaceFirst("(?is)^order\\s+by\\s+", "")
-    // outer `* EXCEPT (__rn)` keeps the select list's OUTPUT columns
-    // without re-evaluating aliased expressions against the base table
-    s"SELECT * EXCEPT (__rn) FROM (SELECT $selectList, row_number() OVER " +
+    // inner SELECT * keeps every base column visible, so the outer select
+    // list AND an outer ORDER BY over non-projected columns (the common
+    // PG latest-row-per-key idiom) both resolve
+    s"SELECT $selectList FROM (SELECT *, row_number() OVER " +
       s"(PARTITION BY $keys ORDER BY $windowOrder) AS __rn ${body.trim}) " +
       s"WHERE __rn = 1" +
-      (if (orderBy.nonEmpty) " " + orderBy.trim else "") +
-      (if (limit.nonEmpty) " " + limit.trim else "")
+      (if (orderBy.trim.nonEmpty) " " + orderBy.trim else "") +
+      (if (limit.trim.nonEmpty) " " + limit.trim else "")
   }
 
   /** Rewrite one `(...)::type` / `fn(...)::type` cast (balanced-paren scan;

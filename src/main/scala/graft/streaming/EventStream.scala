@@ -81,8 +81,9 @@ object EventStream {
     * dropDuplicates would grow state forever).
     */
   def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
-                           watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark)
+                           watermark: String = "1 hour",
+                           tsCol: String = "ts"): DataFrame =
+    events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
   final case class DocIn(doc_id: Long, minhash: Seq[Long], ts: java.sql.Timestamp)
@@ -104,20 +105,25 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_: Long, rows: Iterator[(Long, Long, Seq[Long])],
          state: GroupState[(Long, Seq[Long])]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupVerdict]
-          var rep = state.getOption
-          rows.toSeq.sortBy(_._1).foreach { case (id, _, sig) =>
-            rep match {
-              case None =>
-                rep = Some((id, sig))
-                state.update((id, sig))
-              case Some((repId, repSig)) if repId != id =>
-                val overlap = sig.zip(repSig).count { case (a, b) => a == b }
-                out += NearDupVerdict(id, repId, overlap)
-              case _ => ()
+          // O(1) memory per bucket: the first row of a fresh bucket
+          // becomes the representative (state persists it across
+          // batches, eagerly — no state calls inside the lazy part);
+          // the remaining rows stream through as lazy verdicts, so a
+          // pathological hot bucket never buffers
+          val rep = state.getOption.orElse {
+            if (!rows.hasNext) None
+            else {
+              val (id, _, sig) = rows.next()
+              state.update((id, sig))
+              Some((id, sig))
             }
           }
-          out.iterator
+          val (repId, repSig) = rep.getOrElse((-1L, Seq.empty[Long]))
+          rows.collect {
+            case (id, _, sig) if id != repId =>
+              NearDupVerdict(id, repId,
+                sig.zip(repSig).count { case (a, b) => a == b })
+          }
       }
   }
 

@@ -62,19 +62,52 @@ class SqlDialectSpec extends AnyFunSuite {
     val got = SqlDialect.rewrite(
       "SELECT DISTINCT ON (user_id) user_id, ts, v FROM t ORDER BY user_id, ts DESC")
     assert(got ===
-      "SELECT * EXCEPT (__rn) FROM (SELECT user_id, ts, v, row_number() OVER " +
+      "SELECT user_id, ts, v FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY user_id ORDER BY user_id, ts DESC) AS __rn FROM t) " +
         "WHERE __rn = 1 ORDER BY user_id, ts DESC")
     // without ORDER BY the keys give the deterministic pick
     assert(SqlDialect.rewrite("SELECT DISTINCT ON (a) a, b FROM t") ===
-      "SELECT * EXCEPT (__rn) FROM (SELECT a, b, row_number() OVER " +
+      "SELECT a, b FROM (SELECT *, row_number() OVER " +
         "(PARTITION BY a ORDER BY a) AS __rn FROM t) WHERE __rn = 1")
-    // LIMIT survives after the window filter
+    // LIMIT survives after the window filter — with and without ORDER BY
+    // (PG applies LIMIT after DISTINCT ON in both forms)
     val lim = SqlDialect.rewrite(
       "SELECT DISTINCT ON (a) a, b FROM t ORDER BY a, b LIMIT 5")
     assert(lim.endsWith("WHERE __rn = 1 ORDER BY a, b LIMIT 5"))
+    val limNoOrder = SqlDialect.rewrite("SELECT DISTINCT ON (a) a, b FROM t LIMIT 5")
+    assert(limNoOrder ===
+      "SELECT a, b FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY a ORDER BY a) AS __rn FROM t) WHERE __rn = 1 LIMIT 5")
     // non-DISTINCT-ON statements untouched
     assert(SqlDialect.rewrite("SELECT DISTINCT a FROM t") === "SELECT DISTINCT a FROM t")
+  }
+
+  test("DISTINCT ON: outer ORDER BY over a non-projected column resolves") {
+    // the canonical PG latest-row-per-key idiom: order by a column that is
+    // NOT in the select list
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    Seq((1, "old", 10), (1, "new", 20), (2, "only", 5))
+      .toDF("id", "val", "updated_at").createOrReplaceTempView("don_t")
+    val got = spark.sql(SqlDialect.rewrite(
+      "SELECT DISTINCT ON (id) id, val FROM don_t ORDER BY id, updated_at DESC"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "new", 2 -> "only"))
+    // LIMIT without ORDER BY applies AFTER dedup: 2 distinct keys → LIMIT 2
+    // must return both keys, not 2 arbitrary pre-dedup rows
+    val lim = spark.sql(SqlDialect.rewrite(
+      "SELECT DISTINCT ON (id) id FROM don_t LIMIT 2"))
+      .collect().map(_.getInt(0)).toSet
+    assert(lim === Set(1, 2))
+  }
+
+  test("keyword triggers inside string literals are untouched") {
+    assert(SqlDialect.rewrite("SELECT 'extract(epoch from x)' AS note FROM t") ===
+      "SELECT 'extract(epoch from x)' AS note FROM t")
+    assert(SqlDialect.rewrite("SELECT 'string_agg(a, b)' AS note FROM t") ===
+      "SELECT 'string_agg(a, b)' AS note FROM t")
+    assert(SqlDialect.rewrite("SELECT 'a ~* ''b''' AS note FROM t") ===
+      "SELECT 'a ~* ''b''' AS note FROM t")
   }
 
   test("string_agg rewrites to listagg / WITHIN GROUP") {
