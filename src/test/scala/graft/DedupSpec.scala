@@ -69,6 +69,21 @@ class DedupSpec extends AnyFunSuite {
     assert(both.where(not(col("bk") === col("ref"))).count() === 0)
   }
 
+  // Non-bigint id columns route through the window cap (the native
+  // bottom-k aggregates are Long-specialized and reject other types at
+  // analysis) — same pairs, just a different capping plan.
+  test("minhash and simhash dup-pairs work with string ids") {
+    val sdocs = docs.withColumn("doc_id",
+      concat(lit("doc-"), col("doc_id").cast("string")))
+    val mh = Dedup.minhashDupPairs(sdocs, "text", "doc_id", k = 3,
+        threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mh.contains(("doc-1", "doc-2"))) // exact dups mod normalization
+    val sh = Dedup.simhashDupPairs(sdocs, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sh.contains(("doc-1", "doc-2")))
+  }
+
   test("exact ngram jaccard finds the near-dup pair with the exact value") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
