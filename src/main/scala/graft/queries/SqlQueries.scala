@@ -353,8 +353,19 @@ object SqlQueries {
     "q_json_props" -> ((spark, dir) => {
       Tables.read(spark, dir, "events")
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+          // schema-declared parse (from_json) alongside path extraction
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_struct"))
     }),
+
+    // Generator with ordinality: every word with its 1-based position.
+    "q_posexplode" -> ((spark, dir) =>
+      Tables.read(spark, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))),
 
     // Exact percentiles (sort-based, linear interpolation).
     "q_percentile" -> ((spark, dir) => {
@@ -732,8 +743,14 @@ object SqlQueries {
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q_json_props" ->
       """SELECT event_id,
-        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+        |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
         |FROM events""".stripMargin,
+    "q_posexplode" ->
+      """SELECT doc_id,
+        |CAST(generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS INTEGER) AS pos,
+        |unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |FROM documents""".stripMargin,
     "q_percentile" ->
       """SELECT o_orderpriority,
         |quantile_cont(o_totalprice, 0.5) AS p50,
