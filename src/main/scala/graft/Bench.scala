@@ -22,7 +22,10 @@ object Bench {
     "q_window_topn", "dedup_exact", "dedup_minhash",
     "dedup_ngram_jaccard", "text_stats", "text_stats_native",
     "sim_topk_brute", "events_sessionize", "events_hourly", "q_asof_join",
-    "pipeline_curate")
+    "pipeline_curate",
+    // round-2 additions: custom merge-join operator, digest aggregate,
+    // funnel analytics, order-safe stats
+    "q_asof_join_native", "q_tdigest", "events_funnel", "q_stats_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
