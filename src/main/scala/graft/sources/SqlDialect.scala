@@ -73,6 +73,27 @@ object SqlDialect {
 
   private val stringAggRe = """(?i)\bstring_agg\s*\(""".r
 
+  // operand AT TIME ZONE 'zone' — typed literal (timestamp '…'),
+  // identifier/qualified name, or parenthesized expression; literal zone
+  private val atTimeZoneRe =
+    ("""(?i)((?:[A-Za-z_][A-Za-z0-9_]*\s*)?'(?:[^']|'')*'""" +
+      """|[A-Za-z_][A-Za-z0-9_\.]*|\([^()]*\))\s+at\s+time\s+zone\s+('(?:[^']|'')*')""").r
+
+  /** Rewrite PG `ts AT TIME ZONE 'Zone'` to `from_utc_timestamp(ts,
+    * 'Zone')` — the reading for the common case (a timestamptz valued
+    * column rendered in a zone; this engine keeps session time UTC, the
+    * reference's storage convention). The PG double meaning for naive
+    * timestamps (local → timestamptz) is NOT modeled; configs needing it
+    * should use explicit from/to_utc_timestamp.
+    */
+  def rewriteAtTimeZone(sql: String): String = {
+    val s = sql
+    atTimeZoneRe.replaceSomeIn(s, m =>
+      if (inLiteral(s, m.start)) None
+      else Some(java.util.regex.Matcher.quoteReplacement(
+        s"FROM_UTC_TIMESTAMP(${m.group(1)}, ${m.group(2)})")))
+  }
+
   /** Rewrite PG `string_agg(expr, delim [ORDER BY …])` to Spark 4's
     * `listagg(expr, delim) [WITHIN GROUP (ORDER BY …)]`. Iterates over
     * every occurrence; arguments found by balanced-paren scan, the
@@ -113,7 +134,7 @@ object SqlDialect {
 
   /** Rewrite PostgreSQL-flavored SQL into Spark-parseable SQL. */
   def rewrite(sql: String): String = {
-    var out = rewriteStringAgg(rewriteDistinctOn(sql))
+    var out = rewriteAtTimeZone(rewriteStringAgg(rewriteDistinctOn(sql)))
     out = tstzLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     out = tsLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     // case-insensitive regex matches first (their patterns absorb (?i)),

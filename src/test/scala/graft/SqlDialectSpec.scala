@@ -110,6 +110,22 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT 'a ~* ''b''' AS note FROM t")
   }
 
+  test("AT TIME ZONE rewrites to from_utc_timestamp") {
+    assert(SqlDialect.rewrite("SELECT created_at AT TIME ZONE 'America/New_York' FROM t") ===
+      "SELECT FROM_UTC_TIMESTAMP(created_at, 'America/New_York') FROM t")
+    assert(SqlDialect.rewrite("SELECT (ts) at time zone 'UTC' AS local FROM t") ===
+      "SELECT FROM_UTC_TIMESTAMP((ts), 'UTC') AS local FROM t")
+    // inside a literal: untouched
+    assert(SqlDialect.rewrite("SELECT 'x at time zone ''UTC''' AS s") ===
+      "SELECT 'x at time zone ''UTC''' AS s")
+    // executes on Spark with the expected shift
+    val spark = SparkTestSession.spark
+    val r = spark.sql(SqlDialect.rewrite(
+      "SELECT CAST(timestamp '2024-06-01 12:00:00' AT TIME ZONE 'America/New_York' AS STRING) AS s"))
+      .collect()(0).getString(0)
+    assert(r === "2024-06-01 08:00:00") // UTC noon → 8am EDT
+  }
+
   test("string_agg rewrites to listagg / WITHIN GROUP") {
     assert(SqlDialect.rewrite("SELECT string_agg(name, ',') FROM t") ===
       "SELECT listagg(name, ',') FROM t")
