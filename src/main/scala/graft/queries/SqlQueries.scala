@@ -360,6 +360,25 @@ object SqlQueries {
             .getField("k").as("k_struct"))
     }),
 
+    // Struct construction + field access as first-class values.
+    "q_struct_funcs" -> ((spark, dir) =>
+      Tables.read(spark, dir, "nation").select(
+        col("n_nationkey"),
+        struct(col("n_name").as("name"), col("n_regionkey").as("region"))
+          .as("info"))
+        .select(col("n_nationkey"),
+          col("info.name").as("nm"),
+          (col("info.region") + 100).as("region_off"))),
+
+    // Date-series generator: one row per day of each order's first week —
+    // sequence() + explode over date arithmetic.
+    "q_date_series" -> ((spark, dir) =>
+      Tables.read(spark, dir, "orders").where(col("o_orderkey") <= 100)
+        .select(col("o_orderkey"), explode(sequence(
+          to_date(col("o_orderdate")),
+          date_add(to_date(col("o_orderdate")), 6))).as("d"))
+        .select(col("o_orderkey"), col("d").cast("timestamp").as("day"))),
+
     // Generator with ordinality: every word with its 1-based position.
     "q_posexplode" -> ((spark, dir) =>
       Tables.read(spark, dir, "documents")
@@ -746,6 +765,14 @@ object SqlQueries {
         |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
         |CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
         |FROM events""".stripMargin,
+    "q_struct_funcs" ->
+      """SELECT n_nationkey, n_name AS nm,
+        |CAST(n_regionkey + 100 AS BIGINT) AS region_off FROM nation""".stripMargin,
+    "q_date_series" ->
+      """SELECT o_orderkey,
+        |CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
+        |  CAST(o_orderdate AS DATE) + 6, INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin,
     "q_posexplode" ->
       """SELECT doc_id,
         |CAST(generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) AS INTEGER) AS pos,
