@@ -25,10 +25,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * with full decode deferred to [[graft.functions.Multimodal]] codecs.
   */
 case class MediaHeaderExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = MediaHeaderExpr.Schema
   override def nullIntolerant: Boolean = true
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("mediaheader", this, classOf[MediaHeaderExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(b: Array[Byte]): InternalRow =
+    nullSafeEval(b).asInstanceOf[InternalRow]
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def beU32(b: Array[Byte], i: Int): Long =

@@ -24,12 +24,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * the HOF formulation is asserted per-row in DedupSpec.
   */
 case class WordShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+
+  // participate in whole-stage codegen via a callback into compute —
+  // keeps the surrounding operator's codegen span intact
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[WordShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    nullSafeEval(s).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
@@ -103,7 +116,18 @@ case class WordShingleHashes(child: Expression, k: Int)
   * TextAnalysisSpec.
   */
 case class LangScores(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("langscores", this, classOf[LangScores].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    nullSafeEval(s).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
 
   // token → bitmask of languages containing it (a token may mark several)
   @transient private lazy val tokenToLangs: Map[String, Int] = {

@@ -29,7 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * deterministic coefficients from `seed`.
   */
 case class MinHashSig(child: Expression, nPerm: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): ArrayData =
+    nullSafeEval(arr).asInstanceOf[ArrayData]
 
   private val Prime = 2147483647L
 
@@ -83,7 +94,18 @@ case class MinHashSig(child: Expression, nPerm: Int, seed: Long)
   * each bit votes ±1, sign of the vote becomes the signature bit.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(arr: ArrayData): Long =
+    nullSafeEval(arr).asInstanceOf[java.lang.Long].longValue()
 
   private val Bits = 63
 
@@ -127,11 +149,32 @@ case class SimHash64(child: Expression)
   * arrays match in length — fixture vectors always do; we fold min-length).
   */
 case class DotF(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  // participate in whole-stage codegen (a CodegenFallback child breaks
+  // the span for the whole operator): the generated code calls back into
+  // this instance's compute — the loop itself is already a tight JVM loop
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("dotf", this, classOf[DotF].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  def compute(xa: ArrayData, xb: ArrayData): Double = {
+    val n = math.min(xa.numElements(), xb.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += readLeft(xa, i) * readRight(xb, i)
+      i += 1
+    }
+    s
+  }
 
   private def reader(dt: DataType): (ArrayData, Int) => Double = dt match {
     case ArrayType(FloatType, _) => (x, i) => x.getFloat(i).toDouble
@@ -156,18 +199,9 @@ case class DotF(left: Expression, right: Expression)
         s"graft_dot requires numeric arrays, got (${l.sql}, ${r.sql})")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val xa = a.asInstanceOf[ArrayData]
-    val xb = b.asInstanceOf[ArrayData]
-    val n = math.min(xa.numElements(), xb.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      s += readLeft(xa, i) * readRight(xb, i)
-      i += 1
-    }
-    java.lang.Double.valueOf(s)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotF =

@@ -24,10 +24,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixture corpus in TextStatsExprSpec.
   */
 case class TextStatsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = TextStatsExpr.Schema
   override def nullIntolerant: Boolean = true
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("textstats", this, classOf[TextStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(s: UTF8String): InternalRow =
+    nullSafeEval(s).asInstanceOf[InternalRow]
 
   @transient private lazy val stopwords: Set[String] =
     graft.functions.TextAnalysis.EnglishStopwords.toSet
