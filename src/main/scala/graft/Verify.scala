@@ -37,8 +37,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Pair-value-verification oracles (sim_ann_lsh, dedup_minhash, …)
+    // read the entry's own output pairs back via read_parquet and recompute
+    // the value columns from the base tables; `__OUT__` resolves to this
+    // run's dump directory (absolute, so the DuckDB run's cwd is irrelevant).
+    val outAbs = Paths.get(outDir).toAbsolutePath.toString
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

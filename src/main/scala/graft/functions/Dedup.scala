@@ -183,11 +183,24 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Default stop-shingle doc-frequency cap, ACTIVE by default in
+    * [[ngramJaccardPairs]]. An absolute (not corpus-relative) cap is the
+    * right guardrail for the self-join: each shingle with doc frequency df
+    * contributes df² candidate pairs, so capping df at D bounds total
+    * pairs by D · Σdf — linear in corpus size — whereas one boilerplate
+    * shingle shared by 10⁶ docs would alone create 10¹² pairs. 10k keeps
+    * posting lists comfortably joinable on any executor while only ever
+    * pruning boilerplate (a shingle in >10k docs carries no dedup signal).
+    */
+  val DefaultMaxDocFreq = 10000
+
   /** Exact n-gram Jaccard similarity pairs via explode-join — the exact
     * (no-false-negative) near-dup path, O(sum of posting-list²) in shared
-    * shingles. `maxDocFreq` prunes shingles shared by too many docs
-    * (boilerplate) — essential at scale, where a stop-shingle would
-    * otherwise create a quadratic bucket.
+    * shingles. Shingles with doc frequency above `maxDocFreq`
+    * ([[DefaultMaxDocFreq]] unless overridden) are removed from every
+    * document's set — from both intersection AND union, i.e. as if the
+    * boilerplate never existed — before the self-join. Pass `None` to
+    * disable (full-set semantics; only safe at oracle scales).
     */
   /** Rebalance a narrow-source projection to the session's shuffle
     * parallelism: a single-file parquet scan otherwise leaves per-row
@@ -197,12 +210,17 @@ object Dedup {
     */
   private def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // inputFiles inspects the source relations without converting the
+    // plan to an RDD (which would bypass AQE and plan the query twice);
+    // sources with at least `target` files already scan in parallel, and
+    // non-file sources (empty list) conservatively repartition
+    if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.5,
-                        maxDocFreq: Option[Int] = None): DataFrame = {
+                        maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)
+                       ): DataFrame = {
     // explode 64-bit shingle hashes, not strings: the self-join shuffle
     // then carries (8-byte key, id) rows; collision odds over N distinct
     // shingles are ~N²/2^65 — immaterial against a 64-bit space.
@@ -212,13 +230,21 @@ object Dedup {
     // billion-doc side at scale.
     val base = rebalance(df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), k).as("shs")))
-    val sh0 = base.select(col("id"), size(col("shs")).as("sz"),
-      explode(col("shs")).as("sh"))
     val sh = maxDocFreq match {
       case Some(maxDf) =>
-        val hot = sh0.groupBy("sh").count().where(col("count") > maxDf).select("sh")
-        sh0.join(hot, Seq("sh"), "left_anti")
-      case None => sh0
+        // stop-shingle prune: doc-frequency aggregate over the exploded
+        // postings (narrow 8-byte keys), anti-join the hot set out (tiny
+        // by construction: ≤ Σdf/maxDf shingles — Spark broadcasts it),
+        // then per-doc PRUNED set sizes via a count window keyed by id
+        val sh0 = base.select(col("id"), explode(col("shs")).as("sh"))
+        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDf).select("sh")
+        val pruned = sh0.join(hot, Seq("sh"), "left_anti")
+        pruned.withColumn("sz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      case None =>
+        base.select(col("id"), size(col("shs")).as("sz"),
+          explode(col("shs")).as("sh"))
     }
     sh.as("x").join(sh.as("y"), "sh")
       .where(col("x.id") < col("y.id"))

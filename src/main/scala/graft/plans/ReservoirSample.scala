@@ -20,9 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * yields the same result, and the "random" choice is still uniform over
   * distinct values. Mergeable bottom-k is exactly how you sample 100 TB
   * in one pass with map-side partial aggregation.
+  *
+  * With `portable = true` the ordering key is the first 64 bits of
+  * `md5(value)` instead of xxhash64 — any md5-capable engine (DuckDB,
+  * PostgreSQL) reproduces the sample exactly as "the k distinct values
+  * with smallest `substring(md5(v), 1, 16)`", which makes per-group
+  * samples fully oracle-checkable at ~md5 cost per row.
   */
 case class ReservoirSample(
-    child: Expression, k: Int, seed: Long,
+    child: Expression, k: Int, seed: Long, portable: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ReservoirSample.Buffer] {
 
@@ -38,7 +44,9 @@ case class ReservoirSample(
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String]
-      b.offer(XxHash64Function.hash(s, StringType, seed), s.clone())
+      val h = if (portable) ReservoirSample.md5Key(s)
+              else XxHash64Function.hash(s, StringType, seed)
+      b.offer(h, s.clone())
     }
     b
   }
@@ -118,4 +126,32 @@ object ReservoirSample {
     org.apache.spark.sql.GraftBridge.column(
       ReservoirSample(org.apache.spark.sql.GraftBridge.expression(c), k, seed)
         .toAggregateExpression())
+
+  /** Cross-engine-reproducible bottom-k: keys on md5 instead of xxhash64,
+    * so a DuckDB/PostgreSQL oracle recomputes the exact same sample.
+    */
+  def portableReservoir(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      ReservoirSample(org.apache.spark.sql.GraftBridge.expression(c), k, 0L,
+        portable = true).toAggregateExpression())
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(value) as a signed Long whose signed order equals
+    * the unsigned/lexicographic order of the hex digest (the sign bit is
+    * flipped), i.e. ordering by this key == ordering by
+    * `substring(md5(v), 1, 16)` in any SQL engine.
+    */
+  def md5Key(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h ^ Long.MinValue
+  }
 }

@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * search (brute-force top-k + LSH ANN), text analysis, multimodal
   * plumbing, and event sessionization.
   *
-  * Hash-based operators (MinHash/SimHash/fingerprint/ANN) have no DuckDB
-  * oracle — their xxhash64 signatures are engine-specific — so they get
-  * rows-only checks here and value-level assertions in ScalaTest.
+  * Hash-based operators (MinHash/SimHash/fingerprint/ANN) have
+  * engine-specific candidate sets (xxhash64 signatures), so their oracles
+  * use pair-value verification: the returned id pairs are read back from
+  * the entry's own output (`__OUT__` placeholder, resolved by
+  * [[graft.Verify]]) and the VALUE columns (exact Jaccard / cosine) are
+  * recomputed from the base tables and hash-checked. Inherently
+  * approximate sketches (t-digest, HLL) stay rows-only with accuracy
+  * bounds in ScalaTest.
   */
 object PipelineQueries {
 
@@ -36,9 +41,24 @@ object PipelineQueries {
       Dedup.minhashDupPairs(Tables.read(spark, dir, "documents"),
         "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)),
 
-    "dedup_simhash" -> ((spark, dir) =>
-      Dedup.simhashDupPairs(Tables.read(spark, dir, "documents"),
-        "text", "doc_id", bands = 4, maxDist = 3)),
+    // SimHash candidates (Hamming ≤ maxDist — signature-specific), each
+    // pair then annotated with its EXACT 3-gram Jaccard so the oracle can
+    // recompute and hash-check the similarity column per returned pair;
+    // `dist` rides through from the output (engine-specific signature).
+    "dedup_simhash" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val pairs = Dedup.simhashDupPairs(docs, "text", "doc_id",
+        bands = 4, maxDist = 3)
+      val sh = docs.select(col("doc_id").as("id"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      pairs
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("dist"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+            .as("jaccard"))
+    }),
 
     "dedup_embedding" -> ((spark, dir) =>
       Similarity.cosineDupPairs(
@@ -61,14 +81,20 @@ object PipelineQueries {
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
     }),
 
+    // ANN candidate sets are probe-order-specific, but the emitted cosine
+    // is EXACT: the oracle recomputes it per returned (query, neighbor)
+    // pair from the embeddings table and hash-checks the value column.
     "sim_ann_lsh" -> ((spark, dir) => {
       val emb = Tables.read(spark, dir, "embeddings")
       Similarity.annTopK(emb, emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", k = 10, nBits = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
     // IVF coarse-quantizer ANN: KMeans lists + nProbe search (the
     // clustered-data scale path; LSH above is the data-independent one).
+    // Same pair-value verification contract as sim_ann_lsh.
     "sim_ivf" -> ((spark, dir) => {
       val emb = Tables.read(spark, dir, "embeddings")
       val index = graft.functions.IvfIndex.build(emb, "vec_id", "embedding",
@@ -76,7 +102,8 @@ object PipelineQueries {
       graft.functions.IvfIndex.search(index,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 10, nProbe = 4)
-        .select("query_id", "neighbor_id", "rank")
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
     "text_stats" -> ((spark, dir) => {
@@ -121,11 +148,19 @@ object PipelineQueries {
       Tables.read(spark, dir, "documents").select(
         col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // Winnowing fingerprint + simhash are xxhash64-based (engine-specific,
+    // spec-verified; they ride through the oracle from the output file);
+    // fp_exact (md5 of normalized text) and fp_min (min md5-prefix over
+    // 3-shingles — a 1-permutation minhash) are portable and recomputed
+    // by the oracle per doc, so the entry is hash-checked.
     "text_fingerprint" -> ((spark, dir) =>
       Tables.read(spark, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
-        Dedup.simhash(col("text")).as("simhash"))),
+        Dedup.simhash(col("text")).as("simhash"),
+        md5(Dedup.normalizeText(col("text")).cast("binary")).as("fp_exact"),
+        array_min(transform(Dedup.shingles(col("text"), 3),
+          s => substring(md5(s.cast("binary")), 1, 16))).as("fp_min"))),
 
     "multimodal_ingest" -> ((spark, dir) =>
       Multimodal.ingest(Tables.read(spark, dir, "documents"), "text")
@@ -287,13 +322,47 @@ object PipelineQueries {
     }),
 
     // Per-group deterministic reservoir (custom TypedImperativeAggregate,
-    // bottom-k sketch): k example sources per language.
+    // bottom-k sketch): k example sources per language. The portable
+    // variant keys on md5, so DuckDB reproduces the exact sample as the
+    // k distinct values with smallest substring(md5(v),1,16) per group.
     "sample_reservoir" -> ((spark, dir) =>
       Tables.read(spark, dir, "documents")
         .groupBy("lang")
         .agg(array_join(
-          array_sort(graft.plans.ReservoirSample.reservoir(col("source"), 5)),
+          array_sort(
+            graft.plans.ReservoirSample.portableReservoir(col("source"), 5)),
           "|").as("source_sample"))))
+
+  /** DuckDB SQL recomputing the exact cosine for each (query_id,
+    * neighbor_id) pair an ANN entry returned: candidate sets are
+    * engine-specific (LSH probe order / KMeans lists), so rows come from
+    * the entry's own output parquet (`__OUT__` → Verify's outDir), while
+    * the similarity VALUES are recomputed from the embeddings table and
+    * hash-checked — the pair-value verification contract.
+    */
+  private def annPairOracle(name: String): String = s"""
+        |WITH p AS (SELECT query_id, neighbor_id, rank
+        |  FROM read_parquet('__OUT__/$name/*.parquet'))
+        |SELECT p.query_id, p.neighbor_id,
+        |  round(
+        |   list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)) /
+        |   (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(range(1, len(n.embedding)+1), i -> n.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)))), 6) AS sim,
+        |  CAST(p.rank AS INTEGER) AS rank
+        |FROM p JOIN embeddings q ON p.query_id = q.vec_id
+        |JOIN embeddings n ON p.neighbor_id = n.vec_id""".stripMargin
+
+  /** DuckDB CTEs building each document's distinct word-3-shingle set —
+    * the same construction the (hash-matching) dedup_ngram_jaccard oracle
+    * uses, shared by the pair-Jaccard recompute oracles.
+    */
+  private val shingleCtes: String =
+    """toks AS (SELECT doc_id,
+      |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(len(t) - 2, 1) + 1),
+      |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks)""".stripMargin
 
   private val stopList =
     TextAnalysis.EnglishStopwords.map(s => s"'$s'").mkString("[", ",", "]")
@@ -309,15 +378,20 @@ object PipelineQueries {
       """SELECT doc_id, lang, source FROM documents WHERE doc_id IN (
         |SELECT MIN(doc_id) FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id,
-        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+    // mirrors ngramJaccardPairs' default stop-shingle prune (df cap
+    // Dedup.DefaultMaxDocFreq, pruned from both intersection and union)
+    "dedup_ngram_jaccard" -> s"""
+        |WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
         |  FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(
         |  range(1, greatest(len(t) - 2, 1) + 1),
         |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+        |ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hot AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM ex0 GROUP BY g) h
+        |  WHERE df > ${graft.functions.Dedup.DefaultMaxDocFreq}),
+        |ex AS (SELECT doc_id, g FROM ex0 WHERE g NOT IN (SELECT g FROM hot)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
         |co AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n
         |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)
         |SELECT id_a, id_b,
@@ -370,6 +444,44 @@ object PipelineQueries {
         |FROM m""".stripMargin
 
   private lazy val moreOracles: Map[String, String] = Map(
+    "sample_reservoir" ->
+      """WITH d AS (SELECT DISTINCT lang, source FROM documents),
+        |r AS (SELECT lang, source, row_number() OVER (
+        |  PARTITION BY lang ORDER BY substring(md5(source), 1, 16), source) AS rn
+        |  FROM d)
+        |SELECT lang, array_to_string(list_sort(list(source)), '|') AS source_sample
+        |FROM r WHERE rn <= 5 GROUP BY lang""".stripMargin,
+    "dedup_minhash" -> s"""
+        |WITH p AS (SELECT id_a, id_b
+        |  FROM read_parquet('__OUT__/dedup_minhash/*.parquet')),
+        |$shingleCtes
+        |SELECT p.id_a, p.id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM p JOIN sh a ON p.id_a = a.doc_id
+        |JOIN sh b ON p.id_b = b.doc_id""".stripMargin,
+    "dedup_simhash" -> s"""
+        |WITH p AS (SELECT id_a, id_b, dist
+        |  FROM read_parquet('__OUT__/dedup_simhash/*.parquet')),
+        |$shingleCtes
+        |SELECT p.id_a, p.id_b, p.dist,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM p JOIN sh a ON p.id_a = a.doc_id
+        |JOIN sh b ON p.id_b = b.doc_id""".stripMargin,
+    "sim_ann_lsh" -> annPairOracle("sim_ann_lsh"),
+    "sim_ivf" -> annPairOracle("sim_ivf"),
+    "text_fingerprint" -> s"""
+        |WITH o AS (SELECT doc_id, fp, simhash
+        |  FROM read_parquet('__OUT__/text_fingerprint/*.parquet')),
+        |norms AS (SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |$shingleCtes
+        |SELECT o.doc_id, o.fp, o.simhash, md5(n.norm) AS fp_exact,
+        |  list_min(list_transform(sh.s, g -> substring(md5(g), 1, 16))) AS fp_min
+        |FROM o JOIN norms n ON o.doc_id = n.doc_id
+        |JOIN sh ON o.doc_id = sh.doc_id""".stripMargin,
     "text_langid" -> s"""
         |WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         |s AS (SELECT doc_id,
@@ -416,7 +528,8 @@ object PipelineQueries {
         |  list_contains(days, signup_day + 7) AS d7
         |  FROM p WHERE signup_day IS NOT NULL)
         |SELECT signup_day AS cohort_day, COUNT(*) AS n_users,
-        |  SUM(CAST(d1 AS INT)) AS n_d1, SUM(CAST(d7 AS INT)) AS n_d7
+        |  CAST(SUM(CAST(d1 AS INT)) AS BIGINT) AS n_d1,
+        |  CAST(SUM(CAST(d7 AS INT)) AS BIGINT) AS n_d7
         |FROM r GROUP BY signup_day""".stripMargin,
     "sample_hash" -> s"""
         |SELECT doc_id, lang, source FROM documents
