@@ -27,36 +27,56 @@ object Tap {
               out: PrintStream = System.out): (Seq[StreamResult], TapState) = {
     var state = statePath.map(Bookmarks.load).getOrElse(Bookmarks.empty)
     val results = tap.streams.map { s =>
-      // Persist so the emit action and the bookmark max() read the SAME
-      // materialized result. Without this, a live JDBC source (or any
-      // nondeterministic SQL) could commit rows between the two lazy
-      // executions and the bookmark would overshoot the rows actually
-      // emitted, permanently skipping them on the next incremental run —
-      // the reference derives the bookmark from processed records
-      // (singer_sdk _sync_records), so must we.
+      // The bookmark must reflect the rows actually EMITTED (a live JDBC
+      // source could commit rows between two lazy executions; the
+      // reference derives state from processed records, singer_sdk
+      // _sync_records). Each sink therefore executes the stream exactly
+      // ONCE: SingerSink tracks max(rep_key) inside the emit pass, and
+      // batch mode reads the max back from the files just written —
+      // no full-stream persist, which at a 100 TB extraction would
+      // materialize the whole stream on executor storage.
       val df = StreamSource.native(spark, s, state)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val r = tap.batchConfig match {
-          case Some(bc) =>
-            val manifests = BatchSink.write(df, s, bc)
-            StreamResult(s, -1, manifests)
-          case None =>
-            SingerSink.emitSchema(s, out)
-            val te = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
-              .format(java.time.format.DateTimeFormatter
-                .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
-            val n = SingerSink.emitRecords(df, s, out, Some(te))
-            StreamResult(s, n, Nil)
-        }
-        state = Bookmarks.advance(s, df, state)
-        r
-      } finally df.unpersist(false)
+      tap.batchConfig match {
+        case Some(bc) =>
+          val manifests = BatchSink.write(df, s, bc)
+          state = bookmarkFromBatchFiles(spark, s, df, manifests, state)
+          StreamResult(s, -1, manifests)
+        case None =>
+          SingerSink.emitSchema(s, out)
+          val te = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
+            .format(java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
+          val (n, bookmark) = SingerSink.emitRecords(df, s, out, Some(te))
+          bookmark.foreach(v => state = state.advanced(s.streamId, v))
+          StreamResult(s, n, Nil)
+      }
     }
     SingerSink.emitState(state, out)
     statePath.foreach(p => Bookmarks.save(p, state, tap.streams))
     (results, state)
   }
+
+  /** Batch-mode bookmark: max replication-key value read back from the
+    * JSONL files the sink just wrote — immutable once written, so the
+    * bookmark provably matches the emitted rows without re-executing the
+    * (possibly nondeterministic) source. One distributed max over the
+    * written chunk files; `timestampFormat` matches the sink's so temporal
+    * rep keys round-trip exactly.
+    */
+  private def bookmarkFromBatchFiles(spark: SparkSession, s: StreamConfig,
+                                     df: DataFrame, manifests: Seq[BatchManifest],
+                                     state: TapState): TapState =
+    if (s.replicationKey.isEmpty) state
+    else {
+      val files = manifests.flatMap(_.files)
+      if (files.isEmpty) state
+      else {
+        val readBack = spark.read.schema(df.schema)
+          .option("timestampFormat", graft.operators.Conformance.IsoTimestampPattern)
+          .json(files: _*)
+        Bookmarks.advance(s, readBack, state)
+      }
+    }
 
   /** Parse a (possibly user-edited) Singer catalog and return the selected
     * tap_stream_ids — the `--catalog` selection flow (reference: CATALOG

@@ -40,18 +40,24 @@ object Conformance {
     */
   val IsoTimestampPattern = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"
 
-  /** Serialize timestamp/date columns to their reference JSON string forms.
-    * Used before emitting Singer RECORD messages; the batch sink instead
-    * sets the writer's `timestampFormat` option.
+  /** Per-column expressions serializing timestamp/date columns to their
+    * reference JSON string forms — exposed so callers can combine the
+    * serialized struct with other columns in a single projection
+    * (SingerSink rides the replication key alongside the JSON line).
     */
-  def serializeTemporal(df: DataFrame): DataFrame = {
-    val cols = df.schema.fields.map { f =>
+  def temporalExprs(df: DataFrame): Seq[Column] =
+    df.schema.fields.toSeq.map { f =>
       f.dataType match {
         case TimestampType => date_format(col(f.name), IsoTimestampPattern).as(f.name)
         case DateType => date_format(col(f.name), "yyyy-MM-dd").as(f.name)
         case _ => col(f.name)
       }
     }
-    df.select(cols.toSeq: _*)
-  }
+
+  /** Serialize timestamp/date columns to their reference JSON string forms.
+    * Used before emitting Singer RECORD messages; the batch sink instead
+    * sets the writer's `timestampFormat` option.
+    */
+  def serializeTemporal(df: DataFrame): DataFrame =
+    df.select(temporalExprs(df): _*)
 }

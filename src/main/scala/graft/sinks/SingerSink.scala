@@ -33,15 +33,31 @@ object SingerSink {
     * appear as explicit JSON nulls — `df.toJSON` would drop them, but the
     * reference/singer_sdk emits every declared column in each RECORD and
     * strict Singer targets check schema parity.
+    *
+    * Returns (records emitted, max replication-key value among them as its
+    * Spark string cast). The bookmark is tracked INSIDE the single emit
+    * pass — the rep key rides alongside each JSON line (natively, for
+    * type-correct ordering; numbers must not compare lexicographically) —
+    * so the stream is executed exactly once: no second max() job that a
+    * nondeterministic source could answer differently, and no
+    * full-stream persist to keep the two executions consistent
+    * (singer_sdk likewise derives state from processed records). O(1)
+    * driver state; `toLocalIterator` holds at most one partition.
     */
   def emitRecords(df: DataFrame, stream: StreamConfig,
                   out: PrintStream = System.out,
-                  timeExtracted: Option[String] = None): Long = {
+                  timeExtracted: Option[String] = None): (Long, Option[String]) = {
     import org.apache.spark.sql.functions.{col, struct, to_json}
-    val serialized = Conformance.serializeTemporal(df)
-    val jsonLines = serialized.select(to_json(
-      struct(serialized.columns.map(col).toIndexedSeq: _*),
-      java.util.Map.of("ignoreNullFields", "false")))
+    val jsonCol = to_json(struct(Conformance.temporalExprs(df): _*),
+      java.util.Map.of("ignoreNullFields", "false"))
+    val projected = stream.replicationKey match {
+      // cast BEFORE the max is picked, but argmax(native) then its string
+      // == cast(max(native)): same bookmark rendering Bookmarks.advance
+      // produced from a whole-column max
+      case Some(k) => df.select(jsonCol.as("j"),
+        col(k).as("rk"), col(k).cast("string").as("rks"))
+      case None => df.select(jsonCol.as("j"))
+    }
     var n = 0L
     // singer_sdk stamps each RECORD with time_extracted (ISO8601 UTC);
     // one timestamp per sync — resolved by the caller so tests stay
@@ -49,12 +65,27 @@ object SingerSink {
     val te = timeExtracted
       .map(t => s""","time_extracted":"$t"""").getOrElse("")
     val prefix = s"""{"type":"RECORD","stream":"${stream.name}","record":"""
-    val it = jsonLines.toLocalIterator()
+    val hasRk = stream.replicationKey.isDefined
+    var best: AnyRef = null
+    var bestStr: String = null
+    val it = projected.toLocalIterator()
     while (it.hasNext) {
-      out.println(prefix + it.next().getString(0) + te + "}")
+      val row = it.next()
+      out.println(prefix + row.getString(0) + te + "}")
+      if (hasRk && !row.isNullAt(1)) {
+        // external types of every supported rep-key type (numerics,
+        // String, Timestamp, Date) are Comparable consistently with
+        // Spark's max() ordering
+        val v = row.get(1).asInstanceOf[AnyRef]
+        if (best == null ||
+            v.asInstanceOf[Comparable[AnyRef]].compareTo(best) > 0) {
+          best = v
+          bestStr = row.getString(2)
+        }
+      }
       n += 1
     }
-    n
+    (n, Option(bestStr))
   }
 
   def emitState(state: TapState, out: PrintStream = System.out): Unit = {

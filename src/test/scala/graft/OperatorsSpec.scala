@@ -53,10 +53,11 @@ class OperatorsSpec extends AnyFunSuite {
     val out = new PrintStream(buf, true, "UTF-8")
     SingerSink.emitSchema(s, out)
     val df = graft.sources.StreamSource.native(spark, s)
-    val n = SingerSink.emitRecords(df, s, out)
+    val (n, bookmark) = SingerSink.emitRecords(df, s, out)
     SingerSink.emitState(TapState(Map(s.streamId -> "2")), out)
     val lines = buf.toString("UTF-8").split("\n")
     assert(n === 1 && lines.length === 3)
+    assert(bookmark === Some("2")) // tracked inside the single emit pass
     assert(lines(0).contains(""""type":"SCHEMA"""") &&
       lines(0).contains(""""two":{"type":["integer"]}""")) // rep key ⇒ required
     assert(lines(1) === """{"type":"RECORD","stream":"t","record":{"one":"Ichi","two":2}}""")

@@ -46,9 +46,9 @@ class TapSpec extends AnyFunSuite {
 
   // Regression for ADVICE r1 (high): with a nondeterministic source the
   // bookmark must be the max of the rows actually EMITTED, not of a
-  // second execution. syncAll persists the stream before emit+advance,
-  // so the rand()-keyed stream's emitted max and the state bookmark agree
-  // — without the persist this flaked (two executions, two rand draws).
+  // second execution. SingerSink tracks max(rep_key) inside the single
+  // emit pass (no full-stream persist, no second job), so the
+  // rand()-keyed stream's emitted max and the state bookmark agree.
   test("bookmark derives from the same execution that emitted (nondeterministic source)") {
     val tap = ConfigParser.parseTap(
       """{"database":"db1","streams":[
@@ -67,6 +67,32 @@ class TapSpec extends AnyFunSuite {
       assert(st.bookmark("db1-public-nd") === Some(emittedMax.toString),
         "bookmark must equal the max replication-key value among emitted records")
     }
+  }
+
+  // Batch mode re-reads max(rep_key) from the immutable files the sink
+  // just wrote — the stream itself executes exactly once, and temporal rep
+  // keys round-trip through the sink's ISO timestampFormat back to the
+  // exact Spark string-cast bookmark rendering.
+  test("batch mode derives bookmark from the files just written") {
+    val tmp = Files.createTempDirectory("graft-batch-state").toString
+    val tap = ConfigParser.parseTap(
+      s"""{"database":"db1",
+         |"batch_config":{"encoding":{"format":"jsonl","compression":"gzip"},
+         |  "storage":{"root":"file://$tmp"}},
+         |"streams":[
+         |{"name":"b1","sql":"SELECT id FROM range(7) WHERE id > :rep_key_val",
+         | "key_properties":["id"],"replication_key":"id","replication_key_value_start":-1,
+         | "columns":[{"name":"id","type":"bigint"}]},
+         |{"name":"b2","sql":"SELECT timestamptz '2021-11-22T11:45:11.062824+00:00' AS ts",
+         | "key_properties":["ts"],"replication_key":"ts",
+         | "replication_key_value_start":"1970-01-01",
+         | "columns":[{"name":"ts","type":"datetime"}]}
+         |]}""".stripMargin)
+    val buf = new ByteArrayOutputStream()
+    val (res, st) = Tap.syncAll(spark, tap, None, new PrintStream(buf, true, "UTF-8"))
+    assert(res.forall(_.manifests.nonEmpty))
+    assert(st.bookmark("db1-public-b1") === Some("6"))
+    assert(st.bookmark("db1-public-b2") === Some("2021-11-22 11:45:11.062824"))
   }
 
   // Singer --catalog selection: streams deselect via root-breadcrumb
