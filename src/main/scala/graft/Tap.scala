@@ -1,6 +1,7 @@
 package graft
 
 import graft.config.{ConfigParser, StreamConfig, TapConfig}
+import graft.operators.StreamMaps
 import graft.sinks.{BatchManifest, BatchSink, SingerSink}
 import graft.sources.StreamSource
 import graft.state.{Bookmarks, TapState}
@@ -26,31 +27,51 @@ object Tap {
               statePath: Option[String] = None,
               out: PrintStream = System.out): (Seq[StreamResult], TapState) = {
     var state = statePath.map(Bookmarks.load).getOrElse(Bookmarks.empty)
-    val results = tap.streams.map { s =>
-      // The bookmark must reflect the rows actually EMITTED (a live JDBC
-      // source could commit rows between two lazy executions; the
-      // reference derives state from processed records, singer_sdk
-      // _sync_records). Each sink therefore executes the stream exactly
-      // ONCE: SingerSink tracks max(rep_key) inside the emit pass, and
-      // batch mode reads the max back from the files just written —
-      // no full-stream persist, which at a 100 TB extraction would
-      // materialize the whole stream on executor storage.
-      val df = StreamSource.native(spark, s, state)
-      tap.batchConfig match {
-        case Some(bc) =>
-          val manifests = BatchSink.write(df, s, bc)
-          state = bookmarkFromBatchFiles(spark, s, df, manifests, state)
-          StreamResult(s, -1, manifests)
-        case None =>
-          SingerSink.emitSchema(s, out)
-          val te = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
-            .format(java.time.format.DateTimeFormatter
-              .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
-          val (n, bookmark) = SingerSink.emitRecords(df, s, out, Some(te))
-          bookmark.foreach(v => state = state.advanced(s.streamId, v))
-          StreamResult(s, n, Nil)
+    // FLATTENING expands struct results to parent__child columns before
+    // conformance (config keys flattening_enabled / flattening_max_depth,
+    // reference tap.py:257)
+    val flattenDepth =
+      if (tap.flatteningEnabled) Some(tap.flatteningMaxDepth.getOrElse(Int.MaxValue))
+      else None
+    val results = tap.streams
+      .filterNot(s => tap.removedStreams.contains(s.name))
+      .map { s =>
+        // The bookmark must reflect the rows actually EMITTED (a live JDBC
+        // source could commit rows between two lazy executions; the
+        // reference derives state from processed records, singer_sdk
+        // _sync_records). Each sink therefore executes the stream exactly
+        // ONCE: SingerSink tracks max(rep_key) inside the emit pass, and
+        // batch mode reads the max back from the files just written —
+        // no full-stream persist, which at a 100 TB extraction would
+        // materialize the whole stream on executor storage.
+        val source = StreamSource.native(spark, s, state, flattenDepth)
+        // STREAM_MAPS transform the conformed stream (reference tap.py:256);
+        // key properties + replication key always survive an __else__ drop,
+        // and validate() rejects maps that drop/rename the replication key,
+        // so the bookmark still tracks inside the emit pass
+        val smap = tap.streamMaps.get(s.name)
+        val df = smap.map(m => StreamMaps(source, m,
+          alwaysKeep = s.keyProperties ++ s.replicationKey)).getOrElse(source)
+        val emitStream = smap.flatMap(_.alias)
+          .map(a => s.copy(name = a)).getOrElse(s)
+        tap.batchConfig match {
+          case Some(bc) =>
+            val manifests = BatchSink.write(df, emitStream, bc)
+            state = bookmarkFromBatchFiles(spark, s, df, manifests, state)
+            StreamResult(s, -1, manifests)
+          case None =>
+            // a mapped stream's SCHEMA reflects the transformed shape
+            val schemaJson = smap.map(_ =>
+              TypeMapper.jsonSchemaFromStruct(s, df.schema))
+            SingerSink.emitSchema(emitStream, out, schemaJson)
+            val te = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
+              .format(java.time.format.DateTimeFormatter
+                .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
+            val (n, bookmark) = SingerSink.emitRecords(df, emitStream, out, Some(te))
+            bookmark.foreach(v => state = state.advanced(s.streamId, v))
+            StreamResult(s, n, Nil)
+        }
       }
-    }
     SingerSink.emitState(state, out)
     statePath.foreach(p => Bookmarks.save(p, state, tap.streams))
     (results, state)
@@ -117,7 +138,7 @@ object Tap {
     * capabilities at tap.py:244-259).
     */
   def aboutJson: String =
-    """{"name":"graft","capabilities":["state","catalog","discover","about","stream-maps","flattening","batch"],"settings":["host","port","user","password","database","streams","batch_config","batch_size"]}"""
+    """{"name":"graft","capabilities":["state","catalog","discover","about","stream-maps","flattening","batch"],"settings":["host","port","user","password","database","streams","batch_config","batch_size","stream_maps","stream_map_config","flattening_enabled","flattening_max_depth"]}"""
 }
 
 /** CLI entry point mirroring the reference's (`tap.py:262-263`):
@@ -125,7 +146,7 @@ object Tap {
   */
 object Main {
   private val ValueOpts = Set("--config", "--state", "--catalog")
-  private val FlagOpts = Set("--discover", "--about", "--version")
+  private val FlagOpts = Set("--discover", "--about", "--version", "--introspect")
 
   /** Iterative arg parse: only options known to take a value consume the
     * next token, so `--discover --config cfg.json` parses the same as
@@ -158,7 +179,15 @@ object Main {
 
     if (flags("--about")) { println(Tap.aboutJson); return }
     ConfigParser.validate(tap)
-    if (flags("--discover")) { println(Tap.catalogJson(tap)); return }
+    if (flags("--discover")) {
+      // config-based catalog by default (the reference's primary path,
+      // tap.py:211-215); --introspect walks the live database instead
+      // (client.py:85-104)
+      if (flags("--introspect"))
+        println(graft.sources.Discovery.catalogJson(tap))
+      else println(Tap.catalogJson(tap))
+      return
+    }
 
     // --catalog: run only the streams the supplied catalog selects
     val selected = opts.get("--catalog").map(p => Tap.selectedStreams(

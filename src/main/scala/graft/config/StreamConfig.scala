@@ -84,7 +84,16 @@ final case class TapConfig(
       * Lets the same engine extract from any JDBC source.
       */
     jdbcUrl: Option[String] = None,
-    jdbcDriver: Option[String] = None) {
+    jdbcDriver: Option[String] = None,
+    /** Config-driven STREAM_MAPS (reference: tap.py:256, README.md:35-36),
+      * keyed by stream name; a `"stream": null` entry lands in
+      * [[removedStreams]] instead.
+      */
+    streamMaps: Map[String, graft.operators.StreamMap] = Map.empty,
+    removedStreams: Set[String] = Set.empty,
+    /** FLATTENING config keys (reference: tap.py:257, README.md:37-38). */
+    flatteningEnabled: Boolean = false,
+    flatteningMaxDepth: Option[Int] = None) {
   def resolvedJdbcUrl: String =
     jdbcUrl.getOrElse(s"jdbc:postgresql://$host:$port/$database")
   def resolvedJdbcDriver: String =
@@ -100,6 +109,19 @@ object ConfigParser {
   def parseTap(json: String): TapConfig = {
     val n = mapper.readTree(json)
     val db = str(n, "database").getOrElse("postgres")
+    // stream_map_config values surface in map expressions as `config.<key>`
+    // (the SDK's simpleeval `config` namespace, README.md:36) — rendered
+    // as SQL literals before the expression reaches Catalyst
+    val smc: Map[String, String] = opt(n, "stream_map_config").map {
+      _.properties().asScala.map { e =>
+        val v = e.getValue
+        val lit =
+          if (v.isTextual) "'" + v.asText.replace("'", "''") + "'" else v.asText
+        e.getKey -> lit
+      }.toMap
+    }.getOrElse(Map.empty)
+    val (maps, removed) = opt(n, "stream_maps")
+      .map(parseStreamMaps(_, smc)).getOrElse((Map.empty[String, graft.operators.StreamMap], Set.empty[String]))
     TapConfig(
       host = str(n, "host").getOrElse("localhost"),
       port = int(n, "port").getOrElse(5432),
@@ -110,7 +132,48 @@ object ConfigParser {
         int(n, "batch_size").getOrElse(StreamConfig.DefaultBatchSize))),
       batchConfig = opt(n, "batch_config").map(parseBatchConfig),
       jdbcUrl = str(n, "jdbc_url"),
-      jdbcDriver = str(n, "jdbc_driver"))
+      jdbcDriver = str(n, "jdbc_driver"),
+      streamMaps = maps,
+      removedStreams = removed,
+      flatteningEnabled = opt(n, "flattening_enabled").exists(_.asBoolean(false)),
+      flatteningMaxDepth = int(n, "flattening_max_depth"))
+  }
+
+  /** SDK-style `stream_maps` object (README.md:35): per stream, either
+    * `null` (remove the stream from the sync) or a property map where
+    * `__filter__` is a row predicate, `__alias__` renames the emitted
+    * stream, `"__else__": null` drops all unmapped properties, a `null`
+    * value drops that property, and any other string is a computed-column
+    * expression (Spark SQL here, where the SDK evaluates simpleeval).
+    */
+  private def parseStreamMaps(n: JsonNode, smc: Map[String, String])
+      : (Map[String, graft.operators.StreamMap], Set[String]) = {
+    def subst(e: String): String =
+      smc.foldLeft(e) { case (acc, (k, lit)) => acc.replace(s"config.$k", lit) }
+    val removed = Set.newBuilder[String]
+    val maps = Map.newBuilder[String, graft.operators.StreamMap]
+    n.properties().asScala.foreach { e =>
+      if (e.getValue.isNull) removed += e.getKey
+      else {
+        var computed = Seq.empty[(String, String)]
+        var dropped = Seq.empty[String]
+        var filter: Option[String] = None
+        var alias: Option[String] = None
+        var elseDrop = false
+        e.getValue.properties().asScala.foreach { p =>
+          (p.getKey, p.getValue) match {
+            case ("__filter__", v) => filter = Some(subst(v.asText))
+            case ("__alias__", v) => alias = Some(v.asText)
+            case ("__else__", v) if v.isNull => elseDrop = true
+            case (k, v) if v.isNull => dropped :+= k
+            case (k, v) => computed :+= (k -> subst(v.asText))
+          }
+        }
+        maps += e.getKey -> graft.operators.StreamMap(
+          computed, Nil, dropped, filter, alias, elseDrop)
+      }
+    }
+    (maps.result(), removed.result())
   }
 
   def parseStream(json: String): StreamConfig =
@@ -172,6 +235,16 @@ object ConfigParser {
           problems += s"$where: column '${c.name}': ${e.getMessage}" }
       }
       if (s.batchSize <= 0) problems += s"$where: batch_size must be positive"
+    }
+    val known = tap.streams.map(_.name).toSet
+    (tap.streamMaps.keySet ++ tap.removedStreams).filterNot(known).foreach(m =>
+      problems += s"stream_maps: unknown stream '$m'")
+    // the replication key is the incremental watermark: a map that drops or
+    // renames it would leave the sync with no bookmark column to track
+    tap.streamMaps.foreach { case (name, m) =>
+      for (s <- tap.streams.find(_.name == name); k <- s.replicationKey)
+        if (m.dropped.contains(k) || m.aliases.exists(_._1 == k))
+          problems += s"stream '$name': stream map must not drop/rename replication_key '$k'"
     }
     if (problems.nonEmpty)
       throw new IllegalArgumentException(

@@ -16,13 +16,26 @@ import org.apache.spark.sql.types._
   */
 object Conformance {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val warnedUnmapped =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Select + cast to the declared schema. Columns in the input but not in
-    * the declaration are dropped (the `select` is the drop); declared
-    * columns missing from the input raise at analysis time, mirroring the
-    * reference's strict conformance.
+    * the declaration are dropped (the `select` is the drop) with a warning
+    * logged exactly once per (stream, property) name — the reference's
+    * contract at client.py:147-151; declared columns missing from the input
+    * raise at analysis time, mirroring the reference's strict conformance.
     */
-  def conform(df: DataFrame, cols: Seq[ColumnSpec]): DataFrame =
+  def conform(df: DataFrame, cols: Seq[ColumnSpec],
+              streamName: String = ""): DataFrame = {
+    val declared = cols.map(_.name).toSet
+    df.columns.filterNot(declared).foreach { c =>
+      if (warnedUnmapped.add(s"$streamName $c"))
+        log.warn(s"Property '$c' was present in the '$streamName' stream " +
+          "but not found in catalog schema. Ignoring.")
+    }
     df.select(cols.map(conformed): _*)
+  }
 
   private def conformed(c: ColumnSpec): Column = {
     val target = TypeMapper.toDataType(c.typeName)

@@ -17,15 +17,21 @@ import org.apache.spark.sql.functions._
   * @param aliases  renames: old name → new name
   * @param dropped  columns to remove
   * @param filter   row predicate (Spark SQL boolean expression)
+  * @param alias    emitted stream name override (SDK `__alias__`)
+  * @param elseDrop SDK `"__else__": null` — keep ONLY the explicitly
+  *                 mapped columns (plus whatever the caller must retain:
+  *                 key properties, replication key)
   */
 final case class StreamMap(
     computed: Seq[(String, String)] = Nil,
     aliases: Seq[(String, String)] = Nil,
     dropped: Seq[String] = Nil,
-    filter: Option[String] = None)
+    filter: Option[String] = None,
+    alias: Option[String] = None,
+    elseDrop: Boolean = false)
 
 object StreamMaps {
-  def apply(df: DataFrame, m: StreamMap): DataFrame = {
+  def apply(df: DataFrame, m: StreamMap, alwaysKeep: Seq[String] = Nil): DataFrame = {
     // filter first: the SDK evaluates __filter__ against the source
     // record, so the predicate may reference columns later dropped/renamed
     var out = df
@@ -33,6 +39,11 @@ object StreamMaps {
     m.computed.foreach { case (name, e) => out = out.withColumn(name, expr(e)) }
     m.aliases.foreach { case (from, to) => out = out.withColumnRenamed(from, to) }
     if (m.dropped.nonEmpty) out = out.drop(m.dropped: _*)
+    if (m.elseDrop) {
+      val keep = (m.computed.map(_._1) ++ m.aliases.map(_._2) ++ alwaysKeep)
+        .distinct.filter(out.columns.contains)
+      out = out.select(keep.map(col): _*)
+    }
     out
   }
 }

@@ -2,11 +2,9 @@ package graft.sinks
 
 import graft.config.{BatchConfig, StreamConfig}
 import graft.operators.Conformance
+import org.apache.hadoop.fs.{FileSystem, Path => HadoopPath}
 import org.apache.spark.sql.DataFrame
-import java.net.URI
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 
 /** One emitted batch manifest: encoding + the files of one chunk
   * (reference: tap_rawpostgresql/client.py:234,245 yields
@@ -23,8 +21,13 @@ final case class BatchManifest(format: String, compression: String, files: Seq[S
   *
   * Spark-first: the write itself is `DataFrameWriter.json` with
   * `maxRecordsPerFile` — rotation and parallel IO are native and scale with
-  * partitions, unlike the reference's single sequential writer. File
-  * renaming to the reference scheme is a cheap driver-side metadata pass.
+  * partitions, unlike the reference's single sequential writer. All path
+  * handling goes through the Hadoop `FileSystem` API resolved from the
+  * root's scheme, so `batch_config.storage.root` accepts any configured
+  * filesystem URL (`file://`, `s3a://`, `gs://`, `hdfs://`, …) — the
+  * analog of the reference's fsspec root (client.py:211); the rename to
+  * the reference filename scheme is a metadata operation on that same
+  * filesystem.
   */
 object BatchSink {
 
@@ -36,11 +39,13 @@ object BatchSink {
     // .json, and the manifest must say what was actually applied.
     val gzip = batch.encoding.compression == "gzip"
     val appliedCompression = if (gzip) "gzip" else "none"
-    val root = Paths.get(URI.create(
+    val root = new HadoopPath(
       if (batch.storage.root.contains(":")) batch.storage.root
-      else s"file://${batch.storage.root}"))
-    Files.createDirectories(root)
-    val outDir = root.resolve(s"graft-batch-${UUID.randomUUID()}")
+      else s"file://${batch.storage.root}")
+    val fs: FileSystem =
+      root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    fs.mkdirs(root)
+    val outDir = new HadoopPath(root, s"graft-batch-${UUID.randomUUID()}")
 
     val writer = df.write
       .option("maxRecordsPerFile", stream.batchSize.toString)
@@ -49,25 +54,20 @@ object BatchSink {
       .json(outDir.toString)
 
     val ext = if (gzip) ".json.gz" else ".json"
-    val parts = scala.util.Using.resource(Files.list(outDir)) { s =>
-      s.iterator.asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(ext))
-        .toSeq
-    }.sortBy(_.getFileName.toString)
+    val parts = fs.listStatus(outDir).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(ext))
+      .sortBy(_.getName)
+      .toSeq
 
     val syncId = UUID.randomUUID().toString
-    val renamed: Seq[Path] = parts.zipWithIndex.map { case (p, i) =>
+    val renamed = parts.zipWithIndex.map { case (p, i) =>
       val name = s"${batch.storage.prefix}$tapName--${stream.name}-$syncId-$i$ext"
-      val target = root.resolve(name)
-      Files.move(p, target)
+      val target = new HadoopPath(root, name)
+      if (!fs.rename(p, target))
+        throw new java.io.IOException(s"rename $p -> $target failed")
       target
     }
-    Files.deleteIfExists(outDir.resolve("_SUCCESS"))
-    scala.util.Using.resource(Files.list(outDir)) { s =>
-      s.iterator.asScala.toSeq
-    }.foreach(Files.deleteIfExists(_))
-    Files.deleteIfExists(outDir)
+    fs.delete(outDir, true) // _SUCCESS + any stragglers
 
     // one manifest per chunk file, matching the reference's per-chunk yield
     renamed.map(p => BatchManifest(batch.encoding.format,

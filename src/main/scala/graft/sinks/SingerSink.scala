@@ -19,12 +19,18 @@ import java.io.PrintStream
   */
 object SingerSink {
 
-  def emitSchema(stream: StreamConfig, out: PrintStream = System.out): Unit = {
+  /** `schemaJson` overrides the declared-columns schema document — used
+    * when a stream map changed the emitted shape (the SDK likewise
+    * regenerates SCHEMA from the transformed records).
+    */
+  def emitSchema(stream: StreamConfig, out: PrintStream = System.out,
+                 schemaJson: Option[String] = None): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val keys = stream.keyProperties.map(q).mkString("[", ",", "]")
     val bookmark = stream.replicationKey.map(k => s",\"bookmark_properties\":[${q(k)}]").getOrElse("")
+    val schema = schemaJson.getOrElse(TypeMapper.jsonSchema(stream))
     out.println(
-      s"""{"type":"SCHEMA","stream":${q(stream.name)},"schema":${TypeMapper.jsonSchema(stream)},"key_properties":$keys$bookmark}""")
+      s"""{"type":"SCHEMA","stream":${q(stream.name)},"schema":$schema,"key_properties":$keys$bookmark}""")
   }
 
   /** Emit RECORD messages. The DataFrame's JSON encoding happens

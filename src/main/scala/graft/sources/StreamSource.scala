@@ -20,12 +20,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamSource {
 
-  /** Resolve watermark → rewrite dialect → bind param → execute → conform.
-    * The conformance `select` keeps column pruning effective: only declared
-    * columns survive the plan.
+  /** Resolve watermark → rewrite dialect → bind param → execute →
+    * [flatten] → conform. The conformance `select` keeps column pruning
+    * effective: only declared columns survive the plan.
+    *
+    * `flattenDepth` (the FLATTENING capability, tap config keys
+    * `flattening_enabled`/`flattening_max_depth`) expands struct results to
+    * `parent__child` columns BEFORE conformance, so the declared `columns`
+    * stay flat name/type pairs exactly as in the reference's config schema
+    * (tap.py:87-109) while the SQL may produce nested values.
     */
   def native(spark: SparkSession, stream: StreamConfig,
-             state: TapState = Bookmarks.empty): DataFrame = {
+             state: TapState = Bookmarks.empty,
+             flattenDepth: Option[Int] = None): DataFrame = {
     require(stream.sql.trim.nonEmpty,
       s"stream '${stream.name}': sql must not be empty") // reference: client.py:255-258
     val start = Bookmarks.resolveStart(stream, state)
@@ -35,7 +42,9 @@ object StreamSource {
     val sql = SqlDialect.bindRepKeyVal(
       SqlDialect.rewrite(stream.sql), start, repKeyType)
     val df = spark.sql(sql)
-    Conformance.conform(df, stream.columns)
+    val flat = flattenDepth
+      .map(d => graft.operators.Flattener.flatten(df, d)).getOrElse(df)
+    Conformance.conform(flat, stream.columns, stream.name)
   }
 
   /** JDBC pushdown options for a stream. `partitionColumn`/bounds enable

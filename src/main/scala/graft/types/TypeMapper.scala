@@ -81,12 +81,49 @@ object TypeMapper {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val props = stream.columns.map { c =>
       val types = jsonTypeArray(stream, c).map(q).mkString("[", ",", "]")
-      val fmt = toDataType(c.typeName) match {
-        case TimestampType => ",\"format\":\"date-time\""
-        case DateType => ",\"format\":\"date\""
-        case _ => ""
+      s"${q(c.name)}:{\"type\":$types${fmtSuffix(toDataType(c.typeName))}}"
+    }.mkString(",")
+    s"""{"type":"object","properties":{$props}}"""
+  }
+
+  private def fmtSuffix(dt: DataType): String = dt match {
+    case TimestampType => ",\"format\":\"date-time\""
+    case DateType => ",\"format\":\"date\""
+    case _ => ""
+  }
+
+  /** JSON-schema primitive for a Spark type (the inverse direction of
+    * [[jsonSchemaType]], for columns that exist only post-transform).
+    */
+  def jsonSchemaTypeOf(dt: DataType): String = dt match {
+    case StringType | BinaryType | TimestampType | DateType => "string"
+    case IntegerType | LongType | ShortType | ByteType => "integer"
+    case FloatType | DoubleType | _: DecimalType => "number"
+    case BooleanType => "boolean"
+    case _ => "string" // complex types serialize as JSON text
+  }
+
+  /** JSON-schema document for a POST-stream-map shape: columns still
+    * declared in the config keep their declared types and required rules;
+    * map-computed columns derive from the Spark type and are nullable
+    * unless they are key properties (the SDK likewise regenerates the
+    * SCHEMA message from the transformed record shape).
+    */
+  def jsonSchemaFromStruct(stream: StreamConfig,
+                           schema: StructType): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val declared = stream.columns.map(c => c.name -> c).toMap
+    val props = schema.fields.map { f =>
+      declared.get(f.name) match {
+        case Some(c) =>
+          val types = jsonTypeArray(stream, c).map(q).mkString("[", ",", "]")
+          s"${q(c.name)}:{\"type\":$types${fmtSuffix(toDataType(c.typeName))}}"
+        case None =>
+          val base = jsonSchemaTypeOf(f.dataType)
+          val types = (if (stream.keyProperties.contains(f.name)) Seq(base)
+                       else Seq(base, "null")).map(q).mkString("[", ",", "]")
+          s"${q(f.name)}:{\"type\":$types${fmtSuffix(f.dataType)}}"
       }
-      s"${q(c.name)}:{\"type\":$types$fmt}"
     }.mkString(",")
     s"""{"type":"object","properties":{$props}}"""
   }

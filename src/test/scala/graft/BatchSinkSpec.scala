@@ -13,6 +13,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * scheme, and the exact UUID/timestamp serialization forms
   * (reference: tests/test_postgres.py:175-203).
   */
+/** A local filesystem registered under a non-`file:` scheme — the standard
+  * Hadoop-test trick for exercising scheme resolution without a real
+  * object store.
+  */
+class MockFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+}
+
 class BatchSinkSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
@@ -40,6 +48,30 @@ class BatchSinkSpec extends AnyFunSuite {
     assert(lines.length === 1)
     assert(lines.head.contains(""""id":"1441c21d-9921-4a1d-b239-9c6ea18af234""""))
     assert(lines.head.contains(""""last_updated":"2021-11-22T11:45:11.062824+00:00""""))
+  }
+
+  // Object-store readiness: the sink resolves its root through the Hadoop
+  // FileSystem API, so any configured scheme works (s3a://, gs://, …).
+  // Exercised with a registered non-`file:` scheme backed by
+  // RawLocalFileSystem — write, rotation-rename, and manifest URLs must
+  // all go through that filesystem, not java.nio.
+  test("batch root on a non-file filesystem scheme") {
+    val tmp = Files.createTempDirectory("graft-batch-mockfs").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockFs].getName)
+    val s = ConfigParser.parseStream(
+      """{"name":"obj","sql":"SELECT id FROM range(0, 7)","key_properties":["id"],"batch_size":4,
+        |"columns":[{"name":"id","type":"bigint"}]}""".stripMargin)
+    val df = StreamSource.native(spark, s).coalesce(1)
+    val manifests = BatchSink.write(df, s,
+      BatchConfig(BatchEncoding("jsonl", "gzip"), BatchStorage(s"mockfs://$tmp")))
+    assert(manifests.length === 2) // 7 records, batch_size 4 → 4/3
+    assert(manifests.forall(_.files.head.startsWith("mockfs:")))
+    val counts = manifests.map { m =>
+      val local = new java.net.URI(m.files.head).getPath
+      gunzipLines(local).length
+    }
+    assert(counts.sorted === Seq(3, 4))
   }
 
   test("rotation at batch_size with remainder flush") {

@@ -69,6 +69,58 @@ class TapSpec extends AnyFunSuite {
     }
   }
 
+  // Config-driven STREAM_MAPS + FLATTENING (reference tap.py:256-257,
+  // README.md:35-38): flattening expands struct SQL results to
+  // parent__child columns before conformance; the stream map filters rows,
+  // computes a column (with a config.<key> substitution from
+  // stream_map_config), drops a property, and a `"stream": null` entry
+  // removes that stream from the sync. The SCHEMA message reflects the
+  // transformed shape.
+  test("config-driven stream_maps + flattening end-to-end") {
+    val tap = ConfigParser.parseTap(
+      """{"database":"db1",
+        |"flattening_enabled":true,"flattening_max_depth":1,
+        |"stream_map_config":{"prefix":"doc-"},
+        |"stream_maps":{
+        |  "m1":{"__filter__":"v__a > 1",
+        |        "tagged":"concat(config.prefix, cast(v__a as string))",
+        |        "secret":null},
+        |  "gone":null},
+        |"streams":[
+        |{"name":"m1","sql":"SELECT named_struct('a', id) AS v, 'x' AS secret, id FROM range(4)",
+        | "key_properties":["id"],
+        | "columns":[{"name":"id","type":"bigint"},{"name":"v__a","type":"bigint"},{"name":"secret","type":"text"}]},
+        |{"name":"gone","sql":"SELECT 1 AS z","key_properties":["z"],"columns":[{"name":"z","type":"int"}]}
+        |]}""".stripMargin)
+    ConfigParser.validate(tap)
+    val buf = new ByteArrayOutputStream()
+    val (res, _) = Tap.syncAll(spark, tap, None, new PrintStream(buf, true, "UTF-8"))
+    assert(res.map(_.stream.name) === Seq("m1")) // "gone" removed by its null map
+    val lines = buf.toString("UTF-8").split("\n")
+    val records = lines.filter(_.contains(""""type":"RECORD""""))
+    assert(records.length === 2) // filter keeps v__a in {2,3}
+    assert(records.forall(r => r.contains(""""tagged":"doc-""") && !r.contains("secret")))
+    val schemaLine = lines.find(_.contains(""""type":"SCHEMA"""")).get
+    assert(schemaLine.contains(""""tagged"""") && schemaLine.contains(""""v__a""""))
+    assert(!schemaLine.contains("secret"))
+  }
+
+  // A stream map must not drop or rename the replication key — the
+  // incremental watermark has to survive into the emitted rows.
+  test("stream map dropping the replication key is rejected") {
+    val tap = ConfigParser.parseTap(
+      """{"database":"db1",
+        |"stream_maps":{"s":{"v":null},"nope":{}},
+        |"streams":[
+        |{"name":"s","sql":"SELECT 1 AS v","key_properties":["v"],
+        | "replication_key":"v","replication_key_value_start":0,
+        | "columns":[{"name":"v","type":"int"}]}
+        |]}""".stripMargin)
+    val e = intercept[IllegalArgumentException](ConfigParser.validate(tap))
+    assert(e.getMessage.contains("must not drop/rename replication_key 'v'"))
+    assert(e.getMessage.contains("stream_maps: unknown stream 'nope'"))
+  }
+
   // Batch mode re-reads max(rep_key) from the immutable files the sink
   // just wrote — the stream itself executes exactly once, and temporal rep
   // keys round-trip through the sink's ISO timestampFormat back to the
