@@ -13,9 +13,16 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * design rules: a LogicalPlan node, a planner Strategy, and a SparkPlan
   * whose execution is a single co-partitioned sorted merge.
   *
-  * Semantics (identical to [[graft.operators.AsOfJoin.asOf]], asserted in
-  * AsOfJoinSpec): for every LEFT row, attach the LAST right row of the
-  * same key with rightTs ≤ leftTs, or nulls if none precedes it.
+  * Semantics: for every LEFT row, attach one right row of the same key —
+  * `backward`: the LAST right row with rightTs ≤ leftTs (identical to
+  * [[graft.operators.AsOfJoin.asOf]], asserted in AsOfJoinSpec);
+  * `forward`: the FIRST right row with rightTs ≥ leftTs;
+  * `nearest`: whichever of those two is closer in time (ties → backward).
+  * An optional `tolerance` (native ts units: microseconds for timestamps,
+  * days for dates) drops matches further than that from the left row.
+  * Null keys/timestamps never match (left rows keep their row with a null
+  * right side; right rows are skipped) — enforced in the merge, not just
+  * documented.
   *
   * Why a custom operator here: the window-composition form must sort the
   * UNION of both sides inside one window per key; this operator instead
@@ -29,7 +36,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTs: Expression, rightTs: Expression)
+                        leftTs: Expression, rightTs: Expression,
+                        direction: String = "backward",
+                        tolerance: Option[Long] = None)
     extends BinaryNode {
   // right columns become nullable: unmatched left rows carry nulls
   override def output: Seq[Attribute] =
@@ -41,15 +50,17 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lts, rts, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, dir, tol) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
-                        leftTs: Expression, rightTs: Expression)
+                        leftTs: Expression, rightTs: Expression,
+                        direction: String = "backward",
+                        tolerance: Option[Long] = None)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -69,6 +80,22 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
 
+  /** Internal ts representation as a Long in the type's native unit
+    * (micros for TimestampType, days for DateType, the value itself for
+    * integral types) — the unit `tolerance` is expressed in and the
+    * quantity `nearest` minimizes.
+    */
+  private def tsLong(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case s: java.lang.Short => s.toLong
+    case b: java.lang.Byte => b.toLong
+    case d: org.apache.spark.sql.types.Decimal => d.toLong
+    case n: java.lang.Number => n.longValue()
+    case other => throw new UnsupportedOperationException(
+      s"as-of tolerance/nearest unsupported for ts value class ${other.getClass}")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
@@ -79,6 +106,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lts = leftTs
     val rts = rightTs
     val outAttrs = output
+    val dir = direction
+    val tol = tolerance
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(Seq(lk), lOut)
@@ -95,40 +124,104 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         .GenericInternalRow(rOut.size)
 
       val buffered = rIter.buffered
-      // carry-forward state: the latest right row seen for `matchKey`
+      // carry-forward state: the latest backward-eligible right row for
+      // `matchKey`, plus its ts (for tolerance/nearest distance)
       var matchKey: Any = null
       var hasMatch = false
       var matchRow: InternalRow = null
+      var matchTs: Any = null
+
+      def withinTol(laterTs: Any, earlierTs: Any): Boolean = tol match {
+        case Some(t) => tsLong(laterTs) - tsLong(earlierTs) <= t
+        case None => true
+      }
 
       lIter.map { lRow =>
-        val lKeyVal = lKeyProj(lRow).get(0, lk.dataType)
-        val lTsVal = lTsProj(lRow).get(0, lts.dataType)
-        // advance the right side through every row at-or-before this left
-        // row in (key, ts) order, remembering the last same-key row
-        var advancing = true
-        while (advancing && buffered.hasNext) {
-          val rRow = buffered.head
-          val rKeyVal = rKeyProj(rRow).get(0, rk.dataType)
-          val kc = keyOrd.compare(rKeyVal.asInstanceOf[AnyRef],
-            lKeyVal.asInstanceOf[AnyRef])
-          if (kc < 0) {
-            buffered.next() // right key behind the left key: skip
-          } else if (kc == 0) {
-            val rTsVal = rTsProj(rRow).get(0, rts.dataType)
-            if (tsOrd.compare(rTsVal.asInstanceOf[AnyRef],
-                lTsVal.asInstanceOf[AnyRef]) <= 0) {
-              matchRow = buffered.next().copy()
-              // copy: projection buffers are reused across rows, and this
-              // value must survive iterations (UTF8String/Decimal keys)
-              matchKey = InternalRow.copyValue(lKeyVal)
-              hasMatch = true
-            } else advancing = false // same key, future ts
-          } else advancing = false // right key ahead
+        val lKeyRow = lKeyProj(lRow)
+        val lTsRow = lTsProj(lRow)
+        if (lKeyRow.isNullAt(0) || lTsRow.isNullAt(0)) {
+          // a null key/ts joins nothing, but the left row survives
+          resultProj(joined(lRow, nullRight))
+        } else {
+          val lKeyVal = InternalRow.copyValue(lKeyRow.get(0, lk.dataType))
+          val lTsVal = InternalRow.copyValue(lTsRow.get(0, lts.dataType))
+          // advance the right side through every row at-or-before this left
+          // row in (key, ts) order, remembering the last same-key row;
+          // right rows with null key/ts sort first and are skipped here
+          var advancing = true
+          while (advancing && buffered.hasNext) {
+            val rRow = buffered.head
+            val rKeyRow = rKeyProj(rRow)
+            if (rKeyRow.isNullAt(0)) buffered.next()
+            else {
+              val kc = keyOrd.compare(
+                rKeyRow.get(0, rk.dataType).asInstanceOf[AnyRef],
+                lKeyVal.asInstanceOf[AnyRef])
+              if (kc < 0) {
+                buffered.next() // right key behind the left key: skip
+              } else if (kc == 0) {
+                val rTsRow = rTsProj(rRow)
+                if (rTsRow.isNullAt(0)) buffered.next() // null ts never matches
+                else {
+                  val rTsVal = rTsRow.get(0, rts.dataType)
+                  if (tsOrd.compare(rTsVal.asInstanceOf[AnyRef],
+                      lTsVal.asInstanceOf[AnyRef]) <= 0) {
+                    matchRow = buffered.next().copy()
+                    // copy: projection buffers are reused across rows, and
+                    // these values must survive iterations
+                    matchTs = InternalRow.copyValue(rTsVal)
+                    matchKey = lKeyVal
+                    hasMatch = true
+                  } else advancing = false // same key, future ts
+                }
+              } else advancing = false // right key ahead
+            }
+          }
+          val backOk = hasMatch &&
+            keyOrd.compare(matchKey.asInstanceOf[AnyRef],
+              lKeyVal.asInstanceOf[AnyRef]) == 0 &&
+            withinTol(lTsVal, matchTs)
+          // forward candidate: the (unconsumed) head, iff same key — the
+          // first right row with ts > lts, shared by later left rows too
+          def forwardCandidate: Option[(InternalRow, Any)] =
+            if (!buffered.hasNext) None
+            else {
+              val rRow = buffered.head
+              val rKeyRow = rKeyProj(rRow)
+              if (rKeyRow.isNullAt(0) ||
+                  keyOrd.compare(rKeyRow.get(0, rk.dataType).asInstanceOf[AnyRef],
+                    lKeyVal.asInstanceOf[AnyRef]) != 0) None
+              else {
+                val rTsRow = rTsProj(rRow)
+                if (rTsRow.isNullAt(0)) None
+                else Some((rRow, rTsRow.get(0, rts.dataType)))
+              }
+            }
+          val chosen: InternalRow = dir match {
+            case "backward" => if (backOk) matchRow else nullRight
+            case "forward" =>
+              // a backward match at EXACTLY lts is also the forward match
+              // (ts ≥ lts) — and was already consumed by the advance
+              if (backOk && tsOrd.compare(matchTs.asInstanceOf[AnyRef],
+                  lTsVal.asInstanceOf[AnyRef]) == 0) matchRow
+              else forwardCandidate match {
+                case Some((r, fts)) if withinTol(fts, lTsVal) => r
+                case _ => nullRight
+              }
+            case "nearest" =>
+              val fwd = forwardCandidate.filter { case (_, fts) => withinTol(fts, lTsVal) }
+              (backOk, fwd) match {
+                case (true, Some((r, fts))) =>
+                  val backDist = tsLong(lTsVal) - tsLong(matchTs)
+                  val fwdDist = tsLong(fts) - tsLong(lTsVal)
+                  if (backDist <= fwdDist) matchRow else r // tie → backward
+                case (true, None) => matchRow
+                case (false, Some((r, _))) => r
+                case _ => nullRight
+              }
+          }
+          resultProj(joined(lRow, chosen))
         }
-        val matches = hasMatch &&
-          keyOrd.compare(matchKey.asInstanceOf[AnyRef],
-            lKeyVal.asInstanceOf[AnyRef]) == 0
-        resultProj(joined(lRow, if (matches) matchRow else nullRight))
       }
     }
   }
@@ -140,16 +233,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfJoinPlan {
 
+  val Directions = Set("backward", "forward", "nearest")
+
   /** As-of join via the custom operator: `left` rows gain every `right`
-    * column (nullable), valued from the last right row of the matching key
-    * at or before the left row's time. Installs [[AsOfJoinStrategy]] on
-    * the session (idempotent). Null keys/timestamps must be filtered
-    * upstream (as with any merge join).
+    * column (nullable), valued from the right row of the matching key
+    * selected by `direction` (see [[AsOfJoinNode]]); `tolerance` (native
+    * ts units — micros for timestamps, days for dates) bounds the match
+    * distance. Null keys/timestamps are handled inside the merge: such
+    * left rows emit with a null right side, such right rows never match.
+    * Installs [[AsOfJoinStrategy]] on the session (idempotent).
     */
   def asOf(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           direction: String = "backward",
+           tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.GraftBridge
+    require(Directions.contains(direction),
+      s"as-of direction must be one of $Directions, got '$direction'")
+    require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
     val spark: SparkSession = left.sparkSession
     GraftBridge.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = GraftBridge.logicalPlan(left)
@@ -168,6 +270,7 @@ object AsOfJoinPlan {
     require(lt.dataType == rt.dataType,
       s"as-of time type mismatch: $leftTime is ${lt.dataType.sql}, " +
         s"$rightTime is ${rt.dataType.sql} — cast one side first")
-    GraftBridge.ofRows(spark, AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt))
+    GraftBridge.ofRows(spark,
+      AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, direction, tolerance))
   }
 }

@@ -302,19 +302,57 @@ object SqlQueries {
     }),
 
     // As-of join (point-in-time lookup): each purchase gets the ts of the
-    // user's latest click at-or-before it. One shuffle (union+window) —
-    // see operators/AsOfJoin for the scale rationale.
+    // user's latest click at-or-before it. Routed through the CUSTOM
+    // physical operator (battle-tested across two oracle entries + the
+    // variants below); the window-composition form stays available as
+    // operators/AsOfJoin with equality asserted in AsOfJoinSpec.
     "q_asof_join" -> ((spark, dir) => {
       val ev = Tables.read(spark, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("user_id", "event_id", "ts")
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"),
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
           date_trunc("second", col("ts")).as("click_s"))
-      graft.operators.AsOfJoin.asOf(purchases, clicks,
-          key = "user_id", leftTime = "ts", rightTime = "ts",
-          payload = Seq("click_s"))
-        .select("user_id", "event_id", "asof_click_s")
+      graft.plans.AsOfJoinPlan.asOf(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user",
+          leftTime = "ts", rightTime = "c_ts")
+        .select(col("user_id"), col("event_id"), col("click_s").as("asof_click_s"))
+    }),
+
+    // Direction variant: FIRST click at-or-after each purchase
+    // (nearest-after lookup); same custom operator, direction=forward.
+    "q_asof_forward" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          date_trunc("second", col("ts")).as("click_s"))
+      graft.plans.AsOfJoinPlan.asOf(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user",
+          leftTime = "ts_s", rightTime = "click_s",
+          direction = "forward")
+        .select(col("user_id"), col("event_id"),
+          col("click_s").as("next_click_s"))
+    }),
+
+    // Tolerance variant: latest click at-or-before each purchase but no
+    // older than 1 hour (tolerance in native ts units — micros).
+    "q_asof_tolerance" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          date_trunc("second", col("ts")).as("click_s"))
+      graft.plans.AsOfJoinPlan.asOf(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user",
+          leftTime = "ts_s", rightTime = "click_s",
+          tolerance = Some(3600L * 1000000L))
+        .select(col("user_id"), col("event_id"),
+          col("click_s").as("asof_click_s"))
     }),
 
     // Same semantics via the CUSTOM physical operator (AsOfJoinExec:
@@ -754,6 +792,29 @@ object SqlQueries {
         |      FROM events WHERE event_type = 'click')
         |SELECT l.user_id, l.event_id, CAST(r.click_s AS TIMESTAMP) AS asof_click_s
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.c_user AND r.click_s <= l.ts_s""".stripMargin,
+    // forward as-of: DuckDB's ASOF is backward-only, so the oracle takes
+    // min(click ts ≥ purchase ts) per row — the forward match IS its ts
+    "q_asof_forward" ->
+      """WITH l AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
+        |      FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id AS c_user, date_trunc('second', ts) AS click_s
+        |      FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id,
+        |  CAST((SELECT min(r.click_s) FROM r
+        |        WHERE r.c_user = l.user_id AND r.click_s >= l.ts_s) AS TIMESTAMP)
+        |    AS next_click_s
+        |FROM l""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH l AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
+        |      FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id AS c_user, date_trunc('second', ts) AS click_s
+        |      FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id,
+        |  CAST((SELECT max(r.click_s) FROM r
+        |        WHERE r.c_user = l.user_id AND r.click_s <= l.ts_s
+        |          AND r.click_s >= l.ts_s - INTERVAL 1 HOUR) AS TIMESTAMP)
+        |    AS asof_click_s
+        |FROM l""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,

@@ -119,6 +119,74 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  // direction / tolerance variants + in-merge null handling
+  test("forward / nearest directions and tolerance") {
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:05")), // back 10:00:03, fwd 10:00:10
+      (1L, 101L, ts("2024-01-01 10:00:00")), // exact-ts quote: both dirs hit it
+      (1L, 102L, ts("2024-01-01 09:00:00")), // nothing before, fwd 10:00:00
+      (2L, 200L, ts("2024-01-01 11:00:00"))  // nothing after, back 10:00:00
+    ).toDF("key", "trade_id", "t")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:03"), 11.0),
+      (1L, ts("2024-01-01 10:00:10"), 12.0),
+      (2L, ts("2024-01-01 10:00:00"), 20.0)
+    ).toDF("qkey", "qt", "price")
+
+    def run(dir: String, tol: Option[Long] = None) =
+      graft.plans.AsOfJoinPlan.asOf(trades, quotes,
+          "key", "qkey", "t", "qt", direction = dir, tolerance = tol)
+        .select("trade_id", "price").as[(Long, Option[Double])].collect().toMap
+
+    val fwd = run("forward")
+    assert(fwd(100L) === Some(12.0)) // first quote ≥ 10:00:05
+    assert(fwd(101L) === Some(10.0)) // quote AT the trade ts counts forward too
+    assert(fwd(102L) === Some(10.0))
+    assert(fwd(200L) === None)       // nothing after 11:00
+
+    val near = run("nearest")
+    assert(near(100L) === Some(11.0)) // back dist 2s < fwd dist 5s
+    assert(near(101L) === Some(10.0)) // dist 0
+    assert(near(102L) === Some(10.0)) // only forward exists
+    assert(near(200L) === Some(20.0)) // only backward exists
+
+    // 30-minute tolerance (micros): 200's backward quote is 1h away → null
+    val tol = run("backward", Some(30L * 60 * 1000000))
+    assert(tol(100L) === Some(11.0))
+    assert(tol(200L) === None)
+
+    // nearest ties break backward
+    val tieTrades = Seq((9L, 900L, ts("2024-01-01 10:00:05"))).toDF("key", "trade_id", "t")
+    val tieQuotes = Seq(
+      (9L, ts("2024-01-01 10:00:00"), 1.0),
+      (9L, ts("2024-01-01 10:00:10"), 2.0)).toDF("qkey", "qt", "price")
+    val tie = graft.plans.AsOfJoinPlan.asOf(tieTrades, tieQuotes,
+        "key", "qkey", "t", "qt", direction = "nearest")
+      .select("trade_id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(tie(900L) === Some(1.0))
+  }
+
+  test("null keys/timestamps are handled inside the merge") {
+    val trades = Seq(
+      (Some(1L), 100L, Some(ts("2024-01-01 10:00:05"))),
+      (None, 101L, Some(ts("2024-01-01 10:00:00"))), // null key
+      (Some(1L), 102L, None)                          // null ts
+    ).toDF("key", "trade_id", "t")
+    val quotes = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 10.0),
+      (None, Some(ts("2024-01-01 09:00:00")), 66.0),  // null-key right row
+      (Some(1L), None, 77.0)                          // null-ts right row
+    ).toDF("qkey", "qt", "price")
+
+    val out = graft.plans.AsOfJoinPlan.asOf(trades, quotes,
+        "key", "qkey", "t", "qt")
+      .select("trade_id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(out(100L) === Some(10.0)) // normal match unaffected
+    assert(out(101L) === None)       // null key joins nothing, row survives
+    assert(out(102L) === None)       // null ts joins nothing, row survives
+  }
+
   // fixture-scale equivalence on the events table (purchases ← clicks):
   // the custom merge operator and the window composition agree row-for-row
   test("custom AsOfJoinExec matches the window form on fixture events") {
