@@ -29,6 +29,17 @@ case class MediaHeaderExpr(child: Expression)
   override def dataType: DataType = MediaHeaderExpr.Schema
   override def nullIntolerant: Boolean = true
 
+  // fail at ANALYSIS, not with an executor ClassCastException mid-job —
+  // same contract as DotF/BottomKLongs
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_media_header requires a BINARY column, got ${other.sql}")
+    }
+
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)

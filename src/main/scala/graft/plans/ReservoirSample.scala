@@ -38,6 +38,15 @@ case class ReservoirSample(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_reservoir requires a STRING column, got ${other.sql}")
+    }
+
   override def createAggregationBuffer(): Buffer = new Buffer(k)
 
   override def update(b: Buffer, input: InternalRow): Buffer = {

@@ -43,6 +43,16 @@ case class MinHashSig(child: Expression, nPerm: Int, seed: Long)
 
   private val Prime = 2147483647L
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) | ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_minhash requires ARRAY<STRING> shingles or ARRAY<BIGINT> " +
+            s"shingle hashes, got ${other.sql}")
+    }
+
   @transient private lazy val preHashed: Boolean = child.dataType match {
     case ArrayType(LongType, _) => true
     case _ => false
@@ -105,6 +115,15 @@ case class SimHash64(child: Expression)
 
   def compute(arr: ArrayData): Long =
     nullSafeEval(arr).asInstanceOf[java.lang.Long].longValue()
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_simhash requires an ARRAY<STRING> token column, got ${other.sql}")
+    }
 
   private val Bits = 63
 

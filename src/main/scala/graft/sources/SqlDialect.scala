@@ -79,19 +79,32 @@ object SqlDialect {
     ("""(?i)((?:[A-Za-z_][A-Za-z0-9_]*\s*)?'(?:[^']|'')*'""" +
       """|[A-Za-z_][A-Za-z0-9_\.]*|\([^()]*\))\s+at\s+time\s+zone\s+('(?:[^']|'')*')""").r
 
-  /** Rewrite PG `ts AT TIME ZONE 'Zone'` to `from_utc_timestamp(ts,
-    * 'Zone')` — the reading for the common case (a timestamptz valued
-    * column rendered in a zone; this engine keeps session time UTC, the
-    * reference's storage convention). The PG double meaning for naive
-    * timestamps (local → timestamptz) is NOT modeled; configs needing it
-    * should use explicit from/to_utc_timestamp.
+  /** Rewrite PG `ts AT TIME ZONE 'Zone'`, honoring PG's double meaning:
+    *
+    *  - `timestamptz` operand (typed `timestamptz '…'` literal, or any
+    *    identifier/parenthesized expression — the engine stores instants
+    *    UTC, the reference's convention): render the instant in the zone →
+    *    `from_utc_timestamp(ts, 'Zone')`.
+    *  - NAIVE operand (typed `timestamp '…'` literal): PG interprets the
+    *    wall-clock value as zone-local and yields the UTC instant — the
+    *    inverse direction → `to_utc_timestamp(ts, 'Zone')`.
+    *
+    * Naive-typed COLUMNS cannot be detected from the SQL text alone and
+    * keep the timestamptz reading; configs needing the naive-column form
+    * should call to_utc_timestamp explicitly.
     */
   def rewriteAtTimeZone(sql: String): String = {
     val s = sql
     atTimeZoneRe.replaceSomeIn(s, m =>
       if (inLiteral(s, m.start)) None
-      else Some(java.util.regex.Matcher.quoteReplacement(
-        s"FROM_UTC_TIMESTAMP(${m.group(1)}, ${m.group(2)})")))
+      else {
+        val operand = m.group(1)
+        val naiveLiteral =
+          "(?is)^timestamp\\s*'.*".r.matches(operand.trim)
+        val fn = if (naiveLiteral) "TO_UTC_TIMESTAMP" else "FROM_UTC_TIMESTAMP"
+        Some(java.util.regex.Matcher.quoteReplacement(
+          s"$fn($operand, ${m.group(2)})"))
+      })
   }
 
   /** Rewrite PG `string_agg(expr, delim [ORDER BY …])` to Spark 4's
@@ -274,14 +287,79 @@ object SqlDialect {
     val windowOrder =
       if (orderBy.isEmpty) keys
       else orderBy.trim.replaceFirst("(?is)^order\\s+by\\s+", "")
+    // The hoist moves FROM into a subquery, so a table alias (SELECT
+    // DISTINCT ON (t.id) t.id … FROM tbl t ORDER BY t.id — the common PG
+    // idiom) is out of scope in the OUTER select list / ORDER BY. For the
+    // single-table form, strip that alias's qualifier there (the inner
+    // window still sees it); multi-table statements with qualified outer
+    // references would silently mis-resolve, so reject those loudly.
+    val alias = singleTableAlias(body)
+    def stripAlias(fragment: String): String = alias match {
+      case Some(a) => mapOutsideStrings(fragment)(
+        _.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a)}\\.", ""))
+      case None => fragment
+    }
+    val qualifiedRe = """[A-Za-z_]\w*\.[A-Za-z_]""".r
+    if (alias.isEmpty &&
+        (qualifiedRe.findFirstIn(withoutLiterals(selectList)).isDefined ||
+         qualifiedRe.findFirstIn(withoutLiterals(orderBy)).isDefined))
+      throw new IllegalArgumentException(
+        "DISTINCT ON rewrite: qualified column references with a multi-table " +
+          "FROM are not supported — qualify-free the select list/ORDER BY or " +
+          "rewrite the statement as a row_number() window manually")
     // inner SELECT * keeps every base column visible, so the outer select
     // list AND an outer ORDER BY over non-projected columns (the common
     // PG latest-row-per-key idiom) both resolve
-    s"SELECT $selectList FROM (SELECT *, row_number() OVER " +
+    s"SELECT ${stripAlias(selectList)} FROM (SELECT *, row_number() OVER " +
       s"(PARTITION BY $keys ORDER BY $windowOrder) AS __rn ${body.trim}) " +
       s"WHERE __rn = 1" +
-      (if (orderBy.trim.nonEmpty) " " + orderBy.trim else "") +
+      (if (orderBy.trim.nonEmpty) " " + stripAlias(orderBy.trim) else "") +
       (if (limit.trim.nonEmpty) " " + limit.trim else "")
+  }
+
+  /** `s` with single-quoted literal contents blanked to spaces — for
+    * scans that must ignore literal text.
+    */
+  private def withoutLiterals(s: String): String = {
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inStr && c == '\'') { inStr = true; sb.append(' ') }
+      else if (inStr && c == '\'') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') { sb.append("  "); i += 1 }
+        else { inStr = false; sb.append(' ') }
+      }
+      else sb.append(if (inStr) ' ' else c)
+      i += 1
+    }
+    sb.toString()
+  }
+
+  /** The alias of a simple single-table `FROM tbl [AS] alias [WHERE …]`
+    * body — None for multi-table/JOIN bodies or when no alias is given.
+    */
+  private def singleTableAlias(body: String): Option[String] = {
+    val code = withoutLiterals(body)
+    if ("""(?is)\bjoin\b""".r.findFirstIn(code).isDefined) return None
+    // top-level comma ⇒ old-style multi-table FROM
+    var d = 0
+    var i = 0
+    while (i < code.length) {
+      code.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1
+        case ',' if d == 0 => return None
+        case _ =>
+      }
+      i += 1
+    }
+    """(?is)^\s*FROM\s+([A-Za-z_][\w\.]*)\s+(?:AS\s+)?([A-Za-z_]\w*)\b""".r
+      .findFirstMatchIn(body.trim)
+      .map(_.group(2))
+      .filterNot(a => Set("where", "group", "having", "order", "limit",
+        "window", "qualify").contains(a.toLowerCase))
   }
 
   /** Rewrite one `(...)::type` / `fn(...)::type` cast (balanced-paren scan;

@@ -110,20 +110,57 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT 'a ~* ''b''' AS note FROM t")
   }
 
-  test("AT TIME ZONE rewrites to from_utc_timestamp") {
+  test("AT TIME ZONE honors PG's double meaning by operand form") {
+    // identifier / parenthesized operand: timestamptz reading (instant →
+    // zone-local rendering)
     assert(SqlDialect.rewrite("SELECT created_at AT TIME ZONE 'America/New_York' FROM t") ===
       "SELECT FROM_UTC_TIMESTAMP(created_at, 'America/New_York') FROM t")
     assert(SqlDialect.rewrite("SELECT (ts) at time zone 'UTC' AS local FROM t") ===
       "SELECT FROM_UTC_TIMESTAMP((ts), 'UTC') AS local FROM t")
+    // NAIVE typed literal: PG interprets the wall clock as zone-local and
+    // yields the UTC instant — the inverse direction (ADVICE r2)
+    assert(SqlDialect.rewrite(
+      "SELECT timestamp '2024-06-01 12:00:00' AT TIME ZONE 'America/New_York' AS s") ===
+      "SELECT TO_UTC_TIMESTAMP(timestamp '2024-06-01 12:00:00', 'America/New_York') AS s")
+    // timestamptz typed literal keeps the rendering direction (the later
+    // timestamptz→TIMESTAMP literal pass rewrites the operand spelling)
+    assert(SqlDialect.rewrite(
+      "SELECT timestamptz '2024-06-01 12:00:00+00' AT TIME ZONE 'UTC' AS s").startsWith(
+      "SELECT FROM_UTC_TIMESTAMP(TIMESTAMP "))
     // inside a literal: untouched
     assert(SqlDialect.rewrite("SELECT 'x at time zone ''UTC''' AS s") ===
       "SELECT 'x at time zone ''UTC''' AS s")
-    // executes on Spark with the expected shift
     val spark = SparkTestSession.spark
-    val r = spark.sql(SqlDialect.rewrite(
+    // naive literal executes with PG semantics: noon NY-local = 16:00 UTC
+    val naive = spark.sql(SqlDialect.rewrite(
       "SELECT CAST(timestamp '2024-06-01 12:00:00' AT TIME ZONE 'America/New_York' AS STRING) AS s"))
       .collect()(0).getString(0)
-    assert(r === "2024-06-01 08:00:00") // UTC noon → 8am EDT
+    assert(naive === "2024-06-01 16:00:00")
+    // column operand executes with the rendering semantics: UTC noon → 8am EDT
+    spark.sql("SELECT timestamp '2024-06-01 12:00:00' AS created_at")
+      .createOrReplaceTempView("atz_t")
+    val rendered = spark.sql(SqlDialect.rewrite(
+      "SELECT CAST(created_at AT TIME ZONE 'America/New_York' AS STRING) AS s FROM atz_t"))
+      .collect()(0).getString(0)
+    assert(rendered === "2024-06-01 08:00:00")
+  }
+
+  test("DISTINCT ON strips a single-table alias from outer references") {
+    // the common PG idiom: alias-qualified keys/select/ORDER BY
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    Seq((1, "old", 10), (1, "new", 20), (2, "only", 5))
+      .toDF("id", "val", "updated_at").createOrReplaceTempView("don_alias_t")
+    val got = spark.sql(SqlDialect.rewrite(
+      "SELECT DISTINCT ON (t.id) t.id, t.val FROM don_alias_t t " +
+        "ORDER BY t.id, t.updated_at DESC"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got === Map(1 -> "new", 2 -> "only"))
+    // multi-table + qualified outer refs: rejected loudly, not mis-resolved
+    val e = intercept[IllegalArgumentException](SqlDialect.rewrite(
+      "SELECT DISTINCT ON (a.id) a.id, b.v FROM t1 a JOIN t2 b ON a.id = b.id " +
+        "ORDER BY a.id, b.v"))
+    assert(e.getMessage.contains("DISTINCT ON rewrite"))
   }
 
   test("string_agg rewrites to listagg / WITHIN GROUP") {
