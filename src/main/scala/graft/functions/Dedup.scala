@@ -234,14 +234,24 @@ object Dedup {
       case Some(maxDf) =>
         // stop-shingle prune: doc-frequency aggregate over the exploded
         // postings (narrow 8-byte keys), anti-join the hot set out (tiny
-        // by construction: ≤ Σdf/maxDf shingles — Spark broadcasts it),
-        // then per-doc PRUNED set sizes via a count window keyed by id
-        val sh0 = base.select(col("id"), explode(col("shs")).as("sh"))
+        // by construction: ≤ Σdf/maxDf shingles — Spark broadcasts it).
+        // Pruned per-doc sizes come from SUBTRACTION (full size minus the
+        // doc's hot-shingle count) rather than a re-count window: the
+        // usual no-hot-shingles case then costs only the df aggregate —
+        // AQE sees the empty hot side and collapses both joins (the
+        // anti-join to a pass-through, the hot-count join to empty)
+        // instead of paying a full shuffle-by-id sort.
+        val sh0 = base.select(col("id"), size(col("shs")).as("sz_full"),
+          explode(col("shs")).as("sh"))
         val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") > maxDf).select("sh")
-        val pruned = sh0.join(hot, Seq("sh"), "left_anti")
-        pruned.withColumn("sz", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("id")))
+        val hotPerDoc = sh0.join(hot, Seq("sh"))
+          .groupBy("id").agg(count(lit(1)).as("__nhot"))
+        sh0.join(hot, Seq("sh"), "left_anti")
+          .join(hotPerDoc, Seq("id"), "left")
+          .select(col("id"),
+            (col("sz_full") - coalesce(col("__nhot"), lit(0L))).as("sz"),
+            col("sh"))
       case None =>
         base.select(col("id"), size(col("shs")).as("sz"),
           explode(col("shs")).as("sh"))

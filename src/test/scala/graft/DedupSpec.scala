@@ -95,6 +95,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
   }
 
+  test("ngram jaccard hot-shingle cap prunes boilerplate from both sides") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "common prefix here alpha beta gamma"),
+      (2L, "common prefix here delta epsilon zeta"),
+      (3L, "common prefix here alpha beta gamma")
+    ).toDF("doc_id", "text")
+    // "common prefix here" appears in all 3 docs; cap at 2 prunes it —
+    // from intersection AND union (sizes shrink by one on both sides)
+    val capped = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        k = 3, threshold = 0.1, maxDocFreq = Some(2))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(capped((1L, 3L)) === 1.0) // pruned sets identical: 3/3
+    assert(!capped.contains((1L, 2L))) // only the boilerplate was shared
+    // uncapped: the boilerplate shingle links docs 1 and 2 at 1/7
+    val uncapped = Dedup.ngramJaccardPairs(d, "text", "doc_id",
+        k = 3, threshold = 0.1, maxDocFreq = None)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(uncapped((1L, 2L)) - 1.0 / 7.0) < 1e-12)
+    assert(uncapped((1L, 3L)) === 1.0)
+  }
+
   test("minhash LSH finds near-dups and exact dups, verified by exact jaccard") {
     val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
       k = 3, nPerm = 64, bands = 16, threshold = 0.4)
