@@ -167,7 +167,27 @@ object Main {
     (opts, flags)
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(args: Array[String]): Unit =
+    sys.exit(run(args, System.err))
+
+  /** CLI body with the SDK's error contract: any config/validation/run
+    * failure emits ONE structured CRITICAL line on stderr and exits
+    * non-zero (singer_sdk logs CRITICAL through Python logging on stderr;
+    * orchestrators like Meltano key off it), instead of a bare stack
+    * trace. Stdout stays reserved for Singer messages.
+    */
+  private[graft] def run(args: Array[String], err: PrintStream): Int =
+    try { body(args); 0 }
+    catch {
+      case e: Throwable =>
+        def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+        err.println(s"""{"level":"CRITICAL","logger":"graft","message":${q(
+          Option(e.getMessage).getOrElse(e.toString))}}""")
+        1
+    }
+
+  private def body(args: Array[String]): Unit = {
     val (opts, flags) = parseArgs(args)
 
     if (flags("--version")) { println("graft 0.1.0"); return }

@@ -110,6 +110,28 @@ object Dedup {
         }: _*)), 1)
   }
 
+  /** Choose (bands, rowsPerBand) for an `nPerm`-permutation signature so
+    * the LSH S-curve threshold lands nearest the target Jaccard threshold.
+    *
+    * With b bands of r rows (b·r = nPerm), a pair with Jaccard s becomes a
+    * candidate with probability 1 − (1 − s^r)^b — an S-curve whose
+    * inflection sits at ≈ (1/b)^(1/r). More bands (smaller r) pushes the
+    * threshold DOWN: higher recall below the target but more false
+    * candidates to verify; fewer bands (larger r) pushes it UP: cheaper
+    * verification, more misses near the threshold. Picking the divisor
+    * pair whose inflection is closest to the requested threshold is the
+    * standard tuning (Mining of Massive Datasets §3.4.3); exact Jaccard
+    * verification downstream then removes the false positives, so the
+    * choice trades recall against candidate-verify cost only.
+    */
+  def lshParams(nPerm: Int, threshold: Double): (Int, Int) = {
+    require(nPerm >= 2, s"nPerm must be >= 2, got $nPerm")
+    val candidates = (2 to nPerm).filter(nPerm % _ == 0).map(b => (b, nPerm / b))
+    candidates.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - threshold)
+    }
+  }
+
   /** LSH band keys: the signature split into `bands` bands of
     * `nPerm/bands` rows, each hashed with its band index. Equal band key →
     * candidate pair. With nPerm=64, bands=16 (r=4), the S-curve threshold
@@ -135,11 +157,16 @@ object Dedup {
     *      on id) and compute exact Jaccard; filter ≥ threshold.
     * Hot buckets (boilerplate docs) are capped at `maxBucket` ids to bound
     * the quadratic pair blowup — the standard guardrail for skew.
+    *
+    * `bands = 0` (the default) derives the band count from the Jaccard
+    * `threshold` via [[lshParams]], so callers state intent (the
+    * similarity cutoff) and the S-curve is tuned for them.
     */
   def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
-                      k: Int = 3, nPerm: Int = 64, bands: Int = 16,
+                      k: Int = 3, nPerm: Int = 64, bands: Int = 0,
                       threshold: Double = 0.5, seed: Long = 42L,
                       maxBucket: Int = 1000): DataFrame = {
+    val nBands = if (bands > 0) bands else lshParams(nPerm, threshold)._1
     // shingle HASHES (array<long>), not strings: signatures are identical
     // (MinHashSig hashes strings to exactly these values first) and the
     // verify join shuffles 8-byte elements instead of shingle text
@@ -149,7 +176,7 @@ object Dedup {
       minhashSignature(col("sh"), nPerm, seed).as("sig"))
 
     val banded = sigs.select(col("id"),
-      explode(lshBandKeys(col("sig"), nPerm, bands)).as("band"))
+      explode(lshBandKeys(col("sig"), nPerm, nBands)).as("band"))
     // bounded bottom-k aggregate caps bucket membership (k smallest ids —
     // identical to the row_number-window cap) in ONE aggregation with O(k)
     // buffers: no extra sort stage, and a pathological hot bucket never

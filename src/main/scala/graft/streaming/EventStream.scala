@@ -175,6 +175,91 @@ object EventStream {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String,
+                               ts: java.sql.Timestamp)
+  final case class FunnelState(tSignup: Option[Long], tView: Option[Long],
+                               tBuy: Option[Long])
+  final case class FunnelOut(user_id: Long,
+                             t_signup: Option[java.sql.Timestamp],
+                             t_view: Option[java.sql.Timestamp],
+                             t_buy: Option[java.sql.Timestamp],
+                             reached_view: Boolean, reached_buy: Boolean)
+
+  /** Streaming funnel: per-user O(1) state (first signup → first view after
+    * it → first purchase after that) via mapGroupsWithState — the
+    * continuous counterpart of the batch `events_funnel` query. Within a
+    * batch, events are processed in event-time order, so on in-order input
+    * the emitted rows equal the batch aggregation exactly (asserted in
+    * StreamingSpec); under out-of-order arrival across batches the state
+    * machine is first-write-wins per stage, the standard streaming funnel
+    * approximation.
+    */
+  def funnel(events: Dataset[FunnelEvent]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, evts: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          evts.toArray.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "signup" if s.tSignup.isEmpty =>
+                s = s.copy(tSignup = Some(t))
+              case "view" if s.tView.isEmpty && s.tSignup.exists(t > _) =>
+                s = s.copy(tView = Some(t))
+              case "purchase" if s.tBuy.isEmpty && s.tView.exists(t > _) =>
+                s = s.copy(tBuy = Some(t))
+              case _ =>
+            }
+          }
+          state.update(s)
+          FunnelOut(user,
+            s.tSignup.map(new java.sql.Timestamp(_)),
+            s.tView.map(new java.sql.Timestamp(_)),
+            s.tBuy.map(new java.sql.Timestamp(_)),
+            s.tSignup.isDefined && s.tView.isDefined,
+            s.tView.isDefined && s.tBuy.isDefined)
+      }
+  }
+
+  final case class RetentionEvent(user_id: Long, event_type: String,
+                                  day: java.sql.Date)
+  final case class RetentionState(signupDay: Option[Long], d1: Boolean,
+                                  d7: Boolean)
+  final case class RetentionOut(user_id: Long, signup_day: java.sql.Date,
+                                d1: Boolean, d7: Boolean)
+
+  /** Streaming D1/D7 retention flags per user — continuous counterpart of
+    * the batch `events_retention` user stage (the cohort rollup on top is
+    * stateless). State per user is three scalars, NOT the batch form's
+    * collect_set(days): arriving activity only needs to test its day
+    * against signup+1 / signup+7, which is what makes per-user retention
+    * state bounded on an unbounded stream.
+    */
+  def retentionFlags(events: Dataset[RetentionEvent]): Dataset[RetentionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, evts: Iterator[RetentionEvent],
+         state: GroupState[RetentionState]) =>
+          var s = state.getOption.getOrElse(RetentionState(None, false, false))
+          evts.toArray.sortBy(_.day.getTime).foreach { e =>
+            val d = e.day.toLocalDate.toEpochDay
+            if (s.signupDay.isEmpty && e.event_type == "signup")
+              s = s.copy(signupDay = Some(d))
+            s.signupDay.foreach { sd =>
+              if (d == sd + 1) s = s.copy(d1 = true)
+              if (d == sd + 7) s = s.copy(d7 = true)
+            }
+          }
+          state.update(s)
+          s.signupDay.map(sd => RetentionOut(user,
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(sd)),
+            s.d1, s.d7)).iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the (static) fixture
     * files via the memory sink; returns the result table name.
     */

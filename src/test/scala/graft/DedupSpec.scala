@@ -117,6 +117,22 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped((1L, 3L)) === 1.0)
   }
 
+  test("adaptive LSH parameters track the target threshold") {
+    assert(Dedup.lshParams(64, 0.5) === ((16, 4))) // (1/16)^(1/4) = 0.5 exactly
+    assert(Dedup.lshParams(64, 0.8) === ((8, 8)))  // inflection 0.77, nearest
+    val (bLo, _) = Dedup.lshParams(64, 0.2)
+    assert(bLo > 16) // lower threshold → more bands (recall over cost)
+    // bands = 0 auto mode derives (16, 4) at threshold 0.5 → identical
+    // candidates to the explicit setting
+    val auto = Dedup.minhashDupPairs(docs, "text", "doc_id",
+        k = 3, nPerm = 64, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicit = Dedup.minhashDupPairs(docs, "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === explicit)
+  }
+
   test("minhash LSH finds near-dups and exact dups, verified by exact jaccard") {
     val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
       k = 3, nPerm = 64, bands = 16, threshold = 0.4)

@@ -43,6 +43,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streaming funnel matches the batch events_funnel query") {
+    val streamed = EventStream.funnel(
+      EventStream.readEvents(spark, SparkTestSession.Sf)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts"))
+        .as[EventStream.FunnelEvent])
+    EventStream.runToMemory(streamed.toDF(), "funnel_out", OutputMode.Update())
+    val got = spark.table("funnel_out")
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean, Boolean)].collect().toSet
+
+    val batch = SparkEntry.queries("events_funnel")(spark, SparkTestSession.Sf)
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean, Boolean)].collect().toSet
+    assert(got === batch)
+  }
+
+  test("streaming retention flags match the batch per-user retention stage") {
+    val streamed = EventStream.retentionFlags(
+      EventStream.readEvents(spark, SparkTestSession.Sf)
+        .select(col("user_id"), col("event_type"),
+          to_date(col("ts")).as("day"))
+        .as[EventStream.RetentionEvent])
+    EventStream.runToMemory(streamed.toDF(), "retention_out", OutputMode.Update())
+    val got = spark.table("retention_out")
+      .as[(Long, java.sql.Date, Boolean, Boolean)].collect().toSet
+
+    // the batch query's per-user stage (its cohort rollup is stateless)
+    val batch = Tables.read(spark, SparkTestSession.Sf, "events")
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("day"))).as("signup_day"),
+        collect_set(col("day")).as("days"))
+      .where(col("signup_day").isNotNull)
+      .select(col("user_id"), col("signup_day"),
+        array_contains(col("days"), date_add(col("signup_day"), 1)).as("d1"),
+        array_contains(col("days"), date_add(col("signup_day"), 7)).as("d7"))
+      .as[(Long, java.sql.Date, Boolean, Boolean)].collect().toSet
+    assert(got.nonEmpty && got === batch)
+  }
+
   test("streaming dedup-within-watermark removes duplicate event keys") {
     // events keyed by (user_id, event_type) — duplicates within the
     // watermark horizon collapse to one row each

@@ -185,6 +185,23 @@ class TapSpec extends AnyFunSuite {
     ConfigParser.validate(ConfigParser.parseTap(cfgJson))
   }
 
+  // SDK error contract: failures become ONE structured CRITICAL line on
+  // stderr + non-zero exit, never a bare stack trace (stdout stays
+  // reserved for Singer messages).
+  test("CLI failures surface as one structured CRITICAL line on stderr") {
+    val cfg = Files.createTempDirectory("tap-bad").resolve("cfg.json")
+    Files.writeString(cfg,
+      """{"streams":[{"name":"x","sql":" ","columns":[{"name":"v","type":"int"}]}]}""")
+    val errBuf = new ByteArrayOutputStream()
+    val code = Main.run(Array("--config", cfg.toString, "--discover"),
+      new PrintStream(errBuf, true, "UTF-8"))
+    assert(code === 1)
+    val line = errBuf.toString("UTF-8").trim
+    assert(line.startsWith("""{"level":"CRITICAL","logger":"graft""""))
+    assert(line.contains("empty sql"))
+    assert(!line.contains("\n"))
+  }
+
   test("catalog and about output") {
     val tap = ConfigParser.parseTap(cfgJson)
     val cat = Tap.catalogJson(tap)
