@@ -337,6 +337,24 @@ object SqlQueries {
           col("click_s").as("next_click_s"))
     }),
 
+    // Nearest variant: the click closest in time on either side (ties →
+    // backward), per purchase.
+    "q_asof_nearest" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          date_trunc("second", col("ts")).as("click_s"))
+      graft.plans.AsOfJoinPlan.asOf(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user",
+          leftTime = "ts_s", rightTime = "click_s",
+          direction = "nearest")
+        .select(col("user_id"), col("event_id"),
+          col("click_s").as("near_click_s"))
+    }),
+
     // Tolerance variant: latest click at-or-before each purchase but no
     // older than 1 hour (tolerance in native ts units — micros).
     "q_asof_tolerance" -> ((spark, dir) => {
@@ -804,6 +822,22 @@ object SqlQueries {
         |        WHERE r.c_user = l.user_id AND r.click_s >= l.ts_s) AS TIMESTAMP)
         |    AS next_click_s
         |FROM l""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH l AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
+        |      FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id AS c_user, date_trunc('second', ts) AS click_s
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (SELECT l.user_id, l.event_id, l.ts_s,
+        |  (SELECT max(r.click_s) FROM r
+        |   WHERE r.c_user = l.user_id AND r.click_s <= l.ts_s) AS b,
+        |  (SELECT min(r.click_s) FROM r
+        |   WHERE r.c_user = l.user_id AND r.click_s >= l.ts_s) AS f
+        |  FROM l)
+        |SELECT user_id, event_id,
+        |  CAST(CASE WHEN b IS NULL THEN f WHEN f IS NULL THEN b
+        |    WHEN (epoch(ts_s) - epoch(b)) <= (epoch(f) - epoch(ts_s)) THEN b
+        |    ELSE f END AS TIMESTAMP) AS near_click_s
+        |FROM m""".stripMargin,
     "q_asof_tolerance" ->
       """WITH l AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
         |      FROM events WHERE event_type = 'purchase'),

@@ -11,6 +11,47 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  // Catalog.ensureBucketed: pay the layout shuffle once at registration,
+  // then EVERY downstream query keyed on the bucket columns — the custom
+  // as-of operator AND a plain aggregation — reads bucket-aligned with no
+  // exchange. Registration is idempotent across pipeline runs.
+  test("catalog-registered bucketed tables serve repeated queries shuffle-free") {
+    val ev = Tables.read(spark, SparkTestSession.Sf, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+    try {
+      Catalog.ensureBucketed(
+        ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts"),
+        "cat_purchases", 4, Seq("user_id"), Seq("user_id", "ts"))
+      Catalog.ensureBucketed(
+        ev.filter(col("event_type") === "click")
+          .selectExpr("user_id AS c_user", "ts AS c_ts"),
+        "cat_clicks", 4, Seq("c_user"), Seq("c_user", "c_ts"))
+      val before = spark.table("cat_purchases").count()
+      // idempotent: re-registering (even with different data) is a no-op
+      Catalog.ensureBucketed(ev.limit(0).select("user_id", "event_id", "ts"),
+        "cat_purchases", 4, Seq("user_id"))
+      assert(spark.table("cat_purchases").count() === before)
+
+      val asof = graft.plans.AsOfJoinPlan.asOf(
+        spark.table("cat_purchases"), spark.table("cat_clicks"),
+        "user_id", "c_user", "ts", "c_ts")
+      asof.write.format("noop").mode("overwrite").save()
+      assert(!asof.queryExecution.executedPlan.toString.contains("Exchange"),
+        "bucketed as-of must not shuffle")
+
+      val agg = spark.table("cat_purchases").groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      assert(!agg.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning(user_id"),
+        "bucketed aggregation must not re-shuffle its input")
+      assert(agg.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cat_purchases")
+      spark.sql("DROP TABLE IF EXISTS cat_clicks")
+    }
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     // default warehouse dir (static conf); managed tables dropped below
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
