@@ -260,6 +260,50 @@ object EventStream {
       }
   }
 
+  final case class AsOfIn(key: Long, ts: java.sql.Timestamp, side: Int,
+                          payload: Option[java.sql.Timestamp])
+  final case class AsOfCarry(lastTs: Option[Long],
+                             lastPayload: Option[java.sql.Timestamp])
+  final case class AsOfOut(key: Long, ts: java.sql.Timestamp,
+                           asof_payload: Option[java.sql.Timestamp])
+
+  /** Streaming as-of join: both sides tagged and unioned into one keyed
+    * stream (`side` 0 = right/state side, 1 = left/event side — the same
+    * shape as the batch window composition in
+    * [[graft.operators.AsOfJoin]]), with flatMapGroupsWithState carrying
+    * ONE (ts, payload) pair per key: the latest right row seen. Left rows
+    * emit on arrival valued from the carry — a continuous point-in-time
+    * lookup with O(1) state per key.
+    *
+    * Within a batch, rows are processed in (event-time, side) order —
+    * right-before-left at equal ts gives ASOF's ≤ rule — so on in-order
+    * input the output equals [[graft.plans.AsOfJoinPlan.asOf]] exactly
+    * (StreamingSpec); across batches a late right row does not rewrite
+    * already-emitted left rows (the standard streaming approximation —
+    * bound it with a watermark upstream).
+    */
+  def streamingAsOf(events: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfCarry, AsOfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[AsOfIn], state: GroupState[AsOfCarry]) =>
+          var s = state.getOption.getOrElse(AsOfCarry(None, None))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfOut]
+          it.toArray.sortBy(e => (e.ts.getTime, e.side)).foreach { e =>
+            if (e.side == 0) {
+              if (s.lastTs.forall(_ <= e.ts.getTime))
+                s = AsOfCarry(Some(e.ts.getTime), e.payload)
+            } else {
+              out += AsOfOut(k, e.ts,
+                if (s.lastTs.isDefined) s.lastPayload else None)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the (static) fixture
     * files via the memory sink; returns the result table name.
     */

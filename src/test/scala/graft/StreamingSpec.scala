@@ -84,6 +84,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === batch)
   }
 
+  test("streaming as-of join matches the custom batch operator") {
+    // purchases (left) pick up the latest click ts at-or-before them
+    val streamed = EventStream.streamingAsOf(
+      EventStream.readEvents(spark, SparkTestSession.Sf)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("user_id").as("key"),
+          date_trunc("second", col("ts")).as("ts"),
+          when(col("event_type") === "click", lit(0)).otherwise(lit(1)).as("side"),
+          when(col("event_type") === "click",
+            date_trunc("second", col("ts"))).as("payload"))
+        .as[EventStream.AsOfIn])
+    EventStream.runToMemory(streamed.toDF(), "asof_out", OutputMode.Append())
+    val got = spark.table("asof_out")
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).toSet).toMap
+
+    val ev = Tables.read(spark, SparkTestSession.Sf, "events")
+    val batch = graft.plans.AsOfJoinPlan.asOf(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"),
+            date_trunc("second", col("ts")).as("click_s")),
+        "user_id", "c_user", "ts_s", "click_s")
+      .select("user_id", "ts_s", "click_s")
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .collect().groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).toSet).toMap
+    assert(got.nonEmpty && got === batch)
+  }
+
   test("streaming dedup-within-watermark removes duplicate event keys") {
     // events keyed by (user_id, event_type) — duplicates within the
     // watermark horizon collapse to one row each
