@@ -210,24 +210,38 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Default stop-shingle doc-frequency cap, ACTIVE by default in
-    * [[ngramJaccardPairs]]. An absolute (not corpus-relative) cap is the
-    * right guardrail for the self-join: each shingle with doc frequency df
-    * contributes df² candidate pairs, so capping df at D bounds total
-    * pairs by D · Σdf — linear in corpus size — whereas one boilerplate
-    * shingle shared by 10⁶ docs would alone create 10¹² pairs. 10k keeps
-    * posting lists comfortably joinable on any executor while only ever
-    * pruning boilerplate (a shingle in >10k docs carries no dedup signal).
+  /** Stop-shingle doc-frequency cap bounds, ACTIVE by default in
+    * [[ngramJaccardPairs]] via the corpus-derived formula
+    * `clamp(ceil(0.5% · nDocs), 100, 10000)`:
+    *
+    *  - each shingle with doc frequency df contributes df² candidate
+    *    pairs, so capping df at D bounds total pairs by D · Σdf — linear
+    *    in corpus size. The absolute ceiling (10k) keeps posting lists
+    *    joinable on any executor no matter how large the corpus;
+    *  - the 0.5%-of-corpus term catches the small-vocabulary regime the
+    *    ceiling misses: measured on the synthetic fixtures scaled 10×
+    *    (SCALING.md), every trigram's df grew ~10× under a fixed cap and
+    *    the self-join went ~100× (53× wall clock) — corpus-relative
+    *    pruning restores linear scaling, and a shingle in >0.5% of a
+    *    large corpus carries no dedup signal anyway;
+    *  - the floor (100) keeps tiny/test corpora un-pruned.
     */
-  val DefaultMaxDocFreq = 10000
+  val MaxDocFreqCeiling = 10000
+  val MinDocFreqFloor = 100
+  val HotShingleFraction = 0.005
+
+  /** Sentinel `maxDocFreq` value: derive the cap from corpus size. */
+  val AutoMaxDocFreq = 0
 
   /** Exact n-gram Jaccard similarity pairs via explode-join — the exact
     * (no-false-negative) near-dup path, O(sum of posting-list²) in shared
-    * shingles. Shingles with doc frequency above `maxDocFreq`
-    * ([[DefaultMaxDocFreq]] unless overridden) are removed from every
-    * document's set — from both intersection AND union, i.e. as if the
-    * boilerplate never existed — before the self-join. Pass `None` to
-    * disable (full-set semantics; only safe at oracle scales).
+    * shingles. Shingles with doc frequency above the cap are removed from
+    * every document's set — from both intersection AND union, i.e. as if
+    * the boilerplate never existed — before the self-join.
+    * `maxDocFreq`: `Some(AutoMaxDocFreq)` (default) derives the cap from
+    * corpus size (see [[HotShingleFraction]]); `Some(n)` uses an explicit
+    * cap; `None` disables pruning (full-set semantics; only safe at
+    * oracle scales).
     */
   /** Rebalance a narrow-source projection to the session's shuffle
     * parallelism: a single-file parquet scan otherwise leaves per-row
@@ -246,7 +260,7 @@ object Dedup {
 
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.5,
-                        maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)
+                        maxDocFreq: Option[Int] = Some(AutoMaxDocFreq)
                        ): DataFrame = {
     // explode 64-bit shingle hashes, not strings: the self-join shuffle
     // then carries (8-byte key, id) rows; collision odds over N distinct
@@ -270,8 +284,19 @@ object Dedup {
         // instead of paying a full shuffle-by-id sort.
         val sh0 = base.select(col("id"), size(col("shs")).as("sz_full"),
           explode(col("shs")).as("sh"))
-        val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-          .where(col("df") > maxDf).select("sh")
+        // AutoMaxDocFreq: cap = clamp(ceil(0.5% · nDocs), floor, ceiling),
+        // computed from a one-row count aggregate (no collect)
+        val capCol =
+          if (maxDf == AutoMaxDocFreq)
+            least(lit(MaxDocFreqCeiling.toLong),
+              greatest(lit(MinDocFreqFloor.toLong),
+                ceil(col("__n") * HotShingleFraction)))
+          else lit(maxDf.toLong)
+        val dfCounts = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        val hot = (if (maxDf == AutoMaxDocFreq)
+          dfCounts.crossJoin(base.select(count(lit(1)).as("__n")))
+        else dfCounts.withColumn("__n", lit(0L)))
+          .where(col("df") > capCol).select("sh")
         val hotPerDoc = sh0.join(hot, Seq("sh"))
           .groupBy("id").agg(count(lit(1)).as("__nhot"))
         sh0.join(hot, Seq("sh"), "left_anti")

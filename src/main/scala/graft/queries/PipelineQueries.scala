@@ -378,8 +378,9 @@ object PipelineQueries {
       """SELECT doc_id, lang, source FROM documents WHERE doc_id IN (
         |SELECT MIN(doc_id) FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))""".stripMargin,
-    // mirrors ngramJaccardPairs' default stop-shingle prune (df cap
-    // Dedup.DefaultMaxDocFreq, pruned from both intersection and union)
+    // mirrors ngramJaccardPairs' default corpus-derived stop-shingle cap
+    // (clamp(ceil(fraction·nDocs), floor, ceiling); pruned from both
+    // intersection and union)
     "dedup_ngram_jaccard" -> s"""
         |WITH toks AS (SELECT doc_id,
         |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
@@ -389,7 +390,10 @@ object PipelineQueries {
         |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
         |ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
         |hot AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM ex0 GROUP BY g) h
-        |  WHERE df > ${graft.functions.Dedup.DefaultMaxDocFreq}),
+        |  WHERE df > least(${graft.functions.Dedup.MaxDocFreqCeiling},
+        |    greatest(${graft.functions.Dedup.MinDocFreqFloor},
+        |      ceil(${graft.functions.Dedup.HotShingleFraction} *
+        |        (SELECT COUNT(*) FROM documents))))),
         |ex AS (SELECT doc_id, g FROM ex0 WHERE g NOT IN (SELECT g FROM hot)),
         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
         |co AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n

@@ -164,8 +164,9 @@ class DedupSpec extends AnyFunSuite {
       df.select("id_a", "id_b", "jaccard")
         .collect().map(r => (r.getLong(0), r.getLong(1),
           math.rint(r.getDouble(2) * 1e12))).toSet
-    val naive = normalize(
-      Dedup.ngramJaccardPairs(docs500, "text", "doc_id", k = 3, threshold = 0.5))
+    val naive = normalize( // cap off: comparing the two EXACT algorithms
+      Dedup.ngramJaccardPairs(docs500, "text", "doc_id", k = 3,
+        threshold = 0.5, maxDocFreq = None))
     val prefix = normalize(
       Dedup.ngramJaccardPairsPrefix(docs500, "text", "doc_id", k = 3, threshold = 0.5))
     assert(naive.nonEmpty)
