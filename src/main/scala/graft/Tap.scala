@@ -192,10 +192,14 @@ object Main {
 
     if (flags("--version")) { println("graft 0.1.0"); return }
     val cfgPath = opts.getOrElse("--config",
-      sys.error("usage: graft.Main --config <cfg.json> [--discover|--about] " +
+      sys.error("usage: graft.Main --config <cfg.json|ENV> [--discover|--about] " +
         "[--state <state.json>] [--catalog <catalog.json>]"))
-    val tap = ConfigParser.parseTap(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(cfgPath)))
+    // --config=ENV: settings from TAP_RAWPOSTGRESQL_* environment
+    // variables (reference README.md:46-50)
+    val tap =
+      if (cfgPath == "ENV") ConfigParser.fromEnv(sys.env)
+      else ConfigParser.parseTap(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(cfgPath)))
 
     if (flags("--about")) { println(Tap.aboutJson); return }
     ConfigParser.validate(tap)

@@ -179,6 +179,29 @@ object ConfigParser {
   def parseStream(json: String): StreamConfig =
     parseStreamNode(mapper.readTree(json), "postgres", StreamConfig.DefaultBatchSize)
 
+  /** `--config=ENV`: build the tap config from `TAP_RAWPOSTGRESQL_<KEY>`
+    * environment variables (reference README.md:46-50 — the singer_sdk
+    * env-var config convention). JSON-valued settings (`streams`,
+    * `batch_config`, `stream_maps`, `stream_map_config`) parse their
+    * value as JSON; scalar settings are taken as text (Jackson coerces
+    * numerics/booleans where the schema expects them).
+    */
+  val EnvPrefix = "TAP_RAWPOSTGRESQL_"
+  private val EnvJsonKeys =
+    Set("streams", "batch_config", "stream_maps", "stream_map_config")
+
+  def fromEnv(env: Map[String, String]): TapConfig = {
+    val entries = env.collect { case (k, v) if k.startsWith(EnvPrefix) =>
+      k.stripPrefix(EnvPrefix).toLowerCase -> v
+    }
+    val json = entries.map { case (k, v) =>
+      val value =
+        if (EnvJsonKeys(k)) v else mapper.writeValueAsString(v)
+      mapper.writeValueAsString(k) + ":" + value
+    }.mkString("{", ",", "}")
+    parseTap(json)
+  }
+
   private def parseStreamNode(n: JsonNode, database: String, defaultBatch: Int): StreamConfig =
     StreamConfig(
       name = str(n, "name").getOrElse(fail("stream missing 'name'")),

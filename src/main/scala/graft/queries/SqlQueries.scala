@@ -638,6 +638,53 @@ object SqlQueries {
           |                    AND o2.o_orderpriority = '1-URGENT')""".stripMargin)
     }),
 
+    // LIMIT/OFFSET pagination (PG's canonical keyset-less paging) through
+    // the SQL-text path: deterministic total order, second page of 10.
+    "q_offset" -> ((spark, dir) => {
+      Tables.register(spark, dir)
+      spark.sql(
+        """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+          |FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 10 OFFSET 10""".stripMargin)
+    }),
+
+    // LATERAL correlated subquery (PG's LATERAL, a per-row dependent
+    // join): each urgent high-value order pulls its top-2 lineitems by
+    // price. Spark plans this as a LateralJoin with the correlated
+    // order/limit pushed into the inner side.
+    "q_lateral" -> ((spark, dir) => {
+      Tables.register(spark, dir)
+      spark.sql(
+        """SELECT o.o_orderkey, l.l_linenumber,
+          |CAST(l.l_extendedprice AS DOUBLE) AS price
+          |FROM orders o,
+          |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem
+          |         WHERE l_orderkey = o.o_orderkey
+          |         ORDER BY l_extendedprice DESC, l_linenumber
+          |         LIMIT 2) l
+          |WHERE o.o_orderpriority = '1-URGENT'
+          |  AND o.o_totalprice > 400000""".stripMargin)
+    }),
+
+    // Recursive CTE (PG WITH RECURSIVE; Spark 4 UnionLoop): a generated
+    // month spine LEFT-joined to order counts — the recursion produces
+    // rows no base table contains.
+    "q_recursive_cte" -> ((spark, dir) => {
+      Tables.register(spark, dir)
+      spark.sql(
+        """WITH RECURSIVE months(mstart) AS (
+          |  SELECT DATE '1992-01-01'
+          |  UNION ALL
+          |  SELECT mstart + INTERVAL '1' MONTH FROM months
+          |  WHERE mstart < DATE '1992-12-01')
+          |SELECT mstart, COUNT(o_orderkey) AS n_orders
+          |FROM months LEFT JOIN orders
+          |  ON o_orderdate >= mstart
+          | AND o_orderdate < mstart + INTERVAL '1' MONTH
+          |GROUP BY mstart""".stripMargin)
+    }),
+
     // Explicit GROUPING SETS with grouping() flags via SQL text.
     "q_grouping_sets" -> ((spark, dir) => {
       Tables.register(spark, dir)
@@ -822,6 +869,32 @@ object SqlQueries {
         |        WHERE r.c_user = l.user_id AND r.click_s >= l.ts_s) AS TIMESTAMP)
         |    AS next_click_s
         |FROM l""".stripMargin,
+    "q_offset" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 10""".stripMargin,
+    "q_lateral" ->
+      """SELECT o.o_orderkey, l.l_linenumber,
+        |CAST(l.l_extendedprice AS DOUBLE) AS price
+        |FROM orders o,
+        |LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem
+        |         WHERE l_orderkey = o.o_orderkey
+        |         ORDER BY l_extendedprice DESC, l_linenumber
+        |         LIMIT 2) l
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |  AND o.o_totalprice > 400000""".stripMargin,
+    "q_recursive_cte" ->
+      """WITH RECURSIVE months(mstart) AS (
+        |  SELECT DATE '1992-01-01'
+        |  UNION ALL
+        |  SELECT mstart + INTERVAL 1 MONTH FROM months
+        |  WHERE mstart < DATE '1992-12-01')
+        |SELECT mstart, COUNT(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON o_orderdate >= mstart
+        | AND o_orderdate < mstart + INTERVAL 1 MONTH
+        |GROUP BY mstart""".stripMargin,
     "q_asof_nearest" ->
       """WITH l AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
         |      FROM events WHERE event_type = 'purchase'),

@@ -185,6 +185,24 @@ class TapSpec extends AnyFunSuite {
     ConfigParser.validate(ConfigParser.parseTap(cfgJson))
   }
 
+  // --config=ENV (reference README.md:46-50): settings from
+  // TAP_RAWPOSTGRESQL_* env vars; JSON-valued settings parse as JSON.
+  test("config from environment variables") {
+    val tap = ConfigParser.fromEnv(Map(
+      "TAP_RAWPOSTGRESQL_DATABASE" -> "envdb",
+      "TAP_RAWPOSTGRESQL_PORT" -> "5433",
+      "TAP_RAWPOSTGRESQL_USER" -> "u1",
+      "TAP_RAWPOSTGRESQL_STREAMS" ->
+        """[{"name":"s","sql":"SELECT 1 AS v","key_properties":["v"],
+          |  "columns":[{"name":"v","type":"int"}]}]""".stripMargin,
+      "UNRELATED_VAR" -> "ignored"))
+    assert(tap.database === "envdb")
+    assert(tap.port === 5433)
+    assert(tap.user === "u1")
+    assert(tap.streams.map(_.streamId) === Seq("envdb-public-s"))
+    ConfigParser.validate(tap)
+  }
+
   // SDK error contract: failures become ONE structured CRITICAL line on
   // stderr + non-zero exit, never a bare stack trace (stdout stays
   // reserved for Singer messages).
