@@ -148,8 +148,15 @@ object ConfigParser {
     */
   private def parseStreamMaps(n: JsonNode, smc: Map[String, String])
       : (Map[String, graft.operators.StreamMap], Set[String]) = {
+    // token-boundary substitution: `config.p` must not eat into
+    // `config.pre` (plain String.replace would, nondeterministically with
+    // HashMap iteration order)
     def subst(e: String): String =
-      smc.foldLeft(e) { case (acc, (k, lit)) => acc.replace(s"config.$k", lit) }
+      smc.foldLeft(e) { case (acc, (k, lit)) =>
+        acc.replaceAll(
+          "(?<![\\w.])config\\." + java.util.regex.Pattern.quote(k) + "(?![\\w])",
+          java.util.regex.Matcher.quoteReplacement(lit))
+      }
     val removed = Set.newBuilder[String]
     val maps = Map.newBuilder[String, graft.operators.StreamMap]
     n.properties().asScala.foreach { e =>
@@ -164,7 +171,13 @@ object ConfigParser {
           (p.getKey, p.getValue) match {
             case ("__filter__", v) => filter = Some(subst(v.asText))
             case ("__alias__", v) => alias = Some(v.asText)
-            case ("__else__", v) if v.isNull => elseDrop = true
+            // both SDK spellings of "drop unnamed properties"
+            case ("__else__", v) if v.isNull || v.asText == "__NULL__" =>
+              elseDrop = true
+            case (k, _) if k.startsWith("__") && k.endsWith("__") =>
+              // an unrecognized SDK directive must not silently become a
+              // computed column named __source__/__key_properties__/…
+              fail(s"stream_maps['${e.getKey}']: unsupported directive '$k'")
             case (k, v) if v.isNull => dropped :+= k
             case (k, v) => computed :+= (k -> subst(v.asText))
           }

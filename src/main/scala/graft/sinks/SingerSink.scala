@@ -79,10 +79,17 @@ object SingerSink {
       val row = it.next()
       out.println(prefix + row.getString(0) + te + "}")
       if (hasRk && !row.isNullAt(1)) {
-        // external types of every supported rep-key type (numerics,
-        // String, Timestamp, Date) are Comparable consistently with
-        // Spark's max() ordering
-        val v = row.get(1).asInstanceOf[AnyRef]
+        // external types of the supported rep-key types compare
+        // consistently with Spark's max() ordering — except String, whose
+        // compareTo is UTF-16 code-unit order while Spark orders UTF-8
+        // bytes (code points); route strings through UTF8String so the
+        // Singer bookmark agrees with the batch-mode Bookmarks.advance
+        // max() on supplementary-plane values
+        val v = row.get(1) match {
+          case s: String =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case other => other.asInstanceOf[AnyRef]
+        }
         if (best == null ||
             v.asInstanceOf[Comparable[AnyRef]].compareTo(best) > 0) {
           best = v

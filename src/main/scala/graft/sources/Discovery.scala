@@ -67,6 +67,12 @@ object Discovery {
     val conn = DriverManager.getConnection(tap.resolvedJdbcUrl, props)
     try {
       val md = conn.getMetaData
+      // getColumns treats schema/table args as LIKE patterns: a name
+      // containing '_'/'%' (ORDER_V2) would otherwise match sibling
+      // tables and merge their columns into one stream
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def literal(name: String): String = name
+        .replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
       val out = ArrayBuffer.empty[StreamConfig]
       val tables = md.getTables(null, null, "%", Array("TABLE", "VIEW"))
       try {
@@ -75,7 +81,8 @@ object Discovery {
           val table = tables.getString("TABLE_NAME")
           if (!isSystemSchema(schema)) {
             val cols = ArrayBuffer.empty[ColumnSpec]
-            val rs = md.getColumns(null, schema, table, "%")
+            val rs = md.getColumns(null,
+              if (schema.isEmpty) null else literal(schema), literal(table), "%")
             try {
               while (rs.next()) cols += ColumnSpec(
                 name = rs.getString("COLUMN_NAME"),
@@ -89,9 +96,14 @@ object Discovery {
               while (pkRs.next())
                 pks += ((pkRs.getShort("KEY_SEQ"), pkRs.getString("COLUMN_NAME")))
             } finally pkRs.close()
+            // quoted-identifier SQL; sources with no schema concept (null
+            // TABLE_SCHEM — SQLite, MySQL catalogs) get an unqualified name
+            def ident(n: String) = "\"" + n.replace("\"", "\"\"") + "\""
+            val from =
+              if (schema.isEmpty) ident(table) else s"${ident(schema)}.${ident(table)}"
             out += StreamConfig(
               name = table,
-              sql = s"""SELECT * FROM "$schema"."$table"""",
+              sql = s"SELECT * FROM $from",
               keyProperties = pks.sortBy(_._1).map(_._2).toSeq,
               columns = cols.toSeq,
               database = tap.database,

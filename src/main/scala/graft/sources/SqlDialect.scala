@@ -287,20 +287,21 @@ object SqlDialect {
     val windowOrder =
       if (orderBy.isEmpty) keys
       else orderBy.trim.replaceFirst("(?is)^order\\s+by\\s+", "")
-    // The hoist moves FROM into a subquery, so a table alias (SELECT
-    // DISTINCT ON (t.id) t.id … FROM tbl t ORDER BY t.id — the common PG
-    // idiom) is out of scope in the OUTER select list / ORDER BY. For the
-    // single-table form, strip that alias's qualifier there (the inner
-    // window still sees it); multi-table statements with qualified outer
-    // references would silently mis-resolve, so reject those loudly.
-    val alias = singleTableAlias(body)
-    def stripAlias(fragment: String): String = alias match {
-      case Some(a) => mapOutsideStrings(fragment)(
-        _.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a)}\\.", ""))
-      case None => fragment
-    }
+    // The hoist moves FROM into a subquery, so a table alias or the table
+    // name itself (SELECT DISTINCT ON (t.id) t.id … FROM tbl t ORDER BY
+    // t.id — the common PG idiom) is out of scope in the OUTER select
+    // list / ORDER BY. For the single-table form, strip those qualifiers
+    // there (the inner window still sees them); multi-table statements
+    // with qualified outer references would silently mis-resolve, so
+    // reject those loudly.
+    val quals = singleTableQualifiers(body)
+    def stripAlias(fragment: String): String =
+      quals.foldLeft(fragment) { (f, a) =>
+        mapOutsideStrings(f)(
+          _.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(a)}\\.", ""))
+      }
     val qualifiedRe = """[A-Za-z_]\w*\.[A-Za-z_]""".r
-    if (alias.isEmpty &&
+    if (quals.isEmpty &&
         (qualifiedRe.findFirstIn(withoutLiterals(selectList)).isDefined ||
          qualifiedRe.findFirstIn(withoutLiterals(orderBy)).isDefined))
       throw new IllegalArgumentException(
@@ -337,12 +338,13 @@ object SqlDialect {
     sb.toString()
   }
 
-  /** The alias of a simple single-table `FROM tbl [AS] alias [WHERE …]`
-    * body — None for multi-table/JOIN bodies or when no alias is given.
+  /** The strippable qualifier names of a simple single-table
+    * `FROM tbl [AS alias] [WHERE …]` body: the table name's last segment
+    * plus the alias when present — empty for multi-table/JOIN bodies.
     */
-  private def singleTableAlias(body: String): Option[String] = {
+  private def singleTableQualifiers(body: String): Seq[String] = {
     val code = withoutLiterals(body)
-    if ("""(?is)\bjoin\b""".r.findFirstIn(code).isDefined) return None
+    if ("""(?is)\bjoin\b""".r.findFirstIn(code).isDefined) return Nil
     // top-level comma ⇒ old-style multi-table FROM
     var d = 0
     var i = 0
@@ -350,16 +352,21 @@ object SqlDialect {
       code.charAt(i) match {
         case '(' => d += 1
         case ')' => d -= 1
-        case ',' if d == 0 => return None
+        case ',' if d == 0 => return Nil
         case _ =>
       }
       i += 1
     }
-    """(?is)^\s*FROM\s+([A-Za-z_][\w\.]*)\s+(?:AS\s+)?([A-Za-z_]\w*)\b""".r
-      .findFirstMatchIn(body.trim)
-      .map(_.group(2))
-      .filterNot(a => Set("where", "group", "having", "order", "limit",
-        "window", "qualify").contains(a.toLowerCase))
+    val kw = Set("where", "group", "having", "order", "limit",
+      "window", "qualify")
+    """(?is)^\s*FROM\s+([A-Za-z_][\w\.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?""".r
+      .findFirstMatchIn(body.trim) match {
+      case Some(m) =>
+        val tableLast = m.group(1).split('.').last
+        val alias = Option(m.group(2)).filterNot(a => kw(a.toLowerCase))
+        (tableLast +: alias.toSeq).distinct
+      case None => Nil
+    }
   }
 
   /** Rewrite one `(...)::type` / `fn(...)::type` cast (balanced-paren scan;

@@ -156,6 +156,12 @@ class SqlDialectSpec extends AnyFunSuite {
         "ORDER BY t.id, t.updated_at DESC"))
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(got === Map(1 -> "new", 2 -> "only"))
+    // qualifying by the bare TABLE name (no alias) works too
+    val byTable = spark.sql(SqlDialect.rewrite(
+      "SELECT DISTINCT ON (don_alias_t.id) don_alias_t.id, don_alias_t.val " +
+        "FROM don_alias_t ORDER BY don_alias_t.id, don_alias_t.updated_at DESC"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byTable === Map(1 -> "new", 2 -> "only"))
     // multi-table + qualified outer refs: rejected loudly, not mis-resolved
     val e = intercept[IllegalArgumentException](SqlDialect.rewrite(
       "SELECT DISTINCT ON (a.id) a.id, b.v FROM t1 a JOIN t2 b ON a.id = b.id " +

@@ -105,6 +105,23 @@ class TapSpec extends AnyFunSuite {
     assert(!schemaLine.contains("secret"))
   }
 
+  // Parser hardening: unrecognized __directive__ keys fail loudly instead
+  // of becoming computed columns; config.<key> substitution respects token
+  // boundaries (config.p must not eat into config.pre).
+  test("stream_maps parsing: unknown directives rejected, prefix-safe config keys") {
+    val e = intercept[IllegalArgumentException](ConfigParser.parseTap(
+      """{"streams":[],"stream_maps":{"s":{"__source__":"other"}}}"""))
+    assert(e.getMessage.contains("unsupported directive '__source__'"))
+
+    val tap = ConfigParser.parseTap(
+      """{"stream_map_config":{"p":"x","pre":"doc-"},
+        |"stream_maps":{"s":{"tagged":"concat(config.pre, config.p, name)"}},
+        |"streams":[{"name":"s","sql":"SELECT 'n' AS name","key_properties":["name"],
+        |  "columns":[{"name":"name","type":"text"}]}]}""".stripMargin)
+    assert(tap.streamMaps("s").computed ===
+      Seq("tagged" -> "concat('doc-', 'x', name)"))
+  }
+
   // A stream map must not drop or rename the replication key — the
   // incremental watermark has to survive into the emitted rows.
   test("stream map dropping the replication key is rejected") {
