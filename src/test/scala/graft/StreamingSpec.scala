@@ -4,6 +4,7 @@ import graft.streaming.EventStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -82,6 +83,57 @@ class StreamingSpec extends AnyFunSuite {
         array_contains(col("days"), date_add(col("signup_day"), 7)).as("d7"))
       .as[(Long, java.sql.Date, Boolean, Boolean)].collect().toSet
     assert(got.nonEmpty && got === batch)
+  }
+
+  // Cross-batch state: the events are split into four event-time-range
+  // files with chronological modification times and streamed one file per
+  // microbatch, so the funnel's per-user state must survive and merge
+  // across batches. Per-user funnel stages are monotone (None→Some, never
+  // mutated), so the most-advanced emitted row per user IS the final
+  // state and must equal the batch aggregation.
+  test("streaming funnel equals batch across multiple microbatches") {
+    val ev = Tables.read(spark, SparkTestSession.Sf, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts"))
+    val bounds = ev
+      .selectExpr("percentile(unix_timestamp(ts), array(0.25, 0.5, 0.75)) AS q")
+      .head().getSeq[Double](0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mb").toString
+    val slices = Seq(
+      col("ts") < timestamp_seconds(lit(bounds(0))),
+      col("ts") >= timestamp_seconds(lit(bounds(0))) &&
+        col("ts") < timestamp_seconds(lit(bounds(1))),
+      col("ts") >= timestamp_seconds(lit(bounds(1))) &&
+        col("ts") < timestamp_seconds(lit(bounds(2))),
+      col("ts") >= timestamp_seconds(lit(bounds(2))))
+    val base = System.currentTimeMillis() - 3600_000L
+    slices.zipWithIndex.foreach { case (cond, i) =>
+      val path = s"$dir/b$i"
+      ev.where(cond).coalesce(1).write.parquet(path)
+      // chronological mod times force oldest-first batch order
+      java.nio.file.Files.list(java.nio.file.Paths.get(path)).iterator()
+        .asScala.foreach(p => p.toFile.setLastModified(base + i * 60_000L))
+    }
+
+    val streamed = EventStream.funnel(
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/*")
+        .as[EventStream.FunnelEvent])
+    EventStream.runToMemory(streamed.toDF(), "funnel_mb_out", OutputMode.Update())
+    val rows = spark.table("funnel_mb_out")
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean, Boolean)].collect()
+    // users spanning several slices emit once per batch they appear in
+    assert(rows.length > rows.map(_._1).distinct.length,
+      "expected multiple microbatches to re-emit advancing users")
+    val got = rows.groupBy(_._1).view.mapValues(
+      _.maxBy(r => r._2.size + r._3.size + r._4.size)).values.toSet
+
+    val batch = SparkEntry.queries("events_funnel")(spark, SparkTestSession.Sf)
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean, Boolean)].collect().toSet
+    assert(got === batch)
   }
 
   test("streaming as-of join matches the custom batch operator") {
