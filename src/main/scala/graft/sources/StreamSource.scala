@@ -90,4 +90,47 @@ object StreamSource {
       .options(jdbcOptions(tap, stream, state, numPartitions, bounds)).load()
     Conformance.conform(df, stream.columns)
   }
+
+  /** Parallel JDBC extraction with AUTO-derived partition bounds: one
+    * tiny `SELECT min(k), max(k)` over the stream's (watermark-bound) SQL
+    * on a plain driver-side connection, then the partitioned read. This is
+    * how a production extractor slices a table it has never seen — the
+    * reference's single cursor (client.py:300-304) needs no bounds, and
+    * manual bounds don't survive schema/host changes. Falls back to the
+    * single-cursor read when the stream has no replication key or the
+    * result is empty.
+    */
+  def jdbcAutoPartitioned(spark: SparkSession, tap: TapConfig,
+                          stream: StreamConfig,
+                          state: TapState = Bookmarks.empty,
+                          numPartitions: Int = 8): DataFrame = {
+    val boundsOpt = stream.replicationKey.flatMap { k =>
+      val start = Bookmarks.resolveStart(stream, state)
+      val repKeyType = TypeMapper.toDataType(stream.column(k).typeName)
+      val sql = SqlDialect.bindRepKeyVal(stream.sql, start, repKeyType)
+      Class.forName(tap.resolvedJdbcDriver)
+      val props = new java.util.Properties()
+      if (tap.user.nonEmpty) props.setProperty("user", tap.user)
+      if (tap.password.nonEmpty) props.setProperty("password", tap.password)
+      val conn = java.sql.DriverManager
+        .getConnection(tap.resolvedJdbcUrl, props)
+      try {
+        // unquoted: the key name follows the same case-folding rules as
+        // its references inside the stream's own SQL
+        val rs = conn.createStatement().executeQuery(
+          s"SELECT MIN($k), MAX($k) FROM ($sql) graft_bounds")
+        try {
+          if (!rs.next()) None
+          else (Option(rs.getObject(1)), Option(rs.getObject(2))) match {
+            case (Some(lo), Some(hi)) => Some((lo.toString, hi.toString))
+            case _ => None // empty result: nothing to slice
+          }
+        } finally rs.close()
+      } finally conn.close()
+    }
+    boundsOpt match {
+      case Some(b) => jdbc(spark, tap, stream, state, numPartitions, Some(b))
+      case None => jdbc(spark, tap, stream, state)
+    }
+  }
 }

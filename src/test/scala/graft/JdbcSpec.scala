@@ -62,6 +62,44 @@ class JdbcSpec extends AnyFunSuite {
     assert(st2.bookmark(derbyTap.streams.head.streamId) === Some("3"))
   }
 
+  test("auto-partitioned extraction derives bounds from the live source") {
+    Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val url = "jdbc:derby:memory:graftauto;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE ap (id BIGINT, v VARCHAR(16))")
+      val ps = conn.prepareStatement("INSERT INTO ap VALUES (?, ?)")
+      (1 to 500).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"v$i"); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+
+    val tap3 = ConfigParser.parseTap(
+      """{"jdbc_url":"jdbc:derby:memory:graftauto","jdbc_driver":"org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        |"streams":[{"name":"ap","sql":"SELECT id, v FROM ap WHERE id > :rep_key_val",
+        | "key_properties":["id"],"replication_key":"id","replication_key_value_start":100,
+        | "columns":[{"name":"id","type":"bigint"},{"name":"v","type":"text"}]}]}""".stripMargin)
+    val df = StreamSource.jdbcAutoPartitioned(SparkTestSession.spark, tap3,
+      tap3.streams.head, numPartitions = 4)
+    // bounds derived from the watermark-bound SQL: min 101, max 500
+    assert(df.rdd.getNumPartitions === 4)
+    assert(df.count() === 400)
+    assert(df.agg(org.apache.spark.sql.functions.min("id"),
+      org.apache.spark.sql.functions.max("id")).collect()(0)
+      .toSeq === Seq(101L, 500L))
+
+    // a stream with no replication key falls back to the single cursor
+    val full = ConfigParser.parseTap(
+      """{"jdbc_url":"jdbc:derby:memory:graftauto","jdbc_driver":"org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        |"streams":[{"name":"ap","sql":"SELECT id, v FROM ap",
+        | "key_properties":["id"],
+        | "columns":[{"name":"id","type":"bigint"},{"name":"v","type":"text"}]}]}""".stripMargin)
+    assert(StreamSource.jdbcAutoPartitioned(SparkTestSession.spark, full,
+      full.streams.head).count() === 500)
+  }
+
   test("live partitioned JDBC extraction: parallel cursors, same rows") {
     // the genuine scale improvement over the reference's single cursor
     // (client.py:300-304): N Spark tasks each open their own slice cursor
