@@ -147,7 +147,8 @@ object SqlDialect {
 
   /** Rewrite PostgreSQL-flavored SQL into Spark-parseable SQL. */
   def rewrite(sql: String): String = {
-    var out = rewriteAtTimeZone(rewriteStringAgg(rewriteDistinctOn(sql)))
+    var out = rewriteAtTimeZone(rewriteStringAgg(
+      rewriteNestedDistinctOn(rewriteDistinctOn(sql))))
     out = tstzLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     out = tsLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     // case-insensitive regex matches first (their patterns absorb (?i)),
@@ -367,6 +368,61 @@ object SqlDialect {
         (tableLast +: alias.toSeq).distinct
       case None => Nil
     }
+  }
+
+  private val nestedDistinctOnRe = """(?is)select\s+distinct\s+on\s*\(""".r
+
+  /** Rewrite DISTINCT ON occurrences NESTED inside parentheses — derived
+    * tables and CTE bodies, e.g.
+    * `WITH latest AS (SELECT DISTINCT ON (k) … ) SELECT …` or
+    * `SELECT … FROM (SELECT DISTINCT ON (k) …) t`. Each parenthesized
+    * span whose content starts with the DISTINCT ON select is itself a
+    * complete single-SELECT statement, so the top-level
+    * [[rewriteDistinctOn]] applies to it verbatim; spans are rewritten
+    * innermost-occurrence-first until none remain.
+    */
+  def rewriteNestedDistinctOn(sql: String): String = {
+    var out = sql
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      val candidates = nestedDistinctOnRe.findAllMatchIn(out)
+        .map(_.start).filterNot(inLiteral(out, _)).toList
+      val it = candidates.iterator
+      while (!progressed && it.hasNext) {
+        val p = it.next()
+        // the subquery form: '(' immediately (mod whitespace) before SELECT
+        var i = p - 1
+        while (i >= 0 && out.charAt(i).isWhitespace) i -= 1
+        if (i >= 0 && out.charAt(i) == '(') {
+          // matching close paren, literal-aware
+          var depth = 0
+          var j = i
+          var close = -1
+          var inStr = false
+          while (j < out.length && close < 0) {
+            val c = out.charAt(j)
+            if (inStr) { if (c == '\'') inStr = false }
+            else c match {
+              case '\'' => inStr = true
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (close > 0) {
+            val inner = out.substring(i + 1, close)
+            val rewritten = rewriteDistinctOn(inner)
+            if (rewritten != inner) {
+              out = out.substring(0, i + 1) + rewritten + out.substring(close)
+              progressed = true
+            }
+          }
+        }
+      }
+    }
+    out
   }
 
   /** Rewrite one `(...)::type` / `fn(...)::type` cast (balanced-paren scan;

@@ -101,6 +101,29 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(lim === Set(1, 2))
   }
 
+  test("DISTINCT ON nested in CTEs and derived tables rewrites and runs") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    Seq((1, "old", 10), (1, "new", 20), (2, "only", 5))
+      .toDF("id", "val", "updated_at").createOrReplaceTempView("don_nested_t")
+    // CTE body
+    val cte = spark.sql(SqlDialect.rewrite(
+      "WITH latest AS (SELECT DISTINCT ON (id) id, val FROM don_nested_t " +
+        "ORDER BY id, updated_at DESC) " +
+        "SELECT val FROM latest ORDER BY id"))
+      .collect().map(_.getString(0)).toSeq
+    assert(cte === Seq("new", "only"))
+    // derived table
+    val derived = spark.sql(SqlDialect.rewrite(
+      "SELECT count(*) AS n FROM (SELECT DISTINCT ON (id) id " +
+        "FROM don_nested_t ORDER BY id, updated_at DESC) t"))
+      .collect()(0).getLong(0)
+    assert(derived === 2L)
+    // the literal-guard still holds
+    assert(SqlDialect.rewrite("SELECT '(select distinct on (x) x)' AS s") ===
+      "SELECT '(select distinct on (x) x)' AS s")
+  }
+
   test("keyword triggers inside string literals are untouched") {
     assert(SqlDialect.rewrite("SELECT 'extract(epoch from x)' AS note FROM t") ===
       "SELECT 'extract(epoch from x)' AS note FROM t")
