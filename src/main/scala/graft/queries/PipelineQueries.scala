@@ -244,9 +244,10 @@ object PipelineQueries {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))),
 
     // Native session_window (gap-based session assignment; merge iff
-    // inter-event gap < 30 min — note STRICT inequality, mirrored in the
-    // oracle's `gap >= 1800` new-session rule). Works identically as a
-    // streaming query (StreamingSpec).
+    // inter-event gap <= 30 min — a gap of EXACTLY the window size merges,
+    // pinned by StreamingSpec's boundary test and mirrored in the oracle's
+    // `gap > 1800` new-session rule). Works identically as a streaming
+    // query (StreamingSpec).
     "events_session_window" -> ((spark, dir) => {
       Tables.read(spark, dir, "events")
         .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"))
@@ -565,7 +566,7 @@ object PipelineQueries {
         |  epoch(ts_s) - epoch(lag(ts_s, 1) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap
         |  FROM e),
         |s AS (SELECT user_id, ts_s,
-        |  SUM(CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END)
+        |  SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
         |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM g)
         |SELECT user_id, CAST(MIN(ts_s) AS TIMESTAMP) AS session_start,

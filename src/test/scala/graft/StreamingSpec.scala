@@ -44,6 +44,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  // Pins session_window's boundary rule: a gap of EXACTLY the window size
+  // merges (new session only when gap > size). Found by the sf0.1
+  // correctness sweep — one exact-1800s gap made Spark one session short
+  // of an oracle written with the >= rule.
+  test("session_window merges a gap of exactly the window size") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00")), // gap == 1800s
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:30:01")) // gap == 1801s
+    ).toDF("user_id", "ts")
+    val perUser = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().collect().groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(perUser === Map(1L -> 1, 2L -> 2))
+  }
+
   test("streaming funnel matches the batch events_funnel query") {
     val streamed = EventStream.funnel(
       EventStream.readEvents(spark, SparkTestSession.Sf)
