@@ -40,7 +40,19 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        tpath = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(tpath):  # ScaleUp output: directory of part files
+            tpath = f"{tpath}/*.parquet"
+        src = f"read_parquet('{tpath}')"
+        if t == "events":
+            # driver fixtures carry ts as TIMESTAMP(NANOS); ScaleUp-derived
+            # dirs carry it as BIGINT nanos — normalize to a timestamp view
+            ts_type = con.sql(
+                f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+            if "INT" in ts_type.upper():
+                src = (f"(SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                       f"FROM {src})")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     qdirs = [d for d in os.listdir(out_dir)
