@@ -48,7 +48,11 @@ object Tap {
         // STREAM_MAPS transform the conformed stream (reference tap.py:256);
         // key properties + replication key always survive an __else__ drop,
         // and validate() rejects maps that drop/rename the replication key,
-        // so the bookmark still tracks inside the emit pass
+        // so the bookmark still tracks inside the emit pass. With a
+        // __filter__, the bookmark advances over EMITTED rows only —
+        // deliberately conservative (at-least-once: filtered-out rows may
+        // re-extract next run, but data is never skipped), where the SDK
+        // advances state over processed-then-filtered records too.
         val smap = tap.streamMaps.get(s.name)
         val df = smap.map(m => StreamMaps(source, m,
           alwaysKeep = s.keyProperties ++ s.replicationKey)).getOrElse(source)
