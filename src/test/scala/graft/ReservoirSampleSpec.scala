@@ -27,6 +27,24 @@ class ReservoirSampleSpec extends AnyFunSuite {
     assert(k50.take(10) === k10)
   }
 
+  // Pins the portable variant's ordering key against Spark's own md5:
+  // the sample must be exactly the k values with the smallest
+  // substring(md5(v), 1, 16) — the definition any SQL engine reproduces
+  // — and partition-independent like the xxhash64 form.
+  test("portable reservoir is md5-ordered and partition-independent") {
+    val df = spark.range(0, 300).select(concat(lit("s"), col("id")).as("s"))
+    val a = df.agg(ReservoirSample.portableReservoir(col("s"), 10).as("r"))
+      .collect()(0).getSeq[String](0)
+    val b = df.repartition(13)
+      .agg(ReservoirSample.portableReservoir(col("s"), 10).as("r"))
+      .collect()(0).getSeq[String](0)
+    assert(a === b)
+    val expected = df
+      .select(col("s"), substring(md5(col("s").cast("binary")), 1, 16).as("h"))
+      .orderBy("h").limit(10).select("s").collect().map(_.getString(0)).toSeq
+    assert(a === expected) // eval order IS the md5-prefix order
+  }
+
   test("per-group reservoirs with nulls ignored") {
     val df = Seq(("a", "x1"), ("a", "x2"), ("a", null), ("b", "y1"))
       .toDF("g", "s")
