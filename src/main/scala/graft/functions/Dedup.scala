@@ -161,11 +161,23 @@ object Dedup {
     * `bands = 0` (the default) derives the band count from the Jaccard
     * `threshold` via [[lshParams]], so callers state intent (the
     * similarity cutoff) and the S-curve is tuned for them.
+    *
+    * `sigPrefilter = true` inserts a signature-agreement estimate between
+    * candidate generation and the exact verify: pairs whose estimated
+    * Jaccard (matching signature positions / nPerm) falls more than 3
+    * binomial σ below the threshold are dropped BEFORE the verify join —
+    * cutting the shuffle of (heavier) shingle-hash arrays on corpora
+    * where LSH emits many false candidates. Costs one extra join of
+    * (id, signature) rows; recall loss is the 3σ tail (≲0.1% of
+    * borderline-true pairs) on top of LSH's own miss rate. Off by
+    * default: exact-verify-all is the reference behavior and the cheaper
+    * plan on high-duplicate corpora.
     */
   def minhashDupPairs(df: DataFrame, textCol: String, idCol: String,
                       k: Int = 3, nPerm: Int = 64, bands: Int = 0,
                       threshold: Double = 0.5, seed: Long = 42L,
-                      maxBucket: Int = 1000): DataFrame = {
+                      maxBucket: Int = 1000,
+                      sigPrefilter: Boolean = false): DataFrame = {
     val nBands = if (bands > 0) bands else lshParams(nPerm, threshold)._1
     // shingle HASHES (array<long>), not strings: signatures are identical
     // (MinHashSig hashes strings to exactly these values first) and the
@@ -195,11 +207,23 @@ object Dedup {
         .groupBy("band")
         .agg(sort_array(collect_list(col("id"))).as("ids"))
     }).where(size(col("ids")) > 1)
-    val candidates = buckets
+    val rawCandidates = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
       .distinct()
+    val candidates = if (!sigPrefilter) rawCandidates else {
+      val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+      val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+      val margin = 3.0 * math.sqrt(threshold * (1 - threshold) / nPerm)
+      rawCandidates.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("__est",
+          aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, x) => s + x)
+            .cast("double") / nPerm)
+        .where(col("__est") >= threshold - margin)
+        .select("id_a", "id_b")
+    }
 
     val shA = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))

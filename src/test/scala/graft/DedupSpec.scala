@@ -117,6 +117,18 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped((1L, 3L)) === 1.0)
   }
 
+  test("signature-estimate prefilter preserves the verified pairs") {
+    // the 3σ margin keeps every true ≥-threshold pair on this corpus:
+    // output equals the exact-verify-all form
+    def pairs(pf: Boolean) = Dedup.minhashDupPairs(docs, "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.4, sigPrefilter = pf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        math.rint(r.getDouble(2) * 1e12))).toMap
+    val without = pairs(pf = false)
+    assert(without.nonEmpty)
+    assert(pairs(pf = true) === without)
+  }
+
   test("adaptive LSH parameters track the target threshold") {
     assert(Dedup.lshParams(64, 0.5) === ((16, 4))) // (1/16)^(1/4) = 0.5 exactly
     assert(Dedup.lshParams(64, 0.8) === ((8, 8)))  // inflection 0.77, nearest
