@@ -638,6 +638,23 @@ object SqlQueries {
           |                    AND o2.o_orderpriority = '1-URGENT')""".stripMargin)
     }),
 
+    // Explicit NULLS FIRST/LAST ordering: PG and Spark have OPPOSITE
+    // defaults (PG: nulls last ASC / first DESC; Spark: first ASC / last
+    // DESC), so portable ORDER BY over nullable keys must spell the
+    // placement out — the LIMIT crosses the null/non-null boundary, so
+    // the hash check fails if either engine places nulls differently.
+    "q_nulls_order" -> ((spark, dir) => {
+      Tables.register(spark, dir)
+      spark.sql(
+        """SELECT o_orderkey, p FROM (
+          |  SELECT o_orderkey,
+          |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+          |         ELSE CAST(o_totalprice AS DOUBLE) END AS p
+          |  FROM orders)
+          |ORDER BY p ASC NULLS FIRST, o_orderkey NULLS FIRST
+          |LIMIT 2200""".stripMargin)
+    }),
+
     // LIMIT/OFFSET pagination (PG's canonical keyset-less paging) through
     // the SQL-text path: deterministic total order, second page of 10.
     "q_offset" -> ((spark, dir) => {
@@ -869,6 +886,14 @@ object SqlQueries {
         |        WHERE r.c_user = l.user_id AND r.click_s >= l.ts_s) AS TIMESTAMP)
         |    AS next_click_s
         |FROM l""".stripMargin,
+    "q_nulls_order" ->
+      """SELECT o_orderkey, p FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE CAST(o_totalprice AS DOUBLE) END AS p
+        |  FROM orders)
+        |ORDER BY p ASC NULLS FIRST, o_orderkey NULLS FIRST
+        |LIMIT 2200""".stripMargin,
     "q_offset" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
         |FROM orders
