@@ -200,11 +200,17 @@ object SqlQueries {
     // HLL approximate distinct — values are engine-specific, so this entry
     // has no oracle (rows-only check); correctness is bounded-error by
     // construction and asserted in ScalaTest against the exact count.
+    // HLL estimates are sketch-specific (they ride through the oracle
+    // from the output file); the EXACT distinct counts alongside are
+    // recomputed and hash-checked — and the sketch's bounded error is
+    // checkable against them by inspection (spec-asserted too).
     "q_approx_distinct" -> ((spark, dir) => {
       Tables.read(spark, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
     }),
 
     // CUBE: all grouping-set combinations of (priority, status).
@@ -886,6 +892,16 @@ object SqlQueries {
         |        WHERE r.c_user = l.user_id AND r.click_s >= l.ts_s) AS TIMESTAMP)
         |    AS next_click_s
         |FROM l""".stripMargin,
+    // HLL estimates pass through from the output; exact distincts verified
+    "q_approx_distinct" ->
+      """WITH o AS (SELECT l_returnflag, approx_parts, approx_orders
+        |  FROM read_parquet('__OUT__/q_approx_distinct/*.parquet'))
+        |SELECT o.l_returnflag, o.approx_parts, o.approx_orders,
+        |  e.exact_parts, e.exact_orders
+        |FROM o JOIN (
+        |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |    COUNT(DISTINCT l_orderkey) AS exact_orders
+        |  FROM lineitem GROUP BY l_returnflag) e USING (l_returnflag)""".stripMargin,
     "q_nulls_order" ->
       """SELECT o_orderkey, p FROM (
         |  SELECT o_orderkey,
