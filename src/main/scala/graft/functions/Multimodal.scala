@@ -104,10 +104,31 @@ object Multimodal {
   def codecFor(spec: String): MediaCodec = spec.split(":").toList match {
     case "fake" :: dim :: Nil => new FakeCodec(dim.toInt)
     case "fake" :: Nil => new FakeCodec(16)
+    case "bytehist" :: dim :: Nil => new ByteHistCodec(dim.toInt)
+    case "bytehist" :: Nil => new ByteHistCodec(16)
     case "identity" :: Nil => IdentityCodec
     case other =>
       throw new IllegalArgumentException(
         s"unknown codec '${other.mkString(":")}' — register it in Multimodal.codecFor")
+  }
+
+  /** Integer byte-bucket histogram: `out(i % dim) += byte(i)` with NO
+    * normalization. Every bucket stays an integer well inside float32's
+    * exact range (≤ 255·len/dim), so the features are bit-exact and a
+    * SQL oracle can recompute them from the payload bytes — the
+    * oracle-checkable stand-in where [[FakeCodec]]'s /255 normalization
+    * accumulates float32 rounding.
+    */
+  final class ByteHistCodec(val dim: Int) extends MediaCodec {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        out(i % dim) += (bytes(i) & 0xff).toFloat
+        i += 1
+      }
+      out
+    }
   }
 
   /** Pass-through codec: raw bytes as floats (for byte-level models). */

@@ -171,17 +171,22 @@ object PipelineQueries {
           Multimodal.mediaHeader(col("content")).getField("format")
             .as("media_format"))),
 
-    // Rows-only: features stay distributed as Array[Float]; the emitted
-    // columns are scalar summaries (driver compare can't sort array cells).
+    // Partition-iterator decode with the integer byte-histogram codec:
+    // features are bit-exact (integers inside float32's exact range), so
+    // the emitted scalar summaries are hash-checked against a DuckDB
+    // recompute of the byte buckets (hex-nibble decode of the payload).
+    // Features stay distributed as Array[Float]; only scalar summaries
+    // are emitted (driver compare can't sort array cells).
     "multimodal_features" -> ((spark, dir) => {
       val withBin = Multimodal.ingest(Tables.read(spark, dir, "documents"), "text")
         .select("doc_id", "content")
-      Multimodal.decodePartitions(withBin, "content", new Multimodal.FakeCodec(16))
+      Multimodal.decodePartitions(withBin, "content",
+          new Multimodal.ByteHistCodec(16))
         .select(col("doc_id"),
           size(col("features")).as("n_feats"),
-          round(element_at(col("features"), 1).cast("double"), 3).as("f0"),
-          round(aggregate(col("features"), lit(0.0),
-            (acc, x) => acc + x.cast("double")), 3).as("feat_sum"))
+          element_at(col("features"), 1).cast("long").as("f0"),
+          aggregate(col("features"), lit(0L),
+            (acc, x) => acc + x.cast("long")).as("feat_sum"))
     }),
 
     "events_sessionize" -> ((spark, dir) => {
@@ -526,6 +531,21 @@ object PipelineQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
         |hex(encode(substring(text, 1, 4))) AS magic,
         |'unknown' AS media_format FROM documents""".stripMargin,
+    // byte-bucket histogram recomputed from the UTF-8 payload via
+    // hex-nibble decode (bucket 0 = byte positions ≡ 0 mod 16)
+    "multimodal_features" ->
+      """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |  octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, n, list_transform(range(1, n + 1),
+        |  i -> (strpos('0123456789abcdef', hx[2*i-1:2*i-1]) - 1) * 16 +
+        |       (strpos('0123456789abcdef', hx[2*i:2*i]) - 1)) AS bytes
+        |  FROM h)
+        |SELECT doc_id, 16 AS n_feats,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+        |    i -> CASE WHEN (i - 1) % 16 = 0 THEN bytes[i] ELSE 0 END)), 0)
+        |    AS BIGINT) AS f0,
+        |  CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS feat_sum
+        |FROM b""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events),
         |a AS (SELECT user_id,
