@@ -53,6 +53,25 @@ object TapQueries {
       |{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"},
       |{"name":"starts_a","type":"int"}]}""".stripMargin
 
+  // PG JSON extraction operators (`->`, `->>`, `#>>`) over the events
+  // props column plus inline-built nested JSON — rewritten by SqlDialect
+  // to get_json_object; DuckDB runs its native `->>` / JSONPath forms as
+  // the oracle (it has no `#>>`).
+  private val jsonOpsJson =
+    """{"name":"events_json","sql":"SELECT event_id, props ->> 'k' AS k_txt, ('{\"a\": {\"b\": [5,' || (props ->> 'k') || ']}}') #>> '{a,b,1}' AS nested, ('{\"arr\": [10,20,30]}'::json -> 'arr') ->> 1 AS second FROM events WHERE (props ->> 'k')::int >= 50",
+      |"key_properties":["event_id"],
+      |"columns":[{"name":"event_id","type":"bigint"},{"name":"k_txt","type":"text"},
+      |{"name":"nested","type":"text"},{"name":"second","type":"text"}]}""".stripMargin
+
+  // PG quantified comparisons over array literals (`= ANY('{…}')`,
+  // `::int[]`) and an array-literal cast — rewritten to IN lists /
+  // typed array(); the oracle states the equivalent IN form directly.
+  private val anyArrayJson =
+    """{"name":"nation_any","sql":"SELECT n_nationkey, n_name, cardinality('{tag1,tag2,tag3}'::text[]) AS n_tags FROM nation WHERE n_name = ANY('{FRANCE,GERMANY,CANADA,JAPAN}') OR n_nationkey = ANY('{1,2}'::int[])",
+      |"key_properties":["n_nationkey"],
+      |"columns":[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"},
+      |{"name":"n_tags","type":"int"}]}""".stripMargin
+
   // SELECT * but only 3 declared columns: conformance drops the rest
   // (reference: client.py:147-154 unmapped-property drop).
   private val projectionJson =
@@ -76,6 +95,8 @@ object TapQueries {
     "tap_conform_cast" -> run(conformJson),
     "tap_dialect_rewrite" -> run(dialectJson),
     "tap_distinct_on" -> run(distinctOnJson),
+    "tap_json_ops" -> run(jsonOpsJson),
+    "tap_any_array" -> run(anyArrayJson),
     "tap_projection" -> run(projectionJson),
 
     "tap_stream_map" -> ((spark, dir) => {
@@ -118,6 +139,14 @@ object TapQueries {
     "tap_distinct_on" ->
       """SELECT DISTINCT ON (l_orderkey) l_orderkey, l_linenumber, l_quantity
         |FROM lineitem ORDER BY l_orderkey, l_quantity DESC, l_linenumber""".stripMargin,
+    "tap_json_ops" ->
+      """SELECT event_id, props ->> 'k' AS k_txt,
+        |json_extract_string('{"a": {"b": [5,' || (props ->> 'k') || ']}}', '$.a.b[1]') AS nested,
+        |json_extract_string('{"arr": [10,20,30]}', '$.arr[1]') AS second
+        |FROM events WHERE CAST(props ->> 'k' AS INTEGER) >= 50""".stripMargin,
+    "tap_any_array" ->
+      """SELECT n_nationkey, n_name, 3 AS n_tags FROM nation
+        |WHERE n_name IN ('FRANCE','GERMANY','CANADA','JAPAN') OR n_nationkey IN (1,2)""".stripMargin,
     "tap_projection" -> "SELECT doc_id, lang, source FROM documents",
     "tap_stream_map" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag AS flag,

@@ -149,6 +149,12 @@ object SqlDialect {
   def rewrite(sql: String): String = {
     var out = rewriteAtTimeZone(rewriteStringAgg(
       rewriteNestedDistinctOn(rewriteDistinctOn(sql))))
+    // ANY/ALL first (its pattern consumes an optional ::type[] suffix),
+    // then standalone array-literal casts — both BEFORE the scalar-cast
+    // loop, which would otherwise mangle `'{a,b}'::text[]` into
+    // `CAST('{a,b}' AS STRING)[]`
+    out = rewriteAnyAll(out)
+    out = rewriteArrayCast(out)
     out = tstzLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     out = tsLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     // case-insensitive regex matches first (their patterns absorb (?i)),
@@ -195,7 +201,284 @@ object SqlDialect {
       })
       out = rewriteParenCast(out)
     }
+    rewriteJsonOps(out)
+  }
+
+  // ---- PG JSON extraction operators (`->`, `->>`, `#>`, `#>>`) ----------
+
+  private val jsonOpRe = """#>>|#>|->>|->""".r
+  // right operand: string literal (key or '{a,b}' path) or array index
+  private val jsonRightRe = """\s*('(?:[^']|'')*'|-?\d+)""".r
+
+  /** Char-indexed flags: true where `s(i)` belongs to a single-quoted
+    * string literal (quotes included, '' escapes handled) — for scans
+    * that walk BACKWARDS and cannot replay the forward literal state.
+    */
+  private def literalFlags(s: String): Array[Boolean] = {
+    val f = new Array[Boolean](s.length)
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inStr && c == '\'') { inStr = true; f(i) = true }
+      else if (inStr && c == '\'') {
+        f(i) = true
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') { f(i + 1) = true; i += 1 }
+        else inStr = false
+      } else f(i) = inStr
+      i += 1
+    }
+    f
+  }
+
+  /** `[start, end]` quote positions (inclusive) of every string literal. */
+  private def literalSpans(s: String): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var inStr = false
+    var start = -1
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inStr && c == '\'') { inStr = true; start = i }
+      else if (inStr && c == '\'') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '\'') i += 1
+        else { inStr = false; spans += ((start, i)) }
+      }
+      i += 1
+    }
+    spans.toSeq
+  }
+
+  /** `[start, endExclusive)` of the expression ending just left of
+    * `opStart`: a parenthesized/function-call span, string literal,
+    * backtick identifier, or (qualified) identifier.
+    */
+  private def scanLeftOperand(s: String, opStart: Int): Option[(Int, Int)] = {
+    var i = opStart - 1
+    while (i >= 0 && s.charAt(i).isWhitespace) i -= 1
+    if (i < 0) return None
+    val end = i + 1
+    s.charAt(i) match {
+      case ')' =>
+        val lit = literalFlags(s)
+        var depth = 0
+        var j = i
+        while (j >= 0) {
+          if (!lit(j)) s.charAt(j) match {
+            case ')' => depth += 1
+            case '(' =>
+              depth -= 1
+              if (depth == 0) {
+                var k = j - 1 // include a preceding function name
+                while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k -= 1
+                return Some((k + 1, end))
+              }
+            case _ =>
+          }
+          j -= 1
+        }
+        None
+      case '\'' =>
+        literalSpans(s).find(_._2 == i).map(sp => (sp._1, end))
+      case '`' =>
+        var j = i - 1
+        while (j >= 0 && s.charAt(j) != '`') j -= 1
+        if (j >= 0) Some((j, end)) else None
+      case c if c.isLetterOrDigit || c == '_' =>
+        var j = i
+        while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_' ||
+          s.charAt(j) == '.')) j -= 1
+        Some((j + 1, end))
+      case _ => None
+    }
+  }
+
+  private def unquoteSqlLiteral(lit: String): String =
+    lit.substring(1, lit.length - 1).replace("''", "'")
+
+  /** One JSON-path segment for a PG key/index token. */
+  private def jsonPathSegment(tok: String): String =
+    if (tok.matches("""\d+""")) s"[$tok]"
+    else if (tok.matches("""-\d+"""))
+      throw new IllegalArgumentException(
+        s"JSON rewrite: negative array index '$tok' (PG from-the-end " +
+          "indexing) has no Spark get_json_object equivalent")
+    else if (tok.matches("""[A-Za-z_][A-Za-z0-9_]*""")) s".$tok"
+    else s"['$tok']"
+
+  /** Spark JSON path for one PG operator application. `->`/`->>` take a
+    * key literal or array index; `#>`/`#>>` take a `'{a,b,0}'` path.
+    */
+  private def jsonPathFor(op: String, right: String): String = {
+    val toks: Seq[String] =
+      if (op.startsWith("#")) {
+        val body = unquoteSqlLiteral(right).trim
+          .stripPrefix("{").stripSuffix("}")
+        pgArrayElements(body).map(_.getOrElse(throw
+          new IllegalArgumentException("JSON rewrite: NULL in a #> path")))
+      } else if (right.startsWith("'")) Seq(unquoteSqlLiteral(right))
+      else Seq(right)
+    "$" + toks.map(jsonPathSegment).mkString
+  }
+
+  /** Rewrite PG JSON extraction operators to `get_json_object` calls:
+    * `x -> 'k'`, `x ->> 'k'`, `x -> 0`, `x #> '{a,b}'`, `x #>> '{a,0,b}'`.
+    * Chains nest naturally — the rewritten call becomes the next
+    * operator's left operand, and `get_json_object` returns the JSON text
+    * of object/array results, which the outer call re-parses (PG:
+    * https://www.postgresql.org/docs/current/functions-json.html).
+    *
+    * `->` and `->>` both map to text extraction. For objects and arrays
+    * the extracted JSON text matches PG's `->`; for SCALAR STRING results
+    * PG's `->` keeps the JSON quotes while Spark strips them — terminal
+    * `->` on string scalars is the one documented divergence (PG style
+    * already prescribes `->>` for text access). Literal keys/indexes
+    * only; occurrences whose operands don't parse are left for Spark's
+    * parser to reject loudly.
+    */
+  def rewriteJsonOps(sql: String): String = {
+    var out = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val s = out
+      val it = jsonOpRe.findAllMatchIn(s).filterNot(m => inLiteral(s, m.start))
+      while (!changed && it.hasNext) {
+        val m = it.next()
+        val op = m.matched
+        val rightM = jsonRightRe.findPrefixMatchOf(s.subSequence(m.end, s.length))
+        val left = scanLeftOperand(s, m.start)
+        (left, rightM) match {
+          case (Some((ls, le)), Some(r))
+            if !(op.startsWith("#") && !r.group(1).startsWith("'")) =>
+            val path = jsonPathFor(op, r.group(1))
+            val operand = s.substring(ls, le)
+            out = s.substring(0, ls) +
+              s"get_json_object($operand, '${path.replace("'", "''")}')" +
+              s.substring(m.end + r.end)
+            changed = true
+          case _ => // unparseable occurrence: skip, let Spark's parser report
+        }
+      }
+    }
     out
+  }
+
+  // ---- PG array literals and ANY/ALL ------------------------------------
+
+  /** Elements of a PG array-literal BODY (`a,"b,c",NULL`): double-quote
+    * unwrapping with backslash escapes, unquoted `NULL` → None.
+    */
+  private def pgArrayElements(body: String): Seq[Option[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Option[String]]()
+    val cur = new StringBuilder
+    var quoted = false
+    var wasQuoted = false
+    var i = 0
+    def flush(): Unit = {
+      val raw = if (wasQuoted) cur.toString else cur.toString.trim
+      out += (if (!wasQuoted && raw.equalsIgnoreCase("null")) None else Some(raw))
+      cur.clear(); wasQuoted = false
+    }
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (quoted) {
+        if (c == '\\' && i + 1 < body.length) { cur.append(body.charAt(i + 1)); i += 1 }
+        else if (c == '"') quoted = false
+        else cur.append(c)
+      } else c match {
+        case '"' => quoted = true; wasQuoted = true
+        case ',' => flush()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty || wasQuoted || out.nonEmpty) flush()
+    out.toSeq
+  }
+
+  // `'{…}'::type[]` — a PG array literal with an element-type cast
+  private val arrayCastRe =
+    """'((?:[^']|'')*)'\s*::\s*([A-Za-z_][A-Za-z0-9_ ]*?)\s*\[\s*\]""".r
+
+  /** Rewrite PG array-literal casts `'{a,b}'::text[]` to
+    * `array(CAST('a' AS STRING), CAST('b' AS STRING))`; `'{}'::int[]` to
+    * a typed empty array. Column-valued `col::type[]` casts (runtime
+    * array-literal parsing) have no static Spark equivalent and are left
+    * unchanged.
+    */
+  def rewriteArrayCast(sql: String): String = {
+    val s = sql
+    arrayCastRe.replaceSomeIn(s, m =>
+      if (inLiteral(s, m.start)) None
+      else {
+        val content = m.group(1).replace("''", "'").trim
+        if (!(content.startsWith("{") && content.endsWith("}"))) None
+        else {
+          val tpe = sparkTypeName(m.group(2))
+          val elems = pgArrayElements(content.substring(1, content.length - 1))
+          val rendered =
+            if (elems.isEmpty) s"CAST(array() AS ARRAY<$tpe>)"
+            else elems.map {
+              case Some(e) => s"CAST('${e.replace("'", "''")}' AS $tpe)"
+              case None => s"CAST(NULL AS $tpe)"
+            }.mkString("array(", ", ", ")")
+          Some(java.util.regex.Matcher.quoteReplacement(rendered))
+        }
+      })
+  }
+
+  private val anyAllRe =
+    ("""(?i)(=|<>|!=)\s*(ANY|ALL)\s*\(\s*(?:'((?:[^']|'')*)'""" +
+      """(?:\s*::\s*([A-Za-z_][A-Za-z0-9_ ]*?)\s*\[\s*\])?""" +
+      """|ARRAY\s*\[([^\[\]]*)\])\s*\)""").r
+
+  private val numericTokRe = """-?\d+(?:\.\d+)?""".r
+
+  /** Rewrite PG quantified comparisons over array literals to IN lists:
+    * `x = ANY('{a,b}')` / `x = ANY('{1,2}'::int[])` / `x = ANY(ARRAY[…])`
+    * → `x IN (…)`, and `x <> ALL(…)` / `x != ALL(…)` → `x NOT IN (…)`.
+    * Untyped `'{…}'` elements render numeric tokens bare and everything
+    * else as string literals (PG coerces against the left operand; the
+    * IN list lets Spark do the same). Other operator/quantifier combos
+    * (`<> ANY`, `= ALL`) have no IN equivalent and are left unchanged, as
+    * are subquery forms (`ANY(SELECT …)` doesn't match the pattern).
+    */
+  def rewriteAnyAll(sql: String): String = {
+    val s = sql
+    anyAllRe.replaceSomeIn(s, m =>
+      if (inLiteral(s, m.start)) None
+      else {
+        val op = m.group(1)
+        val quant = m.group(2).toUpperCase
+        val neg = op == "<>" || op == "!="
+        // only = ANY (membership) and <>/!= ALL (non-membership) map to IN
+        if ((quant == "ANY" && neg) || (quant == "ALL" && !neg)) None
+        else {
+          val kw = if (neg) "NOT IN" else "IN"
+          val listed: Option[String] =
+            if (m.group(5) != null) // ARRAY[…] splice; empty list → leave
+              Some(m.group(5).trim).filter(_.nonEmpty)
+            else {
+              val content = m.group(3).replace("''", "'").trim
+              if (!(content.startsWith("{") && content.endsWith("}"))) None
+              else {
+                val tpe = Option(m.group(4)).map(sparkTypeName)
+                val elems = pgArrayElements(content.substring(1, content.length - 1))
+                if (elems.isEmpty) None // empty IN list is a parse error; leave
+                else Some(elems.map {
+                  case Some(e) => tpe match {
+                    case Some(t) => s"CAST('${e.replace("'", "''")}' AS $t)"
+                    case None if numericTokRe.matches(e) => e
+                    case None => s"'${e.replace("'", "''")}'"
+                  }
+                  case None => "NULL"
+                }.mkString(", "))
+              }
+            }
+          listed.map(l => java.util.regex.Matcher.quoteReplacement(s"$kw ($l)"))
+        }
+      })
   }
 
   /** `'pat'` → `'(?i)pat'` (single-quoted literal in, literal out). */

@@ -106,7 +106,10 @@ class PropertySpec extends AnyFunSuite {
       "SELECT DISTINCT ON (g) g, v FROM t ORDER BY g, v DESC LIMIT 3",
       "select string_agg(v, ',' ORDER BY v), extract(epoch from ts) from t group by g",
       """select "userId", 'lit''eral', timestamptz '2021-01-01 00:00:00' from "T"""",
-      "select x from t where y ilike 'a%'")
+      "select x from t where y ilike 'a%'",
+      "select props ->> 'k', props #>> '{a,0,b}', props -> 'a' ->> 'b' from t",
+      "select * from t where x = ANY('{a,b}') and n != ALL('{1,2}'::int[])",
+      "select '{a,\"b,c\",NULL}'::text[] as arr from t")
     samples.foreach { sql =>
       val once = SqlDialect.rewrite(sql)
       assert(SqlDialect.rewrite(once) === once, s"not idempotent for: $sql")

@@ -232,4 +232,114 @@ class SqlDialectSpec extends AnyFunSuite {
       SqlDialect.bindRepKeyVal("a > :rep_key_val", None, LongType))
     assert(SqlDialect.bindRepKeyVal("select 1", None, LongType) === "select 1")
   }
+
+  test("JSON ->/->> key and index extraction") {
+    assert(SqlDialect.rewrite("select props ->> 'k' from t") ===
+      "select get_json_object(props, '$.k') from t")
+    assert(SqlDialect.rewrite("select props -> 'k' from t") ===
+      "select get_json_object(props, '$.k') from t")
+    assert(SqlDialect.rewrite("select arr ->> 2 from t") ===
+      "select get_json_object(arr, '$[2]') from t")
+    // qualified column operand
+    assert(SqlDialect.rewrite("select t.props ->> 'k' from t") ===
+      "select get_json_object(t.props, '$.k') from t")
+    // non-identifier key falls back to bracket notation
+    assert(SqlDialect.rewrite("select props ->> 'a b' from t") ===
+      "select get_json_object(props, '$[''a b'']') from t")
+  }
+
+  test("JSON operator chains nest get_json_object") {
+    assert(SqlDialect.rewrite("select props -> 'a' ->> 'b' from t") ===
+      "select get_json_object(get_json_object(props, '$.a'), '$.b') from t")
+    assert(SqlDialect.rewrite("select (props -> 'arr') ->> 1 from t") ===
+      "select get_json_object((get_json_object(props, '$.arr')), '$[1]') from t")
+  }
+
+  test("JSON #>/#>> path extraction") {
+    assert(SqlDialect.rewrite("select props #>> '{a,b}' from t") ===
+      "select get_json_object(props, '$.a.b') from t")
+    assert(SqlDialect.rewrite("select props #> '{a,0,b}' from t") ===
+      "select get_json_object(props, '$.a[0].b') from t")
+  }
+
+  test("JSON ops on cast/literal operands, after the cast pass") {
+    assert(SqlDialect.rewrite("select '{\"k\": 1}'::json ->> 'k'") ===
+      "select get_json_object(CAST('{\"k\": 1}' AS STRING), '$.k')")
+    assert(SqlDialect.rewrite("select '{\"k\": 1}' ->> 'k'") ===
+      "select get_json_object('{\"k\": 1}', '$.k')")
+  }
+
+  test("JSON-ish text inside string literals is untouched") {
+    assert(SqlDialect.rewrite("select 'a ->> b' as s from t") ===
+      "select 'a ->> b' as s from t")
+    assert(SqlDialect.rewrite("select '#>> path' as s from t") ===
+      "select '#>> path' as s from t")
+  }
+
+  test("negative JSON index errors loudly") {
+    assertThrows[IllegalArgumentException](
+      SqlDialect.rewrite("select arr ->> -1 from t"))
+  }
+
+  test("= ANY over array literals rewrites to IN") {
+    assert(SqlDialect.rewrite("select * from t where x = ANY('{a,b}')") ===
+      "select * from t where x IN ('a', 'b')")
+    assert(SqlDialect.rewrite("select * from t where n = ANY('{1,2,3}')") ===
+      "select * from t where n IN (1, 2, 3)")
+    assert(SqlDialect.rewrite("select * from t where n = ANY('{1,2}'::int[])") ===
+      "select * from t where n IN (CAST('1' AS INT), CAST('2' AS INT))")
+    assert(SqlDialect.rewrite("select * from t where x = any(array['a', 'b'])") ===
+      "select * from t where x IN ('a', 'b')")
+    // quoted elements with embedded commas/quotes
+    assert(SqlDialect.rewrite("""select * from t where x = ANY('{"a,b",c}')""") ===
+      "select * from t where x IN ('a,b', 'c')")
+  }
+
+  test("<>/!= ALL rewrites to NOT IN; unmappable combos left alone") {
+    assert(SqlDialect.rewrite("select * from t where x <> ALL('{a,b}')") ===
+      "select * from t where x NOT IN ('a', 'b')")
+    assert(SqlDialect.rewrite("select * from t where x != ALL(ARRAY[1,2])") ===
+      "select * from t where x NOT IN (1,2)")
+    // <> ANY / = ALL have no IN equivalent
+    assert(SqlDialect.rewrite("select * from t where x <> ANY('{a,b}')") ===
+      "select * from t where x <> ANY('{a,b}')")
+    assert(SqlDialect.rewrite("select * from t where x = ALL('{a,b}')") ===
+      "select * from t where x = ALL('{a,b}')")
+    // subquery ANY is untouched
+    assert(SqlDialect.rewrite("select * from t where x = ANY(select y from u)") ===
+      "select * from t where x = ANY(select y from u)")
+  }
+
+  test("array-literal ::type[] casts rewrite to typed array()") {
+    assert(SqlDialect.rewrite("select '{a,b}'::text[] as arr") ===
+      "select array(CAST('a' AS STRING), CAST('b' AS STRING)) as arr")
+    assert(SqlDialect.rewrite("select '{1,2}'::int[] as arr") ===
+      "select array(CAST('1' AS INT), CAST('2' AS INT)) as arr")
+    assert(SqlDialect.rewrite("select '{}'::int[] as arr") ===
+      "select CAST(array() AS ARRAY<INT>) as arr")
+    assert(SqlDialect.rewrite("select '{a,NULL}'::text[] as arr") ===
+      "select array(CAST('a' AS STRING), CAST(NULL AS STRING)) as arr")
+    // a quoted "NULL" element is the string, not SQL NULL
+    assert(SqlDialect.rewrite("""select '{"NULL"}'::text[] as arr""") ===
+      """select array(CAST('NULL' AS STRING)) as arr""")
+  }
+
+  test("rewritten JSON/ANY/array forms execute in Spark") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    Seq((1, """{"k": 7, "nest": {"a": [10, 20]}}"""), (2, """{"k": 9}"""))
+      .toDF("id", "props").createOrReplaceTempView("dialect_json_t")
+    val got = spark.sql(SqlDialect.rewrite(
+      """SELECT id, props ->> 'k' AS k_txt,
+        |props #>> '{nest,a,1}' AS second,
+        |(props -> 'nest') ->> 'a' AS arr_txt
+        |FROM dialect_json_t WHERE id = ANY('{1,2}'::int[])
+        |ORDER BY id""".stripMargin))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got(0) === ((1, "7", "20", "[10,20]")))
+    assert(got(1) === ((2, "9", null, null)))
+    val arr = spark.sql(SqlDialect.rewrite(
+      "SELECT cardinality('{x,y,z}'::text[]) AS n")).collect().head.getInt(0)
+    assert(arr === 3)
+  }
 }
