@@ -61,7 +61,7 @@ object Tap {
         tap.batchConfig match {
           case Some(bc) =>
             val manifests = BatchSink.write(df, emitStream, bc)
-            state = bookmarkFromBatchFiles(spark, s, df, manifests, state)
+            state = emitBatchManifests(spark, s, emitStream, df, manifests, state, out)
             StreamResult(s, -1, manifests)
           case None =>
             // a mapped stream's SCHEMA reflects the transformed shape
@@ -71,7 +71,21 @@ object Tap {
             val te = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
               .format(java.time.format.DateTimeFormatter
                 .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSxxx"))
-            val (n, bookmark) = SingerSink.emitRecords(df, emitStream, out, Some(te))
+            // Periodic STATE (SDK STATE_MSG_FREQUENCY): a sorted stream's
+            // bookmark may advance over the max emitted so far — resume is
+            // exact; an unsorted stream only gets progress markers (rows
+            // below the running max may still be in flight), so resume
+            // re-extracts — at-least-once, never skipping.
+            val (n, bookmark) = SingerSink.emitRecords(df, emitStream, out, Some(te),
+              stateEvery = tap.stateMessageFrequency,
+              onProgress = maxSoFar => (maxSoFar, s.replicationKey) match {
+                case (Some(v), Some(k)) =>
+                  if (s.isSorted) {
+                    state = state.advanced(s.streamId, v)
+                    SingerSink.emitState(state, out)
+                  } else SingerSink.emitStateProgress(state, s.streamId, k, v, out)
+                case _ => SingerSink.emitState(state, out) // heartbeat
+              })
             bookmark.foreach(v => state = state.advanced(s.streamId, v))
             StreamResult(s, n, Nil)
         }
@@ -81,27 +95,63 @@ object Tap {
     (results, state)
   }
 
-  /** Batch-mode bookmark: max replication-key value read back from the
-    * JSONL files the sink just wrote — immutable once written, so the
-    * bookmark provably matches the emitted rows without re-executing the
-    * (possibly nondeterministic) source. One distributed max over the
-    * written chunk files; `timestampFormat` matches the sink's so temporal
-    * rep keys round-trip exactly.
+  /** Batch-mode emission: one BATCH message per manifest, each followed by
+    * a STATE whose bookmark covers exactly the manifests ANNOUNCED so far —
+    * a target that persists the last STATE line before a crash resumes from
+    * the last chunk it actually received, never skipping one it didn't.
+    *
+    * The bookmark derives from the immutable JSONL files the sink just
+    * wrote (provably matches emitted rows without re-executing a possibly
+    * nondeterministic source): ONE distributed read-back computes the
+    * per-file max grouped by `input_file_name`, and the driver folds the
+    * cumulative max across manifests — O(#files) driver state, which is
+    * manifest metadata, not data. `timestampFormat` matches the sink's so
+    * temporal rep keys round-trip exactly.
     */
-  private def bookmarkFromBatchFiles(spark: SparkSession, s: StreamConfig,
-                                     df: DataFrame, manifests: Seq[BatchManifest],
-                                     state: TapState): TapState =
-    if (s.replicationKey.isEmpty) state
-    else {
-      val files = manifests.flatMap(_.files)
-      if (files.isEmpty) state
-      else {
-        val readBack = spark.read.schema(df.schema)
+  private def emitBatchManifests(spark: SparkSession, s: StreamConfig,
+                                 emitStream: StreamConfig, df: DataFrame,
+                                 manifests: Seq[BatchManifest],
+                                 state0: TapState, out: PrintStream): TapState = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max}
+    def fileName(uri: String): String = uri.substring(uri.lastIndexOf('/') + 1)
+    var state = state0
+    val files = manifests.flatMap(_.files)
+    // (native max for type-correct ordering, its string cast for the
+    // bookmark) per written file — string rep keys compare as UTF8String
+    // to agree with Spark's max() byte order (see SingerSink.emitRecords)
+    val maxByFile: Map[String, (AnyRef, String)] = s.replicationKey match {
+      case Some(k) if files.nonEmpty =>
+        spark.read.schema(df.schema)
           .option("timestampFormat", graft.operators.Conformance.IsoTimestampPattern)
           .json(files: _*)
-        Bookmarks.advance(s, readBack, state)
-      }
+          .groupBy(input_file_name().as("__file"))
+          .agg(max(col(k)).as("rk"), max(col(k)).cast("string").as("rks"))
+          .collect()
+          .filterNot(_.isNullAt(1))
+          .map { r =>
+            val v = r.get(1) match {
+              case str: String =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(str)
+              case other => other.asInstanceOf[AnyRef]
+            }
+            fileName(r.getString(0)) -> (v, r.getString(2))
+          }.toMap
+      case _ => Map.empty
     }
+    var best: AnyRef = null
+    var bestStr: String = null
+    manifests.foreach { m =>
+      SingerSink.emitBatch(emitStream, m, out)
+      m.files.flatMap(f => maxByFile.get(fileName(f))).foreach { case (v, vs) =>
+        if (best == null || v.asInstanceOf[Comparable[AnyRef]].compareTo(best) > 0) {
+          best = v; bestStr = vs
+        }
+      }
+      if (bestStr != null) state = state.advanced(s.streamId, bestStr)
+      SingerSink.emitState(state, out)
+    }
+    state
+  }
 
   /** Parse a (possibly user-edited) Singer catalog and return the selected
     * tap_stream_ids — the `--catalog` selection flow (reference: CATALOG
@@ -142,7 +192,7 @@ object Tap {
     * capabilities at tap.py:244-259).
     */
   def aboutJson: String =
-    """{"name":"graft","capabilities":["state","catalog","discover","about","stream-maps","flattening","batch"],"settings":["host","port","user","password","database","streams","batch_config","batch_size","stream_maps","stream_map_config","flattening_enabled","flattening_max_depth"]}"""
+    """{"name":"graft","capabilities":["state","catalog","discover","about","stream-maps","flattening","batch"],"settings":["host","port","user","password","database","streams","batch_config","batch_size","stream_maps","stream_map_config","flattening_enabled","flattening_max_depth","state_message_frequency"]}"""
 }
 
 /** CLI entry point mirroring the reference's (`tap.py:262-263`):

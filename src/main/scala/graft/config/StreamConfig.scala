@@ -32,6 +32,11 @@ object ReplicationMethod {
   * @param columns declared output schema
   * @param batchSize batch-file rotation size (reference: client.py:183 —
   *            default 100,000)
+  * @param isSorted declares the stream's SQL yields rows in ascending
+  *            replication-key order (the SDK's `Stream.is_sorted`): mid-sync
+  *            STATE messages then advance `replication_key_value` directly
+  *            and an interrupted sync resumes from the last emitted row;
+  *            unsorted streams get non-resumable `progress_markers` instead
   */
 final case class StreamConfig(
     name: String,
@@ -42,7 +47,8 @@ final case class StreamConfig(
     columns: Seq[ColumnSpec] = Nil,
     batchSize: Int = StreamConfig.DefaultBatchSize,
     database: String = "postgres",
-    schema: String = "public") {
+    schema: String = "public",
+    isSorted: Boolean = false) {
 
   def replicationMethod: ReplicationMethod =
     if (replicationKey.isDefined) ReplicationMethod.Incremental
@@ -93,11 +99,20 @@ final case class TapConfig(
     removedStreams: Set[String] = Set.empty,
     /** FLATTENING config keys (reference: tap.py:257, README.md:37-38). */
     flatteningEnabled: Boolean = false,
-    flatteningMaxDepth: Option[Int] = None) {
+    flatteningMaxDepth: Option[Int] = None,
+    /** Emit a STATE message every this many RECORDs (the SDK's
+      * `Tap.STATE_MSG_FREQUENCY`, default 10,000) so an interrupted 100 TB
+      * sync resumes from the last flushed bookmark instead of re-extracting.
+      */
+    stateMessageFrequency: Int = TapConfig.DefaultStateMessageFrequency) {
   def resolvedJdbcUrl: String =
     jdbcUrl.getOrElse(s"jdbc:postgresql://$host:$port/$database")
   def resolvedJdbcDriver: String =
     jdbcDriver.getOrElse("org.postgresql.Driver")
+}
+
+object TapConfig {
+  val DefaultStateMessageFrequency = 10000
 }
 
 /** JSON parsing for tap/stream configs via Jackson (ships in Spark's jars;
@@ -136,7 +151,9 @@ object ConfigParser {
       streamMaps = maps,
       removedStreams = removed,
       flatteningEnabled = opt(n, "flattening_enabled").exists(_.asBoolean(false)),
-      flatteningMaxDepth = int(n, "flattening_max_depth"))
+      flatteningMaxDepth = int(n, "flattening_max_depth"),
+      stateMessageFrequency = int(n, "state_message_frequency")
+        .getOrElse(TapConfig.DefaultStateMessageFrequency))
   }
 
   /** SDK-style `stream_maps` object (README.md:35): per stream, either
@@ -230,7 +247,8 @@ object ConfigParser {
           nullable = opt(c, "nullable").exists(_.asBoolean(false)))
       },
       batchSize = int(n, "batch_size").getOrElse(defaultBatch),
-      database = database)
+      database = database,
+      isSorted = opt(n, "is_sorted").exists(_.asBoolean(false)))
 
   private def parseBatchConfig(n: JsonNode): BatchConfig =
     BatchConfig(
@@ -272,6 +290,8 @@ object ConfigParser {
       }
       if (s.batchSize <= 0) problems += s"$where: batch_size must be positive"
     }
+    if (tap.stateMessageFrequency <= 0)
+      problems += "state_message_frequency must be positive"
     val known = tap.streams.map(_.name).toSet
     (tap.streamMaps.keySet ++ tap.removedStreams).filterNot(known).foreach(m =>
       problems += s"stream_maps: unknown stream '$m'")

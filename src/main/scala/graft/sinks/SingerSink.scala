@@ -49,10 +49,18 @@ object SingerSink {
     * full-stream persist to keep the two executions consistent
     * (singer_sdk likewise derives state from processed records). O(1)
     * driver state; `toLocalIterator` holds at most one partition.
+    *
+    * `onProgress` fires after every `stateEvery` emitted records with the
+    * max replication-key string among records emitted SO FAR — the caller
+    * turns it into a mid-sync STATE message (the SDK's
+    * `Tap.STATE_MSG_FREQUENCY` behavior), so a 100 TB extraction killed
+    * mid-stream resumes from the last flushed bookmark.
     */
   def emitRecords(df: DataFrame, stream: StreamConfig,
                   out: PrintStream = System.out,
-                  timeExtracted: Option[String] = None): (Long, Option[String]) = {
+                  timeExtracted: Option[String] = None,
+                  stateEvery: Long = Long.MaxValue,
+                  onProgress: Option[String] => Unit = _ => ()): (Long, Option[String]) = {
     import org.apache.spark.sql.functions.{col, struct, to_json}
     val jsonCol = to_json(struct(Conformance.temporalExprs(df): _*),
       java.util.Map.of("ignoreNullFields", "false"))
@@ -97,14 +105,51 @@ object SingerSink {
         }
       }
       n += 1
+      if (n % stateEvery == 0) onProgress(Option(bestStr))
     }
     (n, Option(bestStr))
+  }
+
+  /** One Singer BATCH message per emitted manifest (the SDK's
+    * `BatchMessage`; the reference yields one `(encoding, [file_url])`
+    * chunk at a time, client.py:234,245).
+    */
+  def emitBatch(stream: StreamConfig, manifest: BatchManifest,
+                out: PrintStream = System.out): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val files = manifest.files.map(q).mkString("[", ",", "]")
+    out.println(s"""{"type":"BATCH","stream":${q(stream.name)},"encoding":{"format":${q(manifest.format)},"compression":${q(manifest.compression)}},"manifest":$files}""")
   }
 
   def emitState(state: TapState, out: PrintStream = System.out): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val bms = state.bookmarks.toSeq.sortBy(_._1).map { case (sid, v) =>
       s"${q(sid)}:{${q("replication_key_value")}:${q(v)}}"
+    }.mkString("{", ",", "}")
+    out.println(s"""{"type":"STATE","value":{"bookmarks":$bms}}""")
+  }
+
+  /** Mid-sync STATE for an UNSORTED stream: the active stream's running
+    * max rides in `progress_markers` (the SDK's non-resumable marker shape
+    * for `is_sorted=False` streams) while its committed
+    * `replication_key_value` — what a resume actually filters on — stays
+    * untouched. `Bookmarks.load` reads only `replication_key_value`, so an
+    * interrupted unsorted sync re-extracts the whole stream (safe: rows
+    * below the running max might not have been emitted yet) and the marker
+    * is promoted to a real bookmark only when the stream completes.
+    */
+  def emitStateProgress(state: TapState, streamId: String, repKey: String,
+                        value: String, out: PrintStream = System.out): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val markers = s"${q("progress_markers")}:{${q("Note")}:${q(
+      "Progress is not resumable if interrupted.")},${q("replication_key")}:${q(
+      repKey)},${q("replication_key_value")}:${q(value)}}"
+    val sids = (state.bookmarks.keySet + streamId).toSeq.sorted
+    val bms = sids.map { sid =>
+      val committed = state.bookmarks.get(sid)
+        .map(v => s"${q("replication_key_value")}:${q(v)}")
+      val fields = committed.toSeq ++ (if (sid == streamId) Seq(markers) else Nil)
+      s"${q(sid)}:{${fields.mkString(",")}}"
     }.mkString("{", ",", "}")
     out.println(s"""{"type":"STATE","value":{"bookmarks":$bms}}""")
   }

@@ -138,6 +138,100 @@ class TapSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stream_maps: unknown stream 'nope'"))
   }
 
+  // -- periodic STATE emission (SDK STATE_MSG_FREQUENCY) -------------------
+
+  /** stdout pipe that dies (like a killed target) after `afterLines`. */
+  private class KilledPipe extends RuntimeException("pipe killed")
+  private def killingStream(buf: ByteArrayOutputStream, afterLines: Int) =
+    new PrintStream(buf, true, "UTF-8") {
+      private var lines = 0
+      override def println(x: String): Unit = {
+        if (lines >= afterLines) throw new KilledPipe
+        super.println(x); lines += 1
+      }
+    }
+  private def stateValue(line: String): String =
+    line.stripPrefix("""{"type":"STATE","value":""").stripSuffix("}")
+
+  private val sortedCfg =
+    """{"database":"db1","state_message_frequency":2,"streams":[
+      |{"name":"srt","sql":"SELECT id FROM range(10) WHERE id > :rep_key_val ORDER BY id",
+      | "key_properties":["id"],"replication_key":"id","replication_key_value_start":-1,
+      | "is_sorted":true,"columns":[{"name":"id","type":"bigint"}]}]}""".stripMargin
+
+  test("sorted stream: mid-sync STATE every N records reflects only emitted rows") {
+    val tap = ConfigParser.parseTap(sortedCfg)
+    assert(tap.stateMessageFrequency === 2)
+    val buf = new ByteArrayOutputStream()
+    Tap.syncAll(spark, tap, None, new PrintStream(buf, true, "UTF-8"))
+    val lines = buf.toString("UTF-8").split("\n")
+    // SCHEMA, then (RECORD RECORD STATE) x5, then the final STATE
+    val states = lines.filter(_.contains(""""type":"STATE""""))
+    assert(states.length === 6)
+    // each mid STATE's bookmark is the max id among records ALREADY emitted
+    val bookmarks = states.map(l =>
+      """"replication_key_value":"(\d+)"""".r.findFirstMatchIn(l).get.group(1))
+    assert(bookmarks.toSeq === Seq("1", "3", "5", "7", "9", "9"))
+    // interleaving: the first STATE appears before the third RECORD
+    val recordIdxs = lines.zipWithIndex
+      .filter(_._1.contains(""""type":"RECORD"""")).map(_._2).toSeq
+    assert(lines.indexWhere(_.contains(""""type":"STATE"""")) < recordIdxs(2))
+  }
+
+  // Kill-resume e2e: the pipe dies mid-stream; the orchestrator persists
+  // the last STATE line it received and restarts the tap with it — only
+  // the tail re-extracts (is_sorted makes the mid-sync bookmark exact).
+  test("kill-resume: a sorted sync resumes from the last flushed STATE, tail only") {
+    val tap = ConfigParser.parseTap(sortedCfg)
+    val buf1 = new ByteArrayOutputStream()
+    // SCHEMA + 2 RECORDs + STATE + 2 RECORDs + STATE = 7 lines, then killed
+    intercept[KilledPipe](Tap.syncAll(spark, tap, None, killingStream(buf1, 7)))
+    val lines1 = buf1.toString("UTF-8").split("\n")
+    assert(lines1.count(_.contains(""""type":"RECORD"""")) === 4)
+    val lastState = lines1.filter(_.contains(""""type":"STATE"""")).last
+    val statePath = Files.createTempDirectory("tap-resume").resolve("state.json")
+    Files.writeString(statePath, stateValue(lastState))
+
+    val buf2 = new ByteArrayOutputStream()
+    val (res2, st2) = Tap.syncAll(spark, tap, Some(statePath.toString),
+      new PrintStream(buf2, true, "UTF-8"))
+    assert(res2.head.records === 6) // ids 4..9 — the unemitted tail, nothing more
+    val ids2 = buf2.toString("UTF-8").split("\n")
+      .filter(_.contains(""""type":"RECORD""""))
+      .map(l => """"id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toInt).toSeq
+    assert(ids2 === (4 to 9))
+    assert(st2.bookmark("db1-public-srt") === Some("9"))
+  }
+
+  // An UNSORTED stream's mid-sync STATE carries progress_markers only:
+  // the committed bookmark (what a resume filters on) must not advance
+  // until the stream completes — rows below the running max may not have
+  // been emitted yet.
+  test("unsorted stream: mid-sync STATE uses non-resumable progress markers") {
+    val tap = ConfigParser.parseTap(
+      """{"database":"db1","state_message_frequency":2,"streams":[
+        |{"name":"uns","sql":"SELECT id FROM range(5)",
+        | "key_properties":["id"],"replication_key":"id","replication_key_value_start":-1,
+        | "columns":[{"name":"id","type":"bigint"}]}]}""".stripMargin)
+    val buf = new ByteArrayOutputStream()
+    Tap.syncAll(spark, tap, None, new PrintStream(buf, true, "UTF-8"))
+    val states = buf.toString("UTF-8").split("\n")
+      .filter(_.contains(""""type":"STATE""""))
+    val (mids, last) = (states.init, states.last)
+    assert(mids.nonEmpty)
+    assert(mids.forall(_.contains(""""progress_markers"""")))
+    // a resume of a mid STATE must see NO bookmark for the stream
+    mids.foreach { m =>
+      val p = Files.createTempFile("mid-state", ".json")
+      Files.writeString(p, stateValue(m))
+      assert(Bookmarks.load(p.toString).bookmark("db1-public-uns") === None,
+        "progress markers must not act as a resumable bookmark")
+    }
+    // the final STATE promotes the completed stream to a real bookmark
+    assert(!last.contains("progress_markers"))
+    assert(last.contains(""""replication_key_value":"4""""))
+  }
+
   // Batch mode re-reads max(rep_key) from the immutable files the sink
   // just wrote — the stream itself executes exactly once, and temporal rep
   // keys round-trip through the sink's ISO timestampFormat back to the
@@ -162,6 +256,22 @@ class TapSpec extends AnyFunSuite {
     assert(res.forall(_.manifests.nonEmpty))
     assert(st.bookmark("db1-public-b1") === Some("6"))
     assert(st.bookmark("db1-public-b2") === Some("2021-11-22 11:45:11.062824"))
+
+    // one BATCH message per manifest, each followed by a STATE covering
+    // exactly the chunks announced so far (resumable batch extraction)
+    val lines = buf.toString("UTF-8").split("\n")
+    val nManifests = res.map(_.manifests.size).sum
+    assert(lines.count(_.contains(""""type":"BATCH"""")) === nManifests)
+    assert(lines.count(_.contains(""""type":"STATE"""")) === nManifests + 1)
+    val b1Bookmarks = lines
+      .filter(l => l.contains(""""type":"STATE"""") && l.contains("db1-public-b1"))
+      .map(l => """db1-public-b1":\{"replication_key_value":"(\d+)"""".r
+        .findFirstMatchIn(l).get.group(1).toInt).toSeq
+    assert(b1Bookmarks === b1Bookmarks.sorted, "per-manifest bookmarks must be monotone")
+    assert(b1Bookmarks.last === 6)
+    val firstBatch = lines.indexWhere(_.contains(""""type":"BATCH""""))
+    assert(lines(firstBatch + 1).contains(""""type":"STATE""""),
+      "each BATCH message is followed by its STATE")
   }
 
   // Singer --catalog selection: streams deselect via root-breadcrumb
