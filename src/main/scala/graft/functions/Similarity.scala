@@ -127,10 +127,98 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Sign-LSH (bands, bitsPerBand) for a cosine `threshold` over
+    * `totalBits` hyperplanes. Per-plane sign-agreement probability for
+    * cosine t is p = 1 − acos(t)/π (Charikar, STOC'02); mirror of
+    * [[Dedup.lshParams]]: pick the divisor split whose banded S-curve
+    * midpoint (1/b)^(1/r) sits closest to p, so callers state the
+    * similarity cutoff and the collision curve is tuned for them.
+    */
+  def signLshParams(totalBits: Int, threshold: Double): (Int, Int) = {
+    require(totalBits >= 2, s"totalBits must be >= 2, got $totalBits")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val candidates =
+      (2 to totalBits).filter(totalBits % _ == 0).map(b => (b, totalBits / b))
+    candidates.minBy { case (b, r) =>
+      math.abs(math.pow(1.0 / b, 1.0 / r) - p)
+    }
+  }
+
+  /** Band keys for banded sign-projection LSH: `bands` independent
+    * `bitsPerBand`-bit signatures (disjoint hyperplane sets via seed+band),
+    * each offset by its band index so keys never collide across bands.
+    * A pair agreeing on ANY band becomes a candidate (pigeonhole — the
+    * same shape as [[Dedup.lshBandKeys]] for MinHash).
+    */
+  def signBandKeys(vecCol: Column, bands: Int, bitsPerBand: Int,
+                   dim: Int, seed: Long): Column =
+    array((0 until bands).map { b =>
+      lit(b.toLong * (1L << bitsPerBand)) +
+        lshBucket(vecCol, hyperplanes(bitsPerBand, dim, seed + b))
+    }: _*)
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed — the scale path
+    * and the gate entry's form.
+    *
+    * Plan shape (the part that matters at 100 TB):
+    *   1. per-vector band keys: projection only (bands × bitsPerBand
+    *      native dot products);
+    *   2. explode band keys → `groupBy(band)` — shuffles (band, id) pairs
+    *      only (~bands × 8 bytes per vector, NOT the embeddings);
+    *   3. buckets → candidate id pairs (a<b), `distinct` across bands;
+    *      hot buckets capped at `maxBucket` ids by the O(k)
+    *      [[graft.plans.BottomKLongs]] aggregate (window cap for
+    *      non-bigint ids) — the standard skew guardrail;
+    *   4. verify: join candidates back to (vector, norm) — two hash joins
+    *      on id — and keep exact cosine ≥ threshold.
+    *
+    * Precision is exact (step 4 recomputes true cosine); recall is the
+    * banded S-curve: P(candidate) = 1 − (1 − p^r)^b with
+    * p = 1 − acos(cos)/π, ≈ 1 for true near-duplicates (cos ≥ 0.9) at the
+    * defaults. The quadratic [[cosineDupPairs]] remains the
+    * exhaustive-recall reference (spec-only).
+    */
+  def cosineDupPairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, totalBits: Int = 32,
+                             bands: Int = 0, dim: Int = 64, seed: Long = 42L,
+                             maxBucket: Int = 1000): DataFrame = {
+    val (nBands, bitsPerBand) =
+      if (bands > 0) (bands, totalBits / bands)
+      else signLshParams(totalBits, threshold)
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"))
+    val banded = base.select(col("id"),
+      explode(signBandKeys(col("v"), nBands, bitsPerBand, dim, seed)).as("band"))
+    val idIsLong =
+      emb.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    val buckets = (if (idIsLong)
+      banded.groupBy("band")
+        .agg(graft.plans.BottomKLongs.bottomK(col("id"), maxBucket).as("ids"))
+    else {
+      val bandW = Window.partitionBy("band").orderBy("id")
+      banded.withColumn("__rn", row_number().over(bandW))
+        .where(col("__rn") <= maxBucket)
+        .groupBy("band")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+    }).where(size(col("ids")) > 1)
+    val candidates = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+    val ea = base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val eb = base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    candidates.join(ea, "id_a").join(eb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosinePrenormed(col("va"), col("vb"), col("na") * col("nb")), 6)
+          .as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a,b) with cosine ≥
-    * threshold. Exact quadratic form for oracle-checkable scales; at 100 TB
-    * use [[annTopK]]-style bucketing first and verify within buckets —
-    * same verify expression, linearized candidate generation.
+    * threshold. Exact quadratic form — exhaustive-recall reference for
+    * specs and oracle-checkable scales only; the gate entry and the
+    * 100 TB path are [[cosineDupPairsBucketed]].
     */
   def cosineDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {

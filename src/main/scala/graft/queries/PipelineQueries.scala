@@ -60,9 +60,16 @@ object PipelineQueries {
             .as("jaccard"))
     }),
 
+    // LSH-bucketed near-dup pairs over the FULL embeddings table (the old
+    // quadratic crossJoin form needed a 1/10 pre-filter even at gate scale
+    // and is now spec-only). Candidate set is engine-specific (banded
+    // sign-LSH), so the oracle re-derives the cosine VALUE for each
+    // returned pair from the embeddings table AND re-checks the threshold
+    // — exact precision verified, recall by the banded S-curve (spec'd
+    // against the quadratic reference in SimilaritySpec).
     "dedup_embedding" -> ((spark, dir) =>
-      Similarity.cosineDupPairs(
-        Tables.read(spark, dir, "embeddings").filter(col("vec_id") % 10 === 0),
+      Similarity.cosineDupPairsBucketed(
+        Tables.read(spark, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4)),
 
     "sim_topk_brute" -> ((spark, dir) => {
@@ -415,15 +422,23 @@ object PipelineQueries {
         |  CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) AS jaccard
         |FROM co JOIN sz a ON co.id_a = a.doc_id JOIN sz b ON co.id_b = b.doc_id
         |WHERE CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) >= 0.5""".stripMargin,
+    // Pair-value oracle (same contract as sim_ann_lsh): rows come from the
+    // entry's own output (candidate generation is engine-specific LSH), the
+    // cosine for each returned pair is recomputed exactly from the
+    // embeddings table and hash-checked, and the threshold is re-applied —
+    // any below-threshold pair the engine emitted would drop here and fail
+    // the row-count match.
     "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH p AS (SELECT id_a, id_b
+        |  FROM read_parquet('__OUT__/dedup_embedding/*.parquet')),
+        |v AS (SELECT p.id_a, p.id_b,
         |  round(
         |   list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
         |   (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
         |    sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos_sim
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.4""".stripMargin,
+        |  FROM p JOIN embeddings a ON p.id_a = a.vec_id
+        |  JOIN embeddings b ON p.id_b = b.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM v WHERE cos_sim >= 0.4""".stripMargin,
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,

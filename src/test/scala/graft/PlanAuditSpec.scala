@@ -67,6 +67,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"exact dedup must partial-aggregate before the exchange:\n$plan")
   }
 
+  test("dedup_embedding is LSH-bucketed: no cartesian product in the plan") {
+    // The quadratic crossJoin form is spec-only; the gate entry must plan
+    // as banded-LSH candidate generation + hash-join verify — the shape
+    // that survives 100×.
+    val plan = finalPlan("dedup_embedding")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dedup_embedding must not plan a cartesian/nested-loop join:\n$plan")
+  }
+
   test("tap incremental predicate reaches the parquet scan") {
     val plan = executedPlan("tap_incremental")
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),

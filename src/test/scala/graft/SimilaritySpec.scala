@@ -75,4 +75,45 @@ class SimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("bucketed dup pairs find planted near-duplicates (dim-matched planes)") {
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.99f, 0.01f, 0f)), (3L, Seq(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDupPairsBucketed(df, "vec_id", "embedding",
+        threshold = 0.95, dim = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  // Precision must be EXACT (every emitted pair also found by the
+  // quadratic reference at the same threshold); recall is the banded
+  // S-curve — ~75% at the threshold boundary for the auto-derived
+  // (bands, bitsPerBand), asserted with slack against the fixture's
+  // uniform-random (LSH-adversarial) embeddings.
+  test("bucketed dup pairs: exact precision, bounded recall vs quadratic reference") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity.cosineDupPairsBucketed(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain pairs above threshold")
+    assert((bucketed diff exact).isEmpty,
+      s"bucketed emitted pairs the exact form rejects: ${bucketed diff exact}")
+    val recall = (bucketed intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall below S-curve expectation")
+  }
+
+  test("signLshParams tracks the collision probability of the threshold") {
+    // cos 0.9 → p ≈ 0.856: the chosen split's midpoint must sit closer to
+    // p than either neighboring divisor split of 32 bits.
+    val (b, r) = Similarity.signLshParams(32, 0.9)
+    assert(b * r === 32)
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    val err = math.abs(math.pow(1.0 / b, 1.0 / r) - p)
+    for (alt <- Seq((2, 16), (4, 8), (8, 4), (16, 2), (32, 1)) if alt != ((b, r))) {
+      val altErr = math.abs(math.pow(1.0 / alt._1, 1.0 / alt._2) - p)
+      assert(err <= altErr, s"($b,$r) err $err worse than $alt err $altErr")
+    }
+  }
 }
