@@ -213,22 +213,10 @@ object PipelineQueries {
     // first purchase after that, plus step-conversion flags. One
     // hash-partitioned aggregation over (user, type-conditional mins) —
     // no self-joins, so the shuffle carries one row per user.
-    "events_funnel" -> ((spark, dir) => {
-      val ev = Tables.read(spark, dir, "events")
+    "events_funnel" -> ((spark, dir) =>
+      funnelBounded(Tables.read(spark, dir, "events")
         .select(col("user_id"), col("event_type"),
-          date_trunc("second", col("ts")).as("ts_s"))
-      val firstSignup = min(when(col("event_type") === "signup", col("ts_s")))
-      val agged = ev.groupBy("user_id").agg(firstSignup.as("t_signup"),
-        collect_list(when(col("event_type") === "view", col("ts_s"))).as("views"),
-        collect_list(when(col("event_type") === "purchase", col("ts_s"))).as("buys"))
-      agged.select(col("user_id"), col("t_signup"), col("buys"),
-          array_min(filter(col("views"), v => v > col("t_signup"))).as("t_view"))
-        .withColumn("t_buy",
-          array_min(filter(col("buys"), b => b > col("t_view"))))
-        .select(col("user_id"), col("t_signup"), col("t_view"), col("t_buy"),
-          (col("t_signup").isNotNull && col("t_view").isNotNull).as("reached_view"),
-          (col("t_view").isNotNull && col("t_buy").isNotNull).as("reached_buy"))
-    }),
+          date_trunc("second", col("ts")).as("ts_s")))),
 
     // Retention cohorts: users grouped by signup day; D1/D7 retention =
     // any activity exactly 1/7 days later. Same one-row-per-user shuffle
@@ -360,6 +348,42 @@ object PipelineQueries {
     * the similarity VALUES are recomputed from the embeddings table and
     * hash-checked — the pair-value verification contract.
     */
+  /** Signup → first-view → first-purchase funnel with BOUNDED per-user
+    * aggregation state.
+    *
+    * Three chained conditional-min aggregations, each keyed on `user_id`:
+    * t_signup = min signup ts; t_view = min view ts after t_signup;
+    * t_buy = min purchase ts after t_view. Every aggregation buffer is a
+    * single timestamp (partial+final min), so a bot user with 10⁷ events
+    * costs O(1) state — unlike a `collect_list` of all their timestamps,
+    * which materializes the whole event array in one (non-spillable)
+    * aggregation buffer and is the classic skew OOM at 100×. All joins
+    * and aggs share the `user_id` key, so the per-stage exchanges reuse
+    * one hash partitioning.
+    *
+    * `ev` must have (user_id, event_type, ts_s) columns. Null semantics
+    * match the list form exactly: a missing earlier stage nulls the later
+    * ones (`ts > NULL` is NULL, dropped by both `min(when(...))` here and
+    * `list_filter` in the oracle).
+    */
+  def funnelBounded(ev: DataFrame): DataFrame = {
+    val s = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts_s"))).as("t_signup"))
+    val v = ev.where(col("event_type") === "view")
+      .join(s, "user_id")
+      .groupBy("user_id")
+      .agg(min(when(col("ts_s") > col("t_signup"), col("ts_s"))).as("t_view"))
+    val b = ev.where(col("event_type") === "purchase")
+      .join(v, "user_id")
+      .groupBy("user_id")
+      .agg(min(when(col("ts_s") > col("t_view"), col("ts_s"))).as("t_buy"))
+    s.join(v, Seq("user_id"), "left")
+      .join(b, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_view"), col("t_buy"),
+        (col("t_signup").isNotNull && col("t_view").isNotNull).as("reached_view"),
+        (col("t_view").isNotNull && col("t_buy").isNotNull).as("reached_buy"))
+  }
+
   private def annPairOracle(name: String): String = s"""
         |WITH p AS (SELECT query_id, neighbor_id, rank
         |  FROM read_parquet('__OUT__/$name/*.parquet'))

@@ -14,6 +14,37 @@ class OperatorsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("bounded funnel survives a 10⁶-event bot user and gets it right") {
+    // One user with a million view events (generated distributed — no
+    // driver-side array) plus a signup and a late purchase: the bounded
+    // conditional-min form keeps O(1) state per user where the old
+    // collect_list form would materialize a 10⁶-element aggregation
+    // buffer; output must still be the exact funnel timestamps.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val bot = spark.range(1000000L).select(
+      lit(7L).as("user_id"), lit("view").as("event_type"),
+      // views at base+10s, +11s, ... — all after signup (base+5s)
+      timestamp_seconds(lit(base).cast("long") + col("id") + 10).as("ts_s"))
+    val anchors = Seq(
+      (7L, "signup", new java.sql.Timestamp(base.getTime + 5000L)),
+      (7L, "purchase", new java.sql.Timestamp(base.getTime + 500000L * 1000L)),
+      (8L, "view", base)) // user with no signup: all stages null
+    .toDF("user_id", "event_type", "ts_s")
+    val out = graft.queries.PipelineQueries
+      .funnelBounded(bot.union(anchors))
+      .orderBy("user_id")
+      .collect()
+    assert(out.length === 2)
+    val u7 = out(0)
+    assert(u7.getTimestamp(1) === new java.sql.Timestamp(base.getTime + 5000L))
+    assert(u7.getTimestamp(2) === new java.sql.Timestamp(base.getTime + 10000L))
+    assert(u7.getTimestamp(3) === new java.sql.Timestamp(base.getTime + 500000000L))
+    assert(u7.getBoolean(4) && u7.getBoolean(5))
+    val u8 = out(1)
+    assert(u8.isNullAt(1) && u8.isNullAt(2) && u8.isNullAt(3))
+    assert(!u8.getBoolean(4) && !u8.getBoolean(5))
+  }
+
   test("flattener expands nested structs with __ names, depth-limited") {
     val df = Seq((1, ("x", (2.5, "y")))).toDF("id", "c")
       .select(col("id"), struct(col("c._1").as("a"),

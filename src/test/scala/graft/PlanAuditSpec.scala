@@ -67,6 +67,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"exact dedup must partial-aggregate before the exchange:\n$plan")
   }
 
+  test("events_funnel aggregates with bounded buffers (no collect_list)") {
+    // Per-user state must be O(1) conditional mins with map-side partial
+    // aggregation — a collect_list of all of a bot user's timestamps is
+    // the unbounded-buffer skew OOM at 100×.
+    val plan = executedPlan("events_funnel")
+    assert(!plan.contains("collect_list"),
+      s"funnel must not buffer per-user event arrays:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"funnel mins must partial-aggregate map-side:\n$plan")
+  }
+
   test("dedup_embedding is LSH-bucketed: no cartesian product in the plan") {
     // The quadratic crossJoin form is spec-only; the gate entry must plan
     // as banded-LSH candidate generation + hash-join verify — the shape
