@@ -295,12 +295,19 @@ object ConfigParser {
     val known = tap.streams.map(_.name).toSet
     (tap.streamMaps.keySet ++ tap.removedStreams).filterNot(known).foreach(m =>
       problems += s"stream_maps: unknown stream '$m'")
-    // the replication key is the incremental watermark: a map that drops or
-    // renames it would leave the sync with no bookmark column to track
+    // the replication key is the incremental watermark: a map that drops,
+    // renames, or OVERWRITES it would corrupt the bookmark. The computed
+    // case is the insidious one — withColumn replaces the column, so the
+    // bookmark would advance over transformed values; if those sit above
+    // the source's real watermark, unextracted rows are silently skipped
+    // forever on the next incremental run.
     tap.streamMaps.foreach { case (name, m) =>
-      for (s <- tap.streams.find(_.name == name); k <- s.replicationKey)
+      for (s <- tap.streams.find(_.name == name); k <- s.replicationKey) {
         if (m.dropped.contains(k) || m.aliases.exists(_._1 == k))
           problems += s"stream '$name': stream map must not drop/rename replication_key '$k'"
+        if (m.computed.exists(_._1 == k))
+          problems += s"stream '$name': stream map must not overwrite replication_key '$k' with a computed expression"
+      }
     }
     if (problems.nonEmpty)
       throw new IllegalArgumentException(

@@ -113,20 +113,26 @@ object Multimodal {
   }
 
   /** Integer byte-bucket histogram: `out(i % dim) += byte(i)` with NO
-    * normalization. Every bucket stays an integer well inside float32's
-    * exact range (≤ 255·len/dim), so the features are bit-exact and a
-    * SQL oracle can recompute them from the payload bytes — the
-    * oracle-checkable stand-in where [[FakeCodec]]'s /255 normalization
-    * accumulates float32 rounding.
+    * normalization. Buckets accumulate in Long (exact for any payload
+    * size) and convert to Float once at the end, so the only rounding is
+    * the final Long→Float cast — a single deterministic round-to-nearest
+    * that a SQL oracle reproduces with `CAST(int_sum AS FLOAT)`. (A float
+    * accumulator would drift order-dependently once a bucket passed
+    * 2^24 ≈ a 1 MiB payload at dim=16.) The oracle-checkable stand-in
+    * where [[FakeCodec]]'s /255 normalization accumulates float32
+    * rounding.
     */
   final class ByteHistCodec(val dim: Int) extends MediaCodec {
     def decode(bytes: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](dim)
+      val acc = new Array[Long](dim)
       var i = 0
       while (i < bytes.length) {
-        out(i % dim) += (bytes(i) & 0xff).toFloat
+        acc(i % dim) += (bytes(i) & 0xff).toLong
         i += 1
       }
+      val out = new Array[Float](dim)
+      i = 0
+      while (i < dim) { out(i) = acc(i).toFloat; i += 1 }
       out
     }
   }

@@ -18,6 +18,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * [[graft.operators.AsOfJoin.asOf]], asserted in AsOfJoinSpec);
   * `forward`: the FIRST right row with rightTs ≥ leftTs;
   * `nearest`: whichever of those two is closer in time (ties → backward).
+  * Among right rows sharing one timestamp, backward keeps the run's last
+  * row (the carry) while forward/nearest keep its first — each direction
+  * honors its own FIRST/LAST wording, pinned by AsOfJoinSpec on payloads
+  * (a ts-only oracle cannot tell equal-ts duplicates apart).
   * An optional `tolerance` (native ts units: microseconds for timestamps,
   * days for dates) drops matches further than that from the left row.
   * Null keys/timestamps never match (left rows keep their row with a null
@@ -164,15 +168,26 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 if (rTsRow.isNullAt(0)) buffered.next() // null ts never matches
                 else {
                   val rTsVal = rTsRow.get(0, rts.dataType)
-                  if (tsOrd.compare(rTsVal.asInstanceOf[AnyRef],
-                      lTsVal.asInstanceOf[AnyRef]) <= 0) {
+                  val tc = tsOrd.compare(rTsVal.asInstanceOf[AnyRef],
+                    lTsVal.asInstanceOf[AnyRef])
+                  // forward/nearest return the FIRST right row with
+                  // ts >= lts (as documented), so once an equal-ts match
+                  // is held, further equal-ts duplicates must not
+                  // overwrite it — stop and leave them for later left
+                  // rows. Backward keeps last-of-equal-ts (the carry).
+                  val holdFirstEqual = dir != "backward" && tc == 0 &&
+                    hasMatch && keyOrd.compare(matchKey.asInstanceOf[AnyRef],
+                      lKeyVal.asInstanceOf[AnyRef]) == 0 &&
+                    tsOrd.compare(matchTs.asInstanceOf[AnyRef],
+                      lTsVal.asInstanceOf[AnyRef]) == 0
+                  if (tc <= 0 && !holdFirstEqual) {
                     matchRow = buffered.next().copy()
                     // copy: projection buffers are reused across rows, and
                     // these values must survive iterations
                     matchTs = InternalRow.copyValue(rTsVal)
                     matchKey = lKeyVal
                     hasMatch = true
-                  } else advancing = false // same key, future ts
+                  } else advancing = false // future ts, or first-equal held
                 }
               } else advancing = false // right key ahead
             }

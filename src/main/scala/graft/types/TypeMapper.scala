@@ -115,10 +115,14 @@ object TypeMapper {
     val declared = stream.columns.map(c => c.name -> c).toMap
     val props = schema.fields.map { f =>
       declared.get(f.name) match {
-        case Some(c) =>
+        // a declared column whose Spark type the map changed (e.g.
+        // {"amount": "CAST(amount AS STRING)"}) must advertise the ACTUAL
+        // type — emitting the declared one would contradict the RECORD
+        // payloads and strict Singer targets reject the sync
+        case Some(c) if toDataType(c.typeName) == f.dataType =>
           val types = jsonTypeArray(stream, c).map(q).mkString("[", ",", "]")
           s"${q(c.name)}:{\"type\":$types${fmtSuffix(toDataType(c.typeName))}}"
-        case None =>
+        case _ =>
           val base = jsonSchemaTypeOf(f.dataType)
           val types = (if (stream.keyProperties.contains(f.name)) Seq(base)
                        else Seq(base, "null")).map(q).mkString("[", ",", "]")

@@ -167,6 +167,44 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(tie(900L) === Some(1.0))
   }
 
+  // Payload-bearing duplicates at the SAME right timestamp: forward and
+  // nearest are documented to return the FIRST right row with ts ≥ lts,
+  // which the ts-only oracles cannot distinguish — pin it on the payload.
+  test("forward/nearest return the first of equal-ts right duplicates") {
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")), // lands exactly on the dup run
+      (1L, 101L, ts("2024-01-01 09:59:00")), // dup run is its forward head
+      (1L, 102L, ts("2024-01-01 10:01:00"))  // dup run is its backward carry
+    ).toDF("key", "trade_id", "t")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "first"),
+      (1L, ts("2024-01-01 10:00:00"), "second"),
+      (1L, ts("2024-01-01 10:00:00"), "third")
+    ).toDF("qkey", "qt", "tag")
+
+    def run(dir: String) =
+      graft.plans.AsOfJoinPlan.asOf(trades, quotes,
+          "key", "qkey", "t", "qt", direction = dir)
+        .select("trade_id", "tag").as[(Long, Option[String])].collect().toMap
+
+    // which physical duplicate sorts first is engine-internal (equal sort
+    // keys), so pin CONSISTENCY: an exact-ts left row must return the same
+    // head-of-run row that an earlier left row sees as its forward
+    // candidate — the pre-fix behavior returned the run's LAST row for the
+    // exact-ts left and its FIRST for the earlier left.
+    val fwd = run("forward")
+    assert(fwd(100L).isDefined && fwd(100L) === fwd(101L),
+      s"exact-ts forward must take the head of the equal-ts run: $fwd")
+    assert(fwd(102L) === None)
+    val near = run("nearest")
+    assert(near(100L) === fwd(100L))
+    // backward carry keeps last-of-equal (the documented carry semantic):
+    // same row an after-the-run left row inherits, distinct from the head
+    val back = run("backward")
+    assert(back(100L).isDefined && back(100L) === back(102L))
+    assert(back(100L) !== fwd(100L))
+  }
+
   test("null keys/timestamps are handled inside the merge") {
     val trades = Seq(
       (Some(1L), 100L, Some(ts("2024-01-01 10:00:05"))),

@@ -47,9 +47,13 @@ def main():
         if t == "events":
             # driver fixtures carry ts as TIMESTAMP(NANOS); ScaleUp-derived
             # dirs carry it as BIGINT nanos — normalize to a timestamp view
-            ts_type = con.sql(
-                f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
-            if "INT" in ts_type.upper():
+            row = con.sql(
+                f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()
+            # empty events table: no row to probe — fall back to the
+            # declared column type so the view still materializes
+            ts_type = row[0] if row else str(con.sql(
+                f"SELECT ts FROM {src} WHERE FALSE").types[0])
+            if "INT" in str(ts_type).upper():
                 src = (f"(SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
                        f"FROM {src})")
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
