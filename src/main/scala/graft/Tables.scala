@@ -16,15 +16,22 @@ object Tables {
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // outright (PARQUET_TYPE_ILLEGAL). Read nanos as Long and convert
-      // to a microsecond TimestampType (truncation, matching Spark's own
-      // pre-4.x behavior). DuckDB keeps ns, so oracle-checked queries
-      // must only use second-or-coarser derivations of ts.
+      // The driver fixtures carry events.ts as parquet TIMESTAMP(NANOS),
+      // which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) — read
+      // nanos as Long and truncate to a microsecond TimestampType
+      // (matching Spark's own pre-4.x behavior). ScaleUp-derived dirs are
+      // re-written by Spark itself as TIMESTAMP(MICROS), so the column
+      // arrives as TimestampType already — adapt on the observed schema.
+      // DuckDB keeps ns on the fixtures, so oracle-checked queries must
+      // only use second-or-coarser derivations of ts.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(sfDir, name))
-        .withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(path(sfDir, name))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
+        case _ => df
+      }
     } else spark.read.parquet(path(sfDir, name))
 
   /** Register every fixture table as a temp view (idempotent). */

@@ -43,19 +43,11 @@ def main():
         tpath = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(tpath):  # ScaleUp output: directory of part files
             tpath = f"{tpath}/*.parquet"
+        # no per-table type translation: driver fixtures carry events.ts as
+        # TIMESTAMP(NANOS) and ScaleUp-derived dirs as TIMESTAMP(MICROS) —
+        # DuckDB reads both natively (oracle SQL uses second-or-coarser
+        # derivations, so ns-vs-us precision never reaches a hash)
         src = f"read_parquet('{tpath}')"
-        if t == "events":
-            # driver fixtures carry ts as TIMESTAMP(NANOS); ScaleUp-derived
-            # dirs carry it as BIGINT nanos — normalize to a timestamp view
-            row = con.sql(
-                f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()
-            # empty events table: no row to probe — fall back to the
-            # declared column type so the view still materializes
-            ts_type = row[0] if row else str(con.sql(
-                f"SELECT ts FROM {src} WHERE FALSE").types[0])
-            if "INT" in str(ts_type).upper():
-                src = (f"(SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
-                       f"FROM {src})")
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
