@@ -40,21 +40,34 @@ case class WordShingleHashes(child: Expression, k: Int)
           s"graft_shingle_hashes requires a STRING column, got ${other.sql}")
     }
 
-  // participate in whole-stage codegen via a callback into compute —
-  // keeps the surrounding operator's codegen span intact
+  // static-dispatch codegen: `k` is a plan-time constant, so the
+  // generated code calls the companion's static forwarder with it inlined
+  // as a literal — no reference-object load, no per-row virtual call, and
+  // the monomorphic static callsite JIT-inlines into the surrounding
+  // whole-stage span
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val ref = ctx.addReferenceObj("shingles", this, classOf[WordShingleHashes].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
-  }
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.WordShingleHashes.hash($c, $k);")
 
   def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
-    nullSafeEval(s).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    WordShingleHashes.hash(s, k)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override def nullSafeEval(input: Any): Any =
+    WordShingleHashes.hash(input.asInstanceOf[UTF8String], k)
+  override protected def withNewChildInternal(c: Expression): WordShingleHashes =
+    copy(child = c)
+  override def prettyName: String = "graft_word_shingle_hashes"
+}
+
+object WordShingleHashes {
+  /** The whole shingle-hash pass as a static method so generated code
+    * dispatches without an instance (called from both eval paths and the
+    * codegen template above — one body, no drift).
+    */
+  def hash(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val n = s.numBytes
@@ -81,7 +94,7 @@ case class WordShingleHashes(child: Expression, k: Int)
     // distinct hashes, first-occurrence order (array_distinct semantics)
     val out = new Array[Long](nShingle)
     var nOut = 0
-    var cap = Integer.highestOneBit(math.max(nShingle * 4 - 1, 4)) << 1
+    val cap = Integer.highestOneBit(math.max(nShingle * 4 - 1, 4)) << 1
     val table = new Array[Long](cap)
     val used = new Array[Boolean](cap)
     val mask = cap - 1
@@ -110,10 +123,6 @@ case class WordShingleHashes(child: Expression, k: Int)
     }
     new GenericArrayData(if (nOut == out.length) out else out.take(nOut))
   }
-
-  override protected def withNewChildInternal(c: Expression): WordShingleHashes =
-    copy(child = c)
-  override def prettyName: String = "graft_word_shingle_hashes"
 }
 
 /** Per-language marker-hit counts in one tokenization pass: returns

@@ -172,15 +172,37 @@ case class DotF(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
-  // participate in whole-stage codegen (a CodegenFallback child breaks
-  // the span for the whole operator): the generated code calls back into
-  // this instance's compute — the loop itself is already a tight JVM loop
+  // true inline codegen body: the element types are known at plan time,
+  // so the generated Java is the same left-to-right double fold as
+  // compute() with typed ArrayData getters — no reference-object load, no
+  // per-row virtual call, and the loop fuses into the surrounding
+  // whole-stage span (bit-equality with compute() pinned in SimilaritySpec)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val ref = ctx.addReferenceObj("dotf", this, classOf[DotF].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    def getter(dt: DataType, arr: String, i: String): String = dt match {
+      case ArrayType(FloatType, _)   => s"(double) $arr.getFloat($i)"
+      case ArrayType(DoubleType, _)  => s"$arr.getDouble($i)"
+      case ArrayType(LongType, _)    => s"(double) $arr.getLong($i)"
+      case ArrayType(IntegerType, _) => s"(double) $arr.getInt($i)"
+      case ArrayType(ShortType, _)   => s"(double) $arr.getShort($i)"
+      case other => throw new IllegalArgumentException(
+        s"graft_dot requires a numeric array, got ${other.sql}")
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotN")
+      val i = ctx.freshName("dotI")
+      val s = ctx.freshName("dotS")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${getter(left.dataType, a, i)} * ${getter(right.dataType, b, i)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
   }
 
   def compute(xa: ArrayData, xb: ArrayData): Double = {
