@@ -25,7 +25,10 @@ object Bench {
     "pipeline_curate",
     // round-2 additions: custom merge-join operator, digest aggregate,
     // funnel analytics, order-safe stats
-    "q_asof_join_native", "q_tdigest", "events_funnel", "q_stats_agg")
+    "q_asof_join_native", "q_tdigest", "events_funnel", "q_stats_agg",
+    // round-4 additions: the ANN scale paths next to their brute-force
+    // baseline, and the LSH-bucketed embedding dedup
+    "sim_ann_lsh", "sim_ivf", "dedup_embedding")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

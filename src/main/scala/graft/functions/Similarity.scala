@@ -201,18 +201,78 @@ object Similarity {
         .groupBy("band")
         .agg(sort_array(collect_list(col("id"))).as("ids"))
     }).where(size(col("ids")) > 1)
-    val candidates = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .distinct()
-    val ea = base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
-    val eb = base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    candidates.join(ea, "id_a").join(eb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(cosinePrenormed(col("va"), col("vb"), col("na") * col("nb")), 6)
-          .as("cos_sim"))
-      .where(col("cos_sim") >= threshold)
+    if (idIsLong) {
+      // Bucket-LOCAL verification: each capped bucket's (id, vector, norm)
+      // members are gathered once and all m²/2 member pairs are verified
+      // in a tight per-bucket loop that emits ONLY pairs passing the
+      // threshold. The candidate-pair stream never materializes — the
+      // measured alternative (explode pairs → joins back to vectors)
+      // moves O(bands·maxBucket²) rows each carrying two full vectors
+      // (62 GB of row bandwidth at the 10× bench for 134k surviving
+      // pairs: 33 s even with both joins broadcast; this path: see
+      // SCALING.md). Shuffle volume here is the bucket contents
+      // themselves — N·bands·(4·dim+16) bytes — and per-bucket work is
+      // bounded by maxBucket²·dim, the same skew guardrail as before.
+      // Buffer note: collect_list here is BOUNDED by maxBucket (the
+      // bottom-k cap ran first), so the aggregation buffer is ≤
+      // maxBucket·(8·dim+16) bytes — not the unbounded-collect_list
+      // anti-pattern.
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val members = buckets
+        .select(col("band"), explode(col("ids")).as("id"))
+        .join(base.select(col("id"),
+          col("v").cast("array<double>").as("vd"), col("n")), "id")
+        .groupBy("band")
+        .agg(collect_list(struct(col("id"), col("vd"), col("n"))).as("ms"))
+        .select("ms").as[Seq[(Long, Seq[Double], Double)]]
+      val thr = threshold
+      members.flatMap { ms =>
+        val arr = ms.toArray
+        val vecs = arr.map(_._2.toArray)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            val (ia, va, na) = (arr(i)._1, vecs(i), arr(i)._3)
+            val (ib, vb, nb) = (arr(j)._1, vecs(j), arr(j)._3)
+            val denom = na * nb
+            // identical IEEE sequence to round(cosinePrenormed(...), 6):
+            // left-to-right double fold, then HALF_UP at 6 decimals —
+            // bit-equality with the join form pinned in SimilaritySpec
+            var s = 0.0
+            var d = 0
+            val n = math.min(va.length, vb.length)
+            while (d < n) { s += va(d) * vb(d); d += 1 }
+            val cos = if (denom == 0.0) 0.0 else s / denom
+            val rounded = java.math.BigDecimal.valueOf(cos)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (rounded >= thr) {
+              if (ia < ib) out += ((ia, ib, rounded))
+              else if (ib < ia) out += ((ib, ia, rounded))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }.toDF("id_a", "id_b", "cos_sim").distinct()
+    } else {
+      // generic-id fallback: explode candidate pairs and verify via joins
+      val candidates = buckets
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .where(col("id_a") < col("id_b"))
+        .distinct()
+      val ea = base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+      val eb = base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+      candidates.join(ea, "id_a").join(eb, "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(cosinePrenormed(col("va"), col("vb"), col("na") * col("nb")), 6)
+            .as("cos_sim"))
+        .where(col("cos_sim") >= threshold)
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a,b) with cosine ≥
