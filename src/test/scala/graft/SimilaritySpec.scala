@@ -104,6 +104,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall below S-curve expectation")
   }
 
+  // The Long-id fast path verifies pairs inside each bucket with a local
+  // double fold + HALF_UP rounding; the generic-id fallback goes through
+  // the DotF/round() join pipeline. Same bucketing, same rounding contract
+  // — the two paths must agree BIT-FOR-BIT on every emitted (pair, value).
+  test("bucket-local verify is bit-equal to the join-based fallback path") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val fast = Similarity.cosineDupPairsBucketed(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    // string ids route to the window-cap + join-verify fallback; its
+    // a<b orientation is lexicographic, so canonicalize to (min, max)
+    val slow = Similarity.cosineDupPairsBucketed(
+        emb.withColumn("vec_id", col("vec_id").cast("string")),
+        "vec_id", "embedding", 0.4)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("cos_sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (math.min(a, b), math.max(a, b), c) }.toSet
+    assert(fast === slow)
+  }
+
   test("signLshParams tracks the collision probability of the threshold") {
     // cos 0.9 → p ≈ 0.856: the chosen split's midpoint must sit closer to
     // p than either neighboring divisor split of 32 bits.
