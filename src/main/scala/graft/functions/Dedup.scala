@@ -207,31 +207,88 @@ object Dedup {
         .groupBy("band")
         .agg(sort_array(collect_list(col("id"))).as("ids"))
     }).where(size(col("ids")) > 1)
-    val rawCandidates = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .where(col("id_a") < col("id_b"))
-      .distinct()
-    val candidates = if (!sigPrefilter) rawCandidates else {
-      val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
-      val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
-      val margin = 3.0 * math.sqrt(threshold * (1 - threshold) / nPerm)
-      rawCandidates.join(sa, "id_a").join(sb, "id_b")
-        .withColumn("__est",
-          aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, x) => s + x)
-            .cast("double") / nPerm)
-        .where(col("__est") >= threshold - margin)
-        .select("id_a", "id_b")
-    }
+    if (idIsLong && !sigPrefilter) {
+      // Bucket-LOCAL verification (same redesign as
+      // [[graft.functions.Similarity.cosineDupPairsBucketed]], measured
+      // there first): gather each capped bucket's (id, shingle-set)
+      // members once and verify all member pairs with a sorted-merge
+      // intersection in a tight local loop, emitting ONLY pairs at or
+      // above the threshold. The candidate-pair stream — millions of rows
+      // each re-joining two KB-sized shingle arrays — never materializes;
+      // shuffle volume is the bucket contents (N·bands·|sh|·8 bytes).
+      // Cross-band duplicate pairs are re-verified locally (a merge scan
+      // each) instead of paying a global distinct over all candidates;
+      // the final distinct touches only verified output. collect_list is
+      // BOUNDED by maxBucket (bottom-k ran first), so the aggregation
+      // buffer is ≤ maxBucket·|sh|·8 bytes — the documented skew bound.
+      val spark = df.sparkSession
+      import spark.implicits._
+      val members = buckets
+        .select(col("band"), explode(col("ids")).as("id"))
+        .join(withShingles, "id")
+        .groupBy("band")
+        .agg(collect_list(struct(col("id"), col("sh"))).as("ms"))
+        .select("ms").as[Seq[(Long, Seq[Long])]]
+      val thr = threshold
+      members.flatMap { ms =>
+        val ids = ms.map(_._1).toArray
+        // sort each shingle set once: pairwise |A∩B| becomes a linear
+        // merge; |A∪B| = |A|+|B|−|A∩B| (sets are distinct by
+        // construction — WordShingleHashes dedups)
+        val shs = ms.map(m => { val a = m._2.toArray; java.util.Arrays.sort(a); a }).toArray
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < ids.length) {
+          var j = i + 1
+          while (j < ids.length) {
+            val a = shs(i); val b = shs(j)
+            var x = 0; var y = 0; var inter = 0
+            while (x < a.length && y < b.length) {
+              if (a(x) == b(y)) { inter += 1; x += 1; y += 1 }
+              else if (a(x) < b(y)) x += 1
+              else y += 1
+            }
+            val union = a.length + b.length - inter
+            val jac = if (union == 0) 0.0 else inter.toDouble / union.toDouble
+            if (jac >= thr && ids(i) != ids(j)) {
+              if (ids(i) < ids(j)) out += ((ids(i), ids(j), jac))
+              else out += ((ids(j), ids(i), jac))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }.toDF("id_a", "id_b", "jaccard").distinct()
+    } else {
+      // generic-id / prefiltered fallback: explode candidates, verify via
+      // joins back to the shingle sets
+      val rawCandidates = buckets
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .where(col("id_a") < col("id_b"))
+        .distinct()
+      val candidates = if (!sigPrefilter) rawCandidates else {
+        val sa = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        val sb = sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))
+        val margin = 3.0 * math.sqrt(threshold * (1 - threshold) / nPerm)
+        rawCandidates.join(sa, "id_a").join(sb, "id_b")
+          .withColumn("__est",
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)), lit(0), (s, x) => s + x)
+              .cast("double") / nPerm)
+          .where(col("__est") >= threshold - margin)
+          .select("id_a", "id_b")
+      }
 
-    val shA = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+      val shA = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val shB = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      candidates.join(shA, "id_a").join(shB, "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    }
   }
 
   /** Stop-shingle doc-frequency cap bounds, ACTIVE by default in

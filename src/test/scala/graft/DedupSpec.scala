@@ -84,6 +84,27 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.contains(("doc-1", "doc-2")))
   }
 
+  // The Long-id fast path verifies inside each bucket with a sorted-merge
+  // intersection; the generic-id fallback goes through the
+  // array_intersect/array_union join pipeline. Same bucketing, same
+  // division — they must agree bit-for-bit on every (pair, jaccard) over
+  // the fixture corpus.
+  test("bucket-local minhash verify is bit-equal to the join-based fallback") {
+    val corpus = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val fast = Dedup.minhashDupPairs(corpus, "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val slow = Dedup.minhashDupPairs(
+        corpus.withColumn("doc_id", col("doc_id").cast("string")),
+        "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    assert(fast.nonEmpty)
+    assert(fast === slow)
+  }
+
   test("exact ngram jaccard finds the near-dup pair with the exact value") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
