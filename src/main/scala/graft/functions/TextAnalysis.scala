@@ -142,6 +142,56 @@ object TextAnalysis {
       }), 1)
   }
 
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * §A1.1 — the repetition filters of a large-scale training-data
+    * pipeline): per document,
+    *
+    *  - `dup_bigram_frac` / `dup_trigram_frac`: fraction of word k-grams
+    *    that are repeats of an earlier k-gram, `1 − distinct/total` —
+    *    the distinct count is ONE native
+    *    [[graft.plans.WordShingleHashes]] pass per k (no per-position
+    *    string allocation);
+    *  - `top_bigram_frac`: occurrences of the most frequent bigram over
+    *    total bigrams — multiplicity needs a count per (doc, bigram), a
+    *    two-phase aggregation whose shuffle carries (doc_id, bigram)
+    *    pairs; partial map-side aggregation collapses each document's
+    *    repeats before the exchange.
+    *
+    * Documents with fewer than k tokens score 0.0 (no k-grams to repeat).
+    * Reference behavior: quality filtering of the curation surface
+    * (SURVEY §7.2 step 8); oracle-checked per row vs DuckDB in the
+    * `text_repetition` gate entry.
+    */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        idCol: String): org.apache.spark.sql.DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val base = df.select(col(idCol).as("doc_id"), norm.as("t"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    def dupFrac(k: Int) =
+      when(col("n_tokens") >= k,
+        lit(1.0) -
+          size(graft.plans.ShingleExpressions.wordShingleHashes(col("t"), k))
+            .cast("double") /
+          (col("n_tokens") - (k - 1)).cast("double"))
+        .otherwise(0.0)
+    val sig = base.select(col("doc_id"), col("n_tokens"),
+      dupFrac(2).as("dup_bigram_frac"), dupFrac(3).as("dup_trigram_frac"))
+    val top = base.where(col("n_tokens") >= 2)
+      .select(col("doc_id"), col("n_tokens"), split(col("t"), " ").as("tk"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr(
+          "transform(sequence(0, cast(n_tokens as int) - 2)," +
+            " i -> concat(tk[i], ' ', tk[i + 1]))")).as("bg"))
+      .groupBy("doc_id", "bg").count()
+      .groupBy("doc_id").agg(max("count").as("top_cnt"))
+    sig.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        col("dup_bigram_frac"), col("dup_trigram_frac"),
+        coalesce(col("top_cnt").cast("double") /
+          (col("n_tokens") - 1).cast("double"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
     * hash all character k-grams, take the min hash of each sliding window
     * of `w` k-grams, and collapse the distinct mins into one 64-bit value.

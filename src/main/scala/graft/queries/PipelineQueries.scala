@@ -155,6 +155,13 @@ object PipelineQueries {
       Tables.read(spark, dir, "documents").select(
         col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // Gopher-style repetition quality signals (dup k-gram fractions via
+    // one native shingle pass per k; top-bigram multiplicity via a
+    // two-phase (doc, bigram) aggregation)
+    "text_repetition" -> ((spark, dir) =>
+      TextAnalysis.repetitionSignals(
+        Tables.read(spark, dir, "documents"), "text", "doc_id")),
+
     // Winnowing fingerprint + simhash are xxhash64-based (engine-specific,
     // spec-verified; they ride through the oracle from the output file);
     // fp_exact (md5 of normalized text) and fp_min (min md5-prefix over
@@ -548,6 +555,42 @@ object PipelineQueries {
         |  list_min(list_transform(sh.s, g -> substring(md5(g), 1, 16))) AS fp_min
         |FROM o JOIN norms n ON o.doc_id = n.doc_id
         |JOIN sh ON o.doc_id = sh.doc_id""".stripMargin,
+    // distinct-count parity: the engine counts distinct k-grams by 64-bit
+    // xxhash (WordShingleHashes), the oracle by the strings themselves —
+    // equal unless xxhash64 collides within one document (~n²/2⁶⁵)
+    "text_repetition" -> """
+        |WITH base AS (SELECT doc_id,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |tk AS (SELECT doc_id, n_tokens, string_split(t, ' ') AS tks
+        |  FROM base WHERE n_tokens >= 2),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, n_tokens::BIGINT),
+        |  i -> tks[i] || ' ' || tks[i + 1])) AS g FROM tk),
+        |top AS (SELECT doc_id, max(c) AS top_cnt FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |d2 AS (SELECT doc_id, len(list_distinct(list_transform(
+        |  range(1, n_tokens::BIGINT), i -> tks[i] || ' ' || tks[i + 1]))) AS d
+        |  FROM tk),
+        |d3 AS (SELECT doc_id, len(list_distinct(list_transform(
+        |  range(1, (n_tokens - 1)::BIGINT),
+        |  i -> tks[i] || ' ' || tks[i + 1] || ' ' || tks[i + 2]))) AS d
+        |  FROM tk WHERE n_tokens >= 3)
+        |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  COALESCE(CAST(1 AS DOUBLE) -
+        |    CAST(d2.d AS DOUBLE) / CAST(b.n_tokens - 1 AS DOUBLE),
+        |    CAST(0 AS DOUBLE)) AS dup_bigram_frac,
+        |  COALESCE(CAST(1 AS DOUBLE) -
+        |    CAST(d3.d AS DOUBLE) / CAST(b.n_tokens - 2 AS DOUBLE),
+        |    CAST(0 AS DOUBLE)) AS dup_trigram_frac,
+        |  COALESCE(CAST(top.top_cnt AS DOUBLE) /
+        |    CAST(b.n_tokens - 1 AS DOUBLE),
+        |    CAST(0 AS DOUBLE)) AS top_bigram_frac
+        |FROM base b
+        |LEFT JOIN d2 ON b.doc_id = d2.doc_id
+        |LEFT JOIN d3 ON b.doc_id = d3.doc_id
+        |LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin,
     "text_langid" -> s"""
         |WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         |s AS (SELECT doc_id,

@@ -14,6 +14,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(counts.toSeq === Seq(4, 2, 0, 1))
   }
 
+  test("repetition signals: dup k-gram fractions and top-bigram fraction") {
+    val df = Seq(
+      (1L, "a b a b c"),  // bigrams: ab,ba,ab,bc → 4 total, 3 distinct
+      (2L, "x"),          // no bigrams at all
+      (3L, "w w w w"),    // bigrams: ww×3; trigrams: www×2
+      (4L, "")            // empty text
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "text", "doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) === ((5L, 1.0 - 3.0 / 4.0, 0.0, 2.0 / 4.0)))
+    assert(out(2L) === ((1L, 0.0, 0.0, 0.0)))
+    assert(out(3L) === ((4L, 1.0 - 1.0 / 3.0, 0.5, 1.0)))
+    assert(out(4L) === ((0L, 0.0, 0.0, 0.0)))
+  }
+
   test("bpe-ish token counting splits words, digits and punctuation") {
     val df = Seq("hello world", "a1b2!", "don't stop").toDF("t")
     val counts = df.select(TextAnalysis.bpeishTokenCount(col("t"))).as[Int].collect()
