@@ -222,6 +222,64 @@ object EventStream {
       }
   }
 
+  final case class FunnelBufState(st: FunnelState, buf: Vector[(Long, String)])
+
+  /** Watermark-ordered EXACT streaming funnel: arrivals are buffered per
+    * user until the event-time watermark passes them, then folded into the
+    * first-signup → first-view-after → first-purchase-after machine in
+    * EVENT-TIME order — so arrival order never changes the result for
+    * events within the watermark lateness bound (equality with the batch
+    * aggregation under scrambled microbatch delivery is asserted in
+    * StreamingSpec). This is the exactness upgrade over [[funnel]], whose
+    * O(1) first-write-wins state is one-sided conservative under
+    * out-of-order arrival (it can miss a stage, never invent one).
+    * The price is the buffer: per user, the events still inside the
+    * lateness window — bounded by rate × watermark delay, the standard
+    * cost of out-of-order exactness. An event-time timeout drains buffers
+    * for users with no further arrivals once the watermark passes their
+    * buffered events. Requires `withWatermark` on the input's `ts`.
+    */
+  def funnelExact(events: Dataset[FunnelEvent]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBufState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evts: Iterator[FunnelEvent],
+         state: GroupState[FunnelBufState]) =>
+          val prev = state.getOption
+            .getOrElse(FunnelBufState(FunnelState(None, None, None), Vector.empty))
+          val buf = prev.buf ++
+            evts.map(e => (e.ts.getTime, e.event_type))
+          val wm = state.getCurrentWatermarkMs()
+          // fold everything the watermark has sealed, in event-time order;
+          // disorder beyond the lateness bound folds late (appended after
+          // already-folded events) — the documented watermark contract
+          val (ready, hold) = buf.partition(_._1 <= wm)
+          var s = prev.st
+          ready.sortBy(x => (x._1, x._2)).foreach { case (t, et) =>
+            et match {
+              case "signup" if s.tSignup.isEmpty =>
+                s = s.copy(tSignup = Some(t))
+              case "view" if s.tView.isEmpty && s.tSignup.exists(t > _) =>
+                s = s.copy(tView = Some(t))
+              case "purchase" if s.tBuy.isEmpty && s.tView.exists(t > _) =>
+                s = s.copy(tBuy = Some(t))
+              case _ =>
+            }
+          }
+          state.update(FunnelBufState(s, hold))
+          // wake this user when the watermark passes its oldest held event
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
+          Iterator.single(FunnelOut(user,
+            s.tSignup.map(new java.sql.Timestamp(_)),
+            s.tView.map(new java.sql.Timestamp(_)),
+            s.tBuy.map(new java.sql.Timestamp(_)),
+            s.tSignup.isDefined && s.tView.isDefined,
+            s.tView.isDefined && s.tBuy.isDefined))
+      }
+  }
+
   final case class RetentionEvent(user_id: Long, event_type: String,
                                   day: java.sql.Date)
   final case class RetentionState(signupDay: Option[Long], d1: Boolean,

@@ -153,6 +153,130 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  // Out-of-order delivery: slices are fed in scrambled order (2,0,3,1) —
+  // the watermark-buffered funnelExact must STILL equal the batch
+  // aggregation, because it folds events only after the watermark seals
+  // them, in event-time order. A far-future sentinel event (user −1)
+  // pushes the final watermark past every real event so all buffers
+  // drain via the event-time timeout.
+  test("watermark-ordered exact funnel equals batch under scrambled delivery") {
+    val ev = Tables.read(spark, SparkTestSession.Sf, "events")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("ts"))
+    val bounds = ev
+      .selectExpr("percentile(unix_timestamp(ts), array(0.25, 0.5, 0.75)) AS q")
+      .head().getSeq[Double](0)
+    val span = ev.selectExpr(
+        "unix_timestamp(max(ts)) - unix_timestamp(min(ts))",
+        "unix_timestamp(max(ts))")
+      .as[(Long, Long)].head()
+    val delaySec = span._1 + 3600L
+    val dir = java.nio.file.Files.createTempDirectory("graft-ooo").toString
+    val slices = Seq(
+      col("ts") < timestamp_seconds(lit(bounds(0))),
+      col("ts") >= timestamp_seconds(lit(bounds(0))) &&
+        col("ts") < timestamp_seconds(lit(bounds(1))),
+      col("ts") >= timestamp_seconds(lit(bounds(1))) &&
+        col("ts") < timestamp_seconds(lit(bounds(2))),
+      col("ts") >= timestamp_seconds(lit(bounds(2))))
+    val base = System.currentTimeMillis() - 3600_000L
+    // arrival order 2,0,3,1 — disorder spans the full event-time range,
+    // covered by the watermark delay (span + 1h)
+    Seq(2, 0, 3, 1).zipWithIndex.foreach { case (sliceIdx, arrival) =>
+      val path = s"$dir/b$arrival"
+      ev.where(slices(sliceIdx)).coalesce(1).write.parquet(path)
+      java.nio.file.Files.list(java.nio.file.Paths.get(path)).iterator()
+        .asScala.foreach(p => p.toFile.setLastModified(base + arrival * 60_000L))
+    }
+    // sentinel: watermark = sentinel_ts − delay > max real ts → drains all
+    val sentinelTs = new java.sql.Timestamp(
+      (span._2 + delaySec + 7200L) * 1000L)
+    val sentPath = s"$dir/b4"
+    Seq((-1L, "noop", sentinelTs)).toDF("user_id", "event_type", "ts")
+      .coalesce(1).write.parquet(sentPath)
+    java.nio.file.Files.list(java.nio.file.Paths.get(sentPath)).iterator()
+      .asScala.foreach(p => p.toFile.setLastModified(base + 4 * 60_000L))
+
+    val streamed = EventStream.funnelExact(
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/*")
+        .withWatermark("ts", s"$delaySec seconds")
+        .as[EventStream.FunnelEvent])
+    EventStream.runToMemory(streamed.toDF(), "funnel_ooo_out", OutputMode.Update())
+    val got = spark.table("funnel_ooo_out")
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean, Boolean)].collect()
+      .filter(_._1 >= 0)
+      .groupBy(_._1).view.mapValues(
+        _.maxBy(r => r._2.size + r._3.size + r._4.size)).values.toSet
+    val batch = SparkEntry.queries("events_funnel")(spark, SparkTestSession.Sf)
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean, Boolean)].collect().toSet
+    assert(got === batch)
+  }
+
+  // The first-write-wins funnel under out-of-order arrival: a stage event
+  // delivered before its prerequisite is discarded and never recovered —
+  // the approximation is ONE-SIDED (it can miss a reached stage, never
+  // invent one). funnelExact on the same delivery recovers the exact
+  // answer once the watermark seals the events.
+  test("first-write-wins funnel is one-sided under late prerequisites; exact funnel recovers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val t1 = ts("2024-01-01 10:00:00")
+    val t2 = ts("2024-01-01 10:10:00")
+    val t3 = ts("2024-01-01 10:20:00")
+
+    // u1 in order; u2's view arrives BEFORE its signup (cross-batch)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val fw = EventStream.funnel(in.toDF()
+      .toDF("user_id", "event_type", "ts").as[EventStream.FunnelEvent])
+    val q1 = fw.toDF().writeStream.outputMode("update").format("memory")
+      .queryName("fw_out").start()
+    in.addData((1L, "signup", t1), (1L, "view", t2), (1L, "purchase", t3),
+      (2L, "view", t2))
+    q1.processAllAvailable()
+    in.addData((2L, "signup", t1))
+    q1.processAllAvailable(); q1.stop()
+    val fwRows = spark.table("fw_out")
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean, Boolean)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.maxBy(r => r._2.size + r._3.size + r._4.size)).toMap
+    assert(fwRows(1L)._5 && fwRows(1L)._6) // in-order user fully funnels
+    // one-sided miss: view preceded signup in arrival order → dropped
+    assert(fwRows(2L)._2 === Some(t1) && fwRows(2L)._3 === None
+      && !fwRows(2L)._5)
+
+    val in2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ex = EventStream.funnelExact(in2.toDF()
+      .toDF("user_id", "event_type", "ts")
+      .withWatermark("ts", "1 hour").as[EventStream.FunnelEvent])
+    val q2 = ex.toDF().writeStream.outputMode("update").format("memory")
+      .queryName("ex_out").start()
+    in2.addData((1L, "signup", t1), (1L, "view", t2), (1L, "purchase", t3),
+      (2L, "view", t2))
+    q2.processAllAvailable()
+    in2.addData((2L, "signup", t1))
+    q2.processAllAvailable()
+    // sentinel pushes the watermark past t3 + 1h so both users drain
+    in2.addData((-1L, "noop", ts("2024-01-01 13:00:00")))
+    q2.processAllAvailable()
+    in2.addData((-1L, "noop", ts("2024-01-01 14:00:00")))
+    q2.processAllAvailable(); q2.stop()
+    val exRows = spark.table("ex_out")
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean, Boolean)].collect()
+      .filter(_._1 >= 0)
+      .groupBy(_._1).view.mapValues(
+        _.maxBy(r => r._2.size + r._3.size + r._4.size)).toMap
+    assert(exRows(1L) === ((1L, Some(t1), Some(t2), Some(t3), true, true)))
+    // the late-prerequisite user is recovered exactly
+    assert(exRows(2L) === ((2L, Some(t1), Some(t2), None, true, false)))
+  }
+
   test("streaming as-of join matches the custom batch operator") {
     // purchases (left) pick up the latest click ts at-or-before them
     val streamed = EventStream.streamingAsOf(
