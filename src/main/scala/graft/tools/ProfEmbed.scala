@@ -60,6 +60,16 @@ object ProfEmbed {
       .mkString(" | "))
     val nv = time("end-to-end")(full.count())
     System.err.println(s"[prof] verified pairs = $nv")
+
+    // IVF: build (KMeans + partitioned persist) vs search (probe-pruned
+    // scan) — the amortization argument in SCALING.md
+    val index = time("ivf build")(
+      graft.functions.IvfIndex.build(emb, "vec_id", "embedding", nLists = 16))
+    time("ivf search (8 queries)")(
+      graft.functions.IvfIndex.search(index,
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          k = 10, nProbe = 4)
+        .write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }
