@@ -532,13 +532,17 @@ object Dedup {
         .agg(sort_array(collect_list(
           struct(col("id"), col("sig").as("payload")))).as("members"))
     }).where(size(col("members")) > 1)
-    val pairs = buckets
+    // Hamming-filter BEFORE the cross-band distinct: the xor+popcount on
+    // two in-row longs is nearly free, and it is massively selective — so
+    // the dedup shuffle carries only pairs within maxDist instead of
+    // every bucket pair (same output set: dist is deterministic per pair)
+    buckets
       .select(explode(col("members")).as("a"), col("members"))
       .select(col("a"), explode(col("members")).as("b"))
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.payload"), col("b.payload")).as("dist"))
+      .where(col("dist") <= maxDist)
       .distinct()
-    pairs.where(col("dist") <= maxDist)
   }
 }
