@@ -251,9 +251,11 @@ object EventStream {
           val buf = prev.buf ++
             evts.map(e => (e.ts.getTime, e.event_type))
           val wm = state.getCurrentWatermarkMs()
-          // fold everything the watermark has sealed, in event-time order;
-          // disorder beyond the lateness bound folds late (appended after
-          // already-folded events) — the documented watermark contract
+          // fold everything the watermark has sealed, in event-time order.
+          // (Arrivals older than the watermark never reach this function —
+          // FlatMapGroupsWithStateExec filters late rows — so every
+          // buffered event is ≥ the watermark at its arrival and folds
+          // exactly once, in order: the standard watermark contract.)
           val (ready, hold) = buf.partition(_._1 <= wm)
           var s = prev.st
           ready.sortBy(x => (x._1, x._2)).foreach { case (t, et) =>
