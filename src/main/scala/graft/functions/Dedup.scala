@@ -501,18 +501,26 @@ object Dedup {
     * with exact Hamming distance. Same shuffle shape as MinHash LSH:
     * only (chunkKey, id, sig) rows move.
     */
-  def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
-                      bands: Int = 4, maxDist: Int = 3,
-                      maxBucket: Int = 1000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+  /** Band keys for SimHash pigeonhole bucketing: the 63 bits split into
+    * `bands` chunks (last band takes the remainder bits), each tagged with
+    * its band index so chunks never collide across bands.
+    */
+  private def simhashBandKeys(sigCol: Column, bands: Int): Column = {
     val width = SimhashBits / bands // bits per band (last band takes remainder)
-    val keys = array((0 until bands).map { b =>
-      val shifted = shiftright(col("sig"), b * width)
+    array((0 until bands).map { b =>
+      val shifted = shiftright(sigCol, b * width)
       val masked = if (b == bands - 1) shifted
         else shifted.bitwiseAND(lit((1L << width) - 1))
       struct(lit(b).as("band"), masked.as("chunk"))
     }: _*)
-    val banded = sigs.select(col("id"), col("sig"), explode(keys).as("key"))
+  }
+
+  def simhashDupPairs(df: DataFrame, textCol: String, idCol: String,
+                      bands: Int = 4, maxDist: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(simhashBandKeys(col("sig"), bands)).as("key"))
     // bounded bottom-k pair aggregate caps bucket membership (k smallest
     // ids, each carrying its signature) in one aggregation with O(k)
     // buffers — same rationale as minhashDupPairs; non-bigint ids take
@@ -544,5 +552,96 @@ object Dedup {
         hamming(col("a.payload"), col("b.payload")).as("dist"))
       .where(col("dist") <= maxDist)
       .distinct()
+  }
+
+  /** SimHash near-dup pairs annotated with their EXACT word-k-gram Jaccard,
+    * verified BUCKET-LOCALLY — the gate entry's form.
+    *
+    * Same generalization of the bucket-local redesign proven on
+    * [[graft.functions.Similarity.cosineDupPairsBucketed]] and
+    * [[minhashDupPairs]]: instead of exploding candidate pairs and joining
+    * each back to its shingle array twice (a pair stream that re-shuffles
+    * two KB-sized arrays per candidate), each capped bucket gathers its
+    * members once — (id, sig, shingle hashes) — and a tight local loop
+    * Hamming-filters pairs (xor+popcount, nearly free) and computes the
+    * exact Jaccard with a sorted-merge intersection only for survivors.
+    * Shuffle volume is the bucket contents (N·bands·(|sh|+2)·8 bytes);
+    * the aggregation buffer is bounded by `maxBucket` members because the
+    * bottom-k cap runs FIRST. Output is identical to
+    * `simhashDupPairs(...)` joined back to shingle sets (bit-equality in
+    * DedupSpec): the Jaccard division is the same int-to-double divide the
+    * `array_intersect/array_union` form produces.
+    *
+    * Non-bigint ids take the join-back fallback (the native bottom-k
+    * aggregates are Long-specialized).
+    */
+  def simhashDupPairsVerified(df: DataFrame, textCol: String, idCol: String,
+                              bands: Int = 4, maxDist: Int = 3,
+                              maxBucket: Int = 1000, k: Int = 3): DataFrame = {
+    val idIsLong =
+      df.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    if (!idIsLong) {
+      val pairs = simhashDupPairs(df, textCol, idCol, bands, maxDist, maxBucket)
+      val sh = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), k).as("sh"))
+      pairs
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("dist"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+            .as("jaccard"))
+    } else {
+      val withShingles = rebalance(df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), k).as("sh")))
+      val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      val banded = sigs.select(col("id"), col("sig"),
+        explode(simhashBandKeys(col("sig"), bands)).as("key"))
+      val buckets = banded.groupBy(col("key"))
+        .agg(graft.plans.BottomKPairs.bottomKPairs(col("id"), col("sig"), maxBucket)
+          .as("members"))
+        .where(size(col("members")) > 1)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val members = buckets
+        .select(col("key"), explode(col("members")).as("m"))
+        .select(col("key"), col("m.id").as("id"), col("m.payload").as("sig"))
+        .join(withShingles, "id")
+        .groupBy("key")
+        .agg(collect_list(struct(col("id"), col("sig"), col("sh"))).as("ms"))
+        .select("ms").as[Seq[(Long, Long, Seq[Long])]]
+      val md = maxDist
+      members.flatMap { ms =>
+        val arr = ms.toArray
+        // sort each shingle set once: pairwise |A∩B| becomes a linear merge
+        val shs = arr.map(m => { val a = m._3.toArray; java.util.Arrays.sort(a); a })
+        val out = Seq.newBuilder[(Long, Long, Int, Double)]
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            val d = java.lang.Long.bitCount(arr(i)._2 ^ arr(j)._2)
+            if (d <= md && arr(i)._1 != arr(j)._1) {
+              val a = shs(i); val b = shs(j)
+              var x = 0; var y = 0; var inter = 0
+              while (x < a.length && y < b.length) {
+                if (a(x) == b(y)) { inter += 1; x += 1; y += 1 }
+                else if (a(x) < b(y)) x += 1
+                else y += 1
+              }
+              val union = a.length + b.length - inter
+              // plain division (0/0 → NaN) matches the join form's
+              // int-cast divide exactly — bit-equality pinned in DedupSpec
+              val jac = inter.toDouble / union.toDouble
+              if (arr(i)._1 < arr(j)._1) out += ((arr(i)._1, arr(j)._1, d, jac))
+              else out += ((arr(j)._1, arr(i)._1, d, jac))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result()
+      }.toDF("id_a", "id_b", "dist", "jaccard").distinct()
+    }
   }
 }

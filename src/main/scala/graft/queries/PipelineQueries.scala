@@ -42,23 +42,16 @@ object PipelineQueries {
         "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)),
 
     // SimHash candidates (Hamming ≤ maxDist — signature-specific), each
-    // pair then annotated with its EXACT 3-gram Jaccard so the oracle can
+    // pair annotated with its EXACT 3-gram Jaccard so the oracle can
     // recompute and hash-check the similarity column per returned pair;
     // `dist` rides through from the output (engine-specific signature).
-    "dedup_simhash" -> ((spark, dir) => {
-      val docs = Tables.read(spark, dir, "documents")
-      val pairs = Dedup.simhashDupPairs(docs, "text", "doc_id",
-        bands = 4, maxDist = 3)
-      val sh = docs.select(col("doc_id").as("id"),
-        Dedup.shingleHashes(col("text"), 3).as("sh"))
-      pairs
-        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .select(col("id_a"), col("id_b"), col("dist"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-            .as("jaccard"))
-    }),
+    // Bucket-LOCAL verification (simhashDupPairsVerified): the Jaccard is
+    // computed inside each capped bucket instead of joining every
+    // candidate pair back to its shingle array twice — bit-equal to the
+    // join form (DedupSpec), no candidate-pair re-shuffle of KB arrays.
+    "dedup_simhash" -> ((spark, dir) =>
+      Dedup.simhashDupPairsVerified(Tables.read(spark, dir, "documents"),
+        "text", "doc_id", bands = 4, maxDist = 3)),
 
     // LSH-bucketed near-dup pairs over the FULL embeddings table (the old
     // quadratic crossJoin form needed a 1/10 pre-filter even at gate scale
@@ -224,6 +217,71 @@ object PipelineQueries {
       funnelBounded(Tables.read(spark, dir, "events")
         .select(col("user_id"), col("event_type"),
           date_trunc("second", col("ts")).as("ts_s")))),
+
+    // The SAME funnel as a real Structured Streaming query: the exact
+    // watermark-ordered funnel ([[graft.streaming.EventStream.funnelExact]])
+    // run over the fixture events via the file stream source, drained by a
+    // far-future sentinel (watermark = sentinel − delay > max real ts, so
+    // every buffer seals and the event-time timeout emits final state).
+    // The oracle is IDENTICAL to `events_funnel`'s — batch ≡ stream under
+    // the DuckDB gate, which puts funnelExact's exactness claim (arrival
+    // order never changes the result within the watermark bound) under the
+    // hash check. In production the source is Kafka/landing files and no
+    // sentinel is needed — live data advances the watermark; the temp-dir
+    // copy exists only because the gate's input is a static directory.
+    "events_funnel_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts"))
+      val (spanSec, maxSec) = ev.selectExpr(
+          "unix_timestamp(max(ts)) - unix_timestamp(min(ts))",
+          "unix_timestamp(max(ts))")
+        .as[(Long, Long)].head()
+      val delaySec = spanSec + 3600L
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-funnel-gate").toString
+      ev.write.parquet(s"$root/events")
+      val sentinelTs = new java.sql.Timestamp((maxSec + delaySec + 7200L) * 1000L)
+      Seq((-1L, "noop", sentinelTs)).toDF("user_id", "event_type", "ts")
+        .coalesce(1).write.parquet(s"$root/sentinel")
+      // file source reads oldest-mtime first: all event files land in
+      // batch 1 (strictly older mtime + maxFilesPerTrigger = their count),
+      // the sentinel in batch 2 — which advances the watermark past every
+      // real event and drains all buffers via the event-time timeout
+      val base = System.currentTimeMillis() - 3600_000L
+      import scala.jdk.CollectionConverters._
+      def stamp(sub: String, t: Long): Long = {
+        val ps = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/$sub"))
+          .iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+        ps.foreach(_.toFile.setLastModified(t))
+        ps.size
+      }
+      val nEventFiles = stamp("events", base)
+      stamp("sentinel", base + 60_000L)
+      val streamed = graft.streaming.EventStream.funnelExact(
+        spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", nEventFiles.toString)
+          .parquet(s"$root/{events,sentinel}/*")
+          .withWatermark("ts", s"$delaySec seconds")
+          .as[graft.streaming.EventStream.FunnelEvent])
+      graft.streaming.EventStream.runToMemory(
+        streamed.toDF(), "events_funnel_stream_out", OutputMode.Update())
+      // Update-mode memory sink accumulates one row per (user, batch);
+      // each stage timestamp is set-once (null until folded, final after),
+      // so max() per user IS the drained final state, and the reached
+      // flags are recomputed from it exactly as the batch form does.
+      spark.table("events_funnel_stream_out")
+        .where(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(max(col("t_signup")).as("t_signup"),
+          max(col("t_view")).as("t_view"),
+          max(col("t_buy")).as("t_buy"))
+        .select(col("user_id"), col("t_signup"), col("t_view"), col("t_buy"),
+          (col("t_signup").isNotNull && col("t_view").isNotNull).as("reached_view"),
+          (col("t_view").isNotNull && col("t_buy").isNotNull).as("reached_buy"))
+    }),
 
     // Retention cohorts: users grouped by signup day; D1/D7 retention =
     // any activity exactly 1/7 days later. Same one-row-per-user shuffle
@@ -629,6 +687,22 @@ object PipelineQueries {
         |  CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS feat_sum
         |FROM b""".stripMargin,
     "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events),
+        |a AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN ts_s END) AS t_signup,
+        |  list(ts_s) FILTER (WHERE event_type = 'view') AS views,
+        |  list(ts_s) FILTER (WHERE event_type = 'purchase') AS buys
+        |  FROM e GROUP BY user_id),
+        |b AS (SELECT user_id, t_signup, buys,
+        |  list_min(list_filter(views, v -> v > t_signup)) AS t_view FROM a)
+        |SELECT user_id, t_signup, t_view,
+        |  list_min(list_filter(buys, x -> x > t_view)) AS t_buy,
+        |  (t_signup IS NOT NULL AND t_view IS NOT NULL) AS reached_view,
+        |  (t_view IS NOT NULL AND list_min(list_filter(buys, x -> x > t_view)) IS NOT NULL) AS reached_buy
+        |FROM b""".stripMargin,
+    // identical oracle to events_funnel: the streaming entry must produce
+    // the batch answer bit-for-bit (funnelExact's exactness contract)
+    "events_funnel_stream" ->
       """WITH e AS (SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events),
         |a AS (SELECT user_id,
         |  min(CASE WHEN event_type = 'signup' THEN ts_s END) AS t_signup,

@@ -105,6 +105,49 @@ class DedupSpec extends AnyFunSuite {
     assert(fast === slow)
   }
 
+  // Same contract for SimHash: the Long-id gate path verifies the exact
+  // Jaccard annotation inside each bucket (local Hamming filter +
+  // sorted-merge intersection); the reference form explodes candidates
+  // via simhashDupPairs and joins each pair back to its shingle arrays.
+  // Every (pair, dist, jaccard) must agree bit-for-bit.
+  test("bucket-local simhash verify is bit-equal to the join-based form") {
+    val corpus = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val fast = Dedup.simhashDupPairsVerified(corpus, "text", "doc_id",
+        bands = 4, maxDist = 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val pairs = Dedup.simhashDupPairs(corpus, "text", "doc_id",
+      bands = 4, maxDist = 3)
+    val sh = corpus.select(col("doc_id").as("id"),
+      Dedup.shingleHashes(col("text"), 3).as("sh"))
+    val slow = pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("dist"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(fast.nonEmpty)
+    assert(fast === slow)
+  }
+
+  // The string-id fallback of the verified form must produce the same
+  // pair set (modulo id type) as the Long fast path.
+  test("simhashDupPairsVerified string-id fallback matches the fast path") {
+    val fast = Dedup.simhashDupPairsVerified(docs, "text", "doc_id")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val slow = Dedup.simhashDupPairsVerified(
+        docs.withColumn("doc_id", concat(lit("d"), col("doc_id").cast("string"))),
+        "text", "doc_id")
+      .select(expr("cast(substring(id_a, 2) as long)").as("id_a"),
+        expr("cast(substring(id_b, 2) as long)").as("id_b"),
+        col("dist"), col("jaccard"))
+      .as[(Long, Long, Int, Double)].collect()
+      .map { case (a, b, d, j) => (math.min(a, b), math.max(a, b), d, j) }.toSet
+    assert(fast.nonEmpty)
+    assert(fast === slow)
+  }
+
   test("exact ngram jaccard finds the near-dup pair with the exact value") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
