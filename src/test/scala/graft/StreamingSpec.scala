@@ -216,6 +216,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  // The events_funnel_stream GATE ENTRY (funnelExact run end-to-end as a
+  // file-source streaming query, sentinel-drained) must equal the batch
+  // events_funnel entry row-for-row — the same equivalence the DuckDB
+  // oracle hash-checks, asserted here against the batch plan directly.
+  test("events_funnel_stream gate entry equals the batch funnel entry") {
+    val streamed = SparkEntry.queries("events_funnel_stream")(
+        spark, SparkTestSession.Sf)
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean, Boolean)].collect().toSet
+    val batch = SparkEntry.queries("events_funnel")(spark, SparkTestSession.Sf)
+      .as[(Long, Option[java.sql.Timestamp], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp], Boolean, Boolean)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   // The first-write-wins funnel under out-of-order arrival: a stage event
   // delivered before its prerequisite is discarded and never recovered —
   // the approximation is ONE-SIDED (it can miss a reached stage, never
