@@ -235,36 +235,11 @@ object PipelineQueries {
       val ev = Tables.read(spark, dir, "events")
         .select(col("user_id"), col("event_type"),
           date_trunc("second", col("ts")).as("ts"))
-      val (spanSec, maxSec) = ev.selectExpr(
-          "unix_timestamp(max(ts)) - unix_timestamp(min(ts))",
-          "unix_timestamp(max(ts))")
-        .as[(Long, Long)].head()
-      val delaySec = spanSec + 3600L
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-funnel-gate").toString
-      ev.write.parquet(s"$root/events")
-      val sentinelTs = new java.sql.Timestamp((maxSec + delaySec + 7200L) * 1000L)
-      Seq((-1L, "noop", sentinelTs)).toDF("user_id", "event_type", "ts")
-        .coalesce(1).write.parquet(s"$root/sentinel")
-      // file source reads oldest-mtime first: all event files land in
-      // batch 1 (strictly older mtime + maxFilesPerTrigger = their count),
-      // the sentinel in batch 2 — which advances the watermark past every
-      // real event and drains all buffers via the event-time timeout
-      val base = System.currentTimeMillis() - 3600_000L
-      import scala.jdk.CollectionConverters._
-      def stamp(sub: String, t: Long): Long = {
-        val ps = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/$sub"))
-          .iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
-        ps.foreach(_.toFile.setLastModified(t))
-        ps.size
-      }
-      val nEventFiles = stamp("events", base)
-      stamp("sentinel", base + 60_000L)
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq((-1L, "noop", sentinelTs))
+        .toDF("user_id", "event_type", "ts")
       val streamed = graft.streaming.EventStream.funnelExact(
-        spark.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", nEventFiles.toString)
-          .parquet(s"$root/{events,sentinel}/*")
-          .withWatermark("ts", s"$delaySec seconds")
+        streamWithSentinel(spark, ev, sentinel, delaySec)
           .as[graft.streaming.EventStream.FunnelEvent])
       graft.streaming.EventStream.runToMemory(
         streamed.toDF(), "events_funnel_stream_out", OutputMode.Update())
@@ -281,6 +256,60 @@ object PipelineQueries {
         .select(col("user_id"), col("t_signup"), col("t_view"), col("t_buy"),
           (col("t_signup").isNotNull && col("t_view").isNotNull).as("reached_view"),
           (col("t_view").isNotNull && col("t_buy").isNotNull).as("reached_buy"))
+    }),
+
+    // Gap sessionization as a streaming query: the watermark-ordered exact
+    // sessionizer ([[graft.streaming.EventStream.sessionizeExact]], which
+    // merges at exactly the gap like the built-in session_window) over the
+    // same fixture, sentinel-drained. Oracle is IDENTICAL to
+    // `events_session_window`'s — batch ≡ stream under the hash gate.
+    // Append mode: each closed session is emitted exactly once, so the
+    // memory table IS the result (no per-user collapse needed).
+    "events_sessions_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq((-1L, sentinelTs)).toDF("user_id", "ts")
+      val streamed = graft.streaming.EventStream.sessionizeExact(
+        streamWithSentinel(spark, ev, sentinel, delaySec)
+          .as[graft.streaming.EventStream.SessionEvent], gapMinutes = 30)
+      graft.streaming.EventStream.runToMemory(
+        streamed.toDF(), "events_sessions_stream_out", OutputMode.Append())
+      spark.table("events_sessions_stream_out")
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("n_events"))
+    }),
+
+    // D1/D7 retention as a streaming query: the watermark-ordered exact
+    // per-user flags ([[graft.streaming.EventStream.retentionFlagsExact]])
+    // plus the stateless cohort rollup on the drained final rows. Oracle
+    // is IDENTICAL to `events_retention`'s. Update-mode rows collapse per
+    // user with set-once/monotone max() (signup_day never changes once
+    // emitted; d1/d7 only flip false→true).
+    "events_retention_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq((-1L, "noop", sentinelTs))
+        .toDF("user_id", "event_type", "ts")
+      val streamed = graft.streaming.EventStream.retentionFlagsExact(
+        streamWithSentinel(spark, ev, sentinel, delaySec)
+          .as[graft.streaming.EventStream.FunnelEvent])
+      graft.streaming.EventStream.runToMemory(
+        streamed.toDF(), "events_retention_stream_out", OutputMode.Update())
+      spark.table("events_retention_stream_out")
+        .where(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(max(col("signup_day")).as("signup_day"),
+          max(col("d1").cast("int")).as("d1i"),
+          max(col("d7").cast("int")).as("d7i"))
+        .groupBy(col("signup_day").as("cohort_day"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("d1i")).as("n_d1"), sum(col("d7i")).as("n_d7"))
     }),
 
     // Retention cohorts: users grouped by signup day; D1/D7 retention =
@@ -447,6 +476,56 @@ object PipelineQueries {
       .select(col("user_id"), col("t_signup"), col("t_view"), col("t_buy"),
         (col("t_signup").isNotNull && col("t_view").isNotNull).as("reached_view"),
         (col("t_view").isNotNull && col("t_buy").isNotNull).as("reached_buy"))
+  }
+
+  /** Watermark delay covering the fixture's full event-time span (any
+    * arrival order is inside the lateness bound) and a sentinel timestamp
+    * far enough ahead that the final watermark passes every real event.
+    */
+  private def sentinelBounds(spark: SparkSession,
+                             ev: DataFrame): (Long, java.sql.Timestamp) = {
+    import spark.implicits._
+    val (spanSec, maxSec) = ev.selectExpr(
+        "unix_timestamp(max(ts)) - unix_timestamp(min(ts))",
+        "unix_timestamp(max(ts))")
+      .as[(Long, Long)].head()
+    val delaySec = spanSec + 3600L
+    (delaySec, new java.sql.Timestamp((maxSec + delaySec + 7200L) * 1000L))
+  }
+
+  /** Stream a batch fixture through the real file source: the fixture rows
+    * land in batch 1, a far-future sentinel row in batch 2 — advancing the
+    * watermark past every real event so watermark-buffered operators seal
+    * and drain via their event-time timeouts. The temp-dir copy exists
+    * only because the gate's input is a static directory; in production
+    * the source is Kafka/landing files and live data advances the
+    * watermark. Returns the watermarked streaming DataFrame (schema =
+    * `ev.schema`, event-time column `ts`).
+    */
+  private def streamWithSentinel(spark: SparkSession, ev: DataFrame,
+                                 sentinel: DataFrame,
+                                 delaySec: Long): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-gate").toString
+    ev.write.parquet(s"$root/events")
+    sentinel.coalesce(1).write.parquet(s"$root/sentinel")
+    // file source reads oldest-mtime first: all event files land in
+    // batch 1 (strictly older mtime + maxFilesPerTrigger = their count),
+    // the sentinel in batch 2
+    val base = System.currentTimeMillis() - 3600_000L
+    import scala.jdk.CollectionConverters._
+    def stamp(sub: String, t: Long): Long = {
+      val ps = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/$sub"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+      ps.foreach(_.toFile.setLastModified(t))
+      ps.size
+    }
+    val nEventFiles = stamp("events", base)
+    stamp("sentinel", base + 60_000L)
+    spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", nEventFiles.toString)
+      .parquet(s"$root/{events,sentinel}/*")
+      .withWatermark("ts", s"$delaySec seconds")
   }
 
   private def annPairOracle(name: String): String = s"""
@@ -765,6 +844,35 @@ object PipelineQueries {
         |SELECT user_id, CAST(MIN(ts_s) AS TIMESTAMP) AS session_start,
         |COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // identical oracle to events_session_window: the streaming sessionizer
+    // must reproduce the batch session_window answer bit-for-bit
+    "events_sessions_stream" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
+        |g AS (SELECT user_id, event_id, ts_s,
+        |  epoch(ts_s) - epoch(lag(ts_s, 1) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap
+        |  FROM e),
+        |s AS (SELECT user_id, ts_s,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(MIN(ts_s) AS TIMESTAMP) AS session_start,
+        |COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // identical oracle to events_retention: streaming flags + stateless
+    // rollup must reproduce the batch cohort table bit-for-bit
+    "events_retention_stream" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+        |p AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN day END) AS signup_day,
+        |  list(DISTINCT day) AS days FROM e GROUP BY user_id),
+        |r AS (SELECT user_id, signup_day,
+        |  list_contains(days, signup_day + 1) AS d1,
+        |  list_contains(days, signup_day + 7) AS d7
+        |  FROM p WHERE signup_day IS NOT NULL)
+        |SELECT signup_day AS cohort_day, COUNT(*) AS n_users,
+        |  CAST(SUM(CAST(d1 AS INT)) AS BIGINT) AS n_d1,
+        |  CAST(SUM(CAST(d7 AS INT)) AS BIGINT) AS n_d7
+        |FROM r GROUP BY signup_day""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -175,6 +175,71 @@ object EventStream {
       }
   }
 
+  final case class SessionExactState(open: Option[SessionState],
+                                     buf: Vector[Long])
+
+  /** Watermark-ordered EXACT gap sessionization — the [[funnelExact]]
+    * buffer pattern applied to sessions: arrivals are held per user until
+    * the event-time watermark seals them, then folded in EVENT-TIME order
+    * into the (start, last, n) machine, so arrival order never changes the
+    * emitted sessions for events within the lateness bound. Two
+    * differences from [[sessionizeWithTimeout]]:
+    *
+    *  - exact under out-of-order delivery ACROSS microbatches (the
+    *    within-batch sort only fixes intra-batch disorder);
+    *  - merges at EXACTLY the gap (`t − last <= gap`), matching the
+    *    built-in `session_window`'s boundary rule (StreamingSpec pins that
+    *    boundary for the batch entry) — so the same DuckDB oracle checks
+    *    both the batch and streaming forms.
+    *
+    * A session closes when a sealed successor exceeds the gap, or when the
+    * watermark itself passes `last + gap` (every held event has ts > wm ≥
+    * last+gap, so nothing can extend the session — close is safe, not
+    * heuristic). Emission is Append: each session exactly once. State =
+    * open session + the events still inside the lateness window.
+    */
+  def sessionizeExact(events: Dataset[SessionEvent],
+                      gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionExactState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evts: Iterator[SessionEvent],
+         state: GroupState[SessionExactState]) =>
+          val prev = state.getOption
+            .getOrElse(SessionExactState(None, Vector.empty))
+          val buf = prev.buf ++ evts.map(_.ts.getTime)
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = buf.partition(_ <= wm)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = prev.open.orNull
+          ready.sorted.foreach { t =>
+            cur match {
+              case null => cur = SessionState(t, t, 1)
+              case s if t - s.last <= gapMs =>
+                cur = SessionState(s.start, t, s.n + 1)
+              case s =>
+                out += SessionOut(user, new java.sql.Timestamp(s.start), s.n)
+                cur = SessionState(t, t, 1)
+            }
+          }
+          if (cur != null && wm >= cur.last + gapMs) {
+            out += SessionOut(user, new java.sql.Timestamp(cur.start), cur.n)
+            cur = null
+          }
+          if (hold.isEmpty && cur == null) state.remove()
+          else {
+            state.update(SessionExactState(Option(cur), hold))
+            // wake at the earliest actionable instant: the oldest held
+            // event (fold it once sealed) or the open session's close time
+            val wake = (hold ++ Option(cur).map(_.last + gapMs)).min
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String,
                                ts: java.sql.Timestamp)
   final case class FunnelState(tSignup: Option[Long], tView: Option[Long],
@@ -314,6 +379,55 @@ object EventStream {
             }
           }
           state.update(s)
+          s.signupDay.map(sd => RetentionOut(user,
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(sd)),
+            s.d1, s.d7)).iterator
+      }
+  }
+
+  final case class RetentionBufState(st: RetentionState,
+                                     buf: Vector[(Long, String)])
+
+  /** Watermark-ordered EXACT retention flags — the [[funnelExact]] buffer
+    * pattern applied to [[retentionFlags]]: events hold per user until the
+    * watermark seals them, then fold in event-time order, so the signup
+    * day is the true MIN signup day and no activity-day check races its
+    * prerequisite across microbatches (a d1 activity delivered before its
+    * signup is recovered once both are sealed; the unbuffered form misses
+    * it). Day boundaries are UTC epoch-days of the event time, matching
+    * the batch `to_date(ts)` under the engine's UTC session timezone.
+    * Emission is Update with set-once/monotone fields (signup_day fixes at
+    * the first sealed signup; d1/d7 only flip false→true), so the final
+    * row per user is the column-wise max — same drain contract as
+    * [[funnelExact]]. Input reuses [[FunnelEvent]] (user, type, ts).
+    */
+  def retentionFlagsExact(events: Dataset[FunnelEvent]): Dataset[RetentionOut] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionBufState, RetentionOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evts: Iterator[FunnelEvent],
+         state: GroupState[RetentionBufState]) =>
+          val prev = state.getOption
+            .getOrElse(RetentionBufState(RetentionState(None, false, false),
+              Vector.empty))
+          val buf = prev.buf ++ evts.map(e => (e.ts.getTime, e.event_type))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = buf.partition(_._1 <= wm)
+          var s = prev.st
+          ready.sortBy(_._1).foreach { case (t, et) =>
+            val d = Math.floorDiv(t, dayMs)
+            if (s.signupDay.isEmpty && et == "signup")
+              s = s.copy(signupDay = Some(d))
+            s.signupDay.foreach { sd =>
+              if (d == sd + 1) s = s.copy(d1 = true)
+              if (d == sd + 7) s = s.copy(d7 = true)
+            }
+          }
+          state.update(RetentionBufState(s, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
           s.signupDay.map(sd => RetentionOut(user,
             java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(sd)),
             s.d1, s.d7)).iterator

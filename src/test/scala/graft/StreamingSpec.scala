@@ -232,6 +232,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  // The other two streaming gate entries: exact gap sessionization and
+  // retention must reproduce their batch counterparts row-for-row (the
+  // same equivalence their DuckDB oracles hash-check).
+  test("events_sessions_stream gate entry equals the batch session_window entry") {
+    val streamed = SparkEntry.queries("events_sessions_stream")(
+        spark, SparkTestSession.Sf)
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val batch = SparkEntry.queries("events_session_window")(
+        spark, SparkTestSession.Sf)
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("events_retention_stream gate entry equals the batch retention entry") {
+    val streamed = SparkEntry.queries("events_retention_stream")(
+        spark, SparkTestSession.Sf)
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("events_retention")(spark, SparkTestSession.Sf)
+      .as[(java.sql.Date, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  // Cross-batch disorder: an event delivered in a LATER microbatch than a
+  // newer one must still fold into the right session once sealed — the
+  // watermark-buffered sessionizer recovers the exact split.
+  test("sessionizeExact recovers exact sessions under cross-batch disorder") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStream.sessionizeExact(
+        in.toDF().toDF("user_id", "ts").withWatermark("ts", "2 hours")
+          .as[EventStream.SessionEvent], gapMinutes = 30)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("sess_ooo_out").start()
+    // 10:20 (merges with 10:00) arrives AFTER 11:30 (a separate session)
+    in.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:30:00")))
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 10:20:00")))
+    q.processAllAvailable()
+    in.addData((99L, ts("2024-01-02 12:00:00"))) // sentinel: drains user 1
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sess_ooo_out").where(col("user_id") === 1L)
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(got === Set(
+      (1L, ts("2024-01-01 10:00:00"), 2L),
+      (1L, ts("2024-01-01 11:30:00"), 1L)))
+  }
+
+  // A d1 activity delivered BEFORE its signup (cross-batch) is lost by the
+  // unbuffered retention fold but recovered by the watermark-buffered one.
+  test("retentionFlagsExact recovers a d1 activity delivered before its signup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStream.retentionFlagsExact(
+        in.toDF().toDF("user_id", "event_type", "ts")
+          .withWatermark("ts", "10 days")
+          .as[EventStream.FunnelEvent])
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("ret_ooo_out").start()
+    in.addData((1L, "view", ts("2024-01-02 09:00:00"))) // day signup+1, first
+    q.processAllAvailable()
+    in.addData((1L, "signup", ts("2024-01-01 08:00:00")))
+    q.processAllAvailable()
+    in.addData((99L, "noop", ts("2024-03-01 00:00:00"))) // sentinel: drains
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("ret_ooo_out").where(col("user_id") === 1L)
+      .groupBy("user_id")
+      .agg(max(col("signup_day")).as("sd"),
+        max(col("d1").cast("int")).as("d1"), max(col("d7").cast("int")).as("d7"))
+      .as[(Long, java.sql.Date, Int, Int)].collect().toSeq
+    assert(fin === Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1, 0)))
+
+    // the unbuffered fold on the same delivery misses d1 (one-sided)
+    val in2 = MemoryStream[(Long, String, java.sql.Date)]
+    val q2 = EventStream.retentionFlags(
+        in2.toDF().toDF("user_id", "event_type", "day")
+          .as[EventStream.RetentionEvent])
+      .toDF().writeStream.outputMode("update").format("memory")
+      .queryName("ret_fw_out").start()
+    in2.addData((1L, "view", java.sql.Date.valueOf("2024-01-02")))
+    q2.processAllAvailable()
+    in2.addData((1L, "signup", java.sql.Date.valueOf("2024-01-01")))
+    q2.processAllAvailable(); q2.stop()
+    val fw = spark.table("ret_fw_out").where(col("user_id") === 1L)
+      .groupBy("user_id").agg(max(col("d1").cast("int")).as("d1"))
+      .as[(Long, Int)].collect().toSeq
+    assert(fw === Seq((1L, 0)))
+  }
+
   // The first-write-wins funnel under out-of-order arrival: a stage event
   // delivered before its prerequisite is discarded and never recovered —
   // the approximation is ONE-SIDED (it can miss a reached stage, never
