@@ -144,6 +144,43 @@ object Similarity {
     }
   }
 
+  /** CORPUS-ADAPTIVE banded sign-LSH parameters: bits per band derived
+    * from the corpus size so buckets hold ~`targetBucket` vectors, bands
+    * derived from the desired recall at the threshold.
+    *
+    * Why: [[signLshParams]] fixes the bit budget up front, so at corpus
+    * sizes where `n >> 2^bits · maxBucket` the per-band key space
+    * saturates — every bucket hits the bottom-k cap and recall collapses
+    * to the capped prefix. Deriving `bits = ceil(log2(n / targetBucket))`
+    * keeps the EXPECTED bucket at the target size no matter the corpus
+    * (the SCALING.md round-4 measurement showed exactly this saturation
+    * regime at 10×). Recall is then re-compensated with the band count:
+    * a pair at cosine `threshold` agrees on one `r`-bit band with
+    * p^r (p = 1 − acos(t)/π), so `b = ln(1−recall)/ln(1−p^r)` bands give
+    * the requested recall at the threshold (standard S-curve inversion).
+    *
+    * Degenerate regime, documented deliberately: at LOW thresholds p^r
+    * shrinks geometrically in r, so large corpora + low thresholds drive
+    * `b` exponentially — sign-LSH stops being the right tool (the cap at
+    * 64 bands makes the failure visible as reduced recall rather than an
+    * unbounded plan). Near-duplicate detection (t ≥ 0.8) stays cheap at
+    * any corpus size.
+    */
+  def signLshParamsAdaptive(n: Long, threshold: Double,
+                            targetBucket: Int = 1000,
+                            recall: Double = 0.95): (Int, Int) = {
+    require(n > 0 && targetBucket > 0)
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    val bits = math.max(1, math.ceil(
+      math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+    val pr = math.pow(p, bits)
+    val bands =
+      if (pr >= 1.0) 1
+      else math.min(64, math.max(1,
+        math.ceil(math.log(1.0 - recall) / math.log(1.0 - pr)).toInt))
+    (bands, bits)
+  }
+
   /** Band keys for banded sign-projection LSH: `bands` independent
     * `bitsPerBand`-bit signatures (disjoint hyperplane sets via seed+band),
     * each offset by its band index so keys never collide across bands.
@@ -181,9 +218,16 @@ object Similarity {
   def cosineDupPairsBucketed(emb: DataFrame, idCol: String, vecCol: String,
                              threshold: Double, totalBits: Int = 32,
                              bands: Int = 0, dim: Int = 64, seed: Long = 42L,
-                             maxBucket: Int = 1000): DataFrame = {
+                             maxBucket: Int = 1000,
+                             adaptiveTarget: Int = 0): DataFrame = {
+    // adaptiveTarget > 0: derive (bands, bits) from the corpus size so the
+    // expected bucket holds ~adaptiveTarget vectors — see
+    // [[signLshParamsAdaptive]]. The count is parquet-metadata cheap and
+    // the only corpus-sized aggregate on this path.
     val (nBands, bitsPerBand) =
-      if (bands > 0) (bands, totalBits / bands)
+      if (adaptiveTarget > 0)
+        signLshParamsAdaptive(emb.count(), threshold, adaptiveTarget)
+      else if (bands > 0) (bands, totalBits / bands)
       else signLshParams(totalBits, threshold)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("n"))

@@ -124,6 +124,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fast === slow)
   }
 
+  // Adaptive granularity: bits track corpus size (expected bucket ≈
+  // target), bands re-compensate recall at the threshold; a saturated
+  // fixed-bit regime would cap-truncate buckets instead.
+  test("signLshParamsAdaptive scales bits with n and keeps the S-curve recall") {
+    val (b1, r1) = Similarity.signLshParamsAdaptive(8000, 0.9, targetBucket = 1000)
+    assert(r1 === 3) // ceil(log2(8))
+    val (b2, r2) = Similarity.signLshParamsAdaptive(8_000_000, 0.9, targetBucket = 1000)
+    assert(r2 === 13) // ceil(log2(8000)) — bucket space grows with n
+    // computed band counts must actually achieve the requested recall at
+    // the threshold: 1 − (1 − p^r)^b ≥ 0.95
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    for ((b, r) <- Seq((b1, r1), (b2, r2))) {
+      val prob = 1.0 - math.pow(1.0 - math.pow(p, r), b)
+      assert(prob >= 0.95, s"($b,$r) recall $prob below request")
+    }
+    // documented degenerate regime: low threshold + big corpus hits the
+    // 64-band cost cap instead of exploding the plan
+    val (b3, _) = Similarity.signLshParamsAdaptive(8_000_000, 0.3, targetBucket = 1000)
+    assert(b3 === 64)
+  }
+
+  // End-to-end: the adaptive path still finds planted near-duplicates and
+  // keeps exact precision (every emitted pair passes the exact-cosine
+  // verify by construction; the quadratic reference agrees).
+  test("adaptive bucketed dup pairs find planted near-dups with exact precision") {
+    val base = (0 until 400).map { i =>
+      val r = new scala.util.Random(1000 + i)
+      (i.toLong, Seq.fill(8)(r.nextFloat() * 2f - 1f))
+    }
+    // plant 20 near-identical pairs (tiny perturbation of the base vector)
+    val dups = (0 until 20).map { i =>
+      val (id, v) = base(i)
+      (id + 10_000L, v.map(x => x + 1e-4f))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val got = Similarity.cosineDupPairsBucketed(df, "vec_id", "embedding",
+        threshold = 0.999, dim = 8, adaptiveTarget = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (0 until 20).map(i => (i.toLong, i + 10_000L)).toSet
+    val exact = Similarity.cosineDupPairs(df, "vec_id", "embedding", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((got diff exact).isEmpty, "precision must be exact")
+    val recall = (got intersect want).size.toDouble / want.size
+    assert(recall >= 0.9, s"recall $recall on planted near-identical pairs")
+  }
+
   test("signLshParams tracks the collision probability of the threshold") {
     // cos 0.9 → p ≈ 0.856: the chosen split's midpoint must sit closer to
     // p than either neighboring divisor split of 32 bits.
