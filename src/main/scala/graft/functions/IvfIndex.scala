@@ -74,31 +74,117 @@ object IvfIndex {
     Index(centroids, spark.read.parquet(s"$path/lists"))
   }
 
-  /** Exact top-k within the probed lists. Queries are broadcast; the
-    * corpus side is filtered to probed lists *before* scoring.
+  /** Per-query (query, qv, list_id, centroid rank) for centroid ranks in
+    * `(loRank, hiRank]` — the probe set. Tiny: |queries| × nLists before
+    * the rank filter, all driver-free.
     */
-  def search(index: Index, queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
-    // rank centroids per query (tiny: |queries| × nLists), explode top nProbe
+  private def probeRange(index: Index, queries: DataFrame, idCol: String,
+                         vecCol: String, loRank: Int, hiRank: Int): DataFrame = {
     val centroidRows = index.centroids.map { case (i, c) =>
       struct(lit(i).as("list_id"), array(c.map(lit(_)): _*).as("centroid"))
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("__c", explode(array(centroidRows: _*)))
       .select(col("query_id"), col("qv"), col("__c.list_id").as("list_id"),
-        sqDist(col("qv"), col("__c.centroid")).as("dist"))
+        sqDist(col("qv"), col("__c.centroid")).as("dist"),
+        aggregate(zip_with(col("qv"), col("__c.centroid"),
+          (x, y) => x.cast("double") * y), lit(0.0), (s, x) => s + x)
+          .as("qdotc"))
     val probeW = Window.partitionBy("query_id").orderBy(col("dist"), col("list_id"))
-    val probed = q.withColumn("pr", row_number().over(probeW))
-      .where(col("pr") <= nProbe)
-      .select("query_id", "qv", "list_id")
+    q.withColumn("pr", row_number().over(probeW))
+      .where(col("pr") > loRank && col("pr") <= hiRank)
+      .select("query_id", "qv", "list_id", "qdotc")
+  }
 
+  /** Exact-cosine scores of the corpus members of the probed lists. */
+  private def scoreLists(index: Index, probed: DataFrame, idCol: String,
+                         vecCol: String, excludeSelf: Boolean): DataFrame = {
     val c = index.assigned.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), col("list_id"))
-    val candidates = c.join(broadcast(probed), "list_id")
+    c.join(broadcast(probed.select("query_id", "qv", "list_id")), "list_id")
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("qv"), col("cv")).as("sim"))
+  }
+
+  /** Exact top-k within the probed lists. Queries are broadcast; the
+    * corpus side is filtered to probed lists *before* scoring.
+    */
+  def search(index: Index, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
+    val probed = probeRange(index, queries, idCol, vecCol, 0, nProbe)
+    val candidates = scoreLists(index, probed, idCol, vecCol, excludeSelf)
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     candidates.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** TWO-WAVE probe with residual-bound pruning — the recall/cost
+    * refinement of [[search]] (IVF with triangle-inequality early exit).
+    *
+    * Wave 1 exact-scores the `nProbe1` nearest lists (= [[search]]).
+    * Wave 2 considers lists ranked `(nProbe1, nProbe2]`, but scores ONLY
+    * those whose residual bound says they could beat the query's current
+    * k-th similarity:
+    *
+    *   cos(q,x) = q·x/(‖q‖‖x‖),  q·x ≤ q·c + ‖q‖·‖x−c‖
+    *   ⇒ cos(q,x) ≤ max(q·c/‖q‖ + R_l, 0) / max(m_l, ε)   for x ∈ list l
+    *
+    * with R_l = max residual norm and m_l = min member norm of the list
+    * (one narrow per-list aggregate; at scale these two scalars are
+    * computed once at BUILD time and stored beside the centroids — they
+    * are per-list metadata, not per-vector). The max(·,0) keeps the bound
+    * valid when the numerator goes negative (then every member cosine is
+    * negative, and 0 still upper-bounds it).
+    *
+    * Guarantee: a pruned list contains NO vector with cosine above the
+    * wave-1 k-th similarity, so the result equals `search(nProbe2)`
+    * except under exact double ties — same recall, scan cost between
+    * nProbe1 and nProbe2 lists, adapting per query to how decisive its
+    * wave-1 neighborhood was. Queries with fewer than k wave-1 results
+    * probe every wave-2 list (their k-th similarity is −∞).
+    */
+  def searchRefined(index: Index, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nProbe1: Int, nProbe2: Int,
+                    excludeSelf: Boolean = true): DataFrame = {
+    require(nProbe2 >= nProbe1, s"nProbe2 ($nProbe2) must be >= nProbe1 ($nProbe1)")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+
+    val probed1 = probeRange(index, queries, idCol, vecCol, 0, nProbe1)
+    val wave1 = scoreLists(index, probed1, idCol, vecCol, excludeSelf)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+
+    // per-query pruning threshold: the k-th wave-1 similarity (−∞ until
+    // the query actually has k neighbors)
+    val kth = wave1.groupBy("query_id")
+      .agg(min(col("sim")).as("kth_sim"), count(lit(1)).as("__n"))
+      .select(col("query_id"),
+        when(col("__n") >= k, col("kth_sim")).otherwise(lit(-1e18)).as("kth_sim"))
+
+    // per-list residual bound inputs; build-time metadata at scale
+    val centroidRows = index.centroids.map { case (i, c) =>
+      struct(lit(i).as("list_id"), array(c.map(lit(_)): _*).as("centroid"))
+    }
+    val listStats = index.assigned
+      .withColumn("__c", element_at(
+        map_from_entries(array(centroidRows.map(s =>
+          struct(s.getField("list_id"), s.getField("centroid"))): _*)),
+        col("list_id")))
+      .select(col("list_id"),
+        sqrt(sqDist(col(vecCol), col("__c"))).as("__resid"),
+        Similarity.norm(col(vecCol)).as("__nrm"))
+      .groupBy("list_id")
+      .agg(max(col("__resid")).as("r_max"), min(col("__nrm")).as("n_min"))
+
+    val probed2 = probeRange(index, queries, idCol, vecCol, nProbe1, nProbe2)
+      .join(broadcast(listStats), "list_id")
+      .join(broadcast(kth), "query_id")
+      .withColumn("__ub",
+        greatest(col("qdotc") / greatest(Similarity.norm(col("qv")), lit(1e-12))
+          + col("r_max"), lit(0.0)) / greatest(col("n_min"), lit(1e-9)))
+      .where(col("__ub") > col("kth_sim"))
+    val wave2 = scoreLists(index, probed2, idCol, vecCol, excludeSelf)
+
+    wave1.select("query_id", "neighbor_id", "sim").unionByName(wave2)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 }

@@ -106,6 +106,21 @@ object PipelineQueries {
           round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // Two-wave IVF with residual-bound pruning: wave 1 probes 2 lists,
+    // wave 2 considers 4 but exact-scores only lists whose residual bound
+    // could beat the query's current k-th similarity (IvfIndexSpec proves
+    // equality with the full 4-probe search). Same pair-value oracle.
+    "sim_ivf_refined" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val index = graft.functions.IvfIndex.build(emb, "vec_id", "embedding",
+        nLists = 16)
+      graft.functions.IvfIndex.searchRefined(index,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nProbe1 = 2, nProbe2 = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
     "text_stats" -> ((spark, dir) => {
       val t = col("text")
       Tables.read(spark, dir, "documents").select(
@@ -681,6 +696,7 @@ object PipelineQueries {
         |  FROM lineitem GROUP BY l_returnflag) e USING (l_returnflag)""".stripMargin,
     "sim_ann_lsh" -> annPairOracle("sim_ann_lsh"),
     "sim_ivf" -> annPairOracle("sim_ivf"),
+    "sim_ivf_refined" -> annPairOracle("sim_ivf_refined"),
     "text_fingerprint" -> s"""
         |WITH o AS (SELECT doc_id, fp, simhash
         |  FROM read_parquet('__OUT__/text_fingerprint/*.parquet')),

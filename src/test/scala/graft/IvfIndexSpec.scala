@@ -33,6 +33,35 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  // The residual bound is an upper bound on every member cosine, so a
+  // pruned wave-2 list can never hold a true top-k member: the two-wave
+  // refined search must equal the full nProbe2 search (modulo exact
+  // double ties, absent in the random fixture).
+  test("two-wave refined search equals the full-probe search it prunes") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nLists = 8)
+
+    val full = IvfIndex.search(index, queries, "vec_id", "embedding",
+        k = 10, nProbe = 8)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    val refined = IvfIndex.searchRefined(index, queries, "vec_id", "embedding",
+        k = 10, nProbe1 = 2, nProbe2 = 8)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(refined === full)
+
+    // degenerate two-wave (nProbe1 = nProbe2) reduces to plain search
+    val plain = IvfIndex.search(index, queries, "vec_id", "embedding",
+        k = 10, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val same = IvfIndex.searchRefined(index, queries, "vec_id", "embedding",
+        k = 10, nProbe1 = 3, nProbe2 = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(same === plain)
+  }
+
   test("IVF index persists: save/load round-trip, list-partitioned layout") {
     val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
     val queries = emb.filter(col("vec_id") < 4)
