@@ -28,7 +28,9 @@ object Bench {
     "q_asof_join_native", "q_tdigest", "events_funnel", "q_stats_agg",
     // round-4 additions: the ANN scale paths next to their brute-force
     // baseline, and the LSH-bucketed embedding dedup
-    "sim_ann_lsh", "sim_ivf", "dedup_embedding")
+    "sim_ann_lsh", "sim_ivf", "dedup_embedding",
+    // bucket-local simhash verify and the two-wave pruned IVF probe
+    "dedup_simhash", "sim_ivf_refined")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

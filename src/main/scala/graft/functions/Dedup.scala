@@ -457,6 +457,83 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** ALL word k-shingle hashes of normalized text, WITH multiplicity —
+    * the term stream for TF-weighted sparse similarity (unlike
+    * [[shingleHashes]], which dedups for set semantics). Short docs yield
+    * their full token span as one shingle.
+    */
+  def shingleHashesAll(c: Column, k: Int): Column = {
+    val toks = split(normalizeText(c), " ")
+    // bind the token array once (single-element-array trick) — see shingles()
+    element_at(transform(array(toks), ts =>
+      transform(sequence(lit(1), greatest(size(ts) - lit(k - 1), lit(1))),
+        i => xxhash64(concat_ws(" ", slice(ts, i, lit(k)))))), 1)
+  }
+
+  /** TF-weighted shingle COSINE pairs — sparse bag-of-shingles similarity
+    * (the IR-style sibling of [[ngramJaccardPairs]]' set semantics): each
+    * document is the sparse vector of its k-shingle counts, and pairs with
+    * cosine ≥ threshold are emitted with the exact integer dot product and
+    * the cosine value.
+    *
+    * Exactness across engines is by construction: tf, Σtf² and Σtf_a·tf_b
+    * are INTEGERS (hash-grouped counts — no float accumulation anywhere),
+    * the threshold test compares `dot² ≥ t²·sq_a·sq_b` in fixed-order
+    * double arithmetic (products of exact integers: IEEE-identical in any
+    * engine), and the reported cosine divides by a correctly-rounded sqrt
+    * — so the DuckDB oracle reproduces every value bit-for-bit.
+    *
+    * Plan shape = [[ngramJaccardPairs]]: postings self-join on 8-byte
+    * shingle hashes, narrow rows, with the same corpus-derived
+    * stop-shingle cap (a shingle in more than `clamp(0.5%·N, 100, 10k)`
+    * docs carries no similarity signal and would contribute df² join
+    * rows); per-doc Σtf² is computed AFTER the prune so both sides of the
+    * threshold see the same pruned vectors.
+    */
+  def shingleTfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+                           k: Int = 3, threshold: Double = 0.5,
+                           maxDocFreq: Option[Int] = Some(AutoMaxDocFreq)
+                          ): DataFrame = {
+    val base = rebalance(df.select(col(idCol).as("id"),
+      shingleHashesAll(col(textCol), k).as("shs")))
+    val p0 = base.select(col("id"), explode(col("shs")).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("tf"))
+    val p = maxDocFreq match {
+      case Some(maxDf) =>
+        // doc frequency = one row per (id, h) in p0; hot set is tiny by
+        // construction and broadcast into the anti-join (AQE collapses
+        // the usual empty-hot case)
+        val capCol =
+          if (maxDf == AutoMaxDocFreq)
+            least(lit(MaxDocFreqCeiling.toLong),
+              greatest(lit(MinDocFreqFloor.toLong),
+                ceil(col("__n") * HotShingleFraction)))
+          else lit(maxDf.toLong)
+        val dfCounts = p0.groupBy("h").agg(count(lit(1)).as("df"))
+        val hot = (if (maxDf == AutoMaxDocFreq)
+          dfCounts.crossJoin(base.select(count(lit(1)).as("__n")))
+        else dfCounts.withColumn("__n", lit(0L)))
+          .where(col("df") > capCol).select("h")
+        p0.join(hot, Seq("h"), "left_anti")
+      case None => p0
+    }
+    val sq = p.groupBy("id").agg(sum(col("tf") * col("tf")).as("sq"))
+    val dots = p.as("x").join(p.as("y"), "h")
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(sum(col("x.tf") * col("y.tf")).as("dot"))
+    val t2 = threshold * threshold
+    dots
+      .join(sq.select(col("id").as("id_a"), col("sq").as("__sqa")), "id_a")
+      .join(sq.select(col("id").as("id_b"), col("sq").as("__sqb")), "id_b")
+      .where(col("dot").cast("double") * col("dot").cast("double") >=
+        lit(t2) * (col("__sqa").cast("double") * col("__sqb").cast("double")))
+      .select(col("id_a"), col("id_b"), col("dot"),
+        round(col("dot").cast("double") /
+          sqrt(col("__sqa").cast("double") * col("__sqb").cast("double")), 6)
+          .as("sim"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Number of SimHash bits. 63 (not 64) keeps every power of two inside a

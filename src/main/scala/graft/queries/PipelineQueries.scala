@@ -41,6 +41,15 @@ object PipelineQueries {
       Dedup.minhashDupPairs(Tables.read(spark, dir, "documents"),
         "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)),
 
+    // TF-weighted shingle cosine (sparse bag-of-shingles similarity): all
+    // arithmetic is exact-integer until the final fixed-order double
+    // comparison/division, so the oracle reproduces dot AND sim
+    // bit-for-bit. Same postings shape + corpus-derived stop-shingle cap
+    // as dedup_ngram_jaccard.
+    "dedup_tf_cosine" -> ((spark, dir) =>
+      Dedup.shingleTfCosinePairs(Tables.read(spark, dir, "documents"),
+        "text", "doc_id", k = 3, threshold = 0.5)),
+
     // SimHash candidates (Hamming ≤ maxDist — signature-specific), each
     // pair annotated with its EXACT 3-gram Jaccard so the oracle can
     // recompute and hash-check the similarity column per returned pair;
@@ -605,6 +614,33 @@ object PipelineQueries {
         |  CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) AS jaccard
         |FROM co JOIN sz a ON co.id_a = a.doc_id JOIN sz b ON co.id_b = b.doc_id
         |WHERE CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) >= 0.5""".stripMargin,
+    // mirrors shingleTfCosinePairs exactly: non-distinct shingles with
+    // multiplicity, the same auto df-cap (pruned BEFORE Σtf²), integer
+    // dot/sq, the same fixed-order double threshold test and division
+    "dedup_tf_cosine" -> s"""
+        |WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |shc AS (SELECT doc_id, list_transform(
+        |  range(1, greatest(len(t) - 2, 1) + 1),
+        |  i -> array_to_string(t[i:i+2], ' ')) AS s FROM toks),
+        |p0 AS (SELECT doc_id, g, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM shc) GROUP BY 1, 2),
+        |hot AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM p0 GROUP BY g) h
+        |  WHERE df > least(${graft.functions.Dedup.MaxDocFreqCeiling},
+        |    greatest(${graft.functions.Dedup.MinDocFreqFloor},
+        |      ceil(${graft.functions.Dedup.HotShingleFraction} *
+        |        (SELECT COUNT(*) FROM documents))))),
+        |p AS (SELECT doc_id, g, tf FROM p0 WHERE g NOT IN (SELECT g FROM hot)),
+        |sq AS (SELECT doc_id, SUM(tf * tf) AS sq FROM p GROUP BY doc_id),
+        |d AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, SUM(x.tf * y.tf) AS dot
+        |  FROM p x JOIN p y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+        |  round(CAST(dot AS DOUBLE) /
+        |    sqrt(CAST(a.sq AS DOUBLE) * CAST(b.sq AS DOUBLE)), 6) AS sim
+        |FROM d JOIN sq a ON d.id_a = a.doc_id JOIN sq b ON d.id_b = b.doc_id
+        |WHERE CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) >=
+        |  0.25 * (CAST(a.sq AS DOUBLE) * CAST(b.sq AS DOUBLE))""".stripMargin,
     // Pair-value oracle (same contract as sim_ann_lsh): rows come from the
     // entry's own output (candidate generation is engine-specific LSH), the
     // cosine for each returned pair is recomputed exactly from the

@@ -148,6 +148,46 @@ class DedupSpec extends AnyFunSuite {
     assert(fast === slow)
   }
 
+  // TF-weighted shingle cosine: identical docs score exactly 1.0 with the
+  // full integer dot; the one-token-changed near-dup shares 6 of its 7
+  // trigram occurrences → sim = 6/7.
+  test("shingle TF cosine: exact integer dot products and cosine values") {
+    val pairs = Dedup.shingleTfCosinePairs(docs, "text", "doc_id",
+        k = 3, threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (a, b, d, s) => (a, b) -> ((d, s)) }.toMap
+    assert(pairs((1L, 2L)) === ((7L, 1.0)))
+    assert(pairs((1L, 5L)) === ((7L, 1.0)))
+    assert(pairs((2L, 5L)) === ((7L, 1.0)))
+    val near = math.round(6.0 / 7.0 * 1e6) / 1e6
+    assert(pairs((1L, 3L)) === ((6L, near)))
+    assert(pairs((3L, 5L)) === ((6L, near)))
+    assert(!pairs.contains((1L, 4L))) // unrelated text below threshold
+  }
+
+  // Multiplicity matters: a doc that repeats a shingle is NOT identical to
+  // its single-occurrence version under TF weighting (set-Jaccard says 1.0)
+  test("shingle TF cosine distinguishes repeated shingles from single ones") {
+    val rep = Seq(
+      (1L, "a b c a b c"), (2L, "a b c a b c a b c")
+    ).toDF("doc_id", "text")
+    // identical DISTINCT trigram sets {abc, bca, cab} → set-Jaccard 1.0,
+    // but tf1 = (2,1,1), tf2 = (3,2,2):
+    // dot = 6+2+2 = 10, sq1 = 6, sq2 = 17 → sim = 10/sqrt(102) ≈ 0.990
+    val got = Dedup.shingleTfCosinePairs(rep, "text", "doc_id",
+        k = 3, threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = java.math.BigDecimal.valueOf(10.0 / math.sqrt(102.0))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got === Seq((1L, 2L, 10L, want)))
+    assert(want < 1.0)
+    // while set-semantics Jaccard of the same pair is exactly 1.0
+    val jac = Dedup.ngramJaccardPairs(rep, "text", "doc_id", k = 3,
+        threshold = 0.99, maxDocFreq = None)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(jac === Seq((1L, 2L, 1.0)))
+  }
+
   test("exact ngram jaccard finds the near-dup pair with the exact value") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
