@@ -29,8 +29,9 @@ object Bench {
     // round-4 additions: the ANN scale paths next to their brute-force
     // baseline, and the LSH-bucketed embedding dedup
     "sim_ann_lsh", "sim_ivf", "dedup_embedding",
-    // bucket-local simhash verify and the two-wave pruned IVF probe
-    "dedup_simhash", "sim_ivf_refined")
+    // bucket-local simhash verify, the two-wave pruned IVF probe, and the
+    // TF-weighted shingle cosine
+    "dedup_simhash", "sim_ivf_refined", "dedup_tf_cosine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
