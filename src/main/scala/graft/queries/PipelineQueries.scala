@@ -336,6 +336,44 @@ object PipelineQueries {
           sum(col("d1i")).as("n_d1"), sum(col("d7i")).as("n_d7"))
     }),
 
+    // Point-in-time (as-of) join as a streaming query: purchases and
+    // clicks tagged into ONE keyed stream, the watermark-ordered exact
+    // streaming as-of ([[graft.streaming.EventStream.streamingAsOfExact]])
+    // values each purchase at the last click at-or-before it, at full
+    // microsecond precision. Oracle is IDENTICAL to `q_asof_join`'s
+    // (DuckDB native ASOF LEFT JOIN) — batch ≡ stream under the hash
+    // gate for the custom operator family. Append mode: each left row
+    // exactly once.
+    "q_asof_join_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      // the sentinel must SURVIVE the event-type filter below (the filter
+      // pushes beneath the watermark node, and a filtered-out sentinel
+      // would never advance the watermark): it rides as a far-future
+      // 'click' on the reserved key −1, which has no left rows and so
+      // can never produce output
+      val sentinel = Seq((-1L, "click", sentinelTs, -1L))
+        .toDF("user_id", "event_type", "ts", "event_id")
+      val tagged = streamWithSentinel(spark, ev, sentinel, delaySec)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("user_id").as("key"), col("ts"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+          col("event_id").as("tag"),
+          when(col("event_type") === "click", date_trunc("second", col("ts")))
+            .otherwise(lit(null).cast("timestamp")).as("payload"))
+        .as[graft.streaming.EventStream.AsOfEvt]
+      graft.streaming.EventStream.runToMemory(
+        graft.streaming.EventStream.streamingAsOfExact(tagged).toDF(),
+        "q_asof_join_stream_out", OutputMode.Append())
+      spark.table("q_asof_join_stream_out")
+        .where(col("key") >= 0)
+        .select(col("key").as("user_id"), col("tag").as("event_id"),
+          col("asof_payload").as("asof_click_s"))
+    }),
+
     // Retention cohorts: users grouped by signup day; D1/D7 retention =
     // any activity exactly 1/7 days later. Same one-row-per-user shuffle
     // shape as the funnel.
@@ -910,6 +948,14 @@ object PipelineQueries {
         |SELECT user_id, CAST(MIN(ts_s) AS TIMESTAMP) AS session_start,
         |COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // identical oracle to q_asof_join: the streaming as-of must reproduce
+    // DuckDB's native ASOF LEFT JOIN bit-for-bit
+    "q_asof_join_stream" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, date_trunc('second', ts) AS click_s
+        |      FROM events WHERE event_type = 'click')
+        |SELECT l.user_id, l.event_id, CAST(r.click_s AS TIMESTAMP) AS asof_click_s
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
     // identical oracle to events_retention: streaming flags + stateless
     // rollup must reproduce the batch cohort table bit-for-bit
     "events_retention_stream" ->

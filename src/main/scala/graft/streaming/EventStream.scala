@@ -478,6 +478,70 @@ object EventStream {
       }
   }
 
+  final case class AsOfEvt(key: Long, ts: java.sql.Timestamp, side: Int,
+                           tag: Long, payload: Option[java.sql.Timestamp])
+  final case class AsOfExactState(lastTs: Option[Long],
+                                  lastPayload: Option[Long],
+                                  buf: Vector[(Long, Int, Long, Option[Long])])
+  final case class AsOfTaggedOut(key: Long, tag: Long,
+                                 asof_payload: Option[java.sql.Timestamp])
+
+  /** Watermark-ordered EXACT streaming as-of join — the [[funnelExact]]
+    * buffer pattern applied to [[streamingAsOf]]: both sides arrive as one
+    * keyed stream (`side` 0 = right/state, 1 = left/probe, same shape as
+    * the batch window composition), rows hold per key until the event-time
+    * watermark seals them, then fold in (event-time, side) order — so a
+    * right row delivered in a LATER microbatch than a left row it should
+    * value is recovered once both are sealed (the unbuffered form's
+    * already-emitted left rows are never rewritten; this form never emits
+    * a left row before everything at-or-before it is sealed).
+    *
+    * Event times order at MICROsecond precision (the fold key is the full
+    * timestamp, not its millis), matching the batch operator's full-
+    * precision `r.ts <= l.ts` rule; right-before-left at equal time gives
+    * ASOF's ≤ semantics, and equal-time right duplicates keep the LAST
+    * carried row — the same rule as [[streamingAsOf]] and
+    * [[graft.plans.AsOfJoinPlan]]. `tag` rides through for the caller to
+    * re-identify left rows (e.g. an event id). Emission is Append: each
+    * left row exactly once, valued at the sealed carry.
+    */
+  def streamingAsOfExact(events: Dataset[AsOfEvt]): Dataset[AsOfTaggedOut] = {
+    import events.sparkSession.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfExactState, AsOfTaggedOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (k: Long, it: Iterator[AsOfEvt], state: GroupState[AsOfExactState]) =>
+          val prev = state.getOption
+            .getOrElse(AsOfExactState(None, None, Vector.empty))
+          val buf = prev.buf ++ it.map(e => (micros(e.ts), e.side, e.tag,
+            e.payload.map(_.getTime)))
+          val wm = state.getCurrentWatermarkMs()
+          // seal at millis granularity (the watermark's own resolution —
+          // same convention as funnelExact); micro-order within the sealed
+          // set comes from the sort key
+          val (ready, hold) = buf.partition(x => x._1 / 1000 <= wm)
+          var lastTs = prev.lastTs
+          var lastPayload = prev.lastPayload
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsOfTaggedOut]
+          ready.sortBy(x => (x._1, x._2, x._3)).foreach {
+            case (t, side, tag, payload) =>
+              if (side == 0) {
+                if (lastTs.forall(_ <= t)) { lastTs = Some(t); lastPayload = payload }
+              } else {
+                out += AsOfTaggedOut(k, tag,
+                  if (lastTs.isDefined) lastPayload.map(new java.sql.Timestamp(_))
+                  else None)
+              }
+          }
+          state.update(AsOfExactState(lastTs, lastPayload, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_._1 / 1000).min, wm + 1))
+          out.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the (static) fixture
     * files via the memory sink; returns the result table name.
     */

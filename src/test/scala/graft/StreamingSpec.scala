@@ -256,6 +256,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("q_asof_join_stream gate entry equals the batch custom as-of entry") {
+    val streamed = SparkEntry.queries("q_asof_join_stream")(
+        spark, SparkTestSession.Sf)
+      .as[(Long, Long, Option[java.sql.Timestamp])].collect().toSet
+    val batch = SparkEntry.queries("q_asof_join")(spark, SparkTestSession.Sf)
+      .as[(Long, Long, Option[java.sql.Timestamp])].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  // A right (state-side) row delivered AFTER the left row it should value
+  // is lost by the unbuffered streaming as-of but recovered by the
+  // watermark-buffered exact form once both are sealed.
+  test("streamingAsOfExact recovers a late-delivered right row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Int, Long,
+      Option[java.sql.Timestamp])]
+    val q = EventStream.streamingAsOfExact(
+        in.toDF().toDF("key", "ts", "side", "tag", "payload")
+          .withWatermark("ts", "2 hours")
+          .as[EventStream.AsOfEvt])
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("asof_ooo_out").start()
+    // left at 10:30 arrives FIRST; the right row at 10:10 arrives a batch
+    // later; a second left at 10:05 checks the before-any-right case
+    in.addData((1L, ts("2024-01-01 10:30:00"), 1, 100L, None),
+      (1L, ts("2024-01-01 10:05:00"), 1, 101L, None))
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 10:10:00"), 0, 0L,
+      Some(ts("2024-01-01 10:10:00"))))
+    q.processAllAvailable()
+    in.addData((99L, ts("2024-01-02 12:00:00"), 1, -1L, None)) // sentinel
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("asof_ooo_out").where(col("key") === 1L)
+      .as[(Long, Long, Option[java.sql.Timestamp])].collect().toSet
+    assert(got === Set(
+      (1L, 100L, Some(ts("2024-01-01 10:10:00"))), // valued by the late right
+      (1L, 101L, None)))                           // before any right row
+  }
+
   // Cross-batch disorder: an event delivered in a LATER microbatch than a
   // newer one must still fold into the right session once sealed — the
   // watermark-buffered sessionizer recovers the exact split.
