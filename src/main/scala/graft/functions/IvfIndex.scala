@@ -22,10 +22,38 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  final case class Index(centroids: Array[(Int, Array[Double])], assigned: DataFrame)
+  /** `listStats` = per-list residual-bound metadata (`list_id`, `r_max` =
+    * max member residual norm, `n_min` = min member norm): two scalars per
+    * list, computed once at build time, powering [[searchRefined]]'s
+    * wave-2 pruning without a per-search corpus pass.
+    */
+  final case class Index(centroids: Array[(Int, Array[Double])],
+                         assigned: DataFrame,
+                         listStats: Option[DataFrame] = None)
+
+  /** The residual-bound aggregate: one narrow pass over the assigned
+    * corpus (vector + list_id in, two scalars per list out).
+    */
+  private def computeListStats(centroids: Array[(Int, Array[Double])],
+                               assigned: DataFrame, vecCol: String): DataFrame = {
+    val centroidRows = centroids.map { case (i, c) =>
+      struct(lit(i).as("list_id"), array(c.map(lit(_)): _*).as("centroid"))
+    }
+    assigned
+      .withColumn("__c", element_at(
+        map_from_entries(array(centroidRows.map(s =>
+          struct(s.getField("list_id"), s.getField("centroid"))): _*)),
+        col("list_id")))
+      .select(col("list_id"),
+        sqrt(sqDist(col(vecCol), col("__c"))).as("__resid"),
+        Similarity.norm(col(vecCol)).as("__nrm"))
+      .groupBy("list_id")
+      .agg(max(col("__resid")).as("r_max"), min(col("__nrm")).as("n_min"))
+  }
 
   /** Learn centroids and assign the corpus. `assigned` = corpus columns +
-    * `list_id`.
+    * `list_id`; the per-list residual stats are computed here (build-time
+    * metadata, like the centroids themselves).
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             nLists: Int, seed: Long = 42L): Index = {
@@ -37,7 +65,8 @@ object IvfIndex {
       .map { case (v, i) => (i, v.toArray) }
     val assigned = model.transform(withVec)
       .withColumnRenamed("prediction", "list_id").drop("__v")
-    Index(centroids, assigned)
+    Index(centroids, assigned,
+      Some(computeListStats(centroids, assigned, vecCol)))
   }
 
   /** Squared euclidean distance between a float-array column and a
@@ -59,19 +88,30 @@ object IvfIndex {
     import spark.implicits._
     index.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
       .toDF("list_id", "centroid")
+      // nLists rows — the coalesce(1) writes one tiny footer, not a
+      // parallelism concern
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     index.assigned.write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/lists")
+    // per-list residual metadata rides beside the centroids (nLists rows)
+    index.listStats.foreach(
+      _.coalesce(1).write.mode("overwrite").parquet(s"$path/list_stats"))
   }
 
   /** Reload a saved index. Searches over a loaded index prune to the
-    * probed list partitions at the parquet scan.
+    * probed list partitions at the parquet scan; list stats load lazily
+    * when present (older layouts without them still work —
+    * [[searchRefined]] recomputes on demand).
     */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    Index(centroids, spark.read.parquet(s"$path/lists"))
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/list_stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = if (fs.exists(statsPath))
+      Some(spark.read.parquet(s"$path/list_stats")) else None
+    Index(centroids, spark.read.parquet(s"$path/lists"), stats)
   }
 
   /** Per-query (query, qv, list_id, centroid rank) for centroid ranks in
@@ -160,20 +200,11 @@ object IvfIndex {
       .select(col("query_id"),
         when(col("__n") >= k, col("kth_sim")).otherwise(lit(-1e18)).as("kth_sim"))
 
-    // per-list residual bound inputs; build-time metadata at scale
-    val centroidRows = index.centroids.map { case (i, c) =>
-      struct(lit(i).as("list_id"), array(c.map(lit(_)): _*).as("centroid"))
-    }
-    val listStats = index.assigned
-      .withColumn("__c", element_at(
-        map_from_entries(array(centroidRows.map(s =>
-          struct(s.getField("list_id"), s.getField("centroid"))): _*)),
-        col("list_id")))
-      .select(col("list_id"),
-        sqrt(sqDist(col(vecCol), col("__c"))).as("__resid"),
-        Similarity.norm(col(vecCol)).as("__nrm"))
-      .groupBy("list_id")
-      .agg(max(col("__resid")).as("r_max"), min(col("__nrm")).as("n_min"))
+    // per-list residual bound inputs: build-time metadata ([[build]]
+    // computes and [[save]] persists them); recomputed only for indexes
+    // from layouts predating list_stats
+    val listStats = index.listStats.getOrElse(
+      computeListStats(index.centroids, index.assigned, vecCol))
 
     val probed2 = probeRange(index, queries, idCol, vecCol, nProbe1, nProbe2)
       .join(broadcast(listStats), "list_id")

@@ -79,6 +79,26 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(loaded.centroids.zip(index.centroids).forall {
       case ((_, a), (_, b)) => a.toSeq == b.toSeq })
 
+    // per-list residual metadata persists beside the centroids and equals
+    // the build-time values
+    assert(loaded.listStats.isDefined)
+    val fresh0 = index.listStats.get
+      .as[(Int, Double, Double)].collect().toSet
+    val persisted = loaded.listStats.get
+      .as[(Int, Double, Double)].collect().toSet
+    assert(persisted === fresh0)
+    assert(persisted.size === 6)
+
+    // refined search over the loaded index (persisted stats) equals the
+    // refined search over the in-memory one
+    val rFresh = IvfIndex.searchRefined(index, queries, "vec_id", "embedding",
+        k = 5, nProbe1 = 2, nProbe2 = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rLoaded = IvfIndex.searchRefined(loaded, queries, "vec_id", "embedding",
+        k = 5, nProbe1 = 2, nProbe2 = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(rLoaded === rFresh)
+
     val fresh = IvfIndex.search(index, queries, "vec_id", "embedding",
         k = 5, nProbe = 3)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
