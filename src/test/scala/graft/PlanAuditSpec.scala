@@ -88,6 +88,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"dedup_embedding must not plan a cartesian/nested-loop join:\n$plan")
   }
 
+  // AQE explain prints "== Final Plan ==" followed by "== Initial Plan =="
+  // (the same tree twice); node-count assertions must look at one section.
+  private def finalSection(plan: String): String =
+    plan.split("== Initial Plan ==")(0)
+
+  test("dedup_tf_cosine: postings hash-join, partial-agg counts, no cartesian") {
+    // The TF-cosine self-join must be a hash join on the 8-byte shingle
+    // hash with map-side partial aggregation of the tf counts and dot
+    // products — the same narrow-shuffle contract as the n-gram path.
+    // (The auto df-cap's one-row corpus-count crossJoin legitimately
+    // plans as a single-row-build nested loop, as on the n-gram path —
+    // only a true pairwise cartesian is the scale-killer.)
+    val plan = finalSection(finalPlan("dedup_tf_cosine"))
+    assert(!plan.contains("CartesianProduct"),
+      s"tf-cosine must not plan a pairwise cartesian join:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"tf dot products must partial-aggregate before the exchange:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"tf counts must partial-aggregate before the exchange:\n$plan")
+  }
+
+  test("dedup_simhash verifies bucket-locally: no per-pair join back to arrays") {
+    // The gate entry's exact-Jaccard annotation is computed inside each
+    // capped bucket (ObjectHashAggregate gathering bounded members +
+    // a local flatMap) — the candidate-pair stream re-joining shingle
+    // arrays twice must be absent. Evidence: at most the ONE hash join
+    // that attaches shingle sets to bucket members (the pair-annotate
+    // form needs two id-keyed joins AFTER an explode of candidate pairs).
+    val plan = finalSection(finalPlan("dedup_simhash"))
+    assert(!plan.contains("CartesianProduct"),
+      s"simhash must not plan a cartesian join:\n$plan")
+    val idJoins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size
+    assert(idJoins <= 1,
+      s"bucket-local verify needs at most one member-attach join, saw $idJoins:\n$plan")
+  }
+
   test("tap incremental predicate reaches the parquet scan") {
     val plan = executedPlan("tap_incremental")
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
