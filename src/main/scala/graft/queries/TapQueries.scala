@@ -72,6 +72,14 @@ object TapQueries {
       |"columns":[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"},
       |{"name":"n_tags","type":"int"}]}""".stripMargin
 
+  // PG `SIMILAR TO` (SQL regex, whole-string match): alternation +
+  // wildcard, `_` single-char, and a NOT form — rewritten by SqlDialect
+  // to anchored RLIKE; DuckDB runs the original natively as the oracle.
+  private val similarToJson =
+    """{"name":"nation_similar","sql":"SELECT n_nationkey, n_name FROM nation WHERE n_name SIMILAR TO '(FRA|GER)%' OR (n_name SIMILAR TO '%I_' AND n_name NOT SIMILAR TO 'I%')",
+      |"key_properties":["n_nationkey"],
+      |"columns":[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"}]}""".stripMargin
+
   // SELECT * but only 3 declared columns: conformance drops the rest
   // (reference: client.py:147-154 unmapped-property drop).
   private val projectionJson =
@@ -97,6 +105,7 @@ object TapQueries {
     "tap_distinct_on" -> run(distinctOnJson),
     "tap_json_ops" -> run(jsonOpsJson),
     "tap_any_array" -> run(anyArrayJson),
+    "tap_similar_to" -> run(similarToJson),
     "tap_projection" -> run(projectionJson),
 
     "tap_stream_map" -> ((spark, dir) => {
@@ -147,6 +156,10 @@ object TapQueries {
     "tap_any_array" ->
       """SELECT n_nationkey, n_name, 3 AS n_tags FROM nation
         |WHERE n_name IN ('FRANCE','GERMANY','CANADA','JAPAN') OR n_nationkey IN (1,2)""".stripMargin,
+    "tap_similar_to" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_name SIMILAR TO '(FRA|GER)%'
+        |OR (n_name SIMILAR TO '%I_' AND n_name NOT SIMILAR TO 'I%')""".stripMargin,
     "tap_projection" -> "SELECT doc_id, lang, source FROM documents",
     "tap_stream_map" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag AS flag,

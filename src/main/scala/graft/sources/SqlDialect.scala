@@ -155,6 +155,7 @@ object SqlDialect {
     // `CAST('{a,b}' AS STRING)[]`
     out = rewriteAnyAll(out)
     out = rewriteArrayCast(out)
+    out = rewriteSimilarTo(out)
     out = tstzLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     out = tsLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     // case-insensitive regex matches first (their patterns absorb (?i)),
@@ -425,6 +426,59 @@ object SqlDialect {
             }.mkString("array(", ", ", ")")
           Some(java.util.regex.Matcher.quoteReplacement(rendered))
         }
+      })
+  }
+
+  // ---- PG SIMILAR TO ------------------------------------------------------
+
+  private val similarToRe =
+    """(?i)\b(NOT\s+)?SIMILAR\s+TO\s+('(?:[^']|'')*')""".r
+
+  /** Translate a PG `SIMILAR TO` pattern body into a Java/Spark regex:
+    * `%` → `.*`, `_` → `.` (both literal inside `[...]` classes and when
+    * backslash-escaped), everything else — including the SQL-regex
+    * metacharacters `| * + ? ( ) { } [ ]` PG shares with POSIX — passes
+    * through. The result is wrapped `^(?:…)$` because SIMILAR TO matches
+    * the ENTIRE string, unlike RLIKE's substring search.
+    */
+  def similarToRegex(pat: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < pat.length) {
+      val c = pat.charAt(i)
+      c match {
+        case '\\' if i + 1 < pat.length =>
+          val n = pat.charAt(i + 1)
+          // escaped wildcard → literal char; anything else keeps its escape
+          if (n == '%' || n == '_') sb.append(n)
+          else sb.append('\\').append(n)
+          i += 1
+        case '[' if !inClass => inClass = true; sb.append(c)
+        case ']' if inClass => inClass = false; sb.append(c)
+        case '%' if !inClass => sb.append(".*")
+        case '_' if !inClass => sb.append('.')
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Rewrite `x [NOT] SIMILAR TO '<pattern>'` (literal patterns — the
+    * config-SQL case) to `x [NOT] RLIKE '^(?:<regex>)$'`. Column-valued
+    * patterns are left unchanged (no static translation).
+    */
+  def rewriteSimilarTo(sql: String): String = {
+    val s = sql
+    similarToRe.replaceSomeIn(s, m =>
+      if (inLiteral(s, m.start)) None
+      else {
+        val neg = Option(m.group(1)).map(_ => "NOT ").getOrElse("")
+        val lit = m.group(2)
+        val body = lit.substring(1, lit.length - 1) // keep '' escapes as-is
+        Some(java.util.regex.Matcher.quoteReplacement(
+          s"${neg}RLIKE '^(?:${similarToRegex(body)})$$'"))
       })
   }
 

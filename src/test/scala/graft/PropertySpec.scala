@@ -109,7 +109,8 @@ class PropertySpec extends AnyFunSuite {
       "select x from t where y ilike 'a%'",
       "select props ->> 'k', props #>> '{a,0,b}', props -> 'a' ->> 'b' from t",
       "select * from t where x = ANY('{a,b}') and n != ALL('{1,2}'::int[])",
-      "select '{a,\"b,c\",NULL}'::text[] as arr from t")
+      "select '{a,\"b,c\",NULL}'::text[] as arr from t",
+      "select * from t where a similar to '(x|y)%' and b not similar to '%z_'")
     samples.foreach { sql =>
       val once = SqlDialect.rewrite(sql)
       assert(SqlDialect.rewrite(once) === once, s"not idempotent for: $sql")

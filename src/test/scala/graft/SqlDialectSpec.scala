@@ -324,6 +324,36 @@ class SqlDialectSpec extends AnyFunSuite {
       """select array(CAST('NULL' AS STRING)) as arr""")
   }
 
+  test("SIMILAR TO rewrites to anchored RLIKE with translated wildcards") {
+    assert(SqlDialect.rewriteSimilarTo("SELECT * FROM t WHERE n SIMILAR TO '(FRA|GER)%'")
+      === "SELECT * FROM t WHERE n RLIKE '^(?:(FRA|GER).*)$'")
+    assert(SqlDialect.rewriteSimilarTo("WHERE x NOT SIMILAR TO '%a_b'")
+      === "WHERE x NOT RLIKE '^(?:.*a.b)$'")
+    // wildcards are literal inside character classes and under escapes
+    assert(SqlDialect.similarToRegex("[%_]x\\%y\\_z") === "[%_]x%y_z")
+    // column-valued pattern: no static translation, left unchanged
+    val colPat = "WHERE x SIMILAR TO y"
+    assert(SqlDialect.rewriteSimilarTo(colPat) === colPat)
+    // trigger inside a string literal is untouched
+    val lit = "SELECT 'a SIMILAR TO ''b''' AS s FROM t"
+    assert(SqlDialect.rewriteSimilarTo(lit) === lit)
+  }
+
+  test("rewritten SIMILAR TO executes in Spark with whole-string semantics") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    Seq("FRANCE", "GERMANY", "INDIA", "IRAN", "ALGERIA")
+      .toDF("n").createOrReplaceTempView("similar_t")
+    val got = spark.sql(SqlDialect.rewrite(
+      """SELECT n FROM similar_t WHERE n SIMILAR TO '(FRA|GER)%'
+        |OR (n SIMILAR TO '%I_' AND n NOT SIMILAR TO 'I%')
+        |ORDER BY n""".stripMargin))
+      .as[String].collect().toSeq
+    // ALGERIA ends I+one char; INDIA excluded by the NOT; IRAN matches
+    // neither (whole-string anchoring keeps 'IRAN' out of '%I_')
+    assert(got === Seq("ALGERIA", "FRANCE", "GERMANY"))
+  }
+
   test("rewritten JSON/ANY/array forms execute in Spark") {
     val spark = SparkTestSession.spark
     import spark.implicits._
