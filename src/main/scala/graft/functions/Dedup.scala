@@ -534,6 +534,63 @@ object Dedup {
           .as("sim"))
   }
 
+  /** TF-IDF-weighted shingle cosine pairs — [[shingleTfCosinePairs]] with
+    * inverse-document-frequency downweighting: each shingle's weight is
+    * `tf · (N/df)` (the RATIONAL idf variant — `ln(N/df)` differs across
+    * libm implementations, so the log form cannot be oracle-hash-exact;
+    * N/df keeps every per-term weight an IEEE-exact double while giving
+    * the same rare-term emphasis, monotone in the usual idf). Spec-level
+    * operator: the double SUMs over weights are partition-order-dependent
+    * (unlike the integer sums of the TF form), so correctness is pinned
+    * by DedupSpec against a driver-side brute force with tolerance, not
+    * by the DuckDB hash gate. Same postings shape and stop-shingle cap
+    * as the TF form; the cap also bounds idf's df denominator below.
+    */
+  def shingleTfIdfCosinePairs(df: DataFrame, textCol: String, idCol: String,
+                              k: Int = 3, threshold: Double = 0.5,
+                              maxDocFreq: Option[Int] = Some(AutoMaxDocFreq)
+                             ): DataFrame = {
+    val base = rebalance(df.select(col(idCol).as("id"),
+      shingleHashesAll(col(textCol), k).as("shs")))
+    val p0 = base.select(col("id"), explode(col("shs")).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("tf"))
+    val pCapped = maxDocFreq match {
+      case Some(maxDf) =>
+        val capCol =
+          if (maxDf == AutoMaxDocFreq)
+            least(lit(MaxDocFreqCeiling.toLong),
+              greatest(lit(MinDocFreqFloor.toLong),
+                ceil(col("__n") * HotShingleFraction)))
+          else lit(maxDf.toLong)
+        val dfCounts = p0.groupBy("h").agg(count(lit(1)).as("df"))
+        val hot = (if (maxDf == AutoMaxDocFreq)
+          dfCounts.crossJoin(base.select(count(lit(1)).as("__n")))
+        else dfCounts.withColumn("__n", lit(0L)))
+          .where(col("df") > capCol).select("h")
+        p0.join(hot, Seq("h"), "left_anti")
+      case None => p0
+    }
+    // idf factors from the PRUNED postings (df of surviving shingles) and
+    // the corpus size via a one-row broadcastable aggregate
+    val dfs = pCapped.groupBy("h").agg(count(lit(1)).as("df"))
+    val p = pCapped.join(dfs, "h")
+      .crossJoin(base.select(count(lit(1)).as("__nn")))
+      .select(col("id"), col("h"),
+        (col("tf").cast("double") *
+          (col("__nn").cast("double") / col("df").cast("double"))).as("w"))
+    val sq = p.groupBy("id").agg(sum(col("w") * col("w")).as("sq"))
+    val dots = p.as("x").join(p.as("y"), "h")
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(sum(col("x.w") * col("y.w")).as("dot"))
+    dots
+      .join(sq.select(col("id").as("id_a"), col("sq").as("__sqa")), "id_a")
+      .join(sq.select(col("id").as("id_b"), col("sq").as("__sqb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("dot") / sqrt(col("__sqa") * col("__sqb"))).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** Number of SimHash bits. 63 (not 64) keeps every power of two inside a
