@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketized range (interval) join — points joined into intervals with
+  * NO equi-key.
+  *
+  * Spark plans a bare `p.ts >= i.lo AND p.ts < i.hi` join as a
+  * broadcast-nested-loop / cartesian product: every point row against
+  * every interval row, the classic 100 TB scale-killer. The standard fix
+  * is to MINT the equi-key: quantize the value axis into fixed-width
+  * buckets, explode each interval over the buckets it covers, tag each
+  * point with its single containing bucket, hash-join on the bucket id,
+  * and re-apply the exact range predicate. Each (point, interval) match
+  * is produced exactly once — the point lives in ONE bucket and an
+  * interval covers any bucket at most once — so no distinct is needed.
+  *
+  * Cost model: interval rows replicate by `ceil(span/bucketWidth)` (pick
+  * the width near the median interval span so replication stays O(1));
+  * points never replicate. The shuffle carries (bucket, payload) rows,
+  * and a hot value range becomes a hot bucket — the usual skew levers
+  * (smaller width, AQE skew-join) apply. This is the same minted-key
+  * shape as the LSH band join in [[graft.functions.Dedup]].
+  *
+  * Interval semantics: half-open `[lo, hi)`; `lo`/`hi`/`point` are
+  * treated on a numeric axis supplied by `axis` (default: epoch seconds
+  * of a timestamp column).
+  */
+object RangeJoin {
+
+  /** Default axis: timestamps → epoch seconds (Long). */
+  def epochSeconds(c: Column): Column = unix_timestamp(c)
+
+  /** Join `points` into half-open intervals `[loCol, hiCol)` of
+    * `intervals`, returning all columns of both (inner join). Column
+    * name collisions must be resolved by the caller beforehand.
+    *
+    * @param bucketWidth bucket size on the numeric axis (e.g. seconds);
+    *                    choose ≈ the median interval span.
+    */
+  def pointInInterval(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Long,
+                      axis: Column => Column = epochSeconds): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val p = points.withColumn("__pv", axis(col(pointCol)))
+      .withColumn("__bucket", floor(col("__pv") / bucketWidth))
+    val i = intervals
+      .withColumn("__lo", axis(col(loCol)))
+      .withColumn("__hi", axis(col(hiCol)))
+      // [lo, hi) covers buckets floor(lo/w) .. floor((hi-1)/w); an empty
+      // interval (hi <= lo) covers nothing and drops out via the
+      // sequence guard
+      .where(col("__hi") > col("__lo"))
+      .withColumn("__bucket", explode(sequence(
+        floor(col("__lo") / bucketWidth),
+        floor((col("__hi") - 1) / bucketWidth))))
+    p.join(i, Seq("__bucket"))
+      .where(col("__pv") >= col("__lo") && col("__pv") < col("__hi"))
+      .drop("__bucket", "__pv", "__lo", "__hi")
+  }
+}

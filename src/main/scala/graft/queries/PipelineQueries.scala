@@ -393,6 +393,28 @@ object PipelineQueries {
           sum(col("d7").cast("int")).as("n_d7"))
     }),
 
+    // Pure range join (NO equi-key): clicks landing inside sampled
+    // one-hour post-purchase windows, via the bucketized point-in-interval
+    // operator — Spark would otherwise plan the bare range predicate as a
+    // nested-loop cartesian (PlanAuditSpec asserts the minted bucket key
+    // hash-joins instead). Second-granularity timestamps on both sides
+    // keep the oracle comparison engine-exact.
+    "q_range_join" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val windows = ev
+        .where(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+        .select(col("event_id").as("window_id"),
+          date_trunc("second", col("ts")).as("lo"),
+          (date_trunc("second", col("ts")) + expr("INTERVAL 1 HOUR")).as("hi"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(date_trunc("second", col("ts")).as("click_s"), col("value"))
+      graft.operators.RangeJoin.pointInInterval(
+          clicks, "click_s", windows, "lo", "hi", bucketWidth = 3600L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+    }),
+
     "events_hourly" -> ((spark, dir) =>
       Tables.read(spark, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
@@ -948,6 +970,19 @@ object PipelineQueries {
         |SELECT user_id, CAST(MIN(ts_s) AS TIMESTAMP) AS session_start,
         |COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // the naive theta-join form IS the oracle: the bucketized operator
+    // must produce exactly the rows the bare range predicate defines
+    "q_range_join" ->
+      """WITH w AS (SELECT event_id AS window_id,
+        |  date_trunc('second', ts) AS lo,
+        |  date_trunc('second', ts) + INTERVAL 1 HOUR AS hi
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0),
+        |c AS (SELECT date_trunc('second', ts) AS click_s, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT w.window_id, COUNT(*) AS n_clicks,
+        |  CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM w JOIN c ON c.click_s >= w.lo AND c.click_s < w.hi
+        |GROUP BY w.window_id""".stripMargin,
     // identical oracle to q_asof_join: the streaming as-of must reproduce
     // DuckDB's native ASOF LEFT JOIN bit-for-bit
     "q_asof_join_stream" ->

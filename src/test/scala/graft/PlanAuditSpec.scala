@@ -125,6 +125,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket-local verify needs at most one member-attach join, saw $idJoins:\n$plan")
   }
 
+  test("q_range_join hash-joins on the minted bucket key (no nested loop)") {
+    // A bare range predicate join plans as BroadcastNestedLoopJoin —
+    // every point against every interval. The bucketized operator must
+    // mint the equi-key and hash-join on it.
+    val plan = finalSection(finalPlan("q_range_join"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join must not plan a nested-loop/cartesian join:\n$plan")
+    assert(plan.contains("HashJoin"),
+      s"expected a hash join on the minted bucket key:\n$plan")
+  }
+
   test("tap incremental predicate reaches the parquet scan") {
     val plan = executedPlan("tap_incremental")
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),

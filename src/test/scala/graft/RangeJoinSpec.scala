@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Boundary semantics on a bare numeric axis: [lo, hi) half-open,
+  // multi-bucket intervals, empty intervals dropped, width larger than
+  // the span — every (point, interval) match exactly once.
+  test("bucketized point-in-interval equals the naive theta join") {
+    val points = Seq(0L, 5L, 10L, 15L, 99L, 100L, 101L, 250L)
+      .toDF("p").withColumn("pid", col("p"))
+    val intervals = Seq(
+      (1L, 0L, 10L),    // includes 0,5; excludes 10 (half-open)
+      (2L, 10L, 100L),  // multi-bucket at width 30; excludes 100
+      (3L, 100L, 101L), // single point 100
+      (4L, 50L, 50L),   // empty — drops out
+      (5L, 240L, 260L)  // width (30) larger than span (20)
+    ).toDF("iid", "lo", "hi")
+    for (width <- Seq(1L, 7L, 30L, 1000L)) {
+      val got = RangeJoin.pointInInterval(points, "p", intervals,
+          "lo", "hi", width, axis = c => c)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      val want = points.crossJoin(intervals)
+        .where(col("p") >= col("lo") && col("p") < col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === want, s"width=$width")
+      // exactly-once: no duplicates even for multi-bucket intervals
+      assert(got.distinct === got, s"width=$width produced duplicates")
+    }
+  }
+
+  test("gate entry q_range_join equals the naive predicate join") {
+    val ev = Tables.read(spark, SparkTestSession.Sf, "events")
+    val windows = ev
+      .where(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+      .select(col("event_id").as("window_id"),
+        date_trunc("second", col("ts")).as("lo"),
+        (date_trunc("second", col("ts")) + expr("INTERVAL 1 HOUR")).as("hi"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(date_trunc("second", col("ts")).as("click_s"), col("value"))
+    val naive = clicks.join(windows,
+        col("click_s") >= col("lo") && col("click_s") < col("hi"))
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .as[(Long, Long, Double)].collect().toSet
+    val bucketed = SparkEntry.queries("q_range_join")(spark, SparkTestSession.Sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bucketed.nonEmpty)
+    assert(bucketed === naive)
+  }
+}
