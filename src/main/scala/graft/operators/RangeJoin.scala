@@ -60,4 +60,34 @@ object RangeJoin {
       .where(col("__pv") >= col("__lo") && col("__pv") < col("__hi"))
       .drop("__bucket", "__pv", "__lo", "__hi")
   }
+
+  /** Interval-OVERLAP join: all (a, b) pairs whose half-open intervals
+    * intersect (`a.lo < b.hi AND b.lo < a.hi`). Both sides explode over
+    * their covered buckets, so a pair sharing several buckets would match
+    * several times — the exactly-once trick is the CANONICAL bucket: a
+    * pair is emitted only from `floor(max(a.lo, b.lo) / width)`, the
+    * first bucket both intervals cover, which every overlapping pair
+    * shares and shares exactly once. No distinct over the output, same
+    * minted-equi-key shuffle shape as [[pointInInterval]].
+    */
+  def intervalOverlap(left: DataFrame, leftLo: String, leftHi: String,
+                      right: DataFrame, rightLo: String, rightHi: String,
+                      bucketWidth: Long,
+                      axis: Column => Column = epochSeconds): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    def banded(df: DataFrame, lo: String, hi: String,
+               loOut: String, hiOut: String): DataFrame = df
+      .withColumn(loOut, axis(col(lo)))
+      .withColumn(hiOut, axis(col(hi)))
+      .where(col(hiOut) > col(loOut))
+      .withColumn("__bucket", explode(sequence(
+        floor(col(loOut) / bucketWidth),
+        floor((col(hiOut) - 1) / bucketWidth))))
+    val l = banded(left, leftLo, leftHi, "__llo", "__lhi")
+    val r = banded(right, rightLo, rightHi, "__rlo", "__rhi")
+    l.join(r, Seq("__bucket"))
+      .where(col("__llo") < col("__rhi") && col("__rlo") < col("__lhi") &&
+        col("__bucket") === floor(greatest(col("__llo"), col("__rlo")) / bucketWidth))
+      .drop("__bucket", "__llo", "__lhi", "__rlo", "__rhi")
+  }
 }

@@ -34,6 +34,31 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  // Overlap join: every intersecting pair exactly once via the canonical
+  // bucket (first bucket both intervals cover), across widths.
+  test("bucketized interval overlap equals the naive theta join") {
+    val a = Seq(
+      (1L, 0L, 10L), (2L, 5L, 50L), (3L, 100L, 200L), (4L, 7L, 7L)
+    ).toDF("aid", "alo", "ahi")
+    val b = Seq(
+      (10L, 9L, 12L),   // overlaps 1 and 2
+      (11L, 49L, 100L), // overlaps 2 only (half-open: 100 !< 100… checks 3)
+      (12L, 150L, 160L),// inside 3
+      (13L, 10L, 11L),  // touches 1 at hi — half-open, no overlap with 1
+      (14L, 300L, 400L) // disjoint
+    ).toDF("bid", "blo", "bhi")
+    for (width <- Seq(1L, 8L, 64L, 1000L)) {
+      val got = graft.operators.RangeJoin.intervalOverlap(
+          a, "alo", "ahi", b, "blo", "bhi", width, axis = c => c)
+        .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+      val want = a.crossJoin(b)
+        .where(col("alo") < col("bhi") && col("blo") < col("ahi"))
+        .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === want, s"width=$width")
+      assert(got.distinct === got, s"width=$width produced duplicates")
+    }
+  }
+
   test("gate entry q_range_join equals the naive predicate join") {
     val ev = Tables.read(spark, SparkTestSession.Sf, "events")
     val windows = ev
