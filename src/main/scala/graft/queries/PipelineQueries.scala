@@ -415,6 +415,28 @@ object PipelineQueries {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
     }),
 
+    // Interval-OVERLAP range join (both sides are intervals, no equi-key):
+    // one-hour post-purchase windows against 30-minute post-view windows,
+    // exactly-once via the canonical-bucket rule (the first bucket both
+    // intervals cover) — no distinct over the output. Aggregated per left
+    // window so the result stays linear in the window count even when
+    // pair density grows quadratically with event rate.
+    "q_range_overlap" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val a = ev.where(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+        .select(col("event_id").as("a_id"),
+          date_trunc("second", col("ts")).as("a_lo"),
+          (date_trunc("second", col("ts")) + expr("INTERVAL 1 HOUR")).as("a_hi"))
+      val b = ev.where(col("event_type") === "view" && col("event_id") % 7 === 0)
+        .select(col("event_id").as("b_id"),
+          date_trunc("second", col("ts")).as("b_lo"),
+          (date_trunc("second", col("ts")) + expr("INTERVAL 30 MINUTE")).as("b_hi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucketWidth = 3600L)
+        .groupBy("a_id")
+        .agg(count(lit(1)).as("n_overlaps"), min(col("b_lo")).as("first_b_lo"))
+    }),
+
     "events_hourly" -> ((spark, dir) =>
       Tables.read(spark, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
@@ -983,6 +1005,21 @@ object PipelineQueries {
         |  CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM w JOIN c ON c.click_s >= w.lo AND c.click_s < w.hi
         |GROUP BY w.window_id""".stripMargin,
+    // same contract for the overlap form: the naive interval-intersection
+    // theta join defines the rows the canonical-bucket operator must emit
+    "q_range_overlap" ->
+      """WITH a AS (SELECT event_id AS a_id,
+        |  date_trunc('second', ts) AS a_lo,
+        |  date_trunc('second', ts) + INTERVAL 1 HOUR AS a_hi
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 20 = 0),
+        |b AS (SELECT event_id AS b_id,
+        |  date_trunc('second', ts) AS b_lo,
+        |  date_trunc('second', ts) + INTERVAL 30 MINUTE AS b_hi
+        |  FROM events WHERE event_type = 'view' AND event_id % 7 = 0)
+        |SELECT a.a_id, COUNT(*) AS n_overlaps,
+        |  CAST(MIN(b.b_lo) AS TIMESTAMP) AS first_b_lo
+        |FROM a JOIN b ON a.a_lo < b.b_hi AND b.b_lo < a.a_hi
+        |GROUP BY a.a_id""".stripMargin,
     // identical oracle to q_asof_join: the streaming as-of must reproduce
     // DuckDB's native ASOF LEFT JOIN bit-for-bit
     "q_asof_join_stream" ->

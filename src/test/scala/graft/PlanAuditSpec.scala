@@ -137,6 +137,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a hash join on the minted bucket key:\n$plan")
   }
 
+  test("q_range_overlap hash-joins on the minted bucket key (no nested loop)") {
+    // Same contract for the interval-overlap form: both sides explode
+    // over covered buckets and hash-join on the bucket id; the canonical-
+    // bucket filter (not a distinct) provides exactly-once.
+    val plan = finalSection(finalPlan("q_range_overlap"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must not plan a nested-loop/cartesian join:\n$plan")
+    assert(plan.contains("HashJoin"),
+      s"expected a hash join on the minted bucket key:\n$plan")
+  }
+
   test("tap incremental predicate reaches the parquet scan") {
     val plan = executedPlan("tap_incremental")
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),

@@ -79,4 +79,25 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(bucketed.nonEmpty)
     assert(bucketed === naive)
   }
+
+  test("gate entry q_range_overlap equals the naive overlap theta join") {
+    val ev = Tables.read(spark, SparkTestSession.Sf, "events")
+    val a = ev.where(col("event_type") === "purchase" && col("event_id") % 20 === 0)
+      .select(col("event_id").as("a_id"),
+        date_trunc("second", col("ts")).as("a_lo"),
+        (date_trunc("second", col("ts")) + expr("INTERVAL 1 HOUR")).as("a_hi"))
+    val b = ev.where(col("event_type") === "view" && col("event_id") % 7 === 0)
+      .select(col("event_id").as("b_id"),
+        date_trunc("second", col("ts")).as("b_lo"),
+        (date_trunc("second", col("ts")) + expr("INTERVAL 30 MINUTE")).as("b_hi"))
+    val naive = a.crossJoin(b)
+      .where(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .groupBy("a_id")
+      .agg(count(lit(1)).as("n_overlaps"), min(col("b_lo")).as("first_b_lo"))
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSet
+    val bucketed = SparkEntry.queries("q_range_overlap")(spark, SparkTestSession.Sf)
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSet
+    assert(bucketed.nonEmpty)
+    assert(bucketed === naive)
+  }
 }
