@@ -41,6 +41,42 @@ object PipelineQueries {
       Dedup.minhashDupPairs(Tables.read(spark, dir, "documents"),
         "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)),
 
+    // The SAME MinHash near-dup as a real Structured Streaming query:
+    // signatures/band keys are the identical stateless expressions, the
+    // bucket verify runs in flatMapGroupsWithState with bottom-k-capped
+    // state, and a bucket emits exactly once when the watermark seals its
+    // membership (docs get a constant synthetic event time; the sentinel
+    // advances the watermark past it — the bounded-ingest-window shape).
+    // Oracle is IDENTICAL to `dedup_minhash`'s pair-value verification —
+    // batch ≡ stream under the DuckDB gate for near-dup detection. The
+    // post-drain distinct mirrors the batch form's cross-band distinct.
+    "dedup_minhash_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), lit(t0).as("ts"))
+      val sentinel = Seq((-1L, "",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val nPerm = 64; val bands = 16
+      val banded = streamWithSentinel(spark, docs, sentinel, delaySec = 3600L)
+        .select(col("doc_id"), col("ts"),
+          Dedup.shingleHashes(col("text"), 3).as("sh"))
+        .select(col("doc_id"), col("ts"), col("sh"),
+          explode(Dedup.lshBandKeys(
+            Dedup.minhashSignature(col("sh"), nPerm), nPerm, bands))
+            .as("band"))
+        .as[graft.streaming.EventStream.BandedDoc]
+      val streamed = graft.streaming.EventStream.minhashPairsStream(
+        banded, threshold = 0.5)
+      graft.streaming.EventStream.runToMemory(
+        streamed.toDF(), "dedup_minhash_stream_out", OutputMode.Append())
+      spark.table("dedup_minhash_stream_out")
+        .where(col("id_a") >= 0)
+        .distinct()
+    }),
+
     // TF-weighted shingle cosine (sparse bag-of-shingles similarity): all
     // arithmetic is exact-integer until the final fixed-order double
     // comparison/division, so the oracle reproduces dot AND sim
@@ -787,6 +823,17 @@ object PipelineQueries {
     "dedup_minhash" -> s"""
         |WITH p AS (SELECT id_a, id_b
         |  FROM read_parquet('__OUT__/dedup_minhash/*.parquet')),
+        |$shingleCtes
+        |SELECT p.id_a, p.id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM p JOIN sh a ON p.id_a = a.doc_id
+        |JOIN sh b ON p.id_b = b.doc_id""".stripMargin,
+    // identical pair-value contract to dedup_minhash: the streamed pairs
+    // must carry the exact Jaccard DuckDB recomputes from the base table
+    "dedup_minhash_stream" -> s"""
+        |WITH p AS (SELECT id_a, id_b
+        |  FROM read_parquet('__OUT__/dedup_minhash_stream/*.parquet')),
         |$shingleCtes
         |SELECT p.id_a, p.id_b,
         |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /

@@ -127,6 +127,102 @@ object EventStream {
       }
   }
 
+  final case class BandedDoc(band: Long, doc_id: Long, sh: Seq[Long],
+                             ts: java.sql.Timestamp)
+  final case class BucketMembers(ms: Vector[(Long, Seq[Long])])
+  final case class DupPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** Watermark-drained streaming MinHash near-dup PAIRS — the streaming
+    * counterpart of [[graft.functions.Dedup.minhashDupPairs]]'s bucket-
+    * local verification, same output contract (verified pairs with exact
+    * Jaccard), so the SAME DuckDB oracle checks batch and stream.
+    *
+    * Input: one row per (LSH band key, doc) — banding/signatures are
+    * stateless projections upstream, identical expressions to batch.
+    * Per bucket the state is the bottom-`maxBucket` members BY ID (the
+    * batch cap rule, which is a property of the member SET — so the
+    * capped membership, and with it the emitted pairs, never depends on
+    * arrival order). A bucket verifies and emits its pairs when the
+    * event-time watermark passes every member's timestamp: nothing with
+    * ts at-or-below the watermark can still arrive, so the membership is
+    * final and each bucket emits exactly once (Append). Cross-band
+    * duplicate pairs are deduped on the drained output, exactly like the
+    * batch form's post-verify distinct.
+    *
+    * This is the bounded-ingest-window shape (snapshot loads, daily
+    * drops): correctness comes from the watermark sealing the corpus,
+    * not from arrival order. For a never-sealed continuous index the
+    * incremental [[minhashBucketIndex]] applies instead. State per
+    * bucket is ≤ maxBucket members' shingle sets — the same skew bound
+    * as the batch aggregation buffer.
+    */
+  def minhashPairsStream(banded: Dataset[BandedDoc], threshold: Double,
+                         maxBucket: Int = 1000): Dataset[DupPair] = {
+    import banded.sparkSession.implicits._
+    banded.groupByKey(_.band)
+      .flatMapGroupsWithState[BucketMembers, DupPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[BandedDoc],
+         state: GroupState[BucketMembers]) =>
+          if (state.hasTimedOut) {
+            // membership sealed by the watermark: verify all pairs in one
+            // tight local loop (sorted-merge intersection — bit-identical
+            // arithmetic to the batch bucket-local verifier) and drop state
+            val ms = state.get.ms
+            state.remove()
+            verifyBucketPairs(ms, threshold)
+          } else {
+            val prev = state.getOption.map(_.ms).getOrElse(Vector.empty)
+            var maxTs = Long.MinValue
+            val arrivals = rows.map { r =>
+              maxTs = math.max(maxTs, r.ts.getTime); (r.doc_id, r.sh)
+            }.toVector
+            // bottom-k by id: a SET property, so the cap is identical
+            // whatever order (or batch split) the members arrived in
+            val capped = (prev ++ arrivals).distinctBy(_._1)
+              .sortBy(_._1).take(maxBucket)
+            state.update(BucketMembers(capped))
+            // close when the watermark passes the newest member; a later
+            // arrival (still above the watermark by the contract) simply
+            // re-arms the timeout further out
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  private def verifyBucketPairs(ms: Vector[(Long, Seq[Long])],
+                                threshold: Double): Iterator[DupPair] = {
+    val ids = ms.map(_._1).toArray
+    val shs = ms.map { m =>
+      val a = m._2.toArray; java.util.Arrays.sort(a); a
+    }.toArray
+    val out = Vector.newBuilder[DupPair]
+    var i = 0
+    while (i < ids.length) {
+      var j = i + 1
+      while (j < ids.length) {
+        val a = shs(i); val b = shs(j)
+        var x = 0; var y = 0; var inter = 0
+        while (x < a.length && y < b.length) {
+          if (a(x) == b(y)) { inter += 1; x += 1; y += 1 }
+          else if (a(x) < b(y)) x += 1
+          else y += 1
+        }
+        val union = a.length + b.length - inter
+        val jac = if (union == 0) 0.0 else inter.toDouble / union.toDouble
+        if (jac >= threshold && ids(i) != ids(j)) {
+          if (ids(i) < ids(j)) out += DupPair(ids(i), ids(j), jac)
+          else out += DupPair(ids(j), ids(i), jac)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result().iterator
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

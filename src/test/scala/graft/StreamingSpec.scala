@@ -479,6 +479,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length < total)
   }
 
+  // The streamed pair set must equal the batch minhashDupPairs output
+  // whatever microbatch split the docs arrive in: the bucket cap is a set
+  // property and verification fires only once the watermark seals the
+  // membership.
+  test("minhashPairsStream equals batch pairs under scrambled microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Dedup
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val docsDf = Tables.read(spark, SparkTestSession.Sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val want = Dedup.minhashDupPairs(
+        Tables.read(spark, SparkTestSession.Sf, "documents"),
+        "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty)
+    // scramble: deal docs round-robin into 3 batches by a hash of doc_id
+    val all = docsDf.as[(Long, String)].collect()
+    val batches = all.groupBy(d => math.abs(d._1 * 2654435761L % 3)).values.toSeq
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val nPerm = 64; val bands = 16
+    val banded = in.toDF().toDF("doc_id", "text", "ts")
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        explode(Dedup.lshBandKeys(
+          Dedup.minhashSignature(col("sh"), nPerm), nPerm, bands)).as("band"))
+      .as[EventStream.BandedDoc]
+    val q = EventStream.minhashPairsStream(banded, threshold = 0.5).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("minhash_pairs_out").start()
+    batches.foreach { b =>
+      in.addData(b.map(d => (d._1, d._2, t0)).toSeq)
+      q.processAllAvailable()
+    }
+    in.addData((-1L, "", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("minhash_pairs_out").where(col("id_a") >= 0)
+      .distinct().as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
   test("streaming minhash bucket index flags near-dup arrivals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
