@@ -41,6 +41,25 @@ object PipelineQueries {
       Dedup.minhashDupPairs(Tables.read(spark, dir, "documents"),
         "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)),
 
+    // Near-dup CLUSTERING: verified minhash pairs (same params as
+    // dedup_minhash, so the identical deterministic pair set) → connected
+    // components via alternating large-star/small-star → one row per doc
+    // with its canonical representative (component min id; unpaired docs
+    // represent themselves). The oracle recomputes the components from
+    // the dedup_minhash entry's own (already pair-value-verified) output
+    // with a recursive transitive-closure CTE — label parity end-to-end.
+    "dedup_components" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      val comp = graft.functions.Components
+        .connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("rep_id"))
+    }),
+
     // The SAME MinHash near-dup as a real Structured Streaming query:
     // signatures/band keys are the identical stateless expressions, the
     // bucket verify runs in flatMapGroupsWithState with bottom-k-capped
@@ -829,6 +848,20 @@ object PipelineQueries {
         |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
         |FROM p JOIN sh a ON p.id_a = a.doc_id
         |JOIN sh b ON p.id_b = b.doc_id""".stripMargin,
+    // transitive closure over the (verified) minhash pair graph: min
+    // reachable id per node = the component label the operator must emit
+    "dedup_components" ->
+      """WITH RECURSIVE p AS (SELECT id_a, id_b
+        |  FROM read_parquet('__OUT__/dedup_minhash/*.parquet')),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+        |comp AS (SELECT u AS doc_id, MIN(r) AS rep FROM reach GROUP BY u)
+        |SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep_id
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
     // identical pair-value contract to dedup_minhash: the streamed pairs
     // must carry the exact Jaccard DuckDB recomputes from the base table
     "dedup_minhash_stream" -> s"""

@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.{Components, Dedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Driver-side union-find reference for small graphs. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // a root's parent may still exceed the true min via rank-less union —
+    // the ra<rb rule above keeps roots minimal, path-compress to settle
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("chains, cliques, crossed ids, isolated pairs — equals union-find") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),     // chain, min 1
+      (10L, 11L), (11L, 12L), (10L, 12L),          // triangle, min 10
+      (20L, 30L), (30L, 25L),                      // crossed ordering
+      (100L, 99L),                                 // single reversed pair
+      (7L, 7L)                                     // self loop: dropped
+    )
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val want = ufComponents(edges.filter(e => e._1 != e._2))
+    assert(got === want)
+    // component label is the min member id
+    got.groupBy(_._2).foreach { case (comp, ms) =>
+      assert(ms.keys.min === comp)
+    }
+  }
+
+  test("long chain converges within the iteration budget (log², not diameter)") {
+    // a 300-node path has diameter 299: naive min-propagation needs ~300
+    // joins; large-star/small-star must settle in well under maxIter=20
+    val n = 300L
+    val edges = (0L until n - 1).map(i => (i + 1, i + 2)).toDF("a", "b")
+    val got = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(got.length === n)
+    assert(got.forall(_._2 === 1L))
+  }
+
+  test("random graph equals union-find") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(500)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === ufComponents(edges))
+  }
+
+  test("empty edge list yields empty assignment") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(empty, "a", "b").count() === 0L)
+  }
+
+  test("gate entry clusters minhash pairs; non-dup docs are their own rep") {
+    val out = SparkEntry.queries("dedup_components")(spark, SparkTestSession.Sf)
+      .as[(Long, Long)].collect().toMap
+    val nDocs = Tables.read(spark, SparkTestSession.Sf, "documents").count()
+    assert(out.size.toLong === nDocs)
+    val pairs = Dedup.minhashDupPairs(
+        Tables.read(spark, SparkTestSession.Sf, "documents"),
+        "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val want = ufComponents(pairs.toSeq)
+    // paired docs carry the union-find label; unpaired docs label themselves
+    out.foreach { case (doc, rep) =>
+      assert(rep === want.getOrElse(doc, doc), s"doc $doc")
+    }
+  }
+}
