@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators that go beyond per-row expressions: context
+  * chunking (doc → training-window rows) and benchmark decontamination
+  * (n-gram overlap against a held-out set). Companions to
+  * [[TextAnalysis]] (per-row signals) and [[Dedup]] (near-dup removal)
+  * in the training-data pipeline.
+  */
+object Curation {
+
+  /** Sliding token-window chunking: each document becomes
+    * `1 + ceil(max(n − window, 0) / stride)` rows covering token ranges
+    * `[i·stride, i·stride + window)` — the standard context-window
+    * preparation step (overlap = window − stride tokens). Blank docs
+    * chunk to nothing; every token of a non-blank doc is covered; only
+    * the last chunk may be short.
+    *
+    * Scale shape: tokenize → explode chunk indices → slice. Pure
+    * projection + generate, no shuffle, stays in whole-stage codegen;
+    * output rows ≈ input tokens / stride regardless of document-length
+    * skew (a 10⁹-token doc becomes rows, never a buffer).
+    */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be > 0, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
+      // integer ceil via double floor — token counts sit far inside
+      // double's exact-integer range
+      .withColumn("__nc", (lit(1) + floor(
+        (greatest(col("__n") - window, lit(0)) + lit(stride - 1)) /
+          lit(stride.toDouble))).cast("int"))
+      .select(col(idCol),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"),
+        col("__toks"), col("__n"))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_id") * stride + 1, lit(window)))
+          .as("chunk_text"),
+        (least(col("chunk_id") * stride + window, col("__n")) -
+          col("chunk_id") * stride).cast("int").as("n_tokens"))
+  }
+
+  /** Benchmark decontamination by k-gram overlap (the GPT-3/appendix-C
+    * shape): a candidate document is contaminated if it shares at least
+    * one word k-gram with the benchmark corpus. Returns one row per
+    * candidate doc with the shared-gram count.
+    *
+    * Scale shape: both sides explode to distinct (doc, gram) rows; the
+    * benchmark gram SET (small: benchmarks are MBs, the corpus is TBs)
+    * broadcasts, so the corpus side never shuffles — each partition
+    * hash-probes locally and aggregates per doc. With a larger benchmark
+    * set the same plan degrades gracefully to a shuffled semi-join on
+    * the gram key. Grams here are normalized word k-grams as STRINGS so
+    * the result is engine-portable; swap in [[Dedup.shingleHashes]] for
+    * 8-byte keys at production scale.
+    */
+  def decontaminate(candidates: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, k: Int): DataFrame = {
+    val candGrams = candidates.select(col(idCol),
+        explode(Dedup.shingles(col(textCol), k)).as("__g"))
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), k)).as("__g"))
+      .distinct()
+    val hits = candGrams.join(broadcast(benchGrams), "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+    candidates.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__hits"), lit(0L)).as("n_shared"),
+        (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
+  }
+}

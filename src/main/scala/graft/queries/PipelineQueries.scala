@@ -275,6 +275,27 @@ object PipelineQueries {
             (acc, x) => acc + x.cast("long")).as("feat_sum"))
     }),
 
+    // Context-window chunking: every doc becomes sliding 16-token windows
+    // at stride 8 (50% overlap) — the training-sequence preparation step.
+    // Pure generate+projection, no shuffle; chunk boundaries and the short
+    // tail chunk are pinned by the oracle.
+    "text_chunk" -> ((spark, dir) =>
+      graft.functions.Curation.chunkByTokens(
+        Tables.read(spark, dir, "documents"), "text", "doc_id",
+        window = 16, stride = 8)),
+
+    // Benchmark decontamination: docs sharing any normalized word 4-gram
+    // with the held-out "benchmark" slice (doc_id % 97 == 0) are flagged,
+    // with the shared-gram count. Broadcast gram-set semi-join — the
+    // corpus side never shuffles.
+    "text_decontaminate" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      graft.functions.Curation.decontaminate(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "text", "doc_id", k = 4)
+    }),
+
     "events_sessionize" -> ((spark, dir) => {
       val ev = Tables.read(spark, dir, "events")
         .select(col("user_id"), col("event_id"),
@@ -882,6 +903,36 @@ object PipelineQueries {
         |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
         |FROM p JOIN sh a ON p.id_a = a.doc_id
         |JOIN sh b ON p.id_b = b.doc_id""".stripMargin,
+    // chunk boundaries: [i*stride, i*stride+window) over whitespace
+    // tokens; 1 + ceil(max(n-window,0)/stride) chunks per doc
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n, unnest(range(0,
+        |  1 + CAST(floor((greatest(n - 16, 0) + 7) / 8.0) AS BIGINT))) AS cid
+        |  FROM n)
+        |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+        |  array_to_string(toks[(cid*8+1):least(cid*8+16, n)], ' ') AS chunk_text,
+        |  CAST(least(cid*8+16, n) - cid*8 AS INT) AS n_tokens
+        |FROM c""".stripMargin,
+    // shared normalized 4-grams against the doc_id%97 benchmark slice;
+    // grams per doc are DISTINCT (list_distinct mirrors array_distinct)
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 3, 1) + 1),
+        |  i -> array_to_string(t[i:i+3], ' '))) AS s FROM toks),
+        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id % 97 = 0),
+        |cand AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT doc_id, COUNT(*) AS n FROM cand
+        |  JOIN bench USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(h.n, 0) AS n_shared,
+        |  COALESCE(h.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0""".stripMargin,
     // digest estimates pass through from the output; group count/min/max
     // recomputed and verified
     "q_tdigest" ->

@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("chunking covers every token; only the tail chunk is short") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")), // 40 toks → 4 chunks
+      (2L, (1 to 16).map(i => s"x$i").mkString(" ")), // exactly one window
+      (3L, "just five little tokens here"),           // short → 1 chunk
+      (4L, "   "),                                    // blank → 0 chunks
+      (5L, "one")
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkByTokens(docs, "text", "doc_id", 16, 8)
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got(1L).length === 4)          // starts 0,8,16,24
+    assert(got(1L).map(_._4).toSeq === Seq(16, 16, 16, 16))
+    assert(got(1L)(1)._3.startsWith("w9 w10"))   // stride-8 overlap
+    assert(got(2L).map(_._4).toSeq === Seq(16))
+    assert(got(3L).map(_._4).toSeq === Seq(5))
+    assert(!got.contains(4L))
+    assert(got(5L).map(_._4).toSeq === Seq(1))
+    // coverage: concatenating stride-slices of each chunk rebuilds the doc
+    val c1 = got(1L)
+    val rebuilt = (c1.init.map(_._3.split(" ").take(8)) :+
+      c1.last._3.split(" ")).flatten.toSeq
+    assert(rebuilt === (1 to 40).map(i => s"w$i"))
+  }
+
+  test("every chunk row's n_tokens equals its token count (fixture)") {
+    val out = Curation.chunkByTokens(
+      Tables.read(spark, SparkTestSession.Sf, "documents"),
+      "text", "doc_id", 16, 8)
+    val bad = out.where(size(split(col("chunk_text"), " ")) =!= col("n_tokens"))
+    assert(bad.count() === 0)
+  }
+
+  test("decontamination flags gram sharing, benchmark excluded from output") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "prefix alpha beta gamma delta suffix"), // shares the 4-gram
+      (2L, "ALPHA  beta gamma DELTA tail"),         // shares mod normalization
+      (3L, "no overlap with anything at all"),
+      (4L, "beta gamma delta epsilon and more")     // second 4-gram of bench
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminate(cands, bench, "text", "doc_id", k = 4)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((1L, true)))
+    assert(got(2L) === ((1L, true)))
+    assert(got(3L) === ((0L, false)))
+    assert(got(4L) === ((1L, true)))
+    assert(got.size === 4)
+  }
+}
