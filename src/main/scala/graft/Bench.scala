@@ -32,9 +32,10 @@ object Bench {
     // bucket-local simhash verify, the two-wave pruned IVF probe, and the
     // TF-weighted shingle cosine
     "dedup_simhash", "sim_ivf_refined", "dedup_tf_cosine",
-    // round-4 close: bucketized range joins (point-in-interval + overlap)
-    // and near-dup clustering (iterative connected components)
-    "q_range_join", "q_range_overlap", "dedup_components")
+    // round-4 close: bucketized range joins (point-in-interval + overlap),
+    // near-dup clustering (iterative connected components), and the
+    // product-quantization ANN next to its IVF/LSH siblings
+    "q_range_join", "q_range_overlap", "dedup_components", "sim_pq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

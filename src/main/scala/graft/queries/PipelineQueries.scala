@@ -41,6 +41,35 @@ object PipelineQueries {
       Dedup.minhashDupPairs(Tables.read(spark, dir, "documents"),
         "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)),
 
+    // Streaming EXACT-dedup groups: the same normalized-text aggregation
+    // as `dedup_exact`, run as an Update-mode streaming aggregation and
+    // collapsed after the drain (keep_id only ever decreases, n_copies
+    // only ever grows — column-wise min/max of the update stream IS the
+    // final state). Same oracle as the batch entry. Unbounded-key state
+    // is inherent to exact dedup; the eviction-bounded form is
+    // dropDuplicatesWithinWatermark (spec'd in StreamingSpec).
+    "dedup_exact_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), lit(t0).as("ts"))
+      val marker = "\u0000sentinel" // cannot occur in real text; normalizes to itself
+      val sentinel = Seq((-1L, marker,
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val agg = streamWithSentinel(spark, docs, sentinel, delaySec = 3600L)
+        .groupBy(Dedup.normalizeText(col("text")).as("norm_text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      graft.streaming.EventStream.runToMemory(
+        agg, "dedup_exact_stream_out", OutputMode.Update())
+      spark.table("dedup_exact_stream_out")
+        .where(col("norm_text") =!= marker)
+        .groupBy("norm_text")
+        .agg(min(col("keep_id")).as("keep_id"),
+          max(col("n_copies")).as("n_copies"))
+    }),
+
     // Near-dup CLUSTERING: verified minhash pairs (same params as
     // dedup_minhash, so the identical deterministic pair set) → connected
     // components via alternating large-star/small-star → one row per doc
@@ -166,6 +195,21 @@ object PipelineQueries {
       graft.functions.IvfIndex.search(index,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         k = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
+    // Product-quantization ANN: 64-dim floats → 8 codes (32× memory cut),
+    // ADC table-lookup scan over the codes, exact cosine re-score of the
+    // shortlist. Same pair-value verification contract as the other ANN
+    // entries (emitted sims are exact — PQ affects recall only).
+    "sim_pq" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val index = graft.functions.PqIndex.build(emb, "vec_id", "embedding",
+        m = 8, ksub = 16)
+      graft.functions.PqIndex.search(index, emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, shortlist = 64)
         .select(col("query_id"), col("neighbor_id"),
           round(col("sim"), 6).as("sim"), col("rank"))
     }),
@@ -519,6 +563,32 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))),
 
+    // The canonical streaming shape — watermarked tumbling-window
+    // aggregation in Append mode — at the gate: each hour window emits
+    // exactly once when the watermark passes its end (the sentinel pushes
+    // it past every real window). Decimal-cast sum keeps the double
+    // partition-order-independent, so the oracle is IDENTICAL to
+    // `events_hourly`'s — batch ≡ stream for windowed aggregation.
+    "events_hourly_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq(("noop", sentinelTs, 0.0))
+        .toDF("event_type", "ts", "value")
+      val agg = streamWithSentinel(spark, ev, sentinel, delaySec)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("vdec"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("vdec").cast("double").as("value_sum"))
+      graft.streaming.EventStream.runToMemory(
+        agg, "events_hourly_stream_out", OutputMode.Append())
+      spark.table("events_hourly_stream_out")
+        .where(col("event_type") =!= "noop")
+    }),
+
     // Native session_window (gap-based session assignment; merge iff
     // inter-event gap <= 30 min — a gap of EXACTLY the window size merges,
     // pinned by StreamingSpec's boundary test and mirrored in the oracle's
@@ -744,6 +814,12 @@ object PipelineQueries {
       """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
         |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // identical oracle to dedup_exact: the drained streaming aggregation
+    // must reproduce the batch dedup groups bit-for-bit
+    "dedup_exact_stream" ->
+      """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+        |MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
     "dedup_exact_keep" ->
       """SELECT doc_id, lang, source FROM documents WHERE doc_id IN (
         |SELECT MIN(doc_id) FROM documents
@@ -946,6 +1022,7 @@ object PipelineQueries {
     "sim_ann_lsh" -> annPairOracle("sim_ann_lsh"),
     "sim_ivf" -> annPairOracle("sim_ivf"),
     "sim_ivf_refined" -> annPairOracle("sim_ivf_refined"),
+    "sim_pq" -> annPairOracle("sim_pq"),
     "text_fingerprint" -> s"""
         |WITH o AS (SELECT doc_id, fp, simhash
         |  FROM read_parquet('__OUT__/text_fingerprint/*.parquet')),
@@ -1093,6 +1170,13 @@ object PipelineQueries {
         |  OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM g""".stripMargin,
     "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // identical oracle to events_hourly: Append-mode windowed aggregation
+    // must reproduce the batch hourly rollup bit-for-bit
+    "events_hourly_stream" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |COUNT(*) AS n_events,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.{PqIndex, Similarity}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+
+  test("codes are m ints in [0, ksub) and encoding is deterministic") {
+    val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(idx.codebooks.length === 8)
+    assert(idx.codebooks.forall(_.length === 16))
+    assert(idx.dsub === 8)
+    val codes = idx.codes.select("codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    val again = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      .codes.select("codes").as[Seq[Int]].collect()
+    assert(codes.toSeq === again.toSeq)
+  }
+
+  test("each code is the argmin sub-centroid for its subvector") {
+    val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val rows = idx.codes.join(emb, "vec_id")
+      .select(col("codes"), col("embedding").cast("array<double>"))
+      .as[(Seq[Int], Seq[Double])].collect()
+    rows.take(50).foreach { case (codes, v) =>
+      codes.zipWithIndex.foreach { case (code, i) =>
+        val sub = v.slice(i * 8, i * 8 + 8)
+        val dists = idx.codebooks(i).map(c =>
+          c.zip(sub).map { case (a, b) => (b - a) * (b - a) }.sum)
+        assert(dists(code) === dists.min)
+      }
+    }
+  }
+
+  test("save/load round-trips codebooks and codes") {
+    val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString
+    PqIndex.save(idx, dir)
+    val back = PqIndex.load(spark, dir)
+    assert(back.m === idx.m && back.dsub === idx.dsub)
+    assert(back.codebooks.map(_.toSeq.map(_.toSeq)).toSeq ===
+      idx.codebooks.map(_.toSeq.map(_.toSeq)).toSeq)
+    assert(back.codes.orderBy("vec_id").select("codes").as[Seq[Int]].collect().toSeq ===
+      idx.codes.orderBy("vec_id").select("codes").as[Seq[Int]].collect().toSeq)
+  }
+
+  test("emitted sims are exact cosines; ranks ordered; recall is sane") {
+    val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = PqIndex.search(idx, emb, queries, "vec_id", "embedding",
+        k = 10, shortlist = 64)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length === 8 * 10)
+    // exact brute-force reference
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      Similarity.norm(col("embedding")).as("qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      Similarity.norm(col("embedding")).as("cn"))
+    val brute = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosinePrenormed(col("qv"), col("cv"),
+          col("qn") * col("cn")).as("sim"))
+    val bruteMap = brute.as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (qid, nid, sim, _) =>
+      assert(math.abs(sim - bruteMap((qid, nid))) < 1e-12)
+    }
+    got.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sortBy(-(_: Double)).toSeq)
+    }
+    // recall@10 vs brute force: ADC over 16³ codebooks with a 64-wide
+    // shortlist recovers most true neighbors on the fixture
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    val top = brute.withColumn("r", row_number().over(w)).where(col("r") <= 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val hit = got.count(r => top((r._1, r._2)))
+    assert(hit >= (top.size * 0.5).toInt,
+      s"recall@10 = ${hit.toDouble / top.size} too low")
+  }
+}
