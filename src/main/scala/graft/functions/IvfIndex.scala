@@ -118,7 +118,7 @@ object IvfIndex {
     * `(loRank, hiRank]` — the probe set. Tiny: |queries| × nLists before
     * the rank filter, all driver-free.
     */
-  private def probeRange(index: Index, queries: DataFrame, idCol: String,
+  private[graft] def probeRange(index: Index, queries: DataFrame, idCol: String,
                          vecCol: String, loRank: Int, hiRank: Int): DataFrame = {
     val centroidRows = index.centroids.map { case (i, c) =>
       struct(lit(i).as("list_id"), array(c.map(lit(_)): _*).as("centroid"))

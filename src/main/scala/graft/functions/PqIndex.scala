@@ -113,6 +113,88 @@ object PqIndex {
     Index(m, cb.head.head.length, cb, spark.read.parquet(s"$path/codes"))
   }
 
+  /** IVF-PQ composition (the FAISS IVFADC shape): coarse IVF lists for
+    * pruning + PQ codes of the RESIDUAL (v − centroid) for in-list
+    * scoring. `q·x ≈ q·c_list + Σᵢ qtab[i][codeᵢ]` — the first term comes
+    * free from the probe step, the table is list-independent because the
+    * residual codebooks are shared across lists (standard IVFADC).
+    *
+    * At 100 TB: probes prune to nProbe/nLists of the data AND the pruned
+    * scan reads codes, not vectors — the two scale levers compose.
+    * Residuals concentrate near zero, so shared codebooks quantize them
+    * better than raw vectors (the reason IVFPQ encodes residuals).
+    */
+  final case class IvfPq(ivf: IvfIndex.Index, m: Int, dsub: Int,
+                         codebooks: Array[Array[Array[Double]]],
+                         codes: DataFrame)
+
+  /** Build: IVF assignment first, then shared residual codebooks + codes.
+    * `codes` = (id, list_id, codes) — the only data-sized artifact.
+    */
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                 nLists: Int = 16, m: Int = 8, ksub: Int = 16,
+                 seed: Long = 42L): IvfPq = {
+    val ivf = IvfIndex.build(corpus, idCol, vecCol, nLists, seed)
+    val centroidMap = element_at(
+      map_from_entries(array(ivf.centroids.map { case (i, c) =>
+        struct(lit(i), array(c.map(lit(_)): _*))
+      }: _*)), col("list_id"))
+    val resid = ivf.assigned.select(col(idCol), col("list_id"),
+      zip_with(col(vecCol), centroidMap,
+        (x, y) => x.cast("double") - y).as("__r"))
+    val dim = ivf.centroids.head._2.length
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    val codebooks = (0 until m).map { i =>
+      val sub = resid.select(org.apache.spark.ml.functions.array_to_vector(
+        slice(col("__r"), i * dsub + 1, dsub)).as("__v"))
+      new KMeans().setK(ksub).setSeed(seed + 31 + i).setFeaturesCol("__v")
+        .fit(sub).clusterCenters.map(_.toArray)
+    }.toArray
+    val codes = resid.select(col(idCol), col("list_id"),
+      encodeExpr(col("__r"), codebooks, dsub).as("codes"))
+    IvfPq(ivf, m, dsub, codebooks, codes)
+  }
+
+  /** IVF-PQ search: probe nProbe lists, ADC-score ONLY those lists'
+    * codes (approx dot = q·c_list + residual table lookups), exact-cosine
+    * re-score of the per-query shortlist. Emitted `sim` is exact.
+    */
+  def searchIvfPq(index: IvfPq, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nProbe: Int,
+                  shortlist: Int, excludeSelf: Boolean = true): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val m = index.m
+    val probed = IvfIndex.probeRange(index.ivf, queries, idCol, vecCol,
+        0, nProbe)
+      .withColumn("qtab", adcTable(col("qv"), index.codebooks, index.dsub))
+    val approx = index.codes
+      .join(broadcast(probed.select("query_id", "list_id", "qdotc", "qtab")),
+        "list_id")
+      .where(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (col("qdotc") + aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (s, i) => s + element_at(element_at(col("qtab"), i + 1),
+            element_at(col("codes"), i + 1) + 1))).as("approx_dot"))
+    val sw = Window.partitionBy("query_id")
+      .orderBy(col("approx_dot").desc, col("neighbor_id"))
+    val short = approx.withColumn("__sr", row_number().over(sw))
+      .where(col("__sr") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      Similarity.norm(col(vecCol)).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Similarity.norm(col(vecCol)).as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    short.join(cv, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosinePrenormed(col("qv"), col("cv"),
+          col("qn") * col("cn")).as("sim"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** ADC shortlist + exact re-score. The code scan never shuffles and
     * never reads the float vectors; only `shortlist` candidates per query
     * join back to the corpus for exact cosine. Emitted `sim` is exact.

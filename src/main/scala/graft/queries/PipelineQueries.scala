@@ -214,6 +214,20 @@ object PipelineQueries {
           round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // IVF-PQ (FAISS IVFADC shape): coarse lists prune to nProbe/nLists of
+    // the corpus AND the pruned scan reads residual codes, not vectors —
+    // both scale levers composed. Exact re-score; same oracle contract.
+    "sim_ivfpq" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val index = graft.functions.PqIndex.buildIvfPq(emb, "vec_id",
+        "embedding", nLists = 16, m = 8, ksub = 16)
+      graft.functions.PqIndex.searchIvfPq(index, emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nProbe = 4, shortlist = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
     // Two-wave IVF with residual-bound pruning: wave 1 probes 2 lists,
     // wave 2 considers 4 but exact-scores only lists whose residual bound
     // could beat the query's current k-th similarity (IvfIndexSpec proves
@@ -1023,6 +1037,7 @@ object PipelineQueries {
     "sim_ivf" -> annPairOracle("sim_ivf"),
     "sim_ivf_refined" -> annPairOracle("sim_ivf_refined"),
     "sim_pq" -> annPairOracle("sim_pq"),
+    "sim_ivfpq" -> annPairOracle("sim_ivfpq"),
     "text_fingerprint" -> s"""
         |WITH o AS (SELECT doc_id, fp, simhash
         |  FROM read_parquet('__OUT__/text_fingerprint/*.parquet')),

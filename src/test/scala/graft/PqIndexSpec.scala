@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{PqIndex, Similarity}
+import graft.functions.{IvfIndex, PqIndex, Similarity}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -36,6 +36,48 @@ class PqIndexSpec extends AnyFunSuite {
         assert(dists(code) === dists.min)
       }
     }
+  }
+
+  test("ivf-pq: candidates come only from probed lists; sims exact; recall sane") {
+    val idx = PqIndex.buildIvfPq(emb, "vec_id", "embedding",
+      nLists = 16, m = 8, ksub = 16)
+    val queries = emb.filter(col("vec_id") < 8)
+    val got = PqIndex.searchIvfPq(idx, emb, queries, "vec_id", "embedding",
+        k = 10, nProbe = 4, shortlist = 64)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.length === 8 * 10)
+    // every neighbor belongs to one of its query's 4 probed lists
+    val probed = IvfIndex.probeRange(idx.ivf, queries, "vec_id", "embedding", 0, 4)
+      .select("query_id", "list_id").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val listOf = idx.codes.select(col("vec_id"), col("list_id"))
+      .as[(Long, Int)].collect().toMap
+    got.foreach { case (qid, nid, _, _) =>
+      assert(probed(qid).contains(listOf(nid)), s"$nid not in $qid's probes")
+    }
+    // exact sims
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      Similarity.norm(col("embedding")).as("qn"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      Similarity.norm(col("embedding")).as("cn"))
+    val bruteMap = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosinePrenormed(col("qv"), col("cv"),
+          col("qn") * col("cn")).as("sim"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (qid, nid, sim, _) =>
+      assert(math.abs(sim - bruteMap((qid, nid))) < 1e-12)
+    }
+    // recall vs the plain-IVF search at the same probe budget: the PQ
+    // shortlist within probed lists should recover most of what exact
+    // in-list scoring finds
+    val ivfTop = IvfIndex.search(idx.ivf, queries, "vec_id", "embedding",
+        k = 10, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val hit = got.count(r => ivfTop((r._1, r._2)))
+    assert(hit >= (ivfTop.size * 0.6).toInt,
+      s"ivfpq recall vs ivf = ${hit.toDouble / ivfTop.size} too low")
   }
 
   test("save/load round-trips codebooks and codes") {
