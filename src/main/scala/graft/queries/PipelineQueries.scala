@@ -636,6 +636,30 @@ object PipelineQueries {
         .where(col("quality") >= 0.5)
     }),
 
+    // Full curation DAG in ONE Catalyst plan: exact-dedup keep-one →
+    // quality gate (native one-pass stats) → benchmark decontamination
+    // (broadcast gram-set) → context-window chunking. Output is the
+    // training-ready chunk table; every stage reuses an operator whose
+    // gate entry is independently hash-verified.
+    "pipeline_full" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val deduped = graft.functions.Dedup
+        .dropExactDuplicates(docs, "text", "doc_id")
+      val quality = deduped
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.qualityScoreFromStats(
+            TextAnalysis.stats(col("text"))).as("quality"))
+        .where(col("quality") >= 0.5)
+      val clean = graft.functions.Curation.decontaminate(
+          quality.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0), "text", "doc_id", k = 4)
+        .where(!col("contaminated"))
+        .select("doc_id")
+      graft.functions.Curation.chunkByTokens(
+        quality.join(clean, "doc_id"), "text", "doc_id",
+        window = 16, stride = 8)
+    }),
+
     // Salted two-phase aggregation — identical results to the direct
     // groupBy (the oracle IS the direct form), with the hot-key shuffle
     // split across 8 sub-keys.
@@ -1278,6 +1302,53 @@ object PipelineQueries {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |COUNT(*) AS count_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // the full DAG's oracle composes the independently-verified stage
+    // oracles: dedup keep-one + quality formula (pipeline_curate's CTEs),
+    // 4-gram decontamination (text_decontaminate's), chunking
+    // (text_chunk's) — over the surviving docs
+    "pipeline_full" -> s"""
+        |WITH kept AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id IN (
+        |    SELECT MIN(doc_id) FROM documents
+        |    GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))),
+        |t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        |  FROM kept),
+        |m AS (SELECT doc_id, toks, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS stopword_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  least(stopword_ratio * 4.0, 1.0) * 0.3 +
+        |  greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
+        |  FROM m),
+        |good AS (SELECT k.doc_id, k.text FROM q JOIN kept k USING (doc_id)
+        |  WHERE q.quality >= 0.5),
+        |ntoks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 3, 1) + 1),
+        |  i -> array_to_string(t[i:i+3], ' '))) AS s FROM ntoks),
+        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id % 97 = 0),
+        |cand AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT DISTINCT c.doc_id FROM cand c JOIN bench USING (gram)),
+        |clean AS (SELECT doc_id, text FROM good
+        |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)),
+        |ct AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        |  FROM clean WHERE length(trim(text)) > 0),
+        |cn AS (SELECT doc_id, toks, len(toks) AS n FROM ct),
+        |cc AS (SELECT doc_id, toks, n, unnest(range(0,
+        |  1 + CAST(floor((greatest(n - 16, 0) + 7) / 8.0) AS BIGINT))) AS cid
+        |  FROM cn)
+        |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+        |  array_to_string(toks[(cid*8+1):least(cid*8+16, n)], ' ') AS chunk_text,
+        |  CAST(least(cid*8+16, n) - cid*8 AS INT) AS n_tokens
+        |FROM cc""".stripMargin,
     "pipeline_curate" -> s"""
         |WITH kept AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id IN (
