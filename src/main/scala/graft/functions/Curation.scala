@@ -47,6 +47,52 @@ object Curation {
           col("chunk_id") * stride).cast("int").as("n_tokens"))
   }
 
+  /** Sequence packing, pretraining style: the corpus is one token stream
+    * in doc_id order, sliced into fixed `seqLen`-token training
+    * sequences; each doc emits one row per sequence it intersects with
+    * its local [tok_start, tok_end) span — the concat-and-slice packing
+    * every pretraining data loader performs, as a relational operator
+    * (blank docs drop; docs split across sequence boundaries).
+    *
+    * Scale shape: the global token offset is a TWO-PHASE prefix sum —
+    * a within-bucket running sum (window PARTITIONED by a doc_id-range
+    * bucket, state bounded by bucket size) plus broadcast bucket-prefix
+    * offsets (one tiny nBuckets-row cumsum). No `Window.orderBy` over
+    * the whole corpus, which would funnel 100 TB through one partition —
+    * the classic global-sort scale-killer this formulation avoids.
+    */
+  def packTokenSpans(df: DataFrame, textCol: String, idCol: String,
+                     seqLen: Int, bucketSize: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("__bkt", floor(col("doc_id") / bucketSize))
+    val w = Window.partitionBy("__bkt").orderBy("doc_id")
+    val inBkt = base.withColumn("__local_off",
+      coalesce(sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val bktSums = base.groupBy("__bkt").agg(sum(col("n_tokens")).as("__bsum"))
+    // nBuckets rows: the one unpartitioned window runs over this tiny
+    // aggregate, never over the corpus
+    val bw = Window.orderBy("__bkt")
+    val prefixes = bktSums.withColumn("__prefix",
+        coalesce(sum(col("__bsum"))
+          .over(bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__bkt", "__prefix")
+    inBkt.join(broadcast(prefixes), "__bkt")
+      .withColumn("__off", col("__prefix") + col("__local_off"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__off") / seqLen),
+        floor((col("__off") + col("n_tokens") - 1) / seqLen))))
+      .select(col("doc_id"), col("seq_id"),
+        (greatest(col("__off"), col("seq_id") * seqLen) - col("__off"))
+          .cast("int").as("tok_start"),
+        (least(col("__off") + col("n_tokens"), (col("seq_id") + 1) * seqLen)
+          - col("__off")).cast("int").as("tok_end"))
+  }
+
   /** Benchmark decontamination by k-gram overlap (the GPT-3/appendix-C
     * shape): a candidate document is contaminated if it shares at least
     * one word k-gram with the benchmark corpus. Returns one row per

@@ -195,6 +195,47 @@ object PqIndex {
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Persist an IVF-PQ index: coarse centroids + residual codebooks as
+    * tiny parquets, codes PARTITIONED BY list_id — a probe of nProbe
+    * lists reads only those lists' code files (partition pruning), and
+    * each file holds codes, not vectors: the two scale levers survive
+    * the round-trip.
+    */
+  def saveIvfPq(index: IvfPq, path: String): Unit = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.ivf.centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val rows = for {
+      (cb, i) <- index.codebooks.zipWithIndex.toSeq
+      (c, j) <- cb.zipWithIndex
+    } yield (i, j, c.toSeq)
+    rows.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    index.codes.write.mode("overwrite")
+      .partitionBy("list_id").parquet(s"$path/codes")
+  }
+
+  /** Reload a saved IVF-PQ index. The reloaded `ivf.assigned` carries
+    * only (id, list_id) — searches over a loaded index re-score from the
+    * caller's corpus DataFrame, which is how [[searchIvfPq]] already
+    * works (the exact re-score never came from the index).
+    */
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession,
+                path: String): IvfPq = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val cb = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+    val codes = spark.read.parquet(s"$path/codes")
+    IvfPq(IvfIndex.Index(centroids, codes.select(codes.columns.head, "list_id")),
+      cb.length, cb.head.head.length, cb, codes)
+  }
+
   /** ADC shortlist + exact re-score. The code scan never shuffles and
     * never reads the float vectors; only `shortlist` candidates per query
     * join back to the corpus for exact cosine. Emitted `sim` is exact.

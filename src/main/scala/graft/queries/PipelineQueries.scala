@@ -354,6 +354,15 @@ object PipelineQueries {
         "text", "doc_id", k = 4)
     }),
 
+    // Pretraining sequence packing: the doc_id-ordered token stream
+    // sliced into 128-token sequences, one row per (doc × sequence)
+    // intersection. The global offset is a two-phase prefix sum — no
+    // corpus-wide single-partition window.
+    "text_pack" -> ((spark, dir) =>
+      graft.functions.Curation.packTokenSpans(
+        Tables.read(spark, dir, "documents"), "text", "doc_id",
+        seqLen = 128, bucketSize = 64L)),
+
     "events_sessionize" -> ((spark, dir) => {
       val ev = Tables.read(spark, dir, "events")
         .select(col("user_id"), col("event_id"),
@@ -1017,6 +1026,26 @@ object PipelineQueries {
         |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
         |FROM p JOIN sh a ON p.id_a = a.doc_id
         |JOIN sh b ON p.id_b = b.doc_id""".stripMargin,
+    // packing oracle: one flat cumsum in doc_id order (the oracle can
+    // afford the global window; the engine must not) and the same span
+    // intersection arithmetic
+    "text_pack" ->
+      """WITH n AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM documents),
+        |p AS (SELECT doc_id, CAST(nt AS BIGINT) AS nt,
+        |  COALESCE(SUM(nt) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM n WHERE nt > 0),
+        |s AS (SELECT doc_id, nt, off,
+        |  unnest(range(CAST(off // 128 AS BIGINT),
+        |    CAST((off + nt - 1) // 128 + 1 AS BIGINT))) AS seq_id
+        |  FROM p)
+        |SELECT doc_id, seq_id,
+        |  CAST(greatest(off, seq_id * 128) - off AS INT) AS tok_start,
+        |  CAST(least(off + nt, (seq_id + 1) * 128) - off AS INT) AS tok_end
+        |FROM s""".stripMargin,
     // chunk boundaries: [i*stride, i*stride+window) over whitespace
     // tokens; 1 + ceil(max(n-window,0)/stride) chunks per doc
     "text_chunk" ->

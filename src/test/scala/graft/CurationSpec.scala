@@ -41,6 +41,40 @@ class CurationSpec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("packing: bucket-size invariant, covers every token exactly once") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val a = Curation.packTokenSpans(docs, "text", "doc_id", seqLen = 128,
+      bucketSize = 64L).as[(Long, Long, Int, Int)].collect().toSet
+    // a different bucketing must produce the identical packing — the
+    // two-phase prefix sum is an implementation detail, not semantics
+    val b = Curation.packTokenSpans(docs, "text", "doc_id", seqLen = 128,
+      bucketSize = 7L).as[(Long, Long, Int, Int)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    // per doc: spans are contiguous, start at 0, end at n_tokens
+    val perDoc = a.groupBy(_._1)
+    val nTokens = docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    perDoc.foreach { case (doc, spans) =>
+      val sorted = spans.toSeq.sortBy(_._2)
+      assert(sorted.head._3 === 0)
+      assert(sorted.last._4 === nTokens(doc))
+      sorted.sliding(2).foreach {
+        case Seq((_, s1, _, e1), (_, s2, st2, _)) =>
+          assert(s2 === s1 + 1 && st2 === e1)
+        case _ =>
+      }
+    }
+    // per sequence: every sequence except the last holds exactly 128 tokens
+    val perSeq = a.groupBy(_._2).view
+      .mapValues(_.toSeq.map(s => s._4 - s._3).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (seq, total) =>
+      if (seq != lastSeq) assert(total === 128, s"seq $seq holds $total")
+    }
+  }
+
   test("decontamination flags gram sharing, benchmark excluded from output") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val cands = Seq(

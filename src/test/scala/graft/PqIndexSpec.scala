@@ -80,6 +80,23 @@ class PqIndexSpec extends AnyFunSuite {
       s"ivfpq recall vs ivf = ${hit.toDouble / ivfTop.size} too low")
   }
 
+  test("ivf-pq save/load round-trips and search results are identical") {
+    val idx = PqIndex.buildIvfPq(emb, "vec_id", "embedding",
+      nLists = 16, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    PqIndex.saveIvfPq(idx, dir)
+    val back = PqIndex.loadIvfPq(spark, dir)
+    assert(back.m === idx.m && back.dsub === idx.dsub)
+    assert(back.ivf.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq ===
+      idx.ivf.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq)
+    val queries = emb.filter(col("vec_id") < 8)
+    def run(i: PqIndex.IvfPq) =
+      PqIndex.searchIvfPq(i, emb, queries, "vec_id", "embedding",
+          k = 10, nProbe = 4, shortlist = 64)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(run(back) === run(idx))
+  }
+
   test("save/load round-trips codebooks and codes") {
     val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString

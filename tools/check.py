@@ -53,7 +53,15 @@ def main():
     results = {}
     qdirs = [d for d in os.listdir(out_dir)
              if os.path.isdir(os.path.join(out_dir, d))]
+    # GRAFT_CHECK_SKIP: comma-separated entry names whose DuckDB oracle is
+    # skipped (checked by a dedicated tool instead — e.g. dedup_components
+    # at 10x, where the recursive-closure CTE is quadratic in component
+    # size; tools/cc_check.py verifies it exactly with union-find).
+    skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
     for name in sorted(qdirs):
+        if name in skip:
+            results[name] = "rows-only (skipped by GRAFT_CHECK_SKIP)"
+            continue
         cols, rows = load_parquet_rows(os.path.join(out_dir, name))
         if cols is None:
             results[name] = "EMPTY-OUTPUT"
