@@ -35,7 +35,9 @@ object Bench {
     // round-4 close: bucketized range joins (point-in-interval + overlap),
     // near-dup clustering (iterative connected components), and the
     // product-quantization ANN next to its IVF/LSH siblings
-    "q_range_join", "q_range_overlap", "dedup_components", "sim_pq")
+    "q_range_join", "q_range_overlap", "dedup_components", "sim_pq",
+    // IVF-PQ, the composed curation DAG, and pretraining sequence packing
+    "sim_ivfpq", "pipeline_full", "text_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -76,15 +76,41 @@ object PqIndex {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val dsub = dim / m
-    val codebooks = (0 until m).map { i =>
-      val sub = corpus.select(array_to_vector(
-        slice(col(vecCol), i * dsub + 1, dsub).cast("array<double>")).as("__v"))
-      new KMeans().setK(ksub).setSeed(seed + i).setFeaturesCol("__v")
-        .fit(sub).clusterCenters.map(_.toArray)
-    }.toArray
+    val codebooks = fitSubspaceCodebooks(
+      corpus.select(col(vecCol).cast("array<double>").as("__fv")),
+      "__fv", m, dsub, ksub, seed)
     val codes = corpus.select(col(idCol),
       encodeExpr(col(vecCol), codebooks, dsub).as("codes"))
     Index(m, dsub, codebooks, codes)
+  }
+
+  /** All `m` subspace KMeans fits off ONE cached projection of the
+    * corpus (each fit re-scanning the source would read the data m
+    * times; at build scale the fits run on a sample anyway). Random
+    * init: k-means|| costs extra passes per fit and buys nothing on
+    * low-dim subvectors.
+    */
+  private def fitSubspaceCodebooks(vecs: DataFrame, vecCol: String, m: Int,
+                                   dsub: Int, ksub: Int,
+                                   seed: Long): Array[Array[Array[Double]]] = {
+    // few fat partitions: every KMeans iteration is a job over this tiny
+    // (sampled, at scale) fit set — 32 near-empty tasks per iteration ×
+    // m fits is pure scheduling overhead, and a FIXED partition count
+    // makes the seeded init sample layout-independent
+    val subs = vecs.select((0 until m).map(i =>
+      array_to_vector(slice(col(vecCol), i * dsub + 1, dsub))
+        .as(s"__v$i")): _*)
+      .coalesce(4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0 until m).map { i =>
+        // 8 Lloyd rounds: quantization codebooks saturate early; each
+        // extra round is a full job per fit (m fits back to back)
+        new KMeans().setK(ksub).setSeed(seed + i).setFeaturesCol(s"__v$i")
+          .setInitMode("random").setMaxIter(8)
+          .fit(subs).clusterCenters.map(_.toArray)
+      }.toArray
+    } finally subs.unpersist(false)
   }
 
   /** Persist the index: codebooks as one tiny parquet (m·ksub rows),
@@ -145,12 +171,8 @@ object PqIndex {
     val dim = ivf.centroids.head._2.length
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val dsub = dim / m
-    val codebooks = (0 until m).map { i =>
-      val sub = resid.select(org.apache.spark.ml.functions.array_to_vector(
-        slice(col("__r"), i * dsub + 1, dsub)).as("__v"))
-      new KMeans().setK(ksub).setSeed(seed + 31 + i).setFeaturesCol("__v")
-        .fit(sub).clusterCenters.map(_.toArray)
-    }.toArray
+    val codebooks = fitSubspaceCodebooks(
+      resid.select(col("__r").as("__fv")), "__fv", m, dsub, ksub, seed + 31)
     val codes = resid.select(col(idCol), col("list_id"),
       encodeExpr(col("__r"), codebooks, dsub).as("codes"))
     IvfPq(ivf, m, dsub, codebooks, codes)
