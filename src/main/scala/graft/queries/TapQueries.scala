@@ -80,6 +80,14 @@ object TapQueries {
       |"key_properties":["n_nationkey"],
       |"columns":[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"}]}""".stripMargin
 
+  // PG explicit-operator syntax, LIKE-family operators (~~ / ~~* and
+  // negations), a COLLATE clause, and a ::regclass cast — the dialect
+  // long tail; DuckDB runs the plain LIKE/ILIKE equivalent as oracle.
+  private val operatorCollateJson =
+    """{"name":"nation_ops","sql":"SELECT n_nationkey, n_name FROM nation WHERE (n_name OPERATOR(pg_catalog.~~) 'NATION_1%' OR n_name ~~* 'nation_2_' OR (n_name COLLATE \"C\") !~~* '%2%') AND 'nation'::regclass = 'nation'",
+      |"key_properties":["n_nationkey"],
+      |"columns":[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"}]}""".stripMargin
+
   // SELECT * but only 3 declared columns: conformance drops the rest
   // (reference: client.py:147-154 unmapped-property drop).
   private val projectionJson =
@@ -106,6 +114,7 @@ object TapQueries {
     "tap_json_ops" -> run(jsonOpsJson),
     "tap_any_array" -> run(anyArrayJson),
     "tap_similar_to" -> run(similarToJson),
+    "tap_operator_collate" -> run(operatorCollateJson),
     "tap_projection" -> run(projectionJson),
 
     "tap_stream_map" -> ((spark, dir) => {
@@ -160,6 +169,10 @@ object TapQueries {
       """SELECT n_nationkey, n_name FROM nation
         |WHERE n_name SIMILAR TO '(FRA|GER)%'
         |OR (n_name SIMILAR TO '%I_' AND n_name NOT SIMILAR TO 'I%')""".stripMargin,
+    "tap_operator_collate" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_name LIKE 'NATION_1%' OR n_name ILIKE 'nation_2_'
+        |OR n_name NOT ILIKE '%2%'""".stripMargin,
     "tap_projection" -> "SELECT doc_id, lang, source FROM documents",
     "tap_stream_map" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag AS flag,

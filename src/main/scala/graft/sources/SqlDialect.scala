@@ -146,9 +146,39 @@ object SqlDialect {
   }
 
   /** Rewrite PostgreSQL-flavored SQL into Spark-parseable SQL. */
+  // ---- `OPERATOR(pg_catalog.op)` explicit-operator syntax + the LIKE
+  // operator family (`~~` = LIKE, `~~*` = ILIKE, negations) + COLLATE ----
+
+  private val operatorSynRe =
+    """(?i)\s*OPERATOR\s*\(\s*(?:pg_catalog\s*\.\s*)?([~!<>=#@^|&+*/%-]+)\s*\)\s*""".r
+  // an expression COLLATE "en_US.utf8" / COLLATE c — collation is a PG
+  // comparison detail with no Spark counterpart; dropping it preserves
+  // semantics for the byte-wise collations real stream SQL pins ("C")
+  private val collateRe =
+    """(?i)\s+COLLATE\s+("[^"]*"|[A-Za-z_][\w$]*(?:\.[A-Za-z_][\w$]*)?)""".r
+
+  /** Unwrap PG's explicit-operator syntax (`x OPERATOR(pg_catalog.~~) y`
+    * → `x ~~ y`), rewrite the LIKE-family operators to keywords, and
+    * strip COLLATE clauses — all outside string literals, BEFORE the
+    * regex-operator rewrites (whose guards would otherwise misread the
+    * multi-char `~~` forms).
+    */
+  def rewriteOperatorSyntax(sql: String): String = mapOutsideStrings(sql) { c0 =>
+    var c = operatorSynRe.replaceAllIn(c0, m =>
+      java.util.regex.Matcher.quoteReplacement(" " + m.group(1) + " "))
+    c = collateRe.replaceAllIn(c, "")
+    // longest first so !~~* is not eaten by its prefixes; surrounding
+    // whitespace is consumed so insertions never double spaces
+    c = c.replaceAll("""\s*!~~\*\s*""", " NOT ILIKE ")
+    c = c.replaceAll("""\s*!~~(?!\*)\s*""", " NOT LIKE ")
+    c = c.replaceAll("""\s*(?<!!)~~\*\s*""", " ILIKE ")
+    c = c.replaceAll("""\s*(?<![!~])~~(?![~*])\s*""", " LIKE ")
+    c
+  }
+
   def rewrite(sql: String): String = {
-    var out = rewriteAtTimeZone(rewriteStringAgg(
-      rewriteNestedDistinctOn(rewriteDistinctOn(sql))))
+    var out = rewriteOperatorSyntax(rewriteAtTimeZone(rewriteStringAgg(
+      rewriteNestedDistinctOn(rewriteDistinctOn(sql)))))
     // ANY/ALL first (its pattern consumes an optional ::type[] suffix),
     // then standalone array-literal casts — both BEFORE the scalar-cast
     // loop, which would otherwise mangle `'{a,b}'::text[]` into

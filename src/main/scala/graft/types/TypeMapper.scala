@@ -24,7 +24,9 @@ object TypeMapper {
   def toDataType(typeName: String): DataType = typeName.trim.toLowerCase match {
     case "string" | "text" | "varchar" | "char" | "character varying" |
          "character" | "bpchar" | "nvarchar" |
-         "uuid" | "json" | "jsonb" => StringType
+         // regclass: a relation-name cast is an identity on its string
+         // form — PG configs use 'tbl'::regclass in catalog filters
+         "uuid" | "json" | "jsonb" | "regclass" => StringType
     case charLenRe() => StringType
     case "decimal" | "numeric" => DecimalType(38, 18)
     case decimalPrecRe(p) => DecimalType(p.toInt, 0)

@@ -324,6 +324,32 @@ class SqlDialectSpec extends AnyFunSuite {
       """select array(CAST('NULL' AS STRING)) as arr""")
   }
 
+  test("OPERATOR() syntax, LIKE-family operators, COLLATE, regclass") {
+    // explicit-operator syntax unwraps; ~~ family becomes keywords
+    assert(SqlDialect.rewrite("SELECT * FROM t WHERE a OPERATOR(pg_catalog.~~) 'x%'")
+      === "SELECT * FROM t WHERE a LIKE 'x%'")
+    assert(SqlDialect.rewrite("WHERE a OPERATOR(pg_catalog.=) 3")
+      === "WHERE a = 3")
+    assert(SqlDialect.rewrite("WHERE a ~~* '%x'") === "WHERE a ILIKE '%x'")
+    assert(SqlDialect.rewrite("WHERE a !~~ 'x%'") === "WHERE a NOT LIKE 'x%'")
+    assert(SqlDialect.rewrite("WHERE a !~~* 'x%'") === "WHERE a NOT ILIKE 'x%'")
+    // OPERATOR-wrapped regex falls through to the RLIKE rewrites (which
+    // pad with spaces — compare whitespace-normalized)
+    assert(SqlDialect.rewrite("WHERE a OPERATOR(pg_catalog.~) '^x'")
+      .replaceAll("\\s+", " ") === "WHERE a RLIKE '^x'")
+    // COLLATE clauses drop (quoted and bare collation names)
+    assert(SqlDialect.rewrite("""ORDER BY n COLLATE "C" DESC""")
+      === "ORDER BY n DESC")
+    assert(SqlDialect.rewrite("WHERE (a COLLATE de_DE) = 'x'")
+      === "WHERE (a) = 'x'")
+    // regclass casts to the string form (identity on the name)
+    assert(SqlDialect.rewrite("WHERE 'orders'::regclass = 'orders'")
+      === "WHERE CAST('orders' AS STRING) = 'orders'")
+    // triggers inside string literals are untouched
+    val lit = "SELECT 'a ~~ b COLLATE \"C\"' AS s FROM t"
+    assert(SqlDialect.rewrite(lit) === lit)
+  }
+
   test("SIMILAR TO rewrites to anchored RLIKE with translated wildcards") {
     assert(SqlDialect.rewriteSimilarTo("SELECT * FROM t WHERE n SIMILAR TO '(FRA|GER)%'")
       === "SELECT * FROM t WHERE n RLIKE '^(?:(FRA|GER).*)$'")
