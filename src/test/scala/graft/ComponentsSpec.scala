@@ -62,6 +62,17 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got === ufComponents(edges))
   }
 
+  test("100k-edge hub: degree skew never builds a neighborhood buffer") {
+    // a single node adjacent to 100k others — the degree-skew shape that
+    // would OOM any collect_list-of-neighbors formulation; the groupBy-min
+    // + join rounds handle it with O(1) aggregation buffers
+    val edges = spark.range(1L, 100001L)
+      .select(lit(0L).as("a"), col("id").as("b"))
+    val got = Components.connectedComponents(edges, "a", "b")
+    assert(got.count() === 100001L)
+    assert(got.where(col("component") =!= 0L).count() === 0L)
+  }
+
   test("empty edge list yields empty assignment") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Components.connectedComponents(empty, "a", "b").count() === 0L)
