@@ -479,6 +479,46 @@ object PipelineQueries {
           sum(col("d1i")).as("n_d1"), sum(col("d7i")).as("n_d7"))
     }),
 
+    // STREAM-STREAM interval join — Spark's built-in two-stream join with
+    // watermark-bounded state: each purchase inner-joins the same user's
+    // clicks in the preceding hour; both sides are filters of ONE file
+    // stream (a stream self-join), each watermarked, so the join state
+    // evicts rows once the watermark passes the interval bound. Two
+    // sentinels (one per side, reserved users) drain both watermarks.
+    // The drained pairs aggregate per purchase; the oracle is the plain
+    // batch theta join — batch ≡ stream for the join family too.
+    "q_stream_stream_join" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts"), col("value"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq(
+        (-1L, "purchase", -1L, sentinelTs, 0.0),
+        (-2L, "click", -2L, sentinelTs, 0.0))
+        .toDF("user_id", "event_type", "event_id", "ts", "value")
+      val src = streamWithSentinel(spark, ev, sentinel, delaySec)
+      val p = src.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      val c = src.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"))
+      graft.streaming.EventStream.runToMemory(
+        joined, "q_stream_stream_join_out", OutputMode.Append())
+      spark.table("q_stream_stream_join_out")
+        .where(col("p_user") >= 0)
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("c_value").cast("decimal(18,6)")).cast("double")
+            .as("click_value"))
+    }),
+
     // Point-in-time (as-of) join as a streaming query: purchases and
     // clicks tagged into ONE keyed stream, the watermark-ordered exact
     // streaming as-of ([[graft.streaming.EventStream.streamingAsOfExact]])
@@ -1303,6 +1343,19 @@ object PipelineQueries {
         |  CAST(MIN(b.b_lo) AS TIMESTAMP) AS first_b_lo
         |FROM a JOIN b ON a.a_lo < b.b_hi AND b.b_lo < a.a_hi
         |GROUP BY a.a_id""".stripMargin,
+    // the plain batch theta join defines what the watermarked
+    // stream-stream join must emit
+    "q_stream_stream_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |  date_trunc('second', ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, date_trunc('second', ts) AS c_ts, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, COUNT(*) AS n_clicks,
+        |  CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts < p.p_ts
+        |GROUP BY p.purchase_id""".stripMargin,
     // identical oracle to q_asof_join: the streaming as-of must reproduce
     // DuckDB's native ASOF LEFT JOIN bit-for-bit
     "q_asof_join_stream" ->
