@@ -519,6 +519,44 @@ object PipelineQueries {
             .as("click_value"))
     }),
 
+    // LEFT OUTER stream-stream join: same interval self-join, but
+    // purchases with NO preceding click must still emit (with nulls) —
+    // Spark emits the null-padded row only once the watermark proves no
+    // match can arrive, the subtle outer-join-on-streams semantics. The
+    // oracle is the batch LEFT JOIN; n_clicks counts matches only.
+    "q_stream_stream_left" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_trunc("second", col("ts")).as("ts"), col("value"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq(
+        (-1L, "purchase", -1L, sentinelTs, 0.0),
+        (-2L, "click", -2L, sentinelTs, 0.0))
+        .toDF("user_id", "event_type", "event_id", "ts", "value")
+      val src = streamWithSentinel(spark, ev, sentinel, delaySec)
+      val p = src.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+      val c = src.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("value").as("c_value"))
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"),
+        "left_outer")
+      graft.streaming.EventStream.runToMemory(
+        joined, "q_stream_stream_left_out", OutputMode.Append())
+      spark.table("q_stream_stream_left_out")
+        .where(col("p_user") >= 0)
+        .groupBy("purchase_id")
+        .agg(count(col("c_ts")).as("n_clicks"),
+          sum(col("c_value").cast("decimal(18,6)")).cast("double")
+            .as("click_value"))
+    }),
+
     // Point-in-time (as-of) join as a streaming query: purchases and
     // clicks tagged into ONE keyed stream, the watermark-ordered exact
     // streaming as-of ([[graft.streaming.EventStream.streamingAsOfExact]])
@@ -1354,6 +1392,18 @@ object PipelineQueries {
         |SELECT p.purchase_id, COUNT(*) AS n_clicks,
         |  CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
         |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts < p.p_ts
+        |GROUP BY p.purchase_id""".stripMargin,
+    // batch LEFT JOIN: unmatched purchases appear with 0 clicks/null sum
+    "q_stream_stream_left" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |  date_trunc('second', ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, date_trunc('second', ts) AS c_ts, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, COUNT(c.c_ts) AS n_clicks,
+        |  CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts < p.p_ts
         |GROUP BY p.purchase_id""".stripMargin,
     // identical oracle to q_asof_join: the streaming as-of must reproduce
