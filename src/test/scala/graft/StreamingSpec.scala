@@ -522,6 +522,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  // Stream-stream join state retention: a click delivered in a LATER
+  // microbatch than its purchase still joins (the purchase waits in join
+  // state until the watermark passes its interval bound); an out-of-window
+  // click never matches.
+  test("stream-stream interval join matches across microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // (user, side: p|c, id, ts)
+    val in = MemoryStream[(Long, String, Long, java.sql.Timestamp)]
+    val src = in.toDF().toDF("user_id", "side", "id", "ts")
+      .withWatermark("ts", "2 hours")
+    val p = src.where(col("side") === "p")
+      .select(col("user_id").as("p_user"), col("id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val c = src.where(col("side") === "c")
+      .select(col("user_id").as("c_user"), col("id").as("click_id"),
+        col("ts").as("c_ts"))
+    val q = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"))
+      .select("purchase_id", "click_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss_join_out").start()
+    in.addData((1L, "p", 100L, ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    // in-window click arrives a batch AFTER its purchase; out-of-window
+    // click (2h earlier) arrives too
+    in.addData((1L, "c", 200L, ts("2024-01-01 10:00:00")),
+      (1L, "c", 201L, ts("2024-01-01 08:00:00")))
+    q.processAllAvailable()
+    in.addData((9L, "p", -1L, ts("2024-01-02 12:00:00")),
+      (9L, "c", -2L, ts("2024-01-02 12:00:00"))) // advance both watermarks
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join_out")
+      .where(col("purchase_id") >= 0)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((100L, 200L)))
+  }
+
   test("streaming minhash bucket index flags near-dup arrivals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
