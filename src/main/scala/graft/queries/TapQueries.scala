@@ -72,11 +72,16 @@ object TapQueries {
       |"columns":[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"},
       |{"name":"n_tags","type":"int"}]}""".stripMargin
 
-  // PG `SIMILAR TO` (SQL regex, whole-string match): alternation +
-  // wildcard, `_` single-char, and a NOT form — rewritten by SqlDialect
-  // to anchored RLIKE; DuckDB runs the original natively as the oracle.
+  // PG `SIMILAR TO` (SQL regex, whole-string match): alternation, `\_`
+  // literal-underscore escape, `_` single-char wildcard — and the PG
+  // rule that `.` `^` `$` are LITERAL characters (PG docs §9.7.2), which
+  // the two trailing clauses pin: 'NATION.5' and 'NATION_1$' must match
+  // NOTHING (fixture names have no '.' or '$'); an unescaped rewrite
+  // would match NATION_5 / NATION_1. DuckDB's own SIMILAR TO is raw
+  // regex (different semantics), so the oracle states the PG meaning
+  // explicitly via regexp_full_match.
   private val similarToJson =
-    """{"name":"nation_similar","sql":"SELECT n_nationkey, n_name FROM nation WHERE n_name SIMILAR TO '(FRA|GER)%' OR (n_name SIMILAR TO '%I_' AND n_name NOT SIMILAR TO 'I%')",
+    """{"name":"nation_similar","sql":"SELECT n_nationkey, n_name FROM nation WHERE n_name SIMILAR TO 'NATION\\_(1|2)_' OR n_name SIMILAR TO 'NATION.5' OR n_name SIMILAR TO 'NATION_1$'",
       |"key_properties":["n_nationkey"],
       |"columns":[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"}]}""".stripMargin
 
@@ -165,10 +170,13 @@ object TapQueries {
     "tap_any_array" ->
       """SELECT n_nationkey, n_name, 3 AS n_tags FROM nation
         |WHERE n_name IN ('FRANCE','GERMANY','CANADA','JAPAN') OR n_nationkey IN (1,2)""".stripMargin,
+    // DuckDB's SIMILAR TO is raw regex, NOT PG SIMILAR TO — the oracle
+    // states the PG semantics (\_ literal, _ any-char, . ^ $ literal).
     "tap_similar_to" ->
       """SELECT n_nationkey, n_name FROM nation
-        |WHERE n_name SIMILAR TO '(FRA|GER)%'
-        |OR (n_name SIMILAR TO '%I_' AND n_name NOT SIMILAR TO 'I%')""".stripMargin,
+        |WHERE regexp_full_match(n_name, 'NATION_(1|2).')
+        |OR regexp_full_match(n_name, 'NATION\.5')
+        |OR regexp_full_match(n_name, 'NATION.1\$')""".stripMargin,
     "tap_operator_collate" ->
       """SELECT n_nationkey, n_name FROM nation
         |WHERE n_name LIKE 'NATION_1%' OR n_name ILIKE 'nation_2_'

@@ -466,10 +466,13 @@ object SqlDialect {
 
   /** Translate a PG `SIMILAR TO` pattern body into a Java/Spark regex:
     * `%` → `.*`, `_` → `.` (both literal inside `[...]` classes and when
-    * backslash-escaped), everything else — including the SQL-regex
-    * metacharacters `| * + ? ( ) { } [ ]` PG shares with POSIX — passes
-    * through. The result is wrapped `^(?:…)$` because SIMILAR TO matches
-    * the ENTIRE string, unlike RLIKE's substring search.
+    * backslash-escaped); `.` `^` `$` are NOT metacharacters in SIMILAR TO
+    * (PG docs §9.7.2) so they're escaped outside classes (inside `[...]`
+    * Java already treats `.`/`$` literally and `^` keeps its POSIX
+    * negation role). Everything else — the SQL-regex metacharacters
+    * `| * + ? ( ) { } [ ]` PG shares with POSIX — passes through. The
+    * result is wrapped `^(?:…)$` because SIMILAR TO matches the ENTIRE
+    * string, unlike RLIKE's substring search.
     */
   def similarToRegex(pat: String): String = {
     val sb = new StringBuilder
@@ -488,6 +491,7 @@ object SqlDialect {
         case ']' if inClass => inClass = false; sb.append(c)
         case '%' if !inClass => sb.append(".*")
         case '_' if !inClass => sb.append('.')
+        case '.' | '^' | '$' if !inClass => sb.append('\\').append(c)
         case _ => sb.append(c)
       }
       i += 1

@@ -41,7 +41,18 @@ object StreamSource {
       .getOrElse(org.apache.spark.sql.types.StringType)
     val sql = SqlDialect.bindRepKeyVal(
       SqlDialect.rewrite(stream.sql), start, repKeyType)
-    val df = spark.sql(sql)
+    // PG '...' literals are backslash-LITERAL (standard_conforming_strings,
+    // PG default since 9.1); Spark's parser processes \-escapes unless
+    // escapedStringLiterals is on. Scope the PG semantics to this parse so
+    // regex/SIMILAR TO patterns like '\d+' or 'NATION\.5' survive intact.
+    val escKey = "spark.sql.parser.escapedStringLiterals"
+    val prevEsc = spark.conf.getOption(escKey)
+    val df =
+      try { spark.conf.set(escKey, "true"); spark.sql(sql) }
+      finally { prevEsc match {
+        case Some(v) => spark.conf.set(escKey, v)
+        case None => spark.conf.unset(escKey)
+      } }
     val flat = flattenDepth
       .map(d => graft.operators.Flattener.flatten(df, d)).getOrElse(df)
     Conformance.conform(flat, stream.columns, stream.name)

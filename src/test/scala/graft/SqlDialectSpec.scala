@@ -357,6 +357,12 @@ class SqlDialectSpec extends AnyFunSuite {
       === "WHERE x NOT RLIKE '^(?:.*a.b)$'")
     // wildcards are literal inside character classes and under escapes
     assert(SqlDialect.similarToRegex("[%_]x\\%y\\_z") === "[%_]x%y_z")
+    // . ^ $ are LITERAL in PG SIMILAR TO (PG docs §9.7.2) → escaped in
+    // the Java regex; inside [...] classes they pass through unchanged
+    // (Java treats . and $ literally there, ^ keeps POSIX negation)
+    assert(SqlDialect.similarToRegex("a.b%") === "a\\.b.*")
+    assert(SqlDialect.similarToRegex("x^y$") === "x\\^y\\$")
+    assert(SqlDialect.similarToRegex("[a.^]%") === "[a.^].*")
     // column-valued pattern: no static translation, left unchanged
     val colPat = "WHERE x SIMILAR TO y"
     assert(SqlDialect.rewriteSimilarTo(colPat) === colPat)
@@ -378,6 +384,18 @@ class SqlDialectSpec extends AnyFunSuite {
     // ALGERIA ends I+one char; INDIA excluded by the NOT; IRAN matches
     // neither (whole-string anchoring keeps 'IRAN' out of '%I_')
     assert(got === Seq("ALGERIA", "FRANCE", "GERMANY"))
+    // literal-dot/dollar semantics end-to-end: 'FRA.CE' must NOT match
+    // FRANCE (PG: '.' literal), 'FRANC_$' must NOT match FRANCE. The
+    // emitted '\.' escape only survives Spark's parser under the
+    // escapedStringLiterals conf StreamSource.native scopes per-parse.
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try {
+      val dotGot = spark.sql(SqlDialect.rewrite(
+        """SELECT n FROM similar_t
+          |WHERE n SIMILAR TO 'FRA.CE' OR n SIMILAR TO 'FRANC_$'""".stripMargin))
+        .as[String].collect().toSeq
+      assert(dotGot.isEmpty)
+    } finally spark.conf.unset("spark.sql.parser.escapedStringLiterals")
   }
 
   test("rewritten JSON/ANY/array forms execute in Spark") {
