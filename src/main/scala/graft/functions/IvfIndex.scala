@@ -208,7 +208,11 @@ object IvfIndex {
 
     val probed2 = probeRange(index, queries, idCol, vecCol, nProbe1, nProbe2)
       .join(broadcast(listStats), "list_id")
-      .join(broadcast(kth), "query_id")
+      // LEFT join: a query with ZERO wave-1 candidates (all nProbe1 lists
+      // empty or self-excluded) has no kth row at all — it must still
+      // probe every wave-2 list, not lose its probe rows to an inner join
+      .join(broadcast(kth), Seq("query_id"), "left")
+      .withColumn("kth_sim", coalesce(col("kth_sim"), lit(-1e18)))
       .withColumn("__ub",
         greatest(col("qdotc") / greatest(Similarity.norm(col("qv")), lit(1e-12))
           + col("r_max"), lit(0.0)) / greatest(col("n_min"), lit(1e-9)))

@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   *
   * Interval semantics: half-open `[lo, hi)`; `lo`/`hi`/`point` are
   * treated on a numeric axis supplied by `axis` (default: epoch seconds
-  * of a timestamp column).
+  * of a timestamp column). The axis may be real-valued — bucket coverage
+  * uses `floor(lo/w) .. ceil(hi/w)-1`, valid for fractional endpoints —
+  * but axis/width arithmetic happens in double precision, so axes whose
+  * values exceed 2^53 (e.g. nanosecond epochs) should be rescaled first.
   */
 object RangeJoin {
 
@@ -49,13 +52,14 @@ object RangeJoin {
     val i = intervals
       .withColumn("__lo", axis(col(loCol)))
       .withColumn("__hi", axis(col(hiCol)))
-      // [lo, hi) covers buckets floor(lo/w) .. floor((hi-1)/w); an empty
-      // interval (hi <= lo) covers nothing and drops out via the
-      // sequence guard
+      // [lo, hi) covers buckets floor(lo/w) .. ceil(hi/w)-1 — valid for
+      // REAL-valued axes too (a fractional hi like 1.2 still reaches
+      // bucket 1; on integers it equals floor((hi-1)/w)); an empty
+      // interval (hi <= lo) covers nothing and drops out via the guard
       .where(col("__hi") > col("__lo"))
       .withColumn("__bucket", explode(sequence(
         floor(col("__lo") / bucketWidth),
-        floor((col("__hi") - 1) / bucketWidth))))
+        ceil(col("__hi") / bucketWidth) - 1)))
     p.join(i, Seq("__bucket"))
       .where(col("__pv") >= col("__lo") && col("__pv") < col("__hi"))
       .drop("__bucket", "__pv", "__lo", "__hi")
@@ -80,9 +84,10 @@ object RangeJoin {
       .withColumn(loOut, axis(col(lo)))
       .withColumn(hiOut, axis(col(hi)))
       .where(col(hiOut) > col(loOut))
+      // same real-valid covering as pointInInterval: floor(lo/w) .. ceil(hi/w)-1
       .withColumn("__bucket", explode(sequence(
         floor(col(loOut) / bucketWidth),
-        floor((col(hiOut) - 1) / bucketWidth))))
+        ceil(col(hiOut) / bucketWidth) - 1)))
     val l = banded(left, leftLo, leftHi, "__llo", "__lhi")
     val r = banded(right, rightLo, rightHi, "__rlo", "__rhi")
     l.join(r, Seq("__bucket"))

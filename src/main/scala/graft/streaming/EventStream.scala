@@ -129,7 +129,13 @@ object EventStream {
 
   final case class BandedDoc(band: Long, doc_id: Long, sh: Seq[Long],
                              ts: java.sql.Timestamp)
-  final case class BucketMembers(ms: Vector[(Long, Seq[Long])])
+  /** LSH-bucket state: capped membership plus the max member event-time
+    * seen so far — kept so the sealing timeout is MONOTONE across
+    * microbatches (a later batch whose arrivals all carry smaller ts
+    * must not pull an armed timeout earlier).
+    */
+  final case class BucketMembers(ms: Vector[(Long, Seq[Long])],
+                                 maxTs: Long = Long.MinValue)
   final case class DupPair(id_a: Long, id_b: Long, jaccard: Double)
 
   /** Watermark-drained streaming MinHash near-dup PAIRS — the streaming
@@ -172,8 +178,9 @@ object EventStream {
             state.remove()
             verifyBucketPairs(ms, threshold)
           } else {
-            val prev = state.getOption.map(_.ms).getOrElse(Vector.empty)
-            var maxTs = Long.MinValue
+            val prevState = state.getOption
+            val prev = prevState.map(_.ms).getOrElse(Vector.empty)
+            var maxTs = prevState.map(_.maxTs).getOrElse(Long.MinValue)
             val arrivals = rows.map { r =>
               maxTs = math.max(maxTs, r.ts.getTime); (r.doc_id, r.sh)
             }.toVector
@@ -181,10 +188,11 @@ object EventStream {
             // whatever order (or batch split) the members arrived in
             val capped = (prev ++ arrivals).distinctBy(_._1)
               .sortBy(_._1).take(maxBucket)
-            state.update(BucketMembers(capped))
-            // close when the watermark passes the newest member; a later
-            // arrival (still above the watermark by the contract) simply
-            // re-arms the timeout further out
+            state.update(BucketMembers(capped, maxTs))
+            // close when the watermark passes the newest member EVER seen
+            // (monotone: folding the stored max means a batch of
+            // smaller-ts stragglers can only push the timeout out, never
+            // pull an armed one earlier and seal over in-flight members)
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty

@@ -62,6 +62,28 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(same === plain)
   }
 
+  // A query whose wave-1 probes yield ZERO candidates (its nearest list
+  // holds only itself, excluded) has no per-query kth row; the wave-2
+  // pruning join must be a LEFT join so such a query still probes every
+  // wave-2 list rather than silently returning nothing.
+  test("refined search with zero wave-1 candidates still probes wave 2") {
+    val corpus = Seq(
+      (0L, Seq(10f, 0f), 0),
+      (1L, Seq(0f, 1f), 1), (2L, Seq(0.1f, 1f), 1), (3L, Seq(0.2f, 1f), 1),
+      (4L, Seq(0.3f, 1f), 1), (5L, Seq(0.4f, 1f), 1))
+      .toDF("vec_id", "embedding", "list_id")
+    val centroids = Array(0 -> Array(10.0, 0.0), 1 -> Array(0.0, 1.0))
+    val index = IvfIndex.Index(centroids, corpus)
+    val queries = corpus.where(col("vec_id") === 0L)
+      .select("vec_id", "embedding")
+    // wave 1 = list 0 = {query itself} → zero candidates after excludeSelf
+    val got = IvfIndex.searchRefined(index, queries, "vec_id", "embedding",
+        k = 3, nProbe1 = 1, nProbe2 = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.length === 3)
+    assert(got.forall { case (q, n) => q == 0L && n >= 1L })
+  }
+
   test("IVF index persists: save/load round-trip, list-partitioned layout") {
     val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
     val queries = emb.filter(col("vec_id") < 4)

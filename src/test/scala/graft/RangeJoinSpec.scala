@@ -59,6 +59,43 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  // Fractional axes: [0.5, 1.2) at width 1 must reach bucket 1 (a point
+  // at 1.1 lives there) — the integer-only floor((hi-1)/w) banding missed
+  // it. Both join forms, exact vs the naive theta join, across widths.
+  test("bucketized joins are exact on a real-valued (fractional) axis") {
+    val points = Seq(0.4, 0.5, 1.1, 1.19, 1.2, 2.5, 3.0)
+      .toDF("p").withColumn("pid", col("p"))
+    val intervals = Seq(
+      (1L, 0.5, 1.2),  // the ADVICE case: covers buckets 0 AND 1 at w=1
+      (2L, 1.2, 1.3),  // tiny, strictly inside bucket 1
+      (3L, 2.0, 3.0),  // hi exactly on a bucket boundary — excludes 3.0
+      (4L, 0.9, 0.9)   // empty
+    ).toDF("iid", "lo", "hi")
+    for (width <- Seq(1L, 2L, 10L)) {
+      val got = RangeJoin.pointInInterval(points, "p", intervals,
+          "lo", "hi", width, axis = c => c)
+        .select("pid", "iid").as[(Double, Long)].collect().sorted.toSeq
+      val want = points.crossJoin(intervals)
+        .where(col("p") >= col("lo") && col("p") < col("hi"))
+        .select("pid", "iid").as[(Double, Long)].collect().sorted.toSeq
+      assert(got === want, s"width=$width")
+      assert(got.distinct === got, s"width=$width produced duplicates")
+    }
+    val b = Seq((10L, 1.1, 1.25), (11L, 2.9, 3.1), (12L, 0.0, 0.4))
+      .toDF("bid", "blo", "bhi")
+    for (width <- Seq(1L, 4L)) {
+      val got = RangeJoin.intervalOverlap(
+          intervals.toDF("aid", "alo", "ahi"), "alo", "ahi",
+          b, "blo", "bhi", width, axis = c => c)
+        .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+      val want = intervals.toDF("aid", "alo", "ahi").crossJoin(b)
+        .where(col("alo") < col("bhi") && col("blo") < col("ahi"))
+        .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got === want, s"width=$width")
+      assert(got.distinct === got, s"width=$width produced duplicates")
+    }
+  }
+
   test("gate entry q_range_join equals the naive predicate join") {
     val ev = Tables.read(spark, SparkTestSession.Sf, "events")
     val windows = ev

@@ -522,6 +522,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  // Timeout monotonicity: a later microbatch whose arrivals carry SMALLER
+  // event-times than an already-buffered member must not pull the armed
+  // seal earlier — the bucket stays open until the watermark passes the
+  // max member ts EVER seen, so stragglers above the watermark still pair
+  // with every earlier member.
+  test("minhashPairsStream keeps bucket open for stragglers after a smaller-ts batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Dedup
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val nPerm = 64; val bands = 16
+    val sameText = "the quick brown fox jumps over the lazy dog again and again"
+    val banded = in.toDF().toDF("doc_id", "text", "ts")
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("ts"), col("sh"),
+        explode(Dedup.lshBandKeys(
+          Dedup.minhashSignature(col("sh"), nPerm), nPerm, bands)).as("band"))
+      .as[EventStream.BandedDoc]
+    val q = EventStream.minhashPairsStream(banded, threshold = 0.5).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("minhash_monotone_out").start()
+    // A at 10:00 → watermark 09:00; the bucket's max member ts is 10:00
+    in.addData((1L, sameText, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // B at 09:05 — a batch whose max arrival ts is BELOW the stored max;
+    // a non-monotone re-arm would lower the seal to 09:05
+    in.addData((2L, sameText, ts("2024-01-01 09:05:00")))
+    q.processAllAvailable()
+    // dummy pushes the watermark to 09:07 (> 09:05, still < 10:00):
+    // under the bug the bucket seals NOW with only {A, B}
+    in.addData((-1L, "totally unrelated filler words here", ts("2024-01-01 10:07:00")))
+    q.processAllAvailable()
+    // C at 09:30 is legitimately in flight (above the 09:07 watermark)
+    in.addData((3L, sameText, ts("2024-01-01 09:30:00")))
+    q.processAllAvailable()
+    // drain: watermark past every member ts
+    in.addData((-2L, "more unrelated filler", ts("2024-01-01 12:00:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("minhash_monotone_out").where(col("id_a") >= 0)
+      .select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   // Stream-stream join state retention: a click delivered in a LATER
   // microbatch than its purchase still joins (the purchase waits in join
   // state until the watermark passes its interval bound); an out-of-window
