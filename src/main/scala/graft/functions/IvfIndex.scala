@@ -1,8 +1,5 @@
 package graft.functions
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,8 +8,9 @@ import org.apache.spark.sql.functions._
   * scale path for similarity search, complementing the sign-projection LSH
   * in [[Similarity]].
   *
-  *  - **build**: KMeans (MLlib, seeded) learns `nLists` centroids on a
-  *    sample; every corpus vector is assigned to its nearest centroid.
+  *  - **build**: seeded k-means ([[LocalKMeans]], driver-local over a
+  *    capped sample) learns `nLists` centroids; every corpus vector is
+  *    assigned to its nearest centroid.
   *    At 100 TB the assignment is one broadcast (centroids are tiny) +
   *    one projection, and the corpus is written partitioned/bucketed by
   *    `list_id` so a probe reads only its lists' files.
@@ -54,19 +52,34 @@ object IvfIndex {
   /** Learn centroids and assign the corpus. `assigned` = corpus columns +
     * `list_id`; the per-list residual stats are computed here (build-time
     * metadata, like the centroids themselves).
+    *
+    * The coarse quantizer trains DRIVER-LOCALLY on a capped content-hash
+    * sample ([[LocalKMeans]] — the FAISS training shape); only the
+    * ASSIGNMENT touches the full corpus, and it is one codegen'd
+    * nearest-centroid projection, no MLlib job per Lloyd round.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             nLists: Int, seed: Long = 42L): Index = {
-    val withVec = corpus.withColumn("__v", array_to_vector(
-      col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("__v")
-      .fit(withVec)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }
-    val assigned = model.transform(withVec)
-      .withColumnRenamed("prediction", "list_id").drop("__v")
+    val sample = LocalKMeans.sampleVectors(corpus, vecCol,
+      cap = fitSampleCap, seed = seed)
+    val centers = LocalKMeans.fit(sample, nLists, iters = 12, seed = seed)
+    val centroids = centers.zipWithIndex.map { case (c, i) => (i, c) }
+    val assigned = corpus.withColumn("list_id",
+      nearestCentroid(col(vecCol), centers))
     Index(centroids, assigned,
       Some(computeListStats(centroids, assigned, vecCol)))
+  }
+
+  /** Quantizer fit-sample cap (vectors collected to the driver). */
+  private[functions] val fitSampleCap = 16384
+
+  /** Nearest-centroid id as a codegen'd projection (first index on exact
+    * ties — deterministic).
+    */
+  private def nearestCentroid(v: Column, centers: Array[Array[Double]]): Column = {
+    val dists = array(centers.map(c =>
+      sqDist(v, array(c.map(lit(_)): _*))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** Squared euclidean distance between a float-array column and a

@@ -1,7 +1,7 @@
 package graft.functions
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
+
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -67,9 +67,8 @@ object PqIndex {
       array(cb.map(c => subDot(qv, i, dsub, c)): _*)
     }: _*)
 
-  /** Learn per-subspace codebooks (seeded KMeans per subspace — at corpus
-    * scale, fit on a sample; the fit input is |corpus| × dsub) and encode
-    * the corpus once.
+  /** Learn per-subspace codebooks (seeded local k-means over a capped
+    * content-hash sample) and encode the corpus once.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, ksub: Int = 16, seed: Long = 42L): Index = {
@@ -84,33 +83,23 @@ object PqIndex {
     Index(m, dsub, codebooks, codes)
   }
 
-  /** All `m` subspace KMeans fits off ONE cached projection of the
-    * corpus (each fit re-scanning the source would read the data m
-    * times; at build scale the fits run on a sample anyway). Random
-    * init: k-means|| costs extra passes per fit and buys nothing on
-    * low-dim subvectors.
+  /** All `m` subspace codebooks off ONE collected fit sample
+    * ([[LocalKMeans]]): the corpus is scanned once for the capped
+    * content-hash sample, sliced into subvectors locally, and the m
+    * seeded fits run as plain driver loops — the previous per-fit MLlib
+    * path scheduled (m × Lloyd rounds) near-empty Spark jobs whose
+    * arithmetic at fit size is sub-millisecond.
     */
   private def fitSubspaceCodebooks(vecs: DataFrame, vecCol: String, m: Int,
                                    dsub: Int, ksub: Int,
                                    seed: Long): Array[Array[Array[Double]]] = {
-    // few fat partitions: every KMeans iteration is a job over this tiny
-    // (sampled, at scale) fit set — 32 near-empty tasks per iteration ×
-    // m fits is pure scheduling overhead, and a FIXED partition count
-    // makes the seeded init sample layout-independent
-    val subs = vecs.select((0 until m).map(i =>
-      array_to_vector(slice(col(vecCol), i * dsub + 1, dsub))
-        .as(s"__v$i")): _*)
-      .coalesce(4)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      (0 until m).map { i =>
-        // 8 Lloyd rounds: quantization codebooks saturate early; each
-        // extra round is a full job per fit (m fits back to back)
-        new KMeans().setK(ksub).setSeed(seed + i).setFeaturesCol(s"__v$i")
-          .setInitMode("random").setMaxIter(8)
-          .fit(subs).clusterCenters.map(_.toArray)
-      }.toArray
-    } finally subs.unpersist(false)
+    val sample = LocalKMeans.sampleVectors(vecs, vecCol,
+      cap = IvfIndex.fitSampleCap, seed = seed)
+    (0 until m).map { i =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub))
+      LocalKMeans.fit(sub, ksub, iters = 12, seed = seed + i)
+    }.toArray
   }
 
   /** Persist the index: codebooks as one tiny parquet (m·ksub rows),
