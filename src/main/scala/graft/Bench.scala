@@ -37,7 +37,9 @@ object Bench {
     // product-quantization ANN next to its IVF/LSH siblings
     "q_range_join", "q_range_overlap", "dedup_components", "sim_pq",
     // IVF-PQ, the composed curation DAG, and pretraining sequence packing
-    "sim_ivfpq", "pipeline_full", "text_pack")
+    "sim_ivfpq", "pipeline_full", "text_pack",
+    // round-5: exact duplicate-span removal (boilerplate scrubbing)
+    "dedup_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

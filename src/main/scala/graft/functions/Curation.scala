@@ -96,6 +96,52 @@ object Curation {
           - col("__off")).cast("int").as("tok_end"))
   }
 
+  /** Exact duplicate-SPAN removal across the corpus — the relational,
+    * fixed-boundary form of exact-substring training-data dedup (the
+    * suffix-array formulation drops any repeated 50-token substring;
+    * aligning on fixed k-token spans makes the same boilerplate signal a
+    * pure groupBy/join). Every k-token span whose text appeared earlier
+    * in corpus order — (doc_id, span_idx) — is dropped, the first
+    * occurrence kept, and each doc's cleaned text reassembled from its
+    * surviving spans. Returns (doc_id, n_spans, n_kept, text_dedup).
+    *
+    * Scale shape: explode to (doc, span_idx, span_text); the FIRST
+    * occurrence per span is a groupBy-min over (doc_id, span_idx)
+    * structs — partial aggregation absorbs boilerplate-span skew
+    * map-side (a span repeated 10⁷× reduces to one row per map
+    * partition; no window over hot span keys, no collect anywhere);
+    * hash join back on the span key; per-doc reassembly aggregates the
+    * kept spans sorted by index, state O(one document) — the unit every
+    * text operator already holds.
+    */
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                span: Int): DataFrame = {
+    require(span > 0, s"span must be > 0, got $span")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val spans = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), toks.as("__toks"),
+        size(toks).as("__n"))
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0),
+          ceil(col("__n") / lit(span.toDouble)).cast("int") - 1))
+          .as("span_idx"))
+      .select(col("doc_id"), col("span_idx"),
+        concat_ws(" ", slice(col("__toks"), col("span_idx") * span + 1,
+          lit(span))).as("span_text"))
+    val first = spans.groupBy("span_text")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("__first"))
+    spans.join(first, "span_text")
+      .withColumn("__keep",
+        struct(col("doc_id"), col("span_idx")) === col("__first"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(when(col("__keep"), 1).otherwise(0)).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("span_idx"), col("span_text"))))),
+          x => x.getField("span_text")), " ").as("text_dedup"))
+  }
+
   /** Benchmark decontamination by k-gram overlap (the GPT-3/appendix-C
     * shape): a candidate document is contaminated if it shares at least
     * one word k-gram with the benchmark corpus. Returns one row per

@@ -354,6 +354,14 @@ object PipelineQueries {
         "text", "doc_id", k = 4)
     }),
 
+    // Exact duplicate-span removal (fixed 16-token spans): every span
+    // whose text appeared earlier in (doc_id, span_idx) order drops;
+    // docs reassemble from surviving spans. groupBy-min first-occurrence
+    // + hash join back — no windows over hot span keys.
+    "dedup_spans" -> ((spark, dir) =>
+      graft.functions.Curation.spanDedup(
+        Tables.read(spark, dir, "documents"), "text", "doc_id", span = 16)),
+
     // Pretraining sequence packing: the doc_id-ordered token stream
     // sliced into 128-token sequences, one row per (doc × sequence)
     // intersection. The global offset is a two-phase prefix sum — no
@@ -1137,6 +1145,28 @@ object PipelineQueries {
         |  array_to_string(toks[(cid*8+1):least(cid*8+16, n)], ' ') AS chunk_text,
         |  CAST(least(cid*8+16, n) - cid*8 AS INT) AS n_tokens
         |FROM c""".stripMargin,
+    // same spanning as the engine: 16-token aligned spans, struct-min
+    // first occurrence, ordered reassembly of the kept spans
+    "dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |s AS (SELECT doc_id, toks, n,
+        |  unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS si FROM n),
+        |sp AS (SELECT doc_id, CAST(si AS INT) AS span_idx,
+        |  array_to_string(toks[(si*16+1):least(si*16+16, n)], ' ') AS span_text
+        |  FROM s),
+        |f AS (SELECT span_text, min(struct_pack(d := doc_id, i := span_idx)) AS first
+        |  FROM sp GROUP BY span_text),
+        |j AS (SELECT sp.doc_id, sp.span_idx, sp.span_text,
+        |  (sp.doc_id = f.first.d AND sp.span_idx = f.first.i) AS keep
+        |  FROM sp JOIN f USING (span_text))
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep THEN span_text END, ' '
+        |    ORDER BY span_idx), '') AS text_dedup
+        |FROM j GROUP BY doc_id""".stripMargin,
+
     // shared normalized 4-grams against the doc_id%97 benchmark slice;
     // grams per doc are DISTINCT (list_distinct mirrors array_distinct)
     "text_decontaminate" ->

@@ -75,6 +75,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("span dedup keeps first occurrence in corpus order, reassembles docs") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // all spans first — kept whole
+      (2L, "c d a b x y"), // 'c d' and 'a b' already seen in doc 1
+      (3L, "a b q r"),     // 'a b' seen; 'q r' survives
+      (4L, "   ")          // blank → no row
+    ).toDF("doc_id", "text")
+    val got = Curation.spanDedup(docs, "text", "doc_id", span = 2)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3, 3, "a b c d e f"),
+      (2L, 3, 1, "x y"),
+      (3L, 2, 1, "q r")))
+    // within-doc repeats collapse too: second 'p q' in doc 10 drops
+    val self = Curation.spanDedup(
+      Seq((10L, "p q p q z z")).toDF("doc_id", "text"),
+      "text", "doc_id", span = 2)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(self === Seq((10L, 3, 2, "p q z z")))
+  }
+
   test("decontamination flags gram sharing, benchmark excluded from output") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val cands = Seq(
