@@ -96,6 +96,51 @@ object Curation {
           - col("__off")).cast("int").as("tok_end"))
   }
 
+  /** Greedy NEXT-FIT bin packing of whole documents under a token
+    * budget — the non-splitting sibling of [[packTokenSpans]] (batching
+    * docs into training sequences without cutting any doc; a doc larger
+    * than the budget gets a bin alone). Docs are walked in doc_id order
+    * within independent doc_id-range buckets; a doc that would overflow
+    * the current bin opens the next one. Returns one row per doc:
+    * (doc_id, n_tokens, bucket, bin_idx, bin_start).
+    *
+    * Scale shape: bin assignment is a genuinely SEQUENTIAL fold (the
+    * boundary depends on the full prefix), so it cannot be a prefix sum —
+    * bounding the fold to doc_id-range buckets makes the groups
+    * independent and parallel, and `flatMapSortedGroups` streams each
+    * group through O(1) state (two counters; the iterator is never
+    * materialized). One hash shuffle on the bucket key; bins never cross
+    * buckets, so the only packing loss is ≤ one underfull bin per
+    * bucket. This is the justified typed-API seam: no window, no
+    * collect, no per-group array.
+    */
+  def packBinsNextFit(df: DataFrame, textCol: String, idCol: String,
+                      budget: Long, bucketSize: Long = 1L << 20): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(bucketSize > 0, s"bucketSize must be > 0, got $bucketSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("int").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("bucket", floor(col("doc_id") / bucketSize))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._3)
+      .flatMapSortedGroups(col("doc_id")) { (bucket: Long, rows: Iterator[(Long, Int, Long)]) =>
+        var binIdx = 0L
+        var fill = 0L
+        var first = true
+        rows.map { case (docId, n, _) =>
+          val start =
+            if (first) { first = false; fill = n.toLong; 0L }
+            else if (fill + n > budget) { binIdx += 1; fill = n.toLong; 0L }
+            else { val s = fill; fill += n; s }
+          (docId, n, bucket, binIdx, start)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "bucket", "bin_idx", "bin_start")
+  }
+
   /** Exact duplicate-SPAN removal across the corpus — the relational,
     * fixed-boundary form of exact-substring training-data dedup (the
     * suffix-array formulation drops any repeated 50-token substring;

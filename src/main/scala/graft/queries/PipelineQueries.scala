@@ -362,6 +362,15 @@ object PipelineQueries {
       graft.functions.Curation.spanDedup(
         Tables.read(spark, dir, "documents"), "text", "doc_id", span = 16)),
 
+    // Greedy next-fit bin packing (whole docs, 256-token budget, 64-id
+    // buckets): the sequential fold runs per independent bucket via
+    // flatMapSortedGroups with O(1) state; the oracle replays the same
+    // fold as a DuckDB recursive CTE.
+    "text_pack_bins" -> ((spark, dir) =>
+      graft.functions.Curation.packBinsNextFit(
+        Tables.read(spark, dir, "documents"), "text", "doc_id",
+        budget = 256L, bucketSize = 64L)),
+
     // Pretraining sequence packing: the doc_id-ordered token stream
     // sliced into 128-token sequences, one row per (doc × sequence)
     // intersection. The global offset is a two-phase prefix sum — no
@@ -1145,6 +1154,30 @@ object PipelineQueries {
         |  array_to_string(toks[(cid*8+1):least(cid*8+16, n)], ' ') AS chunk_text,
         |  CAST(least(cid*8+16, n) - cid*8 AS INT) AS n_tokens
         |FROM c""".stripMargin,
+    // the same per-bucket next-fit fold, replayed one rank at a time by
+    // a recursive CTE (oracle-scale sequentiality is fine in DuckDB)
+    "text_pack_bins" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    CAST(floor(doc_id / 64) AS BIGINT) AS bucket,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n,
+        |    row_number() OVER (PARTITION BY floor(doc_id / 64)
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |fold AS (
+        |  SELECT bucket, rn, doc_id, n,
+        |    CAST(0 AS BIGINT) AS bin_idx, CAST(0 AS BIGINT) AS bin_start,
+        |    CAST(n AS BIGINT) AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.bucket, t.rn, t.doc_id, t.n,
+        |    CASE WHEN f.fill + t.n > 256 THEN f.bin_idx + 1 ELSE f.bin_idx END,
+        |    CASE WHEN f.fill + t.n > 256 THEN 0 ELSE f.fill END,
+        |    CASE WHEN f.fill + t.n > 256 THEN CAST(t.n AS BIGINT) ELSE f.fill + t.n END
+        |  FROM fold f JOIN t ON t.bucket = f.bucket AND t.rn = f.rn + 1)
+        |SELECT doc_id, n AS n_tokens, bucket, bin_idx, bin_start
+        |FROM fold""".stripMargin,
+
     // same spanning as the engine: 16-token aligned spans, struct-min
     // first occurrence, ordered reassembly of the kept spans
     "dedup_spans" ->

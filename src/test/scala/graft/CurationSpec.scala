@@ -75,6 +75,42 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("next-fit bin packing: sequential fold per bucket, whole docs, oversize alone") {
+    def txt(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, txt(5)), (2L, txt(3)), // 5+3=8 fits budget 8 → bin 0
+      (3L, txt(4)),               // opens bin 1
+      (4L, txt(9)),               // oversize → bin 2 alone (fill 9 > 8)
+      (5L, txt(2)),               // 9+2>8 → bin 3
+      (64L, txt(7)), (65L, txt(8)) // next bucket restarts at bin 0
+    ).toDF("doc_id", "text")
+    val got = Curation.packBinsNextFit(docs, "text", "doc_id",
+        budget = 8L, bucketSize = 64L)
+      .orderBy("doc_id").as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 5, 0L, 0L, 0L), (2L, 3, 0L, 0L, 5L),
+      (3L, 4, 0L, 1L, 0L), (4L, 9, 0L, 2L, 0L), (5L, 2, 0L, 3L, 0L),
+      (64L, 7, 1L, 0L, 0L), (65L, 8, 1L, 1L, 0L)))
+    // fixture invariants: within every (bucket, bin), docs are contiguous
+    // in doc_id order, starts chain exactly, and only oversize docs
+    // exceed the budget
+    val fx = Curation.packBinsNextFit(
+      Tables.read(spark, SparkTestSession.Sf, "documents"),
+      "text", "doc_id", budget = 256L, bucketSize = 64L)
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(fx.nonEmpty)
+    fx.groupBy(r => (r._3, r._4)).foreach { case ((_, _), rs) =>
+      val sorted = rs.sortBy(_._1)
+      assert(sorted.head._5 === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 === a._5 + a._2)
+        case _ =>
+      }
+      val total = sorted.map(_._2.toLong).sum
+      assert(total <= 256L || sorted.length == 1)
+    }
+  }
+
   test("span dedup keeps first occurrence in corpus order, reassembles docs") {
     val docs = Seq(
       (1L, "a b c d e f"), // all spans first — kept whole
