@@ -73,4 +73,44 @@ object Sampling {
     }
     df.where(portableBucket(col(keyCol)) < cutExpr)
   }
+
+  /** Domain-mix REBALANCING: deterministically downsample so the surviving
+    * corpus matches target group `weights` (web/code/books, languages, …)
+    * as closely as downsampling allows. With group counts n_g and weights
+    * w_g, the largest achievable total is `T = min_g n_g/w_g`; each group
+    * keeps fraction `f_g = min(1, w_g·T/n_g)` (the binding group survives
+    * whole, everything else is cut down to proportion — never upsampled).
+    * Membership is the same portable md5 keep as [[portableHashSample]]:
+    * a pure function of the key, reproducible in any engine. Groups
+    * missing from `weights` (or weighted 0) drop.
+    *
+    * Scale shape: group counts and cuts are two aggregates over nGroups
+    * rows (domains are few by definition) broadcast back to the scan —
+    * the corpus sees one filter pass, nothing collects to the driver, and
+    * the whole mix recipe stays inside the plan.
+    */
+  def rebalanceMix(df: DataFrame, keyCol: String, groupCol: String,
+                   weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must not be empty")
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    val weightExpr = weights.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", weights.foldLeft(lit(0.0)) { case (acc, (g, w)) =>
+        when(col("__g") === g, lit(w)).otherwise(acc) })
+      .where(col("__w") > 0)
+    val cap = counts.agg(min(col("__n") / col("__w")).as("__cap"))
+    val cuts = counts.crossJoin(broadcast(cap))
+      .withColumn("__f",
+        least(lit(1.0), col("__w") * col("__cap") / col("__n")))
+      // same clamp as hexCut: floor(f·2³²) capped at 2³²−1, 8 hex digits
+      .select(col("__g"), format_string("%08x",
+        least(floor(col("__f") * lit(4294967296.0)), lit(4294967295.0))
+          .cast("long")).as("__cut"))
+    df.join(broadcast(cuts), col(groupCol) === col("__g"))
+      .where(portableBucket(col(keyCol)) < col("__cut"))
+      .drop("__g", "__cut")
+  }
 }

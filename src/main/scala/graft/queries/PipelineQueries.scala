@@ -795,6 +795,17 @@ object PipelineQueries {
         Map("en" -> 0.5, "fr" -> 0.1, "de" -> 0.1, "es" -> 0.1, "zh" -> 0.1))
         .select("doc_id", "lang")),
 
+    // Domain-mix rebalancing: downsample each language to the target mix
+    // (en .3 / de .2 / fr .2 / es .15 / zh .15) — per-group keep
+    // fractions derived IN-PLAN from corpus counts and the binding group,
+    // membership by the portable md5 keep. The oracle recomputes the
+    // identical fractions from its own counts.
+    "sample_rebalance" -> ((spark, dir) =>
+      graft.functions.Sampling.rebalanceMix(
+        Tables.read(spark, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.15, "zh" -> 0.15))
+        .select("doc_id", "lang", "source")),
+
     // One-pass mergeable quantile sketch (t-digest style custom
     // TypedImperativeAggregate). Digest estimates are sketch-specific
     // (pass-through in the oracle; rank-accuracy bounds live in
@@ -1369,6 +1380,20 @@ object PipelineQueries {
         |  CASE lang WHEN 'en' THEN '${graft.functions.Sampling.hexCut(0.5)}'
         |  ELSE '${graft.functions.Sampling.hexCut(0.1)}' END
         |AND lang IN ('en','fr','de','es','zh')""".stripMargin,
+    "sample_rebalance" ->
+      """WITH w(grp, wt) AS (VALUES ('en', 0.3), ('de', 0.2), ('fr', 0.2),
+        |  ('es', 0.15), ('zh', 0.15)),
+        |c AS (SELECT lang AS grp, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents GROUP BY lang),
+        |j AS (SELECT c.grp, c.n, w.wt FROM c JOIN w USING (grp) WHERE wt > 0),
+        |t AS (SELECT min(n / wt) AS cap FROM j),
+        |f AS (SELECT grp, printf('%08x', CAST(least(
+        |    floor(least(1.0, wt * cap / n) * 4294967296.0),
+        |    4294967295.0) AS BIGINT)) AS cut
+        |  FROM j, t)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN f ON d.lang = f.grp
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < f.cut""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
         |g AS (SELECT user_id, event_id, ts_s,

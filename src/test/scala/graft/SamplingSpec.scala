@@ -45,6 +45,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.portableHashSample(df, "id", 1.0).count() === 10000)
   }
 
+  test("mix rebalancing hits target proportions, binding group kept whole") {
+    // 4000 a / 1000 b / 500 c; target 50/25/25 → b binds (1000/.25=4000):
+    // keep all of b, 2000 of a (f=.5), 1000 of c (f=1 → c can't reach
+    // 1000 from 500... cap=min(4000/.5, 1000/.25, 500/.25)=2000 → a:1000,
+    // b:500, c:500 — c is the binding group, kept whole
+    val df = spark.range(0, 5500).toDF("id")
+      .withColumn("grp", when(col("id") < 4000, "a")
+        .when(col("id") < 5000, "b").otherwise("c"))
+    val got = Sampling.rebalanceMix(df, "id", "grp",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val byGrp = got.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    // binding group exactly whole; others within hash-sampling tolerance
+    assert(byGrp("c") === 500L)
+    assert(math.abs(byGrp("a") - 1000L) < 120, byGrp.toString)
+    assert(math.abs(byGrp("b") - 500L) < 90, byGrp.toString)
+    // unlisted groups drop
+    val dropped = Sampling.rebalanceMix(
+      df.withColumn("grp", when(col("id") < 5000, col("grp")).otherwise("x")),
+      "id", "grp", Map("a" -> 0.5, "b" -> 0.5))
+    assert(dropped.where(col("grp") === "x").count() === 0L)
+    // deterministic: membership is a pure function of the key
+    val again = Sampling.rebalanceMix(df.repartition(13), "id", "grp",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    assert(again.select("id").as[Long].collect().sorted.toSeq ===
+      got.select("id").as[Long].collect().sorted.toSeq)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = Tables.read(spark, SparkTestSession.Sf, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("qty"))
