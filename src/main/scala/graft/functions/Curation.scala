@@ -159,11 +159,15 @@ object Curation {
     * kept spans sorted by index, state O(one document) — the unit every
     * text operator already holds.
     */
-  def spanDedup(df: DataFrame, textCol: String, idCol: String,
-                span: Int): DataFrame = {
+  /** One row per aligned k-token span: (doc_id, span_idx, span_text).
+    * Stateless projections only, so it applies to streaming inputs
+    * unchanged (the streaming first-occurrence entry reuses it).
+    */
+  private[graft] def spanRows(df: DataFrame, textCol: String, idCol: String,
+                              span: Int): DataFrame = {
     require(span > 0, s"span must be > 0, got $span")
     val toks = TextAnalysis.tokens(col(textCol))
-    val spans = df.where(length(trim(col(textCol))) > 0)
+    df.where(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"), toks.as("__toks"),
         size(toks).as("__n"))
       .select(col("doc_id"), col("__toks"), col("__n"),
@@ -173,6 +177,11 @@ object Curation {
       .select(col("doc_id"), col("span_idx"),
         concat_ws(" ", slice(col("__toks"), col("span_idx") * span + 1,
           lit(span))).as("span_text"))
+  }
+
+  def spanDedup(df: DataFrame, textCol: String, idCol: String,
+                span: Int): DataFrame = {
+    val spans = spanRows(df, textCol, idCol, span)
     val first = spans.groupBy("span_text")
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("__first"))
     spans.join(first, "span_text")

@@ -70,6 +70,38 @@ object PipelineQueries {
           max(col("n_copies")).as("n_copies"))
     }),
 
+    // STREAMING first-occurrence span dedup: the surviving span per
+    // distinct text with its occurrence count — min(doc_id, span_idx)
+    // struct and count are SET properties, so the streamed result equals
+    // batch whatever the microbatch split; state per span key is O(1)
+    // (one struct + one counter), the spanning itself is stateless.
+    "dedup_spans_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), lit(t0).as("ts"))
+      val marker = "\u0000sentinel" // cannot occur in real text
+      val sentinel = Seq((-1L, marker,
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val spans = graft.functions.Curation.spanRows(
+        streamWithSentinel(spark, docs, sentinel, delaySec = 3600L),
+        "text", "doc_id", span = 16)
+      val agg = spans.groupBy("span_text")
+        .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"),
+          count(lit(1)).as("n_occurrences"))
+      graft.streaming.EventStream.runToMemory(
+        agg, "dedup_spans_stream_out", OutputMode.Update())
+      spark.table("dedup_spans_stream_out")
+        .where(col("span_text") =!= marker)
+        .groupBy("span_text")
+        .agg(min(col("first")).as("first"),
+          max(col("n_occurrences")).as("n_occurrences"))
+        .select(col("first.doc_id").as("doc_id"),
+          col("first.span_idx").as("span_idx"), col("n_occurrences"))
+    }),
+
     // Near-dup CLUSTERING: verified minhash pairs (same params as
     // dedup_minhash, so the identical deterministic pair set) → connected
     // components via alternating large-star/small-star → one row per doc
@@ -1165,6 +1197,23 @@ object PipelineQueries {
         |  array_to_string(toks[(cid*8+1):least(cid*8+16, n)], ' ') AS chunk_text,
         |  CAST(least(cid*8+16, n) - cid*8 AS INT) AS n_tokens
         |FROM c""".stripMargin,
+    // the batch first-occurrence aggregate over the same spanning — the
+    // streamed Update-mode result must collapse to exactly this
+    "dedup_spans_stream" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |s AS (SELECT doc_id, toks, n,
+        |  unnest(range(0, CAST(ceil(n / 16.0) AS BIGINT))) AS si FROM n),
+        |sp AS (SELECT doc_id, CAST(si AS INT) AS span_idx,
+        |  array_to_string(toks[(si*16+1):least(si*16+16, n)], ' ') AS span_text
+        |  FROM s),
+        |f AS (SELECT span_text,
+        |  min(struct_pack(d := doc_id, i := span_idx)) AS first,
+        |  count(*) AS n FROM sp GROUP BY span_text)
+        |SELECT first.d AS doc_id, first.i AS span_idx,
+        |  CAST(n AS BIGINT) AS n_occurrences FROM f""".stripMargin,
+
     // the same per-bucket next-fit fold, replayed one rank at a time by
     // a recursive CTE (oracle-scale sequentiality is fine in DuckDB)
     "text_pack_bins" ->

@@ -522,6 +522,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  // First-occurrence span dedup streams to the same survivors as batch
+  // whatever the microbatch split: min(doc_id, span_idx) and count are
+  // set properties of the sealed corpus.
+  test("streaming span first-occurrence equals batch under scrambled batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Curation
+    implicit val sc = spark.sqlContext
+    val docsDf = Tables.read(spark, SparkTestSession.Sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val want = Curation.spanRows(docsDf, "text", "doc_id", 16)
+      .groupBy("span_text")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"),
+        count(lit(1)).as("n"))
+      .select(col("first.doc_id"), col("first.span_idx"), col("n"))
+      .as[(Long, Int, Long)].collect().toSet
+    val all = docsDf.as[(Long, String)].collect()
+    val batches = all.groupBy(d => math.abs(d._1 * 40503L % 3)).values.toSeq
+    val in = MemoryStream[(Long, String)]
+    val agg = Curation.spanRows(
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id", 16)
+      .groupBy("span_text")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("first"),
+        count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("span_first_out").start()
+    batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("span_first_out")
+      .groupBy("span_text")
+      .agg(min(col("first")).as("first"), max(col("n")).as("n"))
+      .select(col("first.doc_id"), col("first.span_idx"), col("n"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   // Timeout monotonicity: a later microbatch whose arrivals carry SMALLER
   // event-times than an already-buffered member must not pull the armed
   // seal earlier — the bucket stays open until the watermark passes the
