@@ -125,6 +125,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket-local verify needs at most one member-attach join, saw $idJoins:\n$plan")
   }
 
+  test("dedup_spans: first-occurrence is partial-agg'd; no cartesian join") {
+    // The span-text groupBy-min must combine map-side (boilerplate-span
+    // skew collapses before the exchange) and the join back must be a
+    // hash/merge join on the span key — never a nested loop.
+    val plan = finalPlan("dedup_spans")
+    assert(plan.contains("partial_min"),
+      s"first-occurrence min must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span join-back must be a key join:\n$plan")
+  }
+
+  test("sample_rebalance: per-group cuts broadcast; corpus never shuffles") {
+    // The corpus side must see one filter pass with the nGroups cut table
+    // broadcast to it — a shuffled join (or a corpus-side Exchange at
+    // all, beyond the tiny counts aggregate) is the wrong plan at 100 TB.
+    val plan = finalPlan("sample_rebalance")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cuts must broadcast-join against the scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the cut join:\n$plan")
+  }
+
   test("q_range_join hash-joins on the minted bucket key (no nested loop)") {
     // A bare range predicate join plans as BroadcastNestedLoopJoin —
     // every point against every interval. The bucketized operator must
