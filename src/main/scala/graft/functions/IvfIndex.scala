@@ -76,7 +76,7 @@ object IvfIndex {
   /** Nearest-centroid id as a codegen'd projection (first index on exact
     * ties — deterministic).
     */
-  private def nearestCentroid(v: Column, centers: Array[Array[Double]]): Column = {
+  private[functions] def nearestCentroid(v: Column, centers: Array[Array[Double]]): Column = {
     val dists = array(centers.map(c =>
       sqDist(v, array(c.map(lit(_)): _*))): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")

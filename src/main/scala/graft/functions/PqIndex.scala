@@ -150,13 +150,8 @@ object PqIndex {
                  nLists: Int = 16, m: Int = 8, ksub: Int = 16,
                  seed: Long = 42L): IvfPq = {
     val ivf = IvfIndex.build(corpus, idCol, vecCol, nLists, seed)
-    val centroidMap = element_at(
-      map_from_entries(array(ivf.centroids.map { case (i, c) =>
-        struct(lit(i), array(c.map(lit(_)): _*))
-      }: _*)), col("list_id"))
     val resid = ivf.assigned.select(col(idCol), col("list_id"),
-      zip_with(col(vecCol), centroidMap,
-        (x, y) => x.cast("double") - y).as("__r"))
+      residualExpr(ivf.centroids, col(vecCol)).as("__r"))
     val dim = ivf.centroids.head._2.length
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val dsub = dim / m
@@ -166,6 +161,49 @@ object PqIndex {
       encodeExpr(col("__r"), codebooks, dsub).as("codes"))
     IvfPq(ivf, m, dsub, codebooks, codes)
   }
+
+  /** Residual (v − centroid_of_list) against literal centroids. */
+  private def residualExpr(centroids: Array[(Int, Array[Double])],
+                           v: Column): Column = {
+    val centroidMap = element_at(
+      map_from_entries(array(centroids.map { case (i, c) =>
+        struct(lit(i), array(c.map(lit(_)): _*))
+      }: _*)), col("list_id"))
+    zip_with(v, centroidMap, (x, y) => x.cast("double") - y)
+  }
+
+  /** Stateless (id, list_id, codes) encoding of vectors against a FIXED
+    * index — the train-once / ingest-forever projection: nearest coarse
+    * centroid, residual, PQ codes, all codegen'd expressions with the
+    * quantizers inlined as literals. Applies unchanged to STREAMING
+    * input (no state, no shuffle — encode happens where the data
+    * arrives).
+    */
+  def encodeIvfPq(index: IvfPq, df: DataFrame, idCol: String,
+                  vecCol: String): DataFrame = {
+    val centers = index.ivf.centroids.map(_._2)
+    df.select(col(idCol),
+        IvfIndex.nearestCentroid(col(vecCol), centers).as("list_id"),
+        col(vecCol))
+      .select(col(idCol), col("list_id"),
+        encodeExpr(residualExpr(index.ivf.centroids, col(vecCol)),
+          index.codebooks, index.dsub).as("codes"))
+  }
+
+  /** Encode-on-arrival ingest: stream vectors through [[encodeIvfPq]]
+    * into the saved index's list-partitioned codes layout (append).
+    * New arrivals land as new files under their `list_id=` partition, so
+    * probe-pruned loads keep working as the index grows; the coarse/PQ
+    * quantizers stay fixed (retrain = rebuild, the standard IVF contract).
+    */
+  def ingestStream(index: IvfPq, vectors: DataFrame, idCol: String,
+                   vecCol: String, path: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    encodeIvfPq(index, vectors, idCol, vecCol)
+      .writeStream.format("parquet").partitionBy("list_id")
+      .option("checkpointLocation", checkpoint)
+      .option("path", s"$path/codes")
+      .outputMode("append").start()
 
   /** IVF-PQ search: probe nProbe lists, ADC-score ONLY those lists'
     * codes (approx dot = q·c_list + residual table lookups), exact-cosine

@@ -260,6 +260,39 @@ object PipelineQueries {
           round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // STREAMING encode-on-arrival IVF-PQ ingest: quantizers train once
+    // (batch build), the codes dir is wiped, and every vector re-enters
+    // through the file-stream encode (stateless projections → arrival
+    // order irrelevant) appending to the list-partitioned layout; the
+    // re-loaded index answers the same search. Same pair-value oracle as
+    // sim_ivfpq — the streamed index must produce identical exact sims.
+    "sim_ivfpq_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      val emb = Tables.read(spark, dir, "embeddings")
+      val index = graft.functions.PqIndex.buildIvfPq(emb, "vec_id",
+        "embedding", nLists = 16, m = 8, ksub = 16)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-ingest").toString
+      graft.functions.PqIndex.saveIvfPq(index, root)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$root/codes"))
+      val src = s"$root/arrivals"
+      emb.select("vec_id", "embedding").write.parquet(src)
+      val stream = spark.readStream
+        .schema(emb.select("vec_id", "embedding").schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = graft.functions.PqIndex.ingestStream(index, stream,
+        "vec_id", "embedding", root,
+        java.nio.file.Files.createTempDirectory("graft-ivfpq-ckpt").toString)
+      q.processAllAvailable(); q.stop()
+      val loaded = graft.functions.PqIndex.loadIvfPq(spark, root)
+      graft.functions.PqIndex.searchIvfPq(loaded, emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nProbe = 4, shortlist = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
     // Two-wave IVF with residual-bound pruning: wave 1 probes 2 lists,
     // wave 2 considers 4 but exact-scores only lists whose residual bound
     // could beat the query's current k-th similarity (IvfIndexSpec proves
@@ -1292,6 +1325,7 @@ object PipelineQueries {
     "sim_ivf_refined" -> annPairOracle("sim_ivf_refined"),
     "sim_pq" -> annPairOracle("sim_pq"),
     "sim_ivfpq" -> annPairOracle("sim_ivfpq"),
+    "sim_ivfpq_stream" -> annPairOracle("sim_ivfpq_stream"),
     "text_fingerprint" -> s"""
         |WITH o AS (SELECT doc_id, fp, simhash
         |  FROM read_parquet('__OUT__/text_fingerprint/*.parquet')),

@@ -97,6 +97,45 @@ class PqIndexSpec extends AnyFunSuite {
     assert(run(back) === run(idx))
   }
 
+  test("streaming encode-on-arrival rebuilds identical codes and searches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val idx = PqIndex.buildIvfPq(emb, "vec_id", "embedding",
+      nLists = 16, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-ingest").toString
+    PqIndex.saveIvfPq(idx, dir)
+    // wipe the batch-written codes; re-ingest every vector via the stream
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$dir/codes"))
+    val all = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val batches = all.groupBy(v => math.abs(v._1 * 2654435761L % 3)).values.toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = PqIndex.ingestStream(idx,
+      in.toDF().toDF("vec_id", "embedding").select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")),
+      "vec_id", "embedding", dir,
+      java.nio.file.Files.createTempDirectory("ivfpq-ckpt").toString)
+    batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val loaded = PqIndex.loadIvfPq(spark, dir)
+    // streamed codes are bit-identical to the batch encode
+    val want = idx.codes.orderBy("vec_id")
+      .select("vec_id", "list_id", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSeq
+    val got = loaded.codes.orderBy("vec_id")
+      .select("vec_id", "list_id", "codes")
+      .as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(got === want)
+    // and the ingested index answers searches identically
+    val queries = emb.filter(col("vec_id") < 8)
+    def run(i: PqIndex.IvfPq) =
+      PqIndex.searchIvfPq(i, emb, queries, "vec_id", "embedding",
+          k = 10, nProbe = 4, shortlist = 64)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(run(loaded) === run(idx))
+  }
+
   test("save/load round-trips codebooks and codes") {
     val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString
