@@ -778,4 +778,84 @@ object Dedup {
       }.toDF("id_a", "id_b", "dist", "jaccard").distinct()
     }
   }
+
+  // ------------------------------------------- cross-corpus (incremental)
+
+  /** MinHash band index over a CORPUS — the build-once side of
+    * incremental dedup. One row per (band key, member doc):
+    * `(band, id_c, sh_c, bands_c)` where `sh_c` is the doc's shingle-hash
+    * set and `bands_c` the band keys the doc actually SURVIVED the
+    * per-bucket cap in (hot buckets keep only their `maxBucket` smallest
+    * ids, the same skew guardrail as [[minhashDupPairs]] — and
+    * exactly-once matching downstream must know which memberships were
+    * dropped, hence the kept-band array rides along).
+    *
+    * Build cost is corpus-once: three narrow shuffles (band groupBy with
+    * an O(maxBucket) bottom-k buffer, kept-band groupBy bounded by the
+    * band count, one hash join back to the shingle sets). At scale,
+    * persist the result `bucketBy(band)` — every later incremental run
+    * then probes it exchange-free, and appending a day's accepted docs is
+    * a partition-local merge, not a corpus rebuild.
+    */
+  def minhashBandIndex(corpus: DataFrame, textCol: String, idCol: String,
+                       k: Int = 3, nPerm: Int = 64, bands: Int = 0,
+                       threshold: Double = 0.5, seed: Long = 42L,
+                       maxBucket: Int = 1000): DataFrame = {
+    val nBands = if (bands > 0) bands else lshParams(nPerm, threshold)._1
+    val base = rebalance(corpus.select(col(idCol).cast("long").as("id_c"),
+      shingleHashes(col(textCol), k).as("sh_c")))
+    val sigs = base.select(col("id_c"), col("sh_c"),
+      lshBandKeys(minhashSignature(col("sh_c"), nPerm, seed), nPerm, nBands)
+        .as("__allb"))
+    val capped = sigs.select(col("id_c"), explode(col("__allb")).as("band"))
+      .groupBy("band")
+      .agg(graft.plans.BottomKLongs.bottomK(col("id_c"), maxBucket).as("__ids"))
+      .select(col("band"), explode(col("__ids")).as("id_c"))
+    val kept = capped.groupBy("id_c")
+      .agg(sort_array(collect_list(col("band"))).as("bands_c"))
+    capped.join(kept, "id_c").join(sigs.select("id_c", "sh_c"), "id_c")
+      .select("band", "id_c", "sh_c", "bands_c")
+  }
+
+  /** Incremental (cross-corpus) near-dup: match INCOMING docs against an
+    * existing corpus's [[minhashBandIndex]], emitting
+    * `(id_corpus, id_new, jaccard)` for every cross pair with exact
+    * Jaccard ≥ threshold. Corpus×corpus and incoming×incoming pairs are
+    * never formed — the daily-crawl shape: the 100 TB corpus is indexed
+    * once, each new batch shuffles only itself.
+    *
+    * The plan is a single stateless equi-join on the band key: incoming
+    * docs are banded (pure projection), joined to the index, and each
+    * joined row verifies exact Jaccard inline via `array_intersect` over
+    * the two shingle-hash sets — candidate pairs never materialize as a
+    * separate stream needing re-joins. A pair sharing several bands would
+    * join once per shared band; the `band = min(shared kept bands)`
+    * filter keeps exactly one of those rows with NO distinct/aggregation
+    * — which is also why `incoming` may be a STREAMING DataFrame: the
+    * whole query is a stateless stream-static join, exactly-once under
+    * any microbatch split (gate entry `dedup_incremental_stream`).
+    */
+  def crossCorpusDupPairs(index: DataFrame, incoming: DataFrame,
+                          textCol: String, idCol: String,
+                          k: Int = 3, nPerm: Int = 64, bands: Int = 0,
+                          threshold: Double = 0.5,
+                          seed: Long = 42L): DataFrame = {
+    val nBands = if (bands > 0) bands else lshParams(nPerm, threshold)._1
+    val inn = incoming.select(col(idCol).cast("long").as("id_new"),
+        shingleHashes(col(textCol), k).as("sh_n"))
+      .select(col("id_new"), col("sh_n"),
+        lshBandKeys(minhashSignature(col("sh_n"), nPerm, seed), nPerm, nBands)
+          .as("__bn"))
+      .select(col("id_new"), col("sh_n"), col("__bn"),
+        explode(col("__bn")).as("band"))
+    val joined = inn.join(index, "band")
+      .where(col("id_new") =!= col("id_c"))
+      .where(col("band") ===
+        array_min(array_intersect(col("__bn"), col("bands_c"))))
+    val inter = size(array_intersect(col("sh_n"), col("sh_c")))
+    val uni = size(col("sh_n")) + size(col("sh_c")) - inter
+    joined.select(col("id_c").as("id_corpus"), col("id_new"),
+        (inter.cast("double") / uni.cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 }

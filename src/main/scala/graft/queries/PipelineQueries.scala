@@ -157,6 +157,49 @@ object PipelineQueries {
         .distinct()
     }),
 
+    // INCREMENTAL dedup — the daily-crawl shape: even doc_ids play the
+    // existing corpus (indexed once via minhashBandIndex), odd doc_ids
+    // the new batch; only cross pairs are emitted. Oracle recomputes the
+    // exact Jaccard per returned pair AND re-derives the contract from
+    // the pair itself: corpus side even, incoming side odd, similarity at
+    // threshold, one row per pair (DISTINCT) — a wrong-side, duplicate,
+    // or below-threshold emission breaks the row match.
+    "dedup_incremental" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val index = Dedup.minhashBandIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      Dedup.crossCorpusDupPairs(index,
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+    }),
+
+    // The same incremental matcher with the new batch arriving as a FILE
+    // STREAM against the static corpus index: crossCorpusDupPairs is a
+    // stateless stream-static join (exactly-once comes from the
+    // min-shared-band filter, not from dedup state), so microbatch
+    // boundaries cannot change the output. Identical oracle contract to
+    // dedup_incremental.
+    "dedup_incremental_stream" -> ((spark, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val docs = Tables.read(spark, dir, "documents")
+      val index = Dedup.minhashBandIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-incr-stream").toString + "/arrivals"
+      val arriving = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select("doc_id", "text")
+      arriving.repartition(4).write.parquet(src)
+      val stream = spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val pairs = Dedup.crossCorpusDupPairs(index, stream,
+        "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      graft.streaming.EventStream.runToMemory(
+        pairs, "dedup_incremental_stream_out", OutputMode.Append())
+      spark.table("dedup_incremental_stream_out")
+    }),
+
     // TF-weighted shingle cosine (sparse bag-of-shingles similarity): all
     // arithmetic is exact-integer until the final fixed-order double
     // comparison/division, so the oracle reproduces dot AND sim
@@ -998,6 +1041,26 @@ object PipelineQueries {
       .withWatermark("ts", s"$delaySec seconds")
   }
 
+  /** Pair-value oracle for the incremental (cross-corpus) dedup entries.
+    * Beyond recomputing the exact Jaccard per emitted pair, it re-derives
+    * the operator's contract from the pairs themselves: corpus side even,
+    * incoming side odd (the entry's split), similarity at threshold, one
+    * row per pair (DISTINCT) — a wrong-side, below-threshold, or
+    * duplicated emission shows up as a row-count mismatch, not just a
+    * value mismatch.
+    */
+  private def incrementalPairOracle(name: String): String = s"""
+        |WITH p AS (SELECT DISTINCT id_corpus, id_new
+        |  FROM read_parquet('__OUT__/$name/*.parquet')
+        |  WHERE id_corpus % 2 = 0 AND id_new % 2 = 1),
+        |$shingleCtes,
+        |j AS (SELECT p.id_corpus, p.id_new,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+        |FROM p JOIN sh a ON p.id_corpus = a.doc_id
+        |JOIN sh b ON p.id_new = b.doc_id)
+        |SELECT * FROM j WHERE jaccard >= 0.5""".stripMargin
+
   private def annPairOracle(name: String): String = s"""
         |WITH p AS (SELECT query_id, neighbor_id, rank
         |  FROM read_parquet('__OUT__/$name/*.parquet'))
@@ -1326,6 +1389,9 @@ object PipelineQueries {
     "sim_pq" -> annPairOracle("sim_pq"),
     "sim_ivfpq" -> annPairOracle("sim_ivfpq"),
     "sim_ivfpq_stream" -> annPairOracle("sim_ivfpq_stream"),
+    "dedup_incremental" -> incrementalPairOracle("dedup_incremental"),
+    "dedup_incremental_stream" ->
+      incrementalPairOracle("dedup_incremental_stream"),
     "text_fingerprint" -> s"""
         |WITH o AS (SELECT doc_id, fp, simhash
         |  FROM read_parquet('__OUT__/text_fingerprint/*.parquet')),

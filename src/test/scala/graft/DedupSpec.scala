@@ -336,6 +336,76 @@ class DedupSpec extends AnyFunSuite {
     assert(prefix === naive)
   }
 
+  test("cross-corpus pairs = self-minhash pairs restricted to cross side") {
+    // same banding + seed ⇒ identical candidate buckets ⇒ the incremental
+    // matcher must find exactly the cross-parity subset of the self-join's
+    // verified pairs (no bucket cap engages at fixture size)
+    val all = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val corpus = all.where(pmod(col("doc_id"), lit(2)) === 0)
+    val incoming = all.where(pmod(col("doc_id"), lit(2)) === 1)
+    val index = Dedup.minhashBandIndex(corpus, "text", "doc_id",
+      k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+    val got = Dedup.crossCorpusDupPairs(index, incoming, "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // exactly-once: no pair emitted twice despite multi-band agreement
+    assert(got.length === got.toSet.size)
+    val want = Dedup.minhashDupPairs(all, "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }
+    assert(got.toSet === want.toSet)
+  }
+
+  test("cross-corpus survives bucket caps: kept-band bookkeeping") {
+    // five identical corpus docs share EVERY band bucket; maxBucket=2
+    // keeps only ids 10,20 per bucket. The incoming twin must match each
+    // kept doc exactly once and the capped-out docs not at all.
+    val corpus = Seq(10L, 20L, 30L, 40L, 50L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((7L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(corpus, "text", "doc_id",
+      k = 3, nPerm = 64, bands = 16, threshold = 0.5, maxBucket = 2)
+    val got = Dedup.crossCorpusDupPairs(index, incoming, "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(got === Seq((10L, 7L, 1.0), (20L, 7L, 1.0)))
+  }
+
+  test("cross-corpus streaming incoming matches batch under scrambled microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = spark.sqlContext
+    val all = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val corpus = all.where(pmod(col("doc_id"), lit(2)) === 0)
+    val index = Dedup.minhashBandIndex(corpus, "text", "doc_id",
+      k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+    val batch = Dedup.crossCorpusDupPairs(index,
+        all.where(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val rows = all.where(pmod(col("doc_id"), lit(2)) === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // deterministic scramble into 3 microbatches
+    val batches = rows.groupBy(r => math.abs(r._1 * 2654435761L % 3)).values.toSeq
+    val in = MemoryStream[(Long, String)]
+    val streamed = Dedup.crossCorpusDupPairs(index,
+      in.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+    val q = streamed.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("incr_stream_spec").start()
+    batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("incr_stream_spec")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === got.toSet.size)
+    assert(got.toSet === batch)
+  }
+
   test("minhash signature approximates jaccard") {
     val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
       (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz")).toDF("doc_id", "text")
