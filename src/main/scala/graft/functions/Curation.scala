@@ -226,4 +226,32 @@ object Curation {
         coalesce(col("__hits"), lit(0L)).as("n_shared"),
         (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Deterministic training-shard assignment: every doc gets a `shard`
+    * (portable md5 bucket of its id, mod `nShards`) and a 1-based `pos`
+    * within the shard (md5 order, id tie-break). Shard membership AND
+    * intra-shard order are pure functions of the id — the run is
+    * reproducible across engines, cluster sizes, and reruns, and the md5
+    * ordering doubles as the global example shuffle (hash order ≈ random
+    * order, which is what shuffled training shards want).
+    *
+    * Scale shape: assignment is a projection; `pos` is a window per
+    * shard — one hash-partition-by-shard exchange and a per-shard sort,
+    * which is the exact physical layout a shard writer needs anyway
+    * (`repartition(shard) → sortWithinPartitions → write`), so the
+    * numbering costs nothing beyond the write path it feeds. One shard
+    * must fit one task's spillable sort — at 100 TB pick nShards
+    * accordingly (e.g. 100k shards of ~1 GB).
+    */
+  def shardAssignments(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be > 0, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val ord = md5(col(idCol).cast("string").cast("binary"))
+    val shard = conv(substring(ord, 1, 8), 16, 10).cast("long") % nShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("__ord", ord)
+      .withColumn("pos", row_number().over(w))
+      .drop("__ord")
+  }
 }

@@ -213,4 +213,37 @@ object TextAnalysis {
           j => array_min(slice(g, j, lit(w))))), 1)
     xxhash64(concat_ws(",", transform(array_sort(array_distinct(mins)), x => x.cast("string"))))
   }
+
+  // ----------------------------------------------------------- PII redaction
+
+  /** PII patterns in application order, each `(name, regex, replacement)`.
+    * The regexes stay inside the Java-regex/RE2 common subset (character
+    * classes, bounded repeats, ASCII `\b`; no lookaround, no backrefs) so
+    * the exact same pattern strings drive the engine and any
+    * RE2-family validator — drift between redaction and audit tooling is
+    * a compliance bug, not just a test nuisance.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d[\\d-]{5,}\\d", "<PHONE>"))
+
+  /** Sequential PII redaction: for each pattern in [[PiiPatterns]] order,
+    * count matches in the text AS THE PREVIOUS REDACTIONS LEFT IT, then
+    * replace them — sequencing makes the output well-defined even where
+    * category patterns could overlap (an IP inside an already-redacted
+    * email is never double-counted). Output: `(id, redacted, n_email,
+    * n_ip, n_phone)`. Pure per-row projection — codegen'd regex work,
+    * no shuffle, applies unchanged to streaming input.
+    */
+  def redactPii(df: org.apache.spark.sql.DataFrame, textCol: String,
+                idCol: String): org.apache.spark.sql.DataFrame = {
+    val init = df.select(col(idCol), col(textCol).as("__t"))
+    val out = PiiPatterns.foldLeft(init) { case (d, (name, pat, repl)) =>
+      d.withColumn(s"n_$name",
+          size(regexp_extract_all(col("__t"), lit(pat), lit(0))).cast("long"))
+        .withColumn("__t", regexp_replace(col("__t"), pat, repl))
+    }
+    out.withColumnRenamed("__t", "redacted")
+  }
 }

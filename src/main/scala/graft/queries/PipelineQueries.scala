@@ -400,6 +400,23 @@ object PipelineQueries {
       TextAnalysis.repetitionSignals(
         Tables.read(spark, dir, "documents"), "text", "doc_id")),
 
+    // PII redaction over deterministically PII-augmented fixture text
+    // (the synthetic corpus carries no addresses, so each doc gets an
+    // email/IP/phone derived from its own id and source — the oracle
+    // performs the IDENTICAL augmentation, then the identical sequential
+    // count-and-replace with the same pattern strings).
+    "text_redact" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"), lit(" reach "), col("source"),
+          lit("@example.com or 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" tel +1-555-"),
+          lpad(col("doc_id").cast("string"), 7, "0")).as("text"))
+      TextAnalysis.redactPii(aug, "text", "doc_id")
+    }),
+
     // Winnowing fingerprint + simhash are xxhash64-based (engine-specific,
     // spec-verified; they ride through the oracle from the output file);
     // fp_exact (md5 of normalized text) and fp_min (min md5-prefix over
@@ -449,6 +466,25 @@ object PipelineQueries {
       graft.functions.Curation.chunkByTokens(
         Tables.read(spark, dir, "documents"), "text", "doc_id",
         window = 16, stride = 8)),
+
+    // Deterministic training-shard assignment: portable md5 shard + the
+    // md5-ordered position inside each shard (the global example
+    // shuffle). Both columns are pure functions of doc_id, so the oracle
+    // recomputes the whole layout independently.
+    "text_shard" -> ((spark, dir) =>
+      graft.functions.Curation.shardAssignments(
+          Tables.read(spark, dir, "documents"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // Per-shard manifest over the same assignment: doc count and total
+    // characters per shard — what a shard writer records next to its
+    // files for audit/resume.
+    "text_shard_manifest" -> ((spark, dir) =>
+      graft.functions.Curation.shardAssignments(
+          Tables.read(spark, dir, "documents"), "doc_id", nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"))),
 
     // Benchmark decontamination: docs sharing any normalized word 4-gram
     // with the held-out "benchmark" slice (doc_id % 97 == 0) are flagged,
@@ -1280,6 +1316,23 @@ object PipelineQueries {
         |  CAST(greatest(off, seq_id * 128) - off AS INT) AS tok_start,
         |  CAST(least(off + nt, (seq_id + 1) * 128) - off AS INT) AS tok_end
         |FROM s""".stripMargin,
+    // full independent recomputation: DuckDB derives shard AND in-shard
+    // position from doc_id alone (md5 prefix as hex → bigint, full md5 as
+    // the order key) — any drift in hashing, modulo, or ordering breaks
+    // every row
+    "text_shard" ->
+      """WITH a AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+        |    AS shard,
+        |  md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents)
+        |SELECT doc_id, shard, CAST(row_number() OVER (
+        |  PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS pos
+        |FROM a""".stripMargin,
+    "text_shard_manifest" ->
+      """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % 8 AS shard,
+        |  count(*) AS n_docs, sum(length(text)) AS n_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // chunk boundaries: [i*stride, i*stride+window) over whitespace
     // tokens; 1 + ceil(max(n-window,0)/stride) chunks per doc
     "text_chunk" ->
@@ -1403,6 +1456,31 @@ object PipelineQueries {
         |  list_min(list_transform(sh.s, g -> substring(md5(g), 1, 16))) AS fp_min
         |FROM o JOIN norms n ON o.doc_id = n.doc_id
         |JOIN sh ON o.doc_id = sh.doc_id""".stripMargin,
+    // same augmentation, same patterns, same sequential count-then-replace
+    // order as the entry; DuckDB's RE2 and Spark's Java regex agree on the
+    // shared pattern subset (documented on TextAnalysis.PiiPatterns)
+    "text_redact" -> """
+        |WITH aug AS (SELECT doc_id,
+        |  text || ' reach ' || source || '@example.com or 10.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |  CAST(doc_id * 7 % 256 AS VARCHAR) || ' tel +1-555-' ||
+        |  lpad(CAST(doc_id AS VARCHAR), 7, '0') AS t FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t FROM aug),
+        |s2 AS (SELECT doc_id, n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+        |    '<IP>', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, n_email, n_ip,
+        |  CAST(len(regexp_extract_all(t, '\+\d[\d-]{5,}\d')) AS BIGINT)
+        |    AS n_phone,
+        |  regexp_replace(t, '\+\d[\d-]{5,}\d', '<PHONE>', 'g') AS t FROM s2)
+        |SELECT doc_id, t AS redacted, n_email, n_ip, n_phone FROM s3""".stripMargin,
     // distinct-count parity: the engine counts distinct k-grams by 64-bit
     // xxhash (WordShingleHashes), the oracle by the strings themselves —
     // equal unless xxhash64 collides within one document (~n²/2⁶⁵)

@@ -148,4 +148,24 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L) === ((1L, true)))
     assert(got.size === 4)
   }
+
+  test("shardAssignments: contiguous positions, full coverage, repartition-stable") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val a = Curation.shardAssignments(docs, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Int)].collect()
+    assert(a.length === docs.count())
+    assert(a.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    // positions are exactly 1..n within each shard
+    a.groupBy(_._2).values.foreach { s =>
+      assert(s.map(_._3).sorted.toSeq === (1 to s.length))
+    }
+    // pure function of the id: any physical layout gives the same rows
+    val b = Curation.shardAssignments(docs.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Long, Int)].collect()
+    assert(b.toSet === a.toSet)
+    // md5 spreads the synthetic contiguous ids: no shard is empty here
+    assert(a.map(_._2).distinct.length === 8)
+  }
 }

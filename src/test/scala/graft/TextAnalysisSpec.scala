@@ -107,6 +107,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("redactPii replaces and counts each category sequentially") {
+    val df = Seq(
+      (1L, "mail a.b+c@ex.co and d@sub.ex.org, host 192.168.0.1, call +1-555-0100"),
+      (2L, "no pii here at all"),
+      (3L, "ip 10.0.0.7 twice 10.0.0.8 and number +46-8-1234567")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "text", "doc_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 ===
+      "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE>")
+    assert((got(1L)._3, got(1L)._4, got(1L)._5) === ((2L, 1L, 1L)))
+    assert(got(2L)._2 === "no pii here at all")
+    assert((got(2L)._3, got(2L)._4, got(2L)._5) === ((0L, 0L, 0L)))
+    assert(got(3L)._2 === "ip <IP> twice <IP> and number <PHONE>")
+    assert((got(3L)._3, got(3L)._4, got(3L)._5) === ((0L, 2L, 1L)))
+  }
+
+  test("redactPii sequencing: digits inside an email are not re-counted as IP/phone") {
+    // the email pattern consumes the whole address including its dotted
+    // digits; after replacement nothing digit-like remains
+    val df = Seq((1L, "u.10.0.0.1@ex.com")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "text", "doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().head
+    assert(r._2 === "<EMAIL>")
+    assert((r._3, r._4, r._5) === ((1L, 0L, 0L)))
+  }
+
   test("quality score is bounded and ranks clean text above noise") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and it was a good day for running",
