@@ -172,6 +172,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a hash join on the minted bucket key:\n$plan")
   }
 
+  test("dedup_incremental: band-key hash joins only, no cartesian, no distinct") {
+    // Incoming×index must meet on the minted band key (equi hash join);
+    // exactly-once comes from the min-shared-band FILTER, so no
+    // aggregation/distinct may appear downstream of the join.
+    val plan = finalSection(finalPlan("dedup_incremental"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus matching must never plan all-pairs:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi join on the band key:\n$plan")
+    assert(!plan.contains("id_corpus") ||
+      !"""HashAggregate\(keys=\[id_corpus""".r.findFirstIn(plan).isDefined,
+      s"exactly-once must come from the band filter, not a distinct:\n$plan")
+  }
+
+  test("text_shard: window partitions by shard (no single-partition sort)") {
+    val plan = finalPlan("text_shard")
+    assert(plan.contains("Window"), s"expected a window for pos:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"shard numbering must never funnel the corpus to one partition:\n$plan")
+  }
+
   test("tap incremental predicate reaches the parquet scan") {
     val plan = executedPlan("tap_incremental")
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
