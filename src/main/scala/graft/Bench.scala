@@ -38,9 +38,10 @@ object Bench {
     "q_range_join", "q_range_overlap", "dedup_components", "sim_pq",
     // IVF-PQ, the composed curation DAG, and pretraining sequence packing
     "sim_ivfpq", "pipeline_full", "text_pack",
-    // round-5: exact duplicate-span removal (boilerplate scrubbing) and
-    // whole-doc next-fit bin packing
-    "dedup_spans", "text_pack_bins")
+    // round-5: exact duplicate-span removal (boilerplate scrubbing),
+    // whole-doc next-fit bin packing, and incremental cross-corpus dedup
+    // (index build + probe in one number; ProfIncremental splits them)
+    "dedup_spans", "text_pack_bins", "dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -784,11 +784,14 @@ object Dedup {
   /** MinHash band index over a CORPUS — the build-once side of
     * incremental dedup. One row per (band key, member doc):
     * `(band, id_c, sh_c, bands_c)` where `sh_c` is the doc's shingle-hash
-    * set and `bands_c` the band keys the doc actually SURVIVED the
-    * per-bucket cap in (hot buckets keep only their `maxBucket` smallest
-    * ids, the same skew guardrail as [[minhashDupPairs]] — and
-    * exactly-once matching downstream must know which memberships were
-    * dropped, hence the kept-band array rides along).
+    * set and `bands_c` its full band-key array with the positions the doc
+    * was CAPPED OUT of nulled (hot buckets keep only their `maxBucket`
+    * smallest ids, the same skew guardrail as [[minhashDupPairs]]).
+    * Keeping the array positional — rather than storing the surviving
+    * keys as a set — is what lets the matcher's exactly-once filter be a
+    * positional `zip_with` comparison (straight-line codegen) instead of
+    * a per-row hash-set intersection: band keys hash their band index, so
+    * two docs can only share a key at the same position.
     *
     * Build cost is corpus-once: three narrow shuffles (band groupBy with
     * an O(maxBucket) bottom-k buffer, kept-band groupBy bounded by the
@@ -812,9 +815,11 @@ object Dedup {
       .agg(graft.plans.BottomKLongs.bottomK(col("id_c"), maxBucket).as("__ids"))
       .select(col("band"), explode(col("__ids")).as("id_c"))
     val kept = capped.groupBy("id_c")
-      .agg(sort_array(collect_list(col("band"))).as("bands_c"))
-    capped.join(kept, "id_c").join(sigs.select("id_c", "sh_c"), "id_c")
-      .select("band", "id_c", "sh_c", "bands_c")
+      .agg(collect_list(col("band")).as("__kept"))
+    capped.join(kept, "id_c").join(sigs, "id_c")
+      .select(col("band"), col("id_c"), col("sh_c"),
+        transform(col("__allb"),
+          b => when(array_contains(col("__kept"), b), b)).as("bands_c"))
   }
 
   /** Incremental (cross-corpus) near-dup: match INCOMING docs against an
@@ -848,10 +853,18 @@ object Dedup {
           .as("__bn"))
       .select(col("id_new"), col("sh_n"), col("__bn"),
         explode(col("__bn")).as("band"))
+    // exactly-once across multi-band agreement: keep only the joined row
+    // whose band is the FIRST position where the two band arrays agree.
+    // Positional zip_with (band keys embed their index, so equal keys ⇒
+    // same position; capped-out index positions are null and never match)
+    // keeps this a straight-line comparison per row — no per-row hash-set
+    // intersection on the fat pre-filter join output.
+    val firstShared = get(org.apache.spark.sql.functions.filter(
+      zip_with(col("__bn"), col("bands_c"), (x, y) => when(x === y, x)),
+      e => e.isNotNull), lit(0))
     val joined = inn.join(index, "band")
       .where(col("id_new") =!= col("id_c"))
-      .where(col("band") ===
-        array_min(array_intersect(col("__bn"), col("bands_c"))))
+      .where(col("band") === firstShared)
     val inter = size(array_intersect(col("sh_n"), col("sh_c")))
     val uni = size(col("sh_n")) + size(col("sh_c")) - inter
     joined.select(col("id_c").as("id_corpus"), col("id_new"),

@@ -183,9 +183,12 @@ object PipelineQueries {
     "dedup_incremental_stream" -> ((spark, dir) => {
       import org.apache.spark.sql.streaming.OutputMode
       val docs = Tables.read(spark, dir, "documents")
+      // cache = the "persisted index" of the real deployment: without it
+      // every microbatch would re-run the index build subplan
       val index = Dedup.minhashBandIndex(
         docs.where(pmod(col("doc_id"), lit(2)) === 0),
         "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+        .cache()
       val src = java.nio.file.Files
         .createTempDirectory("graft-incr-stream").toString + "/arrivals"
       val arriving = docs.where(pmod(col("doc_id"), lit(2)) === 1)
@@ -197,6 +200,7 @@ object PipelineQueries {
         "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)
       graft.streaming.EventStream.runToMemory(
         pairs, "dedup_incremental_stream_out", OutputMode.Append())
+      index.unpersist() // the memory sink holds the results; drop the index
       spark.table("dedup_incremental_stream_out")
     }),
 

@@ -25,7 +25,8 @@ object QuickVerify {
     SparkEntry.queries.filter(q => names(q._1)).toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), not coalesce(1) — same rationale as graft.Verify
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(
           f"[quick] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
