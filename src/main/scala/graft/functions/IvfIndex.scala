@@ -59,15 +59,24 @@ object IvfIndex {
     * nearest-centroid projection, no MLlib job per Lloyd round.
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
-            nLists: Int, seed: Long = 42L): Index = {
+            nLists: Int, seed: Long = 42L): Index =
+    buildReturningSample(corpus, idCol, vecCol, nLists, seed)._1
+
+  /** [[build]] + the collected fit sample, so composed builds (IVF-PQ)
+    * can derive their own quantizer fits from the SAME single collect
+    * instead of re-scanning the corpus per quantizer.
+    */
+  private[functions] def buildReturningSample(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, seed: Long = 42L): (Index, Array[Array[Double]]) = {
     val sample = LocalKMeans.sampleVectors(corpus, vecCol,
       cap = fitSampleCap, seed = seed)
     val centers = LocalKMeans.fit(sample, nLists, iters = 12, seed = seed)
     val centroids = centers.zipWithIndex.map { case (c, i) => (i, c) }
     val assigned = corpus.withColumn("list_id",
       nearestCentroid(col(vecCol), centers))
-    Index(centroids, assigned,
-      Some(computeListStats(centroids, assigned, vecCol)))
+    (Index(centroids, assigned,
+      Some(computeListStats(centroids, assigned, vecCol))), sample)
   }
 
   /** Quantizer fit-sample cap (vectors collected to the driver). */

@@ -76,8 +76,10 @@ object PqIndex {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val dsub = dim / m
     val codebooks = fitSubspaceCodebooks(
-      corpus.select(col(vecCol).cast("array<double>").as("__fv")),
-      "__fv", m, dsub, ksub, seed)
+      LocalKMeans.sampleVectors(
+        corpus.select(col(vecCol).cast("array<double>").as("__fv")),
+        "__fv", cap = IvfIndex.fitSampleCap, seed = seed),
+      m, dsub, ksub, seed)
     val codes = corpus.select(col(idCol),
       encodeExpr(col(vecCol), codebooks, dsub).as("codes"))
     Index(m, dsub, codebooks, codes)
@@ -90,17 +92,14 @@ object PqIndex {
     * path scheduled (m × Lloyd rounds) near-empty Spark jobs whose
     * arithmetic at fit size is sub-millisecond.
     */
-  private def fitSubspaceCodebooks(vecs: DataFrame, vecCol: String, m: Int,
+  private def fitSubspaceCodebooks(sample: Array[Array[Double]], m: Int,
                                    dsub: Int, ksub: Int,
-                                   seed: Long): Array[Array[Array[Double]]] = {
-    val sample = LocalKMeans.sampleVectors(vecs, vecCol,
-      cap = IvfIndex.fitSampleCap, seed = seed)
+                                   seed: Long): Array[Array[Array[Double]]] =
     (0 until m).map { i =>
       val sub = sample.map(v =>
         java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub))
       LocalKMeans.fit(sub, ksub, iters = 12, seed = seed + i)
     }.toArray
-  }
 
   /** Persist the index: codebooks as one tiny parquet (m·ksub rows),
     * codes as a normal table — at scale the codes table is the only
@@ -149,14 +148,34 @@ object PqIndex {
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
                  nLists: Int = 16, m: Int = 8, ksub: Int = 16,
                  seed: Long = 42L): IvfPq = {
-    val ivf = IvfIndex.build(corpus, idCol, vecCol, nLists, seed)
+    val (ivf, sample) =
+      IvfIndex.buildReturningSample(corpus, idCol, vecCol, nLists, seed)
     val resid = ivf.assigned.select(col(idCol), col("list_id"),
       residualExpr(ivf.centroids, col(vecCol)).as("__r"))
     val dim = ivf.centroids.head._2.length
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val dsub = dim / m
-    val codebooks = fitSubspaceCodebooks(
-      resid.select(col("__r").as("__fv")), "__fv", m, dsub, ksub, seed + 31)
+    // PQ trains on residuals of the SAME fit sample the coarse quantizer
+    // collected — residual is a pure per-vector function of the centroids,
+    // so it is computed here in a driver loop (same first-index-on-ties
+    // rule as the distributed nearestCentroid projection) instead of
+    // re-scanning the corpus through the residual projection just to
+    // re-sample 16k vectors
+    val centers = ivf.centroids.map(_._2)
+    val residSample = sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < centers.length) {
+        var d = 0.0; var j = 0
+        while (j < v.length) { val x = v(j) - centers(i)(j); d += x * x; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      val c = centers(best); val r = new Array[Double](v.length)
+      var j = 0
+      while (j < v.length) { r(j) = v(j) - c(j); j += 1 }
+      r
+    }
+    val codebooks = fitSubspaceCodebooks(residSample, m, dsub, ksub, seed + 31)
     val codes = resid.select(col(idCol), col("list_id"),
       encodeExpr(col("__r"), codebooks, dsub).as("codes"))
     IvfPq(ivf, m, dsub, codebooks, codes)
