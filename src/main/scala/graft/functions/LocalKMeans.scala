@@ -39,8 +39,24 @@ object LocalKMeans {
         df.where(pmod(xxhash64(col(vecCol).cast("array<double>"), lit(seed)),
           lit(buckets)) < keep)
       }
-    src.select(col(vecCol).cast("array<double>"))
+    val rows = src.select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
+    // collect() returns rows in partition order — sort the (bounded)
+    // sample by content so the seeded k-means++ init sees the same
+    // sequence however the corpus is laid out
+    java.util.Arrays.sort(rows, new java.util.Comparator[Array[Double]] {
+      def compare(a: Array[Double], b: Array[Double]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = java.lang.Double.compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Integer.compare(a.length, b.length)
+      }
+    })
+    rows
   }
 
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {

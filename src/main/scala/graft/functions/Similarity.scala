@@ -235,14 +235,29 @@ object Similarity {
       explode(signBandKeys(col("v"), nBands, bitsPerBand, dim, seed)).as("band"))
     val idIsLong =
       emb.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    bucketVerifiedPairs(banded.select(col("id"), col("band").as("bucket")),
+      base, threshold, maxBucket, idIsLong)
+  }
+
+  /** Shared tail of every bucketed cosine-dedup path: cap each bucket's
+    * membership deterministically, then verify all within-bucket pairs
+    * at exact cosine ≥ threshold. `keyed` carries (bucket, id) only —
+    * the vectors travel once, inside the bucket gather. Used by both
+    * the LSH-banded form ([[cosineDupPairsBucketed]], multiple buckets
+    * per id) and the clustered form ([[semanticDupPairs]], one bucket
+    * per id).
+    */
+  private def bucketVerifiedPairs(keyed: DataFrame, base: DataFrame,
+                                  threshold: Double, maxBucket: Int,
+                                  idIsLong: Boolean): DataFrame = {
     val buckets = (if (idIsLong)
-      banded.groupBy("band")
+      keyed.groupBy("bucket")
         .agg(graft.plans.BottomKLongs.bottomK(col("id"), maxBucket).as("ids"))
     else {
-      val bandW = Window.partitionBy("band").orderBy("id")
-      banded.withColumn("__rn", row_number().over(bandW))
+      val bandW = Window.partitionBy("bucket").orderBy("id")
+      keyed.withColumn("__rn", row_number().over(bandW))
         .where(col("__rn") <= maxBucket)
-        .groupBy("band")
+        .groupBy("bucket")
         .agg(sort_array(collect_list(col("id"))).as("ids"))
     }).where(size(col("ids")) > 1)
     if (idIsLong) {
@@ -261,13 +276,13 @@ object Similarity {
       // bottom-k cap ran first), so the aggregation buffer is ≤
       // maxBucket·(8·dim+16) bytes — not the unbounded-collect_list
       // anti-pattern.
-      val spark = emb.sparkSession
+      val spark = keyed.sparkSession
       import spark.implicits._
       val members = buckets
-        .select(col("band"), explode(col("ids")).as("id"))
+        .select(col("bucket"), explode(col("ids")).as("id"))
         .join(base.select(col("id"),
           col("v").cast("array<double>").as("vd"), col("n")), "id")
-        .groupBy("band")
+        .groupBy("bucket")
         .agg(collect_list(struct(col("id"), col("vd"), col("n"))).as("ms"))
         .select("ms").as[Seq[(Long, Seq[Double], Double)]]
       val thr = threshold
@@ -335,5 +350,44 @@ object Similarity {
         round(cosinePrenormed(col("va"), col("vb"), col("na") * col("nb")), 6)
           .as("cos_sim"))
       .where(col("cos_sim") >= threshold)
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al., 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then verify
+    * exact pairwise cosine WITHIN each cluster only. The clustered
+    * sibling of the LSH-banded [[cosineDupPairsBucketed]] — same capped
+    * bucket-local verification tail, but candidacy comes from a learned
+    * partition of the space instead of random hyperplanes, which is the
+    * published recipe for semantic (not just lexical-rewrite) dedup.
+    *
+    * Scale shape: the quantizer fit is the capped driver-local
+    * [[LocalKMeans]] (same class of tiny collect as IVF's build — the
+    * sample is bounded regardless of corpus size); cluster assignment is
+    * a codegen'd nearest-centroid projection; the only corpus shuffle
+    * carries (cluster, id) pairs; per-cluster pairwise work is bounded
+    * by `maxCluster`² via the deterministic bottom-k cap. At 100 TB,
+    * `nClusters` should scale ∝ corpus size (SemDeDup uses n/⟨cluster⟩ ≈
+    * 10⁴–10⁵ clusters for billions of docs) so cluster populations — and
+    * with them the quadratic verify — stay constant-sized.
+    *
+    * Recall note: pairs whose members land in different clusters are
+    * missed by design (boundary effect); precision is exact (every
+    * emitted pair carries its true cosine). The exhaustive reference is
+    * [[cosineDupPairs]] (spec-only).
+    */
+  def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nClusters: Int = 64,
+                       maxCluster: Int = 4096, seed: Long = 42L): DataFrame = {
+    val sample = LocalKMeans.sampleVectors(emb, vecCol,
+      cap = IvfIndex.fitSampleCap, seed = seed)
+    val centers = LocalKMeans.fit(sample, nClusters, iters = 12, seed = seed)
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("n"))
+    val keyed = emb.select(
+      IvfIndex.nearestCentroid(col(vecCol), centers).cast("long").as("bucket"),
+      col(idCol).as("id"))
+    val idIsLong =
+      emb.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    bucketVerifiedPairs(keyed, base, threshold, maxCluster, idIsLong)
   }
 }

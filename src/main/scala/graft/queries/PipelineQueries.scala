@@ -237,6 +237,15 @@ object PipelineQueries {
         Tables.read(spark, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4)),
 
+    // SemDeDup (clustered semantic dedup): candidacy from a learned
+    // k-means partition instead of random hyperplanes; same pair-value
+    // oracle contract as dedup_embedding (precision exact by
+    // construction, cluster-boundary recall measured in SimilaritySpec).
+    "dedup_semantic" -> ((spark, dir) =>
+      Similarity.semanticDupPairs(
+        Tables.read(spark, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, nClusters = 16)),
+
     "sim_topk_brute" -> ((spark, dir) => {
       val emb = Tables.read(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
@@ -1101,6 +1110,25 @@ object PipelineQueries {
         |JOIN sh b ON p.id_new = b.doc_id)
         |SELECT * FROM j WHERE jaccard >= 0.5""".stripMargin
 
+  /** Pair-value oracle for cosine dup-pair entries: rows come from the
+    * entry's own output (candidate generation is engine-specific — LSH
+    * bands or k-means clusters), the cosine for each returned pair is
+    * recomputed exactly from the embeddings table and hash-checked, and
+    * the threshold is re-applied — any below-threshold pair the engine
+    * emitted would drop here and fail the row-count match.
+    */
+  private def cosPairOracle(name: String, thr: Double): String = s"""
+        |WITH p AS (SELECT id_a, id_b
+        |  FROM read_parquet('__OUT__/$name/*.parquet')),
+        |v AS (SELECT p.id_a, p.id_b,
+        |  round(
+        |   list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |   (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos_sim
+        |  FROM p JOIN embeddings a ON p.id_a = a.vec_id
+        |  JOIN embeddings b ON p.id_b = b.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM v WHERE cos_sim >= $thr""".stripMargin
+
   private def annPairOracle(name: String): String = s"""
         |WITH p AS (SELECT query_id, neighbor_id, rank
         |  FROM read_parquet('__OUT__/$name/*.parquet'))
@@ -1202,17 +1230,8 @@ object PipelineQueries {
     // embeddings table and hash-checked, and the threshold is re-applied —
     // any below-threshold pair the engine emitted would drop here and fail
     // the row-count match.
-    "dedup_embedding" ->
-      """WITH p AS (SELECT id_a, id_b
-        |  FROM read_parquet('__OUT__/dedup_embedding/*.parquet')),
-        |v AS (SELECT p.id_a, p.id_b,
-        |  round(
-        |   list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-        |   (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
-        |    sqrt(list_sum(list_transform(range(1, len(b.embedding)+1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 6) AS cos_sim
-        |  FROM p JOIN embeddings a ON p.id_a = a.vec_id
-        |  JOIN embeddings b ON p.id_b = b.vec_id)
-        |SELECT id_a, id_b, cos_sim FROM v WHERE cos_sim >= 0.4""".stripMargin,
+    "dedup_embedding" -> cosPairOracle("dedup_embedding", 0.4),
+    "dedup_semantic" -> cosPairOracle("dedup_semantic", 0.4),
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -182,4 +182,38 @@ class SimilaritySpec extends AnyFunSuite {
       assert(err <= altErr, s"($b,$r) err $err worse than $alt err $altErr")
     }
   }
+
+  // SemDeDup degenerates to the exhaustive quadratic form when every
+  // vector shares one cluster — same verify loop, same rounding, so the
+  // (pair, value) sets must be identical. This pins within-cluster
+  // COMPLETENESS (the pair-value gate oracle only pins precision).
+  test("semantic dup pairs with one cluster equal the quadratic reference") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val one = Similarity.semanticDupPairs(emb, "vec_id", "embedding", 0.4,
+        nClusters = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(one === exact)
+  }
+
+  // Clustered candidacy: precision stays exact (subset of the quadratic
+  // reference), recall loses only cluster-boundary pairs; layout
+  // independence comes from the content-hash fit sample + deterministic
+  // centroid assignment.
+  test("semantic dup pairs: exact precision, deterministic under repartition") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sem = Similarity.semanticDupPairs(emb, "vec_id", "embedding", 0.4,
+        nClusters = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sem.nonEmpty, "clustered form must find pairs on the fixture")
+    assert((sem.map(p => (p._1, p._2)) diff exact).isEmpty,
+      "semantic form emitted a pair the exact form rejects")
+    val again = Similarity.semanticDupPairs(emb.repartition(7), "vec_id",
+        "embedding", 0.4, nClusters = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again === sem, "result depends on partition layout")
+  }
 }
