@@ -74,6 +74,47 @@ object Sampling {
     df.where(portableBucket(col(keyCol)) < cutExpr)
   }
 
+  /** The portable md5 prefix as a 32-bit integer — the numeric form of
+    * [[portableBucket]], for schemes that need a uniform NUMBER rather
+    * than an ordered string. `('0x'||substring(md5(k),1,8))::UBIGINT`
+    * in DuckDB reproduces it exactly.
+    */
+  def portableBucketInt(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Deterministic WEIGHTED sampling without replacement: priority
+    * sampling (Duffield, Lund & Thorup, JACM 54(6), 2007). Each row gets
+    * priority `q = w / u` with `u` uniform in (0,1); the sample is the
+    * top-k priorities. Selection probability rises with weight (a row
+    * with weight ≥ the k-th largest is kept almost surely), and the
+    * threshold estimator `Σ max(w, τ)` over the top-k (τ = the (k+1)-th
+    * priority) is an unbiased subset-sum estimator — the standard way to
+    * downsample ∝ quality/length scores while keeping totals estimable.
+    *
+    * Portability is why priority sampling over exponential-key A-Res
+    * (Efraimidis–Spirakis): A-Res ranks by `u^(1/w)`, and `pow`/`ln` are
+    * not correctly-rounded, so engines can disagree in the last ulp at
+    * the selection boundary. Here `u = (H + 0.5) / 2³²` is EXACT (H
+    * integral ≤ 2³², the halving and the 2³² scale are exponent-only),
+    * and `w/u` is one IEEE-correctly-rounded division — any engine
+    * computes bit-identical priorities from the same (key, weight).
+    *
+    * Scale shape: one projection + top-k (TakeOrderedAndProject: each
+    * partition keeps k rows, the driver merges nPartitions·k) — no
+    * shuffle of the corpus, no global sort. Zero-weight rows get
+    * priority 0 and are only taken after every positive-weight row.
+    */
+  def prioritySample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val u = (portableBucketInt(col(keyCol)).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    df.withColumn("priority", col(weightCol).cast("double") / u)
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Domain-mix REBALANCING: deterministically downsample so the surviving
     * corpus matches target group `weights` (web/code/books, languages, …)
     * as closely as downsampling allows. With group counts n_g and weights

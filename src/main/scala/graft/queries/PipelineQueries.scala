@@ -995,7 +995,16 @@ object PipelineQueries {
         .agg(array_join(
           array_sort(
             graft.plans.ReservoirSample.portableReservoir(col("source"), 5)),
-          "|").as("source_sample"))))
+          "|").as("source_sample"))),
+
+    // Weighted sampling w/o replacement (priority sampling): sample ∝
+    // document length — every priority is one portable IEEE division, so
+    // the oracle recomputes identical bits and replays the same top-k.
+    "sample_weighted" -> ((spark, dir) =>
+      graft.functions.Sampling.prioritySample(
+        Tables.read(spark, dir, "documents")
+          .select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 200)))
 
   /** DuckDB SQL recomputing the exact cosine for each (query_id,
     * neighbor_id) pair an ANN entry returned: candidate sets are
@@ -1276,6 +1285,13 @@ object PipelineQueries {
         |  FROM d)
         |SELECT lang, array_to_string(list_sort(list(source)), '|') AS source_sample
         |FROM r WHERE rn <= 5 GROUP BY lang""".stripMargin,
+    "sample_weighted" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(n_chars AS DOUBLE) / ((hv + 0.5) / 4294967296.0) AS priority
+        |FROM h ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
     "dedup_minhash" -> s"""
         |WITH p AS (SELECT id_a, id_b
         |  FROM read_parquet('__OUT__/dedup_minhash/*.parquet')),

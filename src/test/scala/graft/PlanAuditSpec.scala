@@ -61,6 +61,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not full-sort:\n$plan")
   }
 
+  test("sample_weighted plans as TakeOrderedAndProject (no global sort)") {
+    val plan = executedPlan("sample_weighted")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted top-k must not full-sort the corpus:\n$plan")
+  }
+
   test("dedup_exact shuffles aggregated keys, not rows (partial agg)") {
     val plan = executedPlan("dedup_exact")
     assert(plan.contains("partial_min") || plan.contains("partial_count"),

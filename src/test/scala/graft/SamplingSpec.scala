@@ -73,6 +73,43 @@ class SamplingSpec extends AnyFunSuite {
       got.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  // Priority sampling: top-k by w/u with the portable md5-derived u.
+  // Layout-independent (content-keyed), biased toward heavy rows, and
+  // the DLT threshold estimator Σ max(w, τ) recovers the total weight.
+  test("priority sample: deterministic, weight-biased, estimator tracks total") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+      .select("doc_id", "n_chars")
+    val k = 100
+    val s1 = Sampling.prioritySample(docs, "doc_id", "n_chars", k)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.prioritySample(docs.repartition(7), "doc_id", "n_chars", k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === s2, "membership depends on partition layout")
+    assert(s1.size === k)
+    // weight bias: the sampled mean weight must exceed the corpus mean
+    val meanAll = docs.agg(avg("n_chars")).as[Double].head()
+    val meanSampled = docs.where(col("doc_id").isin(s1.toSeq: _*))
+      .agg(avg("n_chars")).as[Double].head()
+    assert(meanSampled > meanAll,
+      s"sampled mean $meanSampled not above corpus mean $meanAll")
+    // threshold estimator: τ = (k+1)-th priority; Σ_{top-k} max(w, τ) is
+    // unbiased for Σw — assert within 25% on the fixture
+    val ke = 200
+    val topK1 = Sampling.prioritySample(docs, "doc_id", "n_chars", ke + 1)
+      .select(col("n_chars").cast("double"), col("priority"))
+      .as[(Double, Double)].collect()
+    val tau = topK1.map(_._2).min
+    val est = topK1.sortBy(-_._2).take(ke).map { case (w, _) => math.max(w, tau) }.sum
+    val total = docs.agg(sum(col("n_chars").cast("double"))).as[Double].head()
+    assert(math.abs(est - total) / total < 0.25,
+      s"estimator $est vs true total $total")
+    // zero-weight rows are only taken after every positive-weight row
+    val tiny = Seq((1L, 0L), (2L, 0L), (3L, 5L)).toDF("doc_id", "n_chars")
+    val one = Sampling.prioritySample(tiny, "doc_id", "n_chars", 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(one === Seq(3L))
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = Tables.read(spark, SparkTestSession.Sf, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("qty"))
