@@ -246,4 +246,34 @@ object TextAnalysis {
     }
     out.withColumnRenamed("__t", "redacted")
   }
+
+  /** Word 3-shingles of normalized text as STRINGS (vs the hashed form
+    * the dedup family uses): for token count n, shingles start at
+    * 1..max(n−2, 1), each taking up to 3 tokens — short docs yield their
+    * whole text as one shingle. Matches the dedup oracle's DuckDB
+    * construction token-for-token.
+    */
+  def wordShingles(c: Column): Column = {
+    val t = split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
+    transform(sequence(lit(1), greatest(size(t) - 2, lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(3))))
+  }
+
+  /** Corpus-wide top-k word 3-grams by DOCUMENT frequency — the
+    * boilerplate/stop-phrase detector (the measured form of the
+    * corpus-derived stop-shingle cap the dedup family applies).
+    *
+    * Scale shape: per-doc distinct shingles explode into (gram) rows;
+    * partial count before the exchange means the shuffle carries one
+    * (gram, count) row per distinct gram per partition; the final top-k
+    * is TakeOrderedAndProject. For a bounded-memory alternative whose
+    * shuffle does NOT scale with vocabulary size, see
+    * [[graft.plans.MisraGries]] (estimate; spec-verified error bound).
+    */
+  def topNgramsByDocFreq(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(array_distinct(wordShingles(col(textCol)))).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(k)
 }

@@ -413,6 +413,13 @@ object PipelineQueries {
       TextAnalysis.repetitionSignals(
         Tables.read(spark, dir, "documents"), "text", "doc_id")),
 
+    // Corpus boilerplate detector: top-50 word-3-grams by document
+    // frequency (exact; the bounded-shuffle estimate is the MisraGries
+    // sketch, spec-verified against its n/(m+1) error bound)
+    "text_topk_ngrams" -> ((spark, dir) =>
+      TextAnalysis.topNgramsByDocFreq(
+        Tables.read(spark, dir, "documents"), "text", k = 50)),
+
     // PII redaction over deterministically PII-augmented fixture text
     // (the synthetic corpus carries no addresses, so each doc gets an
     // email/IP/phone derived from its own id and source — the oracle
@@ -1520,6 +1527,11 @@ object PipelineQueries {
         |    AS n_phone,
         |  regexp_replace(t, '\+\d[\d-]{5,}\d', '<PHONE>', 'g') AS t FROM s2)
         |SELECT doc_id, t AS redacted, n_email, n_ip, n_phone FROM s3""".stripMargin,
+    "text_topk_ngrams" -> s"""
+        |WITH $shingleCtes,
+        |u AS (SELECT unnest(s) AS ngram FROM sh)
+        |SELECT ngram, count(*) AS doc_freq FROM u
+        |GROUP BY ngram ORDER BY doc_freq DESC, ngram LIMIT 50""".stripMargin,
     // distinct-count parity: the engine counts distinct k-grams by 64-bit
     // xxhash (WordShingleHashes), the oracle by the strings themselves —
     // equal unless xxhash64 collides within one document (~n²/2⁶⁵)
