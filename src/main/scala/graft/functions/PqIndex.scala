@@ -51,10 +51,19 @@ object PqIndex {
       lit(0.0), (s, x) => s + x)
 
   /** PQ codes of a vector column: per subspace, the index of the nearest
-    * sub-centroid (first index on exact ties — deterministic).
+    * sub-centroid (first index on exact ties — deterministic). Native
+    * one-loop codegen ([[graft.plans.PqExpressions.pqEncode]]); the HOF
+    * form below is kept for the bit-equality spec.
     */
   def encodeExpr(v: Column, codebooks: Array[Array[Array[Double]]],
                  dsub: Int): Column =
+    graft.plans.PqExpressions.pqEncode(v, codebooks, dsub)
+
+  /** Builtin-HOF formulation of [[encodeExpr]] (m·ksub interpreted
+    * folds per row — the measured reason the native form exists).
+    */
+  def encodeExprHof(v: Column, codebooks: Array[Array[Array[Double]]],
+                    dsub: Int): Column =
     array(codebooks.zipWithIndex.map { case (cb, i) =>
       val dists = array(cb.map(c => subSqDist(v, i, dsub, c)): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
@@ -232,7 +241,6 @@ object PqIndex {
                   idCol: String, vecCol: String, k: Int, nProbe: Int,
                   shortlist: Int, excludeSelf: Boolean = true): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val m = index.m
     val probed = IvfIndex.probeRange(index.ivf, queries, idCol, vecCol,
         0, nProbe)
       .withColumn("qtab", adcTable(col("qv"), index.codebooks, index.dsub))
@@ -241,9 +249,8 @@ object PqIndex {
         "list_id")
       .where(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        (col("qdotc") + aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-          (s, i) => s + element_at(element_at(col("qtab"), i + 1),
-            element_at(col("codes"), i + 1) + 1))).as("approx_dot"))
+        (col("qdotc") + graft.plans.PqExpressions.adcSum(col("codes"),
+          col("qtab"))).as("approx_dot"))
     val sw = Window.partitionBy("query_id")
       .orderBy(col("approx_dot").desc, col("neighbor_id"))
     val short = approx.withColumn("__sr", row_number().over(sw))
@@ -315,15 +322,13 @@ object PqIndex {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qtab", adcTable(col("qv"), index.codebooks, index.dsub))
       .withColumn("qn", Similarity.norm(col("qv")))
-    val m = index.m
     // approx dot: m table lookups per (query, code-row)
     val approx = index.codes
       .crossJoin(broadcast(q.select("query_id", "qtab")))
       .where(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (s, i) =>
-          s + element_at(element_at(col("qtab"), i + 1),
-            element_at(col("codes"), i + 1) + 1)).as("approx_dot"))
+        graft.plans.PqExpressions.adcSum(col("codes"), col("qtab"))
+          .as("approx_dot"))
     val sw = Window.partitionBy("query_id")
       .orderBy(col("approx_dot").desc, col("neighbor_id"))
     val short = approx.withColumn("__sr", row_number().over(sw))

@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native tight-loop expressions for the PQ hot paths. The HOF
+  * formulations ([[graft.functions.PqIndex]]'s `subSqDist`-based encode
+  * and `aggregate(sequence(...))` ADC sum) are semantically right but
+  * interpret a lambda per element and allocate slices per subspace —
+  * for encode that is m·ksub (=128 at the defaults) interpreted folds
+  * PER CORPUS ROW, by far the dominant cost of an IVF-PQ build. These
+  * expressions run the identical IEEE sequence (left-to-right double
+  * fold per subspace, first-index-on-ties argmin, 0.0-seeded lookup
+  * sum — bit-equality pinned in PqIndexSpec) as one fused loop inside
+  * whole-stage codegen.
+  */
+object PqExpressions {
+
+  /** PQ codes of a numeric-array column against literal codebooks:
+    * per subspace `i`, the first index of the nearest sub-centroid of
+    * `codebooks(i)` to dims `[i·dsub, (i+1)·dsub)`.
+    */
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]],
+               dsub: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      PqEncodeF(org.apache.spark.sql.GraftBridge.expression(v),
+        codebooks, dsub))
+
+  /** `Σ_i qtab(i)(codes(i))` — the ADC lookup sum, folded left-to-right
+    * from 0.0.
+    */
+  def adcSum(codes: Column, qtab: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      AdcSumF(org.apache.spark.sql.GraftBridge.expression(codes),
+        org.apache.spark.sql.GraftBridge.expression(qtab)))
+}
+
+case class PqEncodeF(child: Expression,
+                     codebooks: Array[Array[Array[Double]]], dsub: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val m = codebooks.length
+  @transient private lazy val ksub = codebooks(0).length
+
+  private def read(arr: ArrayData, i: Int): Double = child.dataType match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => arr.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"graft_pq_encode requires array<float|double>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val cb = codebooks(i)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val cent = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val x = read(arr, i * dsub + j) - cent(j)
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = child.dataType match {
+      case ArrayType(FloatType, _) => (a: String, i: String) => s"(double) $a.getFloat($i)"
+      case ArrayType(DoubleType, _) => (a: String, i: String) => s"$a.getDouble($i)"
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_encode requires array<float|double>, got ${other.sql}")
+    }
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("pqOut")
+      val i = ctx.freshName("pqI")
+      val c = ctx.freshName("pqC")
+      val j = ctx.freshName("pqJ")
+      val cb = ctx.freshName("pqCb")
+      val cent = ctx.freshName("pqCent")
+      val best = ctx.freshName("pqBest")
+      val bestD = ctx.freshName("pqBestD")
+      val d = ctx.freshName("pqD")
+      val x = ctx.freshName("pqX")
+      s"""
+         |int[] $out = new int[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  double[][] $cb = $cbRef[$i];
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double[] $cent = $cb[$c];
+         |    double $d = 0.0;
+         |    for (int $j = 0; $j < $dsub; $j++) {
+         |      double $x = ${getter(v, s"($i * $dsub + $j)")} - $cent[$j];
+         |      $d += $x * $x;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $out[$i] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeF =
+    copy(child = newChild)
+  override def prettyName: String = "graft_pq_encode"
+}
+
+case class AdcSumF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(codesAny: Any, qtabAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val qtab = qtabAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      s += qtab.getArray(i).getDouble(codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, qtab) => {
+      val m = ctx.freshName("adcM")
+      val i = ctx.freshName("adcI")
+      val s = ctx.freshName("adcS")
+      s"""
+         |int $m = $codes.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $s += $qtab.getArray($i).getDouble($codes.getInt($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcSumF =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_adc_sum"
+}

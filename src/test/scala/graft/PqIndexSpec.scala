@@ -23,6 +23,31 @@ class PqIndexSpec extends AnyFunSuite {
     assert(codes.toSeq === again.toSeq)
   }
 
+  // the native one-loop encode/ADC expressions must reproduce the HOF
+  // forms EXACTLY — same per-subspace left-to-right fold, same
+  // first-index-on-ties argmin, same 0.0-seeded lookup sum
+  test("native PQ encode and ADC sum are bit-equal to the HOF forms") {
+    val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val native = emb.select(col("vec_id"),
+        PqIndex.encodeExpr(col("embedding"), idx.codebooks, idx.dsub).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val hof = emb.select(col("vec_id"),
+        PqIndex.encodeExprHof(col("embedding"), idx.codebooks, idx.dsub).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(native === hof)
+    val df = Seq((Seq(0, 2, 1),
+      Seq(Seq(0.1, 0.2, 0.3), Seq(1.0, 2.0, 3.0), Seq(5.0, 6.0, 7.0))))
+      .toDF("codes", "qtab")
+    val both = df.select(
+      graft.plans.PqExpressions.adcSum(col("codes"), col("qtab")).as("n"),
+      aggregate(sequence(lit(0), lit(2)), lit(0.0), (s, i) =>
+        s + element_at(element_at(col("qtab"), i + 1),
+          element_at(col("codes"), i + 1) + 1)).as("h"))
+      .as[(Double, Double)].head()
+    assert(both._1 === both._2)
+    assert(both._1 === 0.1 + 3.0 + 6.0)
+  }
+
   test("each code is the argmin sub-centroid for its subvector") {
     val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val rows = idx.codes.join(emb, "vec_id")
