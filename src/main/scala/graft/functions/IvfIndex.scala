@@ -83,9 +83,17 @@ object IvfIndex {
   private[functions] val fitSampleCap = 16384
 
   /** Nearest-centroid id as a codegen'd projection (first index on exact
-    * ties — deterministic).
+    * ties — deterministic). Native fused loop
+    * ([[graft.plans.PqExpressions.nearestCentroid]]); the HOF form below
+    * is kept for the bit-equality spec.
     */
-  private[functions] def nearestCentroid(v: Column, centers: Array[Array[Double]]): Column = {
+  private[functions] def nearestCentroid(v: Column, centers: Array[Array[Double]]): Column =
+    graft.plans.PqExpressions.nearestCentroid(v, centers)
+
+  /** Builtin-HOF formulation of [[nearestCentroid]] (nLists interpreted
+    * folds per row — the measured reason the native form exists).
+    */
+  private[graft] def nearestCentroidHof(v: Column, centers: Array[Array[Double]]): Column = {
     val dists = array(centers.map(c =>
       sqDist(v, array(c.map(lit(_)): _*))): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")

@@ -29,6 +29,14 @@ object PqExpressions {
       PqEncodeF(org.apache.spark.sql.GraftBridge.expression(v),
         codebooks, dsub))
 
+  /** First index of the nearest (squared-euclidean) literal centroid —
+    * the IVF assignment projection, one fused loop per row.
+    */
+  def nearestCentroid(v: Column, centers: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      NearestCentroidF(org.apache.spark.sql.GraftBridge.expression(v),
+        centers))
+
   /** `Σ_i qtab(i)(codes(i))` — the ADC lookup sum, folded left-to-right
     * from 0.0.
     */
@@ -126,6 +134,82 @@ case class PqEncodeF(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): PqEncodeF =
     copy(child = newChild)
   override def prettyName: String = "graft_pq_encode"
+}
+
+case class NearestCentroidF(child: Expression, centers: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val n = centers.length
+
+  private def read(arr: ArrayData, i: Int): Double = child.dataType match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => arr.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"graft_nearest_centroid requires array<float|double>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < n) {
+      val cent = centers(c)
+      val dim = math.min(arr.numElements(), cent.length)
+      var d = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = read(arr, j) - cent(j)
+        d += x * x
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = child.dataType match {
+      case ArrayType(FloatType, _) => (a: String, i: String) => s"(double) $a.getFloat($i)"
+      case ArrayType(DoubleType, _) => (a: String, i: String) => s"$a.getDouble($i)"
+      case other => throw new IllegalArgumentException(
+        s"graft_nearest_centroid requires array<float|double>, got ${other.sql}")
+    }
+    val cRef = ctx.addReferenceObj("ncCenters", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("ncC")
+      val j = ctx.freshName("ncJ")
+      val cent = ctx.freshName("ncCent")
+      val dim = ctx.freshName("ncDim")
+      val best = ctx.freshName("ncBest")
+      val bestD = ctx.freshName("ncBestD")
+      val d = ctx.freshName("ncD")
+      val x = ctx.freshName("ncX")
+      s"""
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $n; $c++) {
+         |  double[] $cent = $cRef[$c];
+         |  int $dim = java.lang.Math.min($v.numElements(), $cent.length);
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    double $x = ${getter(v, j)} - $cent[$j];
+         |    $d += $x * $x;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidF =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_centroid"
 }
 
 case class AdcSumF(left: Expression, right: Expression)

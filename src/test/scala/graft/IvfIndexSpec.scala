@@ -8,6 +8,20 @@ class IvfIndexSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("native nearest-centroid is bit-equal to the HOF form") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val sample = graft.functions.LocalKMeans.sampleVectors(
+      emb, "embedding", cap = 1024, seed = 7L)
+    val centers = graft.functions.LocalKMeans.fit(sample, 16, iters = 5, seed = 7L)
+    val native = emb.select(col("vec_id"),
+        graft.plans.PqExpressions.nearestCentroid(col("embedding"), centers).as("l"))
+      .as[(Long, Int)].collect().toMap
+    val hof = emb.select(col("vec_id"),
+        IvfIndex.nearestCentroidHof(col("embedding"), centers).as("l"))
+      .as[(Long, Int)].collect().toMap
+    assert(native === hof)
+  }
+
   test("IVF search beats its scan fraction on recall and is exact at full probe") {
     val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
     val queries = emb.filter(col("vec_id") < 8)
