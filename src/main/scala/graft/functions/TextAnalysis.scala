@@ -247,6 +247,18 @@ object TextAnalysis {
     out.withColumnRenamed("__t", "redacted")
   }
 
+  /** Canonical text normalization — the cleanup pass run BEFORE hashing,
+    * dedup, or tokenization: strip C0/DEL control characters, Unicode
+    * NFC-compose (é as e+U+0301 and é as U+00E9 must hash identically),
+    * collapse whitespace runs, trim. Pure per-row projection (native NFC
+    * expression + builtin regexps), stays in whole-stage codegen.
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      graft.plans.NfcNormalizeF.nfcNormalize(
+        regexp_replace(c, "[\\x00-\\x1F\\x7F]", "")),
+      "\\s+", " "))
+
   /** Word 3-shingles of normalized text as STRINGS (vs the hashed form
     * the dedup family uses): for token count n, shingles start at
     * 1..max(n−2, 1), each taking up to 3 tokens — short docs yield their

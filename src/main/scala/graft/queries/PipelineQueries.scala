@@ -413,6 +413,26 @@ object PipelineQueries {
       TextAnalysis.repetitionSignals(
         Tables.read(spark, dir, "documents"), "text", "doc_id")),
 
+    // Canonical normalization over deterministically unicode-augmented
+    // fixture text (the synthetic corpus is pure ASCII, so each doc gets
+    // decomposed accents, a control char, and doubled whitespace derived
+    // from its own id — the oracle performs the IDENTICAL augmentation,
+    // then DuckDB's utf8proc NFC must agree byte-for-byte with the
+    // JDK normalizer under the same strip → compose → collapse order).
+    "text_normalize" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        // DECOMPOSED accents (base letter + combining mark) so NFC has
+        // real composition work; BEL is the stripped control char
+        concat(col("text"), lit("  cafe\u0301"),
+          when(col("doc_id") % 3 === 0, lit(" man\u0303ana"))
+            .when(col("doc_id") % 3 === 1, lit(" u\u0308ber"))
+            .otherwise(lit(" fiance\u0301e")),
+          lit("\u0007\t "), col("source")).as("t"))
+      aug.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("t")).as("normalized"))
+    }),
+
     // Corpus boilerplate detector: top-50 word-3-grams by document
     // frequency (exact; the bounded-shuffle estimate is the MisraGries
     // sketch, spec-verified against its n/(m+1) error bound)
@@ -1527,6 +1547,22 @@ object PipelineQueries {
         |    AS n_phone,
         |  regexp_replace(t, '\+\d[\d-]{5,}\d', '<PHONE>', 'g') AS t FROM s2)
         |SELECT doc_id, t AS redacted, n_email, n_ip, n_phone FROM s3""".stripMargin,
+    // identical augmentation via chr() codepoints (769=U+0301, 771=U+0303,
+    // 776=U+0308, 7=BEL), then the identical strip → NFC → collapse order;
+    // utf8proc's NFC and the JDK normalizer must agree byte-for-byte
+    "text_normalize" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || '  cafe' || chr(769) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' man' || chr(771) || 'ana'
+        |       WHEN doc_id % 3 = 1 THEN ' u' || chr(776) || 'ber'
+        |       ELSE ' fiance' || chr(769) || 'e' END ||
+        |  chr(7) || chr(9) || ' ' || source AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    nfc_normalize(regexp_replace(t, '[\x00-\x1f\x7f]', '', 'g')),
+        |    '\s+', ' ', 'g')) AS normalized
+        |FROM aug""".stripMargin,
     "text_topk_ngrams" -> s"""
         |WITH $shingleCtes,
         |u AS (SELECT unnest(s) AS ngram FROM sh)
