@@ -375,12 +375,21 @@ object Similarity {
     * emitted pair carries its true cosine). The exhaustive reference is
     * [[cosineDupPairs]] (spec-only).
     */
+  /** The fixed k-means centers [[semanticDupPairs]] clusters with —
+    * exposed so the STREAMING form can assign arrivals against the same
+    * partition of the space (train-once, the IVF contract).
+    */
+  def semanticCenters(emb: DataFrame, vecCol: String, nClusters: Int,
+                      seed: Long = 42L): Array[Array[Double]] = {
+    val sample = LocalKMeans.sampleVectors(emb, vecCol,
+      cap = IvfIndex.fitSampleCap, seed = seed)
+    LocalKMeans.fit(sample, nClusters, iters = 12, seed = seed)
+  }
+
   def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nClusters: Int = 64,
                        maxCluster: Int = 4096, seed: Long = 42L): DataFrame = {
-    val sample = LocalKMeans.sampleVectors(emb, vecCol,
-      cap = IvfIndex.fitSampleCap, seed = seed)
-    val centers = LocalKMeans.fit(sample, nClusters, iters = 12, seed = seed)
+    val centers = semanticCenters(emb, vecCol, nClusters, seed)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("n"))
     val keyed = emb.select(

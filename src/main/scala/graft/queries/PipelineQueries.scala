@@ -246,6 +246,45 @@ object PipelineQueries {
         Tables.read(spark, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4, nClusters = 16)),
 
+    // STREAMING semantic dedup: the k-means partition is fixed at build
+    // (train-once), so cluster assignment is a stateless native
+    // projection on arrival; watermark-sealed cluster state emits the
+    // SAME verified pairs as the batch form (bit-equality spec'd), so
+    // the same pair-value oracle checks both.
+    "dedup_semantic_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val emb = Tables.read(spark, dir, "embeddings")
+      val centers = Similarity.semanticCenters(emb, "embedding",
+        nClusters = 16)
+      val vecs = emb.select(col("vec_id"), col("embedding"),
+        lit(t0).as("ts"))
+      val sentinel = Seq((-1L, Seq.fill(64)(0f),
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("vec_id", "embedding", "ts")
+      val clustered = streamWithSentinel(spark, vecs, sentinel,
+          delaySec = 3600L)
+        // the sentinel only advances the watermark — routed to its own
+        // empty bucket so its late ts cannot re-arm a real cluster's
+        // seal timeout past the final watermark
+        .select(
+          when(col("vec_id") < 0, lit(-1L))
+            .otherwise(graft.plans.PqExpressions
+              .nearestCentroid(col("embedding"), centers).cast("long"))
+            .as("bucket"),
+          col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v"), col("ts"))
+        .as[graft.streaming.EventStream.ClusteredVec]
+      val streamed = graft.streaming.EventStream.cosinePairsStream(
+        clustered, threshold = 0.4)
+      graft.streaming.EventStream.runToMemory(
+        streamed.toDF(), "dedup_semantic_stream_out", OutputMode.Append())
+      spark.table("dedup_semantic_stream_out")
+        .where(col("id_a") >= 0)
+        .distinct()
+    }),
+
     "sim_topk_brute" -> ((spark, dir) => {
       val emb = Tables.read(spark, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 8)
@@ -1268,6 +1307,7 @@ object PipelineQueries {
     // the row-count match.
     "dedup_embedding" -> cosPairOracle("dedup_embedding", 0.4),
     "dedup_semantic" -> cosPairOracle("dedup_semantic", 0.4),
+    "dedup_semantic_stream" -> cosPairOracle("dedup_semantic_stream", 0.4),
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
         |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,

@@ -200,6 +200,87 @@ object EventStream {
       }
   }
 
+  final case class ClusteredVec(bucket: Long, doc_id: Long, v: Seq[Double],
+                                ts: java.sql.Timestamp)
+  final case class VecMembers(ms: Vector[(Long, Seq[Double])],
+                              maxTs: Long = Long.MinValue)
+  final case class CosPair(id_a: Long, id_b: Long, cos_sim: Double)
+
+  /** Watermark-drained streaming SEMANTIC near-dup pairs — the streaming
+    * counterpart of [[graft.functions.Similarity.semanticDupPairs]]:
+    * cluster assignment is a stateless projection upstream (the k-means
+    * centers are fixed at build, exactly the IVF train-once contract),
+    * so the bucket key arrives with the row; per cluster the state is
+    * the bottom-`maxBucket` members by id (the batch cap rule — a SET
+    * property, arrival-order-independent), and the watermark seals each
+    * cluster exactly once. The verify loop runs the identical IEEE
+    * sequence (left-to-right double fold, HALF_UP at 6 decimals) as the
+    * batch bucket-local verifier, so batch ≡ stream bit-for-bit under
+    * the same oracle.
+    */
+  def cosinePairsStream(clustered: Dataset[ClusteredVec], threshold: Double,
+                        maxBucket: Int = 4096): Dataset[CosPair] = {
+    import clustered.sparkSession.implicits._
+    clustered.groupByKey(_.bucket)
+      .flatMapGroupsWithState[VecMembers, CosPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[ClusteredVec],
+         state: GroupState[VecMembers]) =>
+          if (state.hasTimedOut) {
+            val ms = state.get.ms
+            state.remove()
+            verifyCosPairs(ms, threshold)
+          } else {
+            val prevState = state.getOption
+            val prev = prevState.map(_.ms).getOrElse(Vector.empty)
+            var maxTs = prevState.map(_.maxTs).getOrElse(Long.MinValue)
+            val arrivals = rows.map { r =>
+              maxTs = math.max(maxTs, r.ts.getTime); (r.doc_id, r.v)
+            }.toVector
+            val capped = (prev ++ arrivals).distinctBy(_._1)
+              .sortBy(_._1).take(maxBucket)
+            state.update(VecMembers(capped, maxTs))
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  private def verifyCosPairs(ms: Vector[(Long, Seq[Double])],
+                             threshold: Double): Iterator[CosPair] = {
+    val ids = ms.map(_._1).toArray
+    val vs = ms.map(_._2.toArray).toArray
+    val norms = vs.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val out = Vector.newBuilder[CosPair]
+    var i = 0
+    while (i < ids.length) {
+      var j = i + 1
+      while (j < ids.length) {
+        val denom = norms(i) * norms(j)
+        val a = vs(i); val b = vs(j)
+        var s = 0.0
+        var d = 0
+        val n = math.min(a.length, b.length)
+        while (d < n) { s += a(d) * b(d); d += 1 }
+        val cos = if (denom == 0.0) 0.0 else s / denom
+        val rounded = java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        if (rounded >= threshold && ids(i) != ids(j)) {
+          if (ids(i) < ids(j)) out += CosPair(ids(i), ids(j), rounded)
+          else out += CosPair(ids(j), ids(i), rounded)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result().iterator
+  }
+
   private def verifyBucketPairs(ms: Vector[(Long, Seq[Long])],
                                 threshold: Double): Iterator[DupPair] = {
     val ids = ms.map(_._1).toArray

@@ -522,6 +522,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  // Streaming semantic dedup: fixed centers, stateless assignment on
+  // arrival, watermark-sealed clusters — the streamed pair set must be
+  // BIT-equal to batch semanticDupPairs whatever the microbatch split.
+  test("cosinePairsStream equals batch semantic pairs under scrambled microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Similarity
+    implicit val sc = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val want = Similarity.semanticDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, nClusters = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty)
+    val centers = Similarity.semanticCenters(emb, "embedding", nClusters = 8)
+    val all = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val batches = all.groupBy(d => math.abs(d._1 * 2654435761L % 3)).values.toSeq
+    val in = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+    val clustered = in.toDF().toDF("doc_id", "v", "ts")
+      .withWatermark("ts", "1 hour")
+      .select(
+        when(col("doc_id") < 0, lit(-1L))
+          .otherwise(graft.plans.PqExpressions
+            .nearestCentroid(col("v"), centers).cast("long")).as("bucket"),
+        col("doc_id"), col("v"), col("ts"))
+      .as[EventStream.ClusteredVec]
+    val q = EventStream.cosinePairsStream(clustered, threshold = 0.4).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("semantic_pairs_out").start()
+    batches.foreach { b =>
+      in.addData(b.map(d => (d._1, d._2, t0)).toSeq)
+      q.processAllAvailable()
+    }
+    in.addData((-1L, Seq.fill(64)(0.0),
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("semantic_pairs_out").where(col("id_a") >= 0)
+      .distinct().as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+  }
+
   // First-occurrence span dedup streams to the same survivors as batch
   // whatever the microbatch split: min(doc_id, span_idx) and count are
   // set properties of the sealed corpus.
