@@ -41,7 +41,12 @@ object Bench {
     // round-5: exact duplicate-span removal (boilerplate scrubbing),
     // whole-doc next-fit bin packing, and incremental cross-corpus dedup
     // (index build + probe in one number; ProfIncremental splits them)
-    "dedup_spans", "text_pack_bins", "dedup_incremental")
+    "dedup_spans", "text_pack_bins", "dedup_incremental",
+    // round-5 second wave: clustered (SemDeDup-style) semantic dedup,
+    // weighted priority sampling, boilerplate top-k n-grams, and
+    // canonical unicode normalization
+    "dedup_semantic", "sample_weighted", "text_topk_ngrams",
+    "text_normalize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

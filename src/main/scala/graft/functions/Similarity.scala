@@ -375,6 +375,14 @@ object Similarity {
     * emitted pair carries its true cosine). The exhaustive reference is
     * [[cosineDupPairs]] (spec-only).
     */
+  /** Cluster count sized for ~`targetCluster` members per cluster — the
+    * SemDeDup scaling rule (k ∝ n): cluster populations, and with them
+    * the quadratic within-cluster verify, stay CONSTANT as the corpus
+    * grows. One parquet-metadata-cheap count derives it.
+    */
+  def semanticClusterCount(n: Long, targetCluster: Int = 256): Int =
+    math.max(2, math.ceil(n.toDouble / targetCluster)).toInt
+
   /** The fixed k-means centers [[semanticDupPairs]] clusters with —
     * exposed so the STREAMING form can assign arrivals against the same
     * partition of the space (train-once, the IVF contract).

@@ -283,9 +283,14 @@ object TextAnalysis {
     * [[graft.plans.MisraGries]] (estimate; spec-verified error bound).
     */
   def topNgramsByDocFreq(df: org.apache.spark.sql.DataFrame, textCol: String,
-                         k: Int): org.apache.spark.sql.DataFrame =
-    df.select(explode(array_distinct(wordShingles(col(textCol)))).as("ngram"))
+                         k: Int): org.apache.spark.sql.DataFrame = {
+    // native fused shingle pass (distinct built in); the HOF twin
+    // [[wordShingles]] + array_distinct is the bit-equality reference
+    val toks = split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")
+    df.select(explode(
+        graft.plans.ShingleStringsF.shingleStrings(toks, 3)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("ngram"))
       .limit(k)
+  }
 }

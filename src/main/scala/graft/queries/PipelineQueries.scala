@@ -241,10 +241,14 @@ object PipelineQueries {
     // k-means partition instead of random hyperplanes; same pair-value
     // oracle contract as dedup_embedding (precision exact by
     // construction, cluster-boundary recall measured in SimilaritySpec).
-    "dedup_semantic" -> ((spark, dir) =>
-      Similarity.semanticDupPairs(
-        Tables.read(spark, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.4, nClusters = 16)),
+    "dedup_semantic" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      // k scales with the corpus (SemDeDup rule) so cluster populations
+      // — and the quadratic within-cluster verify — stay constant-sized
+      Similarity.semanticDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4,
+        nClusters = Similarity.semanticClusterCount(emb.count()))
+    }),
 
     // STREAMING semantic dedup: the k-means partition is fixed at build
     // (train-once), so cluster assignment is a stateless native
@@ -257,7 +261,7 @@ object PipelineQueries {
       val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
       val emb = Tables.read(spark, dir, "embeddings")
       val centers = Similarity.semanticCenters(emb, "embedding",
-        nClusters = 16)
+        nClusters = Similarity.semanticClusterCount(emb.count()))
       val vecs = emb.select(col("vec_id"), col("embedding"),
         lit(t0).as("ts"))
       val sentinel = Seq((-1L, Seq.fill(64)(0f),

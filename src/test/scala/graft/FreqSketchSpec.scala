@@ -57,6 +57,23 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(top === "heavy")
   }
 
+  // the native fused shingle pass must produce the same SET of distinct
+  // shingles, in the same first-occurrence order, as the HOF reference
+  test("native shingle strings equal array_distinct(wordShingles)") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val both = docs.select(
+      graft.plans.ShingleStringsF.shingleStrings(toks, 3).as("native"),
+      array_distinct(TextAnalysis.wordShingles(col("text"))).as("hof"))
+    assert(both.where(not(col("native") <=> col("hof"))).count() === 0)
+    val edge = Seq("", "one", "two words").toDF("text")
+    val toksE = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+    val bothE = edge.select(
+      graft.plans.ShingleStringsF.shingleStrings(toksE, 3).as("native"),
+      array_distinct(TextAnalysis.wordShingles(col("text"))).as("hof"))
+    assert(bothE.where(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
   test("exact top-k ngrams agree with a brute-force recount") {
     val got = TextAnalysis.topNgramsByDocFreq(
       Tables.read(spark, SparkTestSession.Sf, "documents"), "text", k = 20)
