@@ -115,6 +115,28 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-stratum [[prioritySample]]: the top-`k` priorities WITHIN each
+    * stratum — quality- or length-weighted sampling that still respects
+    * a domain/language mix (k docs per group, heavier rows favored
+    * inside each group). Same bit-portable priorities; the per-group
+    * top-k is a rank window partitioned by the stratum, so state per
+    * partition is one group's run, not the corpus.
+    */
+  def stratifiedPrioritySample(df: DataFrame, keyCol: String,
+                               weightCol: String, strataCol: String,
+                               k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val u = (portableBucketInt(col(keyCol)).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("priority").desc, col(keyCol))
+    df.withColumn("priority", col(weightCol).cast("double") / u)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Domain-mix REBALANCING: deterministically downsample so the surviving
     * corpus matches target group `weights` (web/code/books, languages, …)
     * as closely as downsampling allows. With group counts n_g and weights

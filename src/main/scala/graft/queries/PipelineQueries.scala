@@ -1074,7 +1074,15 @@ object PipelineQueries {
       graft.functions.Sampling.prioritySample(
         Tables.read(spark, dir, "documents")
           .select("doc_id", "n_chars"),
-        "doc_id", "n_chars", k = 200)))
+        "doc_id", "n_chars", k = 200)),
+
+    // Per-language weighted sampling: top-30 priorities WITHIN each
+    // lang — the mix-respecting form (rank window per stratum).
+    "sample_weighted_strat" -> ((spark, dir) =>
+      graft.functions.Sampling.stratifiedPrioritySample(
+        Tables.read(spark, dir, "documents")
+          .select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", "lang", k = 30)))
 
   /** DuckDB SQL recomputing the exact cosine for each (query_id,
     * neighbor_id) pair an ANN entry returned: candidate sets are
@@ -1363,6 +1371,16 @@ object PipelineQueries {
         |SELECT doc_id, n_chars,
         |  CAST(n_chars AS DOUBLE) / ((hv + 0.5) / 4294967296.0) AS priority
         |FROM h ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
+    "sample_weighted_strat" ->
+      """WITH h AS (SELECT doc_id, lang, n_chars,
+        |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hv
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, n_chars,
+        |  CAST(n_chars AS DOUBLE) / ((hv + 0.5) / 4294967296.0) AS priority
+        |  FROM h),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY lang ORDER BY priority DESC, doc_id) AS rk FROM p)
+        |SELECT doc_id, lang, n_chars, priority FROM r WHERE rk <= 30""".stripMargin,
     "dedup_minhash" -> s"""
         |WITH p AS (SELECT id_a, id_b
         |  FROM read_parquet('__OUT__/dedup_minhash/*.parquet')),

@@ -110,6 +110,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(one === Seq(3L))
   }
 
+  test("stratified priority sample is per-group top-k, layout-independent") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+      .select("doc_id", "lang", "n_chars")
+    val k = 10
+    val got = Sampling.stratifiedPrioritySample(docs, "doc_id", "n_chars",
+      "lang", k)
+    val perGroup = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    sizes.foreach { case (l, n) =>
+      assert(perGroup.getOrElse(l, 0L) === math.min(n, k.toLong), l)
+    }
+    // within one stratum the selection equals the unstratified sampler
+    // run on that stratum alone — same priorities, same rule
+    val lang = sizes.keys.min
+    val direct = Sampling.prioritySample(
+        docs.where(col("lang") === lang), "doc_id", "n_chars", k)
+      .select("doc_id").as[Long].collect().toSet
+    val strat = got.where(col("lang") === lang)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strat === direct)
+    val again = Sampling.stratifiedPrioritySample(docs.repartition(7),
+        "doc_id", "n_chars", "lang", k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === got.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = Tables.read(spark, SparkTestSession.Sf, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("qty"))
