@@ -127,6 +127,57 @@ object EventStream {
       }
   }
 
+  final case class SemVerdict(doc_id: Long, rep_id: Long, cos_sim: Double)
+
+  /** Streaming SEMANTIC near-dup index — the embedding analogue of
+    * [[minhashBucketIndex]], and the never-sealed sibling of
+    * [[cosinePairsStream]]: vectors arrive keyed by their k-means
+    * cluster (stateless assignment against fixed centers, the
+    * train-once contract); each cluster's state keeps the FIRST
+    * (id, vector, norm) seen — the kept representative — and every
+    * later arrival is emitted with its exact cosine against it, the
+    * continuous keep/drop signal. State is one vector per active
+    * cluster (bounded by ProcessingTimeTimeout in production; NoTimeout
+    * here for deterministic tests); arrivals stream through lazily, so
+    * a hot cluster never buffers.
+    */
+  def semanticClusterIndex(docs: Dataset[(Long, Long, Seq[Double])])
+      : Dataset[SemVerdict] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Seq[Double], Double), SemVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Seq[Double])],
+         state: GroupState[(Long, Seq[Double], Double)]) =>
+          val rep = state.getOption.orElse {
+            if (!rows.hasNext) None
+            else {
+              val (id, _, v) = rows.next()
+              var s = 0.0; var i = 0
+              while (i < v.length) { s += v(i) * v(i); i += 1 }
+              val entry = (id, v, math.sqrt(s))
+              state.update(entry)
+              Some(entry)
+            }
+          }
+          val (repId, repSeq, repN) = rep.getOrElse((-1L, Seq.empty[Double], 0.0))
+          val rv = repSeq.toArray
+          rows.collect {
+            case (id, _, v) if id != repId =>
+              var dot = 0.0; var sq = 0.0
+              var i = 0
+              val n = math.min(v.length, rv.length)
+              while (i < n) { dot += v(i) * rv(i); i += 1 }
+              i = 0
+              while (i < v.length) { sq += v(i) * v(i); i += 1 }
+              val denom = math.sqrt(sq) * repN
+              val cos = if (denom == 0.0) 0.0 else dot / denom
+              SemVerdict(id, repId, java.math.BigDecimal.valueOf(cos)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+          }
+      }
+  }
+
   final case class BandedDoc(band: Long, doc_id: Long, sh: Seq[Long],
                              ts: java.sql.Timestamp)
   /** LSH-bucket state: capped membership plus the max member event-time

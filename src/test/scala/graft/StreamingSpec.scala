@@ -705,6 +705,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((2L, 1L, 4), (3L, 1L, 2)))
   }
 
+  test("streaming semantic cluster index flags arrivals against the kept rep") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Seq[Double])]
+    // cluster 3: doc 1 is the representative; doc 2 identical (cos 1),
+    // doc 3 orthogonal (cos 0). cluster 5: doc 4 alone — no verdict.
+    val vA = Seq(1.0, 0.0, 0.0)
+    val vB = Seq(0.0, 1.0, 0.0)
+    in.addData((1L, 3L, vA), (2L, 3L, vA), (4L, 5L, vB))
+    val q = EventStream.semanticClusterIndex(in.toDS()).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sem_idx_out").start()
+    q.processAllAvailable()
+    // the representative persists across microbatches
+    in.addData((3L, 3L, vB))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sem_idx_out")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((2L, 1L, 1.0), (3L, 1L, 0.0)))
+  }
+
   test("streaming near-dup end-to-end: real signatures over a doc stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.functions.Dedup
