@@ -115,6 +115,33 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic train/val/test (or any n-way) split: each row gets
+    * the first label whose cumulative md5-bucket cut its key hashes
+    * below — the standard reproducible dataset split (membership is a
+    * pure function of the key: stable across runs, engines, layouts,
+    * and incremental reruns; fractions must sum to ≤ 1, remainder rows
+    * get the last label). One projection, no shuffle.
+    */
+  def portableSplit(df: DataFrame, keyCol: String,
+                    splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "splits must not be empty")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "fractions must sum to <= 1")
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val b = portableBucket(col(keyCol))
+    // ascending when-chain: first cumulative cut the hash falls under
+    // wins; remainder rows take the last label
+    val splitCol = splits.map(_._1).zip(cuts).dropRight(1)
+      .foldLeft(Option.empty[Column]) { case (accOpt, (name, cut)) =>
+        Some(accOpt match {
+          case None => when(b < lit(hexCut(cut)), name)
+          case Some(acc) => acc.when(b < lit(hexCut(cut)), name)
+        })
+      }
+      .map(_.otherwise(lit(splits.last._1)))
+      .getOrElse(lit(splits.last._1))
+    df.withColumn("split", splitCol)
+  }
+
   /** Per-stratum [[prioritySample]]: the top-`k` priorities WITHIN each
     * stratum — quality- or length-weighted sampling that still respects
     * a domain/language mix (k docs per group, heavier rows favored

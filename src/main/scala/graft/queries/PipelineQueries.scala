@@ -407,6 +407,31 @@ object PipelineQueries {
           round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // Per-source corpus profile — the summary a pipeline operator reads
+    // before choosing mix weights: doc/lang counts, exact char/token
+    // totals, and double averages derived from exact integer sums (one
+    // IEEE division each — portable).
+    "corpus_profile" -> ((spark, dir) => {
+      val t = col("text")
+      Tables.read(spark, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextAnalysis.tokenCount(t).cast("long").as("tk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("tk")).as("total_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("total_chars"), col("total_tokens"), col("min_chars"),
+          col("max_chars"),
+          (col("total_chars").cast("double") / col("n_docs").cast("double"))
+            .as("avg_chars"),
+          (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("avg_tokens"))
+    }),
+
     "text_stats" -> ((spark, dir) => {
       val t = col("text")
       Tables.read(spark, dir, "documents").select(
@@ -1082,7 +1107,15 @@ object PipelineQueries {
       graft.functions.Sampling.stratifiedPrioritySample(
         Tables.read(spark, dir, "documents")
           .select("doc_id", "lang", "n_chars"),
-        "doc_id", "n_chars", "lang", k = 30)))
+        "doc_id", "n_chars", "lang", k = 30)),
+
+    // Deterministic 80/10/10 train/val/test split: membership is a pure
+    // function of the key (portable md5 ranges), reproducible anywhere.
+    "sample_split" -> ((spark, dir) =>
+      graft.functions.Sampling.portableSplit(
+        Tables.read(spark, dir, "documents").select("doc_id"),
+        "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))))
 
   /** DuckDB SQL recomputing the exact cosine for each (query_id,
     * neighbor_id) pair an ANN entry returned: candidate sets are
@@ -1333,7 +1366,24 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM s) t WHERE rank <= 10""".stripMargin,
     "text_stats_native" -> textStatsOracle,
-    "text_stats" -> textStatsOracle)
+    "text_stats" -> textStatsOracle,
+    "corpus_profile" ->
+      """WITH t AS (SELECT source, lang, n_chars,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS tk
+        |  FROM documents),
+        |g AS (SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  SUM(n_chars) AS total_chars, SUM(tk) AS total_tokens,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |  FROM t GROUP BY source)
+        |SELECT source, n_docs, n_langs,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST(total_tokens AS BIGINT) AS total_tokens,
+        |  min_chars, max_chars,
+        |  CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_chars,
+        |  CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_tokens
+        |FROM g""".stripMargin)
 
   private lazy val textStatsOracle: String = s"""
         |WITH t AS (SELECT doc_id, text,
@@ -1371,6 +1421,14 @@ object PipelineQueries {
         |SELECT doc_id, n_chars,
         |  CAST(n_chars AS DOUBLE) / ((hv + 0.5) / 4294967296.0) AS priority
         |FROM h ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
+    "sample_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "sample_weighted_strat" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hv

@@ -136,6 +136,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === got.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("portable split: near-target fractions, exhaustive, layout-independent") {
+    val df = spark.range(0, 10000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.portableSplit(df, "id", splits)
+    val counts = got.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("train") / 10000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("val") / 10000.0 - 0.1) < 0.01)
+    assert(math.abs(counts("test") / 10000.0 - 0.1) < 0.01)
+    val again = Sampling.portableSplit(df.repartition(13), "id", splits)
+      .as[(Long, String)].collect().toMap
+    val first = got.as[(Long, String)].collect().toMap
+    assert(again === first)
+    // the train split nests the 0.8 hash sample (same md5 cut)
+    val hs = Sampling.portableHashSample(df, "id", 0.8)
+      .as[Long].collect().toSet
+    assert(first.filter(_._2 == "train").keySet === hs)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = Tables.read(spark, SparkTestSession.Sf, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("qty"))
