@@ -48,5 +48,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_tdigest", classOf[QuantileDigest],
       exprs => QuantileDigest(exprs.head,
         Seq(0.25, 0.5, 0.75, 0.99), intArg(exprs, 1, "graft_tdigest")))
+    inject(e, "graft_nfc", classOf[NfcNormalizeF],
+      exprs => NfcNormalizeF(exprs.head))
+    // graft_shingle_strings(token_array, k)
+    inject(e, "graft_shingle_strings", classOf[ShingleStringsF],
+      exprs => ShingleStringsF(exprs.head,
+        intArg(exprs, 1, "graft_shingle_strings")))
+    // graft_adc_sum(codes, qtab)
+    inject(e, "graft_adc_sum", classOf[AdcSumF],
+      exprs => AdcSumF(exprs(0), exprs(1)))
+    // graft_heavy_hitters(item, capacity) — Misra-Gries sketch aggregate
+    inject(e, "graft_heavy_hitters", classOf[MisraGries],
+      exprs => MisraGries(exprs.head,
+        intArg(exprs, 1, "graft_heavy_hitters")))
   }
 }

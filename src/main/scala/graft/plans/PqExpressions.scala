@@ -53,6 +53,15 @@ case class PqEncodeF(child: Expression,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pq_encode requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+    }
+
   @transient private lazy val m = codebooks.length
   @transient private lazy val ksub = codebooks(0).length
 
@@ -142,6 +151,15 @@ case class NearestCentroidF(child: Expression, centers: Array[Array[Double]])
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_nearest_centroid requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+    }
+
   @transient private lazy val n = centers.length
 
   private def read(arr: ArrayData, i: Int): Double = child.dataType match {
@@ -217,6 +235,18 @@ case class AdcSumF(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  // fail at ANALYSIS, not with an executor ClassCastException mid-job
+  // (SQL numeric literals default to DECIMAL — require explicit doubles)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (lt, rt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_adc_sum requires (ARRAY<INT> codes, ARRAY<ARRAY<DOUBLE>> qtab), " +
+            s"got (${lt.sql}, ${rt.sql})")
+    }
 
   override protected def nullSafeEval(codesAny: Any, qtabAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]

@@ -298,5 +298,15 @@ object SignatureExpressions {
     GraftBridge.registerTempFunction(spark, "graft_tdigest",
       exprs => QuantileDigest(exprs.head,
         Seq(0.25, 0.5, 0.75, 0.99), intArg(exprs, 1, "graft_tdigest")))
+    GraftBridge.registerTempFunction(spark, "graft_nfc",
+      exprs => NfcNormalizeF(exprs.head))
+    GraftBridge.registerTempFunction(spark, "graft_shingle_strings",
+      exprs => ShingleStringsF(exprs.head,
+        intArg(exprs, 1, "graft_shingle_strings")))
+    GraftBridge.registerTempFunction(spark, "graft_adc_sum",
+      exprs => AdcSumF(exprs(0), exprs(1)))
+    GraftBridge.registerTempFunction(spark, "graft_heavy_hitters",
+      exprs => MisraGries(exprs.head,
+        intArg(exprs, 1, "graft_heavy_hitters")))
   }
 }

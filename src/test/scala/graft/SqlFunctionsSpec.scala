@@ -48,7 +48,10 @@ class SqlFunctionsSpec extends AnyFunSuite {
         |  graft_media_header(CAST('junk' AS BINARY)).format AS fmt,
         |  element_at(graft_lang_scores('the cat and the dog'), 1) AS en_hits,
         |  size(graft_minhash(array('x'))) AS sig_len,
-        |  graft_simhash(array('a', 'b')) IS NOT NULL AS sh_ok
+        |  graft_simhash(array('a', 'b')) IS NOT NULL AS sh_ok,
+        |  graft_nfc('café') AS nfc,
+        |  graft_shingle_strings(array('a', 'b', 'c', 'd'), 3) AS shs,
+        |  graft_adc_sum(array(0, 1), CAST(array(array(1.5, 2.0), array(3.0, 4.5)) AS ARRAY<ARRAY<DOUBLE>>)) AS adc
         |""".stripMargin).collect()(0)
     assert(r.getDouble(0) === 11.0)
     assert(r.getInt(1) === 3)
@@ -57,6 +60,9 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r.getInt(4) === 3) // "the" ×2 + "and" in the en marker list
     assert(r.getInt(5) === 64)
     assert(r.getBoolean(6))
+    assert(r.getString(7) === "café")
+    assert(r.getSeq[String](8) === Seq("a b c", "b c d"))
+    assert(r.getDouble(9) === 1.5 + 4.5)
   }
 
   test("custom aggregates are callable from plain SQL") {
