@@ -391,7 +391,11 @@ object Similarity {
                       seed: Long = 42L): Array[Array[Double]] = {
     val sample = LocalKMeans.sampleVectors(emb, vecCol,
       cap = IvfIndex.fitSampleCap, seed = seed)
-    LocalKMeans.fit(sample, nClusters, iters = 12, seed = seed)
+    // empty corpus (a normal state mid-pipeline, e.g. after a filter):
+    // one dummy center — the assignment projection never evaluates and
+    // the dedup result is correctly empty
+    if (sample.isEmpty) Array(Array(0.0))
+    else LocalKMeans.fit(sample, nClusters, iters = 12, seed = seed)
   }
 
   def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,

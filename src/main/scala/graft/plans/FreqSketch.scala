@@ -132,6 +132,9 @@ case class MisraGries(
     })
   }
 
+  // length-prefixed UTF-8 bytes, not writeUTF: writeUTF caps one string
+  // at 64 KB and a pathological item (a megabyte "line" in crawl data)
+  // would kill the shuffle serializer
   override def serialize(b: java.util.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -139,7 +142,8 @@ case class MisraGries(
     val it = b.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeLong(e.getValue)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
     }
     out.flush(); bos.toByteArray
   }
@@ -149,7 +153,14 @@ case class MisraGries(
     val n = in.readInt()
     val b = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { b.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      b.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     b
   }
 

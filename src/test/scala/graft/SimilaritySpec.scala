@@ -215,5 +215,9 @@ class SimilaritySpec extends AnyFunSuite {
         "embedding", 0.4, nClusters = 8)
       .as[(Long, Long, Double)].collect().toSet
     assert(again === sem, "result depends on partition layout")
+    // empty corpus (normal mid-pipeline state) yields empty pairs, no throw
+    val empty = Similarity.semanticDupPairs(emb.where(lit(false)), "vec_id",
+      "embedding", 0.4, nClusters = 8)
+    assert(empty.count() === 0L)
   }
 }
