@@ -375,6 +375,40 @@ object Similarity {
     * emitted pair carries its true cosine). The exhaustive reference is
     * [[cosineDupPairs]] (spec-only).
     */
+  /** ANN quality evaluation as a relational operator: per-query
+    * recall@k (overlap with the exact top-k) and reciprocal rank of the
+    * TRUE nearest neighbor in the approximate list — the two numbers an
+    * index tuning loop (nBits/nProbe/shortlist sweeps) actually reads.
+    *
+    * Inputs are two (query_id, neighbor_id, rank) lists — any of the
+    * ANN searches vs [[bruteForceTopK]]. Queries the approximate index
+    * returned nothing for still appear (recall 0, rr 0). Both metrics
+    * are single IEEE divisions of exact integers — cross-engine
+    * bit-portable. Scale shape: two hash joins on (query, neighbor) +
+    * one per-query aggregate; both lists are |queries|·k rows, never
+    * corpus-sized.
+    */
+  def evaluateAnn(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val qs = exact.select(col("query_id")).distinct()
+    val hits = approx.as("a")
+      .join(exact.as("e"), Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val rr = exact.where(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("__ar")), Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        coalesce(lit(1.0) / col("__ar").cast("double"), lit(0.0)).as("rr"))
+    qs.join(hits, Seq("query_id"), "left")
+      .join(rr, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall_at_k"),
+        coalesce(col("rr"), lit(0.0)).as("rr"))
+  }
+
   /** Cluster count sized for ~`targetCluster` members per cluster — the
     * SemDeDup scaling rule (k ∝ n): cluster populations, and with them
     * the quadratic within-cluster verify, stay CONSTANT as the corpus

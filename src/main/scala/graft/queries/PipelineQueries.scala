@@ -316,6 +316,21 @@ object PipelineQueries {
           round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // ANN quality evaluation: recall@10 + reciprocal rank of the LSH
+    // index against the exact top-10 — the tuning-loop metrics as a
+    // relational op. The oracle reads the sim_ann_lsh dump (identical
+    // by determinism to the annTopK recomputed here) and rebuilds the
+    // exact side with the sim_topk_brute construction.
+    "sim_eval" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 10)
+      val approx = Similarity.annTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nBits = 8)
+      Similarity.evaluateAnn(approx, exact, k = 10)
+    }),
+
     // IVF coarse-quantizer ANN: KMeans lists + nProbe search (the
     // clustered-data scale path; LSH above is the data-independent one).
     // Same pair-value verification contract as sim_ann_lsh.
@@ -1365,6 +1380,33 @@ object PipelineQueries {
         |  SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM s) t WHERE rank <= 10""".stripMargin,
+    "sim_eval" ->
+      """WITH a AS (SELECT query_id, neighbor_id, rank
+        |  FROM read_parquet('__OUT__/sim_ann_lsh/*.parquet')),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round(
+        |   list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |   (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |ex AS (SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s) t WHERE rank <= 10),
+        |hits AS (SELECT a.query_id, count(*) AS n_hits
+        |  FROM a JOIN ex USING (query_id, neighbor_id) GROUP BY 1),
+        |first AS (SELECT query_id, neighbor_id FROM ex WHERE rank = 1),
+        |rr AS (SELECT f.query_id, coalesce(max(1.0 / a.rank), 0.0) AS rr
+        |  FROM first f LEFT JOIN a
+        |    ON f.query_id = a.query_id AND f.neighbor_id = a.neighbor_id
+        |  GROUP BY f.query_id),
+        |qs AS (SELECT DISTINCT query_id FROM ex)
+        |SELECT qs.query_id, coalesce(n_hits, 0) AS n_hits,
+        |  CAST(coalesce(n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_k,
+        |  coalesce(rr.rr, 0.0) AS rr
+        |FROM qs LEFT JOIN hits USING (query_id)
+        |LEFT JOIN rr USING (query_id)""".stripMargin,
     "text_stats_native" -> textStatsOracle,
     "text_stats" -> textStatsOracle,
     "corpus_profile" ->

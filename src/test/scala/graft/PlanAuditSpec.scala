@@ -61,6 +61,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not full-sort:\n$plan")
   }
 
+  test("corpus_profile partial-aggregates before its exchanges") {
+    val plan = executedPlan("corpus_profile")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"profile must partial-aggregate before the exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("sample_weighted plans as TakeOrderedAndProject (no global sort)") {
     val plan = executedPlan("sample_weighted")
     assert(plan.contains("TakeOrderedAndProject"),

@@ -220,4 +220,21 @@ class SimilaritySpec extends AnyFunSuite {
       "embedding", 0.4, nClusters = 8)
     assert(empty.count() === 0L)
   }
+
+  test("evaluateAnn: recall@k, reciprocal rank, and empty-query handling") {
+    // q1: approx finds 2 of 3 exact (the true NN at approx rank 2)
+    // q2: approx returned NOTHING — must still appear with zeros
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq(
+      (1L, 99L, 1), (1L, 10L, 2), (1L, 12L, 3)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.evaluateAnn(approx, exact, k = 3)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 2.0 / 3.0, 0.5)))
+    assert(got(2L) === ((0L, 0.0, 0.0)))
+  }
 }
