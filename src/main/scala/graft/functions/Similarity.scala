@@ -375,6 +375,33 @@ object Similarity {
     * emitted pair carries its true cosine). The exhaustive reference is
     * [[cosineDupPairs]] (spec-only).
     */
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× storage cut for vector search (codes in [−127, 127] + one
+    * per-vector scale; approximate dot products run on the codes, exact
+    * re-score on demand — the scalar sibling of PQ). Every step is
+    * cross-engine bit-portable: max|x| is exact, `127/max` is one IEEE
+    * division, `x·scale` one multiply, and rounding is the explicit
+    * `floor(y + 0.5)` (half-toward-+∞) rather than `round()`, whose
+    * half-way rule differs between engines. Zero vectors quantize to
+    * all-zero codes with scale 0. Pure projection — no shuffle.
+    */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xd = transform(col(vecCol), x => x.cast("double"))
+    val mx = array_max(transform(xd, x => abs(x)))
+    val scale = when(mx === 0.0, lit(0.0)).otherwise(lit(127.0) / mx)
+    df.select(col(idCol),
+      transform(xd, x => floor(x * scale + lit(0.5)).cast("int")).as("codes"),
+      scale.as("scale"))
+  }
+
+  /** Inverse of [[int8Quantize]] for re-scoring: `code / scale` (0 for
+    * scale 0). Max per-element reconstruction error is
+    * `1/(2·scale)` = max|x|/254.
+    */
+  def int8Dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c =>
+      when(scale === 0.0, lit(0.0)).otherwise(c.cast("double") / scale))
+
   /** ANN quality evaluation as a relational operator: per-query
     * recall@k (overlap with the exact top-k) and reciprocal rank of the
     * TRUE nearest neighbor in the approximate list — the two numbers an

@@ -316,6 +316,12 @@ object PipelineQueries {
           round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // Symmetric int8 embedding quantization (codes + per-vector scale):
+    // portable floor-based rounding, oracle mirrors every IEEE step.
+    "embed_quantize" -> ((spark, dir) =>
+      Similarity.int8Quantize(
+        Tables.read(spark, dir, "embeddings"), "vec_id", "embedding")),
+
     // ANN quality evaluation: recall@10 + reciprocal rank of the LSH
     // index against the exact top-10 — the tuning-loop metrics as a
     // relational op. The oracle reads the sim_ann_lsh dump (identical
@@ -1380,6 +1386,17 @@ object PipelineQueries {
         |  SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM s) t WHERE rank <= 10""".stripMargin,
+    "embed_quantize" ->
+      """WITH b AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS xd FROM embeddings),
+        |m AS (SELECT vec_id, xd,
+        |  list_max(list_transform(xd, x -> abs(x))) AS mx FROM b),
+        |s AS (SELECT vec_id, xd,
+        |  CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m)
+        |SELECT vec_id,
+        |  list_transform(xd, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS codes,
+        |  scale
+        |FROM s""".stripMargin,
     "sim_eval" ->
       """WITH a AS (SELECT query_id, neighbor_id, rank
         |  FROM read_parquet('__OUT__/sim_ann_lsh/*.parquet')),

@@ -221,6 +221,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(empty.count() === 0L)
   }
 
+  test("int8 quantization: code range, round-trip error bound, zero vectors") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val q = Similarity.int8Quantize(emb, "vec_id", "embedding")
+    val joined = q.join(emb, "vec_id")
+      .select(col("embedding").cast("array<double>").as("v"),
+        Similarity.int8Dequantize(col("codes"), col("scale")).as("d"),
+        col("codes"), col("scale"))
+      .as[(Seq[Double], Seq[Double], Seq[Int], Double)].collect()
+    joined.foreach { case (v, d, codes, scale) =>
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      val bound = 0.5 / scale + 1e-12
+      v.zip(d).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= bound, s"err ${math.abs(x - y)} > $bound")
+      }
+    }
+    val z = Similarity.int8Quantize(
+      Seq((1L, Seq(0f, 0f))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .as[(Long, Seq[Int], Double)].head()
+    assert(z === ((1L, Seq(0, 0), 0.0)))
+  }
+
   test("evaluateAnn: recall@k, reciprocal rank, and empty-query handling") {
     // q1: approx finds 2 of 3 exact (the true NN at approx rank 2)
     // q2: approx returned NOTHING — must still appear with zeros
