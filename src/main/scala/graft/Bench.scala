@@ -46,7 +46,10 @@ object Bench {
     // weighted priority sampling, boilerplate top-k n-grams, and
     // canonical unicode normalization
     "dedup_semantic", "sample_weighted", "text_topk_ngrams",
-    "text_normalize")
+    "text_normalize",
+    // round-5 close: int8 embedding quantization and the ANN
+    // tuning-loop metrics (recall@k + MRR vs exact)
+    "embed_quantize", "sim_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
