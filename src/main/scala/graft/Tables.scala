@@ -16,20 +16,28 @@ object Tables {
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // The driver fixtures carry events.ts as parquet TIMESTAMP(NANOS),
-      // which Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL) — read
-      // nanos as Long and truncate to a microsecond TimestampType
-      // (matching Spark's own pre-4.x behavior). ScaleUp-derived dirs are
-      // re-written by Spark itself as TIMESTAMP(MICROS), so the column
-      // arrives as TimestampType already — adapt on the observed schema.
-      // DuckDB keeps ns on the fixtures, so oracle-checked queries must
-      // only use second-or-coarser derivations of ts.
+      // Fixture generations have carried events.ts as parquet
+      // TIMESTAMP(NANOS) (Spark 4 rejects it — PARQUET_TYPE_ILLEGAL —
+      // so read nanos as Long and truncate to µs), TIMESTAMP(MICROS)
+      // without UTC adjustment (arrives as TimestampNTZType), or
+      // Spark-rewritten TIMESTAMP(MICROS) instant (ScaleUp dirs,
+      // TimestampType already). Normalize ALL of them to a microsecond
+      // TimestampType on the observed schema so every downstream
+      // consumer — typed encoders with java.sql.Timestamp fields,
+      // sentinel unions in the streaming gate entries — sees one type.
+      // Session timezone is UTC everywhere (Verify/Bench/tests), so the
+      // NTZ→instant cast preserves wall-clock values and DuckDB-side
+      // oracles (which read the file natively) agree on any
+      // second-or-coarser derivation of ts.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(path(sfDir, name))
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", org.apache.spark.sql.functions.expr(
             "timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
         case _ => df
       }
     } else spark.read.parquet(path(sfDir, name))

@@ -318,9 +318,15 @@ object PipelineQueries {
 
     // Symmetric int8 embedding quantization (codes + per-vector scale):
     // portable floor-based rounding, oracle mirrors every IEEE step.
+    // Emitted exploded to (vec_id, idx, code, scale) scalar rows so every
+    // individual code is value-checked (array columns also defeat the
+    // harness's sort-based canonicalization).
     "embed_quantize" -> ((spark, dir) =>
       Similarity.int8Quantize(
-        Tables.read(spark, dir, "embeddings"), "vec_id", "embedding")),
+          Tables.read(spark, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("idx", "code")),
+          col("scale"))),
 
     // ANN quality evaluation: recall@10 + reciprocal rank of the LSH
     // index against the exact top-10 — the tuning-loop metrics as a
@@ -1392,11 +1398,12 @@ object PipelineQueries {
         |m AS (SELECT vec_id, xd,
         |  list_max(list_transform(xd, x -> abs(x))) AS mx FROM b),
         |s AS (SELECT vec_id, xd,
-        |  CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m)
-        |SELECT vec_id,
-        |  list_transform(xd, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS codes,
-        |  scale
-        |FROM s""".stripMargin,
+        |  CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m),
+        |e AS (SELECT vec_id, xd, scale,
+        |  unnest(range(1, len(xd) + 1)) AS i FROM s)
+        |SELECT vec_id, CAST(i - 1 AS INTEGER) AS idx,
+        |  CAST(floor(xd[i] * scale + 0.5) AS INTEGER) AS code, scale
+        |FROM e""".stripMargin,
     "sim_eval" ->
       """WITH a AS (SELECT query_id, neighbor_id, rank
         |  FROM read_parquet('__OUT__/sim_ann_lsh/*.parquet')),
@@ -1573,10 +1580,12 @@ object PipelineQueries {
         |SELECT doc_id, shard, CAST(row_number() OVER (
         |  PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS pos
         |FROM a""".stripMargin,
+    // n_chars: DuckDB sum(INTEGER) yields HUGEINT (→ float in pandas);
+    // cast to BIGINT so both engines emit identical int64 values
     "text_shard_manifest" ->
       """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |    % 8 AS shard,
-        |  count(*) AS n_docs, sum(length(text)) AS n_chars
+        |  count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY 1""".stripMargin,
     // chunk boundaries: [i*stride, i*stride+window) over whitespace
     // tokens; 1 + ceil(max(n-window,0)/stride) chunks per doc

@@ -18,25 +18,24 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw schema of the events parquet (ts as nano Long — Spark 4 refuses
-    * TIMESTAMP(NANOS) otherwise; converted to µs TimestampType on read).
-    */
-  val RawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // The fixture's physical ts type has varied across driver
+    // generations (TIMESTAMP(NANOS) → Long under nanosAsLong;
+    // TIMESTAMP(MICROS) ntz → TimestampNTZType) — peek at the footer
+    // with a batch read and normalize to µs TimestampType exactly like
+    // [[graft.Tables.read]], so stream and batch plans see one type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // the fixture is a single file; the file stream source needs a
     // directory basePath with a glob that selects just the events table
-    spark.readStream.schema(RawSchema)
+    val raw = spark.readStream.schema(fileSchema)
       .option("basePath", sfDir)
       .parquet(s"$sfDir/{events}.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    fileSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window counts/sums per event type with a 1-hour watermark:
