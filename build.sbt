@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through unprefixed: the bench/verify harness
+// scrapes stdout for the one-line metrics JSON, and sbt's default
+// LoggedOutput would wrap it as "[info] {...}" (and tag all Spark stderr
+// as "[error]"), defeating a plain json.loads on the tail line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

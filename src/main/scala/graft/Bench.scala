@@ -88,7 +88,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sidecar copy for wrappers whose log-tail parsing misses the stdout
+    // line (sbt decoration, truncation) — always the full JSON, nothing else
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_result.json"), (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }
