@@ -49,7 +49,11 @@ object Bench {
     "text_normalize",
     // round-5 close: int8 embedding quantization and the ANN
     // tuning-loop metrics (recall@k + MRR vs exact)
-    "embed_quantize", "sim_eval")
+    "embed_quantize", "sim_eval",
+    // round-6: exact-mode Misra-Gries top-k, quality-aware keep-best
+    // dedup, stride-scheduled source interleave, k-center coreset
+    "text_topk_sketch", "dedup_keep_best", "mix_interleave",
+    "sample_kcenter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

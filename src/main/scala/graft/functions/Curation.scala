@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators that go beyond per-row expressions: context
@@ -253,5 +253,82 @@ object Curation {
       .withColumn("__ord", ord)
       .withColumn("pos", row_number().over(w))
       .drop("__ord")
+  }
+
+  /** Deterministic weighted interleave of sources into ONE global
+    * training order — stride scheduling (the WFQ virtual-clock rule,
+    * which is how pretraining mixtures are actually served): example
+    * `r` (1-based, md5-shuffled within its source) of source `s` is
+    * scheduled at virtual time `(r − 0.5) / w_s`, and the schedule is
+    * the ascending (vtime, source, id) order. Every prefix of the
+    * schedule then holds sources in proportion to their weights to
+    * within one example (the low-discrepancy property a round-robin or
+    * random interleave does not give), which is what makes loss curves
+    * comparable across mixture tweaks.
+    *
+    * `weightOf` maps the source column to a positive weight
+    * (deterministic expression, so the oracle can mirror it).
+    *
+    * Scale shape — NO corpus-wide window anywhere:
+    *   1. per-source rank: two-phase over md5-prefix buckets (windows
+    *      partitioned by (source, bucket), bucket-count cumsum is
+    *      nSources × nBuckets rows, broadcast back). A plain
+    *      `Window.partitionBy(source)` would funnel each source's full
+    *      history through one task — with few, large sources that is
+    *      the corpus through a handful of tasks.
+    *   2. global position: vtime is bucketed by whole scheduling
+    *      rounds (one round ≈ Σw examples, so round buckets are
+    *      uniform BY CONSTRUCTION whatever the source skew); rank
+    *      within round-bucket + tiny bucket-prefix cumsum, same
+    *      two-phase.
+    *
+    * Arithmetic is oracle-portable: rank→double is exact, `r − 0.5`
+    * exact below 2⁵³, one IEEE division per row, comparisons exact.
+    */
+  def interleaveBySource(df: DataFrame, idCol: String, srcCol: String,
+                         weightOf: Column => Column,
+                         ordBuckets: Int = 256,
+                         roundsPerBucket: Int = 64): DataFrame = {
+    require(ordBuckets > 0 && roundsPerBucket > 0,
+      s"bucket params must be > 0, got $ordBuckets/$roundsPerBucket")
+    import org.apache.spark.sql.expressions.Window
+    // md5-prefix buckets are contiguous ranges of the (ord, id) rank
+    // order, so bucket-local ranks + bucket offsets compose exactly
+    val base = df.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+      .withColumn("__ord", md5(col("__id").cast("string").cast("binary")))
+      .withColumn("__b",
+        (conv(substring(col("__ord"), 1, 4), 16, 10).cast("int") * ordBuckets
+          / 65536).cast("int"))
+    val wLocal = Window.partitionBy(col("__src"), col("__b"))
+      .orderBy(col("__ord"), col("__id"))
+    val local = base.withColumn("__rn", row_number().over(wLocal).cast("long"))
+    val cnts = base.groupBy("__src", "__b").agg(count(lit(1)).as("__c"))
+    // nSources × ordBuckets rows — the deliberate tiny single-source
+    // window (non-foldable constant key idiom, see packTokenSpans)
+    val wPre = Window.partitionBy(col("__src")).orderBy(col("__b"))
+    val offs = cnts.withColumn("__off",
+        coalesce(sum(col("__c")).over(wPre.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__src"), col("__b"), col("__off"))
+    val ranked = local.join(broadcast(offs), Seq("__src", "__b"))
+      .withColumn("__r", col("__off") + col("__rn"))
+      .withColumn("__w", weightOf(col("__src")).cast("double"))
+      .withColumn("vtime",
+        (col("__r").cast("double") - lit(0.5)) / col("__w"))
+    // phase 2: global rank over (vtime, src, id) via round buckets
+    val g = ranked.withColumn("__gb",
+      floor(col("vtime") / roundsPerBucket).cast("long"))
+    val wgLocal = Window.partitionBy(col("__gb"))
+      .orderBy(col("vtime"), col("__src"), col("__id"))
+    val gLocal = g.withColumn("__grn", row_number().over(wgLocal).cast("long"))
+    val gCnts = g.groupBy("__gb").agg(count(lit(1)).as("__gc"))
+    val wgPre = Window.partitionBy(pmod(col("__gb"), lit(1))).orderBy(col("__gb"))
+    val gOffs = gCnts.withColumn("__goff",
+        coalesce(sum(col("__gc")).over(wgPre.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gb"), col("__goff"))
+    gLocal.join(broadcast(gOffs), Seq("__gb"))
+      .select(col("__id").as(idCol), col("__src").as(srcCol),
+        col("vtime"), (col("__goff") + col("__grn")).as("pos"))
   }
 }

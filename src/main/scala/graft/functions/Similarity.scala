@@ -385,6 +385,61 @@ object Similarity {
     * half-way rule differs between engines. Zero vectors quantize to
     * all-zero codes with scale 0. Pure projection — no shuffle.
     */
+  /** Greedy k-center (farthest-point) coreset selection — the standard
+    * diverse-subset picker for embedding spaces (2-approximation of the
+    * optimal k-center cover): seed with the smallest id, then repeatedly
+    * take the point FARTHEST (cosine distance) from everything selected
+    * so far. Emits (rank, id, dist) where dist is the coverage radius at
+    * selection time — the decreasing radius sequence is the stopping
+    * diagnostic.
+    *
+    * Scale shape: k passes over the corpus, each a broadcast-centers
+    * projection + one single-row max(struct) aggregation — the selected
+    * set (k × dim floats) is the ONLY driver-side data, exactly like
+    * the IVF centroid table. No corpus shuffle at any point. Iteration
+    * `r` scores against all `r−1` centers from the persisted base (no
+    * lineage growth, no intermediate caching): O(n·k²) dot products
+    * total, the classic distributed-greedy trade for tiny k.
+    *
+    * Ties (equal min-distance) break to the smallest id via
+    * max(struct(dist, −id)) — the oracle replays the identical rule.
+    */
+  def kCenterGreedy(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .persist()
+    try {
+      val seed = base.orderBy("vec_id").limit(1).head()
+      var sel = List((seed.getLong(0), seed.getSeq[Float](1), seed.getDouble(2)))
+      val out = scala.collection.mutable.ArrayBuffer((1, seed.getLong(0), 0.0))
+      def distTo(cv: Seq[Float], cn: Double): Column = {
+        val denom = col("nrm") * lit(cn)
+        when(denom === 0.0, lit(1.0))
+          .otherwise(lit(1.0) - dot(col("v"), typedLit(cv)) / denom)
+      }
+      var r = 2
+      while (r <= k) {
+        val selIds = sel.map(_._1)
+        val mind = sel.map { case (_, cv, cn) => distTo(cv, cn) }
+          .reduce((a, b) => least(a, b))
+        val pick = base.where(!col("vec_id").isin(selIds: _*))
+          .select(max(struct(mind.as("d"), (-col("vec_id")).as("nid"),
+            col("v"), col("nrm"))).as("m"))
+          .head().getStruct(0)
+        val id = -pick.getLong(1)
+        sel = (id, pick.getSeq[Float](2), pick.getDouble(3)) :: sel
+        out += ((r, id, pick.getDouble(0)))
+        r += 1
+      }
+      spark.createDataFrame(out.toSeq).toDF("rank", "vec_id", "dist")
+        .select(col("rank"), col("vec_id"), round(col("dist"), 6).as("dist"))
+    } finally base.unpersist()
+  }
+
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val xd = transform(col(vecCol), x => x.cast("double"))
     val mx = array_max(transform(xd, x => abs(x)))

@@ -121,6 +121,37 @@ object PipelineQueries {
           coalesce(col("component"), col("doc_id")).as("rep_id"))
     }),
 
+    // Quality-aware near-dup dedup (the FineWeb/RefinedWeb keep rule):
+    // same components as dedup_components, but each cluster keeps its
+    // HIGHEST-quality member (ties → smallest id) instead of min-id.
+    // The argmax is one max(struct(quality, -id)) aggregation — O(1)
+    // buffer per component under any cluster-size skew, and the join
+    // back is keyed on the component label, so nothing quadratic ever
+    // materializes. Quality is the oracle-mirrored composite score, so
+    // the whole keep decision is hash-checked end-to-end.
+    "dedup_keep_best" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      val comp = graft.functions.Components
+        .connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+      val labeled = docs
+        .select(col("doc_id"),
+          TextAnalysis.qualityScoreFromStats(
+            TextAnalysis.stats(col("text"))).as("quality"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("rep_id"),
+          col("quality"))
+      val best = labeled.groupBy("rep_id")
+        .agg(max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("b"))
+        .select(col("rep_id"), (-col("b.neg_id")).as("keep_id"))
+      labeled.join(best, "rep_id")
+        .select(col("doc_id"), col("rep_id"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("kept"), col("quality"))
+    }),
+
     // The SAME MinHash near-dup as a real Structured Streaming query:
     // signatures/band keys are the identical stateless expressions, the
     // bucket verify runs in flatMapGroupsWithState with bottom-k-capped
@@ -315,6 +346,14 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("sim"), 6).as("sim"), col("rank"))
     }),
+
+    // Greedy k-center coreset over the embedding corpus: 12 maximally
+    // diverse vectors (decreasing coverage-radius sequence). The oracle
+    // replays the full greedy recursion — seed, argmax-of-min-distance,
+    // and the (dist desc → id asc) tie-break — via a recursive CTE.
+    "sample_kcenter" -> ((spark, dir) =>
+      Similarity.kCenterGreedy(
+        Tables.read(spark, dir, "embeddings"), "vec_id", "embedding", k = 12)),
 
     // Symmetric int8 embedding quantization (codes + per-vector scale):
     // portable floor-based rounding, oracle mirrors every IEEE step.
@@ -535,6 +574,25 @@ object PipelineQueries {
       TextAnalysis.topNgramsByDocFreq(
         Tables.read(spark, dir, "documents"), "text", k = 50)),
 
+    // The SAME top-50 through the Misra-Gries sketch run in its exact
+    // regime: capacity 65536 ≥ corpus 3-gram vocabulary (27k at sf0.1),
+    // so no counter is ever decremented and every estimate IS the true
+    // document frequency — the sketch becomes hash-gatable against the
+    // exact oracle. The shuffle carries one bounded sketch per partition
+    // (≤ capacity entries) instead of one row per distinct gram, which
+    // is the 100 TB shape: shuffle volume is a constant, not vocabulary-
+    // sized. (Under-capacity corpora are the spec-verified estimate
+    // path; this entry pins the exact-mode contract.)
+    "text_topk_sketch" -> ((spark, dir) => {
+      val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
+      Tables.read(spark, dir, "documents")
+        .select(explode(
+          graft.plans.ShingleStringsF.shingleStrings(toks, 3)).as("ngram"))
+        .agg(graft.plans.MisraGries.sketch(col("ngram"), 65536).as("sk"))
+        .select(explode(slice(col("sk"), 1, 50)).as("e"))
+        .select(col("e.item").as("ngram"), col("e.est").as("doc_freq"))
+    }),
+
     // PII redaction over deterministically PII-augmented fixture text
     // (the synthetic corpus carries no addresses, so each doc gets an
     // email/IP/phone derived from its own id and source — the oracle
@@ -610,6 +668,18 @@ object PipelineQueries {
       graft.functions.Curation.shardAssignments(
           Tables.read(spark, dir, "documents"), "doc_id", nShards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))),
+
+    // Deterministic weighted source interleave (stride scheduling /
+    // WFQ): every prefix of the emitted order holds sources in
+    // proportion to their weights to within one example. Weights are a
+    // deterministic function of the source name (1 + len%3) so the
+    // oracle can replay the whole schedule — vtime AND the global
+    // position are both value-checked. Both ranking phases are
+    // two-phase prefix sums (no corpus-wide window).
+    "mix_interleave" -> ((spark, dir) =>
+      graft.functions.Curation.interleaveBySource(
+        Tables.read(spark, dir, "documents"), "doc_id", "source",
+        s => lit(1.0) + (length(s) % 3).cast("double"))),
 
     // Per-shard manifest over the same assignment: doc count and total
     // characters per shard — what a shard writer records next to its
@@ -1392,6 +1462,42 @@ object PipelineQueries {
         |  SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM s) t WHERE rank <= 10""".stripMargin,
+    // full greedy replay: each recursion step carries the selected
+    // (vectors, norms, ids) and re-derives the next farthest point with
+    // the identical IEEE arithmetic and tie-break
+    "sample_kcenter" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |s0 AS (SELECT min(vec_id) AS id FROM n),
+        |r AS (
+        |  SELECT 1 AS rank, n.vec_id, CAST(0.0 AS DOUBLE) AS dist,
+        |    [n.v] AS sels, [n.nrm] AS snrms, [n.vec_id] AS sids
+        |  FROM n, s0 WHERE n.vec_id = s0.id
+        |  UNION ALL
+        |  SELECT g.rank + 1,
+        |    -struct_extract(g.m, 'nid'), struct_extract(g.m, 'd'),
+        |    list_append(g.sels, struct_extract(g.m, 'v')),
+        |    list_append(g.snrms, struct_extract(g.m, 'nrm')),
+        |    list_append(g.sids, -struct_extract(g.m, 'nid'))
+        |  FROM (
+        |    SELECT r.rank, r.sels, r.snrms, r.sids,
+        |      max(struct_pack(d := c_mind, nid := -n.vec_id,
+        |                      v := n.v, nrm := n.nrm)) AS m
+        |    FROM r JOIN n ON NOT list_contains(r.sids, n.vec_id),
+        |    LATERAL (SELECT list_min(list_transform(range(1, len(r.sels)+1),
+        |      i -> CASE WHEN n.nrm * r.snrms[i] = 0 THEN 1.0
+        |           ELSE 1.0 - list_sum(list_transform(range(1, len(n.v)+1),
+        |             j -> n.v[j] * r.sels[i][j])) / (n.nrm * r.snrms[i])
+        |           END)) AS c_mind) lat
+        |    WHERE r.rank < 12
+        |    GROUP BY r.rank, r.sels, r.snrms, r.sids
+        |  ) g
+        |)
+        |SELECT rank, vec_id, round(dist, 6) AS dist FROM r""".stripMargin,
     "embed_quantize" ->
       """WITH b AS (SELECT vec_id,
         |  list_transform(embedding, x -> x::DOUBLE) AS xd FROM embeddings),
@@ -1528,6 +1634,44 @@ object PipelineQueries {
         |comp AS (SELECT u AS doc_id, MIN(r) AS rep FROM reach GROUP BY u)
         |SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep_id
         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    // closure over the same verified pair graph + the mirrored quality
+    // formula: DuckDB independently recomputes component labels AND the
+    // per-cluster argmax (quality desc, id asc) keep rule
+    "dedup_keep_best" -> s"""
+        |WITH RECURSIVE p AS (SELECT id_a, id_b
+        |  FROM read_parquet('__OUT__/dedup_minhash/*.parquet')),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+        |comp AS (SELECT u AS doc_id, MIN(r) AS rep FROM reach GROUP BY u),
+        |t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS stopword_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  least(stopword_ratio * 4.0, 1.0) * 0.3 +
+        |  greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
+        |  FROM m),
+        |lab AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep_id, q.quality
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)
+        |  JOIN q USING (doc_id)),
+        |b AS (SELECT rep_id, doc_id AS keep_id FROM (
+        |  SELECT rep_id, doc_id, row_number() OVER (
+        |    PARTITION BY rep_id ORDER BY quality DESC, doc_id) AS rn
+        |  FROM lab) WHERE rn = 1)
+        |SELECT lab.doc_id, lab.rep_id, b.keep_id,
+        |  lab.doc_id = b.keep_id AS kept, lab.quality
+        |FROM lab JOIN b USING (rep_id)""".stripMargin,
     // identical pair-value contract to dedup_minhash: the streamed pairs
     // must carry the exact Jaccard DuckDB recomputes from the base table
     "dedup_minhash_stream" -> s"""
@@ -1580,6 +1724,23 @@ object PipelineQueries {
         |SELECT doc_id, shard, CAST(row_number() OVER (
         |  PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS pos
         |FROM a""".stripMargin,
+    // full schedule replay: per-source md5-shuffled rank → virtual
+    // time (one exact subtraction + one IEEE division) → global
+    // (vtime, source, id) order; any drift in hashing, weights, or
+    // tie-breaks moves positions and breaks the hash
+    "mix_interleave" ->
+      """WITH r AS (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |  FROM documents),
+        |v AS (SELECT doc_id, source,
+        |  (CAST(r AS DOUBLE) - 0.5) /
+        |  (1.0 + CAST(length(source) % 3 AS DOUBLE)) AS vtime
+        |  FROM r)
+        |SELECT doc_id, source, vtime,
+        |  CAST(row_number() OVER (ORDER BY vtime, source, doc_id) AS BIGINT)
+        |    AS pos
+        |FROM v""".stripMargin,
     // n_chars: DuckDB sum(INTEGER) yields HUGEINT (→ float in pandas);
     // cast to BIGINT so both engines emit identical int64 values
     "text_shard_manifest" ->
@@ -1752,6 +1913,13 @@ object PipelineQueries {
         |    '\s+', ' ', 'g')) AS normalized
         |FROM aug""".stripMargin,
     "text_topk_ngrams" -> s"""
+        |WITH $shingleCtes,
+        |u AS (SELECT unnest(s) AS ngram FROM sh)
+        |SELECT ngram, count(*) AS doc_freq FROM u
+        |GROUP BY ngram ORDER BY doc_freq DESC, ngram LIMIT 50""".stripMargin,
+    // identical construction: in exact mode the sketch must reproduce
+    // the true top-50 (same tie-break: freq desc, gram asc)
+    "text_topk_sketch" -> s"""
         |WITH $shingleCtes,
         |u AS (SELECT unnest(s) AS ngram FROM sh)
         |SELECT ngram, count(*) AS doc_freq FROM u

@@ -168,4 +168,59 @@ class CurationSpec extends AnyFunSuite {
     // md5 spreads the synthetic contiguous ids: no shard is empty here
     assert(a.map(_._2).distinct.length === 8)
   }
+
+  test("interleaveBySource: stride schedule equals the naive global sort") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val wOf = (s: org.apache.spark.sql.Column) =>
+      lit(1.0) + (length(s) % 3).cast("double")
+    val got = Curation.interleaveBySource(docs, "doc_id", "source", wOf)
+      .select("doc_id", "source", "vtime", "pos")
+      .as[(Long, String, Double, Long)].collect()
+    // reference: one driver-side sort over the same (vtime, source, id) key
+    val ref = got.map(r => (r._3, r._2, r._1)).sorted
+      .zipWithIndex.map { case ((_, _, id), i) => id -> (i + 1L) }.toMap
+    got.foreach { case (id, _, _, pos) => assert(pos === ref(id)) }
+    // vtime really is (rank − 0.5) / weight for the md5 rank within source
+    val bySrc = got.groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      val w = 1.0 + (src.length % 3)
+      val vts = rows.map(_._3).sorted
+      vts.zipWithIndex.foreach { case (vt, i) =>
+        assert(vt === (i + 1 - 0.5) / w, s"source $src rank ${i + 1}")
+      }
+    }
+    // low-discrepancy property: every schedule prefix carries each source
+    // in weight proportion to within ~1 example
+    val order = got.sortBy(_._4)
+    val totalW = bySrc.keys.map(s => 1.0 + (s.length % 3)).sum
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    order.take(2000).zipWithIndex.foreach { case ((_, src, vt, _), i) =>
+      counts(src) += 1
+      val expected = (1.0 + (src.length % 3)) * vt
+      assert(math.abs(counts(src) - expected) <= 1.0 + 1e-9,
+        s"prefix ${i + 1}: source $src count ${counts(src)} vs vtime share $expected")
+    }
+    // pure function of content: physical layout cannot move anything
+    val again = Curation.interleaveBySource(
+        docs.repartition(13), "doc_id", "source", wOf)
+      .select("doc_id", "source", "vtime", "pos")
+      .as[(Long, String, Double, Long)].collect()
+    assert(again.toSet === got.toSet)
+  }
+
+  test("interleaveBySource: 2:1 weights alternate ABA in the steady state") {
+    val docs = (1L to 30L).map(i => (i, if (i <= 20) "heavy" else "light"))
+      .toDF("doc_id", "source")
+    val wOf = (s: org.apache.spark.sql.Column) =>
+      when(s === "heavy", lit(2.0)).otherwise(lit(1.0))
+    val order = Curation.interleaveBySource(docs, "doc_id", "source", wOf)
+      .select("source", "pos").as[(String, Long)].collect()
+      .sortBy(_._2).map(_._1)
+    // 20 heavy at vtime (r−.5)/2, 10 light at (r−.5): every unit round
+    // holds exactly two heavy + one light while both sources last
+    order.grouped(3).take(10).foreach { g =>
+      assert(g.count(_ == "heavy") === 2 && g.count(_ == "light") === 1,
+        s"round ${g.mkString(",")}")
+    }
+  }
 }

@@ -416,4 +416,28 @@ class DedupSpec extends AnyFunSuite {
     // true jaccard of 2-shingles: 8 shared / 10 union = 0.8
     assert(math.abs(est - 0.8) < 0.15)
   }
+
+  test("dedup_keep_best keeps exactly the highest-quality member per component") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = graft.SparkEntry.queries("dedup_keep_best")(
+        spark, SparkTestSession.Sf)
+      .as[(Long, Long, Long, Boolean, Double)].collect()
+    val byRep = rows.groupBy(_._2)
+    byRep.foreach { case (rep, ms) =>
+      // one keep per component, and it is a member
+      val kept = ms.filter(_._4)
+      assert(kept.length === 1, s"component $rep kept ${kept.length}")
+      assert(kept.head._1 === kept.head._3)
+      // argmax rule: quality desc, id asc
+      val best = ms.map(m => (m._5, -m._1)).max
+      assert(kept.head._1 === -best._2,
+        s"component $rep kept ${kept.head._1}, best is ${-best._2}")
+      // every member agrees on keep_id
+      assert(ms.map(_._3).distinct.length === 1)
+    }
+    // doc set is the full corpus
+    val n = Tables.read(spark, SparkTestSession.Sf, "documents").count()
+    assert(rows.length === n)
+  }
 }

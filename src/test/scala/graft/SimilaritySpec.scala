@@ -258,4 +258,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1L) === ((2L, 2.0 / 3.0, 0.5)))
     assert(got(2L) === ((0L, 0.0, 0.0)))
   }
+
+  test("kCenterGreedy matches a driver-side greedy replay on the fixture") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val k = 8
+    val got = Similarity.kCenterGreedy(emb, "vec_id", "embedding", k)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    // independent replay in plain Scala doubles
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val byId = vecs.toMap
+    def dist(a: Long, b: Long): Double = {
+      val d = nrm(a) * nrm(b)
+      if (d == 0.0) 1.0 else 1.0 - dot(byId(a), byId(b)) / d
+    }
+    var sel = List(vecs.head._1)
+    val expect = scala.collection.mutable.ArrayBuffer((1, vecs.head._1, 0.0))
+    (2 to k).foreach { r =>
+      val cand = vecs.map(_._1).filterNot(sel.contains)
+        .map(id => (sel.map(dist(id, _)).min, -id))
+      val best = cand.max
+      expect += ((r, -best._2, best._1))
+      sel = -best._2 :: sel
+    }
+    got.zip(expect).foreach { case ((gr, gid, gd), (er, eid, ed)) =>
+      assert(gr === er && gid === eid, s"rank $gr picked $gid, expected $eid")
+      assert(math.abs(gd - ed) < 1e-6)
+    }
+    // coverage radius never increases after the seed
+    got.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 1e-12, s"radius grew at rank ${b._1}")
+    }
+  }
 }
