@@ -207,6 +207,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"shard numbering must never funnel the corpus to one partition:\n$plan")
   }
 
+  test("mix_interleave: both rank phases stay bucketed (no corpus-wide window)") {
+    val plan = finalPlan("mix_interleave")
+    assert(plan.contains("Window"), s"expected bucketed rank windows:\n$plan")
+    // the only SinglePartition traffic allowed is the tiny bucket-count
+    // cumsum (nSources×256 / nBuckets rows); the corpus-sized windows key
+    // on (source, md5 bucket) and (round bucket). A corpus-wide
+    // row_number would show a Window whose partition spec is empty —
+    // spelled "Window [...]" with no "partitionBy"-derived hash exchange
+    // directly beneath feeding the full input.
+    val windows = plan.split("\n").count(_.contains("Window"))
+    assert(windows >= 2, s"two bucketed rank phases expected:\n$plan")
+    assert(plan.contains("__b") && plan.contains("__gb"),
+      s"ranks must key on the md5-prefix and round buckets:\n$plan")
+  }
+
+  test("text_topk_sketch: one bounded sketch per partition crosses the exchange") {
+    val plan = finalPlan("text_topk_sketch")
+    assert(plan.contains("graft_misra_gries") || plan.contains("misra"),
+      s"expected the MG aggregate:\n$plan")
+    assert(plan.contains("partial_graft_misra_gries") ||
+      (plan.contains("ObjectHashAggregate") && plan.contains("Exchange")),
+      s"the sketch must partial-aggregate before the exchange:\n$plan")
+  }
+
+  test("dedup_keep_best: component argmax is an aggregation, not a window") {
+    val plan = finalPlan("dedup_keep_best")
+    assert(plan.contains("max(struct"),
+      s"keep rule must be max(struct(quality, -id)):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"no quadratic join anywhere in the keep-best path:\n$plan")
+  }
+
   test("tap incremental predicate reaches the parquet scan") {
     val plan = executedPlan("tap_incremental")
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
