@@ -53,7 +53,7 @@ object Bench {
     // round-6: exact-mode Misra-Gries top-k, quality-aware keep-best
     // dedup, stride-scheduled source interleave, k-center coreset
     "text_topk_sketch", "dedup_keep_best", "mix_interleave",
-    "sample_kcenter")
+    "sample_kcenter", "mix_epochs", "sample_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

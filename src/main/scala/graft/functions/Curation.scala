@@ -331,4 +331,69 @@ object Curation {
       .select(col("__id").as(idCol), col("__src").as(srcCol),
         col("vtime"), (col("__goff") + col("__grn")).as("pos"))
   }
+
+  /** Deterministic repeat-factor upsampling — the "epochs per source"
+    * half of a pretraining mixture (weight 1.9 ⇒ every doc appears
+    * once and 90 % of docs twice; weight 0.5 ⇒ half the docs appear at
+    * all). The fractional epoch membership is the portable md5 uniform
+    * (same `u` as the sampling family), so the replica set is a pure
+    * function of the id: stable across runs, engines, layouts, and —
+    * the property that matters operationally — across incremental
+    * reruns over a growing corpus. Pure projection + generate, no
+    * shuffle.
+    */
+  def epochRepeat(df: DataFrame, idCol: String, srcCol: String,
+                  weightOf: Column => Column): DataFrame = {
+    val w = weightOf(col(srcCol)).cast("double")
+    val u = (Sampling.portableBucketInt(col(idCol)).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val nrep = (floor(w) +
+      when(u < w - floor(w), lit(1)).otherwise(lit(0))).cast("int")
+    df.select(col(idCol), col(srcCol)).withColumn("__n", nrep)
+      .where(col("__n") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1), col("__n"))))
+      .drop("__n")
+  }
+
+  /** Quality-prioritized token-budget fill: admit documents in
+    * (quality desc, id) order while the INCLUSIVE running token total
+    * stays within `budget` — "the best N tokens", the selection rule a
+    * fixed-compute pretraining run applies to an over-collected corpus.
+    * Emits the admitted docs with their running totals (the manifest a
+    * budget report needs).
+    *
+    * Scale shape: the global cumsum follows the two-phase pattern —
+    * quality lives in [0,1], so fixed-width value buckets
+    * (`floor((1−q)·nBuckets)`) are contiguous ranges of the sort order
+    * by construction; within-bucket running sums window on the bucket
+    * key, bucket totals cumsum on an nBuckets-row aggregate, broadcast
+    * back. No corpus-wide ordered window.
+    */
+  def tokenBudgetFill(df: DataFrame, textCol: String, idCol: String,
+                      budget: Long, nBuckets: Int = 256): DataFrame = {
+    require(budget >= 0 && nBuckets > 0, s"bad budget/buckets: $budget/$nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("__s", TextAnalysis.stats(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.qualityScoreFromStats(col("__s")).as("quality"),
+        col("__s.n_tokens").cast("long").as("n_tokens"))
+      .withColumn("__b",
+        floor((lit(1.0) - col("quality")) * nBuckets).cast("long"))
+    val wLocal = Window.partitionBy(col("__b"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val local = base.withColumn("__cum",
+      sum(col("n_tokens")).over(wLocal.rowsBetween(
+        Window.unboundedPreceding, 0)))
+    val bSums = base.groupBy("__b").agg(sum(col("n_tokens")).as("__bs"))
+    val wPre = Window.partitionBy(pmod(col("__b"), lit(1))).orderBy(col("__b"))
+    val offs = bSums.withColumn("__off",
+        coalesce(sum(col("__bs")).over(wPre.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    local.join(broadcast(offs), Seq("__b"))
+      .withColumn("cum_tokens", col("__off") + col("__cum"))
+      .where(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+  }
 }

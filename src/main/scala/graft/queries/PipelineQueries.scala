@@ -681,6 +681,24 @@ object PipelineQueries {
         Tables.read(spark, dir, "documents"), "doc_id", "source",
         s => lit(1.0) + (length(s) % 3).cast("double"))),
 
+    // Repeat-factor upsampling: source weight 0.5/1.2/1.9 (from the
+    // name, deterministic) ⇒ whole epochs + md5-uniform fractional
+    // membership. Pure projection+generate; replica set is a function
+    // of the id alone.
+    "mix_epochs" -> ((spark, dir) =>
+      graft.functions.Curation.epochRepeat(
+        Tables.read(spark, dir, "documents"), "doc_id", "source",
+        s => lit(0.5) + (length(s) % 3).cast("double") * lit(0.7))),
+
+    // Quality-prioritized token-budget fill: the best docs until 16k
+    // running tokens. Both the admission set and every running total
+    // are value-checked; the global cumsum is the bucketed two-phase
+    // form (quality-value buckets are contiguous in the sort order).
+    "sample_token_budget" -> ((spark, dir) =>
+      graft.functions.Curation.tokenBudgetFill(
+        Tables.read(spark, dir, "documents"), "text", "doc_id",
+        budget = 16000L)),
+
     // Per-shard manifest over the same assignment: doc count and total
     // characters per shard — what a shard writer records next to its
     // files for audit/resume.
@@ -1724,6 +1742,45 @@ object PipelineQueries {
         |SELECT doc_id, shard, CAST(row_number() OVER (
         |  PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS pos
         |FROM a""".stripMargin,
+    // epoch replay: same weight function, same md5 uniform, same
+    // floor/fraction split — DuckDB regenerates every replica row
+    "mix_epochs" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  0.5 + CAST(length(source) % 3 AS DOUBLE) * 0.7 AS w,
+        |  (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    ::DOUBLE + 0.5) / 4294967296.0 AS u
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  CAST(floor(w) AS BIGINT) +
+        |  CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS nrep FROM b)
+        |SELECT doc_id, source, CAST(unnest(range(1, nrep + 1)) AS INT)
+        |  AS epoch
+        |FROM n WHERE nrep >= 1""".stripMargin,
+    // budget replay: mirrored quality + token count, one flat ordered
+    // cumsum (the oracle may funnel; the engine must not)
+    "sample_token_budget" -> s"""
+        |WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS stopword_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id, n_tokens,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  least(stopword_ratio * 4.0, 1.0) * 0.3 +
+        |  greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
+        |  FROM m),
+        |o AS (SELECT doc_id, quality, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, quality, n_tokens, cum_tokens
+        |FROM o WHERE cum_tokens <= 16000""".stripMargin,
     // full schedule replay: per-source md5-shuffled rank → virtual
     // time (one exact subtraction + one IEEE division) → global
     // (vtime, source, id) order; any drift in hashing, weights, or

@@ -208,6 +208,62 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSet === got.toSet)
   }
 
+  test("epochRepeat: integer weights replicate exactly; fraction is the md5 uniform") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    // w = 2.0 exactly: every doc appears exactly twice, epochs 1 and 2
+    val twice = Curation.epochRepeat(docs, "doc_id", "source", _ => lit(2.0))
+      .select("doc_id", "epoch").as[(Long, Int)].collect()
+    val n = docs.count()
+    assert(twice.length === 2 * n)
+    twice.groupBy(_._1).values.foreach(es =>
+      assert(es.map(_._2).sorted.toSeq === Seq(1, 2)))
+    // w = 1.4: everyone once, and EXACTLY the docs whose md5 uniform
+    // falls under 0.4 get a second epoch — replayed driver-side
+    val w14 = Curation.epochRepeat(docs, "doc_id", "source", _ => lit(1.4))
+      .select("doc_id", "epoch").as[(Long, Int)].collect()
+    val seconds = w14.filter(_._2 == 2).map(_._1).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(id: Long): Double = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+    }
+    val expect2 = (0L until n).filter(id => u(id) < 1.4 - 1.0).toSet
+    assert(seconds === expect2)
+    // sub-1 weight drops deterministically, same membership rule
+    val half = Curation.epochRepeat(docs, "doc_id", "source", _ => lit(0.4))
+      .select("doc_id").as[Long].collect().toSet
+    assert(half === expect2)
+  }
+
+  test("tokenBudgetFill equals the naive global-window computation") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val got = Curation.tokenBudgetFill(docs, "text", "doc_id", budget = 8000L)
+      .select("doc_id", "quality", "n_tokens", "cum_tokens")
+      .as[(Long, Double, Long, Long)].collect()
+    // reference: flat driver-side cumsum in (quality desc, id) order
+    val all = docs
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.qualityScoreFromStats(
+          graft.functions.TextAnalysis.stats(col("text"))).as("q"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .as[(Long, Double, Long)].collect()
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val expect = all.flatMap { case (id, q, t) =>
+      cum += t
+      if (cum <= 8000L) Some((id, q, t, cum)) else None
+    }
+    assert(got.sortBy(_._4).toSeq === expect.toSeq)
+    // admission is prefix-closed: every admitted (q,id) dominates every
+    // rejected one
+    val ord = implicitly[Ordering[(Double, Long)]]
+    val admitted = got.map(r => (-r._2, r._1)).max(ord)
+    val rejected = all.map { case (id, q, _) => (-q, id) }
+      .filterNot(k => got.exists(g => (-g._2, g._1) == k))
+    rejected.foreach(r => assert(ord.gt(r, admitted)))
+  }
+
   test("interleaveBySource: 2:1 weights alternate ABA in the steady state") {
     val docs = (1L to 30L).map(i => (i, if (i <= 20) "heavy" else "light"))
       .toDF("doc_id", "source")
