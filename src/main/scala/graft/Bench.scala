@@ -53,7 +53,8 @@ object Bench {
     // round-6: exact-mode Misra-Gries top-k, quality-aware keep-best
     // dedup, stride-scheduled source interleave, k-center coreset
     "text_topk_sketch", "dedup_keep_best", "mix_interleave",
-    "sample_kcenter", "mix_epochs", "sample_token_budget")
+    "sample_kcenter", "mix_epochs", "sample_token_budget",
+    "text_quality_pct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

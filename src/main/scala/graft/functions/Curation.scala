@@ -396,4 +396,45 @@ object Curation {
       .where(col("cum_tokens") <= budget)
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** Per-source quality percentile calibration: each document's quality
+    * re-expressed as its percentile rank WITHIN its source
+    * (`(rank − 1) / (n − 1)`, 0.5 for singleton sources) — the
+    * per-domain normalization applied before a global threshold, so a
+    * uniformly-mediocre source doesn't drown out a high-variance one
+    * (a quality cut at 0.6 means something different per domain; a cut
+    * at the 60th percentile doesn't).
+    *
+    * Scale shape: rank within source is the same two-phase
+    * (source, quality-value bucket) pattern as [[tokenBudgetFill]] —
+    * quality buckets are contiguous in the (quality asc, id) sort
+    * order, so bucket-local row_numbers + per-source bucket-count
+    * offsets compose exactly; per-source totals broadcast back. No
+    * per-source corpus-wide window.
+    */
+  def qualityPercentiles(df: DataFrame, textCol: String, idCol: String,
+                         srcCol: String, nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("__s", TextAnalysis.stats(col(textCol)))
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        TextAnalysis.qualityScoreFromStats(col("__s")).as("quality"))
+      .withColumn("__b", floor(col("quality") * nBuckets).cast("long"))
+    val wLocal = Window.partitionBy(col("source"), col("__b"))
+      .orderBy(col("quality"), col("doc_id"))
+    val local = base.withColumn("__rn", row_number().over(wLocal).cast("long"))
+    val cnts = base.groupBy("source", "__b").agg(count(lit(1)).as("__c"))
+    val wPre = Window.partitionBy(col("source")).orderBy(col("__b"))
+    val offs = cnts.withColumn("__off",
+        coalesce(sum(col("__c")).over(wPre.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("__b"), col("__off"))
+    val totals = cnts.groupBy("source").agg(sum(col("__c")).as("__n"))
+    local.join(broadcast(offs), Seq("source", "__b"))
+      .join(broadcast(totals), Seq("source"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        when(col("__n") === 1, lit(0.5)).otherwise(
+          (col("__off") + col("__rn") - lit(1)).cast("double") /
+            (col("__n") - lit(1)).cast("double")).as("quality_pct"))
+  }
 }

@@ -681,6 +681,15 @@ object PipelineQueries {
         Tables.read(spark, dir, "documents"), "doc_id", "source",
         s => lit(1.0) + (length(s) % 3).cast("double"))),
 
+    // Per-source quality percentile calibration: quality re-expressed
+    // as the within-source percentile ((rank−1)/(n−1), row_number
+    // tie-break by id; 0.5 for singleton sources) — per-domain
+    // normalization before a global threshold. Two-phase bucketed
+    // ranking, totals broadcast.
+    "text_quality_pct" -> ((spark, dir) =>
+      graft.functions.Curation.qualityPercentiles(
+        Tables.read(spark, dir, "documents"), "text", "doc_id", "source")),
+
     // Repeat-factor upsampling: source weight 0.5/1.2/1.9 (from the
     // name, deterministic) ⇒ whole epochs + md5-uniform fractional
     // membership. Pure projection+generate; replica set is a function
@@ -1742,6 +1751,33 @@ object PipelineQueries {
         |SELECT doc_id, shard, CAST(row_number() OVER (
         |  PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS pos
         |FROM a""".stripMargin,
+    // percentile replay: mirrored quality + the same row_number
+    // tie-break ((rank−1)/(n−1), singleton → 0.5)
+    "text_quality_pct" -> s"""
+        |WITH t AS (SELECT doc_id, source, text,
+        |  string_split_regex(trim(text), '\\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS stopword_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id, source,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  least(stopword_ratio * 4.0, 1.0) * 0.3 +
+        |  greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
+        |  FROM m),
+        |r AS (SELECT doc_id, source, quality,
+        |  row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n
+        |  FROM q)
+        |SELECT doc_id, source, quality,
+        |  CASE WHEN n = 1 THEN 0.5
+        |       ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END
+        |    AS quality_pct
+        |FROM r""".stripMargin,
     // epoch replay: same weight function, same md5 uniform, same
     // floor/fraction split — DuckDB regenerates every replica row
     "mix_epochs" ->

@@ -264,6 +264,34 @@ class CurationSpec extends AnyFunSuite {
     rejected.foreach(r => assert(ord.gt(r, admitted)))
   }
 
+  test("qualityPercentiles equals the naive per-source rank; singleton → 0.5") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+      // graft a singleton source to pin the n=1 branch
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") === 0, lit("only_one")).otherwise(col("source"))
+          .as("source"))
+    val got = Curation.qualityPercentiles(docs, "text", "doc_id", "source")
+      .select("doc_id", "source", "quality", "quality_pct")
+      .as[(Long, String, Double, Double)].collect()
+    val bySrc = got.groupBy(_._2)
+    bySrc.foreach { case (src, rows) =>
+      if (rows.length == 1) assert(rows.head._4 === 0.5, s"singleton $src")
+      else {
+        val ordered = rows.sortBy(r => (r._3, r._1))
+        ordered.zipWithIndex.foreach { case (r, i) =>
+          assert(r._4 === i.toDouble / (rows.length - 1),
+            s"source $src doc ${r._1}")
+        }
+      }
+    }
+    // pure function of content: physical layout cannot move a percentile
+    val again = Curation.qualityPercentiles(
+        docs.repartition(11), "text", "doc_id", "source")
+      .select("doc_id", "source", "quality", "quality_pct")
+      .as[(Long, String, Double, Double)].collect()
+    assert(again.toSet === got.toSet)
+  }
+
   test("interleaveBySource: 2:1 weights alternate ABA in the steady state") {
     val docs = (1L to 30L).map(i => (i, if (i <= 20) "heavy" else "light"))
       .toDF("doc_id", "source")
