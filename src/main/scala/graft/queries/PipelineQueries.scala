@@ -575,20 +575,23 @@ object PipelineQueries {
         Tables.read(spark, dir, "documents"), "text", k = 50)),
 
     // The SAME top-50 through the Misra-Gries sketch run in its exact
-    // regime: capacity 65536 ≥ corpus 3-gram vocabulary (27k at sf0.1),
-    // so no counter is ever decremented and every estimate IS the true
-    // document frequency — the sketch becomes hash-gatable against the
-    // exact oracle. The shuffle carries one bounded sketch per partition
-    // (≤ capacity entries) instead of one row per distinct gram, which
-    // is the 100 TB shape: shuffle volume is a constant, not vocabulary-
-    // sized. (Under-capacity corpora are the spec-verified estimate
-    // path; this entry pins the exact-mode contract.)
+    // regime: capacity 2¹⁹ ≥ corpus 3-gram vocabulary (27k at sf0.1,
+    // ~272k at the 10× scale-up whose per-replica token permutation
+    // mints fresh shingles), so no counter is ever decremented and
+    // every estimate IS the true document frequency — the sketch
+    // becomes hash-gatable against the exact oracle. The shuffle
+    // carries one bounded sketch per partition (≤ capacity entries)
+    // instead of one row per distinct gram, which is the 100 TB shape:
+    // shuffle volume is a constant, not vocabulary-sized. (At real
+    // scale capacity ≪ vocab and the sketch is the spec-verified
+    // estimate; this entry pins the exact-mode contract at every gate
+    // scale.)
     "text_topk_sketch" -> ((spark, dir) => {
       val toks = split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")
       Tables.read(spark, dir, "documents")
         .select(explode(
           graft.plans.ShingleStringsF.shingleStrings(toks, 3)).as("ngram"))
-        .agg(graft.plans.MisraGries.sketch(col("ngram"), 65536).as("sk"))
+        .agg(graft.plans.MisraGries.sketch(col("ngram"), 1 << 19).as("sk"))
         .select(explode(slice(col("sk"), 1, 50)).as("e"))
         .select(col("e.item").as("ngram"), col("e.est").as("doc_freq"))
     }),
