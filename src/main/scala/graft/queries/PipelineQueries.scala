@@ -702,6 +702,30 @@ object PipelineQueries {
         Tables.read(spark, dir, "documents"), "doc_id", "source",
         s => lit(0.5) + (length(s) % 3).cast("double") * lit(0.7))),
 
+    // The SAME epoch expansion as a streaming query: epochRepeat is a
+    // stateless projection+generate, so it maps over microbatches with
+    // no state at all (the Append-mode identity case) — each arriving
+    // doc emits its replicas immediately. Oracle IDENTICAL to
+    // mix_epochs: batch ≡ stream for the stateless operator class.
+    "mix_epochs_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), lit(t0).as("ts"))
+      val sentinel = Seq((-1L, "sentinel",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "source", "ts")
+      val out = graft.functions.Curation.epochRepeat(
+        streamWithSentinel(spark, docs, sentinel, delaySec = 3600L)
+          .drop("ts"),
+        "doc_id", "source",
+        s => lit(0.5) + (length(s) % 3).cast("double") * lit(0.7))
+      graft.streaming.EventStream.runToMemory(
+        out, "mix_epochs_stream_out", OutputMode.Append())
+      spark.table("mix_epochs_stream_out").where(col("doc_id") >= 0)
+    }),
+
     // Quality-prioritized token-budget fill: the best docs until 16k
     // running tokens. Both the admission set and every running total
     // are value-checked; the global cumsum is the bucketed two-phase
@@ -1784,6 +1808,19 @@ object PipelineQueries {
     // epoch replay: same weight function, same md5 uniform, same
     // floor/fraction split — DuckDB regenerates every replica row
     "mix_epochs" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  0.5 + CAST(length(source) % 3 AS DOUBLE) * 0.7 AS w,
+        |  (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    ::DOUBLE + 0.5) / 4294967296.0 AS u
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  CAST(floor(w) AS BIGINT) +
+        |  CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS nrep FROM b)
+        |SELECT doc_id, source, CAST(unnest(range(1, nrep + 1)) AS INT)
+        |  AS epoch
+        |FROM n WHERE nrep >= 1""".stripMargin,
+    // batch ≡ stream for the stateless operator: identical oracle
+    "mix_epochs_stream" ->
       """WITH b AS (SELECT doc_id, source,
         |  0.5 + CAST(length(source) % 3 AS DOUBLE) * 0.7 AS w,
         |  (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
