@@ -422,18 +422,24 @@ object Similarity {
           .otherwise(lit(1.0) - dot(col("v"), typedLit(cv)) / denom)
       }
       var r = 2
-      while (r <= k) {
+      var exhausted = false
+      while (r <= k && !exhausted) {
         val selIds = sel.map(_._1)
         val mind = sel.map { case (_, cv, cn) => distTo(cv, cn) }
           .reduce((a, b) => least(a, b))
-        val pick = base.where(!col("vec_id").isin(selIds: _*))
+        // max(struct) over zero rows yields a null struct (k > corpus)
+        val pickRow = base.where(!col("vec_id").isin(selIds: _*))
           .select(max(struct(mind.as("d"), (-col("vec_id")).as("nid"),
             col("v"), col("nrm"))).as("m"))
-          .head().getStruct(0)
-        val id = -pick.getLong(1)
-        sel = (id, pick.getSeq[Float](2), pick.getDouble(3)) :: sel
-        out += ((r, id, pick.getDouble(0)))
-        r += 1
+          .head()
+        if (pickRow.isNullAt(0)) exhausted = true
+        else {
+          val pick = pickRow.getStruct(0)
+          val id = -pick.getLong(1)
+          sel = (id, pick.getSeq[Float](2), pick.getDouble(3)) :: sel
+          out += ((r, id, pick.getDouble(0)))
+          r += 1
+        }
       }
       spark.createDataFrame(out.toSeq).toDF("rank", "vec_id", "dist")
         .select(col("rank"), col("vec_id"), round(col("dist"), 6).as("dist"))

@@ -296,4 +296,15 @@ class SimilaritySpec extends AnyFunSuite {
       assert(b._3 <= a._3 + 1e-12, s"radius grew at rank ${b._1}")
     }
   }
+
+  test("kCenterGreedy stops gracefully when k exceeds the corpus") {
+    val tiny = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterGreedy(tiny, "vec_id", "embedding", k = 10)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.length === 3)
+    assert(got.map(_._2).toSet === Set(1L, 2L, 3L))
+    assert(got.head === ((1, 1L, 0.0)))
+  }
 }
