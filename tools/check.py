@@ -58,16 +58,51 @@ def main():
     # at 10x, where the recursive-closure CTE is quadratic in component
     # size; tools/cc_check.py verifies it exactly with union-find).
     skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
+    # graft.Verify dumps are repartition(1) single-row-group parquet;
+    # DuckDB parallelizes scans per row group, so a pair-value oracle
+    # over a 2.4M-row dump runs single-threaded (~40 min each at 10x).
+    # Rewrite large dumps into row-group-chunked files once up front —
+    # same directory glob, 32-way parallel scans afterwards.
+    for name in sorted(qdirs):
+        d = os.path.join(out_dir, name)
+        if os.path.islink(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            continue
+        metas = [pq.read_metadata(f) for f in files]
+        total = sum(m.num_rows for m in metas)
+        groups = sum(m.num_row_groups for m in metas)
+        chunk = 65536
+        if total >= 200_000 and groups < total // chunk:
+            import pyarrow as pa
+            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            for f in files:
+                os.remove(f)
+            pq.write_table(tbl, os.path.join(d, "chunked.parquet"),
+                           row_group_size=chunk)
+            print(f"[chunk] {name}: {total} rows -> "
+                  f"{(total + chunk - 1) // chunk} row groups", flush=True)
+    def emit(name):
+        # print incrementally: a long 10x run killed mid-way still
+        # leaves per-entry evidence in the log
+        v = results[name]
+        flag = "PASS" if (v.startswith(("OK", "rows-only")) and "FAIL" not in v) else "FAIL"
+        print(f"[{flag}] {name}: {v}", flush=True)
+
     for name in sorted(qdirs):
         if name in skip:
             results[name] = "rows-only (skipped by GRAFT_CHECK_SKIP)"
+            emit(name)
             continue
         cols, rows = load_parquet_rows(os.path.join(out_dir, name))
         if cols is None:
             results[name] = "EMPTY-OUTPUT"
+            emit(name)
             continue
         if name not in oracle:
             results[name] = f"rows-only ({len(rows)} rows)" + (" FAIL-ZERO" if len(rows) == 0 else "")
+            emit(name)
             continue
         try:
             res = con.sql(oracle[name])
@@ -77,6 +112,7 @@ def main():
             orows.sort(key=repr)
         except Exception as e:
             results[name] = f"ORACLE-ERROR: {e}"
+            emit(name)
             continue
         if cols != ocols:
             results[name] = f"SCHEMA-MISMATCH spark={cols} oracle={ocols}"
@@ -90,10 +126,8 @@ def main():
                              f"    oracle: {orows[diff]}")
         else:
             results[name] = f"OK ({len(rows)} rows)"
+        emit(name)
     n_ok = sum(1 for v in results.values() if v.startswith(("OK", "rows-only")) and "FAIL" not in v)
-    for name, v in sorted(results.items()):
-        flag = "PASS" if (v.startswith(("OK", "rows-only")) and "FAIL" not in v) else "FAIL"
-        print(f"[{flag}] {name}: {v}")
     print(f"\n{n_ok}/{len(results)} pass")
     sys.exit(0 if n_ok == len(results) else 1)
 
