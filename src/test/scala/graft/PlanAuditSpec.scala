@@ -239,6 +239,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no quadratic join anywhere in the keep-best path:\n$plan")
   }
 
+  test("events_funnel_fold: the events table crosses exactly one exchange") {
+    // strip AQE's "== Initial Plan ==" echo — it repeats every node
+    val plan = finalPlan("events_funnel_fold").split("== Initial Plan ==")(0)
+    val exchanges = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"single-shuffle fold must shuffle events exactly once:\n$plan")
+    assert(plan.contains("MapGroups") && plan.contains("Sort"),
+      s"expected the sorted-group fold:\n$plan")
+  }
+
   test("tap incremental predicate reaches the parquet scan") {
     val plan = executedPlan("tap_incremental")
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
