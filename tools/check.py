@@ -39,6 +39,9 @@ def load_parquet_rows(path_dir):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # lambda-heavy pair-value oracles otherwise run in order-preserving
+    # (serial) pipelines; we sort rows ourselves, so order is irrelevant
+    con.sql("SET preserve_insertion_order = false")
     for t in TABLES:
         tpath = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(tpath):  # ScaleUp output: directory of part files
@@ -58,6 +61,11 @@ def main():
     # at 10x, where the recursive-closure CTE is quadratic in component
     # size; tools/cc_check.py verifies it exactly with union-find).
     skip = set(filter(None, os.environ.get("GRAFT_CHECK_SKIP", "").split(",")))
+    # GRAFT_CHECK_ONLY: restrict the sweep to a comma-separated subset —
+    # lets a big 10x gate shard across parallel checker processes
+    only = set(filter(None, os.environ.get("GRAFT_CHECK_ONLY", "").split(",")))
+    if only:
+        qdirs = [d for d in qdirs if d in only]
     # graft.Verify dumps are repartition(1) single-row-group parquet;
     # DuckDB parallelizes scans per row group, so a pair-value oracle
     # over a 2.4M-row dump runs single-threaded (~40 min each at 10x).
