@@ -726,6 +726,26 @@ object PipelineQueries {
       spark.table("mix_epochs_stream_out").where(col("doc_id") >= 0)
     }),
 
+    // The COMPOSED mixture schedule — epoch expansion feeding the
+    // stride interleave, one Catalyst plan: every replica gets a
+    // synthetic id (doc_id·4 + epoch−1, epochs < 4 here) so each epoch
+    // copy lands at its own md5-shuffled slot in the global WFQ order.
+    // This is the artifact a mixture pipeline actually ships: the
+    // final deterministic training order over upsampled sources.
+    "mix_schedule" -> ((spark, dir) => {
+      val reps = graft.functions.Curation.epochRepeat(
+          Tables.read(spark, dir, "documents"), "doc_id", "source",
+          s => lit(0.5) + (length(s) % 3).cast("double") * lit(0.7))
+        .select((col("doc_id") * 4 + col("epoch") - 1).as("rep_id"),
+          col("doc_id"), col("epoch"), col("source"))
+      graft.functions.Curation.interleaveBySource(
+          reps, "rep_id", "source",
+          s => lit(1.0) + (length(s) % 3).cast("double"))
+        .join(reps, Seq("rep_id", "source"))
+        .select(col("doc_id"), col("epoch"), col("source"),
+          col("vtime"), col("pos"))
+    }),
+
     // Quality-prioritized token-budget fill: the best docs until 16k
     // running tokens. Both the admission set and every running total
     // are value-checked; the global cumsum is the bucketed two-phase
@@ -1824,6 +1844,34 @@ object PipelineQueries {
         |SELECT doc_id, shard, CAST(row_number() OVER (
         |  PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS pos
         |FROM a""".stripMargin,
+    // composed replay: epoch regeneration → synthetic replica ids →
+    // the full WFQ schedule over the expanded set
+    "mix_schedule" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  0.5 + CAST(length(source) % 3 AS DOUBLE) * 0.7 AS w,
+        |  (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    ::DOUBLE + 0.5) / 4294967296.0 AS u
+        |  FROM documents),
+        |n AS (SELECT doc_id, source,
+        |  CAST(floor(w) AS BIGINT) +
+        |  CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS nrep FROM b),
+        |e AS (SELECT doc_id, source,
+        |  CAST(unnest(range(1, nrep + 1)) AS INT) AS epoch
+        |  FROM n WHERE nrep >= 1),
+        |reps AS (SELECT doc_id * 4 + epoch - 1 AS rep_id, doc_id, epoch,
+        |  source FROM e),
+        |r AS (SELECT rep_id, doc_id, epoch, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(rep_id AS VARCHAR)), rep_id) AS r
+        |  FROM reps),
+        |v AS (SELECT rep_id, doc_id, epoch, source,
+        |  (CAST(r AS DOUBLE) - 0.5) /
+        |  (1.0 + CAST(length(source) % 3 AS DOUBLE)) AS vtime
+        |  FROM r)
+        |SELECT doc_id, epoch, source, vtime,
+        |  CAST(row_number() OVER (ORDER BY vtime, source, rep_id) AS BIGINT)
+        |    AS pos
+        |FROM v""".stripMargin,
     // percentile replay: mirrored quality + the same row_number
     // tie-break ((rank−1)/(n−1), singleton → 0.5)
     "text_quality_pct" -> s"""
