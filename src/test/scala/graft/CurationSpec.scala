@@ -292,6 +292,30 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSet === got.toSet)
   }
 
+  test("mix_schedule composes epochs and interleave consistently") {
+    val rows = graft.SparkEntry.queries("mix_schedule")(
+        spark, SparkTestSession.Sf)
+      .select("doc_id", "epoch", "source", "pos")
+      .as[(Long, Int, String, Long)].collect()
+    // positions are a dense permutation 1..N of the expanded replica set
+    assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq)
+    // per-doc replica multiset equals epochRepeat's expansion exactly
+    val expect = Curation.epochRepeat(
+        Tables.read(spark, SparkTestSession.Sf, "documents"),
+        "doc_id", "source",
+        s => lit(0.5) + (length(s) % 3).cast("double") * lit(0.7))
+      .select("doc_id", "epoch").as[(Long, Int)].collect()
+    assert(rows.map(r => (r._1, r._2)).sorted.toSeq === expect.sorted.toSeq)
+    // the schedule really interleaves: no long single-source run in the
+    // steady state (multi-source corpus, max weight ratio 1.9/0.5)
+    val order = rows.sortBy(_._4).map(_._3)
+    val maxRun = order.foldLeft((0, "", 0)) { case ((best, prev, cur), s) =>
+      val c = if (s == prev) cur + 1 else 1
+      (math.max(best, c), s, c)
+    }._1
+    assert(maxRun <= 8, s"source run of $maxRun breaks the interleave")
+  }
+
   test("interleaveBySource: 2:1 weights alternate ABA in the steady state") {
     val docs = (1L to 30L).map(i => (i, if (i <= 20) "heavy" else "light"))
       .toDF("doc_id", "source")

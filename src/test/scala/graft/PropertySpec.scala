@@ -116,4 +116,37 @@ class PropertySpec extends AnyFunSuite {
       assert(SqlDialect.rewrite(once) === once, s"not idempotent for: $sql")
     }
   }
+
+  // ---------------------------------------------------------------------
+  // Stride-scheduling discrepancy law (the math behind
+  // Curation.interleaveBySource; the Spark implementation is pinned equal
+  // to this construction by CurationSpec's naive-sort test): in EVERY
+  // prefix of the (vtime, source) order, each source's count differs from
+  // its weight share w_s·t by at most one example. Within a source,
+  // vtimes (r−0.5)/w are strictly increasing, so at most one element of a
+  // source sits in any equal-vtime tie group — the bound is two-sided 1.
+  test("stride schedule: every prefix holds each source within 1 of its share") {
+    val gen = Gen.zip(
+      Gen.choose(2, 5),
+      Gen.listOfN(5, Gen.zip(Gen.choose(5, 60), Gen.choose(1, 8))))
+    forAll(gen, n = 120) { case (nSrc, params) =>
+      val srcs = params.take(nSrc).zipWithIndex.map {
+        case ((n, wHalf), i) => (i, n, wHalf * 0.5) // weights 0.5 .. 4.0
+      }
+      val items = srcs.flatMap { case (s, n, w) =>
+        (1 to n).map(r => ((r - 0.5) / w, s))
+      }.sortBy { case (vt, s) => (vt, s) }
+      val counts = Array.fill(srcs.length)(0)
+      items.foreach { case (vt, s) =>
+        counts(s) += 1
+        srcs.foreach { case (si, n, w) =>
+          // a finite source stops at n while its share keeps growing:
+          // the law holds against the capped share min(w·t, n)
+          val share = math.min(w * vt, n.toDouble)
+          assert(math.abs(counts(si) - share) <= 1.0 + 1e-9,
+            s"src $si count ${counts(si)} vs share $share at vtime $vt")
+        }
+      }
+    }
+  }
 }
