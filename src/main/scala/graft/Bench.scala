@@ -54,7 +54,8 @@ object Bench {
     // dedup, stride-scheduled source interleave, k-center coreset
     "text_topk_sketch", "dedup_keep_best", "mix_interleave",
     "sample_kcenter", "mix_epochs", "sample_token_budget",
-    "text_quality_pct", "events_funnel_fold", "mix_schedule")
+    "text_quality_pct", "events_funnel_fold", "mix_schedule",
+    "text_bpe_step")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

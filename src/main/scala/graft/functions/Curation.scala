@@ -397,6 +397,63 @@ object Curation {
       .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** One BPE-style merge iteration over the corpus, word-level: count
+    * adjacent token pairs corpus-wide, pick the most frequent (ties →
+    * lexicographically smallest), and fuse every non-overlapping
+    * left-to-right occurrence into one `a+b` token — exactly the
+    * greedy apply rule byte-pair encoding uses per iteration (vocab
+    * induction is this step in a loop; each iteration is one
+    * Spark job over the corpus plus a one-row argmax).
+    *
+    * The fuse is pure LITERAL string replacement (no regex, so no
+    * metacharacter escaping and identical semantics in any engine):
+    * the single-space-normalized text is space-doubled so every token
+    * carries its own leading/trailing space, then ` a  b ` →
+    * ` a+b ` replaces left-to-right non-overlapping — the "a a a"
+    * corner fuses once, as BPE specifies.
+    *
+    * Scale shape: bigram counts partial-aggregate before their
+    * exchange; the argmax is TakeOrderedAndProject(1); the chosen pair
+    * (one row) broadcasts back into a per-row projection. No other
+    * shuffle.
+    */
+  def bpeMergeStep(df: DataFrame, textCol: String, idCol: String,
+                   joiner: String = "+"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val toks = split(norm, " ")
+    val pairs = df
+      .where(length(trim(col(textCol))) > 0 && size(toks) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("a"),
+          element_at(toks, (i + lit(1)).cast("int")).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val topOpt = pairs
+      .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+      .collect().headOption
+    val base = df.select(col(idCol), col(textCol))
+    topOpt match {
+      case None => // no doc has two tokens: nothing to merge
+        base.select(col(idCol), norm.as("merged_text"),
+          lit("").as("pair"), lit(0L).as("pair_count"))
+      case Some(top) =>
+        val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+        // space-double so every token owns its boundary spaces, fuse the
+        // pair with a LITERAL replace (left-to-right non-overlapping, the
+        // BPE apply rule; "a a a" fuses once), then collapse back
+        val doubled = concat(lit(" "),
+          regexp_replace(norm, " ", "  "), lit(" "))
+        val fused = trim(replace(
+          replace(doubled, lit(s" $a  $b "), lit(s" $a$joiner$b ")),
+          lit("  "), lit(" ")))
+        base.select(col(idCol),
+          when(length(trim(col(textCol))) === 0, lit(""))
+            .otherwise(fused).as("merged_text"),
+          lit(s"$a $b").as("pair"), lit(n).as("pair_count"))
+    }
+  }
+
   /** Per-source quality percentile calibration: each document's quality
     * re-expressed as its percentile rank WITHIN its source
     * (`(rank − 1) / (n − 1)`, 0.5 for singleton sources) — the

@@ -726,6 +726,14 @@ object PipelineQueries {
       spark.table("mix_epochs_stream_out").where(col("doc_id") >= 0)
     }),
 
+    // One BPE merge iteration, word-level: corpus-wide adjacent-pair
+    // counts → (count desc, pair asc) argmax → literal left-to-right
+    // fuse of every non-overlapping occurrence. The oracle replays the
+    // count, the tie-break, AND the greedy apply on every document.
+    "text_bpe_step" -> ((spark, dir) =>
+      graft.functions.Curation.bpeMergeStep(
+        Tables.read(spark, dir, "documents"), "text", "doc_id")),
+
     // The COMPOSED mixture schedule — epoch expansion feeding the
     // stride interleave, one Catalyst plan: every replica gets a
     // synthetic id (doc_id·4 + epoch−1, epochs < 4 here) so each epoch
@@ -1844,6 +1852,30 @@ object PipelineQueries {
         |SELECT doc_id, shard, CAST(row_number() OVER (
         |  PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS pos
         |FROM a""".stripMargin,
+    // full replay: same normalization, same pair counts and tie-break,
+    // same space-doubling literal fuse (DuckDB replace() is the same
+    // left-to-right non-overlapping rule as Spark's)
+    "text_bpe_step" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t
+        |  WHERE length(trim(text)) > 0),
+        |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |  i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS p
+        |  FROM tk WHERE len(toks) >= 2),
+        |cnt AS (SELECT p.a AS a, p.b AS b, count(*) AS n FROM bg
+        |  GROUP BY 1, 2),
+        |top AS (SELECT a, b, n FROM cnt ORDER BY n DESC, a, b LIMIT 1)
+        |SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN '' ELSE
+        |    trim(replace(replace(
+        |      ' ' || replace(norm, ' ', '  ') || ' ',
+        |      ' ' || top.a || '  ' || top.b || ' ',
+        |      ' ' || top.a || '+' || top.b || ' '),
+        |      '  ', ' ')) END AS merged_text,
+        |  top.a || ' ' || top.b AS pair, top.n AS pair_count
+        |FROM t, top""".stripMargin,
     // composed replay: epoch regeneration → synthetic replica ids →
     // the full WFQ schedule over the expanded set
     "mix_schedule" ->

@@ -292,6 +292,36 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSet === got.toSet)
   }
 
+  test("bpeMergeStep: top-pair argmax, greedy overlap rule, tie-break") {
+    val docs = Seq(
+      (1L, "x y x y z"),     // two "x y" pairs
+      (2L, "a a a"),         // overlap corner: fuses ONCE -> "a+a a"
+      (3L, "x y"),           // one more "x y" -> 3 total, the winner
+      (4L, "  "),            // blank -> empty output
+      (5L, "solo")           // single token: no pairs
+    ).toDF("doc_id", "text")
+    val out = Curation.bpeMergeStep(docs, "text", "doc_id")
+      .as[(Long, String, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._3 === "x y" && out(1L)._4 === 3L)
+    assert(out(1L)._2 === "x+y x+y z")
+    assert(out(2L)._2 === "a a a") // "a a" lost the count to "x y"
+    assert(out(3L)._2 === "x+y")
+    assert(out(4L)._2 === "")
+    assert(out(5L)._2 === "solo")
+    // overlap: with "a a" as the UNIQUE top pair, "a a a" fuses once
+    val solo = Curation.bpeMergeStep(
+        Seq((1L, "a a a")).toDF("doc_id", "text"), "text", "doc_id")
+      .as[(Long, String, String, Long)].collect().head
+    assert(solo._3 === "a a" && solo._2 === "a+a a")
+    // tie-break: equal counts -> lexicographically smallest (a,b)
+    val tie = Curation.bpeMergeStep(
+        Seq((1L, "p q"), (2L, "m n")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .as[(Long, String, String, Long)].collect().head
+    assert(tie._3 === "m n")
+  }
+
   test("mix_schedule composes epochs and interleave consistently") {
     val rows = graft.SparkEntry.queries("mix_schedule")(
         spark, SparkTestSession.Sf)
