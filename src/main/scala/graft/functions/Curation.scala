@@ -454,6 +454,62 @@ object Curation {
     }
   }
 
+  /** BPE vocabulary induction: [[bpeMergeStep]] iterated k times,
+    * emitting the merge table (step, a, b, count) — THE artifact a
+    * tokenizer trainer produces, as k corpus passes. Each iteration is
+    * one partial-aggregated pair count + a one-row argmax + a literal
+    * per-row fuse; the evolving corpus is persisted and the previous
+    * iteration released, so lineage stays one projection deep. The
+    * merge table itself (k rows) is the only driver-side data.
+    *
+    * The argmax rule matches bpeMergeStep: highest count, ties to the
+    * lexicographically smallest (a, b). Merged tokens join with `+`,
+    * so later steps can (and do) merge previously-fused tokens —
+    * real BPE behavior.
+    */
+  def bpeMergeTable(df: DataFrame, textCol: String, idCol: String,
+                    k: Int, joiner: String = "+"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = df.where(length(trim(col(textCol))) > 0)
+      .select(regexp_replace(lower(trim(col(textCol))), "\\s+", " ").as("t"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var step = 1
+      var done = false
+      while (step <= k && !done) {
+        val toks = split(col("t"), " ")
+        val topOpt = cur.where(size(toks) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("a"),
+              element_at(toks, (i + lit(1)).cast("int")).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+          .collect().headOption
+        topOpt match {
+          case None => done = true
+          case Some(r) =>
+            val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+            merges += ((step, a, b, n))
+            val doubled = concat(lit(" "),
+              regexp_replace(col("t"), " ", "  "), lit(" "))
+            val next = cur.select(trim(replace(
+              replace(doubled, lit(s" $a  $b "), lit(s" $a$joiner$b ")),
+              lit("  "), lit(" "))).as("t")).persist()
+            next.count() // materialize before dropping the parent
+            cur.unpersist()
+            cur = next
+        }
+        step += 1
+      }
+    } finally cur.unpersist()
+    merges.toSeq.toDF("step", "a", "b", "n")
+  }
+
   /** Per-source quality percentile calibration: each document's quality
     * re-expressed as its percentile rank WITHIN its source
     * (`(rank − 1) / (n − 1)`, 0.5 for singleton sources) — the

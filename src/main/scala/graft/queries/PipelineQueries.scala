@@ -726,6 +726,14 @@ object PipelineQueries {
       spark.table("mix_epochs_stream_out").where(col("doc_id") >= 0)
     }),
 
+    // BPE vocabulary induction: six merge iterations over the corpus,
+    // emitting the merge table a tokenizer trainer produces. The
+    // oracle replays ALL six iterations — counts, tie-breaks, and the
+    // evolving corpus — in one recursive CTE.
+    "text_bpe_vocab" -> ((spark, dir) =>
+      graft.functions.Curation.bpeMergeTable(
+        Tables.read(spark, dir, "documents"), "text", "doc_id", k = 6)),
+
     // One BPE merge iteration, word-level: corpus-wide adjacent-pair
     // counts → (count desc, pair asc) argmax → literal left-to-right
     // fuse of every non-overlapping occurrence. The oracle replays the
@@ -1852,6 +1860,45 @@ object PipelineQueries {
         |SELECT doc_id, shard, CAST(row_number() OVER (
         |  PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS pos
         |FROM a""".stripMargin,
+    // six-iteration replay: the recursive CTE carries the evolving
+    // corpus as a list and re-derives each step's argmax with the
+    // min(struct(-n, a, b)) trick (max count, then smallest pair)
+    "text_bpe_vocab" ->
+      """WITH RECURSIVE it AS (
+        |  SELECT 0 AS step, CAST(NULL AS VARCHAR) AS a,
+        |    CAST(NULL AS VARCHAR) AS b, CAST(NULL AS BIGINT) AS n,
+        |    (SELECT list(struct_pack(d := doc_id,
+        |       t := regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |     FROM documents WHERE length(trim(text)) > 0) AS corpus
+        |  UNION ALL
+        |  SELECT g.step + 1,
+        |    struct_extract(g.m, 'a'), struct_extract(g.m, 'b'),
+        |    -struct_extract(g.m, 'negn'),
+        |    list_transform(g.corpus, e -> struct_pack(
+        |      d := struct_extract(e, 'd'),
+        |      t := trim(replace(replace(
+        |        ' ' || replace(struct_extract(e, 't'), ' ', '  ') || ' ',
+        |        ' ' || struct_extract(g.m, 'a') || '  ' ||
+        |          struct_extract(g.m, 'b') || ' ',
+        |        ' ' || struct_extract(g.m, 'a') || '+' ||
+        |          struct_extract(g.m, 'b') || ' '),
+        |        '  ', ' '))))
+        |  FROM (
+        |    SELECT it.step, it.corpus,
+        |      min(struct_pack(negn := -c.n, a := c.a, b := c.b)) AS m
+        |    FROM it, LATERAL (
+        |      SELECT p.a AS a, p.b AS b, count(*) AS n FROM (
+        |        SELECT unnest(list_transform(range(1, len(tk.toks)),
+        |          i -> struct_pack(a := tk.toks[i], b := tk.toks[i + 1]))) AS p
+        |        FROM (SELECT string_split(struct_extract(e2, 't'), ' ') AS toks
+        |              FROM unnest(it.corpus) AS u(e2)) tk
+        |        WHERE len(tk.toks) >= 2) bp
+        |      GROUP BY 1, 2) c
+        |    WHERE it.step < 6
+        |    GROUP BY it.step, it.corpus
+        |  ) g
+        |)
+        |SELECT step, a, b, n FROM it WHERE step >= 1""".stripMargin,
     // full replay: same normalization, same pair counts and tie-break,
     // same space-doubling literal fuse (DuckDB replace() is the same
     // left-to-right non-overlapping rule as Spark's)
