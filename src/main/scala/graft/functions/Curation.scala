@@ -420,13 +420,16 @@ object Curation {
   def bpeMergeStep(df: DataFrame, textCol: String, idCol: String,
                    joiner: String = "+"): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val toks = split(norm, " ")
+    // project the split ONCE (see bpeMergeTable: inlined split
+    // re-evaluates per element reference inside transform)
     val pairs = df
-      .where(length(trim(col(textCol))) > 0 && size(toks) >= 2)
+      .where(length(trim(col(textCol))) > 0)
+      .select(split(norm, " ").as("toks"))
+      .where(size(col("toks")) >= 2)
       .select(explode(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("a"),
-          element_at(toks, (i + lit(1)).cast("int")).as("b")))).as("p"))
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("a"),
+          element_at(col("toks"), (i + lit(1)).cast("int")).as("b")))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n"))
     val topOpt = pairs
@@ -480,12 +483,17 @@ object Curation {
       var step = 1
       var done = false
       while (step <= k && !done) {
-        val toks = split(col("t"), " ")
-        val topOpt = cur.where(size(toks) >= 2)
+        // project the split ONCE: an inlined `split` gets re-evaluated
+        // per element reference inside transform() (the
+        // lambda-recompute trap); a multiply-referenced non-cheap
+        // alias survives CollapseProject
+        val topOpt = cur
+          .select(split(col("t"), " ").as("toks"))
+          .where(size(col("toks")) >= 2)
           .select(explode(transform(
-            sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("a"),
-              element_at(toks, (i + lit(1)).cast("int")).as("b")))).as("p"))
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("a"),
+              element_at(col("toks"), (i + lit(1)).cast("int")).as("b")))).as("p"))
           .groupBy(col("p.a").as("a"), col("p.b").as("b"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("a"), col("b")).limit(1)
