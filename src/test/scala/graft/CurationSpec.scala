@@ -322,6 +322,24 @@ class CurationSpec extends AnyFunSuite {
     assert(tie._3 === "m n")
   }
 
+  test("bpeMergeTable stops when no pairs remain; later steps merge fused tokens") {
+    // "w w w w" supports repeated merges of fused tokens: step 1 counts
+    // 3 adjacent "w w" pairs (pre-merge adjacency) and greedily fuses
+    // two of them -> "w+w w+w"; step 2 fuses those; a single token
+    // remains -> early stop before k
+    val docs = Seq((1L, "w w w w")).toDF("doc_id", "text")
+    val m = Curation.bpeMergeTable(docs, "text", "doc_id", k = 5)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(m.length === 2)
+    assert(m(0) === ((1, "w", "w", 3L)))
+    assert(m(1) === ((2, "w+w", "w+w", 1L)))
+    // empty corpus -> empty merge table, correct schema
+    val empty = Curation.bpeMergeTable(
+      Seq((1L, "   ")).toDF("doc_id", "text"), "text", "doc_id", k = 3)
+    assert(empty.columns.toSeq === Seq("step", "a", "b", "n"))
+    assert(empty.count() === 0)
+  }
+
   test("mix_schedule composes epochs and interleave consistently") {
     val rows = graft.SparkEntry.queries("mix_schedule")(
         spark, SparkTestSession.Sf)
