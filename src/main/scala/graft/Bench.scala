@@ -55,7 +55,7 @@ object Bench {
     "text_topk_sketch", "dedup_keep_best", "mix_interleave",
     "sample_kcenter", "mix_epochs", "sample_token_budget",
     "text_quality_pct", "events_funnel_fold", "mix_schedule",
-    "text_bpe_step", "text_bpe_vocab")
+    "text_bpe_step", "text_bpe_vocab", "text_bpe_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

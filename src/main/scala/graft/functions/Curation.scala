@@ -518,6 +518,29 @@ object Curation {
     merges.toSeq.toDF("step", "a", "b", "n")
   }
 
+  /** Apply a BPE merge table to a corpus — the tokenizer ENCODE step:
+    * each merge (in table order) fuses its pair everywhere with the
+    * same greedy literal-replace rule the induction used, so later
+    * merges see earlier fusions exactly as [[bpeMergeTable]]'s evolving
+    * corpus did. The merge table is tiny (k rows, collected) and the
+    * application is one per-row projection chain — no shuffle at all;
+    * blank documents encode to the empty string.
+    */
+  def bpeApply(df: DataFrame, textCol: String, idCol: String,
+               merges: Seq[(String, String)],
+               joiner: String = "+"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val fusedAll = merges.foldLeft(norm) { case (t, (a, b)) =>
+      trim(replace(
+        replace(concat(lit(" "), regexp_replace(t, " ", "  "), lit(" ")),
+          lit(s" $a  $b "), lit(s" $a$joiner$b ")),
+        lit("  "), lit(" ")))
+    }
+    df.select(col(idCol),
+      when(length(trim(col(textCol))) === 0, lit(""))
+        .otherwise(fusedAll).as("merged_text"))
+  }
+
   /** Per-source quality percentile calibration: each document's quality
     * re-expressed as its percentile rank WITHIN its source
     * (`(rank − 1) / (n − 1)`, 0.5 for singleton sources) — the

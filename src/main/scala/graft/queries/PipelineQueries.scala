@@ -734,6 +734,19 @@ object PipelineQueries {
       graft.functions.Curation.bpeMergeTable(
         Tables.read(spark, dir, "documents"), "text", "doc_id", k = 6)),
 
+    // The tokenizer ENCODE step: induce the 6-merge table, then apply
+    // it to every document (later merges see earlier fusions). The
+    // oracle is the recursive induction CTE's FINAL corpus state —
+    // table and application verified together, end-to-end.
+    "text_bpe_apply" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val merges = graft.functions.Curation
+        .bpeMergeTable(docs, "text", "doc_id", k = 6)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.Curation.bpeApply(docs, "text", "doc_id", merges)
+    }),
+
     // One BPE merge iteration, word-level: corpus-wide adjacent-pair
     // counts → (count desc, pair asc) argmax → literal left-to-right
     // fuse of every non-overlapping occurrence. The oracle replays the
@@ -1860,6 +1873,47 @@ object PipelineQueries {
         |SELECT doc_id, shard, CAST(row_number() OVER (
         |  PARTITION BY shard ORDER BY ord, doc_id) AS INT) AS pos
         |FROM a""".stripMargin,
+    // the induction CTE's final corpus IS the encoded output; blank
+    // docs (dropped from the evolving corpus) come back as ''
+    "text_bpe_apply" ->
+      """WITH RECURSIVE it AS (
+        |  SELECT 0 AS step,
+        |    (SELECT list(struct_pack(d := doc_id,
+        |       t := regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |     FROM documents WHERE length(trim(text)) > 0) AS corpus
+        |  UNION ALL
+        |  SELECT g.step + 1,
+        |    list_transform(g.corpus, e -> struct_pack(
+        |      d := struct_extract(e, 'd'),
+        |      t := trim(replace(replace(
+        |        ' ' || replace(struct_extract(e, 't'), ' ', '  ') || ' ',
+        |        ' ' || struct_extract(g.m, 'a') || '  ' ||
+        |          struct_extract(g.m, 'b') || ' ',
+        |        ' ' || struct_extract(g.m, 'a') || '+' ||
+        |          struct_extract(g.m, 'b') || ' '),
+        |        '  ', ' '))))
+        |  FROM (
+        |    SELECT it.step, it.corpus,
+        |      min(struct_pack(negn := -c.n, a := c.a, b := c.b)) AS m
+        |    FROM it, LATERAL (
+        |      SELECT p.a AS a, p.b AS b, count(*) AS n FROM (
+        |        SELECT unnest(list_transform(range(1, len(tk.toks)),
+        |          i -> struct_pack(a := tk.toks[i], b := tk.toks[i + 1]))) AS p
+        |        FROM (SELECT string_split(struct_extract(e2, 't'), ' ') AS toks
+        |              FROM unnest(it.corpus) AS u(e2)) tk
+        |        WHERE len(tk.toks) >= 2) bp
+        |      GROUP BY 1, 2) c
+        |    WHERE it.step < 6
+        |    GROUP BY it.step, it.corpus
+        |  ) g
+        |),
+        |fin AS (SELECT struct_extract(e3, 'd') AS doc_id,
+        |  struct_extract(e3, 't') AS merged_text
+        |  FROM (SELECT corpus FROM it
+        |        WHERE step = (SELECT max(step) FROM it)),
+        |    unnest(corpus) AS w(e3))
+        |SELECT d.doc_id, COALESCE(f.merged_text, '') AS merged_text
+        |FROM documents d LEFT JOIN fin f USING (doc_id)""".stripMargin,
     // six-iteration replay: the recursive CTE carries the evolving
     // corpus as a list and re-derives each step's argmax with the
     // min(struct(-n, a, b)) trick (max count, then smallest pair)
