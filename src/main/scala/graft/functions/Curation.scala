@@ -227,6 +227,59 @@ object Curation {
         (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[decontaminate]] with a Bloom prefilter on the corpus side — the
+    * 100 TB shape. The exact form broadcasts the full benchmark gram
+    * SET; once the benchmark suite grows past broadcast size (tens of
+    * millions of grams → GBs as an exact hash set), the right plan is a
+    * shuffled join — but shuffling every corpus gram to meet it is the
+    * bottleneck. A Bloom filter over the benchmark grams is ~1.2
+    * bytes/gram at 1% FPP (MBs, ships to every executor as a plan
+    * constant), and pruning with it FIRST means only true hits plus an
+    * fpp-fraction of the corpus grams enter the exact verify join. No
+    * false negatives by the Bloom property; false positives die in the
+    * verify join — the output is bit-identical to [[decontaminate]]
+    * (spec-pinned), so the prefilter is pure plan optimization.
+    *
+    * Mechanics: grams hash through Spark's codegen'd `xxhash64`; the
+    * filter is built distributed (mergeable sketch aggregate, one
+    * benchmark pass) by `DataFrameStatFunctions.bloomFilter` and probed
+    * by Spark's own codegen'd [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * — the same expression pair Spark's runtime row-level filtering
+    * (`InjectRuntimeFilter`) uses, here applied as an explicit operator.
+    * The verify join carries no broadcast hint: at benchmark sizes AQE
+    * broadcasts it anyway, at suite sizes it becomes the shuffled join
+    * over the pruned survivor set — exactly the degradation you want.
+    */
+  def decontaminateBloom(candidates: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String, k: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val benchGrams = benchmark
+      .select(explode(Dedup.shingles(col(textCol), k)).as("__g"))
+      .distinct()
+    val nGrams = math.max(benchGrams.count(), 1L) // benchmark-sized
+    val bloom = benchGrams.select(xxhash64(col("__g")).as("__h"))
+      .stat.bloomFilter("__h", nGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal.create(bos.toByteArray, BinaryType),
+      GraftBridge.expression(xxhash64(col("__g")))))
+    val candGrams = candidates
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), k)).as("__g"))
+      .where(mightContain)
+    val hits = candGrams.join(benchGrams, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+    candidates.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__hits"), lit(0L)).as("n_shared"),
+        (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Deterministic training-shard assignment: every doc gets a `shard`
     * (portable md5 bucket of its id, mod `nShards`) and a 1-based `pos`
     * within the shard (md5 order, id tie-break). Shard membership AND
@@ -580,5 +633,48 @@ object Curation {
         when(col("__n") === 1, lit(0.5)).otherwise(
           (col("__off") + col("__rn") - lit(1)).cast("double") /
             (col("__n") - lit(1)).cast("double")).as("quality_pct"))
+  }
+
+  /** Per-source document cap: keep at most `cap` documents from each
+    * source, the best first — (quality desc, id asc) — with their final
+    * 1-based rank. The anti-monopoly rule web-scale curation applies
+    * before mixing: no single domain/crawl may contribute more than its
+    * cap, however large it is, and WHICH docs survive is the
+    * deterministic quality argmax, not arrival luck.
+    *
+    * Scale shape: a bare `row_number() over (partition by source)`
+    * hash-partitions the full corpus by source — a handful of sources ⇒
+    * a handful of tasks holding terabytes. Instead, salted two-phase
+    * top-N: phase 1 ranks within (source, salt) — salt = portable md5
+    * bucket of the id mod `nSalts`, so every partition is ~1/nSalts of
+    * a source and the salting is layout-independent — and keeps `cap`
+    * rows per salt; phase 2 re-ranks the ≤ cap·nSalts survivors per
+    * source (tiny by construction). The global top-cap of a source is
+    * always contained in the union of its per-salt top-caps, so the
+    * composition is exact. Both windows sort bounded partitions; the
+    * second phase's input fits one task by construction.
+    */
+  def sourceCap(df: DataFrame, textCol: String, idCol: String,
+                srcCol: String, cap: Int, nSalts: Int = 32): DataFrame = {
+    require(cap > 0, s"cap must be > 0, got $cap")
+    require(nSalts > 0, s"nSalts must be > 0, got $nSalts")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("__s", TextAnalysis.stats(col(textCol)))
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        TextAnalysis.qualityScoreFromStats(col("__s")).as("quality"))
+      .withColumn("__salt",
+        pmod(Sampling.portableBucketInt(col(idCol)), lit(nSalts.toLong)))
+    val wSalt = Window.partitionBy(col("source"), col("__salt"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val survivors = base
+      .withColumn("__rn", row_number().over(wSalt))
+      .where(col("__rn") <= cap)
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    survivors
+      .withColumn("rank", row_number().over(wSrc).cast("long"))
+      .where(col("rank") <= cap)
+      .select(col("doc_id"), col("source"), col("quality"), col("rank"))
   }
 }

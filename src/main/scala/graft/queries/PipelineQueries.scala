@@ -693,6 +693,15 @@ object PipelineQueries {
       graft.functions.Curation.qualityPercentiles(
         Tables.read(spark, dir, "documents"), "text", "doc_id", "source")),
 
+    // Per-source cap: at most 10 docs per source, best (quality desc,
+    // id) first, with final ranks — the anti-monopoly rule applied
+    // before mixing. Salted two-phase top-N (nSalts=4 so phase-1 salt
+    // groups are multi-row at this scale); oracle is the flat window.
+    "sample_source_cap" -> ((spark, dir) =>
+      graft.functions.Curation.sourceCap(
+        Tables.read(spark, dir, "documents"), "text", "doc_id", "source",
+        cap = 10, nSalts = 4)),
+
     // Repeat-factor upsampling: source weight 0.5/1.2/1.9 (from the
     // name, deterministic) ⇒ whole epochs + md5-uniform fractional
     // membership. Pure projection+generate; replica set is a function
@@ -801,6 +810,18 @@ object PipelineQueries {
     "text_decontaminate" -> ((spark, dir) => {
       val docs = Tables.read(spark, dir, "documents")
       graft.functions.Curation.decontaminate(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "text", "doc_id", k = 4)
+    }),
+
+    // The same decontamination behind a Bloom prefilter — the plan that
+    // survives a benchmark suite too big to broadcast exactly: corpus
+    // grams prune against a ~1.2 B/gram sketch before any join. Output
+    // bit-identical to text_decontaminate; SAME oracle.
+    "text_decontaminate_bloom" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      graft.functions.Curation.decontaminateBloom(
         docs.where(col("doc_id") % 97 =!= 0),
         docs.where(col("doc_id") % 97 === 0),
         "text", "doc_id", k = 4)
@@ -2032,6 +2053,30 @@ object PipelineQueries {
         |       ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END
         |    AS quality_pct
         |FROM r""".stripMargin,
+    // cap replay: mirrored quality, one flat per-source window (the
+    // oracle may monopartition; the engine's salted two-phase form
+    // must produce the identical ranked survivor set)
+    "sample_source_cap" -> s"""
+        |WITH t AS (SELECT doc_id, source, text,
+        |  string_split_regex(trim(text), '\\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        |  FROM documents),
+        |m AS (SELECT doc_id, source, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS stopword_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id, source,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  least(stopword_ratio * 4.0, 1.0) * 0.3 +
+        |  greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
+        |  FROM m),
+        |r AS (SELECT doc_id, source, quality,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY quality DESC, doc_id) AS BIGINT) AS rank
+        |  FROM q)
+        |SELECT doc_id, source, quality, rank FROM r WHERE rank <= 10""".stripMargin,
     // epoch replay: same weight function, same md5 uniform, same
     // floor/fraction split — DuckDB regenerates every replica row
     "mix_epochs" ->
@@ -2187,6 +2232,22 @@ object PipelineQueries {
     // shared normalized 4-grams against the doc_id%97 benchmark slice;
     // grams per doc are DISTINCT (list_distinct mirrors array_distinct)
     "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 3, 1) + 1),
+        |  i -> array_to_string(t[i:i+3], ' '))) AS s FROM toks),
+        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id % 97 = 0),
+        |cand AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT doc_id, COUNT(*) AS n FROM cand
+        |  JOIN bench USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(h.n, 0) AS n_shared,
+        |  COALESCE(h.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    // Bloom prefilter is pure plan optimization — identical exact result
+    "text_decontaminate_bloom" ->
       """WITH toks AS (SELECT doc_id,
         |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
         |  FROM documents),

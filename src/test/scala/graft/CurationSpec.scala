@@ -149,6 +149,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got.size === 4)
   }
 
+  test("decontaminateBloom is bit-identical to the exact form") {
+    // fixture-scale equivalence: the Bloom prefilter may pass false
+    // positives into the verify join but must never change the output
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val cands = docs.where(col("doc_id") % 97 =!= 0)
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val exact = Curation.decontaminate(cands, bench, "text", "doc_id", k = 4)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // a deliberately high FPP floods the verify join with candidates —
+    // the equivalence must hold regardless
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloomed = Curation.decontaminateBloom(
+          cands, bench, "text", "doc_id", k = 4, fpp = fpp)
+        .as[(Long, Long, Boolean)].collect().toSet
+      assert(bloomed === exact, s"fpp=$fpp")
+    }
+    assert(exact.exists(_._3), "fixture should contain contamination")
+    assert(exact.exists(!_._3))
+  }
+
   test("shardAssignments: contiguous positions, full coverage, repartition-stable") {
     val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
     val a = Curation.shardAssignments(docs, "doc_id", nShards = 8)
@@ -290,6 +310,35 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id", "source", "quality", "quality_pct")
       .as[(Long, String, Double, Double)].collect()
     assert(again.toSet === got.toSet)
+  }
+
+  test("sourceCap equals the naive per-source top-N; salting is invisible") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val got = Curation.sourceCap(docs, "text", "doc_id", "source",
+        cap = 7, nSalts = 4)
+      .select("doc_id", "source", "quality", "rank")
+      .as[(Long, String, Double, Long)].collect()
+    // reference: flat driver-side (quality desc, id) rank per source
+    val all = docs.select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.qualityScoreFromStats(
+          graft.functions.TextAnalysis.stats(col("text"))).as("q"))
+      .as[(Long, String, Double)].collect()
+    val expect = all.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy { case (id, _, q) => (-q, id) }.take(7).zipWithIndex
+        .map { case ((id, _, q), i) => (id, src, q, i + 1L) }
+    }.toSet
+    assert(got.toSet === expect)
+    assert(got.groupBy(_._2).values.forall(_.length <= 7))
+    // the salt count and physical layout are implementation details
+    val again = Curation.sourceCap(docs.repartition(13), "text", "doc_id",
+        "source", cap = 7, nSalts = 11)
+      .select("doc_id", "source", "quality", "rank")
+      .as[(Long, String, Double, Long)].collect()
+    assert(again.toSet === got.toSet)
+    // a cap above the group size keeps everything, ranked
+    val loose = Curation.sourceCap(docs, "text", "doc_id", "source",
+      cap = 1000000, nSalts = 4)
+    assert(loose.count() === docs.count())
   }
 
   test("bpeMergeStep: top-pair argmax, greedy overlap rule, tie-break") {
