@@ -793,6 +793,33 @@ object PipelineQueries {
         Tables.read(spark, dir, "documents"), "text", "doc_id",
         budget = 16000L)),
 
+    // Streaming token-budget admission: docs arrive as a stream (ts =
+    // t0 + doc_id seconds — event order IS id order) and admit in
+    // event-time order while the inclusive running total stays ≤ 16k.
+    // Only the metadata stream enters the stateful operator; token
+    // counting runs data-parallel upstream. Watermark-buffered exact ⇒
+    // arrival order is invisible; oracle is the flat id-ordered cumsum.
+    "sample_budget_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val meta = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_tokens"),
+          timestamp_millis(lit(t0) + col("doc_id") * 1000L).as("ts"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, meta)
+      val sentinel = Seq((-1L, 0L, sentinelTs))
+        .toDF("doc_id", "n_tokens", "ts")
+      val streamed = graft.streaming.EventStream.tokenBudgetAdmitExact(
+        streamWithSentinel(spark, meta, sentinel, delaySec)
+          .as[graft.streaming.EventStream.BudgetDoc],
+        budget = 16000L)
+      graft.streaming.EventStream.runToMemory(
+        streamed.toDF(), "sample_budget_stream_out", OutputMode.Append())
+      spark.table("sample_budget_stream_out").where(col("doc_id") >= 0)
+    }),
+
     // Per-shard manifest over the same assignment: doc count and total
     // characters per shard — what a shard writer records next to its
     // files for audit/resume.
@@ -2128,6 +2155,20 @@ object PipelineQueries {
         |    AS cum_tokens
         |  FROM q)
         |SELECT doc_id, quality, n_tokens, cum_tokens
+        |FROM o WHERE cum_tokens <= 16000""".stripMargin,
+    // streaming admission replay: event order is id order by
+    // construction, so the oracle is the flat id-ordered prefix sum
+    "sample_budget_stream" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+        |  FROM documents),
+        |o AS (SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(sum(ntok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens
         |FROM o WHERE cum_tokens <= 16000""".stripMargin,
     // full schedule replay: per-source md5-shuffled rank → virtual
     // time (one exact subtraction + one IEEE division) → global

@@ -834,6 +834,54 @@ class StreamingSpec extends AnyFunSuite {
       (2L, t("2024-01-01 11:00:00")) -> 1L))
   }
 
+  test("tokenBudgetAdmitExact: event-time prefix admission, disorder-proof") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventStream.tokenBudgetAdmitExact(
+        in.toDF().toDF("doc_id", "n_tokens", "ts")
+          .withWatermark("ts", "2 hours")
+          .as[EventStream.BudgetDoc], budget = 100L)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("budget_admit_out").start()
+    // docs at 10:00 (40 tok), 10:10 (50), 10:20 (30), 10:30 (5); the
+    // 10:10 doc arrives a BATCH LATE — admission must still run in
+    // event-time order: 40, 90 admitted; 120 rejects the 10:20 doc AND
+    // poisons the prefix, so the tiny 10:30 doc rejects too (cum=125)
+    in.addData((1L, 40L, ts("2024-01-01 10:00:00")),
+      (3L, 30L, ts("2024-01-01 10:20:00")),
+      (4L, 5L, ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    in.addData((2L, 50L, ts("2024-01-01 10:10:00")))
+    q.processAllAvailable()
+    in.addData((-1L, 0L, ts("2024-01-02 12:00:00"))) // sentinel drains
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("budget_admit_out").where(col("doc_id") >= 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 40L, 40L), (2L, 50L, 90L)))
+  }
+
+  test("sample_budget_stream gate entry equals the batch id-ordered prefix") {
+    val got = SparkEntry.queries("sample_budget_stream")(
+        spark, SparkTestSession.Sf)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    // batch reference: flat cumsum in doc_id order
+    val all = Tables.read(spark, SparkTestSession.Sf, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    val expect = all.flatMap { case (id, n) =>
+      cum += n
+      if (cum <= 16000L) Some((id, n, cum)) else None
+    }.toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+    assert(got.size < all.length, "budget should actually cut")
+  }
+
   test("stateful user totals match batch totals") {
     val evts = EventStream.readEvents(spark, SparkTestSession.Sf)
       .select(col("user_id"), col("event_id"), col("value"))
