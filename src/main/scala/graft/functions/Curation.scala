@@ -408,6 +408,119 @@ object Curation {
       .drop("__n")
   }
 
+  /** Character-split of one word into the space-joined token string
+    * char-level BPE starts from: each codepoint its own token, the
+    * word-end `marker` glued onto the LAST char ("cat" → "c a t</w>") —
+    * the classic formulation, so merges can distinguish word-final
+    * units. Assumes no word contains the marker string itself.
+    */
+  private def charTokens(w: Column, marker: String): Column =
+    concat(concat_ws(" ", transform(
+      sequence(lit(1), length(w)),
+      i => w.substr(i, lit(1)))), lit(marker))
+
+  /** CHARACTER-level BPE vocabulary induction — real tokenizer-training
+    * granularity, and the classic weighted-vocab formulation: ONE corpus
+    * pass builds the word histogram (the only corpus-sized shuffle),
+    * then all `k` merge iterations run over the tiny weighted vocab —
+    * pair counts weighted by word frequency, argmax (count desc, then
+    * lexicographic (a, b)), fuse via the same space-doubled literal
+    * replace as [[bpeMergeStep]] with an EMPTY joiner (chars
+    * concatenate: "t"+"h" → "th"). This is why char BPE scales where
+    * the word-level demo form doesn't: at 100 TB the per-iteration cost
+    * is a vocab-sized job (MBs–GBs), not a corpus pass; the merge table
+    * (k rows) is the only driver-side data.
+    *
+    * Pairs never span the word-end marker (the marker token is
+    * word-final, so it is never the LEFT element of a within-word
+    * pair) — which is what makes [[bpeCharApply]]'s whole-doc stream
+    * application exact.
+    */
+  def bpeCharVocab(df: DataFrame, textCol: String, k: Int,
+                   marker: String = "</w>"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    var cur = df.where(length(trim(col(textCol))) > 0)
+      .select(explode(split(norm, " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(charTokens(col("w"), marker).as("t"), col("n"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      var step = 1
+      var done = false
+      while (step <= k && !done) {
+        // project the split ONCE (lambda-recompute trap, see bpeMergeTable)
+        val topOpt = cur
+          .select(split(col("t"), " ").as("toks"), col("n"))
+          .where(size(col("toks")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("a"),
+              element_at(col("toks"), (i + lit(1)).cast("int")).as("b"))))
+            .as("p"), col("n"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+          .collect().headOption
+        topOpt match {
+          case None => done = true
+          case Some(r) =>
+            val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+            merges += ((step, a, b, n))
+            val doubled = concat(lit(" "),
+              regexp_replace(col("t"), " ", "  "), lit(" "))
+            val next = cur.select(trim(replace(
+                replace(doubled, lit(s" $a  $b "), lit(s" $a$b ")),
+                lit("  "), lit(" "))).as("t"), col("n"))
+              .persist()
+            next.count() // materialize before dropping the parent
+            cur.unpersist()
+            cur = next
+        }
+        step += 1
+      }
+    } finally cur.unpersist()
+    merges.toSeq.toDF("step", "a", "b", "n")
+  }
+
+  /** Char-level BPE ENCODE: char-split every document (word by word,
+    * marker on word-final chars) into one token stream and fold the
+    * merge table over it in order — each merge the same greedy literal
+    * replace the induction used. Applying at the DOC level is exact
+    * because no merge pair can match across a word boundary: every
+    * left element `a` of a learned pair is marker-free (the marker
+    * token is word-final, so any token containing it is word-final and
+    * never the left of a within-word pair), while the token left of a
+    * word boundary always carries the marker. One per-row projection
+    * chain — no shuffle; blank documents encode to the empty string.
+    * Emits (id, encoded, n_pieces): the encoded stream and its token
+    * count — the REAL tokens-per-doc number a budget planner wants,
+    * as opposed to the whitespace proxy.
+    */
+  def bpeCharApply(df: DataFrame, textCol: String, idCol: String,
+                   merges: Seq[(String, String)],
+                   marker: String = "</w>"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val stream0 = concat_ws(" ", transform(
+      split(norm, " "), w => charTokens(w, marker)))
+    val fusedAll = merges.foldLeft(stream0) { case (t, (a, b)) =>
+      trim(replace(
+        replace(concat(lit(" "), regexp_replace(t, " ", "  "), lit(" ")),
+          lit(s" $a  $b "), lit(s" $a$b ")),
+        lit("  "), lit(" ")))
+    }
+    val blank = length(trim(col(textCol))) === 0
+    df.select(col(idCol),
+        when(blank, lit("")).otherwise(fusedAll).as("encoded"))
+      .withColumn("n_pieces",
+        when(col("encoded") === "", lit(0L))
+          .otherwise(size(split(col("encoded"), " ")).cast("long")))
+  }
+
   /** Quality-prioritized token-budget fill: admit documents in
     * (quality desc, id) order while the INCLUSIVE running token total
     * stays within `budget` — "the best N tokens", the selection rule a

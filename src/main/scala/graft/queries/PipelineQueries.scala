@@ -756,6 +756,29 @@ object PipelineQueries {
       graft.functions.Curation.bpeApply(docs, "text", "doc_id", merges)
     }),
 
+    // CHARACTER-level BPE induction, the classic weighted-vocab
+    // formulation: ONE corpus pass builds the word histogram; all 8
+    // merge iterations run over the tiny weighted vocab (pair counts
+    // weighted by word frequency, empty joiner — chars concatenate,
+    // "</w>" word-end marker). The oracle replays every iteration over
+    // the same histogram in one recursive CTE.
+    "text_bpe_char_vocab" -> ((spark, dir) =>
+      graft.functions.Curation.bpeCharVocab(
+        Tables.read(spark, dir, "documents"), "text", k = 8)),
+
+    // The char-level ENCODE: induce the 8-merge table, then fold it
+    // over every document's char stream (doc-level apply is exact —
+    // merge pairs cannot span the word-end marker). n_pieces is the
+    // REAL tokens-per-doc count, vs the whitespace proxy.
+    "text_bpe_char_apply" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val merges = graft.functions.Curation
+        .bpeCharVocab(docs, "text", k = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.Curation.bpeCharApply(docs, "text", "doc_id", merges)
+    }),
+
     // One BPE merge iteration, word-level: corpus-wide adjacent-pair
     // counts → (count desc, pair asc) argmax → literal left-to-right
     // fuse of every non-overlapping occurrence. The oracle replays the
@@ -2001,6 +2024,115 @@ object PipelineQueries {
         |  ) g
         |)
         |SELECT step, a, b, n FROM it WHERE step >= 1""".stripMargin,
+    // char-level replay: the recursion carries the WEIGHTED vocab (word
+    // histogram, char-split with the '</w>' marker); pair counts are
+    // frequency-weighted sums, fuse concatenates (empty joiner)
+    "text_bpe_char_vocab" ->
+      """WITH RECURSIVE it AS (
+        |  SELECT 0 AS step, CAST(NULL AS VARCHAR) AS a,
+        |    CAST(NULL AS VARCHAR) AS b, CAST(NULL AS BIGINT) AS n,
+        |    (SELECT list(struct_pack(t := array_to_string(
+        |        list_transform(range(1, length(w) + 1), i -> w[i:i]), ' ')
+        |        || '</w>', n := cnt))
+        |     FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |        SELECT unnest(string_split(
+        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |        FROM documents WHERE length(trim(text)) > 0) u
+        |      WHERE length(w) > 0 GROUP BY w)) AS vocab
+        |  UNION ALL
+        |  SELECT g.step + 1,
+        |    struct_extract(g.m, 'a'), struct_extract(g.m, 'b'),
+        |    -struct_extract(g.m, 'negn'),
+        |    list_transform(g.vocab, e -> struct_pack(
+        |      t := trim(replace(replace(
+        |        ' ' || replace(struct_extract(e, 't'), ' ', '  ') || ' ',
+        |        ' ' || struct_extract(g.m, 'a') || '  ' ||
+        |          struct_extract(g.m, 'b') || ' ',
+        |        ' ' || struct_extract(g.m, 'a') ||
+        |          struct_extract(g.m, 'b') || ' '),
+        |        '  ', ' ')),
+        |      n := struct_extract(e, 'n')))
+        |  FROM (
+        |    SELECT it.step, it.vocab,
+        |      min(struct_pack(negn := -c.cnt, a := c.a, b := c.b)) AS m
+        |    FROM it, LATERAL (
+        |      SELECT p.a AS a, p.b AS b, CAST(sum(pn) AS BIGINT) AS cnt FROM (
+        |        SELECT unnest(list_transform(range(1, len(tk.toks)),
+        |          i -> struct_pack(a := tk.toks[i], b := tk.toks[i + 1]))) AS p,
+        |          tk.n AS pn
+        |        FROM (SELECT string_split(struct_extract(e2, 't'), ' ') AS toks,
+        |              struct_extract(e2, 'n') AS n
+        |              FROM unnest(it.vocab) AS u(e2)) tk
+        |        WHERE len(tk.toks) >= 2) bp
+        |      GROUP BY 1, 2) c
+        |    WHERE it.step < 8
+        |    GROUP BY it.step, it.vocab
+        |  ) g
+        |)
+        |SELECT step, a, b, n FROM it WHERE step >= 1""".stripMargin,
+    // encode replay: the same recursion also carries each word, so the
+    // final state is the word → encoded-stream map; documents re-encode
+    // by positional join over their word lists
+    "text_bpe_char_apply" ->
+      """WITH RECURSIVE it AS (
+        |  SELECT 0 AS step,
+        |    (SELECT list(struct_pack(w := w,
+        |        t := array_to_string(
+        |          list_transform(range(1, length(w) + 1), i -> w[i:i]), ' ')
+        |          || '</w>', n := cnt))
+        |     FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |        SELECT unnest(string_split(
+        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |        FROM documents WHERE length(trim(text)) > 0) u
+        |      WHERE length(w) > 0 GROUP BY w)) AS vocab
+        |  UNION ALL
+        |  SELECT g.step + 1,
+        |    list_transform(g.vocab, e -> struct_pack(
+        |      w := struct_extract(e, 'w'),
+        |      t := trim(replace(replace(
+        |        ' ' || replace(struct_extract(e, 't'), ' ', '  ') || ' ',
+        |        ' ' || struct_extract(g.m, 'a') || '  ' ||
+        |          struct_extract(g.m, 'b') || ' ',
+        |        ' ' || struct_extract(g.m, 'a') ||
+        |          struct_extract(g.m, 'b') || ' '),
+        |        '  ', ' ')),
+        |      n := struct_extract(e, 'n')))
+        |  FROM (
+        |    SELECT it.step, it.vocab,
+        |      min(struct_pack(negn := -c.cnt, a := c.a, b := c.b)) AS m
+        |    FROM it, LATERAL (
+        |      SELECT p.a AS a, p.b AS b, CAST(sum(pn) AS BIGINT) AS cnt FROM (
+        |        SELECT unnest(list_transform(range(1, len(tk.toks)),
+        |          i -> struct_pack(a := tk.toks[i], b := tk.toks[i + 1]))) AS p,
+        |          tk.n AS pn
+        |        FROM (SELECT string_split(struct_extract(e2, 't'), ' ') AS toks,
+        |              struct_extract(e2, 'n') AS n
+        |              FROM unnest(it.vocab) AS u(e2)) tk
+        |        WHERE len(tk.toks) >= 2) bp
+        |      GROUP BY 1, 2) c
+        |    WHERE it.step < 8
+        |    GROUP BY it.step, it.vocab
+        |  ) g
+        |),
+        |enc AS (SELECT struct_extract(e3, 'w') AS w,
+        |    struct_extract(e3, 't') AS t
+        |  FROM (SELECT vocab FROM it
+        |        WHERE step = (SELECT max(step) FROM it)),
+        |    unnest(vocab) AS x(e3)),
+        |dws AS (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM dws),
+        |wx AS (SELECT doc_id, i, ws[i] AS w FROM pos),
+        |j AS (SELECT wx.doc_id, wx.i, enc.t FROM wx JOIN enc USING (w)),
+        |encoded AS (SELECT doc_id,
+        |    array_to_string(list(t ORDER BY i), ' ') AS encoded
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(e.encoded, '') AS encoded,
+        |  CASE WHEN COALESCE(e.encoded, '') = '' THEN 0
+        |       ELSE CAST(len(string_split(e.encoded, ' ')) AS BIGINT)
+        |  END AS n_pieces
+        |FROM documents d LEFT JOIN encoded e USING (doc_id)""".stripMargin,
     // full replay: same normalization, same pair counts and tie-break,
     // same space-doubling literal fuse (DuckDB replace() is the same
     // left-to-right non-overlapping rule as Spark's)

@@ -389,6 +389,51 @@ class CurationSpec extends AnyFunSuite {
     assert(empty.count() === 0)
   }
 
+  test("bpeCharVocab: frequency-weighted merges, marker stays word-final") {
+    val docs = Seq((1L, "cat cat dog"), (2L, "cat")).toDF("doc_id", "text")
+    // histogram cat×3, dog×1; init "c a t</w>"×3, "d o g</w>"×1.
+    // step1: (c,a)=3 ties (a,t</w>)=3 → lexicographic smallest left
+    // wins: (a, t</w>). Then (c,at</w>)=3, (d,o)=1, (do,g</w>)=1; the
+    // table stops when no pairs remain.
+    val m = Curation.bpeCharVocab(docs, "text", k = 10)
+      .orderBy("step").as[(Int, String, String, Long)].collect()
+    assert(m.toSeq === Seq(
+      (1, "a", "t</w>", 3L), (2, "c", "at</w>", 3L),
+      (3, "d", "o", 1L), (4, "do", "g</w>", 1L)))
+  }
+
+  test("bpeCharApply: doc-level stream apply equals per-word replay") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val merges = Curation.bpeCharVocab(docs, "text", k = 8)
+      .orderBy("step").as[(Int, String, String, Long)].collect()
+      .map(t => (t._2, t._3)).toSeq
+    val got = Curation.bpeCharApply(docs, "text", "doc_id", merges)
+      .select("doc_id", "encoded", "n_pieces")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, enc, n) => id -> ((enc, n)) }.toMap
+    // driver replay: encode each word independently (merges cannot span
+    // the word-end marker), reassemble per doc
+    def fuse(t: String, a: String, b: String): String =
+      (" " + t.replace(" ", "  ") + " ")
+        .replace(s" $a  $b ", s" $a$b ").replace("  ", " ").trim
+    def encodeWord(w: String): String = {
+      val init = w.map(_.toString).mkString(" ") + "</w>"
+      merges.foldLeft(init) { case (t, (a, b)) => fuse(t, a, b) }
+    }
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val expect =
+        if (norm.isEmpty) "" else norm.split(" ").map(encodeWord).mkString(" ")
+      val (gotEnc, gotN) = got(id)
+      assert(gotEnc === expect, s"doc $id")
+      val expectN = if (expect.isEmpty) 0L else expect.split(" ").length.toLong
+      assert(gotN === expectN, s"doc $id n_pieces")
+    }
+    // merges actually compress: pieces < raw char count somewhere
+    assert(got.values.exists(_._2 > 0))
+  }
+
   test("mix_schedule composes epochs and interleave consistently") {
     val rows = graft.SparkEntry.queries("mix_schedule")(
         spark, SparkTestSession.Sf)
