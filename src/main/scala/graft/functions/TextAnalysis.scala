@@ -271,6 +271,29 @@ object TextAnalysis {
       i => concat_ws(" ", slice(t, i, lit(3))))
   }
 
+  /** Hashed linear text-classifier scoring — the fastText/DCLM-style
+    * quality-classifier APPLY step: every token hashes into a bucket of
+    * a weight table and the document's margin is the mean bucket weight,
+    * `(Σ w(token)) / n_tokens`. Here the table is derived
+    * deterministically from md5 (bucket − nBuckets/2 ∈ [−n/2, n/2));
+    * a TRAINED table plugs into the same seam as a broadcast array
+    * lookup. The numerator accumulates EXACT integers, so the margin is
+    * ONE IEEE division of exact operands — bit-portable across engines,
+    * partitionings, and accumulation orders. Pure projection: no
+    * shuffle, stays in whole-stage codegen; at 100 TB this scores at
+    * scan speed, which is exactly what a corpus-wide quality cut needs.
+    */
+  def linearScore(c: Column, nBuckets: Int = 512): Column = {
+    require(nBuckets >= 2 && nBuckets % 2 == 0,
+      s"nBuckets must be even >= 2, got $nBuckets")
+    val toks = split(regexp_replace(lower(trim(c)), "\\s+", " "), " ")
+    val wsum = aggregate(toks, lit(0L), (acc, w) =>
+      acc + (conv(substring(md5(w.cast("binary")), 1, 8), 16, 10)
+        .cast("long") % nBuckets) - lit(nBuckets / 2))
+    when(length(trim(c)) === 0, lit(0.0))
+      .otherwise(wsum.cast("double") / size(toks).cast("double"))
+  }
+
   /** Corpus-wide top-k word 3-grams by DOCUMENT frequency — the
     * boilerplate/stop-phrase detector (the measured form of the
     * corpus-derived stop-shingle cap the dedup family applies).

@@ -540,6 +540,16 @@ object PipelineQueries {
       Tables.read(spark, dir, "documents").select(
         col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // Hashed linear classifier scoring (fastText-style apply): margin =
+    // exact integer weight sum / n_tokens, one IEEE division — scores
+    // at scan speed, no shuffle. The md5-derived table is the seam a
+    // trained weight vector plugs into.
+    "text_score_linear" -> ((spark, dir) =>
+      Tables.read(spark, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.linearScore(col("text")).as("margin"))
+        .withColumn("admitted", col("margin") > 0)),
+
     // Gopher-style repetition quality signals (dup k-gram fractions via
     // one native shingle pass per k; top-bigram multiplicity via a
     // two-phase (doc, bigram) aggregation)
@@ -2554,6 +2564,20 @@ object PipelineQueries {
         |LEFT JOIN d2 ON b.doc_id = d2.doc_id
         |LEFT JOIN d3 ON b.doc_id = d3.doc_id
         |LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin,
+    // linear-classifier replay: same md5 bucket weights, exact integer
+    // sum, ONE division — margins hash-compare bit-for-bit
+    "text_score_linear" ->
+      """WITH t AS (SELECT doc_id, text, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE CAST(list_sum(list_transform(toks, w ->
+        |         ('0x' || substring(md5(w), 1, 8))::BIGINT % 512 - 256))
+        |         AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |  END AS margin
+        |  FROM t)
+        |SELECT doc_id, margin, margin > 0 AS admitted FROM m""".stripMargin,
     "text_langid" -> s"""
         |WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
         |s AS (SELECT doc_id,

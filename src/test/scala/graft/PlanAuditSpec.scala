@@ -250,6 +250,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected the sorted-group fold:\n$plan")
   }
 
+  test("sample_source_cap: both top-N phases window on bounded partitions") {
+    val plan = finalPlan("sample_source_cap")
+    assert(!plan.contains("SinglePartition"),
+      s"the cap must never funnel the corpus to one partition:\n$plan")
+    val windows = plan.split("\n").count(_.contains("Window"))
+    assert(windows >= 2, s"salted phase + survivor phase expected:\n$plan")
+    assert(plan.contains("__salt"),
+      s"phase 1 must partition on (source, salt):\n$plan")
+  }
+
+  test("text_decontaminate_bloom: bloom prune sits below the verify join") {
+    val plan = finalPlan("text_decontaminate_bloom")
+    assert(plan.contains("might_contain"),
+      s"expected the codegen'd bloom probe:\n$plan")
+    // the bloom filter must prune BEFORE any join: the probe appears in
+    // a Filter/Project, not only above the join
+    val joinLine = plan.linesIterator.indexWhere(_.contains("Join"))
+    val bloomLine = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    assert(bloomLine > joinLine,
+      s"bloom probe must be on the scan side (deeper than the join):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"no quadratic join:\n$plan")
+  }
+
+  test("text_score_linear: pure projection — no exchange, codegen end-to-end") {
+    val plan = finalPlan("text_score_linear").split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"),
+      s"classifier apply must score at scan speed, no shuffle:\n$plan")
+    assert(plan.contains("*(1)"),
+      s"expected a whole-stage codegen span over the scan:\n$plan")
+  }
+
   test("tap incremental predicate reaches the parquet scan") {
     val plan = executedPlan("tap_incremental")
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
