@@ -55,7 +55,11 @@ object Bench {
     "text_topk_sketch", "dedup_keep_best", "mix_interleave",
     "sample_kcenter", "mix_epochs", "sample_token_budget",
     "text_quality_pct", "events_funnel_fold", "mix_schedule",
-    "text_bpe_step", "text_bpe_vocab", "text_bpe_apply")
+    "text_bpe_step", "text_bpe_vocab", "text_bpe_apply",
+    // round-6 close: per-source cap, Bloom-prefiltered decontamination,
+    // linear classifier scoring, char-level BPE (induce + encode)
+    "sample_source_cap", "text_decontaminate_bloom", "text_score_linear",
+    "text_bpe_char_vocab", "text_bpe_char_apply", "text_dedup_lines")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

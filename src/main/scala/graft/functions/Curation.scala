@@ -227,6 +227,48 @@ object Curation {
         (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** CCNet-style common-line removal: lines (here period-delimited
+    * segments — the fixture's line analog) whose DOCUMENT frequency
+    * exceeds `maxDocFreq` are boilerplate (cookie banners, footers,
+    * license blurbs) and are struck from every document; rarer repeats
+    * stay. This is the standard web-corpus cleanup pass that runs
+    * before near-dup dedup — removing shared boilerplate so docs don't
+    * cluster on their chrome instead of their content. Cleaned text is
+    * rebuilt from the NORMALIZED kept lines in original order, joined
+    * ". "; documents whose every line was boilerplate come back empty.
+    *
+    * Scale shape: line doc-frequency partial-aggregates per partition
+    * before one (line-hash) exchange; the HOT set is small by
+    * definition (only lines in > maxDocFreq docs) so the removal join
+    * back is a broadcast anti-join — the corpus-sized line stream never
+    * shuffles for it. Reassembly groups each doc's own lines
+    * (collect_list bounded by doc size) under one exchange on the id.
+    */
+  def dropCommonLines(df: DataFrame, textCol: String, idCol: String,
+                      maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val segs = df.select(col(idCol),
+      posexplode(split(col(textCol), "\\.")).as(Seq("pos", "line")))
+    val withNorm = segs
+      .withColumn("ln", regexp_replace(lower(trim(col("line"))), "\\s+", " "))
+      .where(length(col("ln")) > 0)
+      .select(col(idCol), col("pos"), col("ln"))
+    val hot = withNorm.select(col(idCol), col("ln")).distinct()
+      .groupBy("ln").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+    val kept = withNorm.join(broadcast(hot.select("ln")), Seq("ln"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ln")))),
+          x => x.getField("ln")), ". ").as("cleaned_text"),
+        count(lit(1)).as("n_lines_kept"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
+  }
+
   /** [[decontaminate]] with a Bloom prefilter on the corpus side — the
     * 100 TB shape. The exact form broadcasts the full benchmark gram
     * SET; once the benchmark suite grows past broadcast size (tens of

@@ -875,6 +875,23 @@ object PipelineQueries {
         "text", "doc_id", k = 4)
     }),
 
+    // CCNet-style common-line removal over deterministically augmented
+    // fixture text (the synthetic corpus has no repeated lines, so docs
+    // get boilerplate injected: a license line on every 3rd doc, a
+    // per-residue signature on even docs). Lines in > 10 docs drop; the
+    // ~2-3-doc signature variants stay — both directions exercised.
+    "text_dedup_lines" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(". all rights reserved")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(". sig "), (col("doc_id") % 100).cast("string")))
+            .otherwise(lit(""))))
+      graft.functions.Curation.dropCommonLines(
+        docs, "text", "doc_id", maxDocFreq = 10L)
+    }),
+
     // The same decontamination behind a Bloom prefilter — the plan that
     // survives a benchmark suite too big to broadcast exactly: corpus
     // grams prune against a ~1.2 B/gram sketch before any join. Output
@@ -2429,6 +2446,30 @@ object PipelineQueries {
         |  COALESCE(h.n, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+    // line-removal replay: same augmentation, same normalization, same
+    // doc-frequency threshold, positional reassembly
+    "text_dedup_lines" ->
+      """WITH aug AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '. all rights reserved' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '. sig ' || CAST(doc_id % 100 AS VARCHAR)
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, string_split(text, '.') AS parts FROM aug),
+        |pos AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM p),
+        |l AS (SELECT doc_id, i,
+        |    regexp_replace(lower(trim(parts[i])), '\s+', ' ', 'g') AS ln
+        |  FROM pos),
+        |nz AS (SELECT doc_id, i, ln FROM l WHERE length(ln) > 0),
+        |hot AS (SELECT ln FROM (
+        |    SELECT ln, count(*) AS df FROM (SELECT DISTINCT doc_id, ln FROM nz) d
+        |    GROUP BY ln) f WHERE df > 10),
+        |kept AS (SELECT doc_id, i, ln FROM nz WHERE ln NOT IN (SELECT ln FROM hot)),
+        |re AS (SELECT doc_id, array_to_string(list(ln ORDER BY i), '. ') AS cleaned_text,
+        |    CAST(count(*) AS BIGINT) AS n_lines_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(re.cleaned_text, '') AS cleaned_text,
+        |  COALESCE(re.n_lines_kept, 0) AS n_lines_kept
+        |FROM documents d LEFT JOIN re USING (doc_id)""".stripMargin,
     // Bloom prefilter is pure plan optimization — identical exact result
     "text_decontaminate_bloom" ->
       """WITH toks AS (SELECT doc_id,

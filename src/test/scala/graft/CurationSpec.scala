@@ -149,6 +149,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got.size === 4)
   }
 
+  test("dropCommonLines strikes hot lines, keeps rare repeats, reassembles") {
+    val docs = Seq(
+      (1L, "Unique Body One. COMMON Footer. rare bit"),
+      (2L, "unique body two. common  footer"),
+      (3L, "unique body three. common footer. RARE bit"),
+      (4L, "common footer"),  // all-boilerplate doc drains to empty
+      (5L, "")                // empty doc stays empty
+    ).toDF("doc_id", "text")
+    // footer in 4 docs > 2 → dropped; "rare bit" in 2 docs ≤ 2 → kept
+    val got = Curation.dropCommonLines(docs, "text", "doc_id", maxDocFreq = 2)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("unique body one. rare bit", 2L)))
+    assert(got(2L) === (("unique body two", 1L)))
+    assert(got(3L) === (("unique body three. rare bit", 2L)))
+    assert(got(4L) === (("", 0L)))
+    assert(got(5L) === (("", 0L)))
+    // threshold above every frequency keeps all (normalized) lines
+    val loose = Curation.dropCommonLines(docs, "text", "doc_id", 100)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(loose(1L) === 3L && loose(4L) === 1L && loose(5L) === 0L)
+  }
+
   test("decontaminateBloom is bit-identical to the exact form") {
     // fixture-scale equivalence: the Bloom prefilter may pass false
     // positives into the verify join but must never change the output
