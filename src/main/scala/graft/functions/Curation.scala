@@ -563,6 +563,50 @@ object Curation {
           .otherwise(size(split(col("encoded"), " ")).cast("long")))
   }
 
+  /** Production-shape char-BPE ENCODE: encode each DISTINCT word once —
+    * the k-merge fold runs over the VOCABULARY, not the corpus — then
+    * documents re-encode by mapping their words through the
+    * word → pieces table. Output identical to [[bpeCharApply]]
+    * (spec-pinned bit-equality); the difference is pure plan shape, and
+    * it is the one that survives a real tokenizer: with tens of
+    * thousands of merges, a per-document replace chain is k full corpus
+    * passes, while this is k passes over the vocab (MBs) plus ONE join.
+    *
+    * Scale shape: docs explode to (id, pos, word) rows and hash-join
+    * the encoded vocab — broadcast at dictionary sizes, shuffled-join
+    * degradation beyond; reassembly groups each doc's own pieces under
+    * one exchange on the id (collect_list bounded by doc length).
+    */
+  def bpeCharApplyVocab(df: DataFrame, textCol: String, idCol: String,
+                        merges: Seq[(String, String)],
+                        marker: String = "</w>"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val words = df.where(length(trim(col(textCol))) > 0)
+      .select(explode(split(norm, " ")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+    val encWord = merges.foldLeft(charTokens(col("w"), marker)) {
+      case (t, (a, b)) =>
+        trim(replace(
+          replace(concat(lit(" "), regexp_replace(t, " ", "  "), lit(" ")),
+            lit(s" $a  $b "), lit(s" $a$b ")),
+          lit("  "), lit(" ")))
+    }
+    val enc = words.select(col("w"), encWord.as("t"))
+    val exploded = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(split(norm, " ")).as(Seq("pos", "w")))
+    val reassembled = exploded.join(enc, "w")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        x => x.getField("t")), " ").as("encoded"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("encoded"), lit("")).as("encoded"))
+      .withColumn("n_pieces",
+        when(col("encoded") === "", lit(0L))
+          .otherwise(size(split(col("encoded"), " ")).cast("long")))
+  }
+
   /** Quality-prioritized token-budget fill: admit documents in
     * (quality desc, id) order while the INCLUSIVE running token total
     * stays within `budget` — "the best N tokens", the selection rule a

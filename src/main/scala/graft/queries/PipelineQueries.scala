@@ -789,6 +789,19 @@ object PipelineQueries {
       graft.functions.Curation.bpeCharApply(docs, "text", "doc_id", merges)
     }),
 
+    // The PRODUCTION encode shape: fold the merges over the VOCABULARY
+    // (k vocab passes, not k corpus passes), re-encode docs by one
+    // word → pieces join. Same output, same oracle — the plan is the
+    // one that survives a 50k-merge tokenizer.
+    "text_bpe_char_apply_vocab" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val merges = graft.functions.Curation
+        .bpeCharVocab(docs, "text", k = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.functions.Curation.bpeCharApplyVocab(docs, "text", "doc_id", merges)
+    }),
+
     // One BPE merge iteration, word-level: corpus-wide adjacent-pair
     // counts → (count desc, pair asc) argmax → literal left-to-right
     // fuse of every non-overlapping occurrence. The oracle replays the
@@ -851,6 +864,29 @@ object PipelineQueries {
       graft.streaming.EventStream.runToMemory(
         streamed.toDF(), "sample_budget_stream_out", OutputMode.Append())
       spark.table("sample_budget_stream_out").where(col("doc_id") >= 0)
+    }),
+
+    // Per-source quota admission on the stream: every source admits its
+    // first 12 docs in event-time order — the KEYED form of the budget
+    // gate (state shards by source, admission runs data-parallel).
+    // Oracle: per-source row_number over id order ≤ 12.
+    "sample_quota_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val meta = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          timestamp_millis(lit(t0) + col("doc_id") * 1000L).as("ts"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, meta)
+      val sentinel = Seq((-1L, "sentinel", sentinelTs))
+        .toDF("doc_id", "source", "ts")
+      val streamed = graft.streaming.EventStream.sourceQuotaAdmitExact(
+        streamWithSentinel(spark, meta, sentinel, delaySec)
+          .as[graft.streaming.EventStream.QuotaDoc],
+        quota = 12L)
+      graft.streaming.EventStream.runToMemory(
+        streamed.toDF(), "sample_quota_stream_out", OutputMode.Append())
+      spark.table("sample_quota_stream_out").where(col("doc_id") >= 0)
     }),
 
     // Per-shard manifest over the same assignment: doc count and total
@@ -1622,6 +1658,67 @@ object PipelineQueries {
   private def markerList(lang: String): String =
     TextAnalysis.LangMarkers.toMap.apply(lang).map(s => s"'$s'").mkString("[", ",", "]")
 
+  private val bpeCharApplyOracle: String =
+      """WITH RECURSIVE it AS (
+        |  SELECT 0 AS step,
+        |    (SELECT list(struct_pack(w := w,
+        |        t := array_to_string(
+        |          list_transform(range(1, length(w) + 1), i -> w[i:i]), ' ')
+        |          || '</w>', n := cnt))
+        |     FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |        SELECT unnest(string_split(
+        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |        FROM documents WHERE length(trim(text)) > 0) u
+        |      WHERE length(w) > 0 GROUP BY w)) AS vocab
+        |  UNION ALL
+        |  SELECT g.step + 1,
+        |    list_transform(g.vocab, e -> struct_pack(
+        |      w := struct_extract(e, 'w'),
+        |      t := trim(replace(replace(
+        |        ' ' || replace(struct_extract(e, 't'), ' ', '  ') || ' ',
+        |        ' ' || struct_extract(g.m, 'a') || '  ' ||
+        |          struct_extract(g.m, 'b') || ' ',
+        |        ' ' || struct_extract(g.m, 'a') ||
+        |          struct_extract(g.m, 'b') || ' '),
+        |        '  ', ' ')),
+        |      n := struct_extract(e, 'n')))
+        |  FROM (
+        |    SELECT it.step, it.vocab,
+        |      min(struct_pack(negn := -c.cnt, a := c.a, b := c.b)) AS m
+        |    FROM it, LATERAL (
+        |      SELECT p.a AS a, p.b AS b, CAST(sum(pn) AS BIGINT) AS cnt FROM (
+        |        SELECT unnest(list_transform(range(1, len(tk.toks)),
+        |          i -> struct_pack(a := tk.toks[i], b := tk.toks[i + 1]))) AS p,
+        |          tk.n AS pn
+        |        FROM (SELECT string_split(struct_extract(e2, 't'), ' ') AS toks,
+        |              struct_extract(e2, 'n') AS n
+        |              FROM unnest(it.vocab) AS u(e2)) tk
+        |        WHERE len(tk.toks) >= 2) bp
+        |      GROUP BY 1, 2) c
+        |    WHERE it.step < 8
+        |    GROUP BY it.step, it.vocab
+        |  ) g
+        |),
+        |enc AS (SELECT struct_extract(e3, 'w') AS w,
+        |    struct_extract(e3, 't') AS t
+        |  FROM (SELECT vocab FROM it
+        |        WHERE step = (SELECT max(step) FROM it)),
+        |    unnest(vocab) AS x(e3)),
+        |dws AS (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM dws),
+        |wx AS (SELECT doc_id, i, ws[i] AS w FROM pos),
+        |j AS (SELECT wx.doc_id, wx.i, enc.t FROM wx JOIN enc USING (w)),
+        |encoded AS (SELECT doc_id,
+        |    array_to_string(list(t ORDER BY i), ' ') AS encoded
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(e.encoded, '') AS encoded,
+        |  CASE WHEN COALESCE(e.encoded, '') = '' THEN 0
+        |       ELSE CAST(len(string_split(e.encoded, ' ')) AS BIGINT)
+        |  END AS n_pieces
+        |FROM documents d LEFT JOIN encoded e USING (doc_id)""".stripMargin
+
   def oracles: Map[String, String] = moreOracles ++ Map(
     "dedup_exact" ->
       """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
@@ -2100,66 +2197,9 @@ object PipelineQueries {
     // encode replay: the same recursion also carries each word, so the
     // final state is the word → encoded-stream map; documents re-encode
     // by positional join over their word lists
-    "text_bpe_char_apply" ->
-      """WITH RECURSIVE it AS (
-        |  SELECT 0 AS step,
-        |    (SELECT list(struct_pack(w := w,
-        |        t := array_to_string(
-        |          list_transform(range(1, length(w) + 1), i -> w[i:i]), ' ')
-        |          || '</w>', n := cnt))
-        |     FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
-        |        SELECT unnest(string_split(
-        |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
-        |        FROM documents WHERE length(trim(text)) > 0) u
-        |      WHERE length(w) > 0 GROUP BY w)) AS vocab
-        |  UNION ALL
-        |  SELECT g.step + 1,
-        |    list_transform(g.vocab, e -> struct_pack(
-        |      w := struct_extract(e, 'w'),
-        |      t := trim(replace(replace(
-        |        ' ' || replace(struct_extract(e, 't'), ' ', '  ') || ' ',
-        |        ' ' || struct_extract(g.m, 'a') || '  ' ||
-        |          struct_extract(g.m, 'b') || ' ',
-        |        ' ' || struct_extract(g.m, 'a') ||
-        |          struct_extract(g.m, 'b') || ' '),
-        |        '  ', ' ')),
-        |      n := struct_extract(e, 'n')))
-        |  FROM (
-        |    SELECT it.step, it.vocab,
-        |      min(struct_pack(negn := -c.cnt, a := c.a, b := c.b)) AS m
-        |    FROM it, LATERAL (
-        |      SELECT p.a AS a, p.b AS b, CAST(sum(pn) AS BIGINT) AS cnt FROM (
-        |        SELECT unnest(list_transform(range(1, len(tk.toks)),
-        |          i -> struct_pack(a := tk.toks[i], b := tk.toks[i + 1]))) AS p,
-        |          tk.n AS pn
-        |        FROM (SELECT string_split(struct_extract(e2, 't'), ' ') AS toks,
-        |              struct_extract(e2, 'n') AS n
-        |              FROM unnest(it.vocab) AS u(e2)) tk
-        |        WHERE len(tk.toks) >= 2) bp
-        |      GROUP BY 1, 2) c
-        |    WHERE it.step < 8
-        |    GROUP BY it.step, it.vocab
-        |  ) g
-        |),
-        |enc AS (SELECT struct_extract(e3, 'w') AS w,
-        |    struct_extract(e3, 't') AS t
-        |  FROM (SELECT vocab FROM it
-        |        WHERE step = (SELECT max(step) FROM it)),
-        |    unnest(vocab) AS x(e3)),
-        |dws AS (SELECT doc_id, string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM dws),
-        |wx AS (SELECT doc_id, i, ws[i] AS w FROM pos),
-        |j AS (SELECT wx.doc_id, wx.i, enc.t FROM wx JOIN enc USING (w)),
-        |encoded AS (SELECT doc_id,
-        |    array_to_string(list(t ORDER BY i), ' ') AS encoded
-        |  FROM j GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(e.encoded, '') AS encoded,
-        |  CASE WHEN COALESCE(e.encoded, '') = '' THEN 0
-        |       ELSE CAST(len(string_split(e.encoded, ' ')) AS BIGINT)
-        |  END AS n_pieces
-        |FROM documents d LEFT JOIN encoded e USING (doc_id)""".stripMargin,
+    "text_bpe_char_apply" -> bpeCharApplyOracle,
+    // the vocab-join encode is pure plan shape — same output, same oracle
+    "text_bpe_char_apply_vocab" -> bpeCharApplyOracle,
     // full replay: same normalization, same pair counts and tie-break,
     // same space-doubling literal fuse (DuckDB replace() is the same
     // left-to-right non-overlapping rule as Spark's)
@@ -2329,6 +2369,13 @@ object PipelineQueries {
         |  FROM t)
         |SELECT doc_id, n_tokens, cum_tokens
         |FROM o WHERE cum_tokens <= 16000""".stripMargin,
+    // keyed quota replay: per-source first-12 in id order
+    "sample_quota_stream" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |    AS BIGINT) AS rank
+        |  FROM documents)
+        |SELECT doc_id, source, rank FROM r WHERE rank <= 12""".stripMargin,
     // full schedule replay: per-source md5-shuffled rank → virtual
     // time (one exact subtraction + one IEEE division) → global
     // (vtime, source, id) order; any drift in hashing, weights, or

@@ -835,6 +835,51 @@ object EventStream {
       }
   }
 
+  final case class QuotaDoc(doc_id: Long, source: String,
+                            ts: java.sql.Timestamp)
+  final case class QuotaState(admitted: Long, buf: Vector[(Long, Long)])
+  final case class QuotaOut(doc_id: Long, source: String, rank: Long)
+
+  /** Streaming PER-SOURCE quota admission: each source admits its first
+    * `quota` documents in event-time (ts, id) order — the sharded form
+    * of [[tokenBudgetAdmitExact]]'s global gate, and the continuous
+    * counterpart of [[graft.functions.Curation.sourceCap]]'s
+    * anti-monopoly rule (by arrival, not by a corpus-wide quality score
+    * it cannot know yet). Because the budget is keyed, state shards by
+    * source and admission runs data-parallel — this is the scale story
+    * stated on the global operator made concrete: O(1) counters per
+    * source plus the docs inside the lateness window. Watermark-
+    * buffered exact, Append emission: each admitted doc exactly once
+    * with its per-source rank.
+    */
+  def sourceQuotaAdmitExact(docs: Dataset[QuotaDoc],
+                            quota: Long): Dataset[QuotaOut] = {
+    import docs.sparkSession.implicits._
+    require(quota >= 0, s"quota must be >= 0, got $quota")
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[QuotaState, QuotaOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (src: String, it: Iterator[QuotaDoc],
+         state: GroupState[QuotaState]) =>
+          val prev = state.getOption.getOrElse(QuotaState(0L, Vector.empty))
+          val buf = prev.buf ++ it.map(d => (d.ts.getTime, d.doc_id))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = buf.partition(_._1 <= wm)
+          var admitted = prev.admitted
+          val out = scala.collection.mutable.ArrayBuffer.empty[QuotaOut]
+          ready.sortBy(identity).foreach { case (_, id) =>
+            if (admitted < quota) {
+              admitted += 1
+              out += QuotaOut(id, src, admitted)
+            }
+          }
+          state.update(QuotaState(admitted, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
+          out.iterator
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the (static) fixture
     * files via the memory sink; returns the result table name.
     */

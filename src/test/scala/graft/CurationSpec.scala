@@ -456,6 +456,18 @@ class CurationSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0))
   }
 
+  test("bpeCharApplyVocab is bit-equal to the replace-chain encode") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val merges = Curation.bpeCharVocab(docs, "text", k = 8)
+      .orderBy("step").as[(Int, String, String, Long)].collect()
+      .map(t => (t._2, t._3)).toSeq
+    val chain = Curation.bpeCharApply(docs, "text", "doc_id", merges)
+      .as[(Long, String, Long)].collect().toSet
+    val viaVocab = Curation.bpeCharApplyVocab(docs, "text", "doc_id", merges)
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaVocab === chain)
+  }
+
   test("mix_schedule composes epochs and interleave consistently") {
     val rows = graft.SparkEntry.queries("mix_schedule")(
         spark, SparkTestSession.Sf)

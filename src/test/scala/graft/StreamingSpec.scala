@@ -882,6 +882,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size < all.length, "budget should actually cut")
   }
 
+  test("sourceQuotaAdmitExact: per-source first-N in event-time order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStream.sourceQuotaAdmitExact(
+        in.toDF().toDF("doc_id", "source", "ts")
+          .withWatermark("ts", "2 hours")
+          .as[EventStream.QuotaDoc], quota = 2L)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("quota_admit_out").start()
+    // source A: the 10:05 doc arrives a batch LATE but must still take
+    // rank 2 (event-time order), displacing the 10:20 doc; source B has
+    // its own budget
+    in.addData((1L, "A", ts("2024-01-01 10:00:00")),
+      (3L, "A", ts("2024-01-01 10:20:00")),
+      (10L, "B", ts("2024-01-01 10:15:00")))
+    q.processAllAvailable()
+    in.addData((2L, "A", ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    in.addData((-1L, "sentinel", ts("2024-01-02 12:00:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("quota_admit_out").where(col("doc_id") >= 0)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "A", 1L), (2L, "A", 2L), (10L, "B", 1L)))
+  }
+
   test("stateful user totals match batch totals") {
     val evts = EventStream.readEvents(spark, SparkTestSession.Sf)
       .select(col("user_id"), col("event_id"), col("value"))
