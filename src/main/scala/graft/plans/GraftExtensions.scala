@@ -61,5 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_heavy_hitters", classOf[MisraGries],
       exprs => MisraGries(exprs.head,
         intArg(exprs, 1, "graft_heavy_hitters")))
+    // graft_linear_score(text, nBuckets) — hashed linear-classifier margin
+    inject(e, "graft_linear_score", classOf[LinearScoreF],
+      exprs => LinearScoreF(exprs.head,
+        intArg(exprs, 1, "graft_linear_score")))
   }
 }

@@ -308,5 +308,8 @@ object SignatureExpressions {
     GraftBridge.registerTempFunction(spark, "graft_heavy_hitters",
       exprs => MisraGries(exprs.head,
         intArg(exprs, 1, "graft_heavy_hitters")))
+    GraftBridge.registerTempFunction(spark, "graft_linear_score",
+      exprs => LinearScoreF(exprs.head,
+        intArg(exprs, 1, "graft_linear_score")))
   }
 }
