@@ -59,7 +59,8 @@ object Bench {
     // round-6 close: per-source cap, Bloom-prefiltered decontamination,
     // linear classifier scoring, char-level BPE (induce + encode)
     "sample_source_cap", "text_decontaminate_bloom", "text_score_linear",
-    "text_bpe_char_vocab", "text_bpe_char_apply", "text_dedup_lines")
+    "text_bpe_char_vocab", "text_bpe_char_apply", "text_dedup_lines",
+    "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

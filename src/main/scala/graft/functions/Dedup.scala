@@ -339,10 +339,14 @@ object Dedup {
     if (df.inputFiles.length < target) df.repartition(target) else df
   }
 
-  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        k: Int = 3, threshold: Double = 0.5,
-                        maxDocFreq: Option[Int] = Some(AutoMaxDocFreq)
-                       ): DataFrame = {
+  /** Shared pruned-postings construction for the exact set-overlap
+    * family ([[ngramJaccardPairs]], [[ngramContainmentPairs]]): one
+    * (id, sz, sh) row per surviving shingle hash, with the stop-shingle
+    * cap applied and per-doc PRUNED sizes computed by subtraction.
+    */
+  private def prunedShinglePostings(df: DataFrame, textCol: String,
+                                    idCol: String, k: Int,
+                                    maxDocFreq: Option[Int]): DataFrame = {
     // explode 64-bit shingle hashes, not strings: the self-join shuffle
     // then carries (8-byte key, id) rows; collision odds over N distinct
     // shingles are ~N²/2^65 — immaterial against a 64-bit space.
@@ -352,7 +356,7 @@ object Dedup {
     // billion-doc side at scale.
     val base = rebalance(df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), k).as("shs")))
-    val sh = maxDocFreq match {
+    maxDocFreq match {
       case Some(maxDf) =>
         // stop-shingle prune: doc-frequency aggregate over the exploded
         // postings (narrow 8-byte keys), anti-join the hot set out (tiny
@@ -389,6 +393,13 @@ object Dedup {
         base.select(col("id"), size(col("shs")).as("sz"),
           explode(col("shs")).as("sh"))
     }
+  }
+
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Option[Int] = Some(AutoMaxDocFreq)
+                       ): DataFrame = {
+    val sh = prunedShinglePostings(df, textCol, idCol, k, maxDocFreq)
     sh.as("x").join(sh.as("y"), "sh")
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -398,6 +409,39 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact DIRECTED n-gram containment pairs: `C(sub → sup) =
+    * |sub ∩ sup| / |sub|` — the asymmetric overlap Jaccard structurally
+    * misses. A 50-shingle quote embedded in a 5000-shingle article has
+    * Jaccard ≈ 0.01 (never crosses any sane threshold) but containment
+    * 1.0; this is the detector for quotes, excerpts, syndicated
+    * fragments, and page-within-site duplication. One row per DIRECTION
+    * that clears the threshold (a near-identical pair emits both).
+    *
+    * Same machinery as [[ngramJaccardPairs]] — shared pruned postings,
+    * one self-join, one pair aggregation; both directions derive from
+    * the single undirected `n_common` (no second join), so the cost is
+    * identical to the Jaccard pass. The stop-shingle cap applies to
+    * sets AND sizes symmetrically (as if boilerplate never existed).
+    */
+  def ngramContainmentPairs(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 3, threshold: Double = 0.8,
+                            maxDocFreq: Option[Int] = Some(AutoMaxDocFreq)
+                           ): DataFrame = {
+    val sh = prunedShinglePostings(df, textCol, idCol, k, maxDocFreq)
+    val pairs = sh.as("x").join(sh.as("y"), "sh")
+      .where(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("x.sz")).as("sz_a"), first(col("y.sz")).as("sz_b"))
+    val ab = pairs.select(col("id_a").as("id_sub"), col("id_b").as("id_sup"),
+      (col("n_common").cast("double") / col("sz_a").cast("double"))
+        .as("containment"))
+    val ba = pairs.select(col("id_b").as("id_sub"), col("id_a").as("id_sup"),
+      (col("n_common").cast("double") / col("sz_b").cast("double"))
+        .as("containment"))
+    ab.unionAll(ba).where(col("containment") >= threshold)
   }
 
   /** Exact n-gram Jaccard pairs with PREFIX FILTERING (PPJoin-style,

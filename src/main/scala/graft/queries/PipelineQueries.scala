@@ -37,6 +37,14 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables.read(spark, dir, "documents"),
         "text", "doc_id", k = 3, threshold = 0.5)),
 
+    // Directed containment |sub∩sup|/|sub| ≥ 0.8 — the asymmetric
+    // overlap Jaccard misses (a quote inside a long article). Same
+    // pruned postings + one self-join; both directions from the single
+    // undirected intersection count.
+    "dedup_containment" -> ((spark, dir) =>
+      Dedup.ngramContainmentPairs(Tables.read(spark, dir, "documents"),
+        "text", "doc_id", k = 3, threshold = 0.8)),
+
     "dedup_minhash" -> ((spark, dir) =>
       Dedup.minhashDupPairs(Tables.read(spark, dir, "documents"),
         "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)),
@@ -1758,6 +1766,33 @@ object PipelineQueries {
         |  CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) AS jaccard
         |FROM co JOIN sz a ON co.id_a = a.doc_id JOIN sz b ON co.id_b = b.doc_id
         |WHERE CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) >= 0.5""".stripMargin,
+    // containment replay: same shingles, same cap, both directions from
+    // the undirected intersection count
+    "dedup_containment" -> s"""
+        |WITH toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 1) + 1),
+        |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hot AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM ex0 GROUP BY g) h
+        |  WHERE df > least(${graft.functions.Dedup.MaxDocFreqCeiling},
+        |    greatest(${graft.functions.Dedup.MinDocFreqFloor},
+        |      ceil(${graft.functions.Dedup.HotShingleFraction} *
+        |        (SELECT COUNT(*) FROM documents))))),
+        |ex AS (SELECT doc_id, g FROM ex0 WHERE g NOT IN (SELECT g FROM hot)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+        |co AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n
+        |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |j AS (SELECT id_a, id_b, n, a.sz AS sz_a, b.sz AS sz_b
+        |  FROM co JOIN sz a ON co.id_a = a.doc_id JOIN sz b ON co.id_b = b.doc_id),
+        |d AS (SELECT id_a AS id_sub, id_b AS id_sup,
+        |    CAST(n AS DOUBLE) / CAST(sz_a AS DOUBLE) AS containment FROM j
+        |  UNION ALL
+        |  SELECT id_b AS id_sub, id_a AS id_sup,
+        |    CAST(n AS DOUBLE) / CAST(sz_b AS DOUBLE) AS containment FROM j)
+        |SELECT id_sub, id_sup, containment FROM d WHERE containment >= 0.8""".stripMargin,
     // mirrors shingleTfCosinePairs exactly: non-distinct shingles with
     // multiplicity, the same auto df-cap (pruned BEFORE Σtf²), integer
     // dot/sq, the same fixed-order double threshold test and division

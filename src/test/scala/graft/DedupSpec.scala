@@ -72,6 +72,33 @@ class DedupSpec extends AnyFunSuite {
   // Non-bigint id columns route through the window cap (the native
   // bottom-k aggregates are Long-specialized and reject other types at
   // analysis) — same pairs, just a different capping plan.
+  test("containment flags the quote-in-article case Jaccard misses") {
+    val article = (1 to 100).map(i => s"w$i").mkString(" ")
+    val quote = (40 to 49).map(i => s"w$i").mkString(" ") // 10-word excerpt
+    val corpus = Seq(
+      (1L, article),
+      (2L, quote),
+      (3L, "totally unrelated content about something else entirely")
+    ).toDF("doc_id", "text")
+    // every 3-gram of the quote is in the article: containment(2→1)=1.0;
+    // the reverse direction is 8/98 and must NOT emit; Jaccard ≈ 0.082
+    // never crosses its threshold — the asymmetry is the point
+    val got = Dedup.ngramContainmentPairs(corpus, "text", "doc_id",
+        k = 3, threshold = 0.8, maxDocFreq = None)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((2L, 1L, 1.0)))
+    val jac = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        k = 3, threshold = 0.5, maxDocFreq = None)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty, "Jaccard must miss the asymmetric overlap")
+    // symmetric near-identical pair emits BOTH directions
+    val twins = Seq((10L, article), (11L, article + " w101")).toDF("doc_id", "text")
+    val both = Dedup.ngramContainmentPairs(twins, "text", "doc_id",
+        k = 3, threshold = 0.8, maxDocFreq = None)
+      .as[(Long, Long, Double)].collect()
+    assert(both.map(r => (r._1, r._2)).toSet === Set((10L, 11L), (11L, 10L)))
+  }
+
   test("minhash and simhash dup-pairs work with string ids") {
     val sdocs = docs.withColumn("doc_id",
       concat(lit("doc-"), col("doc_id").cast("string")))
