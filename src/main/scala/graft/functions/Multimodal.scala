@@ -163,4 +163,25 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Exact media dedup: group rows by the md5 digest of their raw byte
+    * payload — the re-uploaded-asset detector (same image under many
+    * URLs/ids), media's analog of [[Dedup.exactGroups]] with no text
+    * normalization (bytes either match or don't). Emits every row with
+    * its group representative (min id) and copy count.
+    *
+    * Scale shape: the digest projects per row (the payload itself never
+    * shuffles — only the 16-byte digest + id cross the exchange), the
+    * group aggregate partial-aggregates, and the join back is on the
+    * digest key. At 100 TB of media this is the only affordable shape:
+    * shuffling payloads would move the corpus.
+    */
+  def exactMediaGroups(df: DataFrame, binCol: String,
+                       idCol: String): DataFrame = {
+    val digested = df.select(col(idCol), md5(col(binCol)).as("__d"))
+    val groups = digested.groupBy("__d")
+      .agg(min(col(idCol)).as("group_id"), count(lit(1)).as("n_copies"))
+    digested.join(groups, "__d")
+      .select(col(idCol), col("group_id"), col("n_copies"))
+  }
 }

@@ -306,6 +306,54 @@ object TextAnalysis {
       .otherwise(wsum.cast("double") / size(toks).cast("double"))
   }
 
+  /** Character-bigram novelty — the garbled-text detector: the fraction
+    * of a document's DISTINCT char bigrams whose corpus document
+    * frequency falls below `rarePct`% of the corpus (mojibake, binary
+    * spill, ROT-ed text, and encoding damage are made of bigrams clean
+    * text never produces; clean docs score 0). The character-level
+    * complement of the token-level quality signals ([[stats]],
+    * [[repetitionSignals]], [[linearScore]]).
+    *
+    * Everything is exact integer arithmetic until the final division:
+    * the threshold is the integer ceil `(N·rarePct + 99) / 100` (no
+    * IEEE product that could round differently across engines), and
+    * novelty = n_rare / n_bigrams is one division of exact counts —
+    * bit-portable.
+    *
+    * Scale shape: per-doc distinct bigrams explode once; the bigram
+    * doc-frequency table partial-aggregates to at most alphabet² rows
+    * (tiny — it broadcasts back); per-doc counts are one aggregation on
+    * the id. Docs too short for a bigram (or blank) emit zeros.
+    */
+  def bigramNovelty(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, rarePct: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(rarePct >= 1 && rarePct <= 100, s"rarePct in [1,100], got $rarePct")
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val base = df.select(col(idCol).as("doc_id"), norm.as("t"))
+      .where(length(col("t")) >= 2)
+    val bg = base.select(col("doc_id"), explode(array_distinct(transform(
+      sequence(lit(1), length(col("t")) - 1),
+      i => col("t").substr(i, lit(2))))).as("b"))
+    val total = base.select(count(lit(1)).as("__n"))
+    val dfc = bg.groupBy("b").agg(count(lit(1)).as("__df"))
+    val rare = dfc.crossJoin(total)
+      .where(col("__df") <
+        ((col("__n") * rarePct + lit(99)) / lit(100)).cast("long"))
+      .select("b")
+    val perDoc = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
+    val rarePerDoc = bg.join(broadcast(rare), "b")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(rarePerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_rare"), lit(0L)).cast("double") /
+            col("n_bigrams").cast("double")).as("novelty"))
+  }
+
   /** Corpus-wide top-k word 3-grams by DOCUMENT frequency — the
     * boilerplate/stop-phrase detector (the measured form of the
     * corpus-derived stop-shingle cap the dedup family applies).

@@ -548,6 +548,19 @@ object PipelineQueries {
       Tables.read(spark, dir, "documents").select(
         col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
 
+    // Char-bigram novelty over deterministically garbled fixture text
+    // (every 13th doc gets an md5-hex suffix — bigrams clean text never
+    // mints): rare = df below the integer-ceil 5% threshold; novelty =
+    // one division of exact counts. Clean docs score 0.
+    "text_bigram_novelty" -> ((spark, dir) =>
+      TextAnalysis.bigramNovelty(
+        Tables.read(spark, dir, "documents")
+          .withColumn("text", when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" "),
+              substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8)))
+            .otherwise(col("text"))),
+        "text", "doc_id")),
+
     // Hashed linear classifier scoring (fastText-style apply): margin =
     // exact integer weight sum / n_tokens, one IEEE division — scores
     // at scan speed, no shuffle. The md5-derived table is the seam a
@@ -653,6 +666,23 @@ object PipelineQueries {
           // real magic-byte parse; text payloads classify as "unknown"
           Multimodal.mediaHeader(col("content")).getField("format")
             .as("media_format"))),
+
+    // Exact media dedup over deterministically planted re-uploads (every
+    // doc_id % 7 == 3 doc carries the payload of doc_id − 3): group by
+    // payload digest — only digests + ids shuffle, never the bytes.
+    "multimodal_dedup" -> ((spark, dir) => {
+      val base = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val donor = base.select(col("doc_id").as("src_id"),
+        col("text").as("src_text"))
+      val planted = base
+        .withColumn("src", when(col("doc_id") % 7 === 3,
+          col("doc_id") - 3).otherwise(col("doc_id")))
+        .join(donor, col("src") === col("src_id"))
+        .select(col("doc_id"), col("src_text"))
+      Multimodal.exactMediaGroups(
+        Multimodal.ingest(planted, "src_text"), "content", "doc_id")
+    }),
 
     // Partition-iterator decode with the integer byte-histogram codec:
     // features are bit-exact (integers inside float32's exact range), so
@@ -2687,6 +2717,33 @@ object PipelineQueries {
         |LEFT JOIN d2 ON b.doc_id = d2.doc_id
         |LEFT JOIN d3 ON b.doc_id = d3.doc_id
         |LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin,
+    // novelty replay: same garble, same distinct char bigrams, same
+    // integer-ceil threshold, one division of exact counts
+    "text_bigram_novelty" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0
+        |       THEN text || ' ' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |       ELSE text END AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM aug),
+        |base AS (SELECT doc_id, t FROM n WHERE length(t) >= 2),
+        |bg AS (SELECT DISTINCT doc_id, t[i:i+1] AS b
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM base)),
+        |tot AS (SELECT count(*) AS n FROM base),
+        |dfc AS (SELECT b, count(*) AS df FROM bg GROUP BY b),
+        |rare AS (SELECT b FROM dfc, tot WHERE df < (n * 5 + 99) // 100),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams FROM bg GROUP BY doc_id),
+        |rd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rare
+        |  FROM bg JOIN rare USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(rd.n_rare, 0) AS n_rare,
+        |  CASE WHEN COALESCE(pd.n_bigrams, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE CAST(COALESCE(rd.n_rare, 0) AS DOUBLE) /
+        |            CAST(pd.n_bigrams AS DOUBLE) END AS novelty
+        |FROM documents d
+        |LEFT JOIN pd USING (doc_id) LEFT JOIN rd USING (doc_id)""".stripMargin,
     // linear-classifier replay: same md5 bucket weights, exact integer
     // sum, ONE division — margins hash-compare bit-for-bit
     "text_score_linear" ->
@@ -2723,6 +2780,17 @@ object PipelineQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
         |hex(encode(substring(text, 1, 4))) AS magic,
         |'unknown' AS media_format FROM documents""".stripMargin,
+    // digest-group replay: same planted re-uploads, same md5-of-bytes key
+    "multimodal_dedup" ->
+      """WITH planted AS (SELECT d.doc_id, s.text AS payload
+        |  FROM documents d JOIN documents s
+        |  ON s.doc_id = CASE WHEN d.doc_id % 7 = 3 THEN d.doc_id - 3
+        |                     ELSE d.doc_id END),
+        |g AS (SELECT md5(payload) AS dg, min(doc_id) AS group_id,
+        |    CAST(count(*) AS BIGINT) AS n_copies
+        |  FROM planted GROUP BY 1)
+        |SELECT p.doc_id, g.group_id, g.n_copies
+        |FROM planted p JOIN g ON md5(p.payload) = g.dg""".stripMargin,
     // byte-bucket histogram recomputed from the UTF-8 payload via
     // hex-nibble decode (bucket 0 = byte positions ≡ 0 mod 16)
     "multimodal_features" ->

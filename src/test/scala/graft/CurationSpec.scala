@@ -468,6 +468,18 @@ class CurationSpec extends AnyFunSuite {
     assert(viaVocab === chain)
   }
 
+  test("exactMediaGroups: byte-identical payloads group, digest-only shuffle") {
+    val rows = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, Array[Byte](1, 2, 3)),   // byte-dup of 1
+      (3L, Array[Byte](1, 2, 4)),   // one byte off → own group
+      (4L, Array[Byte]())           // empty payload is its own group
+    ).toDF("id", "content")
+    val got = graft.functions.Multimodal.exactMediaGroups(rows, "content", "id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L), (4L, 4L, 1L)))
+  }
+
   test("mix_schedule composes epochs and interleave consistently") {
     val rows = graft.SparkEntry.queries("mix_schedule")(
         spark, SparkTestSession.Sf)
