@@ -60,7 +60,8 @@ object Bench {
     // linear classifier scoring, char-level BPE (induce + encode)
     "sample_source_cap", "text_decontaminate_bloom", "text_score_linear",
     "text_bpe_char_vocab", "text_bpe_char_apply", "text_dedup_lines",
-    "dedup_containment", "text_bigram_novelty", "multimodal_dedup")
+    "dedup_containment", "text_bigram_novelty", "multimodal_dedup",
+    "text_compression")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

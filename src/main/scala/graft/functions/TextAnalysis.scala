@@ -354,6 +354,27 @@ object TextAnalysis {
             col("n_bigrams").cast("double")).as("novelty"))
   }
 
+  /** Gopher-style compression-ratio quality signal:
+    * `deflate_bytes / n_bytes` over the raw UTF-8 text. Templated and
+    * repetitive documents compress hard (low ratio), natural prose sits
+    * in a predictable band, and high-entropy garble barely compresses
+    * (ratio near or above 1) — one number that separates all three
+    * regimes, complementing the explicit k-gram fractions of
+    * [[repetitionSignals]]. Pure projection over the native
+    * [[graft.plans.DeflateSizeF]] expression — scores at scan speed,
+    * no shuffle. Ratio is one IEEE division of exact byte counts;
+    * empty docs score 0.
+    */
+  def compressionSignal(df: org.apache.spark.sql.DataFrame, textCol: String,
+                        idCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        length(col(textCol).cast("binary")).cast("long").as("n_bytes"),
+        graft.plans.DeflateSizeF.deflateSize(col(textCol)).as("deflate_bytes"))
+      .withColumn("ratio",
+        when(col("n_bytes") === 0, lit(0.0))
+          .otherwise(col("deflate_bytes").cast("double") /
+            col("n_bytes").cast("double")))
+
   /** Corpus-wide top-k word 3-grams by DOCUMENT frequency — the
     * boilerplate/stop-phrase detector (the measured form of the
     * corpus-derived stop-shingle cap the dedup family applies).

@@ -65,5 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_linear_score", classOf[LinearScoreF],
       exprs => LinearScoreF(exprs.head,
         intArg(exprs, 1, "graft_linear_score")))
+    // graft_deflate_size(text) — DEFLATE-compressed byte count
+    inject(e, "graft_deflate_size", classOf[DeflateSizeF],
+      exprs => DeflateSizeF(exprs.head))
   }
 }

@@ -311,5 +311,7 @@ object SignatureExpressions {
     GraftBridge.registerTempFunction(spark, "graft_linear_score",
       exprs => LinearScoreF(exprs.head,
         intArg(exprs, 1, "graft_linear_score")))
+    GraftBridge.registerTempFunction(spark, "graft_deflate_size",
+      exprs => DeflateSizeF(exprs.head))
   }
 }

@@ -561,6 +561,14 @@ object PipelineQueries {
             .otherwise(col("text"))),
         "text", "doc_id")),
 
+    // Compression-ratio quality signal (Gopher-style): deflate size /
+    // byte size per doc. The deflate count is a per-run signal and
+    // passes through the oracle (q_tdigest pattern); n_bytes and the
+    // ratio division are value-checked exactly.
+    "text_compression" -> ((spark, dir) =>
+      TextAnalysis.compressionSignal(
+        Tables.read(spark, dir, "documents"), "text", "doc_id")),
+
     // Hashed linear classifier scoring (fastText-style apply): margin =
     // exact integer weight sum / n_tokens, one IEEE division — scores
     // at scan speed, no shuffle. The md5-derived table is the seam a
@@ -2717,6 +2725,19 @@ object PipelineQueries {
         |LEFT JOIN d2 ON b.doc_id = d2.doc_id
         |LEFT JOIN d3 ON b.doc_id = d3.doc_id
         |LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin,
+    // deflate count passes through; byte size recomputed exactly and
+    // the ratio re-derived from the two ints (any drift in either, or
+    // in the division, breaks the hash)
+    "text_compression" ->
+      """WITH o AS (SELECT doc_id, deflate_bytes
+        |  FROM read_parquet('__OUT__/text_compression/*.parquet')),
+        |n AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT o.doc_id, n.n_bytes, o.deflate_bytes,
+        |  CASE WHEN n.n_bytes = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE CAST(o.deflate_bytes AS DOUBLE) / CAST(n.n_bytes AS DOUBLE)
+        |  END AS ratio
+        |FROM o JOIN n USING (doc_id)""".stripMargin,
     // novelty replay: same garble, same distinct char bigrams, same
     // integer-ceil threshold, one division of exact counts
     "text_bigram_novelty" ->
