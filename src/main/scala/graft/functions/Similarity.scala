@@ -45,6 +45,27 @@ object Similarity {
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
+  /** Embedding hygiene — the ingest step every similarity/ANN stage
+    * assumes has already happened: L2-normalize each vector (so cosine
+    * becomes a dot product and quantizers see unit scale) and flag
+    * degenerate zero vectors instead of dividing by them (a zero
+    * embedding passes through as zeros with `is_zero = true` — the
+    * caller decides whether to drop or repair). Pure projection: norm
+    * is computed once per row and reused across the components, no
+    * shuffle, scales at scan speed.
+    */
+  def normalizeEmbeddings(df: DataFrame, idCol: String,
+                          vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("l2_norm", norm(col("__v")))
+      .select(col(idCol),
+        col("l2_norm"),
+        (col("l2_norm") === 0.0).as("is_zero"),
+        when(col("l2_norm") === 0.0,
+          transform(col("__v"), _ => lit(0.0)))
+          .otherwise(transform(col("__v"),
+            x => x.cast("double") / col("l2_norm"))).as("unit"))
+
   /** Exact top-k neighbors per query vector via broadcast + window.
     * Ties break on neighbor id for determinism.
     *

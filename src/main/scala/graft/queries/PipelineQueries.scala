@@ -375,6 +375,22 @@ object PipelineQueries {
           posexplode(col("codes")).as(Seq("idx", "code")),
           col("scale"))),
 
+    // Embedding hygiene: L2-normalize + zero-vector flag (vectors at
+    // vec_id % 101 == 0 are zeroed deterministically to exercise the
+    // guard). Exploded to (vec_id, idx, val) rows, values rounded 6dp
+    // on both sides (the sim-oracle float-parity convention).
+    "embed_normalize" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+        .withColumn("embedding", when(col("vec_id") % 101 === 0,
+          transform(col("embedding"), _ => lit(0.0f)))
+          .otherwise(col("embedding")))
+      Similarity.normalizeEmbeddings(emb, "vec_id", "embedding")
+        .select(col("vec_id"), round(col("l2_norm"), 6).as("l2_norm"),
+          col("is_zero"), posexplode(col("unit")).as(Seq("idx", "val")))
+        .select(col("vec_id"), col("idx"), round(col("val"), 6).as("val"),
+          col("l2_norm"), col("is_zero"))
+    }),
+
     // ANN quality evaluation: recall@10 + reciprocal rank of the LSH
     // index against the exact top-10 — the tuning-loop metrics as a
     // relational op. The oracle reads the sim_ann_lsh dump (identical
@@ -1927,6 +1943,23 @@ object PipelineQueries {
         |SELECT vec_id, CAST(i - 1 AS INTEGER) AS idx,
         |  CAST(floor(xd[i] * scale + 0.5) AS INTEGER) AS code, scale
         |FROM e""".stripMargin,
+    // hygiene replay: same zeroing, same norm, same per-component
+    // division, 6dp on both sides
+    "embed_normalize" ->
+      """WITH z AS (SELECT vec_id,
+        |  CASE WHEN vec_id % 101 = 0
+        |       THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+        |       ELSE embedding END AS e
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, e,
+        |  sqrt(list_sum(list_transform(e, x -> x::DOUBLE * x::DOUBLE))) AS nn
+        |  FROM z),
+        |x AS (SELECT vec_id, e, nn,
+        |  unnest(range(1, len(e) + 1)) AS i FROM n)
+        |SELECT vec_id, CAST(i - 1 AS INTEGER) AS idx,
+        |  round(CASE WHEN nn = 0 THEN 0.0 ELSE e[i]::DOUBLE / nn END, 6) AS val,
+        |  round(nn, 6) AS l2_norm, nn = 0 AS is_zero
+        |FROM x""".stripMargin,
     "sim_eval" ->
       """WITH a AS (SELECT query_id, neighbor_id, rank
         |  FROM read_parquet('__OUT__/sim_ann_lsh/*.parquet')),

@@ -40,6 +40,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(diff === 0)
   }
 
+  test("normalizeEmbeddings: unit norms, zero guard, cosine becomes dot") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+      .withColumn("embedding", when(col("vec_id") === 0,
+        transform(col("embedding"), _ => lit(0.0f)))
+        .otherwise(col("embedding")))
+    val out = Similarity.normalizeEmbeddings(emb, "vec_id", "embedding")
+    // every non-zero row renormalizes to ~1; zero rows stay zeros+flag
+    val checked = out.select(col("vec_id"), col("is_zero"),
+        Similarity.norm(col("unit")).as("un"))
+      .as[(Long, Boolean, Double)].collect()
+    checked.foreach { case (id, z, un) =>
+      if (z) assert(un === 0.0, s"vec $id")
+      else assert(math.abs(un - 1.0) < 1e-9, s"vec $id: $un")
+    }
+    assert(checked.count(_._2) === 1)
+    // on the normalized vectors, dot IS cosine (the point of the op)
+    val two = out.where(col("vec_id").isin(1L, 2L))
+      .select(col("vec_id"), col("unit")).as[(Long, Seq[Double])].collect()
+      .toMap
+    val d = two(1L).zip(two(2L)).map { case (a, b) => a * b }.sum
+    val rawCos = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+      .where(col("vec_id").isin(1L, 2L))
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+      .toMap
+    val (va, vb) = (rawCos(1L).map(_.toDouble), rawCos(2L).map(_.toDouble))
+    val cos = va.zip(vb).map { case (a, b) => a * b }.sum /
+      (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+    assert(math.abs(d - cos) < 1e-9)
+  }
+
   test("brute-force top-k ranks by similarity") {
     val corpus = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(-1f, 0f))
