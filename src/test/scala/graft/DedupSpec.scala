@@ -99,6 +99,34 @@ class DedupSpec extends AnyFunSuite {
     assert(both.map(r => (r._1, r._2)).toSet === Set((10L, 11L), (11L, 10L)))
   }
 
+  test("containment equals driver brute force on random corpora") {
+    val rnd = new scala.util.Random(123)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def shingleSet(text: String): Set[String] = {
+      val t = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      (1 to math.max(t.length - 2, 1))
+        .map(i => t.slice(i - 1, i - 1 + 3).mkString(" ")).toSet
+    }
+    for (trial <- 1 to 4) {
+      val corpus = (1L to 12L).map { id =>
+        val n = 3 + rnd.nextInt(25)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.ngramContainmentPairs(corpus.toDF("doc_id", "text"),
+          "text", "doc_id", k = 3, threshold = 0.5, maxDocFreq = None)
+        .as[(Long, Long, Double)].collect().toSet
+      val sets = corpus.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a != b
+        inter = (sets(a) & sets(b)).size
+        c = inter.toDouble / sets(a).size
+        if c >= 0.5
+      } yield (a, b, c)).toSet
+      assert(got === expect, s"trial $trial")
+    }
+  }
+
   test("minhash and simhash dup-pairs work with string ids") {
     val sdocs = docs.withColumn("doc_id",
       concat(lit("doc-"), col("doc_id").cast("string")))
