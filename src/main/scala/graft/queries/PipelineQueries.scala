@@ -1286,6 +1286,23 @@ object PipelineQueries {
           sum(col("d7").cast("int")).as("n_d7"))
     }),
 
+    // Rolling active users: DAU + trailing-7-day WAU per day — the
+    // standard engagement rollup. (day,user) distinct once; each pair
+    // then votes into its 7 report days (explode ×7, a constant), so
+    // WAU needs no range self-join and no per-day window over users.
+    "events_active_users" -> ((spark, dir) => {
+      val du = Tables.read(spark, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), 6))).as("rday"))
+        .distinct()
+        .groupBy("rday").agg(count(lit(1)).as("wau"))
+      dau.join(wau, dau("day") === wau("rday"))
+        .select(col("day"), col("dau"), col("wau"))
+    }),
+
     // Pure range join (NO equi-key): clicks landing inside sampled
     // one-hour post-purchase windows, via the bucketized point-in-interval
     // operator — Spark would otherwise plan the bare range predicate as a
@@ -2906,6 +2923,16 @@ object PipelineQueries {
         |  (t_signup IS NOT NULL AND t_view IS NOT NULL) AS reached_view,
         |  (t_view IS NOT NULL AND list_min(list_filter(buys, x -> x > t_view)) IS NOT NULL) AS reached_buy
         |FROM b""".stripMargin,
+    // DAU/WAU replay: trailing-window membership via the range join the
+    // engine deliberately avoids (the oracle may be quadratic)
+    "events_active_users" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+        |wau AS (SELECT r.day AS day,
+        |    CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+        |  FROM dau r JOIN du ON du.day BETWEEN r.day - 6 AND r.day
+        |  GROUP BY r.day)
+        |SELECT dau.day, dau.dau, wau.wau FROM dau JOIN wau USING (day)""".stripMargin,
     "events_retention" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
         |p AS (SELECT user_id,

@@ -909,6 +909,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, "A", 1L), (2L, "A", 2L), (10L, "B", 1L)))
   }
 
+  test("events_active_users equals a driver-side trailing-window replay") {
+    val got = SparkEntry.queries("events_active_users")(
+        spark, SparkTestSession.Sf)
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => r._1.toLocalDate -> ((r._2, r._3))).toMap
+    val du = Tables.read(spark, SparkTestSession.Sf, "events")
+      .select(to_date(col("ts")), col("user_id"))
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, u) => (d.toLocalDate, u) }.toSet
+    val byDay = du.groupBy(_._1)
+    assert(got.keySet === byDay.keySet)
+    byDay.foreach { case (day, pairs) =>
+      val dau = pairs.size.toLong
+      val wau = du.filter { case (d, _) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._2).size.toLong
+      assert(got(day) === ((dau, wau)), s"day $day")
+    }
+    // WAU dominates DAU everywhere
+    got.values.foreach { case (dau, wau) => assert(wau >= dau) }
+  }
+
   test("stateful user totals match batch totals") {
     val evts = EventStream.readEvents(spark, SparkTestSession.Sf)
       .select(col("user_id"), col("event_id"), col("value"))
