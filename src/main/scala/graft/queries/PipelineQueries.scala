@@ -1303,6 +1303,34 @@ object PipelineQueries {
         .select(col("day"), col("dau"), col("wau"))
     }),
 
+    // The trailing-7-day WAU as a continuous SLIDING-window query (the
+    // window family the tumbling events_hourly_stream doesn't cover):
+    // ×7 window generate → watermark-bounded per-window user dedup →
+    // Append count — two chained stateful operators. Report days run
+    // through max(day)+6 (every window an event touched).
+    "events_wau_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
+      val (delaySec, sentinelTs0) = sentinelBounds(spark, ev)
+      // the sentinel must push the REPORT-DAY watermark past the last
+      // real window's end (max day + 7): sentinelBounds' margin is
+      // sized for event-time operators, so add a month of headroom
+      val sentinelTs = new java.sql.Timestamp(
+        sentinelTs0.getTime + 30L * 86400 * 1000)
+      val sentinel = Seq((-1L, sentinelTs)).toDF("user_id", "ts")
+      // the sentinel rides THROUGH the pipeline to advance the derived
+      // rts watermark; its own far-future windows never finalize, so it
+      // self-filters from the Append output
+      val streamed = graft.streaming.EventStream.slidingActiveUsers(
+        streamWithSentinel(spark, ev, sentinel, delaySec,
+          watermarkOnTs = false), delaySec)
+      graft.streaming.EventStream.runToMemory(
+        streamed, "events_wau_stream_out", OutputMode.Append())
+      spark.table("events_wau_stream_out")
+    }),
+
     // Pure range join (NO equi-key): clicks landing inside sampled
     // one-hour post-purchase windows, via the bucketized point-in-interval
     // operator — Spark would otherwise plan the bare range predicate as a
@@ -1645,7 +1673,8 @@ object PipelineQueries {
     */
   private def streamWithSentinel(spark: SparkSession, ev: DataFrame,
                                  sentinel: DataFrame,
-                                 delaySec: Long): DataFrame = {
+                                 delaySec: Long,
+                                 watermarkOnTs: Boolean = true): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft-stream-gate").toString
     ev.write.parquet(s"$root/events")
@@ -1663,10 +1692,13 @@ object PipelineQueries {
     }
     val nEventFiles = stamp("events", base)
     stamp("sentinel", base + 60_000L)
-    spark.readStream.schema(ev.schema)
+    val raw = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", nEventFiles.toString)
       .parquet(s"$root/{events,sentinel}/*")
-      .withWatermark("ts", s"$delaySec seconds")
+    // watermarkOnTs=false hands back the raw stream for operators whose
+    // event time is DERIVED from ts (e.g. report days): Spark forbids
+    // redefining a watermark downstream, so the caller sets the only one
+    if (watermarkOnTs) raw.withWatermark("ts", s"$delaySec seconds") else raw
   }
 
   /** Pair-value oracle for the incremental (cross-corpus) dedup entries.
@@ -2923,6 +2955,17 @@ object PipelineQueries {
         |  (t_signup IS NOT NULL AND t_view IS NOT NULL) AS reached_view,
         |  (t_view IS NOT NULL AND list_min(list_filter(buys, x -> x > t_view)) IS NOT NULL) AS reached_buy
         |FROM b""".stripMargin,
+    // sliding-window replay: every report day any event's 7 windows
+    // touch, distinct users via the quadratic BETWEEN join
+    "events_wau_stream" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |rd AS (SELECT DISTINCT day + CAST(i AS INTEGER) AS rday
+        |  FROM du, (SELECT unnest(range(0, 7)) AS i) t),
+        |wau AS (SELECT rd.rday AS day,
+        |    CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+        |  FROM rd JOIN du ON du.day BETWEEN rd.rday - 6 AND rd.rday
+        |  GROUP BY rd.rday)
+        |SELECT day, wau FROM wau""".stripMargin,
     // DAU/WAU replay: trailing-window membership via the range join the
     // engine deliberately avoids (the oracle may be quadratic)
     "events_active_users" ->

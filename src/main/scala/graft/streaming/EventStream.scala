@@ -880,6 +880,31 @@ object EventStream {
       }
   }
 
+  /** Trailing-7-day distinct active users (WAU) as a CONTINUOUS
+    * sliding-window query — the sliding-window family next to the
+    * tumbling [[hourlyCounts]]. Every event votes into the 7 report
+    * days its day covers (a stateless ×7 generate, each vote stamped
+    * with the report day as its event time), per-(user, report-day)
+    * dedup runs in watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`), and a tumbling 1-day count
+    * finalizes each report day in Append once the watermark passes it —
+    * the canonical chained-stateful shape (dedup → windowed agg) Spark
+    * 4 supports natively. A report day emits iff some event touched it,
+    * including the up-to-6 days trailing the last activity.
+    *
+    * Scale shape: dedup state is (user, report-day) keys inside the
+    * lateness horizon — 7× the DAU keys, watermark-evicted; the count
+    * aggregate is one long per open day.
+    */
+  def slidingActiveUsers(ev: DataFrame, delaySec: Long): DataFrame =
+    ev.select(col("user_id"), explode(sequence(
+        to_date(col("ts")), date_add(to_date(col("ts")), 6))).as("rday"))
+      .select(col("user_id"), col("rday").cast("timestamp").as("rts"))
+      .withWatermark("rts", s"$delaySec seconds")
+      .dropDuplicatesWithinWatermark("user_id", "rts")
+      .groupBy(window(col("rts"), "1 day")).agg(count(lit(1)).as("wau"))
+      .select(col("window.start").cast("date").as("day"), col("wau"))
+
   /** Run a streaming DataFrame to completion against the (static) fixture
     * files via the memory sink; returns the result table name.
     */

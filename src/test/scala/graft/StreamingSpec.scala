@@ -931,6 +931,25 @@ class StreamingSpec extends AnyFunSuite {
     got.values.foreach { case (dau, wau) => assert(wau >= dau) }
   }
 
+  test("events_wau_stream: sliding-window WAU equals the driver replay") {
+    val got = SparkEntry.queries("events_wau_stream")(
+        spark, SparkTestSession.Sf)
+      .as[(java.sql.Date, Long)].collect()
+      .map(r => r._1.toLocalDate -> r._2).toMap
+    val du = Tables.read(spark, SparkTestSession.Sf, "events")
+      .select(to_date(col("ts")), col("user_id"))
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, u) => (d.toLocalDate, u) }.toSet
+    val rdays = du.flatMap { case (d, _) => (0 to 6).map(d.plusDays(_)) }
+    assert(got.keySet === rdays)
+    rdays.foreach { rday =>
+      val wau = du.filter { case (d, _) =>
+        !d.isAfter(rday) && !d.isBefore(rday.minusDays(6))
+      }.map(_._2).size.toLong
+      assert(got(rday) === wau, s"report day $rday")
+    }
+  }
+
   test("stateful user totals match batch totals") {
     val evts = EventStream.readEvents(spark, SparkTestSession.Sf)
       .select(col("user_id"), col("event_id"), col("value"))
