@@ -514,6 +514,89 @@ object Dedup {
         i => xxhash64(concat_ws(" ", slice(ts, i, lit(k)))))), 1)
   }
 
+  /** ExactSubstr-style duplicate-SPAN detection at ARBITRARY token
+    * offsets: every maximal token span of length ≥ `minLen` whose text
+    * occurs at two or more (doc, position) locations corpus-wide — the
+    * "Deduplicating Training Data Makes Language Models Better"
+    * construction, re-expressed relationally instead of via a suffix
+    * array. Unlike [[graft.functions.Curation.spanDedup]]'s fixed
+    * 16-token grid, spans here start anywhere: a paragraph pasted mid-doc
+    * is found at its true boundaries.
+    *
+    * Why windows are equivalent to suffix-array spans: a shared substring
+    * of m ≥ L tokens contains exactly m−L+1 shared L-token windows at
+    * consecutive start positions, and conversely any position covered by
+    * some shared L-window lies inside a shared span ≥ L. So flagging
+    * duplicated L-windows and merging runs of starts (gap ≤ L) recovers
+    * precisely the maximal duplicated spans.
+    *
+    * Scale shape (vs the reference's single-node suffix automaton):
+    *  1. candidate pass — one positional window hash per token
+    *     ([[graft.plans.WordShingleHashesAll]]: O(n) bytes hashed per
+    *     doc), partial-aggregated per partition, then ONE exchange of
+    *     8-byte keys; window hashes seen at ≥ 2 positions form the HOT
+    *     set, which is small by definition (only duplicated content).
+    *  2. verify pass — positions semi-join the hot set (AQE broadcasts
+    *     it when small), and only those positions re-materialize their
+    *     actual window text (token-slice join back to the doc) for an
+    *     EXACT string group-count: a 64-bit hash collision can therefore
+    *     never produce a false span.
+    *  3. merge — flagged starts sort per doc (bounded by doc length) and
+    *     runs with gap ≤ L coalesce via one gaps-and-islands window.
+    * Documents shorter than `minLen` tokens cannot contain a window and
+    * are dropped up front, so the explode never amplifies them.
+    *
+    * Output: one row per maximal duplicated span —
+    * (doc_id, span_start, span_len, span_text), span_start 1-based in
+    * normalized-token coordinates.
+    */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     minLen: Int): DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    val L = minLen
+    // docs shorter than L tokens cannot contain an L-window — drop before
+    // any explode (WordShingleHashesAll would emit their truncated span)
+    val norm = df.select(col(idCol).as("doc_id"),
+        normalizeText(col(textCol)).as("__nt"))
+      .where(size(split(col("__nt"), " ")) >= L)
+    val toks = norm.select(col("doc_id"), split(col("__nt"), " ").as("toks"))
+
+    // pass 1: positional window hashes; hot = hashes at >= 2 positions
+    val pos = norm.select(col("doc_id"),
+        posexplode(graft.plans.ShingleExpressions.wordShingleHashesAll(
+          col("__nt"), L)).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val hot = pos.groupBy("h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).select("h")
+
+    // pass 2: exact verify — only hot positions rebuild their window text
+    val windows = pos.join(hot, Seq("h"), "left_semi")
+      .join(toks, "doc_id")
+      .select(col("doc_id"), col("p"),
+        concat_ws(" ", slice(col("toks"), col("p"), lit(L))).as("wtxt"))
+    val dupW = windows.groupBy("wtxt").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).select("wtxt")
+    val flagged = windows.join(dupW, Seq("wtxt"), "left_semi")
+      .select("doc_id", "p")
+
+    // pass 3: merge window starts with gap <= L into maximal spans
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    val spans = flagged
+      .withColumn("__new",
+        when(col("p") - lag(col("p"), 1).over(w) > L, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy("doc_id", "__island")
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) - min(col("p")) + L).as("span_len"))
+    spans.join(toks, "doc_id")
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_len").cast("int").as("span_len"),
+        concat_ws(" ",
+          slice(col("toks"), col("span_start"), col("span_len"))).as("span_text"))
+  }
+
   /** TF-weighted shingle COSINE pairs — sparse bag-of-shingles similarity
     * (the IR-style sibling of [[ngramJaccardPairs]]' set semantics): each
     * document is the sparse vector of its k-shingle counts, and pairs with

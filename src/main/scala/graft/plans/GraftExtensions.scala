@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_shingle_hashes", classOf[WordShingleHashes],
       exprs => WordShingleHashes(exprs.head,
         intArg(exprs, 1, "graft_shingle_hashes")))
+    // graft_shingle_hashes_all(normalized_text, k) — positional, no dedup
+    inject(e, "graft_shingle_hashes_all", classOf[WordShingleHashesAll],
+      exprs => WordShingleHashesAll(exprs.head,
+        intArg(exprs, 1, "graft_shingle_hashes_all")))
     inject(e, "graft_text_stats", classOf[TextStatsExpr],
       exprs => TextStatsExpr(exprs.head))
     inject(e, "graft_lang_scores", classOf[LangScores],

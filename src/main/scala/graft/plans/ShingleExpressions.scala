@@ -125,6 +125,87 @@ object WordShingleHashes {
   }
 }
 
+/** POSITIONAL word-shingle hashes: element `i` (0-based) is the xxhash64
+  * of the k-token window starting at token `i` of the normalized string —
+  * NO dedup, array length `max(nTok−k+1, 1)`. Same contiguous-byte-range
+  * trick as [[WordShingleHashes]] (one scan for space positions, one XXH64
+  * per window, zero allocation per position); values are identical to
+  * `transform(sequence(1, n−k+1), i => xxhash64(concat_ws(" ",
+  * slice(tokens, i, k))))` (asserted in DedupSpec).
+  *
+  * This is the candidate-generation pass of ExactSubstr-style duplicate-
+  * span detection ([[graft.functions.Dedup.duplicateSpans]]): every token
+  * position contributes a window key, so the corpus shuffles 8-byte
+  * hashes — O(n) per document instead of the HOF form's O(n·k) string
+  * re-materialization.
+  */
+case class WordShingleHashesAll(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_shingle_hashes_all requires a STRING column, got ${other.sql}")
+    }
+
+  // static-dispatch codegen — see WordShingleHashes
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.WordShingleHashesAll.hash($c, $k);")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleHashesAll.hash(input.asInstanceOf[UTF8String], k)
+  override protected def withNewChildInternal(c: Expression): WordShingleHashesAll =
+    copy(child = c)
+  override def prettyName: String = "graft_word_shingle_hashes_all"
+}
+
+object WordShingleHashesAll {
+  def hash(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+
+    var nSpaces = 0
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) == 0x20) nSpaces += 1
+      i += 1
+    }
+    val spaces = new Array[Int](nSpaces)
+    var j = 0
+    i = 0
+    while (i < n) {
+      if (s.getByte(i) == 0x20) { spaces(j) = i; j += 1 }
+      i += 1
+    }
+    val nTok = nSpaces + 1
+    val nShingle = math.max(nTok - k + 1, 1)
+
+    val out = new Array[Long](nShingle)
+    var p = 0
+    while (p < nShingle) {
+      val startByte = if (p == 0) 0 else spaces(p - 1) + 1
+      val lastTok = math.min(p + k - 1, nTok - 1)
+      val endByte = if (lastTok == nTok - 1) n else spaces(lastTok)
+      out(p) = XXH64.hashUnsafeBytes(base, off + startByte, endByte - startByte, 42L)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-language marker-hit counts in one tokenization pass: returns
   * `array<int>` of marker-word hits per language, in
   * [[graft.functions.TextAnalysis.LangMarkers]] order. Token semantics
@@ -214,6 +295,12 @@ object ShingleExpressions {
     */
   def wordShingleHashes(normText: Column, k: Int): Column =
     GraftBridge.column(WordShingleHashes(GraftBridge.expression(normText), k))
+
+  /** Positional (non-distinct) window hashes of an already-normalized
+    * string: element i = hash of the k-token window starting at token i.
+    */
+  def wordShingleHashesAll(normText: Column, k: Int): Column =
+    GraftBridge.column(WordShingleHashesAll(GraftBridge.expression(normText), k))
 
   /** Marker-hit counts per language (LangMarkers order) of raw text. */
   def langScores(c: Column): Column =

@@ -1010,6 +1010,23 @@ object PipelineQueries {
       graft.functions.Curation.spanDedup(
         Tables.read(spark, dir, "documents"), "text", "doc_id", span = 16)),
 
+    // ExactSubstr-style duplicate spans at ARBITRARY token offsets
+    // (maximal spans >= 8 tokens occurring at >= 2 corpus locations).
+    // The augmentation plants one boilerplate paragraph as a PREFIX of
+    // the %7 docs and a SUFFIX of the %11 docs — offsets the fixed
+    // 16-token grid of dedup_spans cannot align on; natural fixture
+    // repeats fire too. Oracle replays windows/merge on real substrings.
+    "dedup_exact_substr" -> ((spark, dir) => {
+      val boiler =
+        "the quick brown fox jumps over the lazy dog near the river bank"
+      val docs = Tables.read(spark, dir, "documents")
+        .withColumn("text", concat(
+          when(col("doc_id") % 7 === 0, lit(boiler + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 11 === 0, lit(" " + boiler)).otherwise(lit(""))))
+      Dedup.duplicateSpans(docs, "text", "doc_id", minLen = 8)
+    }),
+
     // Greedy next-fit bin packing (whole docs, 256-token budget, 64-id
     // buckets): the sequential fold runs per independent bucket via
     // flatMapSortedGroups with O(1) state; the oracle replays the same
@@ -2630,6 +2647,38 @@ object PipelineQueries {
         |  coalesce(string_agg(CASE WHEN keep THEN span_text END, ' '
         |    ORDER BY span_idx), '') AS text_dedup
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // ExactSubstr replay on REAL window substrings (no hashes): same
+    // augmentation, same normalization, duplicated 8-token windows,
+    // gap<=8 island merge, maximal-span text rebuilt from the token array
+    "dedup_exact_substr" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'the quick brown fox jumps over the lazy dog near the river bank '
+        |      ELSE '' END || text ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' the quick brown fox jumps over the lazy dog near the river bank'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM aug),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+        |pos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p FROM n),
+        |w AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt FROM pos),
+        |dup AS (SELECT wtxt FROM w GROUP BY wtxt HAVING count(*) > 1),
+        |f AS (SELECT doc_id, p FROM w WHERE wtxt IN (SELECT wtxt FROM dup)),
+        |g AS (SELECT doc_id, p,
+        |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM f),
+        |isl AS (SELECT doc_id, p,
+        |    sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS island FROM g),
+        |sp AS (SELECT doc_id, min(p) AS s, max(p) - min(p) + 8 AS ln
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT sp.doc_id, CAST(s AS INT) AS span_start,
+        |  CAST(ln AS INT) AS span_len,
+        |  array_to_string(n.toks[s:s+ln-1], ' ') AS span_text
+        |FROM sp JOIN n USING (doc_id)""".stripMargin,
 
     // shared normalized 4-grams against the doc_id%97 benchmark slice;
     // grams per doc are DISTINCT (list_distinct mirrors array_distinct)

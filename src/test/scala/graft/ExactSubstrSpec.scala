@@ -1,0 +1,114 @@
+package graft
+
+import graft.functions.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ExactSubstr-style arbitrary-offset duplicate-span detection
+  * ([[Dedup.duplicateSpans]]): window equivalence to maximal shared
+  * substrings, island merging, within-doc repeats, and the native
+  * positional hash expression's equality with the HOF form.
+  */
+class ExactSubstrSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def spans(df: org.apache.spark.sql.DataFrame, L: Int) =
+    Dedup.duplicateSpans(df, "text", "doc_id", L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+
+  test("native positional hashes equal the HOF form (no dedup)") {
+    val edge = Seq(
+      (10L, ""), (11L, "   "), (12L, "one"), (13L, "one two"),
+      (14L, "a a a a a a"), (15L, "Héllo wörld naïve café résumé"),
+      (16L, "tab\tand\nnewline   spaced"),
+      (17L, "p q r p q r p q r")
+    ).toDF("doc_id", "text")
+    val both = edge.select(
+      Dedup.shingleHashesAll(col("text"), 3).as("hof"),
+      graft.plans.ShingleExpressions.wordShingleHashesAll(
+        Dedup.normalizeText(col("text")), 3).as("native"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("cross-doc shared substring found at its true offsets, maximal") {
+    val df = Seq(
+      (1L, "x1 x2 p q r s x3 x4"), // shared run at tokens 3..6
+      (2L, "p q r s y1 y2 y3")     // same run at tokens 1..4
+    ).toDF("doc_id", "text")
+    assert(spans(df, 3) === Set(
+      (1L, 3, 4, "p q r s"),
+      (2L, 1, 4, "p q r s")))
+  }
+
+  test("adjacent duplicated windows (gap == L) merge into one span") {
+    // "a b c" and "d e f" are each duplicated elsewhere; in doc 3 they
+    // are contiguous, so the covered tokens form ONE maximal span
+    val df = Seq(
+      (1L, "a b c z1 z2"),
+      (2L, "z3 d e f z4"),
+      (3L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    assert(spans(df, 3) === Set(
+      (1L, 1, 3, "a b c"),
+      (2L, 2, 3, "d e f"),
+      (3L, 1, 6, "a b c d e f")))
+  }
+
+  test("duplicated runs separated by a gap stay separate spans") {
+    val df = Seq(
+      (1L, "a2 b2 c2 g1 h1 i1 j1 d2 e2 f2"),
+      (2L, "a2 b2 c2 q9"),
+      (3L, "q8 d2 e2 f2")
+    ).toDF("doc_id", "text")
+    assert(spans(df, 3) === Set(
+      (1L, 1, 3, "a2 b2 c2"),
+      (1L, 8, 3, "d2 e2 f2"),
+      (2L, 1, 3, "a2 b2 c2"),
+      (3L, 2, 3, "d2 e2 f2")))
+  }
+
+  test("within-doc repeats count as duplication") {
+    val df = Seq(
+      (1L, "m n o w1 w2 w3 w4 m n o"),
+      (2L, "unrelated filler words here")
+    ).toDF("doc_id", "text")
+    assert(spans(df, 3) === Set(
+      (1L, 1, 3, "m n o"),
+      (1L, 8, 3, "m n o")))
+  }
+
+  test("shared substrings shorter than minLen are not reported; unique corpus is empty") {
+    val short = Seq(
+      (1L, "u v k1 k2 k3"),
+      (2L, "k4 u v k5 k6")
+    ).toDF("doc_id", "text")
+    assert(spans(short, 3) === Set.empty)
+    val uniq = Seq(
+      (1L, "only one document with words"),
+      (2L, "another entirely different sentence")
+    ).toDF("doc_id", "text")
+    assert(spans(uniq, 3) === Set.empty)
+  }
+
+  test("docs shorter than minLen tokens never match") {
+    // both docs ARE the same 2-token text, but no 3-token window exists
+    val df = Seq((1L, "u v"), (2L, "u v")).toDF("doc_id", "text")
+    assert(spans(df, 3) === Set.empty)
+  }
+
+  test("normalization applies before windowing (case/whitespace)") {
+    val df = Seq(
+      (1L, "The   Quick  Brown FOX leaps k7"),
+      (2L, "k8 the quick brown fox leaps")
+    ).toDF("doc_id", "text")
+    assert(spans(df, 5) === Set(
+      (1L, 1, 5, "the quick brown fox leaps"),
+      (2L, 2, 5, "the quick brown fox leaps")))
+  }
+}
