@@ -550,15 +550,18 @@ object Dedup {
     * (doc_id, span_start, span_len, span_text), span_start 1-based in
     * normalized-token coordinates.
     */
-  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
-                     minLen: Int): DataFrame = {
-    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    val L = minLen
-    // docs shorter than L tokens cannot contain an L-window — drop before
-    // any explode (WordShingleHashesAll would emit their truncated span)
-    val norm = df.select(col(idCol).as("doc_id"),
-        normalizeText(col(textCol)).as("__nt"))
-      .where(size(split(col("__nt"), " ")) >= L)
+  /** Shared candidate/verify pipeline of the ExactSubstr operators:
+    * normalized docs, token arrays (docs ≥ L tokens only — shorter docs
+    * cannot contain an L-window, so they never explode), and the EXACT
+    * window texts of every position whose 64-bit window hash occurs ≥ 2
+    * times corpus-wide.
+    */
+  private def substrWindows(df: DataFrame, textCol: String, idCol: String,
+                            L: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(L >= 1, s"minLen must be >= 1, got $L")
+    val normAll = df.select(col(idCol).as("doc_id"),
+      normalizeText(col(textCol)).as("__nt"))
+    val norm = normAll.where(size(split(col("__nt"), " ")) >= L)
     val toks = norm.select(col("doc_id"), split(col("__nt"), " ").as("toks"))
 
     // pass 1: positional window hashes; hot = hashes at >= 2 positions
@@ -569,11 +572,19 @@ object Dedup {
     val hot = pos.groupBy("h").agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1).select("h")
 
-    // pass 2: exact verify — only hot positions rebuild their window text
+    // pass 2: only hot positions rebuild their window text (exact verify
+    // happens on these strings — hash collisions cannot emit false spans)
     val windows = pos.join(hot, Seq("h"), "left_semi")
       .join(toks, "doc_id")
       .select(col("doc_id"), col("p"),
         concat_ws(" ", slice(col("toks"), col("p"), lit(L))).as("wtxt"))
+    (normAll, toks, windows)
+  }
+
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     minLen: Int): DataFrame = {
+    val L = minLen
+    val (_, toks, windows) = substrWindows(df, textCol, idCol, L)
     val dupW = windows.groupBy("wtxt").agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1).select("wtxt")
     val flagged = windows.join(dupW, Seq("wtxt"), "left_semi")
@@ -595,6 +606,74 @@ object Dedup {
         col("span_len").cast("int").as("span_len"),
         concat_ws(" ",
           slice(col("toks"), col("span_start"), col("span_len"))).as("span_text"))
+  }
+
+  /** ExactSubstr REMOVAL — the apply form of [[duplicateSpans]]: every
+    * token covered only by non-first occurrences of duplicated L-windows
+    * is struck; the corpus-FIRST occurrence (min (doc_id, position)) of
+    * each duplicated window keeps its tokens, so exactly one copy of
+    * duplicated content survives (the Lee et al. keep-one semantic,
+    * decided per token so differently-merged overlaps stay well-defined).
+    * Documents return whitespace/case-normalized with drop counts.
+    *
+    * Scale shape: only FLAGGED windows explode to their L covered
+    * positions, and only AFFECTED documents (≥ 1 dropped token — by
+    * definition a small slice once boilerplate is concentrated)
+    * re-tokenize for reassembly; every untouched document passes through
+    * as one projected row, never exploded. The per-doc reassembly
+    * aggregates (pos, token) structs — bounded by doc length.
+    *
+    * Output: (doc_id, n_tokens, n_dropped, text_clean).
+    */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           minLen: Int): DataFrame = {
+    val L = minLen
+    val (normAll, toks, windows) = substrWindows(df, textCol, idCol, L)
+
+    // duplicated windows + their corpus-first occurrence
+    val dupFirst = windows.groupBy("wtxt")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("doc_id"), col("p"))).as("__first"))
+      .where(col("__n") > 1)
+    val flaggedW = windows.join(dupFirst, "wtxt")
+      .select(col("doc_id"), col("p"),
+        when(struct(col("doc_id"), col("p")) === col("__first"), 1)
+          .otherwise(0).as("is_first"))
+
+    // covered token positions; a position survives if ANY covering
+    // window is the first occurrence
+    val cover = flaggedW
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(L - 1))).as("tp"),
+        col("is_first"))
+      .groupBy("doc_id", "tp")
+      .agg(max(col("is_first")).as("__keep"))
+
+    val affected = cover.where(col("__keep") === 0)
+      .select("doc_id").distinct()
+
+    // rebuild only affected docs from their kept tokens (position order)
+    val allTok = toks.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("tp0", "tok")))
+      .select(col("doc_id"), (col("tp0") + 1).as("tp"), col("tok"))
+    val rebuilt = allTok
+      .join(cover, Seq("doc_id", "tp"), "left")
+      .withColumn("__drop", coalesce(col("__keep"), lit(1)) === 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("__drop"), 1).otherwise(0)).cast("int").as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("tp"), col("tok"))))),
+          x => x.getField("tok")), " ").as("text_clean"))
+
+    val untouched = normAll.join(affected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(split(col("__nt"), " ")).cast("int").as("n_tokens"),
+        lit(0).as("n_dropped"),
+        col("__nt").as("text_clean"))
+    rebuilt.unionByName(untouched)
   }
 
   /** TF-weighted shingle COSINE pairs — sparse bag-of-shingles similarity

@@ -1027,6 +1027,20 @@ object PipelineQueries {
       Dedup.duplicateSpans(docs, "text", "doc_id", minLen = 8)
     }),
 
+    // The APPLY form: strike tokens covered only by non-first occurrences
+    // of duplicated 8-windows (corpus-first copy survives — keep-one),
+    // rebuild affected docs, pass untouched docs through normalized.
+    "dedup_exact_substr_apply" -> ((spark, dir) => {
+      val boiler =
+        "the quick brown fox jumps over the lazy dog near the river bank"
+      val docs = Tables.read(spark, dir, "documents")
+        .withColumn("text", concat(
+          when(col("doc_id") % 7 === 0, lit(boiler + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 11 === 0, lit(" " + boiler)).otherwise(lit(""))))
+      Dedup.removeDuplicateSpans(docs, "text", "doc_id", minLen = 8)
+    }),
+
     // Greedy next-fit bin packing (whole docs, 256-token budget, 64-id
     // buckets): the sequential fold runs per independent bucket via
     // flatMapSortedGroups with O(1) state; the oracle replays the same
@@ -2679,6 +2693,49 @@ object PipelineQueries {
         |  CAST(ln AS INT) AS span_len,
         |  array_to_string(n.toks[s:s+ln-1], ' ') AS span_text
         |FROM sp JOIN n USING (doc_id)""".stripMargin,
+
+    // keep-one removal replay: first occurrence per duplicated window,
+    // per-token keep = any covering first-occurrence window, affected
+    // docs rebuilt positionally, untouched docs emitted normalized
+    "dedup_exact_substr_apply" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'the quick brown fox jumps over the lazy dog near the river bank '
+        |      ELSE '' END || text ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' the quick brown fox jumps over the lazy dog near the river bank'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM aug),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+        |pos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p FROM n),
+        |w AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt FROM pos),
+        |dfw AS (SELECT wtxt, min(struct_pack(d := doc_id, p := p)) AS first
+        |  FROM w GROUP BY wtxt HAVING count(*) > 1),
+        |fw AS (SELECT w.doc_id, w.p,
+        |    CASE WHEN w.doc_id = dfw.first.d AND w.p = dfw.first.p
+        |      THEN 1 ELSE 0 END AS isf
+        |  FROM w JOIN dfw USING (wtxt)),
+        |cov AS (SELECT doc_id, unnest(range(p, p + 8)) AS tp, isf FROM fw),
+        |cv AS (SELECT doc_id, tp, max(isf) AS keep FROM cov GROUP BY doc_id, tp),
+        |aff AS (SELECT DISTINCT doc_id FROM cv WHERE keep = 0),
+        |allt AS (SELECT t.doc_id, unnest(range(1, len(toks) + 1)) AS tp, toks
+        |  FROM t JOIN aff USING (doc_id)),
+        |at2 AS (SELECT doc_id, tp, toks[tp] AS tok FROM allt),
+        |j AS (SELECT a.doc_id, a.tp, a.tok,
+        |    CASE WHEN cv.keep = 0 THEN 1 ELSE 0 END AS dropped
+        |  FROM at2 a LEFT JOIN cv USING (doc_id, tp)),
+        |reb AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |    CAST(sum(dropped) AS INT) AS n_dropped,
+        |    coalesce(string_agg(CASE WHEN dropped = 0 THEN tok END, ' '
+        |      ORDER BY tp), '') AS text_clean
+        |  FROM j GROUP BY doc_id),
+        |unt AS (SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+        |    0 AS n_dropped, array_to_string(t.toks, ' ') AS text_clean
+        |  FROM t WHERE doc_id NOT IN (SELECT doc_id FROM aff))
+        |SELECT * FROM reb UNION ALL SELECT * FROM unt""".stripMargin,
 
     // shared normalized 4-grams against the doc_id%97 benchmark slice;
     // grams per doc are DISTINCT (list_distinct mirrors array_distinct)

@@ -102,6 +102,59 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(spans(df, 3) === Set.empty)
   }
 
+  private def applied(df: org.apache.spark.sql.DataFrame, L: Int) =
+    Dedup.removeDuplicateSpans(df, "text", "doc_id", L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+
+  test("apply: corpus-first occurrence survives, later copies are struck") {
+    val df = Seq(
+      (1L, "p q r s a1 a2"),
+      (2L, "b1 p q r s b2")
+    ).toDF("doc_id", "text")
+    assert(applied(df, 3) === Set(
+      (1L, 6, 0, "p q r s a1 a2"), // holds the first occurrence — untouched
+      (2L, 6, 4, "b1 b2")))
+  }
+
+  test("apply: token kept if ANY covering window is a first occurrence") {
+    val df = Seq(
+      (5L, "p q r y5 z5"),        // first occurrence of "p q r"
+      (6L, "p q r u6 v6"),        // pqr non-first, but "q r u6" first HERE
+      (7L, "k7 q r u6 v6 m7")
+    ).toDF("doc_id", "text")
+    val out = applied(df, 3)
+    // doc 6: token 1 covered only by the non-first "p q r" → dropped;
+    // tokens 2-3 also covered by first-occurrence "q r u6" → kept
+    assert(out.contains((6L, 5, 1, "q r u6 v6")))
+    // doc 7: both its flagged windows are non-first → middle struck
+    assert(out.contains((7L, 6, 4, "k7 m7")))
+    assert(out.contains((5L, 5, 0, "p q r y5 z5")))
+  }
+
+  test("apply: fully-duplicated later doc empties; first stays whole") {
+    val df = Seq(
+      (8L, "w1 w2 w3"),
+      (9L, "w1 w2 w3"),
+      (10L, "some other unrelated words")
+    ).toDF("doc_id", "text")
+    assert(applied(df, 3) === Set(
+      (8L, 3, 0, "w1 w2 w3"),
+      (9L, 3, 3, ""),
+      (10L, 4, 0, "some other unrelated words")))
+  }
+
+  test("apply: untouched docs pass through whitespace/case-normalized") {
+    val df = Seq(
+      (11L, "  Mixed   CASE    spacing here  "),
+      (12L, "nothing shared with anyone")
+    ).toDF("doc_id", "text")
+    assert(applied(df, 3) === Set(
+      (11L, 4, 0, "mixed case spacing here"),
+      (12L, 4, 0, "nothing shared with anyone")))
+  }
+
   test("normalization applies before windowing (case/whitespace)") {
     val df = Seq(
       (1L, "The   Quick  Brown FOX leaps k7"),
