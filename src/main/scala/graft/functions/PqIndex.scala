@@ -81,17 +81,27 @@ object PqIndex {
     */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, ksub: Int = 16, seed: Long = 42L): Index = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim must split into $m subspaces")
-    val dsub = dim / m
-    val codebooks = fitSubspaceCodebooks(
-      LocalKMeans.sampleVectors(
-        corpus.select(col(vecCol).cast("array<double>").as("__fv")),
-        "__fv", cap = IvfIndex.fitSampleCap, seed = seed),
-      m, dsub, ksub, seed)
+    val (dsub, codebooks) = fitCodebooks(corpus, vecCol, m, ksub, seed)
     val codes = corpus.select(col(idCol),
       encodeExpr(col(vecCol), codebooks, dsub).as("codes"))
     Index(m, dsub, codebooks, codes)
+  }
+
+  /** Codebook fit alone (no corpus encode) — shared by [[build]] and the
+    * PQ-pruned semantic-dedup verify
+    * ([[Similarity.semanticDupPairsPq]]). Returns (dsub, codebooks).
+    * The corpus must be non-empty (callers guard).
+    */
+  def fitCodebooks(corpus: DataFrame, vecCol: String, m: Int, ksub: Int,
+                   seed: Long): (Int, Array[Array[Array[Double]]]) = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    (dsub, fitSubspaceCodebooks(
+      LocalKMeans.sampleVectors(
+        corpus.select(col(vecCol).cast("array<double>").as("__fv")),
+        "__fv", cap = IvfIndex.fitSampleCap, seed = seed),
+      m, dsub, ksub, seed))
   }
 
   /** All `m` subspace codebooks off ONE collected fit sample

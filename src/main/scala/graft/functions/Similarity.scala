@@ -554,4 +554,150 @@ object Similarity {
       emb.schema(idCol).dataType == org.apache.spark.sql.types.LongType
     bucketVerifiedPairs(keyed, base, threshold, maxCluster, idIsLong)
   }
+
+  /** [[semanticDupPairs]] with PQ-pruned bucket verification — output
+    * IDENTICAL by a sound bound, not approximate recall: inside each
+    * cluster, every pair is first scored symmetrically from its PQ codes
+    * (m table lookups against driver-precomputed ksub×ksub per-subspace
+    * centroid dot tables — O(m) instead of O(dim) per pair), and the
+    * exact O(dim) cosine runs only when the Cauchy–Schwarz reconstruction
+    * bound
+    *   v_a·v_b ≤ v̂_a·v̂_b + r_a·‖v̂_b‖ + ‖v̂_a‖·r_b + r_a·r_b,
+    *   r_x = ‖v_x − v̂_x‖,
+    * says the pair could still reach the threshold (the same
+    * provably-lossless pruning style as IVF's two-wave residual bound).
+    * Per-member reconstruction stats cost O(m·dim) once per bucket —
+    * amortized over the m²/2 pair scores they prune.
+    *
+    * Pruning power degrades gracefully: r ≈ 0 (good codebooks) prunes
+    * almost everything below threshold; terrible codebooks only lose the
+    * speedup, never a pair. Long ids only (the gate path); other id
+    * types delegate to the exact form.
+    */
+  def semanticDupPairsPq(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nClusters: Int = 64,
+                         maxCluster: Int = 4096, m: Int = 8, ksub: Int = 16,
+                         seed: Long = 42L): DataFrame = {
+    val idIsLong =
+      emb.schema(idCol).dataType == org.apache.spark.sql.types.LongType
+    if (!idIsLong)
+      return semanticDupPairs(emb, idCol, vecCol, threshold, nClusters,
+        maxCluster, seed)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    if (emb.select(col(idCol)).head(1).isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos_sim")
+
+    val centers = semanticCenters(emb, vecCol, nClusters, seed)
+    val (dsub, codebooks) = PqIndex.fitCodebooks(emb, vecCol, m, ksub, seed)
+    // symmetric-distance tables: sdc(i)(c1)(c2) = cb_i[c1] · cb_i[c2]
+    val sdc = codebooks.map { cb =>
+      Array.tabulate(cb.length, cb.length) { (c1, c2) =>
+        var s = 0.0
+        var d = 0
+        while (d < dsub) { s += cb(c1)(d) * cb(c2)(d); d += 1 }
+        s
+      }
+    }
+
+    val base = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vd"),
+      norm(col(vecCol)).as("n"),
+      PqIndex.encodeExpr(col(vecCol), codebooks, dsub).as("codes"))
+    val keyed = emb.select(
+      IvfIndex.nearestCentroid(col(vecCol), centers).cast("long").as("bucket"),
+      col(idCol).as("id"))
+
+    val buckets = keyed.groupBy("bucket")
+      .agg(graft.plans.BottomKLongs.bottomK(col("id"), maxCluster).as("ids"))
+      .where(size(col("ids")) > 1)
+    // same bounded bucket gather as bucketVerifiedPairs, plus codes
+    val members = buckets
+      .select(col("bucket"), explode(col("ids")).as("id"))
+      .join(base, "id")
+      .groupBy("bucket")
+      .agg(collect_list(
+        struct(col("id"), col("vd"), col("n"), col("codes"))).as("ms"))
+      .select("ms").as[Seq[(Long, Seq[Double], Double, Seq[Int])]]
+
+    val thr = threshold
+    val nSub = m
+    members.flatMap { ms =>
+      val arr = ms.toArray
+      val k = arr.length
+      val vecs = arr.map(_._2.toArray)
+      val codes = arr.map(_._4.toArray)
+      // per-member reconstruction stats: ‖v̂‖ and r = ‖v − v̂‖
+      val nhat = new Array[Double](k)
+      val res = new Array[Double](k)
+      var i = 0
+      while (i < k) {
+        val v = vecs(i)
+        val c = codes(i)
+        var vhat2 = 0.0 // ‖v̂‖²
+        var vdot = 0.0  // v·v̂
+        var v2 = 0.0    // ‖v‖²
+        var si = 0
+        while (si < nSub) {
+          val ci = c(si)
+          vhat2 += sdc(si)(ci)(ci)
+          val cb = codebooks(si)(ci)
+          var d = 0
+          val off = si * dsub
+          while (d < dsub) {
+            vdot += v(off + d) * cb(d)
+            d += 1
+          }
+          si += 1
+        }
+        var d = 0
+        while (d < v.length) { v2 += v(d) * v(d); d += 1 }
+        nhat(i) = math.sqrt(math.max(vhat2, 0.0))
+        res(i) = math.sqrt(math.max(v2 - 2.0 * vdot + vhat2, 0.0))
+        i += 1
+      }
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      i = 0
+      while (i < k) {
+        var j = i + 1
+        while (j < k) {
+          val (ia, na) = (arr(i)._1, arr(i)._3)
+          val (ib, nb) = (arr(j)._1, arr(j)._3)
+          val denom = na * nb
+          var pruned = false
+          if (denom != 0.0) {
+            // SDC approx dot from codes: m lookups
+            var sdcDot = 0.0
+            var si = 0
+            val ca = codes(i)
+            val cb = codes(j)
+            while (si < nSub) { sdcDot += sdc(si)(ca(si))(cb(si)); si += 1 }
+            val ub = (sdcDot + res(i) * nhat(j) + nhat(i) * res(j)
+              + res(i) * res(j)) / denom
+            // rounded-exact can exceed exact by < 5e-7 — keep margin
+            pruned = ub < thr - 1e-6
+          }
+          if (!pruned) {
+            // identical IEEE sequence to bucketVerifiedPairs' exact tail
+            val va = vecs(i)
+            val vb = vecs(j)
+            var s = 0.0
+            var d = 0
+            val n = math.min(va.length, vb.length)
+            while (d < n) { s += va(d) * vb(d); d += 1 }
+            val cos = if (denom == 0.0) 0.0 else s / denom
+            val rounded = java.math.BigDecimal.valueOf(cos)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (rounded >= thr) {
+              if (ia < ib) out += ((ia, ib, rounded))
+              else if (ib < ia) out += ((ib, ia, rounded))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }.toDF("id_a", "id_b", "cos_sim").distinct()
+  }
 }

@@ -289,6 +289,19 @@ object PipelineQueries {
         nClusters = Similarity.semanticClusterCount(emb.count()))
     }),
 
+    // PQ-accelerated semantic dedup: same clusters, but each in-cluster
+    // pair is first scored from PQ codes (m table lookups) and the exact
+    // O(dim) cosine runs only when the Cauchy-Schwarz reconstruction
+    // bound allows the pair to reach the threshold — output PROVABLY
+    // identical to dedup_semantic (bit-equality spec'd), so the same
+    // pair-value oracle applies.
+    "dedup_semantic_pq" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      Similarity.semanticDupPairsPq(emb, "vec_id", "embedding",
+        threshold = 0.4,
+        nClusters = Similarity.semanticClusterCount(emb.count()))
+    }),
+
     // STREAMING semantic dedup: the k-means partition is fixed at build
     // (train-once), so cluster assignment is a stateless native
     // projection on arrival; watermark-sealed cluster state emits the
@@ -1962,6 +1975,7 @@ object PipelineQueries {
     // the row-count match.
     "dedup_embedding" -> cosPairOracle("dedup_embedding", 0.4),
     "dedup_semantic" -> cosPairOracle("dedup_semantic", 0.4),
+    "dedup_semantic_pq" -> cosPairOracle("dedup_semantic_pq", 0.4),
     "dedup_semantic_stream" -> cosPairOracle("dedup_semantic_stream", 0.4),
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

@@ -251,6 +251,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(empty.count() === 0L)
   }
 
+  // The PQ-pruned verify must be invisible in the output: the
+  // Cauchy-Schwarz reconstruction bound only ever skips pairs that
+  // provably round below the threshold, so (pair, value) sets are
+  // BIT-identical to the exact clustered form — at several thresholds,
+  // under repartition, and on the degenerate one-cluster (exhaustive)
+  // case.
+  test("PQ-pruned semantic dedup is bit-identical to the exact form") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    for (thr <- Seq(0.2, 0.4, 0.7)) {
+      val exact = Similarity.semanticDupPairs(emb, "vec_id", "embedding",
+          thr, nClusters = 8)
+        .as[(Long, Long, Double)].collect().toSet
+      val pq = Similarity.semanticDupPairsPq(emb, "vec_id", "embedding",
+          thr, nClusters = 8)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pq === exact, s"divergence at threshold $thr")
+    }
+    val oneExact = Similarity.semanticDupPairs(emb, "vec_id", "embedding",
+        0.4, nClusters = 1).as[(Long, Long, Double)].collect().toSet
+    val onePq = Similarity.semanticDupPairsPq(emb.repartition(7), "vec_id",
+        "embedding", 0.4, nClusters = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(onePq === oneExact)
+    assert(onePq.nonEmpty)
+    // empty corpus: no throw (PQ fit needs a dim probe — guarded)
+    val empty = Similarity.semanticDupPairsPq(emb.where(lit(false)),
+      "vec_id", "embedding", 0.4, nClusters = 8)
+    assert(empty.count() === 0L)
+  }
+
   test("int8 quantization: code range, round-trip error bound, zero vectors") {
     val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
     val q = Similarity.int8Quantize(emb, "vec_id", "embedding")
