@@ -397,4 +397,47 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("ngram"))
       .limit(k)
   }
+
+  /** Class-evidence lexicon from labeled documents: per normalized token,
+    * the DOCUMENT frequency in positive vs negative docs (distinct per
+    * doc — one vote per document, the Naive-Bayes convention). The table
+    * this trains is exactly what [[lexiconScore]] applies — and what
+    * [[ModelIO.saveLexicon]]/`loadLexicon` round-trip, so an externally
+    * trained lexicon plugs into the same scoring plan.
+    */
+  def buildLexicon(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   isPos: Column): org.apache.spark.sql.DataFrame =
+    df.select(isPos.as("__pos"),
+        explode(array_distinct(
+          split(Dedup.normalizeText(col(textCol)), " "))).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("n_neg"))
+
+  /** Apply a class-evidence lexicon: per document, the add-one-smoothed
+    * positive-evidence score
+    *   score = Σ_t (n_pos(t)+1) / Σ_t (n_pos(t)+n_neg(t)+2)
+    * over the doc's token OCCURRENCES (OOV tokens contribute the 1/2
+    * prior). Both sums are exact integers, so the score is ONE IEEE
+    * division — bit-portable across engines (the corpus_profile rule).
+    *
+    * Scale shape: tokens explode, the lexicon broadcasts (a vocabulary
+    * is MBs against a TB corpus), and the per-doc aggregation partial-
+    * combines before its single exchange — no skew concern beyond doc
+    * length, which the explode already bounds per row.
+    */
+  def lexiconScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String,
+                   lexicon: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(Dedup.normalizeText(col(textCol)), " ")).as("token"))
+      .join(broadcast(lexicon), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("n_pos").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        (sum(coalesce(col("n_pos"), lit(0L)) + 1L).cast("double") /
+          sum(coalesce(col("n_pos"), lit(0L)) +
+            coalesce(col("n_neg"), lit(0L)) + 2L).cast("double"))
+          .as("score"))
 }

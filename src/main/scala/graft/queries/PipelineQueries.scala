@@ -877,6 +877,44 @@ object PipelineQueries {
       graft.functions.Curation.bpeCharApplyVocab(docs, "text", "doc_id", merges)
     }),
 
+    // Pretrained-tokenizer plug-in seam: the merge table induced on the
+    // %5 slice round-trips through parquet (ModelIO.saveMerges →
+    // loadMerges — the entry point where a REAL GPT-2/SentencePiece
+    // ranked-merge list trained elsewhere enters the same encode plan)
+    // and then drives the word-join encode. Oracle: the induce+apply
+    // replay restricted to the slice.
+    "text_bpe_pretrained" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+        .where(col("doc_id") % 5 === 0)
+      val merges = graft.functions.Curation
+        .bpeCharVocab(docs, "text", k = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bpe_model").toString
+      graft.functions.ModelIO.saveMerges(spark, merges, s"$tmp/merges")
+      val loaded = graft.functions.ModelIO.loadMerges(spark, s"$tmp/merges")
+      graft.functions.Curation.bpeCharApplyVocab(docs, "text", "doc_id", loaded)
+    }),
+
+    // Pretrained-classifier plug-in seam: a Naive-Bayes-style class-
+    // evidence lexicon (token doc-frequency in even- vs odd-id benchmark
+    // docs) round-trips through parquet and scores the candidate corpus
+    // with add-one smoothing — both sums exact integers, the score ONE
+    // IEEE division (bit-portable).
+    "text_score_lexicon" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val lex = TextAnalysis.buildLexicon(
+        docs.where(col("doc_id") % 97 === 0), "text",
+        col("doc_id") % 2 === 0)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_lexicon").toString
+      graft.functions.ModelIO.saveLexicon(lex, s"$tmp/lex")
+      val loaded = graft.functions.ModelIO.loadLexicon(spark, s"$tmp/lex")
+      TextAnalysis.lexiconScore(
+        docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id", loaded)
+    }),
+
     // One BPE merge iteration, word-level: corpus-wide adjacent-pair
     // counts → (count desc, pair asc) argmax → literal left-to-right
     // fuse of every non-overlapping occurrence. The oracle replays the
@@ -1813,8 +1851,14 @@ object PipelineQueries {
   private def markerList(lang: String): String =
     TextAnalysis.LangMarkers.toMap.apply(lang).map(s => s"'$s'").mkString("[", ",", "]")
 
-  private val bpeCharApplyOracle: String =
-      """WITH RECURSIVE it AS (
+  private val bpeCharApplyOracle: String = bpeCharApplyOracleWhere("TRUE")
+
+  /** The char-BPE induce+apply replay restricted to the docs matching
+    * `pred` — shared by the full-corpus entries (pred=TRUE) and the
+    * pretrained save/load round-trip entry (slice predicate).
+    */
+  private def bpeCharApplyOracleWhere(pred: String): String =
+      raw"""WITH RECURSIVE it AS (
         |  SELECT 0 AS step,
         |    (SELECT list(struct_pack(w := w,
         |        t := array_to_string(
@@ -1823,7 +1867,7 @@ object PipelineQueries {
         |     FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
         |        SELECT unnest(string_split(
         |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
-        |        FROM documents WHERE length(trim(text)) > 0) u
+        |        FROM documents WHERE length(trim(text)) > 0 AND ($pred)) u
         |      WHERE length(w) > 0 GROUP BY w)) AS vocab
         |  UNION ALL
         |  SELECT g.step + 1,
@@ -1861,7 +1905,7 @@ object PipelineQueries {
         |    unnest(vocab) AS x(e3)),
         |dws AS (SELECT doc_id, string_split(
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
-        |  FROM documents WHERE length(trim(text)) > 0),
+        |  FROM documents WHERE length(trim(text)) > 0 AND ($pred)),
         |pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM dws),
         |wx AS (SELECT doc_id, i, ws[i] AS w FROM pos),
         |j AS (SELECT wx.doc_id, wx.i, enc.t FROM wx JOIN enc USING (w)),
@@ -1872,7 +1916,8 @@ object PipelineQueries {
         |  CASE WHEN COALESCE(e.encoded, '') = '' THEN 0
         |       ELSE CAST(len(string_split(e.encoded, ' ')) AS BIGINT)
         |  END AS n_pieces
-        |FROM documents d LEFT JOIN encoded e USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN encoded e USING (doc_id)
+        |WHERE ($pred)""".stripMargin
 
   def oracles: Map[String, String] = moreOracles ++ Map(
     "dedup_exact" ->
@@ -2400,6 +2445,29 @@ object PipelineQueries {
     "text_bpe_char_apply" -> bpeCharApplyOracle,
     // the vocab-join encode is pure plan shape — same output, same oracle
     "text_bpe_char_apply_vocab" -> bpeCharApplyOracle,
+    "text_bpe_pretrained" -> bpeCharApplyOracleWhere("doc_id % 5 = 0"),
+    // lexicon replay: distinct-per-doc token doc-frequencies on the
+    // benchmark slice split even/odd, then per-occurrence add-one sums
+    "text_score_lexicon" ->
+      """WITH bt AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |    FROM documents WHERE doc_id % 97 = 0) u),
+        |lex AS (SELECT tok,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS nn
+        |  FROM bt GROUP BY tok),
+        |cand AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |j AS (SELECT c.doc_id, l.np, l.nn
+        |  FROM cand c LEFT JOIN lex l ON c.tok = l.tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN np IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  CAST(sum(coalesce(np, 0) + 1) AS DOUBLE) /
+        |  CAST(sum(coalesce(np, 0) + coalesce(nn, 0) + 2) AS DOUBLE) AS score
+        |FROM j GROUP BY doc_id""".stripMargin,
     // full replay: same normalization, same pair counts and tie-break,
     // same space-doubling literal fuse (DuckDB replace() is the same
     // left-to-right non-overlapping rule as Spark's)
