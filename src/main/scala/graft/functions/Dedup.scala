@@ -556,28 +556,58 @@ object Dedup {
     * window texts of every position whose 64-bit window hash occurs ≥ 2
     * times corpus-wide.
     */
-  private def substrWindows(df: DataFrame, textCol: String, idCol: String,
-                            L: Int): (DataFrame, DataFrame, DataFrame) = {
+  /** Normalized docs, token arrays (docs ≥ L tokens only — shorter docs
+    * cannot contain an L-window, so they never explode), and the
+    * positional window-hash rows (doc_id, p, h), p 1-based.
+    */
+  private def tokenizedPositions(df: DataFrame, textCol: String,
+                                 idCol: String, L: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(L >= 1, s"minLen must be >= 1, got $L")
     val normAll = df.select(col(idCol).as("doc_id"),
       normalizeText(col(textCol)).as("__nt"))
     val norm = normAll.where(size(split(col("__nt"), " ")) >= L)
     val toks = norm.select(col("doc_id"), split(col("__nt"), " ").as("toks"))
-
-    // pass 1: positional window hashes; hot = hashes at >= 2 positions
     val pos = norm.select(col("doc_id"),
         posexplode(graft.plans.ShingleExpressions.wordShingleHashesAll(
           col("__nt"), L)).as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
-    val hot = pos.groupBy("h").agg(count(lit(1)).as("__c"))
-      .where(col("__c") > 1).select("h")
+    (normAll, toks, pos)
+  }
 
-    // pass 2: only hot positions rebuild their window text (exact verify
-    // happens on these strings — hash collisions cannot emit false spans)
-    val windows = pos.join(hot, Seq("h"), "left_semi")
-      .join(toks, "doc_id")
+  /** Rebuild the exact window text for candidate position rows
+    * (doc_id, p) — the verify step that makes hash collisions harmless.
+    */
+  private def windowTexts(cand: DataFrame, toks: DataFrame,
+                          L: Int): DataFrame =
+    cand.join(toks, "doc_id")
       .select(col("doc_id"), col("p"),
         concat_ws(" ", slice(col("toks"), col("p"), lit(L))).as("wtxt"))
+
+  /** Merge flagged window starts (doc_id, p) into maximal spans — runs of
+    * starts with gap ≤ L coalesce (adjacent windows cover contiguous
+    * tokens). Returns (doc_id, span_start, span_len).
+    */
+  private def mergeWindowStarts(flagged: DataFrame, L: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+    flagged
+      .withColumn("__new",
+        when(col("p") - lag(col("p"), 1).over(w) > L, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new")).over(w))
+      .groupBy("doc_id", "__island")
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) - min(col("p")) + L).as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+  }
+
+  private def substrWindows(df: DataFrame, textCol: String, idCol: String,
+                            L: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (normAll, toks, pos) = tokenizedPositions(df, textCol, idCol, L)
+    // hot = window hashes at >= 2 positions corpus-wide
+    val hot = pos.groupBy("h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).select("h")
+    val windows = windowTexts(pos.join(hot, Seq("h"), "left_semi"), toks, L)
     (normAll, toks, windows)
   }
 
@@ -589,18 +619,56 @@ object Dedup {
       .where(col("__n") > 1).select("wtxt")
     val flagged = windows.join(dupW, Seq("wtxt"), "left_semi")
       .select("doc_id", "p")
-
     // pass 3: merge window starts with gap <= L into maximal spans
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("p")
-    val spans = flagged
-      .withColumn("__new",
-        when(col("p") - lag(col("p"), 1).over(w) > L, 1).otherwise(0))
-      .withColumn("__island", sum(col("__new")).over(w))
-      .groupBy("doc_id", "__island")
-      .agg(min(col("p")).as("span_start"),
-        (max(col("p")) - min(col("p")) + L).as("span_len"))
-    spans.join(toks, "doc_id")
+    mergeWindowStarts(flagged, L).join(toks, "doc_id")
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_len").cast("int").as("span_len"),
+        concat_ws(" ",
+          slice(col("toks"), col("span_start"), col("span_len"))).as("span_text"))
+  }
+
+  /** SPAN-LEVEL benchmark decontamination: maximal token spans ≥ `minLen`
+    * of a candidate document whose text occurs ANYWHERE in the benchmark
+    * corpus (arbitrary offsets on both sides) — the contamination the
+    * whole-doc k-gram count ([[Curation.decontaminate]]) can flag but not
+    * locate, found with the [[duplicateSpans]] window machinery across
+    * two corpora instead of within one.
+    *
+    * Scale shape: the benchmark is small by definition (MBs against a TB
+    * corpus), so its DISTINCT window-hash set — and, at verify, its
+    * distinct window TEXTS — broadcast; the candidate side streams
+    * through hash-probe semi-joins and only benchmark-hash-matching
+    * positions rebuild window strings for the exact compare. Candidate
+    * text never shuffles; flagged positions merge per doc exactly as in
+    * [[duplicateSpans]].
+    *
+    * Output: (doc_id, span_start, span_len, span_text) per contaminated
+    * maximal span of the candidate corpus.
+    */
+  def decontaminateSpans(candidates: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String,
+                         minLen: Int): DataFrame = {
+    val L = minLen
+    val (_, candToks, candPos) =
+      tokenizedPositions(candidates, textCol, idCol, L)
+    val (_, benchToks, benchPos) =
+      tokenizedPositions(benchmark, textCol, idCol, L)
+
+    // candidate positions whose hash appears in the benchmark
+    val benchHashes = benchPos.select("h").distinct()
+    val suspect = candPos.join(broadcast(benchHashes), Seq("h"), "left_semi")
+    // exact verify: candidate window text ∈ benchmark window-text set;
+    // only benchmark windows whose hash actually matched rebuild text
+    val matchedHashes = suspect.select("h").distinct()
+    val benchW = windowTexts(
+      benchPos.join(broadcast(matchedHashes), Seq("h"), "left_semi"),
+      benchToks, L).select("wtxt").distinct()
+    val flagged = windowTexts(suspect, candToks, L)
+      .join(broadcast(benchW), Seq("wtxt"), "left_semi")
+      .select("doc_id", "p")
+
+    mergeWindowStarts(flagged, L).join(candToks, "doc_id")
       .select(col("doc_id"),
         col("span_start").cast("int").as("span_start"),
         col("span_len").cast("int").as("span_len"),

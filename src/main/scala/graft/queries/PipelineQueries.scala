@@ -1078,6 +1078,28 @@ object PipelineQueries {
       Dedup.duplicateSpans(docs, "text", "doc_id", minLen = 8)
     }),
 
+    // SPAN-LEVEL decontamination: maximal >= 8-token spans of candidate
+    // docs that occur anywhere in the %97 benchmark slice — located, not
+    // just counted. Augmentation plants one benchmark sentence as a
+    // PREFIX of even benchmark docs and a SUFFIX of %13 candidates
+    // (cross-corpus, different offsets); natural fixture overlaps fire
+    // too. Oracle replays windows + islands on real substrings.
+    "text_decontaminate_spans" -> ((spark, dir) => {
+      val plant =
+        "by the riverbank the quiet fox waited for the morning light to come"
+      val docs = Tables.read(spark, dir, "documents")
+        .withColumn("text", concat(
+          when(col("doc_id") % 97 === 0 && col("doc_id") % 2 === 0,
+            lit(plant + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 97 =!= 0 && col("doc_id") % 13 === 0,
+            lit(" " + plant)).otherwise(lit(""))))
+      Dedup.decontaminateSpans(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "text", "doc_id", minLen = 8)
+    }),
+
     // The APPLY form: strike tokens covered only by non-first occurrences
     // of duplicated 8-windows (corpus-first copy survives — keep-one),
     // rebuild affected docs, pass untouched docs through normalized.
@@ -2764,6 +2786,42 @@ object PipelineQueries {
         |w AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt FROM pos),
         |dup AS (SELECT wtxt FROM w GROUP BY wtxt HAVING count(*) > 1),
         |f AS (SELECT doc_id, p FROM w WHERE wtxt IN (SELECT wtxt FROM dup)),
+        |g AS (SELECT doc_id, p,
+        |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM f),
+        |isl AS (SELECT doc_id, p,
+        |    sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS island FROM g),
+        |sp AS (SELECT doc_id, min(p) AS s, max(p) - min(p) + 8 AS ln
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT sp.doc_id, CAST(s AS INT) AS span_start,
+        |  CAST(ln AS INT) AS span_len,
+        |  array_to_string(n.toks[s:s+ln-1], ' ') AS span_text
+        |FROM sp JOIN n USING (doc_id)""".stripMargin,
+
+    // cross-corpus window replay: candidate windows IN benchmark window
+    // set, islands merged per candidate doc, span text from token array
+    "text_decontaminate_spans" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 AND doc_id % 2 = 0
+        |      THEN 'by the riverbank the quiet fox waited for the morning light to come '
+        |      ELSE '' END || text ||
+        |    CASE WHEN doc_id % 97 <> 0 AND doc_id % 13 = 0
+        |      THEN ' by the riverbank the quiet fox waited for the morning light to come'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM aug),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+        |cpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
+        |  FROM n WHERE doc_id % 97 <> 0),
+        |cw AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt
+        |  FROM cpos),
+        |bpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
+        |  FROM n WHERE doc_id % 97 = 0),
+        |bw AS (SELECT DISTINCT array_to_string(toks[p:p+7], ' ') AS wtxt
+        |  FROM bpos),
+        |f AS (SELECT doc_id, p FROM cw WHERE wtxt IN (SELECT wtxt FROM bw)),
         |g AS (SELECT doc_id, p,
         |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM f),
         |isl AS (SELECT doc_id, p,

@@ -155,6 +155,46 @@ class ExactSubstrSpec extends AnyFunSuite {
       (12L, 4, 0, "nothing shared with anyone")))
   }
 
+  private def dcSpans(cand: org.apache.spark.sql.DataFrame,
+                      bench: org.apache.spark.sql.DataFrame, L: Int) =
+    Dedup.decontaminateSpans(cand, bench, "text", "doc_id", L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+
+  test("decontaminateSpans locates benchmark content at arbitrary offsets") {
+    val bench = Seq(
+      (100L, "what is the capital of france q1 q2")
+    ).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "c1 c2 what is the capital of france c3"), // mid-doc leak
+      (2L, "entirely original content with no overlap at all")
+    ).toDF("doc_id", "text")
+    assert(dcSpans(cand, bench, 4) === Set(
+      (1L, 3, 6, "what is the capital of france")))
+  }
+
+  test("decontaminateSpans: candidate-internal duplication alone is NOT contamination") {
+    val bench = Seq((100L, "benchmark only words here nothing shared")
+      ).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "r1 r2 r3 r4 x9"),
+      (2L, "r1 r2 r3 r4 y9") // duplicated across candidates, absent in bench
+    ).toDF("doc_id", "text")
+    assert(dcSpans(cand, bench, 4) === Set.empty)
+  }
+
+  test("decontaminateSpans merges adjacent leaked windows into maximal spans") {
+    val bench = Seq(
+      (100L, "a1 a2 a3 a4 a5 a6 a7 a8 a9")  // long benchmark passage
+    ).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "pre a1 a2 a3 a4 a5 a6 a7 a8 a9 post")
+    ).toDF("doc_id", "text")
+    assert(dcSpans(cand, bench, 4) === Set(
+      (1L, 2, 9, "a1 a2 a3 a4 a5 a6 a7 a8 a9")))
+  }
+
   test("normalization applies before windowing (case/whitespace)") {
     val df = Seq(
       (1L, "The   Quick  Brown FOX leaps k7"),
