@@ -61,7 +61,12 @@ object Bench {
     "sample_source_cap", "text_decontaminate_bloom", "text_score_linear",
     "text_bpe_char_vocab", "text_bpe_char_apply", "text_dedup_lines",
     "dedup_containment", "text_bigram_novelty", "multimodal_dedup",
-    "text_compression")
+    "text_compression",
+    // round-6 third wave: arbitrary-offset duplicate spans (find +
+    // keep-one apply), span-located decontamination, PQ-pruned semantic
+    // dedup, and the pretrained-model plug-in seams
+    "dedup_exact_substr", "dedup_exact_substr_apply",
+    "text_decontaminate_spans", "dedup_semantic_pq", "text_score_lexicon")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -288,6 +288,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the replication-key watermark must push into the scan:\n$plan")
   }
 
+  test("exact-substr family: linear candidate plans, no quadratic join") {
+    for (q <- Seq("dedup_exact_substr", "dedup_exact_substr_apply",
+        "text_decontaminate_spans", "dedup_semantic_pq")) {
+      val plan = finalPlan(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"$q must not plan a quadratic join:\n$plan")
+    }
+  }
+
+  test("dedup_exact_substr: hot-hash count partial-aggregates before its exchange") {
+    val plan = finalPlan("dedup_exact_substr")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"window-hash counting must map-side combine:\n$plan")
+    // island merge windows partition by doc (bounded by doc length),
+    // never a corpus-wide single-partition window
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("SinglePartition")),
+      s"no global window allowed:\n$plan")
+  }
+
+  test("text_decontaminate_spans: benchmark side broadcasts to the candidate stream") {
+    val plan = finalPlan("text_decontaminate_spans")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"benchmark window set must broadcast:\n$plan")
+  }
+
   test("whole-stage codegen covers the scan-side of q1") {
     // `*(n)` prefixes mark WholeStageCodegen spans in the finalized plan
     val plan = finalPlan("q1_pricing_summary")
