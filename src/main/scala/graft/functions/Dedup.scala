@@ -504,9 +504,17 @@ object Dedup {
   /** ALL word k-shingle hashes of normalized text, WITH multiplicity —
     * the term stream for TF-weighted sparse similarity (unlike
     * [[shingleHashes]], which dedups for set semantics). Short docs yield
-    * their full token span as one shingle.
+    * their full token span as one shingle. Native one-pass byte-range
+    * form ([[graft.plans.WordShingleHashesAll]]); bit-equality with the
+    * HOF reference ([[shingleHashesAllHof]]) is spec-pinned.
     */
-  def shingleHashesAll(c: Column, k: Int): Column = {
+  def shingleHashesAll(c: Column, k: Int): Column =
+    graft.plans.ShingleExpressions.wordShingleHashesAll(normalizeText(c), k)
+
+  /** Builtin-HOF reference formulation of [[shingleHashesAll]] (an
+    * allocation + rehash per position — kept for the equality spec).
+    */
+  def shingleHashesAllHof(c: Column, k: Int): Column = {
     val toks = split(normalizeText(c), " ")
     // bind the token array once (single-element-array trick) — see shingles()
     element_at(transform(array(toks), ts =>
