@@ -142,6 +142,44 @@ object Sampling {
     df.withColumn("split", splitCol)
   }
 
+  /** Leakage-safe n-way split: membership is decided per DUPLICATE GROUP
+    * (all copies of the same normalized text inherit one verdict), so a
+    * document can never appear in train while its duplicate sits in
+    * test — the eval-contamination failure mode of a naive per-doc
+    * split. Group key is the min id per normalized text
+    * ([[Dedup.exactGroups]] semantics); the split is
+    * [[portableSplit]] of that group key, so it stays a pure function of
+    * content: stable across runs, engines, and incremental reruns.
+    *
+    * For NEAR-dup awareness, feed [[leakSafeSplitBy]] the component
+    * labels of `Components.connectedComponents` over any near-dup pair
+    * graph — the split rule is identical, only the grouping changes.
+    *
+    * Scale shape: one exact-dedup aggregation (shuffle carries
+    * (norm-text, min-id) — at 100 TB key by `xxhash64(norm)` as in
+    * [[Dedup.exactGroups]]) + a join back, then a pure projection.
+    *
+    * Output: (doc_id, group_id, split).
+    */
+  def leakSafeSplit(df: DataFrame, textCol: String, idCol: String,
+                    splits: Seq[(String, Double)]): DataFrame = {
+    val norm = Dedup.normalizeText(col(textCol))
+    val groups = df.groupBy(norm.as("__norm"))
+      .agg(min(col(idCol)).as("group_id"))
+    val keyed = df.select(col(idCol).as("doc_id"), norm.as("__norm"))
+      .join(groups, "__norm")
+      .select("doc_id", "group_id")
+    leakSafeSplitBy(keyed, "group_id", splits)
+  }
+
+  /** [[leakSafeSplit]] with a caller-supplied group label (e.g. near-dup
+    * component ids): every row of a group gets the group key's portable
+    * split verdict.
+    */
+  def leakSafeSplitBy(df: DataFrame, groupCol: String,
+                      splits: Seq[(String, Double)]): DataFrame =
+    portableSplit(df, groupCol, splits)
+
   /** Per-stratum [[prioritySample]]: the top-`k` priorities WITHIN each
     * stratum — quality- or length-weighted sampling that still respects
     * a domain/language mix (k docs per group, heavier rows favored

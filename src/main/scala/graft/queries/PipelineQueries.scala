@@ -1667,6 +1667,14 @@ object PipelineQueries {
       graft.functions.Sampling.portableSplit(
         Tables.read(spark, dir, "documents").select("doc_id"),
         "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
+    // Leakage-safe split: the verdict is per exact-duplicate GROUP (min
+    // id of the normalized text), so no copy of a document can straddle
+    // train and test — the split stays a pure content function.
+    "sample_split_leakproof" -> ((spark, dir) =>
+      graft.functions.Sampling.leakSafeSplit(
+        Tables.read(spark, dir, "documents"), "text", "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))))
 
   /** DuckDB SQL recomputing the exact cosine for each (query_id,
@@ -2212,6 +2220,21 @@ object PipelineQueries {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    // group label replay (min id per normalized text) + the same
+    // portable md5 cut applied to the GROUP key
+    "sample_split_leakproof" ->
+      """WITH g AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |k AS (SELECT norm, min(doc_id) AS group_id FROM g GROUP BY norm),
+        |j AS (SELECT g.doc_id, k.group_id FROM g JOIN k USING (norm))
+        |SELECT doc_id, group_id,
+        |  CASE WHEN substring(md5(CAST(group_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(group_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM j""".stripMargin,
     "sample_weighted_strat" ->
       """WITH h AS (SELECT doc_id, lang, n_chars,
         |  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hv

@@ -155,6 +155,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(first.filter(_._2 == "train").keySet === hs)
   }
 
+  test("leak-safe split: duplicate groups never straddle splits") {
+    val df = Seq(
+      (1L, "the same document text"),
+      (2L, "THE  same   document TEXT"), // dup of 1 mod normalization
+      (3L, "the same document text"),    // dup of 1
+      (4L, "a different document"),
+      (5L, "yet another one")
+    ).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25)
+    val out = Sampling.leakSafeSplit(df, "text", "doc_id", splits)
+      .as[(Long, Long, String)].collect()
+    assert(out.length === 5)
+    val byDoc = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    // all three copies share group 1 AND its verdict
+    assert(byDoc(1L) === byDoc(2L) && byDoc(2L) === byDoc(3L))
+    assert(byDoc(1L)._1 === 1L)
+    // the verdict is the group key's portableSplit verdict
+    val expected = Sampling.portableSplit(
+        Seq(1L, 4L, 5L).toDF("group_id"), "group_id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(byDoc(1L)._2 === expected(1L))
+    assert(byDoc(4L)._2 === expected(4L))
+    assert(byDoc(5L)._2 === expected(5L))
+    // near-dup grouping plugs in unchanged: same straddle-freedom
+    val comp = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("doc_id", "cid")
+    val byGroup = Sampling.leakSafeSplitBy(comp, "cid", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(byGroup(10L) === byGroup(11L))
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = Tables.read(spark, SparkTestSession.Sf, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("qty"))
