@@ -1669,6 +1669,40 @@ object PipelineQueries {
         "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
 
+    // STREAMING classifier-on-arrival: the same lexicon scoring as
+    // text_score_lexicon run over the file stream — the lexicon is a
+    // static broadcast side, scoring is explode + join + one Update-mode
+    // aggregation. A document's tokens all arrive in its single row, so
+    // each doc finalizes within its microbatch and the post-drain
+    // max-collapse is the identity — batch ≡ stream under the SAME
+    // oracle.
+    "text_score_lexicon_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = Tables.read(spark, dir, "documents")
+      val lex = TextAnalysis.buildLexicon(
+        docs.where(col("doc_id") % 97 === 0), "text",
+        col("doc_id") % 2 === 0)
+      val cand = docs.where(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"), lit(t0).as("ts"))
+      val marker = "\u0000sentinel"
+      val sentinel = Seq((-1L, marker,
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val scored = TextAnalysis.lexiconScore(
+        streamWithSentinel(spark, cand, sentinel, delaySec = 3600L),
+        "text", "doc_id", lex)
+      graft.streaming.EventStream.runToMemory(
+        scored, "text_score_lexicon_stream_out", OutputMode.Update())
+      spark.table("text_score_lexicon_stream_out")
+        .where(col("doc_id") =!= -1L)
+        .groupBy("doc_id")
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          max(col("n_hits")).as("n_hits"),
+          max(col("score")).as("score"))
+    }),
+
     // Leakage-safe split: the verdict is per exact-duplicate GROUP (min
     // id of the normalized text), so no copy of a document can straddle
     // train and test — the split stays a pure content function.
@@ -1880,6 +1914,30 @@ object PipelineQueries {
     TextAnalysis.EnglishStopwords.map(s => s"'$s'").mkString("[", ",", "]")
   private def markerList(lang: String): String =
     TextAnalysis.LangMarkers.toMap.apply(lang).map(s => s"'$s'").mkString("[", ",", "]")
+
+  // lexicon replay: distinct-per-doc token doc-frequencies on the
+  // benchmark slice split even/odd, then per-occurrence add-one sums —
+  // shared by the batch entry and its streaming twin
+  private val lexiconScoreOracle: String =
+    """WITH bt AS (SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |    FROM documents WHERE doc_id % 97 = 0) u),
+      |lex AS (SELECT tok,
+      |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS np,
+      |    sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS nn
+      |  FROM bt GROUP BY tok),
+      |cand AS (SELECT doc_id, unnest(string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |j AS (SELECT c.doc_id, l.np, l.nn
+      |  FROM cand c LEFT JOIN lex l ON c.tok = l.tok)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN np IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_hits,
+      |  CAST(sum(coalesce(np, 0) + 1) AS DOUBLE) /
+      |  CAST(sum(coalesce(np, 0) + coalesce(nn, 0) + 2) AS DOUBLE) AS score
+      |FROM j GROUP BY doc_id""".stripMargin
 
   private val bpeCharApplyOracle: String = bpeCharApplyOracleWhere("TRUE")
 
@@ -2493,26 +2551,9 @@ object PipelineQueries {
     "text_bpe_pretrained" -> bpeCharApplyOracleWhere("doc_id % 5 = 0"),
     // lexicon replay: distinct-per-doc token doc-frequencies on the
     // benchmark slice split even/odd, then per-occurrence add-one sums
-    "text_score_lexicon" ->
-      """WITH bt AS (SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(string_split(
-        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
-        |    FROM documents WHERE doc_id % 97 = 0) u),
-        |lex AS (SELECT tok,
-        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS np,
-        |    sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS nn
-        |  FROM bt GROUP BY tok),
-        |cand AS (SELECT doc_id, unnest(string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
-        |  FROM documents WHERE doc_id % 97 <> 0),
-        |j AS (SELECT c.doc_id, l.np, l.nn
-        |  FROM cand c LEFT JOIN lex l ON c.tok = l.tok)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(sum(CASE WHEN np IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_hits,
-        |  CAST(sum(coalesce(np, 0) + 1) AS DOUBLE) /
-        |  CAST(sum(coalesce(np, 0) + coalesce(nn, 0) + 2) AS DOUBLE) AS score
-        |FROM j GROUP BY doc_id""".stripMargin,
+    "text_score_lexicon" -> lexiconScoreOracle,
+    // identical semantics through the stream — same replay
+    "text_score_lexicon_stream" -> lexiconScoreOracle,
     // full replay: same normalization, same pair counts and tie-break,
     // same space-doubling literal fuse (DuckDB replace() is the same
     // left-to-right non-overlapping rule as Spark's)
