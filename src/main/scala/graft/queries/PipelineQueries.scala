@@ -129,6 +129,26 @@ object PipelineQueries {
           coalesce(col("component"), col("doc_id")).as("rep_id"))
     }),
 
+    // NEAR-dup-aware leakage-safe split: the group is the minhash
+    // connected component (not just exact copies), so paraphrase-level
+    // duplicates can't straddle train/test either. Oracle closes the
+    // SAME verified pair output (__OUT__/dedup_minhash) and applies the
+    // identical md5 cut to the component label.
+    "sample_split_component" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      val comp = graft.functions.Components
+        .connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+      val labeled = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("group_id"))
+      graft.functions.Sampling.leakSafeSplitBy(labeled, "group_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    }),
+
     // Quality-aware near-dup dedup (the FineWeb/RefinedWeb keep rule):
     // same components as dedup_components, but each cluster keeps its
     // HIGHEST-quality member (ties → smallest id) instead of min-id.
@@ -2326,6 +2346,27 @@ object PipelineQueries {
         |comp AS (SELECT u AS doc_id, MIN(r) AS rep FROM reach GROUP BY u)
         |SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep_id
         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    // same closure over the same verified pairs, then the portable md5
+    // cut on the component label (the leakSafeSplit rule)
+    "sample_split_component" ->
+      """WITH RECURSIVE p AS (SELECT id_a, id_b
+        |  FROM read_parquet('__OUT__/dedup_minhash/*.parquet')),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+        |comp AS (SELECT u AS doc_id, MIN(r) AS rep FROM reach GROUP BY u),
+        |lab AS (SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS group_id
+        |  FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, group_id,
+        |  CASE WHEN substring(md5(CAST(group_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(group_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM lab""".stripMargin,
     // closure over the same verified pair graph + the mirrored quality
     // formula: DuckDB independently recomputes component labels AND the
     // per-cluster argmax (quality desc, id asc) keep rule

@@ -185,6 +185,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(byGroup(10L) === byGroup(11L))
   }
 
+  test("component split: no verified near-dup pair straddles splits (fixture)") {
+    val docs = graft.Tables.read(spark, SparkTestSession.Sf, "documents")
+    val pairs = graft.functions.Dedup.minhashDupPairs(docs, "text", "doc_id",
+      k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+    val split = graft.SparkEntry.queries("sample_split_component")(
+        spark, SparkTestSession.Sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val ps = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"pair ($a,$b) straddles splits")
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val df = Tables.read(spark, SparkTestSession.Sf, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("qty"))
