@@ -684,6 +684,60 @@ object Dedup {
           slice(col("toks"), col("span_start"), col("span_len"))).as("span_text"))
   }
 
+  /** Window index over a CORPUS — the build-once side of incremental
+    * span dedup: one row per DISTINCT L-token window, `(h, wtxt)`. The
+    * window TEXT rides along because the probe's exactness contract
+    * (hash collisions never mint a false span) needs a string compare;
+    * the storage cost is therefore ≈ L tokens per distinct window — the
+    * honest price of exact spans, called out in ROADMAP. At scale,
+    * persist `bucketBy(h)` (the [[minhashBandIndex]] pattern): later
+    * probes then join exchange-free, and appending an accepted batch is
+    * a partition-local distinct-merge, not a corpus rebuild.
+    */
+  def buildSubstrIndex(corpus: DataFrame, textCol: String, idCol: String,
+                       minLen: Int): DataFrame = {
+    val L = minLen
+    val (_, toks, pos) = tokenizedPositions(corpus, textCol, idCol, L)
+    pos.join(toks, "doc_id")
+      .select(col("h"),
+        concat_ws(" ", slice(col("toks"), col("p"), lit(L))).as("wtxt"))
+      .distinct()
+  }
+
+  /** Incremental ExactSubstr probe: maximal spans ≥ L of a NEW batch
+    * whose text occurs in the INDEXED corpus ([[buildSubstrIndex]]) —
+    * the cross-run form of [[duplicateSpans]]: the existing corpus is
+    * never rescanned. Batch-internal duplication is [[duplicateSpans]]'
+    * job on the batch itself; this operator answers only "already in
+    * the corpus?".
+    *
+    * Scale shape: batch positions semi-join the index on the 8-byte
+    * hash, then verify by string equality against the index rows of the
+    * MATCHING hashes only — both joins key on `h`, so a `bucketBy(h)`-
+    * persisted index probes without shuffling itself. The batch side is
+    * the small side by construction (a day's intake vs the corpus).
+    */
+  def probeSubstrIndex(batch: DataFrame, index: DataFrame,
+                       textCol: String, idCol: String,
+                       minLen: Int): DataFrame = {
+    val L = minLen
+    val (_, toks, pos) = tokenizedPositions(batch, textCol, idCol, L)
+    val suspect = pos.join(index.select("h").distinct(), Seq("h"), "left_semi")
+    val wts = suspect.join(toks, "doc_id")
+      .select(col("h"), col("doc_id"), col("p"),
+        concat_ws(" ", slice(col("toks"), col("p"), lit(L))).as("wtxt"))
+    // exact verify keyed on h (narrow), equality on the ridden text
+    val flagged = wts.join(index.withColumnRenamed("wtxt", "__iw"), Seq("h"))
+      .where(col("wtxt") === col("__iw"))
+      .select("doc_id", "p").distinct()
+    mergeWindowStarts(flagged, L).join(toks, "doc_id")
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_len").cast("int").as("span_len"),
+        concat_ws(" ",
+          slice(col("toks"), col("span_start"), col("span_len"))).as("span_text"))
+  }
+
   /** ExactSubstr REMOVAL — the apply form of [[duplicateSpans]]: every
     * token covered only by non-first occurrences of duplicated L-windows
     * is struck; the corpus-FIRST occurrence (min (doc_id, position)) of

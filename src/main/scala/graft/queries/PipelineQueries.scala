@@ -1120,6 +1120,33 @@ object PipelineQueries {
         "text", "doc_id", minLen = 8)
     }),
 
+    // INCREMENTAL ExactSubstr: the %3==0 slice is the indexed corpus
+    // (window index round-trips through parquet — the build/probe
+    // split), the rest is the new batch; spans of batch docs already
+    // present in the index are located without rescanning the corpus.
+    // Same plant as text_decontaminate_spans gives deterministic
+    // cross-slice spans at arbitrary offsets.
+    "dedup_substr_incremental" -> ((spark, dir) => {
+      val plant =
+        "by the riverbank the quiet fox waited for the morning light to come"
+      val docs = Tables.read(spark, dir, "documents")
+        .withColumn("text", concat(
+          when(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0,
+            lit(plant + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 =!= 0 && col("doc_id") % 13 === 0,
+            lit(" " + plant)).otherwise(lit(""))))
+      val idx = Dedup.buildSubstrIndex(
+        docs.where(col("doc_id") % 3 === 0), "text", "doc_id", minLen = 8)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_substr_idx").toString
+      idx.write.mode("overwrite").parquet(s"$tmp/idx")
+      val loaded = spark.read.parquet(s"$tmp/idx")
+      Dedup.probeSubstrIndex(
+        docs.where(col("doc_id") % 3 =!= 0), loaded,
+        "text", "doc_id", minLen = 8)
+    }),
+
     // The APPLY form: strike tokens covered only by non-first occurrences
     // of duplicated 8-windows (corpus-first copy survives — keep-one),
     // rebuild affected docs, pass untouched docs through normalized.
@@ -2924,6 +2951,42 @@ object PipelineQueries {
         |  FROM cpos),
         |bpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
         |  FROM n WHERE doc_id % 97 = 0),
+        |bw AS (SELECT DISTINCT array_to_string(toks[p:p+7], ' ') AS wtxt
+        |  FROM bpos),
+        |f AS (SELECT doc_id, p FROM cw WHERE wtxt IN (SELECT wtxt FROM bw)),
+        |g AS (SELECT doc_id, p,
+        |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM f),
+        |isl AS (SELECT doc_id, p,
+        |    sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS island FROM g),
+        |sp AS (SELECT doc_id, min(p) AS s, max(p) - min(p) + 8 AS ln
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT sp.doc_id, CAST(s AS INT) AS span_start,
+        |  CAST(ln AS INT) AS span_len,
+        |  array_to_string(n.toks[s:s+ln-1], ' ') AS span_text
+        |FROM sp JOIN n USING (doc_id)""".stripMargin,
+
+    // incremental replay: batch windows IN the indexed slice's window
+    // set, islands merged per batch doc
+    "dedup_substr_incremental" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+        |      THEN 'by the riverbank the quiet fox waited for the morning light to come '
+        |      ELSE '' END || text ||
+        |    CASE WHEN doc_id % 3 <> 0 AND doc_id % 13 = 0
+        |      THEN ' by the riverbank the quiet fox waited for the morning light to come'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM aug),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+        |cpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
+        |  FROM n WHERE doc_id % 3 <> 0),
+        |cw AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt
+        |  FROM cpos),
+        |bpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
+        |  FROM n WHERE doc_id % 3 = 0),
         |bw AS (SELECT DISTINCT array_to_string(toks[p:p+7], ' ') AS wtxt
         |  FROM bpos),
         |f AS (SELECT doc_id, p FROM cw WHERE wtxt IN (SELECT wtxt FROM bw)),

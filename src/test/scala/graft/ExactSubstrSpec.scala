@@ -195,6 +195,33 @@ class ExactSubstrSpec extends AnyFunSuite {
       (1L, 2, 9, "a1 a2 a3 a4 a5 a6 a7 a8 a9")))
   }
 
+  test("substr index: probe finds indexed spans, never batch-internal ones") {
+    val corpus = Seq(
+      (100L, "k1 k2 shared passage of text here k3")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "pre shared passage of text here post"), // indexed content
+      (2L, "b1 b2 b3 b4 batch only dup"),
+      (3L, "b1 b2 b3 b4 other tail") // dup WITHIN batch — not this op's job
+    ).toDF("doc_id", "text")
+    val idx = Dedup.buildSubstrIndex(corpus, "text", "doc_id", 4)
+    val out = Dedup.probeSubstrIndex(batch, idx, "text", "doc_id", 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(out === Set((1L, 2, 5, "shared passage of text here")))
+    // index round-trips through parquet unchanged
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_substr_idx_spec").toString
+    idx.write.parquet(s"$tmp/idx")
+    val loaded = spark.read.parquet(s"$tmp/idx")
+    val viaDisk = Dedup.probeSubstrIndex(batch, loaded, "text", "doc_id", 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet
+    assert(viaDisk === out)
+  }
+
   test("normalization applies before windowing (case/whitespace)") {
     val df = Seq(
       (1L, "The   Quick  Brown FOX leaps k7"),
