@@ -66,7 +66,9 @@ object Bench {
     // keep-one apply), span-located decontamination, PQ-pruned semantic
     // dedup, and the pretrained-model plug-in seams
     "dedup_exact_substr", "dedup_exact_substr_apply",
-    "text_decontaminate_spans", "dedup_semantic_pq", "text_score_lexicon")
+    "text_decontaminate_spans", "dedup_semantic_pq", "text_score_lexicon",
+    "dedup_substr_incremental", "sample_split_component",
+    "text_dup_fraction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -684,6 +684,30 @@ object Dedup {
           slice(col("toks"), col("span_start"), col("span_len"))).as("span_text"))
   }
 
+  /** Per-document duplicated-token fraction — the quality SIGNAL view of
+    * [[duplicateSpans]] (the Gopher/FineWeb "fraction of doc in
+    * duplicate n-grams" feature, here exact): maximal spans are disjoint
+    * by construction, so their length sum IS the covered-token count,
+    * and the fraction is ONE IEEE division of exact integers
+    * (bit-portable). Docs with no duplicated window report 0.
+    *
+    * Output: (doc_id, n_tokens, dup_tokens, dup_fraction) for EVERY doc.
+    */
+  def duplicatedTokenFraction(df: DataFrame, textCol: String,
+                              idCol: String, minLen: Int): DataFrame = {
+    val covered = duplicateSpans(df, textCol, idCol, minLen)
+      .groupBy("doc_id")
+      .agg(sum(col("span_len")).cast("long").as("dup_tokens"))
+    df.select(col(idCol).as("doc_id"),
+        size(split(normalizeText(col(textCol)), " ")).cast("long")
+          .as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("dup_fraction"))
+  }
+
   /** Window index over a CORPUS — the build-once side of incremental
     * span dedup: one row per DISTINCT L-token window, `(h, wtxt)`. The
     * window TEXT rides along because the probe's exactness contract

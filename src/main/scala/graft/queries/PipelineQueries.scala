@@ -1120,6 +1120,21 @@ object PipelineQueries {
         "text", "doc_id", minLen = 8)
     }),
 
+    // Per-doc duplicated-token fraction (Gopher-style quality signal,
+    // exact): disjoint maximal spans sum to the covered-token count;
+    // the fraction is one IEEE division of exact integers. Same plant
+    // as dedup_exact_substr so the signal is non-trivial on the fixture.
+    "text_dup_fraction" -> ((spark, dir) => {
+      val boiler =
+        "the quick brown fox jumps over the lazy dog near the river bank"
+      val docs = Tables.read(spark, dir, "documents")
+        .withColumn("text", concat(
+          when(col("doc_id") % 7 === 0, lit(boiler + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 11 === 0, lit(" " + boiler)).otherwise(lit(""))))
+      Dedup.duplicatedTokenFraction(docs, "text", "doc_id", minLen = 8)
+    }),
+
     // INCREMENTAL ExactSubstr: the %3==0 slice is the indexed corpus
     // (window index round-trips through parquet — the build/probe
     // split), the rest is the new batch; spans of batch docs already
@@ -2965,6 +2980,39 @@ object PipelineQueries {
         |  CAST(ln AS INT) AS span_len,
         |  array_to_string(n.toks[s:s+ln-1], ' ') AS span_text
         |FROM sp JOIN n USING (doc_id)""".stripMargin,
+
+    // span replay + disjoint-span length sum per doc, every doc reported
+    "text_dup_fraction" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN 'the quick brown fox jumps over the lazy dog near the river bank '
+        |      ELSE '' END || text ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' the quick brown fox jumps over the lazy dog near the river bank'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM aug),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+        |pos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p FROM n),
+        |w AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt FROM pos),
+        |dup AS (SELECT wtxt FROM w GROUP BY wtxt HAVING count(*) > 1),
+        |f AS (SELECT doc_id, p FROM w WHERE wtxt IN (SELECT wtxt FROM dup)),
+        |g AS (SELECT doc_id, p,
+        |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM f),
+        |isl AS (SELECT doc_id, p,
+        |    sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS island FROM g),
+        |sp AS (SELECT doc_id, min(p) AS s, max(p) - min(p) + 8 AS ln
+        |  FROM isl GROUP BY doc_id, island),
+        |cov AS (SELECT doc_id, sum(ln) AS dup_tokens FROM sp GROUP BY doc_id),
+        |alln AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+        |SELECT a.doc_id, CAST(a.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) /
+        |    CAST(a.n_tokens AS DOUBLE) AS dup_fraction
+        |FROM alln a LEFT JOIN cov c USING (doc_id)""".stripMargin,
 
     // incremental replay: batch windows IN the indexed slice's window
     // set, islands merged per batch doc

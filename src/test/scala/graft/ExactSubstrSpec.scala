@@ -222,6 +222,21 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(viaDisk === out)
   }
 
+  test("duplicated-token fraction: disjoint span coverage over every doc") {
+    val df = Seq(
+      (1L, "x1 x2 p q r s x3 x4"), // 4 of 8 tokens covered
+      (2L, "p q r s y1 y2 y3"),    // 4 of 7
+      (3L, "no duplication here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedTokenFraction(df, "text", "doc_id", 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((8L, 4L, 0.5)))
+    assert(out(2L) === ((7L, 4L, 4.0 / 7.0)))
+    assert(out(3L) === ((5L, 0L, 0.0)))
+  }
+
   test("normalization applies before windowing (case/whitespace)") {
     val df = Seq(
       (1L, "The   Quick  Brown FOX leaps k7"),
