@@ -622,12 +622,39 @@ object Dedup {
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
                      minLen: Int): DataFrame = {
     val L = minLen
-    val (_, toks, windows) = substrWindows(df, textCol, idCol, L)
+    val (_, _, windows) = substrWindows(df, textCol, idCol, L)
     val dupW = windows.groupBy("wtxt").agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1).select("wtxt")
     val flagged = windows.join(dupW, Seq("wtxt"), "left_semi")
       .select("doc_id", "p")
     // pass 3: merge window starts with gap <= L into maximal spans
+    spansFromFlagged(flagged, df, textCol, idCol, L)
+  }
+
+  /** All L-token window STRINGS of normalized text at every position —
+    * the streaming form's term stream (the state key is the exact
+    * window text). HOF formulation; the hashed candidate pass of the
+    * batch operator is the scale route.
+    */
+  def windowStrings(c: Column, k: Int): Column = {
+    val toks = split(normalizeText(c), " ")
+    // bind the token array once (single-element-array trick) — see shingles()
+    element_at(transform(array(toks), ts =>
+      transform(sequence(lit(1), greatest(size(ts) - lit(k - 1), lit(1))),
+        i => concat_ws(" ", slice(ts, i, lit(k))))), 1)
+  }
+
+  /** Assemble maximal spans from flagged window starts (doc_id, p):
+    * islands with gap ≤ L merge, span text rebuilds from the doc's
+    * normalized tokens. Shared tail of [[duplicateSpans]] and the
+    * streaming flagging form
+    * ([[graft.streaming.EventStream.duplicateWindowStream]]).
+    */
+  def spansFromFlagged(flagged: DataFrame, df: DataFrame, textCol: String,
+                       idCol: String, minLen: Int): DataFrame = {
+    val L = minLen
+    val toks = df.select(col(idCol).as("doc_id"),
+      split(normalizeText(col(textCol)), " ").as("toks"))
     mergeWindowStarts(flagged, L).join(toks, "doc_id")
       .select(col("doc_id"),
         col("span_start").cast("int").as("span_start"),
@@ -675,13 +702,7 @@ object Dedup {
     val flagged = windowTexts(suspect, candToks, L)
       .join(broadcast(benchW), Seq("wtxt"), "left_semi")
       .select("doc_id", "p")
-
-    mergeWindowStarts(flagged, L).join(candToks, "doc_id")
-      .select(col("doc_id"),
-        col("span_start").cast("int").as("span_start"),
-        col("span_len").cast("int").as("span_len"),
-        concat_ws(" ",
-          slice(col("toks"), col("span_start"), col("span_len"))).as("span_text"))
+    spansFromFlagged(flagged, candidates, textCol, idCol, L)
   }
 
   /** Per-document duplicated-token fraction — the quality SIGNAL view of
@@ -754,12 +775,7 @@ object Dedup {
     val flagged = wts.join(index.withColumnRenamed("wtxt", "__iw"), Seq("h"))
       .where(col("wtxt") === col("__iw"))
       .select("doc_id", "p").distinct()
-    mergeWindowStarts(flagged, L).join(toks, "doc_id")
-      .select(col("doc_id"),
-        col("span_start").cast("int").as("span_start"),
-        col("span_len").cast("int").as("span_len"),
-        concat_ws(" ",
-          slice(col("toks"), col("span_start"), col("span_len"))).as("span_text"))
+    spansFromFlagged(flagged, batch, textCol, idCol, L)
   }
 
   /** ExactSubstr REMOVAL — the apply form of [[duplicateSpans]]: every

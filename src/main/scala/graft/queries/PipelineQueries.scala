@@ -1120,6 +1120,43 @@ object PipelineQueries {
         "text", "doc_id", minLen = 8)
     }),
 
+    // STREAMING ExactSubstr: window texts stream keyed by their own
+    // string; O(1) state per window (held-back first position + flag),
+    // second occurrence releases both, later ones emit immediately — no
+    // watermark seal. The flagged set is arrival-order independent, so
+    // the post-drain island merge equals the batch operator under the
+    // SAME oracle (eighteenth streaming twin).
+    "dedup_exact_substr_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val boiler =
+        "the quick brown fox jumps over the lazy dog near the river bank"
+      val aug = Tables.read(spark, dir, "documents")
+        .withColumn("text", concat(
+          when(col("doc_id") % 7 === 0, lit(boiler + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 11 === 0, lit(" " + boiler)).otherwise(lit(""))))
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = aug.select(col("doc_id"), col("text"), lit(t0).as("ts"))
+      val sentinel = Seq((-1L, "\u0000sentinel",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val wins = streamWithSentinel(spark, docs, sentinel, delaySec = 3600L)
+        .where(size(split(Dedup.normalizeText(col("text")), " ")) >= 8)
+        .select(col("doc_id"),
+          posexplode(Dedup.windowStrings(col("text"), 8))
+            .as(Seq("p0", "wtxt")))
+        .select(col("wtxt"), col("doc_id"), (col("p0") + 1).cast("int").as("p"))
+        .as[(String, Long, Int)]
+      val flagged = graft.streaming.EventStream.duplicateWindowStream(wins)
+      graft.streaming.EventStream.runToMemory(
+        flagged.toDF, "substr_stream_out", OutputMode.Append())
+      Dedup.spansFromFlagged(
+        spark.table("substr_stream_out").where(col("doc_id") =!= -1L)
+          .select("doc_id", "p"),
+        aug, "text", "doc_id", minLen = 8)
+    }),
+
     // Per-doc duplicated-token fraction (Gopher-style quality signal,
     // exact): disjoint maximal spans sum to the covered-token count;
     // the fraction is one IEEE division of exact integers. Same plant
@@ -1976,6 +2013,37 @@ object PipelineQueries {
     TextAnalysis.EnglishStopwords.map(s => s"'$s'").mkString("[", ",", "]")
   private def markerList(lang: String): String =
     TextAnalysis.LangMarkers.toMap.apply(lang).map(s => s"'$s'").mkString("[", ",", "]")
+
+  // ExactSubstr span replay — shared by the batch entry and the
+  // streaming flagging form (identical flagged set by construction)
+  private val substrSpansOracle: String =
+    """WITH aug AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN 'the quick brown fox jumps over the lazy dog near the river bank '
+      |      ELSE '' END || text ||
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN ' the quick brown fox jumps over the lazy dog near the river bank'
+      |      ELSE '' END AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM aug),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+      |pos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p FROM n),
+      |w AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt FROM pos),
+      |dup AS (SELECT wtxt FROM w GROUP BY wtxt HAVING count(*) > 1),
+      |f AS (SELECT doc_id, p FROM w WHERE wtxt IN (SELECT wtxt FROM dup)),
+      |g AS (SELECT doc_id, p,
+      |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM f),
+      |isl AS (SELECT doc_id, p,
+      |    sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY p) AS island FROM g),
+      |sp AS (SELECT doc_id, min(p) AS s, max(p) - min(p) + 8 AS ln
+      |  FROM isl GROUP BY doc_id, island)
+      |SELECT sp.doc_id, CAST(s AS INT) AS span_start,
+      |  CAST(ln AS INT) AS span_len,
+      |  array_to_string(n.toks[s:s+ln-1], ' ') AS span_text
+      |FROM sp JOIN n USING (doc_id)""".stripMargin
 
   // lexicon replay: distinct-per-doc token doc-frequencies on the
   // benchmark slice split even/odd, then per-occurrence add-one sums —
@@ -2916,34 +2984,9 @@ object PipelineQueries {
     // ExactSubstr replay on REAL window substrings (no hashes): same
     // augmentation, same normalization, duplicated 8-token windows,
     // gap<=8 island merge, maximal-span text rebuilt from the token array
-    "dedup_exact_substr" ->
-      """WITH aug AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0
-        |      THEN 'the quick brown fox jumps over the lazy dog near the river bank '
-        |      ELSE '' END || text ||
-        |    CASE WHEN doc_id % 11 = 0
-        |      THEN ' the quick brown fox jumps over the lazy dog near the river bank'
-        |      ELSE '' END AS text
-        |  FROM documents),
-        |t AS (SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM aug),
-        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
-        |pos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p FROM n),
-        |w AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt FROM pos),
-        |dup AS (SELECT wtxt FROM w GROUP BY wtxt HAVING count(*) > 1),
-        |f AS (SELECT doc_id, p FROM w WHERE wtxt IN (SELECT wtxt FROM dup)),
-        |g AS (SELECT doc_id, p,
-        |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM f),
-        |isl AS (SELECT doc_id, p,
-        |    sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY p) AS island FROM g),
-        |sp AS (SELECT doc_id, min(p) AS s, max(p) - min(p) + 8 AS ln
-        |  FROM isl GROUP BY doc_id, island)
-        |SELECT sp.doc_id, CAST(s AS INT) AS span_start,
-        |  CAST(ln AS INT) AS span_len,
-        |  array_to_string(n.toks[s:s+ln-1], ' ') AS span_text
-        |FROM sp JOIN n USING (doc_id)""".stripMargin,
+    "dedup_exact_substr" -> substrSpansOracle,
+    // the streaming flagging form merges the identical flagged set
+    "dedup_exact_substr_stream" -> substrSpansOracle,
 
     // cross-corpus window replay: candidate windows IN benchmark window
     // set, islands merged per candidate doc, span text from token array

@@ -126,6 +126,53 @@ object EventStream {
       }
   }
 
+  final case class FlaggedWindow(doc_id: Long, p: Int)
+  final case class WinState(firstDoc: Long, firstPos: Int,
+                            emittedFirst: Boolean)
+
+  /** Streaming ExactSubstr window flagging: L-token window texts arrive
+    * keyed by their own EXACT string (no hash pass — the state key IS
+    * the verify), and state per active window is O(1): the first
+    * (doc, pos) held back plus an emitted flag. The second occurrence
+    * releases the held first position together with its own; every
+    * later occurrence emits immediately. Emission is incremental — no
+    * watermark seal needed — and the emitted SET is exactly "all
+    * positions of window texts seen ≥ 2 times", which is arrival-order
+    * independent, so the post-drain island merge
+    * ([[graft.functions.Dedup.spansFromFlagged]]) equals the batch
+    * [[graft.functions.Dedup.duplicateSpans]] whatever the microbatch
+    * split (spec'd scrambled). State for never-duplicated windows is
+    * bounded by ProcessingTimeTimeout in production; NoTimeout here for
+    * deterministic tests.
+    */
+  def duplicateWindowStream(wins: Dataset[(String, Long, Int)])
+      : Dataset[FlaggedWindow] = {
+    import wins.sparkSession.implicits._
+    wins.groupByKey(_._1)
+      .flatMapGroupsWithState[WinState, FlaggedWindow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(String, Long, Int)],
+         state: GroupState[WinState]) =>
+          var st = state.getOption
+          // buffer bounded by this key's occurrences IN THIS BATCH — the
+          // per-batch duplicate multiplicity, not the corpus
+          val out = scala.collection.mutable.ArrayBuffer.empty[FlaggedWindow]
+          rows.foreach { case (_, d, p) =>
+            st match {
+              case None => st = Some(WinState(d, p, emittedFirst = false))
+              case Some(s) =>
+                if (!s.emittedFirst) {
+                  out += FlaggedWindow(s.firstDoc, s.firstPos)
+                  st = Some(s.copy(emittedFirst = true))
+                }
+                out += FlaggedWindow(d, p)
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
   final case class SemVerdict(doc_id: Long, rep_id: Long, cos_sim: Double)
 
   /** Streaming SEMANTIC near-dup index — the embedding analogue of

@@ -237,6 +237,49 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(out(3L) === ((5L, 0L, 0.0)))
   }
 
+  test("streaming window flagging equals batch under scrambled microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      (1L, "x1 x2 p q r s x3 x4"),
+      (2L, "p q r s y1 y2 y3"),
+      (3L, "m n o w1 w2 w3 w4 m n o"),
+      (4L, "nothing shared in this one")
+    )
+    val L = 3
+    val expected = spans(docs.toDF("doc_id", "text"), L)
+    // windows per doc, fed in two different microbatch splits
+    def winRows(d: Seq[(Long, String)]) = d.flatMap { case (id, t) =>
+      val toks = t.split(" ")
+      if (toks.length < L) Seq.empty
+      else (0 to toks.length - L).map(i =>
+        (toks.slice(i, i + L).mkString(" "), id, i + 1))
+    }
+    for ((name, batches) <- Seq(
+        ("fwd", Seq(winRows(docs.take(2)), winRows(docs.drop(2)))),
+        ("scrambled", {
+          val all = winRows(docs)
+          val (a, b) = all.zipWithIndex.partition(_._2 % 2 == 0)
+          Seq(b.map(_._1).reverse, a.map(_._1).reverse)
+        }))) {
+      val in = MemoryStream[(String, Long, Int)]
+      val q = graft.streaming.EventStream
+        .duplicateWindowStream(in.toDS())
+        .toDF().writeStream.outputMode("append").format("memory")
+        .queryName(s"substr_scramble_$name").start()
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      q.stop()
+      val flagged = spark.table(s"substr_scramble_$name")
+        .toDF("doc_id", "p")
+      val got = graft.functions.Dedup.spansFromFlagged(
+          flagged, docs.toDF("doc_id", "text"), "text", "doc_id", L)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSet
+      assert(got === expected, s"split '$name' diverged from batch")
+    }
+  }
+
   test("normalization applies before windowing (case/whitespace)") {
     val df = Seq(
       (1L, "The   Quick  Brown FOX leaps k7"),
