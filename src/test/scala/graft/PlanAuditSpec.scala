@@ -290,7 +290,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("exact-substr family: linear candidate plans, no quadratic join") {
     for (q <- Seq("dedup_exact_substr", "dedup_exact_substr_apply",
-        "text_decontaminate_spans", "dedup_semantic_pq")) {
+        "text_decontaminate_spans", "dedup_semantic_pq",
+        "dedup_substr_incremental", "text_dup_fraction")) {
       val plan = finalPlan(q)
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoop"),
