@@ -280,6 +280,47 @@ class ExactSubstrSpec extends AnyFunSuite {
     }
   }
 
+  // Randomized law: on small-alphabet corpora (natural repeats
+  // everywhere), the distributed operator equals an independent
+  // driver-side brute-force reference — windows, flagging, island
+  // boundaries, and span text all pinned at once.
+  test("duplicateSpans equals a brute-force reference on random corpora") {
+    val L = 3
+    val alphabet = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def bruteRef(docs: Seq[(Long, String)]): Set[(Long, Int, Int, String)] = {
+      val tok = docs.map { case (id, t) => id -> t.split(" ").toVector }
+      val wins = for {
+        (id, ts) <- tok if ts.length >= L
+        i <- 0 to ts.length - L
+      } yield (ts.slice(i, i + L).mkString(" "), id, i + 1)
+      val counts = wins.groupBy(_._1).map { case (w, xs) => w -> xs.size }
+      val flagged = wins.collect { case (w, id, p) if counts(w) >= 2 => (id, p) }
+      flagged.groupBy(_._1).flatMap { case (id, ps0) =>
+        val ps = ps0.map(_._2).sorted
+        val islands = ps.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+          if (acc.nonEmpty && p - acc.last.last <= L)
+            acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+        val ts = tok.find(_._1 == id).get._2
+        islands.map { isl =>
+          val s = isl.head
+          val len = isl.last - s + L
+          (id, s, len, ts.slice(s - 1, s - 1 + len).mkString(" "))
+        }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val docs = (1L to 12L).map { id =>
+        val n = 4 + rnd.nextInt(20)
+        id -> Vector.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      val got = spans(docs.toDF("doc_id", "text"), L)
+      assert(got === bruteRef(docs), s"trial $trial diverged")
+    }
+  }
+
   test("normalization applies before windowing (case/whitespace)") {
     val df = Seq(
       (1L, "The   Quick  Brown FOX leaps k7"),
