@@ -1157,6 +1157,50 @@ object PipelineQueries {
         aug, "text", "doc_id", minLen = 8)
     }),
 
+    // STREAMING index probe: new docs arrive as a stream and check
+    // against the STATIC persisted window index on arrival — window
+    // explode + hash semi-join + exact text equality are all stateless
+    // per row, so this is the continuous-intake form of
+    // dedup_substr_incremental (same oracle; nineteenth streaming twin).
+    // Only the post-drain island merge is batch.
+    "dedup_substr_incremental_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val plant =
+        "by the riverbank the quiet fox waited for the morning light to come"
+      val aug = Tables.read(spark, dir, "documents")
+        .withColumn("text", concat(
+          when(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0,
+            lit(plant + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 =!= 0 && col("doc_id") % 13 === 0,
+            lit(" " + plant)).otherwise(lit(""))))
+      val idx = Dedup.buildSubstrIndex(
+        aug.where(col("doc_id") % 3 === 0), "text", "doc_id", minLen = 8)
+        .withColumnRenamed("wtxt", "__iw")
+      val batch = aug.where(col("doc_id") % 3 =!= 0)
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val sentinel = Seq((-1L, "sentinel",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val flagged = streamWithSentinel(spark,
+          batch.select(col("doc_id"), col("text"), lit(t0).as("ts")),
+          sentinel, delaySec = 3600L)
+        .where(size(split(Dedup.normalizeText(col("text")), " ")) >= 8)
+        .select(col("doc_id"),
+          posexplode(Dedup.windowStrings(col("text"), 8))
+            .as(Seq("p0", "wtxt")))
+        .select(col("doc_id"), (col("p0") + 1).cast("int").as("p"),
+          col("wtxt"))
+        .join(idx, col("wtxt") === col("__iw"), "left_semi")
+      graft.streaming.EventStream.runToMemory(
+        flagged, "substr_probe_stream_out", OutputMode.Append())
+      Dedup.spansFromFlagged(
+        spark.table("substr_probe_stream_out")
+          .where(col("doc_id") =!= -1L).select("doc_id", "p"),
+        batch, "text", "doc_id", minLen = 8)
+    }),
+
     // Per-doc duplicated-token fraction (Gopher-style quality signal,
     // exact): disjoint maximal spans sum to the covered-token count;
     // the fraction is one IEEE division of exact integers. Same plant
@@ -2013,6 +2057,43 @@ object PipelineQueries {
     TextAnalysis.EnglishStopwords.map(s => s"'$s'").mkString("[", ",", "]")
   private def markerList(lang: String): String =
     TextAnalysis.LangMarkers.toMap.apply(lang).map(s => s"'$s'").mkString("[", ",", "]")
+
+  // incremental span replay — shared by the batch probe and the
+  // streaming on-arrival probe (identical flagged set: the join is
+  // stateless either way)
+  private val substrIncrementalOracle: String =
+    """WITH aug AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+      |      THEN 'by the riverbank the quiet fox waited for the morning light to come '
+      |      ELSE '' END || text ||
+      |    CASE WHEN doc_id % 3 <> 0 AND doc_id % 13 = 0
+      |      THEN ' by the riverbank the quiet fox waited for the morning light to come'
+      |      ELSE '' END AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM aug),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+      |cpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
+      |  FROM n WHERE doc_id % 3 <> 0),
+      |cw AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt
+      |  FROM cpos),
+      |bpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
+      |  FROM n WHERE doc_id % 3 = 0),
+      |bw AS (SELECT DISTINCT array_to_string(toks[p:p+7], ' ') AS wtxt
+      |  FROM bpos),
+      |f AS (SELECT doc_id, p FROM cw WHERE wtxt IN (SELECT wtxt FROM bw)),
+      |g AS (SELECT doc_id, p,
+      |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM f),
+      |isl AS (SELECT doc_id, p,
+      |    sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY p) AS island FROM g),
+      |sp AS (SELECT doc_id, min(p) AS s, max(p) - min(p) + 8 AS ln
+      |  FROM isl GROUP BY doc_id, island)
+      |SELECT sp.doc_id, CAST(s AS INT) AS span_start,
+      |  CAST(ln AS INT) AS span_len,
+      |  array_to_string(n.toks[s:s+ln-1], ' ') AS span_text
+      |FROM sp JOIN n USING (doc_id)""".stripMargin
 
   // ExactSubstr span replay — shared by the batch entry and the
   // streaming flagging form (identical flagged set by construction)
@@ -3059,39 +3140,9 @@ object PipelineQueries {
 
     // incremental replay: batch windows IN the indexed slice's window
     // set, islands merged per batch doc
-    "dedup_substr_incremental" ->
-      """WITH aug AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
-        |      THEN 'by the riverbank the quiet fox waited for the morning light to come '
-        |      ELSE '' END || text ||
-        |    CASE WHEN doc_id % 3 <> 0 AND doc_id % 13 = 0
-        |      THEN ' by the riverbank the quiet fox waited for the morning light to come'
-        |      ELSE '' END AS text
-        |  FROM documents),
-        |t AS (SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM aug),
-        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
-        |cpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
-        |  FROM n WHERE doc_id % 3 <> 0),
-        |cw AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt
-        |  FROM cpos),
-        |bpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
-        |  FROM n WHERE doc_id % 3 = 0),
-        |bw AS (SELECT DISTINCT array_to_string(toks[p:p+7], ' ') AS wtxt
-        |  FROM bpos),
-        |f AS (SELECT doc_id, p FROM cw WHERE wtxt IN (SELECT wtxt FROM bw)),
-        |g AS (SELECT doc_id, p,
-        |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM f),
-        |isl AS (SELECT doc_id, p,
-        |    sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY doc_id ORDER BY p) AS island FROM g),
-        |sp AS (SELECT doc_id, min(p) AS s, max(p) - min(p) + 8 AS ln
-        |  FROM isl GROUP BY doc_id, island)
-        |SELECT sp.doc_id, CAST(s AS INT) AS span_start,
-        |  CAST(ln AS INT) AS span_len,
-        |  array_to_string(n.toks[s:s+ln-1], ' ') AS span_text
-        |FROM sp JOIN n USING (doc_id)""".stripMargin,
+    "dedup_substr_incremental" -> substrIncrementalOracle,
+    // the streaming probe flags the identical window set on arrival
+    "dedup_substr_incremental_stream" -> substrIncrementalOracle,
 
     // keep-one removal replay: first occurrence per duplicated window,
     // per-token keep = any covering first-occurrence window, affected
