@@ -321,6 +321,49 @@ class ExactSubstrSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateSpans equals a brute-force reference on random corpora") {
+    val L = 3
+    val alphabet = Vector("a", "b", "c", "d", "e", "f")
+    def winsOf(docs: Seq[(Long, String)]) = for {
+      (id, t) <- docs
+      ts = t.split(" ").toVector if ts.length >= L
+      i <- 0 to ts.length - L
+    } yield (ts.slice(i, i + L).mkString(" "), id, i + 1)
+    def bruteRef(cand: Seq[(Long, String)], bench: Seq[(Long, String)])
+        : Set[(Long, Int, Int, String)] = {
+      val benchW = winsOf(bench).map(_._1).toSet
+      val flagged = winsOf(cand).collect {
+        case (w, id, p) if benchW(w) => (id, p)
+      }
+      val tok = cand.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+      flagged.groupBy(_._1).flatMap { case (id, ps0) =>
+        val ps = ps0.map(_._2).sorted
+        val islands = ps.foldLeft(Vector.empty[Vector[Int]]) { (acc, p) =>
+          if (acc.nonEmpty && p - acc.last.last <= L)
+            acc.init :+ (acc.last :+ p)
+          else acc :+ Vector(p)
+        }
+        islands.map { isl =>
+          val s = isl.head
+          val len = isl.last - s + L
+          (id, s, len, tok(id).slice(s - 1, s - 1 + len).mkString(" "))
+        }
+      }.toSet
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      def mk(ids: Range) = ids.map { id =>
+        val n = 4 + rnd.nextInt(16)
+        id.toLong -> Vector.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+      }
+      val cand = mk(1 to 8)
+      val bench = mk(100 to 104)
+      val got = dcSpans(cand.toDF("doc_id", "text"),
+        bench.toDF("doc_id", "text"), L)
+      assert(got === bruteRef(cand, bench), s"trial $trial diverged")
+    }
+  }
+
   test("normalization applies before windowing (case/whitespace)") {
     val df = Seq(
       (1L, "The   Quick  Brown FOX leaps k7"),
