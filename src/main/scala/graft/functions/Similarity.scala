@@ -574,15 +574,18 @@ object Similarity {
     * speedup, never a pair. Long ids only (the gate path); other id
     * types delegate to the exact form.
     *
-    * MEASURED (graft.tools.ProfSemantic, 10× fixture, dim=64,
-    * verify-bound nClusters=16): exact 2.5 s vs PQ-pruned 3.4 s — at
-    * dim 64 the JIT-vectorized contiguous dot (64 FMAs) is cheaper than
-    * 8 random SDC table loads + bound arithmetic, so the prune is
-    * NEUTRAL-to-slower here and ksub=64/256 only add fit cost. This
-    * path earns its keep when the per-pair exact kernel is actually
-    * expensive — high-dim embeddings (≥ 512), or corpus vectors too
-    * large to sit in cache (codes are 32× smaller) — and costs nothing
-    * in output, which stays bit-identical (gate + spec).
+    * MEASURED (graft.tools.ProfSemantic, 10× fixture, verify-bound
+    * nClusters=16, warm): dim 64 — exact 2.5 s vs PQ 3.4 s; dim 512
+    * (sign-tiled, identical pair structure) — exact 5.2 s vs best PQ
+    * 6.6 s (m ∈ {8,64} × ksub ∈ {16,64} swept). The prune loses at BOTH
+    * dims on this fixture because its power is distribution-bound: the
+    * synthetic embeddings have no cluster structure, so quantization
+    * residuals r stay large and the Cauchy-Schwarz bound almost never
+    * clears the threshold — every pair pays lookups + bound AND the
+    * exact kernel. The honest verdict: NOT the default; a bit-identical
+    * cost knob (gate + spec pin the output) that pays off only when
+    * codebooks fit the data tightly (real, clustered embedding
+    * distributions) or raw vectors miss cache (codes are 32× smaller).
     */
   def semanticDupPairsPq(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nClusters: Int = 64,
