@@ -68,7 +68,7 @@ object Bench {
     "dedup_exact_substr", "dedup_exact_substr_apply",
     "text_decontaminate_spans", "dedup_semantic_pq", "text_score_lexicon",
     "dedup_substr_incremental", "sample_split_component",
-    "text_dup_fraction")
+    "text_dup_fraction", "pipeline_pretrain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1120,6 +1120,38 @@ object PipelineQueries {
         "text", "doc_id", minLen = 8)
     }),
 
+    // The COMPOSED pretraining pipeline, one declarative plan:
+    // plant boilerplate → ExactSubstr keep-one removal → lexicon
+    // quality scoring (trained on the %97 slice of the CLEANED corpus)
+    // → score >= 0.5 admission → portable train split → 128-token
+    // sequence packing of the train split. Every stage is an
+    // independently hash-gated operator; the oracle replays the full
+    // composition in nested CTEs.
+    "pipeline_pretrain" -> ((spark, dir) => {
+      val boiler =
+        "the quick brown fox jumps over the lazy dog near the river bank"
+      val aug = Tables.read(spark, dir, "documents")
+        .withColumn("text", concat(
+          when(col("doc_id") % 7 === 0, lit(boiler + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 11 === 0, lit(" " + boiler)).otherwise(lit(""))))
+      val cleaned = Dedup.removeDuplicateSpans(aug, "text", "doc_id", minLen = 8)
+      val lex = TextAnalysis.buildLexicon(
+        cleaned.where(col("doc_id") % 97 === 0), "text_clean",
+        col("doc_id") % 2 === 0)
+      val scored = TextAnalysis.lexiconScore(
+        cleaned.where(col("doc_id") % 97 =!= 0), "text_clean", "doc_id", lex)
+      val admitted = cleaned.where(col("doc_id") % 97 =!= 0)
+        .join(scored.select(col("doc_id"), col("score")), "doc_id")
+        .where(col("score") >= 0.5)
+      val train = graft.functions.Sampling.portableSplit(
+          admitted, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .where(col("split") === "train")
+      graft.functions.Curation.packTokenSpans(
+        train, "text_clean", "doc_id", seqLen = 128, bucketSize = 64L)
+    }),
+
     // STREAMING ExactSubstr: window texts stream keyed by their own
     // string; O(1) state per window (held-back first position + flag),
     // second occurrence releases both, later ones emit immediately — no
@@ -2057,6 +2089,47 @@ object PipelineQueries {
     TextAnalysis.EnglishStopwords.map(s => s"'$s'").mkString("[", ",", "]")
   private def markerList(lang: String): String =
     TextAnalysis.LangMarkers.toMap.apply(lang).map(s => s"'$s'").mkString("[", ",", "]")
+
+  // the keep-one removal replay's CTE chain (aug → … → reb/unt), reused
+  // verbatim as the first stage of the pipeline_pretrain composition
+  private val substrApplyCtesForPipeline: String =
+    """WITH aug AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN 'the quick brown fox jumps over the lazy dog near the river bank '
+      |      ELSE '' END || text ||
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN ' the quick brown fox jumps over the lazy dog near the river bank'
+      |      ELSE '' END AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM aug),
+      |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+      |pos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p FROM n),
+      |w AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt FROM pos),
+      |dfw AS (SELECT wtxt, min(struct_pack(d := doc_id, p := p)) AS first
+      |  FROM w GROUP BY wtxt HAVING count(*) > 1),
+      |fw AS (SELECT w.doc_id, w.p,
+      |    CASE WHEN w.doc_id = dfw.first.d AND w.p = dfw.first.p
+      |      THEN 1 ELSE 0 END AS isf
+      |  FROM w JOIN dfw USING (wtxt)),
+      |cov AS (SELECT doc_id, unnest(range(p, p + 8)) AS tp, isf FROM fw),
+      |cv AS (SELECT doc_id, tp, max(isf) AS keep FROM cov GROUP BY doc_id, tp),
+      |aff AS (SELECT DISTINCT doc_id FROM cv WHERE keep = 0),
+      |allt AS (SELECT t.doc_id, unnest(range(1, len(toks) + 1)) AS tp, toks
+      |  FROM t JOIN aff USING (doc_id)),
+      |at2 AS (SELECT doc_id, tp, toks[tp] AS tok FROM allt),
+      |j AS (SELECT a.doc_id, a.tp, a.tok,
+      |    CASE WHEN cv.keep = 0 THEN 1 ELSE 0 END AS dropped
+      |  FROM at2 a LEFT JOIN cv USING (doc_id, tp)),
+      |reb AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+      |    CAST(sum(dropped) AS INT) AS n_dropped,
+      |    coalesce(string_agg(CASE WHEN dropped = 0 THEN tok END, ' '
+      |      ORDER BY tp), '') AS text_clean
+      |  FROM j GROUP BY doc_id),
+      |unt AS (SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+      |    0 AS n_dropped, array_to_string(t.toks, ' ') AS text_clean
+      |  FROM t WHERE doc_id NOT IN (SELECT doc_id FROM aff))""".stripMargin
 
   // incremental span replay — shared by the batch probe and the
   // streaming on-arrival probe (identical flagged set: the join is
@@ -3147,45 +3220,53 @@ object PipelineQueries {
     // keep-one removal replay: first occurrence per duplicated window,
     // per-token keep = any covering first-occurrence window, affected
     // docs rebuilt positionally, untouched docs emitted normalized
-    "dedup_exact_substr_apply" ->
-      """WITH aug AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0
-        |      THEN 'the quick brown fox jumps over the lazy dog near the river bank '
-        |      ELSE '' END || text ||
-        |    CASE WHEN doc_id % 11 = 0
-        |      THEN ' the quick brown fox jumps over the lazy dog near the river bank'
-        |      ELSE '' END AS text
-        |  FROM documents),
-        |t AS (SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM aug),
-        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
-        |pos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p FROM n),
-        |w AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt FROM pos),
-        |dfw AS (SELECT wtxt, min(struct_pack(d := doc_id, p := p)) AS first
-        |  FROM w GROUP BY wtxt HAVING count(*) > 1),
-        |fw AS (SELECT w.doc_id, w.p,
-        |    CASE WHEN w.doc_id = dfw.first.d AND w.p = dfw.first.p
-        |      THEN 1 ELSE 0 END AS isf
-        |  FROM w JOIN dfw USING (wtxt)),
-        |cov AS (SELECT doc_id, unnest(range(p, p + 8)) AS tp, isf FROM fw),
-        |cv AS (SELECT doc_id, tp, max(isf) AS keep FROM cov GROUP BY doc_id, tp),
-        |aff AS (SELECT DISTINCT doc_id FROM cv WHERE keep = 0),
-        |allt AS (SELECT t.doc_id, unnest(range(1, len(toks) + 1)) AS tp, toks
-        |  FROM t JOIN aff USING (doc_id)),
-        |at2 AS (SELECT doc_id, tp, toks[tp] AS tok FROM allt),
-        |j AS (SELECT a.doc_id, a.tp, a.tok,
-        |    CASE WHEN cv.keep = 0 THEN 1 ELSE 0 END AS dropped
-        |  FROM at2 a LEFT JOIN cv USING (doc_id, tp)),
-        |reb AS (SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
-        |    CAST(sum(dropped) AS INT) AS n_dropped,
-        |    coalesce(string_agg(CASE WHEN dropped = 0 THEN tok END, ' '
-        |      ORDER BY tp), '') AS text_clean
-        |  FROM j GROUP BY doc_id),
-        |unt AS (SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
-        |    0 AS n_dropped, array_to_string(t.toks, ' ') AS text_clean
-        |  FROM t WHERE doc_id NOT IN (SELECT doc_id FROM aff))
-        |SELECT * FROM reb UNION ALL SELECT * FROM unt""".stripMargin,
+    "dedup_exact_substr_apply" -> (substrApplyCtesForPipeline +
+      "\nSELECT * FROM reb UNION ALL SELECT * FROM unt"),
+
+    // the full composition replay: apply-replay CTEs → cleaned corpus →
+    // lexicon trained on its %97 slice → per-occurrence add-one score →
+    // >= 0.5 admission → md5 train cut → flat-cumsum sequence packing
+    "pipeline_pretrain" -> (substrApplyCtesForPipeline +
+      """,
+        |cl AS MATERIALIZED (SELECT doc_id, text_clean FROM reb
+        |  UNION ALL SELECT doc_id, text_clean FROM unt),
+        |bt2 AS (SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(
+        |      regexp_replace(lower(trim(text_clean)), '\s+', ' ', 'g'), ' ')) AS tok
+        |    FROM cl WHERE doc_id % 97 = 0) u2),
+        |lex2 AS (SELECT tok,
+        |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS np,
+        |    sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS nn
+        |  FROM bt2 GROUP BY tok),
+        |cand2 AS (SELECT doc_id, unnest(string_split(
+        |    regexp_replace(lower(trim(text_clean)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM cl WHERE doc_id % 97 <> 0),
+        |sc AS (SELECT c2.doc_id,
+        |    CAST(sum(coalesce(l2.np, 0) + 1) AS DOUBLE) /
+        |    CAST(sum(coalesce(l2.np, 0) + coalesce(l2.nn, 0) + 2) AS DOUBLE)
+        |      AS score
+        |  FROM cand2 c2 LEFT JOIN lex2 l2 ON c2.tok = l2.tok
+        |  GROUP BY c2.doc_id),
+        |adm AS (SELECT cl.doc_id, cl.text_clean
+        |  FROM cl JOIN sc USING (doc_id)
+        |  WHERE cl.doc_id % 97 <> 0 AND sc.score >= 0.5
+        |    AND substring(md5(CAST(cl.doc_id AS VARCHAR)), 1, 8) < 'cccccccc'),
+        |pn AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text_clean)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text_clean), '\s+')) END AS nt
+        |  FROM adm),
+        |pp AS (SELECT doc_id, CAST(nt AS BIGINT) AS nt,
+        |  COALESCE(SUM(nt) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM pn WHERE nt > 0),
+        |ps AS (SELECT doc_id, nt, off,
+        |  unnest(range(CAST(off // 128 AS BIGINT),
+        |    CAST((off + nt - 1) // 128 + 1 AS BIGINT))) AS seq_id
+        |  FROM pp)
+        |SELECT doc_id, seq_id,
+        |  CAST(greatest(off, seq_id * 128) - off AS INT) AS tok_start,
+        |  CAST(least(off + nt, (seq_id + 1) * 128) - off AS INT) AS tok_end
+        |FROM ps""".stripMargin),
 
     // shared normalized 4-grams against the doc_id%97 benchmark slice;
     // grams per doc are DISTINCT (list_distinct mirrors array_distinct)
