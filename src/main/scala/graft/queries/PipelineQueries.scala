@@ -1549,6 +1549,32 @@ object PipelineQueries {
     // Retention cohorts: users grouped by signup day; D1/D7 retention =
     // any activity exactly 1/7 days later. Same one-row-per-user shuffle
     // shape as the funnel.
+    // Full cohort-retention TRIANGLE: for every signup cohort day and
+    // day offset 0..14, the active-user count and the retention rate
+    // (one IEEE division of exact counts). Unlike events_retention's
+    // fixed d1/d7 flags, the matrix form never collects per-user day
+    // sets: distinct (user, day) activity joins the signup day and
+    // aggregates by (cohort, offset) — scale-safe under any user skew.
+    "events_cohort_matrix" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      val signup = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val cohortSize = signup.groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_users"))
+      val active = ev.select("user_id", "day").distinct()
+        .join(signup, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+        .where(col("day_offset").between(0, 14))
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_active"))
+      active.join(cohortSize, "cohort_day")
+        .select(col("cohort_day"), col("day_offset").cast("int").as("day_offset"),
+          col("n_active"), col("n_users"),
+          (col("n_active").cast("double") / col("n_users").cast("double"))
+            .as("retention"))
+    }),
+
     "events_retention" -> ((spark, dir) => {
       val ev = Tables.read(spark, dir, "events")
         .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
@@ -3613,6 +3639,25 @@ object PipelineQueries {
         |  FROM dau r JOIN du ON du.day BETWEEN r.day - 6 AND r.day
         |  GROUP BY r.day)
         |SELECT dau.day, dau.dau, wau.wau FROM dau JOIN wau USING (day)""".stripMargin,
+    // triangle replay: distinct activity days joined to the signup day,
+    // one division of exact counts per (cohort, offset) cell
+    "events_cohort_matrix" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+        |s AS (SELECT user_id, min(day) AS cohort_day FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |cs AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM s GROUP BY cohort_day),
+        |a AS (SELECT DISTINCT user_id, day FROM e),
+        |act AS (SELECT s.cohort_day,
+        |    CAST(a.day - s.cohort_day AS INT) AS day_offset,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM a JOIN s USING (user_id)
+        |  WHERE (a.day - s.cohort_day) BETWEEN 0 AND 14
+        |  GROUP BY 1, 2)
+        |SELECT act.cohort_day, act.day_offset, act.n_active, cs.n_users,
+        |  CAST(act.n_active AS DOUBLE) / CAST(cs.n_users AS DOUBLE)
+        |    AS retention
+        |FROM act JOIN cs USING (cohort_day)""".stripMargin,
     "events_retention" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
         |p AS (SELECT user_id,
