@@ -690,17 +690,22 @@ object Dedup {
     val (_, benchToks, benchPos) =
       tokenizedPositions(benchmark, textCol, idCol, L)
 
-    // candidate positions whose hash appears in the benchmark
+    // candidate positions whose hash appears in the benchmark. No forced
+    // broadcast hints: benchmarks are small by convention, but a forced
+    // broadcast() of an unexpectedly large one OOMs the driver with no
+    // guard — AQE measures the actual built size at runtime and picks
+    // broadcast when it fits, sort-merge when it doesn't. Same output,
+    // same plan in the expected (small-benchmark) regime.
     val benchHashes = benchPos.select("h").distinct()
-    val suspect = candPos.join(broadcast(benchHashes), Seq("h"), "left_semi")
+    val suspect = candPos.join(benchHashes, Seq("h"), "left_semi")
     // exact verify: candidate window text ∈ benchmark window-text set;
     // only benchmark windows whose hash actually matched rebuild text
     val matchedHashes = suspect.select("h").distinct()
     val benchW = windowTexts(
-      benchPos.join(broadcast(matchedHashes), Seq("h"), "left_semi"),
+      benchPos.join(matchedHashes, Seq("h"), "left_semi"),
       benchToks, L).select("wtxt").distinct()
     val flagged = windowTexts(suspect, candToks, L)
-      .join(broadcast(benchW), Seq("wtxt"), "left_semi")
+      .join(benchW, Seq("wtxt"), "left_semi")
       .select("doc_id", "p")
     spansFromFlagged(flagged, candidates, textCol, idCol, L)
   }

@@ -163,7 +163,11 @@ object Sampling {
     */
   def leakSafeSplit(df: DataFrame, textCol: String, idCol: String,
                     splits: Seq[(String, Double)]): DataFrame = {
-    val norm = Dedup.normalizeText(col(textCol))
+    // NULL-text docs must still receive a split verdict: a plain join on
+    // the normalized text never matches NULL keys, so without the
+    // coalesce those rows would silently vanish from the output (and all
+    // NULL texts are the same "document" for leakage purposes anyway).
+    val norm = coalesce(Dedup.normalizeText(col(textCol)), lit(""))
     val groups = df.groupBy(norm.as("__norm"))
       .agg(min(col(idCol)).as("group_id"))
     val keyed = df.select(col(idCol).as("doc_id"), norm.as("__norm"))

@@ -598,8 +598,15 @@ object Similarity {
         maxCluster, seed)
     val spark = emb.sparkSession
     import spark.implicits._
-    if (emb.select(col(idCol)).head(1).isEmpty)
+    val firstRow = emb.select(col(idCol), size(col(vecCol)).as("d")).head(1)
+    if (firstRow.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos_sim")
+    // PQ needs dim divisible by m (PqIndex.fitCodebooks requires it); an
+    // indivisible dim falls back to the exact form — same output either
+    // way, the PQ path is only a cost knob.
+    if (firstRow.head.getInt(1) % m != 0)
+      return semanticDupPairs(emb, idCol, vecCol, threshold, nClusters,
+        maxCluster, seed)
 
     val centers = semanticCenters(emb, vecCol, nClusters, seed)
     val (dsub, codebooks) = PqIndex.fitCodebooks(emb, vecCol, m, ksub, seed)

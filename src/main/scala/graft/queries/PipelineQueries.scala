@@ -2592,7 +2592,7 @@ object PipelineQueries {
     // portable md5 cut applied to the GROUP key
     "sample_split_leakproof" ->
       """WITH g AS (SELECT doc_id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |    coalesce(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '') AS norm
         |  FROM documents),
         |k AS (SELECT norm, min(doc_id) AS group_id FROM g GROUP BY norm),
         |j AS (SELECT g.doc_id, k.group_id FROM g JOIN k USING (norm))

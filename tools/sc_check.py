@@ -30,9 +30,15 @@ def md5_split(group_id):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     pairs = read(f"{out_dir}/dedup_minhash/*.parquet", ["id_a", "id_b"])
-    got = {d: (g, s) for d, g, s in read(
-        f"{out_dir}/sample_split_component/*.parquet",
-        ["doc_id", "group_id", "split"])}
+    raw_rows = read(f"{out_dir}/sample_split_component/*.parquet",
+                    ["doc_id", "group_id", "split"])
+    got = {d: (g, s) for d, g, s in raw_rows}
+    # duplicate output rows for the same doc_id would collapse silently in
+    # the dict — count raw rows separately and fail on any difference
+    if len(raw_rows) != len(got):
+        print(f"[FAIL] sample_split_component: {len(raw_rows)} raw rows "
+              f"but only {len(got)} distinct doc_ids — duplicated output")
+        sys.exit(1)
     docs_path = f"{sf_dir}/documents.parquet"
     doc_files = (glob.glob(f"{docs_path}/*.parquet")
                  if os.path.isdir(docs_path) else glob.glob(docs_path))
