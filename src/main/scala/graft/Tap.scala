@@ -44,7 +44,11 @@ object Tap {
         // batch mode reads the max back from the files just written —
         // no full-stream persist, which at a 100 TB extraction would
         // materialize the whole stream on executor storage.
-        val source = StreamSource.native(spark, s, state, flattenDepth)
+        // Execution-mode dispatch (config key `execution`): native Catalyst,
+        // JDBC pushdown, or auto (native with pushdown fallback for SQL
+        // Spark can't parse — the reference's execute-anything contract,
+        // client.py:300-304).
+        val source = StreamSource.execute(spark, tap, s, state, flattenDepth)
         // STREAM_MAPS transform the conformed stream (reference tap.py:256);
         // key properties + replication key always survive an __else__ drop,
         // and validate() rejects maps that drop/rename the replication key,
@@ -192,7 +196,7 @@ object Tap {
     * capabilities at tap.py:244-259).
     */
   def aboutJson: String =
-    """{"name":"graft","capabilities":["state","catalog","discover","about","stream-maps","flattening","batch"],"settings":["host","port","user","password","database","streams","batch_config","batch_size","stream_maps","stream_map_config","flattening_enabled","flattening_max_depth","state_message_frequency"]}"""
+    """{"name":"graft","capabilities":["state","catalog","discover","about","stream-maps","flattening","batch"],"settings":["host","port","user","password","database","streams","batch_config","batch_size","stream_maps","stream_map_config","flattening_enabled","flattening_max_depth","state_message_frequency","execution"]}"""
 }
 
 /** CLI entry point mirroring the reference's (`tap.py:262-263`):

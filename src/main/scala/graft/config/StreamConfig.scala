@@ -37,6 +37,12 @@ object ReplicationMethod {
   *            STATE messages then advance `replication_key_value` directly
   *            and an interrupted sync resumes from the last emitted row;
   *            unsorted streams get non-resumable `progress_markers` instead
+  * @param execution how the stream SQL executes (config key `execution`,
+  *            per stream or as a tap-level default): `"native"` through
+  *            Catalyst, `"jdbc"` pushed down to the remote database (the
+  *            reference's only mode, client.py:300-304), `"auto"` native
+  *            with automatic pushdown fallback for SQL Spark can't
+  *            parse/resolve
   */
 final case class StreamConfig(
     name: String,
@@ -48,7 +54,8 @@ final case class StreamConfig(
     batchSize: Int = StreamConfig.DefaultBatchSize,
     database: String = "postgres",
     schema: String = "public",
-    isSorted: Boolean = false) {
+    isSorted: Boolean = false,
+    execution: String = StreamConfig.DefaultExecution) {
 
   def replicationMethod: ReplicationMethod =
     if (replicationKey.isDefined) ReplicationMethod.Incremental
@@ -66,6 +73,8 @@ final case class StreamConfig(
 
 object StreamConfig {
   val DefaultBatchSize = 100000
+  val DefaultExecution = "native"
+  val ExecutionModes = Set("native", "jdbc", "auto")
 }
 
 /** Batch-export file encoding + storage (reference: tap.py:121-144). */
@@ -144,7 +153,8 @@ object ConfigParser {
       password = str(n, "password").getOrElse(""),
       database = db,
       streams = opt(n, "streams").toSeq.flatMap(_.elements.asScala).map(parseStreamNode(_, db,
-        int(n, "batch_size").getOrElse(StreamConfig.DefaultBatchSize))),
+        int(n, "batch_size").getOrElse(StreamConfig.DefaultBatchSize),
+        str(n, "execution").getOrElse(StreamConfig.DefaultExecution))),
       batchConfig = opt(n, "batch_config").map(parseBatchConfig),
       jdbcUrl = str(n, "jdbc_url"),
       jdbcDriver = str(n, "jdbc_driver"),
@@ -207,7 +217,8 @@ object ConfigParser {
   }
 
   def parseStream(json: String): StreamConfig =
-    parseStreamNode(mapper.readTree(json), "postgres", StreamConfig.DefaultBatchSize)
+    parseStreamNode(mapper.readTree(json), "postgres",
+      StreamConfig.DefaultBatchSize, StreamConfig.DefaultExecution)
 
   /** `--config=ENV`: build the tap config from `TAP_RAWPOSTGRESQL_<KEY>`
     * environment variables (reference README.md:46-50 — the singer_sdk
@@ -232,7 +243,8 @@ object ConfigParser {
     parseTap(json)
   }
 
-  private def parseStreamNode(n: JsonNode, database: String, defaultBatch: Int): StreamConfig =
+  private def parseStreamNode(n: JsonNode, database: String, defaultBatch: Int,
+                              defaultExecution: String): StreamConfig =
     StreamConfig(
       name = str(n, "name").getOrElse(fail("stream missing 'name'")),
       sql = str(n, "sql").getOrElse(fail("stream missing 'sql'")),
@@ -248,7 +260,8 @@ object ConfigParser {
       },
       batchSize = int(n, "batch_size").getOrElse(defaultBatch),
       database = database,
-      isSorted = opt(n, "is_sorted").exists(_.asBoolean(false)))
+      isSorted = opt(n, "is_sorted").exists(_.asBoolean(false)),
+      execution = str(n, "execution").getOrElse(defaultExecution))
 
   private def parseBatchConfig(n: JsonNode): BatchConfig =
     BatchConfig(
@@ -289,6 +302,9 @@ object ConfigParser {
           problems += s"$where: column '${c.name}': ${e.getMessage}" }
       }
       if (s.batchSize <= 0) problems += s"$where: batch_size must be positive"
+      if (!StreamConfig.ExecutionModes(s.execution))
+        problems += s"$where: execution must be one of " +
+          s"${StreamConfig.ExecutionModes.toSeq.sorted.mkString("/")}, got '${s.execution}'"
     }
     if (tap.stateMessageFrequency <= 0)
       problems += "state_message_frequency must be positive"

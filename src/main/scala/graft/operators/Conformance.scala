@@ -28,8 +28,12 @@ object Conformance {
     */
   def conform(df: DataFrame, cols: Seq[ColumnSpec],
               streamName: String = ""): DataFrame = {
-    val declared = cols.map(_.name).toSet
-    df.columns.filterNot(declared).foreach { c =>
+    // case-insensitive: Spark resolves declared names against the input
+    // case-insensitively (a JDBC source may report N_NATIONKEY for a
+    // declared n_nationkey), so the unmapped check must agree or it warns
+    // about columns that ARE mapped
+    val declared = cols.map(_.name.toLowerCase).toSet
+    df.columns.filterNot(c => declared(c.toLowerCase)).foreach { c =>
       if (warnedUnmapped.add(s"$streamName $c"))
         log.warn(s"Property '$c' was present in the '$streamName' stream " +
           "but not found in catalog schema. Ignoring.")

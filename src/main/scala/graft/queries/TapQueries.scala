@@ -110,7 +110,56 @@ object TapQueries {
       |"columns":[{"name":"l_orderkey","type":"bigint"},{"name":"l_linenumber","type":"int"},
       |{"name":"l_quantity","type":"double"}]}""".stripMargin
 
+  /** Load the (25-row) nation fixture into an embedded Derby database so a
+    * pushdown entry has a live remote to execute against — test-harness
+    * setup, not part of the measured operator (the reference's remote is
+    * the live PostgreSQL its tests spin up).
+    */
+  private def derbyNationTap(spark: SparkSession, dir: String,
+                             dbName: String): graft.config.TapConfig = {
+    Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val url = s"jdbc:derby:memory:$dbName;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE nation")
+      catch { case _: java.sql.SQLException => () } // first run: no table
+      st.executeUpdate(
+        "CREATE TABLE nation (n_nationkey INT, n_name VARCHAR(64), n_regionkey INT)")
+      val ps = conn.prepareStatement("INSERT INTO nation VALUES (?,?,?)")
+      Tables.read(spark, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().foreach { r =>
+          ps.setInt(1, r.getInt(0)); ps.setString(2, r.getString(1))
+          ps.setInt(3, r.getInt(2)); ps.executeUpdate()
+        }
+    } finally conn.close()
+    graft.config.TapConfig(
+      jdbcUrl = Some(s"jdbc:derby:memory:$dbName"),
+      jdbcDriver = Some("org.apache.derby.iapi.jdbc.AutoloadedDriver"))
+  }
+
+  // Auto-mode pushdown fallback: `FETCH FIRST n ROWS ONLY` is SQL:2008
+  // that PostgreSQL (and Derby, our live stand-in) executes but Spark's
+  // parser rejects and SqlDialect deliberately doesn't rewrite — the
+  // dialect long tail. In `execution: "auto"` the engine tries the
+  // native path, catches the AnalysisException, and ships the ORIGINAL
+  // SQL to the remote database — the reference's execute-anything
+  // behavior (client.py:300-304). nation is ALSO registered as a Spark
+  // view here, proving the fallback triggers on parseability, not on a
+  // missing table.
+  private val pushdownJson =
+    """{"name":"nation_push","sql":"SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey FETCH FIRST 5 ROWS ONLY",
+      |"key_properties":["n_nationkey"],"execution":"auto",
+      |"columns":[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"}]}""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "tap_pushdown_fallback" -> ((spark, dir) => {
+      Tables.register(spark, dir)
+      val tap = derbyNationTap(spark, dir, "graftpush")
+      StreamSource.execute(spark, tap, ConfigParser.parseStream(pushdownJson))
+    }),
+
     "tap_raw_sql_scan" -> run(rawScanJson),
     "tap_incremental" -> run(incrementalJson),
     "tap_conform_cast" -> run(conformJson),
@@ -143,6 +192,9 @@ object TapQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "tap_pushdown_fallback" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |ORDER BY n_nationkey FETCH FIRST 5 ROWS ONLY""".stripMargin,
     "tap_raw_sql_scan" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
         |FROM orders WHERE o_totalprice > 1000.0""".stripMargin,

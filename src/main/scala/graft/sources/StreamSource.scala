@@ -96,11 +96,51 @@ object StreamSource {
   def jdbc(spark: SparkSession, tap: TapConfig, stream: StreamConfig,
            state: TapState = Bookmarks.empty,
            numPartitions: Int = 1,
-           bounds: Option[(String, String)] = None): DataFrame = {
+           bounds: Option[(String, String)] = None,
+           flattenDepth: Option[Int] = None): DataFrame = {
     val df = spark.read.format("jdbc")
       .options(jdbcOptions(tap, stream, state, numPartitions, bounds)).load()
-    Conformance.conform(df, stream.columns)
+    val flat = flattenDepth
+      .map(d => graft.operators.Flattener.flatten(df, d)).getOrElse(df)
+    Conformance.conform(flat, stream.columns, stream.name)
   }
+
+  /** Execution-mode dispatch — the sync loop's source factory (config key
+    * `execution`, per stream with a tap-level default):
+    *  - `"native"` (default): [[native]] — the Catalyst analytics path.
+    *  - `"jdbc"`: [[jdbcAutoPartitioned]] — the stream SQL executes on the
+    *    remote database exactly as the reference's cursor does
+    *    (client.py:300-304), parallelized when the replication key allows.
+    *  - `"auto"`: try native; when the dialect rewrite yields SQL Spark
+    *    cannot parse or resolve, fall back to pushdown of the ORIGINAL
+    *    SQL. This reproduces the reference's execute-anything contract for
+    *    the PG long tail (constructs `SqlDialect.rewrite` doesn't cover):
+    *    instead of a Spark parse error, the query runs server-side —
+    *    including genuine user errors, which then surface as the remote
+    *    database's own diagnostics, just as with the reference.
+    */
+  def execute(spark: SparkSession, tap: TapConfig, stream: StreamConfig,
+              state: TapState = Bookmarks.empty,
+              flattenDepth: Option[Int] = None): DataFrame =
+    stream.execution match {
+      case "jdbc" =>
+        jdbcAutoPartitioned(spark, tap, stream, state,
+          flattenDepth = flattenDepth)
+      case "auto" =>
+        // spark.sql parses AND analyzes eagerly inside native(), so every
+        // untranslatable construct surfaces here, before any execution
+        // ParseException extends AnalysisException, so one catch covers
+        // both "Spark can't parse it" and "Spark can't resolve it"
+        try native(spark, stream, state, flattenDepth)
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            jdbcAutoPartitioned(spark, tap, stream, state,
+              flattenDepth = flattenDepth)
+        }
+      case "native" => native(spark, stream, state, flattenDepth)
+      case other => throw new IllegalArgumentException(
+        s"stream '${stream.name}': unknown execution mode '$other'")
+    }
 
   /** Parallel JDBC extraction with AUTO-derived partition bounds: one
     * tiny `SELECT min(k), max(k)` over the stream's (watermark-bound) SQL
@@ -114,7 +154,8 @@ object StreamSource {
   def jdbcAutoPartitioned(spark: SparkSession, tap: TapConfig,
                           stream: StreamConfig,
                           state: TapState = Bookmarks.empty,
-                          numPartitions: Int = 8): DataFrame = {
+                          numPartitions: Int = 8,
+                          flattenDepth: Option[Int] = None): DataFrame = {
     val boundsOpt = stream.replicationKey.flatMap { k =>
       val start = Bookmarks.resolveStart(stream, state)
       val repKeyType = TypeMapper.toDataType(stream.column(k).typeName)
@@ -140,8 +181,9 @@ object StreamSource {
       } finally conn.close()
     }
     boundsOpt match {
-      case Some(b) => jdbc(spark, tap, stream, state, numPartitions, Some(b))
-      case None => jdbc(spark, tap, stream, state)
+      case Some(b) => jdbc(spark, tap, stream, state, numPartitions, Some(b),
+        flattenDepth)
+      case None => jdbc(spark, tap, stream, state, flattenDepth = flattenDepth)
     }
   }
 }
