@@ -47,9 +47,11 @@ object Bench {
     // canonical unicode normalization
     "dedup_semantic", "sample_weighted", "text_topk_ngrams",
     "text_normalize",
-    // round-5 close: int8 embedding quantization and the ANN
-    // tuning-loop metrics (recall@k + MRR vs exact)
-    "embed_quantize", "sim_eval",
+    // round-5 close: int8 embedding quantization (the production
+    // projection+digest shape — the scalar-row explode entry
+    // `embed_quantize` exists only for per-code value verification) and
+    // the ANN tuning-loop metrics (recall@k + MRR vs exact)
+    "embed_quantize_digest", "sim_eval",
     // round-6: exact-mode Misra-Gries top-k, quality-aware keep-best
     // dedup, stride-scheduled source interleave, k-center coreset
     "text_topk_sketch", "dedup_keep_best", "mix_interleave",
@@ -68,7 +70,10 @@ object Bench {
     "dedup_exact_substr", "dedup_exact_substr_apply",
     "text_decontaminate_spans", "dedup_semantic_pq", "text_score_lexicon",
     "dedup_substr_incremental", "sample_split_component",
-    "text_dup_fraction", "pipeline_pretrain")
+    "text_dup_fraction", "pipeline_pretrain",
+    // round-7: two-pass sampled k-center (flat in k, vs the greedy's k
+    // passes) and the pushdown-fallback tap path
+    "sample_kcenter_scalable")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

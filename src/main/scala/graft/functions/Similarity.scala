@@ -467,6 +467,109 @@ object Similarity {
     } finally base.unpersist()
   }
 
+  /** Scale-safe k-center (VERDICT r6 item 2): [[kCenterGreedy]]'s k
+    * sequential corpus passes degrade linearly in k at 100 TB; this
+    * variant needs exactly TWO corpus passes regardless of k:
+    *
+    *  1. bounded content-hash sample — the `sampleCap` smallest
+    *     `(md5(id), id)` keys, one TakeOrderedAndProject (tree-aggregated
+    *     top-cap, no shuffle of the corpus), collected as cap×dim floats
+    *     of driver metadata (the [[LocalKMeans]] contract);
+    *  2. LOCAL greedy k-center on the sample — bit-identical selection
+    *     rule to [[kCenterGreedy]] (seed = smallest id, farthest-point,
+    *     ties to smallest id, zero-norm distance 1.0), so at
+    *     `sampleCap >= corpus` the selected set IS the exact greedy
+    *     result (KCenterSpec pins this);
+    *  3. ONE distributed assign/max pass — every corpus row scores its k
+    *     center distances in a single codegen'd projection (array_min
+    *     over (dist, rank) structs: nearest center, ties to the
+    *     earlier-selected), then a k-row aggregate of count + coverage
+    *     radius per center.
+    *
+    * The price of scale-safety: centers are greedy-optimal for the
+    * SAMPLE; the full-corpus coverage radius is reported per center (the
+    * `cover` column) rather than driving selection — the standard
+    * sample-then-assign coreset trade.
+    *
+    * Output: (rank, vec_id, sel_dist, n_assigned, cover) per center,
+    * distances rounded 6dp (the cross-engine float convention).
+    */
+  def kCenterSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int, sampleCap: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(sampleCap >= k, s"sampleCap ($sampleCap) must be >= k ($k)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val sample = base
+      .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8), col("vec_id"))
+      .limit(sampleCap)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    if (sample.isEmpty)
+      return Seq.empty[(Int, Long, Double, Long, Double)]
+        .toDF("rank", "vec_id", "sel_dist", "n_assigned", "cover")
+
+    // local greedy over the sample — the exact kCenterGreedy rule
+    def ldist(v: Array[Float], n1: Double, c: Array[Float], cn: Double): Double = {
+      val denom = n1 * cn
+      if (denom == 0.0) 1.0
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i).toDouble * c(i).toDouble; i += 1 }
+        1.0 - s / denom
+      }
+    }
+    val seed = sample.minBy(_._1)
+    val sel = scala.collection.mutable.ArrayBuffer((1, seed._1, 0.0, seed._2, seed._3))
+    val selIds = scala.collection.mutable.Set(seed._1)
+    var r = 2
+    while (r <= k && sel.length < sample.length) {
+      var bestD = Double.NegativeInfinity
+      var bestId = Long.MinValue
+      var bestVec: Array[Float] = null
+      var bestN = 0.0
+      sample.foreach { case (id, v, n1) =>
+        if (!selIds(id)) {
+          var mind = Double.PositiveInfinity
+          sel.foreach { case (_, _, _, cv, cn) =>
+            val d = ldist(v, n1, cv, cn)
+            if (d < mind) mind = d
+          }
+          // max (d, -id): larger distance wins, ties to the smaller id
+          if (mind > bestD || (mind == bestD && -id > -bestId)) {
+            bestD = mind; bestId = id; bestVec = v; bestN = n1
+          }
+        }
+      }
+      sel += ((r, bestId, bestD, bestVec, bestN))
+      selIds += bestId
+      r += 1
+    }
+
+    // one distributed assign/max pass: nearest center per corpus row
+    val distStructs = sel.map { case (rank, _, _, cv, cn) =>
+      val denom = col("nrm") * lit(cn)
+      val d = when(denom === 0.0, lit(1.0))
+        .otherwise(lit(1.0) - dot(col("v"), typedLit(cv.toSeq)) / denom)
+      struct(d.as("d"), lit(rank).as("rnk"))
+    }
+    val best = array_min(array(distStructs.toSeq: _*))
+    val assigned = base
+      .select(best.getField("d").as("d"), best.getField("rnk").as("rank"))
+      .groupBy("rank")
+      .agg(count(lit(1)).as("n_assigned"), max(col("d")).as("cover"))
+    val selected = sel.map { case (rank, id, d, _, _) => (rank, id, d) }
+      .toSeq.toDF("rank", "vec_id", "sel_dist")
+    selected.join(assigned, Seq("rank"), "left")
+      .select(col("rank"), col("vec_id"),
+        round(col("sel_dist"), 6).as("sel_dist"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        round(coalesce(col("cover"), lit(0.0)), 6).as("cover"))
+  }
+
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val xd = transform(col(vecCol), x => x.cast("double"))
     val mx = array_max(transform(xd, x => abs(x)))

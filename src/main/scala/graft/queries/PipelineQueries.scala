@@ -396,6 +396,16 @@ object PipelineQueries {
       Similarity.kCenterGreedy(
         Tables.read(spark, dir, "embeddings"), "vec_id", "embedding", k = 12)),
 
+    // Scale-safe k-center (VERDICT r6 item 2): hash-bounded 64-vector
+    // sample → local greedy selection → ONE distributed assign/max pass
+    // (two corpus passes total, flat in k — vs kCenterGreedy's k passes).
+    // The oracle replays the sample cut, the greedy recursion over the
+    // sample, and the per-center assignment count + coverage radius.
+    "sample_kcenter_scalable" -> ((spark, dir) =>
+      Similarity.kCenterSampled(
+        Tables.read(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 12, sampleCap = 64)),
+
     // Symmetric int8 embedding quantization (codes + per-vector scale):
     // portable floor-based rounding, oracle mirrors every IEEE step.
     // Emitted exploded to (vec_id, idx, code, scale) scalar rows so every
@@ -406,6 +416,19 @@ object PipelineQueries {
           Tables.read(spark, dir, "embeddings"), "vec_id", "embedding")
         .select(col("vec_id"),
           posexplode(col("codes")).as(Seq("idx", "code")),
+          col("scale"))),
+
+    // Same operator in its production shape (VERDICT r6 item 3): the
+    // pure projection, one row per vector, codes value-checked through a
+    // per-row md5 digest instead of the scalar-row explode — this is the
+    // entry the bench headline times, so the number reflects operator
+    // cost, not verification shape.
+    "embed_quantize_digest" -> ((spark, dir) =>
+      Similarity.int8Quantize(
+          Tables.read(spark, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"),
+          md5(concat_ws(",",
+            transform(col("codes"), c => c.cast("string")))).as("codes_md5"),
           col("scale"))),
 
     // Embedding hygiene: L2-normalize + zero-vector flag (vectors at
@@ -2468,6 +2491,58 @@ object PipelineQueries {
         |  ) g
         |)
         |SELECT rank, vec_id, round(dist, 6) AS dist FROM r""".stripMargin,
+    // sampled variant: the same greedy recursion, but over the 64-row
+    // content-hash sample, then assignment count + coverage radius per
+    // center over the FULL corpus (nearest center, ties to lower rank)
+    "sample_kcenter_scalable" ->
+      """WITH RECURSIVE n0 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |n AS (SELECT * FROM n0
+        |  ORDER BY substring(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id
+        |  LIMIT 64),
+        |s0 AS (SELECT min(vec_id) AS id FROM n),
+        |r AS (
+        |  SELECT 1 AS rank, n.vec_id, CAST(0.0 AS DOUBLE) AS dist,
+        |    [n.v] AS sels, [n.nrm] AS snrms, [n.vec_id] AS sids
+        |  FROM n, s0 WHERE n.vec_id = s0.id
+        |  UNION ALL
+        |  SELECT g.rank + 1,
+        |    -struct_extract(g.m, 'nid'), struct_extract(g.m, 'd'),
+        |    list_append(g.sels, struct_extract(g.m, 'v')),
+        |    list_append(g.snrms, struct_extract(g.m, 'nrm')),
+        |    list_append(g.sids, -struct_extract(g.m, 'nid'))
+        |  FROM (
+        |    SELECT r.rank, r.sels, r.snrms, r.sids,
+        |      max(struct_pack(d := c_mind, nid := -n.vec_id,
+        |                      v := n.v, nrm := n.nrm)) AS m
+        |    FROM r JOIN n ON NOT list_contains(r.sids, n.vec_id),
+        |    LATERAL (SELECT list_min(list_transform(range(1, len(r.sels)+1),
+        |      i -> CASE WHEN n.nrm * r.snrms[i] = 0 THEN 1.0
+        |           ELSE 1.0 - list_sum(list_transform(range(1, len(n.v)+1),
+        |             j -> n.v[j] * r.sels[i][j])) / (n.nrm * r.snrms[i])
+        |           END)) AS c_mind) lat
+        |    WHERE r.rank < 12
+        |    GROUP BY r.rank, r.sels, r.snrms, r.sids
+        |  ) g
+        |),
+        |a AS (
+        |  SELECT e.vec_id AS pid, c.rank,
+        |    CASE WHEN e.nrm * cn.nrm = 0 THEN 1.0
+        |         ELSE 1.0 - list_sum(list_transform(range(1, len(e.v)+1),
+        |           j -> e.v[j] * cn.v[j])) / (e.nrm * cn.nrm) END AS d
+        |  FROM n0 e CROSS JOIN r c JOIN n0 cn ON cn.vec_id = c.vec_id),
+        |best AS (SELECT pid, rank, d,
+        |  row_number() OVER (PARTITION BY pid ORDER BY d, rank) AS rn FROM a),
+        |agg AS (SELECT rank, CAST(count(*) AS BIGINT) AS n_assigned,
+        |  max(d) AS cover FROM best WHERE rn = 1 GROUP BY rank)
+        |SELECT r.rank, r.vec_id, round(r.dist, 6) AS sel_dist,
+        |  CAST(coalesce(agg.n_assigned, 0) AS BIGINT) AS n_assigned,
+        |  round(coalesce(agg.cover, 0.0), 6) AS cover
+        |FROM r LEFT JOIN agg ON agg.rank = r.rank""".stripMargin,
     "embed_quantize" ->
       """WITH b AS (SELECT vec_id,
         |  list_transform(embedding, x -> x::DOUBLE) AS xd FROM embeddings),
@@ -2480,6 +2555,18 @@ object PipelineQueries {
         |SELECT vec_id, CAST(i - 1 AS INTEGER) AS idx,
         |  CAST(floor(xd[i] * scale + 0.5) AS INTEGER) AS code, scale
         |FROM e""".stripMargin,
+    "embed_quantize_digest" ->
+      """WITH b AS (SELECT vec_id,
+        |  list_transform(embedding, x -> x::DOUBLE) AS xd FROM embeddings),
+        |m AS (SELECT vec_id, xd,
+        |  list_max(list_transform(xd, x -> abs(x))) AS mx FROM b),
+        |s AS (SELECT vec_id, xd,
+        |  CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale FROM m)
+        |SELECT vec_id,
+        |  md5(array_to_string(list_transform(range(1, len(xd) + 1),
+        |    i -> CAST(floor(xd[i] * scale + 0.5) AS INTEGER)), ',')) AS codes_md5,
+        |  scale
+        |FROM s""".stripMargin,
     // hygiene replay: same zeroing, same norm, same per-component
     // division, 6dp on both sides
     "embed_normalize" ->

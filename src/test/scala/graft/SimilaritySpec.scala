@@ -357,6 +357,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  // VERDICT r6 item 2: at sampleCap >= corpus the sampled variant's local
+  // greedy sees every vector, so its selection (rank, id) AND selection
+  // radii must equal kCenterGreedy's exactly — the bit-equality contract
+  // that makes the sampled form a drop-in scale knob.
+  test("kCenterSampled at sample=all selects exactly the greedy set") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val k = 8
+    val exact = Similarity.kCenterGreedy(emb, "vec_id", "embedding", k)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    val sampled = Similarity.kCenterSampled(emb, "vec_id", "embedding", k,
+        sampleCap = Int.MaxValue)
+      .select("rank", "vec_id", "sel_dist", "n_assigned", "cover")
+      .as[(Int, Long, Double, Long, Double)].collect().sortBy(_._1)
+    assert(sampled.map(t => (t._1, t._2, t._3)).toSeq ===
+      exact.map(t => (t._1, t._2, t._3)).toSeq)
+    // every corpus vector is assigned to exactly one center
+    assert(sampled.map(_._4).sum === emb.count())
+    // a center covers at least itself (self-distance ~0 ≤ cover + eps)
+    sampled.foreach { case (_, _, _, n, cover) =>
+      assert(n >= 1 && cover >= -1e-9)
+    }
+  }
+
   test("kCenterGreedy stops gracefully when k exceeds the corpus") {
     val tiny = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
