@@ -93,6 +93,17 @@ object TapQueries {
       |"key_properties":["n_nationkey"],
       |"columns":[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"}]}""".stripMargin
 
+  // PG interval long tail (VERDICT r6 item 4): the `'…'::interval` cast
+  // spelling, the native multi-unit `interval '…'` literal (Spark parses
+  // it — the rewrite leaves it alone), and `(s1,e1) OVERLAPS (s2,e2)`
+  // expanded to the SQL-standard normalized formula — all staying on the
+  // native Catalyst path (comparisons push down; no fallback needed).
+  private val intervalJson =
+    """{"name":"orders_interval","sql":"SELECT o_orderkey, o_orderdate::timestamp + '30 days'::interval AS due, o_orderdate::timestamp + interval '12 hours' AS due_h FROM orders WHERE (o_orderdate::timestamp, o_orderdate::timestamp + '7 days'::interval) OVERLAPS (timestamp '1995-06-01 00:00:00', timestamp '1995-06-08 00:00:00')",
+      |"key_properties":["o_orderkey"],
+      |"columns":[{"name":"o_orderkey","type":"bigint"},{"name":"due","type":"datetime"},
+      |{"name":"due_h","type":"datetime"}]}""".stripMargin
+
   // SELECT * but only 3 declared columns: conformance drops the rest
   // (reference: client.py:147-154 unmapped-property drop).
   private val projectionJson =
@@ -170,6 +181,7 @@ object TapQueries {
     "tap_similar_to" -> run(similarToJson),
     "tap_operator_collate" -> run(operatorCollateJson),
     "tap_projection" -> run(projectionJson),
+    "tap_interval" -> run(intervalJson),
 
     "tap_stream_map" -> ((spark, dir) => {
       val li = Tables.read(spark, dir, "lineitem")
@@ -234,6 +246,15 @@ object TapQueries {
         |WHERE n_name LIKE 'NATION_1%' OR n_name ILIKE 'nation_2_'
         |OR n_name NOT ILIKE '%2%'""".stripMargin,
     "tap_projection" -> "SELECT doc_id, lang, source FROM documents",
+    // non-point normalized periods: the standard OVERLAPS formula
+    // reduces to the half-open check s1 < e2 AND s2 < e1
+    "tap_interval" ->
+      """SELECT o_orderkey,
+        |CAST(o_orderdate AS TIMESTAMP) + INTERVAL '30 days' AS due,
+        |CAST(o_orderdate AS TIMESTAMP) + INTERVAL '12 hours' AS due_h
+        |FROM orders
+        |WHERE CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1995-06-08 00:00:00'
+        |AND TIMESTAMP '1995-06-01 00:00:00' < CAST(o_orderdate AS TIMESTAMP) + INTERVAL '7 days'""".stripMargin,
     "tap_stream_map" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag AS flag,
         |l_extendedprice * (1 - l_discount) AS revenue

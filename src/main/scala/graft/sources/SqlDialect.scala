@@ -186,6 +186,8 @@ object SqlDialect {
     out = rewriteAnyAll(out)
     out = rewriteArrayCast(out)
     out = rewriteSimilarTo(out)
+    out = rewriteOverlaps(out)
+    out = rewriteIntervalCast(out)
     out = tstzLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     out = tsLitRe.replaceAllIn(out, m => "TIMESTAMP " + m.group(1))
     // case-insensitive regex matches first (their patterns absorb (?i)),
@@ -514,6 +516,110 @@ object SqlDialect {
         Some(java.util.regex.Matcher.quoteReplacement(
           s"${neg}RLIKE '^(?:${similarToRegex(body)})$$'"))
       })
+  }
+
+  // ---- PG interval casts and OVERLAPS ----------------------------------
+
+  /** `'30 days'::interval` → `INTERVAL '30 days'` — Spark parses the
+    * multi-unit interval STRING literal natively, so only the PG cast
+    * spelling needs translating (before the scalar-cast loop would turn
+    * it into an unresolvable CAST). Non-literal `::interval` operands
+    * have no static Spark translation and are left for the `auto`
+    * pushdown fallback.
+    */
+  private val intervalCastRe =
+    """('(?:[^']|'')*')\s*::\s*[Ii][Nn][Tt][Ee][Rr][Vv][Aa][Ll]\b""".r
+
+  def rewriteIntervalCast(sql: String): String = {
+    val s = sql
+    intervalCastRe.replaceSomeIn(s, m =>
+      if (inLiteral(s, m.start)) None
+      else Some(java.util.regex.Matcher.quoteReplacement(
+        s"INTERVAL ${m.group(1)}")))
+  }
+
+  private val overlapsRe = """(?i)\boverlaps\b""".r
+
+  /** Split `a, b` at the single top-level comma of a paren-group body. */
+  private def topLevelComma(body: String): Option[Int] = {
+    val lit = literalFlags(body)
+    var depth = 0
+    var i = 0
+    while (i < body.length) {
+      if (!lit(i)) body.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => return Some(i)
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Forward scan of the `(...)` group starting at/after `from`
+    * (whitespace-skipping); returns (openIdx, closeIdx) inclusive.
+    */
+  private def scanParenGroup(s: String, from: Int): Option[(Int, Int)] = {
+    var i = from
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length || s.charAt(i) != '(') return None
+    val lit = literalFlags(s)
+    var depth = 0
+    var j = i
+    while (j < s.length) {
+      if (!lit(j)) s.charAt(j) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some((i, j))
+        case _ =>
+      }
+      j += 1
+    }
+    None
+  }
+
+  /** Rewrite `(s1, e1) OVERLAPS (s2, e2)` into the SQL-standard
+    * expansion over NORMALIZED bounds (PG swaps each pair so start <=
+    * end, and treats start = end as a single instant — PG docs §9.9.3):
+    *
+    *   (S1 > S2 AND NOT (S1 >= E2 AND E1 >= E2)) OR
+    *   (S2 > S1 AND NOT (S2 >= E1 AND E2 >= E1)) OR (S1 = S2)
+    *
+    * with S_i = LEAST(s_i, e_i), E_i = GREATEST(s_i, e_i). This stays on
+    * the native Catalyst path (plain comparisons — pushable, codegen'd);
+    * the repeated subexpressions are collapsed by Catalyst CSE.
+    */
+  def rewriteOverlaps(sql: String): String = {
+    val s = sql
+    // rightmost-first so earlier spans stay valid across replacements
+    val ms = overlapsRe.findAllMatchIn(s).toList.reverse
+    var out = s
+    for (m <- ms if !inLiteral(s, m.start)) {
+      val left = scanLeftOperand(out, m.start)
+      val right = scanParenGroup(out, m.end)
+      (left, right) match {
+        case (Some((ls, le)), Some((ro, rc)))
+            if out.charAt(ls) == '(' =>
+          val lBody = out.substring(ls + 1, le - 1)
+          val rBody = out.substring(ro + 1, rc)
+          (topLevelComma(lBody), topLevelComma(rBody)) match {
+            case (Some(lc), Some(rcm)) =>
+              val (a, b) = (lBody.substring(0, lc).trim, lBody.substring(lc + 1).trim)
+              val (c, d) = (rBody.substring(0, rcm).trim, rBody.substring(rcm + 1).trim)
+              val (s1, e1) = (s"LEAST($a, $b)", s"GREATEST($a, $b)")
+              val (s2, e2) = (s"LEAST($c, $d)", s"GREATEST($c, $d)")
+              val repl = s"(($s1 > $s2 AND NOT ($s1 >= $e2 AND $e1 >= $e2))" +
+                s" OR ($s2 > $s1 AND NOT ($s2 >= $e1 AND $e2 >= $e1))" +
+                s" OR $s1 = $s2)"
+              out = out.substring(0, ls) + repl + out.substring(rc + 1)
+            case _ => // not a 2-element row constructor: leave for fallback
+          }
+        case _ => // no paren row constructor on both sides: leave as-is
+      }
+    }
+    out
   }
 
   private val anyAllRe =

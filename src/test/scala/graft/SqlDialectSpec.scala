@@ -416,4 +416,44 @@ class SqlDialectSpec extends AnyFunSuite {
       "SELECT cardinality('{x,y,z}'::text[]) AS n")).collect().head.getInt(0)
     assert(arr === 3)
   }
+
+  test("interval casts rewrite to literals; native interval literal untouched") {
+    val spark = SparkTestSession.spark
+    assert(SqlDialect.rewriteIntervalCast("SELECT ts + '30 days'::interval") ===
+      "SELECT ts + INTERVAL '30 days'")
+    // inside a string literal: untouched
+    assert(SqlDialect.rewriteIntervalCast("SELECT 'a::interval' AS s") ===
+      "SELECT 'a::interval' AS s")
+    val got = spark.sql(SqlDialect.rewrite(
+      "SELECT timestamp '2021-01-01 00:00:00' + '1 day 2 hours'::interval AS t, " +
+        "timestamp '2021-01-01 00:00:00' + interval '30 minutes' AS t2"))
+      .collect().head
+    assert(got.getTimestamp(0).toString.startsWith("2021-01-02 02:00:00"))
+    assert(got.getTimestamp(1).toString.startsWith("2021-01-01 00:30:00"))
+  }
+
+  // PG OVERLAPS semantics (docs §9.9.3): half-open periods, pairs
+  // normalized so start <= end, start = end is a single instant. Each
+  // case executes through the rewritten SQL in Spark.
+  test("OVERLAPS rewrites to the standard normalized formula with PG point semantics") {
+    val spark = SparkTestSession.spark
+    def ov(p1: (String, String), p2: (String, String)): Boolean =
+      spark.sql(SqlDialect.rewrite(
+        s"SELECT (timestamp '${p1._1}', timestamp '${p1._2}') OVERLAPS " +
+          s"(timestamp '${p2._1}', timestamp '${p2._2}') AS o"))
+        .collect().head.getBoolean(0)
+    val (d1, d2, d3, d4) = ("2021-01-01 00:00:00", "2021-01-02 00:00:00",
+      "2021-01-03 00:00:00", "2021-01-04 00:00:00")
+    assert(ov((d1, d3), (d2, d4)))          // genuine overlap
+    assert(!ov((d1, d2), (d2, d3)))         // adjacent half-open: no
+    assert(ov((d2, d2), (d2, d3)))          // instant at period start: yes
+    assert(!ov((d3, d3), (d2, d3)))         // instant at period end: no
+    assert(ov((d2, d2), (d2, d2)))          // same instant twice: yes
+    assert(ov((d3, d1), (d2, d4)))          // swapped pair normalizes
+    // stays native: the rewritten predicate parses and analyzes in Spark
+    val r = SqlDialect.rewrite(
+      "SELECT 1 WHERE (a, b) OVERLAPS (c, d)")
+    assert(r.contains("LEAST(a, b)") && r.contains("GREATEST(c, d)"))
+    assert(!r.toLowerCase.contains("overlaps"))
+  }
 }
