@@ -72,8 +72,8 @@ object Bench {
     "dedup_substr_incremental", "sample_split_component",
     "text_dup_fraction", "pipeline_pretrain",
     // round-7: two-pass sampled k-center (flat in k, vs the greedy's k
-    // passes) and the pushdown-fallback tap path
-    "sample_kcenter_scalable")
+    // passes) and the persisted-index incremental semantic probe
+    "sample_kcenter_scalable", "dedup_semantic_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -327,6 +327,56 @@ object PipelineQueries {
     // projection on arrival; watermark-sealed cluster state emits the
     // SAME verified pairs as the batch form (bit-equality spec'd), so
     // the same pair-value oracle checks both.
+    // Incremental semantic dedup (VERDICT r6 item 5): centers fit + the
+    // bucket-partitioned member table PERSIST on the even-id corpus; the
+    // odd-id batch probes the RELOADED index — assignment is a stateless
+    // trained-centers projection, candidates join only the probed
+    // buckets' partitions, the corpus is never rescanned or refit. Same
+    // pair-value oracle contract as dedup_semantic.
+    "dedup_semantic_incremental" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
+        nClusters = Similarity.semanticClusterCount(corpus.count()))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sem_idx").toString
+      Similarity.saveSemanticIndex(idx, s"$tmp/idx")
+      val loaded = Similarity.loadSemanticIndex(spark, s"$tmp/idx")
+      Similarity.probeSemanticIndex(loaded, batch, "vec_id", "embedding",
+        threshold = 0.4)
+    }),
+
+    // The same probe with the batch arriving as a FILE STREAM: the index
+    // is static, assignment is stateless, and the bucket join is
+    // stream-static — microbatch boundaries cannot change the output
+    // (the dedup_incremental_stream argument), so the batch entry's
+    // oracle applies verbatim.
+    "dedup_semantic_incremental_stream" -> ((spark, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val emb = Tables.read(spark, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
+        nClusters = Similarity.semanticClusterCount(corpus.count()))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sem_idx_s").toString
+      Similarity.saveSemanticIndex(idx, s"$tmp/idx")
+      val loaded = Similarity.loadSemanticIndex(spark, s"$tmp/idx")
+      loaded.members.cache()
+      val arriving = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+        .select("vec_id", "embedding")
+      val src = s"$tmp/arrivals"
+      arriving.repartition(4).write.parquet(src)
+      val stream = spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val pairs = Similarity.probeSemanticIndex(loaded, stream,
+        "vec_id", "embedding", threshold = 0.4)
+      graft.streaming.EventStream.runToMemory(
+        pairs, "dedup_semantic_incremental_stream_out", OutputMode.Append())
+      loaded.members.unpersist()
+      spark.table("dedup_semantic_incremental_stream_out")
+    }),
+
     "dedup_semantic_stream" -> ((spark, dir) => {
       import spark.implicits._
       import org.apache.spark.sql.streaming.OutputMode
@@ -2441,6 +2491,10 @@ object PipelineQueries {
     // the row-count match.
     "dedup_embedding" -> cosPairOracle("dedup_embedding", 0.4),
     "dedup_semantic" -> cosPairOracle("dedup_semantic", 0.4),
+    "dedup_semantic_incremental" ->
+      cosPairOracle("dedup_semantic_incremental", 0.4),
+    "dedup_semantic_incremental_stream" ->
+      cosPairOracle("dedup_semantic_incremental_stream", 0.4),
     "dedup_semantic_pq" -> cosPairOracle("dedup_semantic_pq", 0.4),
     "dedup_semantic_stream" -> cosPairOracle("dedup_semantic_stream", 0.4),
     "sim_topk_brute" ->

@@ -357,6 +357,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  // VERDICT r6 item 5: an incremental probe against the RELOADED index
+  // must (a) equal the probe against the freshly built one, and (b) find
+  // EXACTLY the cross pairs >= threshold whose two sides land in the
+  // same trained bucket — completeness within the pruned candidate set,
+  // derived here independently via the HOF centroid assignment.
+  test("semantic index: save/load probe identity + within-bucket completeness") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
+      nClusters = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semidx").toString
+    Similarity.saveSemanticIndex(idx, s"$tmp/i")
+    val loaded = Similarity.loadSemanticIndex(spark, s"$tmp/i")
+    def collectPairs(i: Similarity.SemanticIndex) =
+      Similarity.probeSemanticIndex(i, batch, "vec_id", "embedding", 0.3)
+        .as[(Long, Long, Double)].collect().toSet
+    val built = collectPairs(idx)
+    val reloaded = collectPairs(loaded)
+    assert(built === reloaded)
+    assert(built.nonEmpty, "fixture should produce at least one pair at 0.3")
+
+    // independent completeness: brute cross-cosine + HOF bucket agreement
+    val ca = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      graft.functions.IvfIndex.nearestCentroidHof(col("embedding"), idx.centers).as("ba"))
+    val cb = batch.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      graft.functions.IvfIndex.nearestCentroidHof(col("embedding"), idx.centers).as("bb"))
+    val expect = ca.join(cb, col("ba") === col("bb"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(built === expect)
+  }
+
   // VERDICT r6 item 2: at sampleCap >= corpus the sampled variant's local
   // greedy sees every vector, so its selection (rank, id) AND selection
   // radii must equal kCenterGreedy's exactly — the bit-equality contract
