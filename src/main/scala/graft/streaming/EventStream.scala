@@ -952,12 +952,40 @@ object EventStream {
       .groupBy(window(col("rts"), "1 day")).agg(count(lit(1)).as("wau"))
       .select(col("window.start").cast("date").as("day"), col("wau"))
 
+  /** Durable checkpoint root (VERDICT r6 item 6): when configured — env
+    * `GRAFT_CHECKPOINT_ROOT`, or passed explicitly — every query started
+    * through these helpers checkpoints under `<root>/<name>`, so offsets,
+    * watermark, and operator state survive a stop/kill and restarting the
+    * SAME plan under the same name resumes exactly where the killed run
+    * left off (the streaming analog of the batch STATE kill-resume e2e;
+    * StreamingSpec pins it). Unset, Spark falls back to a per-query temp
+    * checkpoint — the throwaway-test default.
+    */
+  def checkpointRootDefault: Option[String] = sys.env.get("GRAFT_CHECKPOINT_ROOT")
+
   /** Run a streaming DataFrame to completion against the (static) fixture
     * files via the memory sink; returns the result table name.
     */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode,
+                  checkpointRoot: Option[String] = None): Unit = {
+    val w = df.writeStream.outputMode(mode).format("memory").queryName(name)
+    checkpointRoot.orElse(checkpointRootDefault)
+      .foreach(r => w.option("checkpointLocation", s"$r/$name"))
+    val q = w.start()
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Start a DURABLE file-sink run: parquet append + named checkpoint —
+    * the production emission path (exactly-once across kill/resume: the
+    * file sink's transaction log and the checkpoint's offsets/state
+    * commit together). Caller drives and stops the returned query.
+    */
+  def startToParquet(df: DataFrame, name: String, outPath: String,
+                     checkpointRoot: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.outputMode(OutputMode.Append()).format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", s"$checkpointRoot/$name")
+      .start()
 }
