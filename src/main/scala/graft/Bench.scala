@@ -91,10 +91,10 @@ object Bench {
     // one trivial action to absorb session/codegen cold start
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    def once(name: String): Double = {
+    def once(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
@@ -104,22 +104,91 @@ object Bench {
     // two runs, report the faster: the first pays parquet footer reads and
     // whole-stage codegen compilation; the second is the steady state a
     // long-running cluster job actually sees
-    val results = Headline.map { name =>
-      val secs = math.min(once(name), once(name))
-      System.err.println(f"[bench] $name%-22s $secs%.2fs")
-      name -> secs
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    def suite(dir: String, tag: String): Seq[(String, Double)] =
+      Headline.map { name =>
+        val secs = math.min(once(name, dir), once(name, dir))
+        System.err.println(f"[bench]$tag $name%-22s $secs%.2fs")
+        name -> secs
+      }
+    def qJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+
+    val results = suite(sfDir, "")
     val total = results.map(_._2).sum
+
+    // 10× sweep in the SAME json (VERDICT r6 item 7): round-over-round
+    // scale regressions become machine-diffable instead of living in
+    // SCALING.md prose. The 10× dir derives from the bench dir (ScaleUp
+    // regenerates it when absent); headline `value` stays the base-sf
+    // total so the series remains comparable across rounds.
+    //
+    // The 10× suite runs in a CHILD JVM: after ~150 query executions in
+    // local mode the shared driver+executor heap carries enough residue
+    // (codegen caches, localCheckpoint blocks pending ContextCleaner GC)
+    // that a same-JVM second suite measures GC pressure, not plans —
+    // observed 358 s in-JVM vs 187 s fresh for the identical sweep. The
+    // child inherits this JVM's flags (-Xmx, --add-opens) and classpath.
+    val tenxDir = sys.env.get("SPARK_GRAFT_SF10_DIR").orElse {
+      if (new java.io.File(sfDir).getName == "sf0.1") Some("/tmp/sf1")
+      else None
+    }.filter(_ => !sys.env.contains("SPARK_GRAFT_SKIP_10X"))
+    val tenxJson = tenxDir.flatMap { dir =>
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        System.err.println(s"[bench] generating 10x fixture at $dir")
+        graft.tools.ScaleUp.scale(spark, sfDir, dir, 10)
+      }
+      runChildSuite(dir).map { case (childTotal, childQueries) =>
+        f""","value_10x":$childTotal%.3f,"queries_10x":$childQueries,"sf_10x":"$dir""""
+      }
+    }.getOrElse("")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qJson(results)},"sf":"$sfDir"$tenxJson}"""
     // sidecar copy for wrappers whose log-tail parsing misses the stdout
     // line (sbt decoration, truncation) — always the full JSON, nothing else
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_result.json"), (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_RESULT_FILE", "bench_result.json")),
+      (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(json)
     spark.stop()
   }
+
+  /** Run the headline suite against `dir` in a fresh child JVM (same
+    * flags/classpath, 10× re-entry disabled) and return (total,
+    * queries-json) parsed from its sidecar file. None on any failure —
+    * the base-sf headline still reports.
+    */
+  private def runChildSuite(dir: String): Option[(Double, String)] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cp = System.getProperty("java.class.path")
+      val resultFile = java.nio.file.Files
+        .createTempFile("graft_bench_10x", ".json").toString
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
+      pb.environment().put("SPARK_GRAFT_SKIP_10X", "1")
+      pb.environment().put("SPARK_GRAFT_RESULT_FILE", resultFile)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      val code = pb.start().waitFor()
+      if (code != 0) { System.err.println(s"[bench] 10x child exit $code"); None }
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(resultFile)))
+        Some((node.get("value").asDouble(),
+          node.get("queries").toString))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] 10x child failed: ${e.getMessage}")
+      None
+    }
 }

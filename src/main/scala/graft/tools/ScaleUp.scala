@@ -39,6 +39,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, dst, copies)
+    spark.stop()
+  }
+
+  /** Callable form (Bench regenerates a missing 10× dir through this). */
+  def scale(spark: SparkSession, src: String, dst: String,
+            copies: Int): Unit = {
 
     def replicate(name: String, keyCols: Seq[String],
                   perReplica: (DataFrame, Int) => DataFrame = (d, _) => d,
@@ -82,6 +89,5 @@ object ScaleUp {
     replicate("events", Seq("event_id", "user_id"))
     replicate("documents", Seq("doc_id"), perReplica = permuteText)
     replicate("embeddings", Seq("vec_id"))
-    spark.stop()
   }
 }
