@@ -323,4 +323,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined,
       s"expected codegen spans (*(n) markers):\n$plan")
   }
+
+  test("kCenterSampled assign pass: partial agg, no cartesian, no global sort") {
+    // The distributed half is ONE projection (k distance structs →
+    // array_min) into a k-row aggregate: counts/cover must map-side
+    // partial-aggregate, and nothing may plan a cartesian or a
+    // corpus-wide sort (the sample cut already ran at build, as
+    // TakeOrderedAndProject — audited via the operator's own subplan).
+    val plan = finalSection(finalPlan("sample_kcenter_scalable"))
+    assert(!plan.contains("CartesianProduct"),
+      s"assign pass must not be cartesian:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_max"),
+      s"per-center stats must partial-aggregate before the exchange:\n$plan")
+    val emb = graft.Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    import org.apache.spark.sql.functions._
+    val cutPlan = emb.select(col("vec_id"))
+      .orderBy(substring(md5(col("vec_id").cast("string")), 1, 8), col("vec_id"))
+      .limit(64).queryExecution.executedPlan.toString
+    assert(cutPlan.contains("TakeOrderedAndProject"),
+      s"the hash-sample cut must plan as top-k, not a global sort:\n$cutPlan")
+  }
+
+  test("semantic-index probe: bucket hash join over the saved members, no cartesian") {
+    // The probe must be assignment-projection → ONE equi-join on the
+    // bucket key against the reloaded (bucket-partitioned) members
+    // scan — never a pairwise cartesian against the corpus.
+    val plan = finalSection(finalPlan("dedup_semantic_incremental"))
+    assert(!plan.contains("CartesianProduct"),
+      s"probe must not be cartesian:\n$plan")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).nonEmpty, s"probe must equi-join on bucket:\n$plan")
+    assert(plan.contains("bucket"),
+      s"join key must be the cluster bucket:\n$plan")
+  }
 }
