@@ -698,7 +698,12 @@ object Similarity {
     index.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toSeq.toDF("center_id", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
-    index.members.write.mode("overwrite")
+    // repartition ON the partition column first: without it every task
+    // writes a sliver of every bucket — nClusters × shuffle-partitions
+    // small files (the classic partitionBy small-file explosion; at
+    // nClusters ∝ corpus/256 that's the difference between k files and
+    // k·200 at production scale). One exchange, one file per bucket.
+    index.members.repartition(col("bucket")).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$path/members")
   }
 
