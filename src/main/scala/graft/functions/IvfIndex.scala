@@ -121,7 +121,12 @@ object IvfIndex {
       // nLists rows — the coalesce(1) writes one tiny footer, not a
       // parallelism concern
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    index.assigned.write.mode("overwrite")
+    // repartition ON the partition key first: otherwise every task
+    // writes a sliver of every list — nLists × shuffle-partitions small
+    // files (see Similarity.saveSemanticIndex). One exchange, one file
+    // per list.
+    index.assigned.repartition(org.apache.spark.sql.functions.col("list_id"))
+      .write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/lists")
     // per-list residual metadata rides beside the centroids (nLists rows)
     index.listStats.foreach(

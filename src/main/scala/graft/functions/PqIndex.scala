@@ -298,7 +298,10 @@ object PqIndex {
     } yield (i, j, c.toSeq)
     rows.toDF("subspace", "code", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    index.codes.write.mode("overwrite")
+    // one file per list, not nLists × shuffle-partitions slivers
+    // (see Similarity.saveSemanticIndex)
+    index.codes.repartition(org.apache.spark.sql.functions.col("list_id"))
+      .write.mode("overwrite")
       .partitionBy("list_id").parquet(s"$path/codes")
   }
 
