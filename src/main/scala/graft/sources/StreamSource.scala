@@ -127,13 +127,22 @@ object StreamSource {
         jdbcAutoPartitioned(spark, tap, stream, state,
           flattenDepth = flattenDepth)
       case "auto" =>
+        // the empty-SQL contract error (reference client.py:255-258) must
+        // NOT fall back — an empty query shipped to the remote is a worse
+        // diagnostic than the local require
+        require(stream.sql.trim.nonEmpty,
+          s"stream '${stream.name}': sql must not be empty")
         // spark.sql parses AND analyzes eagerly inside native(), so every
-        // untranslatable construct surfaces here, before any execution
+        // untranslatable construct surfaces here, before any execution.
         // ParseException extends AnalysisException, so one catch covers
-        // both "Spark can't parse it" and "Spark can't resolve it"
+        // "Spark can't parse it" and "Spark can't resolve it"; an
+        // IllegalArgumentException is SqlDialect.rewrite itself refusing
+        // a construct with no Spark translation (e.g. a negative PG JSON
+        // path index) — equally a pushdown case.
         try native(spark, stream, state, flattenDepth)
         catch {
-          case _: org.apache.spark.sql.AnalysisException =>
+          case _: org.apache.spark.sql.AnalysisException |
+               _: IllegalArgumentException =>
             jdbcAutoPartitioned(spark, tap, stream, state,
               flattenDepth = flattenDepth)
         }

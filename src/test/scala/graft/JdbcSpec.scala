@@ -131,4 +131,31 @@ class JdbcSpec extends AnyFunSuite {
       === single.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq)
     assert(partitioned.count() === 1000)
   }
+
+  // auto mode must also fall back when SqlDialect.rewrite ITSELF refuses a
+  // construct (negative PG JSON path index — no get_json_object form), not
+  // only when Spark's parser does; observable here as the failure moving
+  // from the local rewrite error to the remote connection error. The
+  // empty-SQL contract error stays local (reference client.py:255-258).
+  test("auto mode: dialect-rewrite refusal routes to pushdown; empty SQL does not") {
+    Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val tap3 = ConfigParser.parseTap(
+      """{"jdbc_url":"jdbc:derby:memory:graftnosuchdb","jdbc_driver":"org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        |"streams":[{"name":"t","sql":"SELECT props #> '{a,-1}' AS x FROM t","execution":"auto",
+        | "key_properties":["x"],"columns":[{"name":"x","type":"text"}]}]}""".stripMargin)
+    val e = intercept[Throwable](
+      StreamSource.execute(SparkTestSession.spark, tap3, tap3.streams.head))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(!chain(e).exists(_.contains("get_json_object")),
+      s"rewrite refusal must not surface — pushdown should be attempted: $e")
+    assert(chain(e).exists(m => m.contains("not found") || m.contains("nosuchdb")),
+      s"failure should come from the remote connection attempt: ${chain(e)}")
+
+    val empty = tap3.copy(streams = tap3.streams.map(_.copy(sql = "  ")))
+    val e2 = intercept[IllegalArgumentException](
+      StreamSource.execute(SparkTestSession.spark, empty, empty.streams.head))
+    assert(e2.getMessage.contains("sql must not be empty"))
+  }
 }
