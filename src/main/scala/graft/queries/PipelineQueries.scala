@@ -1208,7 +1208,14 @@ object PipelineQueries {
           when(col("doc_id") % 7 === 0, lit(boiler + " ")).otherwise(lit("")),
           col("text"),
           when(col("doc_id") % 11 === 0, lit(" " + boiler)).otherwise(lit(""))))
+      // the span-removal stage feeds THREE downstream consumers (lexicon
+      // train, scoring, admission join) — persist it once instead of
+      // recomputing the corpus-wide ExactSubstr pass per consumer; the
+      // cleaned table is corpus-sized text (MEMORY_AND_DISK spills, never
+      // OOMs), the standard stage-boundary materialization of a composed
+      // pipeline
       val cleaned = Dedup.removeDuplicateSpans(aug, "text", "doc_id", minLen = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lex = TextAnalysis.buildLexicon(
         cleaned.where(col("doc_id") % 97 === 0), "text_clean",
         col("doc_id") % 2 === 0)
