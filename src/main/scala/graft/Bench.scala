@@ -72,8 +72,10 @@ object Bench {
     "dedup_substr_incremental", "sample_split_component",
     "text_dup_fraction", "pipeline_pretrain",
     // round-7: two-pass sampled k-center (flat in k, vs the greedy's k
-    // passes) and the persisted-index incremental semantic probe
-    "sample_kcenter_scalable", "dedup_semantic_incremental")
+    // passes), the persisted-index incremental semantic probe, and the
+    // append-without-rebuild substr ingest loop
+    "sample_kcenter_scalable", "dedup_semantic_incremental",
+    "dedup_substr_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

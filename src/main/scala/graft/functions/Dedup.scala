@@ -767,6 +767,18 @@ object Dedup {
     * persisted index probes without shuffling itself. The batch side is
     * the small side by construction (a day's intake vs the corpus).
     */
+  /** Append an accepted batch's windows to a persisted substr index
+    * without rebuild: the batch's DISTINCT `(h, wtxt)` windows write as
+    * new files beside the existing ones. Cross-file duplicates against
+    * the old index are harmless — every probe consumes the index through
+    * semi-joins ([[probeSubstrIndex]]), which are set-semantics; a slow
+    * re-compaction cadence (rebuild) reclaims the duplicate storage.
+    */
+  def appendSubstrIndex(batch: DataFrame, textCol: String, idCol: String,
+                        minLen: Int, path: String): Unit =
+    buildSubstrIndex(batch, textCol, idCol, minLen)
+      .write.mode("append").parquet(path)
+
   def probeSubstrIndex(batch: DataFrame, index: DataFrame,
                        textCol: String, idCol: String,
                        minLen: Int): DataFrame = {

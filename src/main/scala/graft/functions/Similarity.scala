@@ -707,13 +707,37 @@ object Similarity {
       .partitionBy("bucket").parquet(s"$path/members")
   }
 
-  def loadSemanticIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String): SemanticIndex = {
-    val centers = spark.read.parquet(s"$path/centers")
+  /** Append an ACCEPTED batch to a persisted index without rebuild — the
+    * ingest-loop write half (probe → admit → append): arrivals are
+    * assigned with the TRAINED centers (no refit) and written as new
+    * files into exactly the bucket partitions they belong to; the
+    * existing corpus files are untouched and later probes see the union.
+    * The build-time bottom-k bucket cap is a BUILD bound — appended
+    * members grow buckets, so a long-running deployment re-compacts
+    * (rebuild) on a slow cadence while appends stay cheap per batch.
+    */
+  def appendSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, batch: DataFrame,
+                          idCol: String, vecCol: String): Unit = {
+    val centers = loadCenters(spark, path)
+    batch.select(
+        IvfIndex.nearestCentroid(col(vecCol), centers).cast("long").as("bucket"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"), norm(col(vecCol)).as("n"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/members")
+  }
+
+  private def loadCenters(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centers")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2)
-    SemanticIndex(centers, spark.read.parquet(s"$path/members"))
-  }
+
+  def loadSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): SemanticIndex =
+    SemanticIndex(loadCenters(spark, path),
+      spark.read.parquet(s"$path/members"))
 
   /** Probe: assign each batch vector to its nearest TRAINED center (a
     * stateless codegen'd projection — also the streaming form), join the

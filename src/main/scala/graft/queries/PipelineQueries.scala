@@ -347,6 +347,28 @@ object PipelineQueries {
         threshold = 0.4)
     }),
 
+    // The ingest LOOP: build on a third of the corpus, probe batch1 and
+    // APPEND it (assigned with the trained centers, new files into the
+    // touched bucket partitions only — no rebuild, no rescan), then
+    // probe batch2 against the UNION. Emitted pairs are batch2 vs
+    // corpus∪batch1 — the oracle recomputes every pair's cosine.
+    "dedup_semantic_ingest" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+      val batch1 = emb.where(pmod(col("vec_id"), lit(3)) === 1)
+      val batch2 = emb.where(pmod(col("vec_id"), lit(3)) === 2)
+      val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
+        nClusters = Similarity.semanticClusterCount(corpus.count()))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sem_ing").toString
+      Similarity.saveSemanticIndex(idx, s"$tmp/idx")
+      Similarity.appendSemanticIndex(spark, s"$tmp/idx", batch1,
+        "vec_id", "embedding")
+      val loaded = Similarity.loadSemanticIndex(spark, s"$tmp/idx")
+      Similarity.probeSemanticIndex(loaded, batch2, "vec_id", "embedding",
+        threshold = 0.4)
+    }),
+
     // The same probe with the batch arriving as a FILE STREAM: the index
     // is static, assignment is stateless, and the bucket join is
     // stream-static — microbatch boundaries cannot change the output
@@ -1334,6 +1356,36 @@ object PipelineQueries {
     // present in the index are located without rescanning the corpus.
     // Same plant as text_decontaminate_spans gives deterministic
     // cross-slice spans at arbitrary offsets.
+    // The substr ingest LOOP: build the window index on a third of the
+    // corpus, APPEND a second third's windows (distinct-merge as new
+    // files — probes are semi-joins, so cross-file duplicates are
+    // harmless), probe the final third against the union. Plants put
+    // the same sentence into corpus docs (prefix) and appended docs
+    // (suffix), so the probe must match BOTH index generations.
+    "dedup_substr_ingest" -> ((spark, dir) => {
+      val plant =
+        "by the riverbank the quiet fox waited for the morning light to come"
+      val docs = Tables.read(spark, dir, "documents")
+        .withColumn("text", concat(
+          when(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0,
+            lit(plant + " ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0,
+            lit(" " + plant))
+            .when(col("doc_id") % 3 === 2 && col("doc_id") % 13 === 0,
+              lit(" " + plant))
+            .otherwise(lit(""))))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_substr_ing").toString
+      Dedup.buildSubstrIndex(docs.where(col("doc_id") % 3 === 0),
+          "text", "doc_id", minLen = 8)
+        .write.mode("overwrite").parquet(s"$tmp/idx")
+      Dedup.appendSubstrIndex(docs.where(col("doc_id") % 3 === 1),
+        "text", "doc_id", minLen = 8, s"$tmp/idx")
+      Dedup.probeSubstrIndex(docs.where(col("doc_id") % 3 === 2),
+        spark.read.parquet(s"$tmp/idx"), "text", "doc_id", minLen = 8)
+    }),
+
     "dedup_substr_incremental" -> ((spark, dir) => {
       val plant =
         "by the riverbank the quiet fox waited for the morning light to come"
@@ -2502,6 +2554,7 @@ object PipelineQueries {
       cosPairOracle("dedup_semantic_incremental", 0.4),
     "dedup_semantic_incremental_stream" ->
       cosPairOracle("dedup_semantic_incremental_stream", 0.4),
+    "dedup_semantic_ingest" -> cosPairOracle("dedup_semantic_ingest", 0.4),
     "dedup_semantic_pq" -> cosPairOracle("dedup_semantic_pq", 0.4),
     "dedup_semantic_stream" -> cosPairOracle("dedup_semantic_stream", 0.4),
     "sim_topk_brute" ->
@@ -3388,6 +3441,43 @@ object PipelineQueries {
     // incremental replay: batch windows IN the indexed slice's window
     // set, islands merged per batch doc
     "dedup_substr_incremental" -> substrIncrementalOracle,
+    // three-way ingest replay: index windows come from thirds 0 (build)
+    // and 1 (append), probes from third 2, plants as in the entry
+    "dedup_substr_ingest" ->
+      """WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+        |      THEN 'by the riverbank the quiet fox waited for the morning light to come '
+        |      ELSE '' END || text ||
+        |    CASE WHEN doc_id % 3 = 1 AND doc_id % 5 = 0
+        |      THEN ' by the riverbank the quiet fox waited for the morning light to come'
+        |      WHEN doc_id % 3 = 2 AND doc_id % 13 = 0
+        |      THEN ' by the riverbank the quiet fox waited for the morning light to come'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM aug),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+        |cpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
+        |  FROM n WHERE doc_id % 3 = 2),
+        |cw AS (SELECT doc_id, p, array_to_string(toks[p:p+7], ' ') AS wtxt
+        |  FROM cpos),
+        |bpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
+        |  FROM n WHERE doc_id % 3 <> 2),
+        |bw AS (SELECT DISTINCT array_to_string(toks[p:p+7], ' ') AS wtxt
+        |  FROM bpos),
+        |f AS (SELECT doc_id, p FROM cw WHERE wtxt IN (SELECT wtxt FROM bw)),
+        |g AS (SELECT doc_id, p,
+        |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev FROM f),
+        |isl AS (SELECT doc_id, p,
+        |    sum(CASE WHEN prev IS NULL OR p - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p) AS island FROM g),
+        |sp AS (SELECT doc_id, min(p) AS s, max(p) - min(p) + 8 AS ln
+        |  FROM isl GROUP BY doc_id, island)
+        |SELECT sp.doc_id, CAST(s AS INT) AS span_start,
+        |  CAST(ln AS INT) AS span_len,
+        |  array_to_string(n.toks[s:s+ln-1], ' ') AS span_text
+        |FROM sp JOIN n USING (doc_id)""".stripMargin,
     // the streaming probe flags the identical window set on arrival
     "dedup_substr_incremental_stream" -> substrIncrementalOracle,
 

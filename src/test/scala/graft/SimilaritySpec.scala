@@ -392,6 +392,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(built === expect)
   }
 
+  // Append path: probing after an append must equal the within-bucket
+  // complete pair set over corpus ∪ appended — with the ORIGINAL trained
+  // centers (append never refits), derived independently via the HOF
+  // assignment as in the incremental test.
+  test("semantic index append: probe sees the union, centers never refit") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val corpus = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+    val batch1 = emb.where(pmod(col("vec_id"), lit(3)) === 1)
+    val batch2 = emb.where(pmod(col("vec_id"), lit(3)) === 2)
+    val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
+      nClusters = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semapp").toString
+    Similarity.saveSemanticIndex(idx, s"$tmp/i")
+    Similarity.appendSemanticIndex(spark, s"$tmp/i", batch1,
+      "vec_id", "embedding")
+    val loaded = Similarity.loadSemanticIndex(spark, s"$tmp/i")
+    assert(loaded.centers.map(_.toSeq).toSeq === idx.centers.map(_.toSeq).toSeq)
+    val got = Similarity.probeSemanticIndex(loaded, batch2,
+        "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val union = corpus.unionByName(batch1)
+    val ca = union.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      graft.functions.IvfIndex.nearestCentroidHof(col("embedding"), idx.centers).as("ba"))
+    val cb = batch2.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      graft.functions.IvfIndex.nearestCentroidHof(col("embedding"), idx.centers).as("bb"))
+    val expect = ca.join(cb, col("ba") === col("bb"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expect)
+    // pairs against BOTH generations of the index are present
+    assert(got.exists(_._1 % 3 == 0) && got.exists(_._1 % 3 == 1),
+      s"expected matches against corpus AND appended batch: $got")
+  }
+
   // VERDICT r6 item 2: at sampleCap >= corpus the sampled variant's local
   // greedy sees every vector, so its selection (rank, id) AND selection
   // radii must equal kCenterGreedy's exactly — the bit-equality contract
