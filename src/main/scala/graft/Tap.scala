@@ -27,6 +27,7 @@ object Tap {
               statePath: Option[String] = None,
               out: PrintStream = System.out): (Seq[StreamResult], TapState) = {
     var state = statePath.map(Bookmarks.load).getOrElse(Bookmarks.empty)
+    val syncStartMs = System.currentTimeMillis()
     // FLATTENING expands struct results to parent__child columns before
     // conformance (config keys flattening_enabled / flattening_max_depth,
     // reference tap.py:257)
@@ -91,6 +92,12 @@ object Tap {
                 case _ => SingerSink.emitState(state, out) // heartbeat
               })
             bookmark.foreach(v => state = state.advanced(s.streamId, v))
+            // FULL_TABLE resync handshake: stamp this sync's version
+            // after its last RECORD so a version-aware target can
+            // hard-delete stale rows (the singer_sdk ACTIVATE_VERSION
+            // behavior); incremental streams never emit it
+            if (s.replicationKey.isEmpty)
+              SingerSink.emitActivateVersion(emitStream, syncStartMs, out)
             StreamResult(s, n, Nil)
         }
       }

@@ -114,6 +114,20 @@ object SingerSink {
     * `BatchMessage`; the reference yields one `(encoding, [file_url])`
     * chunk at a time, client.py:234,245).
     */
+  /** `ACTIVATE_VERSION` — the singer_sdk FULL_TABLE resync handshake: a
+    * version stamp emitted after the sync's last RECORD tells a
+    * version-aware target that rows not carrying this version are stale
+    * and may be hard-deleted (soft "truncate then reload" without a
+    * window where the table is empty). Incremental streams never emit
+    * it — their bookmark IS the freshness contract.
+    */
+  def emitActivateVersion(stream: StreamConfig, version: Long,
+                          out: PrintStream = System.out): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    out.println(
+      s"""{"type":"ACTIVATE_VERSION","stream":${q(stream.name)},"version":$version}""")
+  }
+
   def emitBatch(stream: StreamConfig, manifest: BatchManifest,
                 out: PrintStream = System.out): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -35,6 +35,15 @@ class TapSpec extends AnyFunSuite {
     assert(lines1.count(_.contains(""""type":"SCHEMA"""")) === 2)
     assert(lines1.count(_.contains(""""type":"RECORD"""")) === 4)
     assert(lines1.last.contains(""""type":"STATE""""))
+    // ACTIVATE_VERSION: only the FULL_TABLE stream (s2) emits it, after
+    // its last RECORD — the singer_sdk resync handshake
+    val av = lines1.filter(_.contains(""""type":"ACTIVATE_VERSION""""))
+    assert(av.length === 1 && av.head.contains(""""stream":"s2""""), av.toSeq)
+    assert("""("version":)(\d+)""".r.findFirstIn(av.head).isDefined)
+    val avIdx = lines1.indexWhere(_.contains(""""type":"ACTIVATE_VERSION""""))
+    val lastS2Record = lines1.lastIndexWhere(l =>
+      l.contains(""""type":"RECORD"""") && l.contains(""""stream":"s2""""))
+    assert(avIdx > lastS2Record)
 
     // second run resumes from the bookmark: v > 9 → no new records for s1
     val buf2 = new ByteArrayOutputStream()
