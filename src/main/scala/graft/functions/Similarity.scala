@@ -525,38 +525,46 @@ object Similarity {
     val seed = sample.minBy(_._1)
     val sel = scala.collection.mutable.ArrayBuffer((1, seed._1, 0.0, seed._2, seed._3))
     val selIds = scala.collection.mutable.Set(seed._1)
+    // incremental farthest-point: carry each point's min distance to the
+    // selected set and refresh it against only the NEWEST center per
+    // round — O(sample·k) dot products instead of O(sample·k²) (min is
+    // associative, so the running minimum is bit-identical to the full
+    // rescan; at k=200/cap=800 this is the difference between instant
+    // and ~30 s of driver time)
+    val mind = Array.fill(sample.length)(Double.PositiveInfinity)
     var r = 2
     while (r <= k && sel.length < sample.length) {
+      val (_, _, _, newVec, newN) = sel.last
       var bestD = Double.NegativeInfinity
       var bestId = Long.MinValue
       var bestVec: Array[Float] = null
       var bestN = 0.0
-      sample.foreach { case (id, v, n1) =>
+      var i = 0
+      while (i < sample.length) {
+        val (id, v, n1) = sample(i)
         if (!selIds(id)) {
-          var mind = Double.PositiveInfinity
-          sel.foreach { case (_, _, _, cv, cn) =>
-            val d = ldist(v, n1, cv, cn)
-            if (d < mind) mind = d
-          }
+          val d = ldist(v, n1, newVec, newN)
+          if (d < mind(i)) mind(i) = d
           // max (d, -id): larger distance wins, ties to the smaller id
-          if (mind > bestD || (mind == bestD && -id > -bestId)) {
-            bestD = mind; bestId = id; bestVec = v; bestN = n1
+          if (mind(i) > bestD || (mind(i) == bestD && -id > -bestId)) {
+            bestD = mind(i); bestId = id; bestVec = v; bestN = n1
           }
         }
+        i += 1
       }
       sel += ((r, bestId, bestD, bestVec, bestN))
       selIds += bestId
       r += 1
     }
 
-    // one distributed assign/max pass: nearest center per corpus row
-    val distStructs = sel.map { case (rank, _, _, cv, cn) =>
-      val denom = col("nrm") * lit(cn)
-      val d = when(denom === 0.0, lit(1.0))
-        .otherwise(lit(1.0) - dot(col("v"), typedLit(cv.toSeq)) / denom)
-      struct(d.as("d"), lit(rank).as("rnk"))
-    }
-    val best = array_min(array(distStructs.toSeq: _*))
+    // one distributed assign/max pass: nearest center per corpus row.
+    // Fused native kernel (ONE loop over the center matrix) instead of k
+    // literal struct(dist, rank) expressions + array_min — bit-identical
+    // (KCenterSpec pins it against the struct form) but codegen-stable
+    // at any k; the struct form exceeds method-size limits past a few
+    // hundred centers.
+    val best = graft.plans.PqExpressions.nearestCenterCos(col("v"),
+      sel.map(_._4).toArray, sel.map(_._5).toArray, sel.map(_._1).toArray)
     val assigned = base
       .select(best.getField("d").as("d"), best.getField("rnk").as("rank"))
       .groupBy("rank")

@@ -37,6 +37,15 @@ object PqExpressions {
       NearestCentroidF(org.apache.spark.sql.GraftBridge.expression(v),
         centers))
 
+  /** Nearest-by-cosine center with distance and rank label — the fused
+    * k-center assignment kernel (see [[NearestCenterCosF]]).
+    */
+  def nearestCenterCos(v: Column, centers: Array[Array[Float]],
+                       cnorms: Array[Double], ranks: Array[Int]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      NearestCenterCosF(org.apache.spark.sql.GraftBridge.expression(v),
+        centers, cnorms, ranks))
+
   /** `Σ_i qtab(i)(codes(i))` — the ADC lookup sum, folded left-to-right
     * from 0.0.
     */
@@ -228,6 +237,145 @@ case class NearestCentroidF(child: Expression, centers: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidF =
     copy(child = newChild)
   override def prettyName: String = "graft_nearest_centroid"
+}
+
+/** Nearest center by COSINE distance with the distance value and the
+  * center's rank label — the k-center assignment kernel
+  * ([[graft.functions.Similarity.kCenterSampled]]). The struct-array
+  * formulation (`array_min` over k literal `struct(dist, rank)`
+  * expressions) is bit-identical (KCenter assignment spec) but builds k
+  * separate dot-product expressions: beyond a few hundred centers that
+  * exceeds codegen method-size limits and falls back to interpretation.
+  * This is ONE fused loop over a literal center matrix — O(k·dim) per
+  * row inside whole-stage codegen at any k.
+  *
+  * Exact semantics of the struct form: `nrm = sqrt(Σ v_i²)` (the same
+  * left-to-right fold as `norm()`), per center (ascending rank)
+  * `d = denom == 0 ? 1.0 : 1 − (Σ v_i·c_i)/denom` with
+  * `denom = nrm·cnorm`, strict `<` argmin (ties keep the earlier rank).
+  * Returns `struct(d: double, rnk: int)`.
+  */
+case class NearestCenterCosF(child: Expression,
+                             centers: Array[Array[Float]],
+                             cnorms: Array[Double],
+                             ranks: Array[Int])
+    extends UnaryExpression {
+
+  require(centers.length == cnorms.length && centers.length == ranks.length
+    && centers.nonEmpty, "centers/cnorms/ranks must align and be non-empty")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("rnk", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_nearest_center_cos requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+    }
+
+  @transient private lazy val n = centers.length
+
+  private def read(arr: ArrayData, i: Int): Double = child.dataType match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => arr.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"graft_nearest_center_cos requires array<float|double>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val x = read(arr, i); s += x * x; i += 1 }
+    val nrm = math.sqrt(s)
+    var bestD = Double.PositiveInfinity
+    var bestR = ranks(0)
+    var c = 0
+    while (c < n) {
+      val cent = centers(c)
+      val denom = nrm * cnorms(c)
+      val d =
+        if (denom == 0.0) 1.0
+        else {
+          var dot = 0.0
+          var j = 0
+          val m = math.min(dim, cent.length)
+          while (j < m) { dot += read(arr, j) * cent(j).toDouble; j += 1 }
+          1.0 - dot / denom
+        }
+      if (d < bestD) { bestD = d; bestR = ranks(c) }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestR))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = child.dataType match {
+      case ArrayType(FloatType, _) => (a: String, i: String) => s"(double) $a.getFloat($i)"
+      case ArrayType(DoubleType, _) => (a: String, i: String) => s"$a.getDouble($i)"
+      case other => throw new IllegalArgumentException(
+        s"graft_nearest_center_cos requires array<float|double>, got ${other.sql}")
+    }
+    val cRef = ctx.addReferenceObj("nccCenters", centers, "float[][]")
+    val nRef = ctx.addReferenceObj("nccNorms", cnorms, "double[]")
+    val rRef = ctx.addReferenceObj("nccRanks", ranks, "int[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("nccDim")
+      val s = ctx.freshName("nccS")
+      val i = ctx.freshName("nccI")
+      val x = ctx.freshName("nccX")
+      val nrm = ctx.freshName("nccNrm")
+      val bestD = ctx.freshName("nccBestD")
+      val bestR = ctx.freshName("nccBestR")
+      val c = ctx.freshName("nccC")
+      val cent = ctx.freshName("nccCent")
+      val denom = ctx.freshName("nccDenom")
+      val d = ctx.freshName("nccD")
+      val dot = ctx.freshName("nccDot")
+      val j = ctx.freshName("nccJ")
+      val m = ctx.freshName("nccM")
+      s"""
+         |int $dim = $v.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  double $x = ${getter(v, i)};
+         |  $s += $x * $x;
+         |}
+         |double $nrm = java.lang.Math.sqrt($s);
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |int $bestR = $rRef[0];
+         |for (int $c = 0; $c < $n; $c++) {
+         |  float[] $cent = $cRef[$c];
+         |  double $denom = $nrm * $nRef[$c];
+         |  double $d;
+         |  if ($denom == 0.0) {
+         |    $d = 1.0;
+         |  } else {
+         |    double $dot = 0.0;
+         |    int $m = java.lang.Math.min($dim, $cent.length);
+         |    for (int $j = 0; $j < $m; $j++) {
+         |      $dot += ${getter(v, j)} * (double) $cent[$j];
+         |    }
+         |    $d = 1.0 - $dot / $denom;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $bestR = $rRef[$c]; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{$bestD, $bestR});
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCenterCosF =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_center_cos"
 }
 
 case class AdcSumF(left: Expression, right: Expression)

@@ -452,6 +452,44 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  // The fused assignment kernel must be BIT-identical to the k-literal
+  // struct(dist, rank) + array_min formulation it replaced (both the
+  // distance double and the tie-broken rank), including the zero-norm
+  // guard — checked over every fixture vector with real center vectors.
+  test("NearestCenterCosF equals the struct-array assignment bit-for-bit") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val centers = emb.orderBy("vec_id").limit(5)
+      .select(col("embedding"), Similarity.norm(col("embedding")))
+      .collect().map(r => (r.getSeq[Float](0).toArray, r.getDouble(1)))
+    val ranks = centers.indices.map(_ + 1).toArray
+    // include a zero vector row to exercise the denom == 0 branch
+    val zero = Seq((-1L, Seq.fill(centers.head._1.length)(0f)))
+      .toDF("vec_id", "embedding")
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(zero)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val structForm = array_min(array(centers.zip(ranks).map {
+      case ((cv, cn), r) =>
+        val denom = col("nrm") * lit(cn)
+        val d = when(denom === 0.0, lit(1.0))
+          .otherwise(lit(1.0) -
+            Similarity.dot(col("embedding"), typedLit(cv.toSeq)) / denom)
+        struct(d.as("d"), lit(r).as("rnk"))
+    }.toSeq: _*))
+    val fused = graft.plans.PqExpressions.nearestCenterCos(
+      col("embedding"), centers.map(_._1), centers.map(_._2), ranks)
+    val rows = base.select(
+        structForm.getField("d"), structForm.getField("rnk"),
+        fused.getField("d"), fused.getField("rnk"))
+      .as[(Double, Int, Double, Int)].collect()
+    rows.foreach { case (d1, r1, d2, r2) =>
+      assert(java.lang.Double.doubleToRawLongBits(d1) ===
+        java.lang.Double.doubleToRawLongBits(d2))
+      assert(r1 === r2)
+    }
+  }
+
   test("kCenterGreedy stops gracefully when k exceeds the corpus") {
     val tiny = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
