@@ -320,32 +320,45 @@ object TextAnalysis {
     * novelty = n_rare / n_bigrams is one division of exact counts —
     * bit-portable.
     *
-    * Scale shape: per-doc distinct bigrams explode once; the bigram
-    * doc-frequency table partial-aggregates to at most alphabet² rows
-    * (tiny — it broadcasts back); per-doc counts are one aggregation on
-    * the id. Docs too short for a bigram (or blank) emit zeros.
+    * Scale shape: the per-doc distinct-bigram ARRAY is computed once and
+    * persisted (id + a ≤alphabet²-element array per doc — far smaller
+    * than the text); `n_bigrams` is `size(arr)` (no per-doc shuffle at
+    * all), the doc-frequency table is ONE explode + partial-agg to at
+    * most alphabet² rows, and the rare set — bounded by alphabet², a
+    * few KB — comes back as a broadcast single-row array so `n_rare` is
+    * `size(array_intersect(...))`, another pure projection. Net: one
+    * explode and one aggregation where the naive form pays three
+    * explodes and three shuffles. Docs too short for a bigram (or
+    * blank) emit zeros.
     */
   def bigramNovelty(df: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, rarePct: Int = 5): org.apache.spark.sql.DataFrame = {
     require(rarePct >= 1 && rarePct <= 100, s"rarePct in [1,100], got $rarePct")
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // the length guard must precede bigram extraction: sequence(1, L-1)
+    // in the HOF twin DESCENDS for L < 2 and would fabricate bigrams
+    // from 1-char docs. DistinctCharBigramsF is the fused one-pass form
+    // (bit-equality spec vs the transform+substr+array_distinct twin)
     val base = df.select(col(idCol).as("doc_id"), norm.as("t"))
       .where(length(col("t")) >= 2)
-    val bg = base.select(col("doc_id"), explode(array_distinct(transform(
-      sequence(lit(1), length(col("t")) - 1),
-      i => col("t").substr(i, lit(2))))).as("b"))
+      .select(col("doc_id"),
+        graft.plans.DistinctCharBigramsF.distinctCharBigrams(col("t")).as("arr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = base.select(count(lit(1)).as("__n"))
-    val dfc = bg.groupBy("b").agg(count(lit(1)).as("__df"))
+    val dfc = base.select(explode(col("arr")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("__df"))
     val rare = dfc.crossJoin(total)
       .where(col("__df") <
         ((col("__n") * rarePct + lit(99)) / lit(100)).cast("long"))
-      .select("b")
-    val perDoc = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
-    val rarePerDoc = bg.join(broadcast(rare), "b")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+      .agg(coalesce(collect_list(col("b")),
+        array().cast("array<string>")).as("rare_arr"))
+    val counted = base.crossJoin(broadcast(rare))
+      .select(col("doc_id"),
+        size(col("arr")).cast("long").as("n_bigrams"),
+        size(array_intersect(col("arr"), col("rare_arr")))
+          .cast("long").as("n_rare"))
     df.select(col(idCol).as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .join(rarePerDoc, Seq("doc_id"), "left")
+      .join(counted, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_rare"), lit(0L)).as("n_rare"),

@@ -65,3 +65,73 @@ object ShingleStringsF {
     org.apache.spark.sql.GraftBridge.column(
       ShingleStringsF(org.apache.spark.sql.GraftBridge.expression(tokens), k))
 }
+
+/** Distinct CHARACTER bigrams of a string, one fused pass — the
+  * char-level sibling of [[ShingleStringsF]], feeding
+  * [[graft.functions.TextAnalysis.bigramNovelty]]. Exactly equivalent
+  * to `array_distinct(transform(sequence(1, length(t) - 1),
+  * i -> substr(t, i, 2)))` (bit-equality spec incl. multi-byte text):
+  * a "character" is a Unicode CODE POINT, as in Spark's `substring`,
+  * bigrams are adjacent code-point pairs in first-occurrence order,
+  * duplicates dropped, and strings shorter than 2 code points yield an
+  * empty array (callers guard `length >= 2`; the HOF form must NOT be
+  * evaluated there because `sequence(1, 0)` descends). The HOF form
+  * allocates one interpreted-lambda frame + substring scan per
+  * position; this walks the UTF-8 bytes once.
+  */
+case class DistinctCharBigramsF(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    DistinctCharBigramsF.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.DistinctCharBigramsF.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctCharBigramsF =
+    copy(child = newChild)
+  override def prettyName: String = "graft_distinct_char_bigrams"
+}
+
+object DistinctCharBigramsF {
+
+  /** Static bridge the generated code calls. */
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // code-point start offsets (one pass over the bytes)
+    var starts = new Array[Int](math.min(n, 16) + 1)
+    var count = 0
+    var off = 0
+    while (off < n) {
+      if (count == starts.length - 1) {
+        starts = java.util.Arrays.copyOf(starts, starts.length * 2)
+      }
+      starts(count) = off
+      count += 1
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+    }
+    starts(count) = n
+    if (count < 2) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 0
+    while (i < count - 1) {
+      seen.add(UTF8String.fromBytes(bytes, starts(i), starts(i + 2) - starts(i)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  def distinctCharBigrams(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      DistinctCharBigramsF(org.apache.spark.sql.GraftBridge.expression(c)))
+}
