@@ -367,6 +367,67 @@ object TextAnalysis {
             col("n_bigrams").cast("double")).as("novelty"))
   }
 
+  /** The Gopher rule set (Rae et al. 2021, §A1.1 "quality filtering") as
+    * one declarative projection — the canonical pre-training document
+    * filter: word count in [50, 100 000], mean word length in [3, 10],
+    * symbol-to-word ratio ('#' or ellipsis) ≤ 0.1, ≤ 90% of lines
+    * starting with a bullet, ≤ 30% ending with an ellipsis, ≥ 80% of
+    * words containing an alphabetic character, and ≥ 2 of the paper's
+    * eight English stop words present. Emits every rule verdict plus the
+    * conjunction so downstream can audit WHICH rule rejected a doc.
+    *
+    * Every threshold is evaluated in EXACT INTEGER arithmetic
+    * (`10·syms ≤ words` instead of `syms/words ≤ 0.1`) — zero IEEE
+    * divisions, so the verdicts are bit-portable across engines by
+    * construction. Token/length counts ride the one-pass native
+    * [[stats]] struct; line/word rules are codegen'd HOF filters over
+    * the split arrays. Pure per-row projection — scores at scan speed,
+    * no shuffle, trivially 100 TB-safe.
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  idCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      stats(col(textCol)).as("__s"))
+    val t = col("__t")
+    val toks = split(trim(t), "\\s+")
+    val lines = split(t, "\n")
+    val nTok = col("__s.n_tokens")
+    val tls = col("__s.tok_len_sum")
+    val occ = (needle: String) =>
+      (length(t) - length(replace(t, lit(needle), lit("")))).cast("long")
+    val nSym = occ("#") + occ("…") + (occ("...") / 3).cast("long")
+    val nLines = size(lines).cast("long")
+    val isBullet = (l: Column) =>
+      startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* ")) ||
+        startswith(ltrim(l), lit("• "))
+    val nBullet = size(filter(lines, isBullet)).cast("long")
+    val nEll = size(filter(lines, l =>
+      endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+      .cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopSet = typedLit(Seq("the", "be", "to", "of", "and", "that",
+      "have", "with"))
+    val nStopSet = size(filter(stopSet, w => array_contains(toks, w)))
+      .cast("long")
+    base.select(col("doc_id"), nTok.as("n_tokens"),
+        tls.as("__tls"), nSym.as("__sym"), nLines.as("__nl"),
+        nBullet.as("__nb"), nEll.as("__ne"), nAlpha.as("__na"),
+        nStopSet.as("__ns"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_tokens").between(50L, 100000L).as("word_count_ok"),
+        (col("__tls") >= col("n_tokens") * 3 &&
+          col("__tls") <= col("n_tokens") * 10).as("mean_len_ok"),
+        (col("__sym") * 10 <= col("n_tokens")).as("symbol_ok"),
+        (col("__nb") * 10 <= col("__nl") * 9).as("bullet_ok"),
+        (col("__ne") * 10 <= col("__nl") * 3).as("ellipsis_ok"),
+        (col("__na") * 5 >= col("n_tokens") * 4).as("alpha_ok"),
+        (col("__ns") >= 2).as("stop_ok"))
+      .withColumn("keep",
+        col("word_count_ok") && col("mean_len_ok") && col("symbol_ok") &&
+          col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
+          col("stop_ok"))
+  }
+
   /** Gopher-style compression-ratio quality signal:
     * `deflate_bytes / n_bytes` over the raw UTF-8 text. Templated and
     * repetitive documents compress hard (low ratio), natural prose sits

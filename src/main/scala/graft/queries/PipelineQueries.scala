@@ -664,6 +664,14 @@ object PipelineQueries {
         TextAnalysis.qualityScore(t).as("quality"))
     }),
 
+    // The canonical Gopher document filter as one projection: every rule
+    // verdict plus the conjunction, all thresholds in exact integer
+    // arithmetic (no IEEE ratio anywhere) so the DuckDB replay matches
+    // bit-for-bit by construction.
+    "text_gopher_rules" -> ((spark, dir) =>
+      TextAnalysis.gopherRules(
+        Tables.read(spark, dir, "documents"), "text", "doc_id")),
+
     // Same metrics as text_stats from the single-pass native expression
     // (plans/TextStatsExpr): one string scan instead of ~6 regex passes.
     // Per-row equality with the HOF form is proven in TextStatsExprSpec,
@@ -2727,6 +2735,42 @@ object PipelineQueries {
         |LEFT JOIN rr USING (query_id)""".stripMargin,
     "text_stats_native" -> textStatsOracle,
     "text_stats" -> textStatsOracle,
+    "text_gopher_rules" -> raw"""
+      |WITH t AS (SELECT doc_id, text,
+      |  string_split_regex(trim(text), '\s+') AS toks,
+      |  string_split(text, chr(10)) AS lines,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS ntok
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(ntok AS BIGINT) AS n_tokens,
+      |  CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS tls,
+      |  CAST(len(lines) AS BIGINT) AS nl,
+      |  CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ')
+      |    OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS BIGINT) AS nb,
+      |  CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+      |    OR ends_with(rtrim(l), '…'))) AS BIGINT) AS ne,
+      |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS na,
+      |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+      |    w -> list_contains(toks, w))) AS BIGINT) AS ns,
+      |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      |    + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+      |    + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS nsym
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |  n_tokens BETWEEN 50 AND 100000 AS word_count_ok,
+      |  (tls >= n_tokens * 3 AND tls <= n_tokens * 10) AS mean_len_ok,
+      |  nsym * 10 <= n_tokens AS symbol_ok,
+      |  nb * 10 <= nl * 9 AS bullet_ok,
+      |  ne * 10 <= nl * 3 AS ellipsis_ok,
+      |  na * 5 >= n_tokens * 4 AS alpha_ok,
+      |  ns >= 2 AS stop_ok,
+      |  ((n_tokens BETWEEN 50 AND 100000)
+      |    AND tls >= n_tokens * 3 AND tls <= n_tokens * 10
+      |    AND nsym * 10 <= n_tokens AND nb * 10 <= nl * 9
+      |    AND ne * 10 <= nl * 3 AND na * 5 >= n_tokens * 4
+      |    AND ns >= 2) AS keep
+      |FROM m""".stripMargin,
     "corpus_profile" ->
       """WITH t AS (SELECT source, lang, n_chars,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

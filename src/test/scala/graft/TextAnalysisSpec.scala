@@ -234,6 +234,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherRules: each rule fires on its trigger doc, clean doc keeps") {
+    val clean = ("the quick brown fox and all of that have with " * 6).trim
+    val docs = Seq(
+      (1L, clean),                                  // every rule passes
+      (2L, "too few words here"),                   // word count < 50
+      (3L, (1 to 60).map(_ => "a").mkString(" ")),  // mean word len 1 < 3
+      (4L, (1 to 60).map(_ => "w#rd#").mkString(" ")), // 120 symbols vs 60 words
+      (5L, (1 to 10).map(_ => "- item").mkString("\n")), // 100% bullet lines
+      (6L, "one...\ntwo...\nthree"),                // 2/3 ellipsis lines
+      (7L, (1 to 60).map(_.toString).mkString(" ")), // all-numeric words
+      (8L, (1 to 60).map(_ => "cat").mkString(" ")), // no Gopher stop words
+      (9L, "")                                      // blank
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, name: String): Boolean =
+      got(id).getBoolean(got(id).fieldIndex(name))
+    assert(b(1L, "keep"), s"clean doc must keep: ${got(1L)}")
+    assert(!b(2L, "word_count_ok") && !b(2L, "keep"))
+    assert(!b(3L, "mean_len_ok") && b(3L, "word_count_ok"))
+    assert(!b(4L, "symbol_ok") && b(4L, "word_count_ok"))
+    assert(!b(5L, "bullet_ok"))
+    assert(!b(6L, "ellipsis_ok"))
+    assert(!b(7L, "alpha_ok") && !b(7L, "stop_ok"))
+    assert(!b(8L, "stop_ok") && b(8L, "alpha_ok"))
+    assert(!b(9L, "word_count_ok") && got(9L).getLong(1) === 0L)
+  }
+
   // The fused char-bigram kernel must be BIT-identical to the HOF
   // twin (transform(sequence(1, L-1), i -> substr(t, i, 2)) +
   // array_distinct) that bigramNovelty used before — element values AND
