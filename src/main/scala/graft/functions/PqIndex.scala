@@ -243,6 +243,22 @@ object PqIndex {
       .option("path", s"$path/codes")
       .outputMode("append").start()
 
+  /** BATCH append-without-rebuild into a saved IVF-PQ layout — the
+    * third index append path (semantic: `Similarity.appendSemanticIndex`,
+    * substr: `Dedup.appendSubstrIndex`). Arrivals encode against the
+    * TRAINED quantizers ([[encodeIvfPq]] — stateless projections) and
+    * land as new files under only the `list_id=` partitions they touch
+    * (repartition first: one file per touched list, not nLists ×
+    * shuffle-partition slivers). Coarse centroids and codebooks are
+    * never rewritten — retrain = rebuild, the standard IVF contract —
+    * so probe-pruned loads keep working as the index grows.
+    */
+  def appendIvfPq(index: IvfPq, batch: DataFrame, idCol: String,
+                  vecCol: String, path: String): Unit =
+    encodeIvfPq(index, batch, idCol, vecCol)
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
+
   /** IVF-PQ search: probe nProbe lists, ADC-score ONLY those lists'
     * codes (approx dot = q·c_list + residual table lookups), exact-cosine
     * re-score of the per-query shortlist. Emitted `sim` is exact.

@@ -577,6 +577,32 @@ object PipelineQueries {
           round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // BATCH append-without-rebuild IVF-PQ ingest: quantizers train on
+    // the base corpus only; the held-out batch is encoded with the
+    // LOADED quantizers (round-trip on the hot path) and appended into
+    // the touched list partitions; the re-loaded index searches the
+    // union. Same pair-value oracle family as sim_ivfpq — every emitted
+    // (query, neighbor) pair's exact sim and rank are DuckDB-replayed.
+    "sim_ivfpq_ingest" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val base = emb.where(col("vec_id") % 5 =!= 0)
+      val arrivals = emb.where(col("vec_id") % 5 === 0)
+      val index = graft.functions.PqIndex.buildIvfPq(base, "vec_id",
+        "embedding", nLists = 16, m = 8, ksub = 16)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-append").toString
+      graft.functions.PqIndex.saveIvfPq(index, root)
+      val reloaded = graft.functions.PqIndex.loadIvfPq(spark, root)
+      graft.functions.PqIndex.appendIvfPq(reloaded, arrivals,
+        "vec_id", "embedding", root)
+      val grown = graft.functions.PqIndex.loadIvfPq(spark, root)
+      graft.functions.PqIndex.searchIvfPq(grown, emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nProbe = 4, shortlist = 64)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
     // STREAMING encode-on-arrival IVF-PQ ingest: quantizers train once
     // (batch build), the codes dir is wiped, and every vector re-enters
     // through the file-stream encode (stateless projections → arrival
@@ -3649,6 +3675,7 @@ object PipelineQueries {
     "sim_pq" -> annPairOracle("sim_pq"),
     "sim_ivfpq" -> annPairOracle("sim_ivfpq"),
     "sim_ivfpq_stream" -> annPairOracle("sim_ivfpq_stream"),
+    "sim_ivfpq_ingest" -> annPairOracle("sim_ivfpq_ingest"),
     "dedup_incremental" -> incrementalPairOracle("dedup_incremental"),
     "dedup_incremental_stream" ->
       incrementalPairOracle("dedup_incremental_stream"),

@@ -161,6 +161,46 @@ class PqIndexSpec extends AnyFunSuite {
     assert(run(loaded) === run(idx))
   }
 
+  // batch append must (a) never touch the quantizers, (b) produce codes
+  // bit-identical to encoding the arrivals directly against the trained
+  // index, and (c) make the re-loaded index search the union exactly as
+  // an in-memory index over the same quantizers + union codes would.
+  test("batch append grows the saved index without rebuild") {
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.where(col("vec_id") % 5 === 0)
+    val idx = PqIndex.buildIvfPq(base, "vec_id", "embedding",
+      nLists = 16, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-append").toString
+    PqIndex.saveIvfPq(idx, dir)
+    PqIndex.appendIvfPq(PqIndex.loadIvfPq(spark, dir), arrivals,
+      "vec_id", "embedding", dir)
+    val grown = PqIndex.loadIvfPq(spark, dir)
+    // quantizers untouched by the append
+    assert(grown.ivf.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq ===
+      idx.ivf.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq)
+    assert(grown.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // codes = base codes ∪ direct encode of the arrivals, bit-identical
+    val want = idx.codes.select("vec_id", "list_id", "codes")
+      .unionByName(PqIndex.encodeIvfPq(idx, arrivals, "vec_id", "embedding")
+        .select("vec_id", "list_id", "codes"))
+      .orderBy("vec_id").as[(Long, Int, Seq[Int])].collect().toSeq
+    val got = grown.codes.select("vec_id", "list_id", "codes")
+      .orderBy("vec_id").as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(got === want)
+    // searching the union through the grown index == in-memory union index
+    val union = idx.copy(codes = idx.codes
+      .unionByName(PqIndex.encodeIvfPq(idx, arrivals, "vec_id", "embedding")))
+    val queries = emb.filter(col("vec_id") < 8)
+    def run(i: PqIndex.IvfPq) =
+      PqIndex.searchIvfPq(i, emb, queries, "vec_id", "embedding",
+          k = 10, nProbe = 4, shortlist = 64)
+        .as[(Long, Long, Double, Int)].collect().toSet
+    assert(run(grown) === run(union))
+    // arrivals are reachable: some appended id appears as a neighbor
+    assert(run(grown).exists { case (_, n, _, _) => n % 5 == 0 })
+  }
+
   test("save/load round-trips codebooks and codes") {
     val idx = PqIndex.build(emb, "vec_id", "embedding", m = 8, ksub = 16)
     val dir = java.nio.file.Files.createTempDirectory("pq-idx").toString
