@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.{Dedup, IndexMaintenance, PqIndex, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction must be invisible to probes: after appends scatter small
+  * files (including a DOUBLE append, so exact-duplicate rows exist),
+  * compacting each index layout must reduce the file count and leave
+  * every probe/search result identical.
+  */
+class IndexMaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+  private lazy val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+
+  test("semantic index: compact keeps probe results, one file per bucket") {
+    val corpus = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+    val batch1 = emb.where(pmod(col("vec_id"), lit(3)) === 1)
+    val batch2 = emb.where(pmod(col("vec_id"), lit(3)) === 2)
+    val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
+      nClusters = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semcmp").toString
+    Similarity.saveSemanticIndex(idx, s"$tmp/i")
+    // two appends of the SAME batch: small files + exact duplicates
+    Similarity.appendSemanticIndex(spark, s"$tmp/i", batch1, "vec_id", "embedding")
+    Similarity.appendSemanticIndex(spark, s"$tmp/i", batch1, "vec_id", "embedding")
+    def probe() = Similarity.probeSemanticIndex(
+        Similarity.loadSemanticIndex(spark, s"$tmp/i"), batch2,
+        "vec_id", "embedding", 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val before = probe()
+    val (nb, na) = IndexMaintenance.compactSemanticIndex(spark, s"$tmp/i")
+    assert(na < nb, s"file count must drop: $nb -> $na")
+    val loaded = Similarity.loadSemanticIndex(spark, s"$tmp/i")
+    val buckets = loaded.members.select("bucket").distinct().count()
+    assert(na === buckets, "one file per surviving bucket")
+    // duplicates from the double append are gone; membership is a set
+    assert(loaded.members.count() ===
+      loaded.members.distinct().count())
+    assert(probe() === before)
+    assert(loaded.centers.map(_.toSeq).toSeq === idx.centers.map(_.toSeq).toSeq)
+  }
+
+  test("substr index: compact keeps probed spans, packs to targetFiles") {
+    val a = docs.where(col("doc_id") % 3 === 0)
+    val b = docs.where(col("doc_id") % 3 === 1)
+    val c = docs.where(col("doc_id") % 3 === 2)
+      .withColumn("text", concat(col("text"),
+        lit(" by the riverbank the quiet fox waited for the morning")))
+    val planted = a.limit(1).withColumn("text",
+      lit("by the riverbank the quiet fox waited for the morning"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_subcmp").toString
+    Dedup.buildSubstrIndex(a.unionByName(planted), "text", "doc_id", minLen = 8)
+      .write.mode("overwrite").parquet(s"$tmp/idx")
+    Dedup.appendSubstrIndex(b, "text", "doc_id", minLen = 8, s"$tmp/idx")
+    Dedup.appendSubstrIndex(b, "text", "doc_id", minLen = 8, s"$tmp/idx")
+    def probe() = Dedup.probeSubstrIndex(c,
+        spark.read.parquet(s"$tmp/idx"), "text", "doc_id", minLen = 8)
+      .collect().map(_.toString).toSet
+    val before = probe()
+    assert(before.nonEmpty, "planted span must be probed")
+    val (nb, na) = IndexMaintenance.compactSubstrIndex(spark, s"$tmp/idx",
+      targetFiles = 2)
+    assert(na === 2L && na < nb, s"$nb -> $na")
+    assert(probe() === before)
+  }
+
+  test("ivf-pq index: compact keeps search results, one file per list") {
+    val base = emb.where(col("vec_id") % 5 =!= 0)
+    val arrivals = emb.where(col("vec_id") % 5 === 0)
+    val idx = PqIndex.buildIvfPq(base, "vec_id", "embedding",
+      nLists = 16, m = 8, ksub = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqcmp").toString
+    PqIndex.saveIvfPq(idx, s"$tmp/i")
+    PqIndex.appendIvfPq(idx, arrivals, "vec_id", "embedding", s"$tmp/i")
+    def run() = PqIndex.searchIvfPq(PqIndex.loadIvfPq(spark, s"$tmp/i"), emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 10, nProbe = 4, shortlist = 64)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val before = run()
+    val (nb, na) = IndexMaintenance.compactIvfPqIndex(spark, s"$tmp/i")
+    assert(na < nb, s"$nb -> $na")
+    val lists = spark.read.parquet(s"$tmp/i/codes")
+      .select("list_id").distinct().count()
+    assert(na === lists, "one file per surviving list")
+    assert(run() === before)
+  }
+}
