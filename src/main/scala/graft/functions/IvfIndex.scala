@@ -171,11 +171,29 @@ object IvfIndex {
       .select("query_id", "qv", "list_id", "qdotc")
   }
 
-  /** Exact-cosine scores of the corpus members of the probed lists. */
+  /** The distinct probed lists as a STATIC filter set — bounded by
+    * nLists values by construction, so the collect is per-index
+    * metadata-sized no matter how many queries probe. Joins alone do
+    * NOT prune a `partitionBy(list_id)` layout (Spark's dynamic
+    * partition pruning degenerates to `true` under these broadcast
+    * joins — measured in PlanAuditSpec); pushing the set as an `isin`
+    * filter turns the probe into a real partition-pruned scan: nProbe
+    * lists read, the rest never opened. That IS the IVF contract at
+    * 100 TB — without it a loaded-index search scans every code file.
+    */
+  private[functions] def listSet(probed: DataFrame): Array[Int] =
+    probed.select("list_id").distinct().collect().map(_.getInt(0))
+
+  /** Exact-cosine scores of the corpus members of the probed lists.
+    * `allowedLists` must be a superset of `probed`'s lists (the join
+    * still decides membership; the static filter only prunes the scan).
+    */
   private def scoreLists(index: Index, probed: DataFrame, idCol: String,
-                         vecCol: String, excludeSelf: Boolean): DataFrame = {
+                         vecCol: String, excludeSelf: Boolean,
+                         allowedLists: Array[Int]): DataFrame = {
     val c = index.assigned.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), col("list_id"))
+        col(vecCol).as("cv"), col("list_id"))
+      .where(col("list_id").isin(allowedLists.map(Int.box): _*))
     c.join(broadcast(probed.select("query_id", "qv", "list_id")), "list_id")
       .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
@@ -188,7 +206,8 @@ object IvfIndex {
   def search(index: Index, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, nProbe: Int, excludeSelf: Boolean = true): DataFrame = {
     val probed = probeRange(index, queries, idCol, vecCol, 0, nProbe)
-    val candidates = scoreLists(index, probed, idCol, vecCol, excludeSelf)
+    val candidates = scoreLists(index, probed, idCol, vecCol, excludeSelf,
+      listSet(probed))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     candidates.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -225,7 +244,8 @@ object IvfIndex {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
 
     val probed1 = probeRange(index, queries, idCol, vecCol, 0, nProbe1)
-    val wave1 = scoreLists(index, probed1, idCol, vecCol, excludeSelf)
+    val wave1 = scoreLists(index, probed1, idCol, vecCol, excludeSelf,
+        listSet(probed1))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
 
     // per-query pruning threshold: the k-th wave-1 similarity (−∞ until
@@ -252,7 +272,13 @@ object IvfIndex {
         greatest(col("qdotc") / greatest(Similarity.norm(col("qv")), lit(1e-12))
           + col("r_max"), lit(0.0)) / greatest(col("n_min"), lit(1e-9)))
       .where(col("__ub") > col("kth_sim"))
-    val wave2 = scoreLists(index, probed2, idCol, vecCol, excludeSelf)
+    // static prune by the rank-window SUPERSET (no dependence on the
+    // wave-1 threshold, so computing the set does not re-execute wave 1);
+    // the per-query residual bound still decides membership in the join
+    val wave2Superset = probeRange(index, queries, idCol, vecCol,
+      nProbe1, nProbe2)
+    val wave2 = scoreLists(index, probed2, idCol, vecCol, excludeSelf,
+      listSet(wave2Superset))
 
     wave1.select("query_id", "neighbor_id", "sim").unionByName(wave2)
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)

@@ -270,7 +270,12 @@ object PqIndex {
     val probed = IvfIndex.probeRange(index.ivf, queries, idCol, vecCol,
         0, nProbe)
       .withColumn("qtab", adcTable(col("qv"), index.codebooks, index.dsub))
+    // static partition prune to the probed lists (bounded by nLists by
+    // construction — see IvfIndex.listSet): a loaded index's
+    // list_id-partitioned code files outside the probe set are never
+    // opened; the join alone would scan them all (DPP degenerates here)
     val approx = index.codes
+      .where(col("list_id").isin(IvfIndex.listSet(probed).map(Int.box): _*))
       .join(broadcast(probed.select("query_id", "list_id", "qdotc", "qtab")),
         "list_id")
       .where(if (excludeSelf) col(idCol) =!= col("query_id") else lit(true))

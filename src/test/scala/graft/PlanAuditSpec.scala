@@ -356,4 +356,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("bucket"),
       s"join key must be the cluster bucket:\n$plan")
   }
+
+  test("loaded IVF-PQ search: code scan is partition-pruned to the probed lists") {
+    // The IVF storage contract at scale: probing nProbe of nLists must
+    // READ only those lists' code files. The broadcast join alone does
+    // not do this — Spark's dynamic partition pruning degenerates to
+    // `dynamicpruningexpression(true)` under this plan shape — so
+    // searchIvfPq pushes the probed list set (≤ nLists values by
+    // construction) as a static IN filter. Assert it reaches the code
+    // scan's PartitionFilters with fewer lists than the index holds.
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val idx = graft.functions.PqIndex.buildIvfPq(emb, "vec_id", "embedding",
+      nLists = 16, m = 8, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("planaudit-ivfpq").toString
+    graft.functions.PqIndex.saveIvfPq(idx, dir)
+    val loaded = graft.functions.PqIndex.loadIvfPq(spark, dir)
+    val df = graft.functions.PqIndex.searchIvfPq(loaded, emb,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 5, nProbe = 2, shortlist = 16)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val codeScan = plan.split("\n").filter(l =>
+      l.contains("Scan parquet") && l.contains("/codes"))
+    assert(codeScan.nonEmpty, s"expected a scan of the saved codes:\n$plan")
+    assert(codeScan.forall(_.matches(""".*PartitionFilters: \[list_id#\d+ IN \([0-9,]+\).*""")),
+      s"code scan must carry the static probed-list filter:\n${codeScan.mkString("\n")}")
+    // 2 queries × nProbe 2 → at most 4 of 16 lists survive the filter
+    val in = """list_id#\d+ IN \(([0-9,]+)\)""".r
+    val lists = in.findFirstMatchIn(codeScan.head).get.group(1).split(",")
+    assert(lists.length <= 4, s"probe must prune to ≤4 of 16 lists: $lists")
+  }
 }
