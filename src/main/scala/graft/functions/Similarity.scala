@@ -764,8 +764,20 @@ object Similarity {
         .cast("long").as("bucket"),
       col(idCol).cast("long").as("id_b"),
       col(vecCol).as("vb"), norm(col(vecCol)).as("nb"))
-    val a = index.members.select(col("bucket"), col("id").as("id_a"),
+    // static prune of the (bucket-partitioned) members to the buckets
+    // the batch actually touches — bounded by nClusters values by
+    // construction, so the collect is metadata-sized; the equi-join
+    // alone never prunes the partitioned scan (same measured DPP
+    // degeneration as the IVF code scan, see IvfIndex.listSet). A
+    // STREAMING batch cannot be collected — the probe stays a full-
+    // members join there (each microbatch is small; state, not scan,
+    // is the streaming cost model).
+    val allMembers = index.members.select(col("bucket"), col("id").as("id_a"),
       col("v").as("va"), col("n").as("na"))
+    val a = if (batch.isStreaming) allMembers else {
+      val touched = b.select("bucket").distinct().collect().map(_.getLong(0))
+      allMembers.where(col("bucket").isin(touched.map(Long.box): _*))
+    }
     val denom = col("na") * col("nb")
     val cos = when(denom === 0.0, lit(0.0))
       .otherwise(dot(col("va"), col("vb")) / denom)
