@@ -75,7 +75,10 @@ object Bench {
     // passes), the persisted-index incremental semantic probe, and the
     // append-without-rebuild substr ingest loop
     "sample_kcenter_scalable", "dedup_semantic_incremental",
-    "dedup_substr_ingest")
+    "dedup_substr_ingest",
+    // round-7 close: the Gopher rule-set filter (scan-speed projection)
+    // and the IVF-PQ append-without-rebuild ingest loop
+    "text_gopher_rules", "sim_ivfpq_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
