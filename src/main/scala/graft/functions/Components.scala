@@ -73,6 +73,63 @@ object Components {
     members.unionByName(roots).distinct()
   }
 
+  /** INCREMENTAL component merge — fold a batch of NEW edges into
+    * existing labels without re-running the loop over the original edge
+    * set (the missing incremental path once every index had one):
+    *
+    *  1. contract each new edge's endpoints to their existing component
+    *     labels (unlabeled endpoints stand for themselves) — connected
+    *     subgraphs collapse to single quotient nodes, so connectivity
+    *     over (old ∪ new) edges is exactly connectivity of the
+    *     contracted multigraph;
+    *  2. run [[connectedComponents]] over ONLY the contracted edges —
+    *     a graph whose size is ∝ the new batch, not the corpus;
+    *  3. relabel: existing labels whose component merged follow it to
+    *     the new minimum; new nodes take their computed label; every
+    *     untouched component passes through the join unchanged and
+    *     never enters the loop.
+    *
+    * Because labels are component MINIMA, the contracted minimum equals
+    * the global minimum of the merged node set — the result is
+    * IDENTICAL to a from-scratch [[connectedComponents]] over the union
+    * of all edges (pinned by ComponentsSpec on random graphs), emitted
+    * for labeled-nodes ∪ new-edge endpoints.
+    *
+    * 100 TB shape: the iterative loop touches O(|batch|) contracted
+    * edges; the corpus-sized work is two narrow hash joins against the
+    * (node, component) table — one to contract, one to relabel.
+    */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame,
+                      srcCol: String, dstCol: String): DataFrame = {
+    val e = newPairs
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+    val lu = labels.select(col("node").as("u"), col("component").as("cu"))
+    val lv = labels.select(col("node").as("v"), col("component").as("cv"))
+    val contracted = e
+      .join(lu, Seq("u"), "left").join(lv, Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("qa"),
+        coalesce(col("cv"), col("v")).as("qb"))
+    // quotient-graph components: node values here are old component
+    // labels and brand-new node ids
+    val mergedRaw = connectedComponents(contracted, "qa", "qb")
+    val merged = mergedRaw.select(mergedRaw.col("node").as("component"),
+      mergedRaw.col("component").as("merged"))
+    val relabeledOld = labels.join(merged, Seq("component"), "left")
+      .select(col("node"),
+        coalesce(col("merged"), col("component")).as("component"))
+    // new-edge endpoints absent from labels: their label is their own
+    // (possibly merged) quotient assignment
+    val newNodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .distinct()
+      .join(labels.select(col("node")), Seq("node"), "left_anti")
+    val labeledNew = newNodes
+      .join(merged.withColumnRenamed("component", "node"),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("merged"), col("node")).as("component"))
+    relabeledOld.unionByName(labeledNew)
+  }
+
   /** Large-star round: for every node u (over the SYMMETRIZED edge list)
     * with neighborhood minimum m = min(Γ(u) ∪ {u}), emit (v, m) for each
     * strictly-larger neighbor v > u. Smaller neighbors are handled from

@@ -129,6 +129,31 @@ object PipelineQueries {
           coalesce(col("component"), col("doc_id")).as("rep_id"))
     }),
 
+    // INCREMENTAL near-dup clustering: labels from the old corpus's
+    // pairs, then the batch's pairs (anything touching a new doc) merge
+    // via quotient-graph contraction — the iterative loop runs over
+    // contracted edges only (∝ batch), never the old edge set. Labels
+    // are component minima, so the result is IDENTICAL to from-scratch
+    // clustering of the full pair set — the oracle IS dedup_components'
+    // closure over the same dumped pairs.
+    "dedup_components_incremental" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      // one LSH+verify pass feeds both the old/new split — persist
+      // (shuffling stage, two consumers: the recorded persist rule)
+      val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
+          k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val isNew = col("id_a") % 3 === 2 || col("id_b") % 3 === 2
+      val labels = graft.functions.Components
+        .connectedComponents(pairs.where(!isNew), "id_a", "id_b")
+      val comp = graft.functions.Components
+        .mergeComponents(labels, pairs.where(isNew), "id_a", "id_b")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id")).join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("rep_id"))
+    }),
+
     // NEAR-dup-aware leakage-safe split: the group is the minhash
     // connected component (not just exact copies), so paraphrase-level
     // duplicates can't straddle train/test either. Oracle closes the
@@ -2815,6 +2840,19 @@ object PipelineQueries {
         |  CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avg_tokens
         |FROM g""".stripMargin)
 
+  private lazy val componentsClosureOracle: String =
+    """WITH RECURSIVE p AS (SELECT id_a, id_b
+      |  FROM read_parquet('__OUT__/dedup_minhash/*.parquet')),
+      |e AS (SELECT id_a AS u, id_b AS v FROM p
+      |  UNION SELECT id_b, id_a FROM p),
+      |reach AS (
+      |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e)
+      |  UNION
+      |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+      |comp AS (SELECT u AS doc_id, MIN(r) AS rep FROM reach GROUP BY u)
+      |SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep_id
+      |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+
   private lazy val textStatsOracle: String = s"""
         |WITH t AS (SELECT doc_id, text,
         |  string_split_regex(trim(text), '\\s+') AS toks,
@@ -2895,18 +2933,10 @@ object PipelineQueries {
         |JOIN sh b ON p.id_b = b.doc_id""".stripMargin,
     // transitive closure over the (verified) minhash pair graph: min
     // reachable id per node = the component label the operator must emit
-    "dedup_components" ->
-      """WITH RECURSIVE p AS (SELECT id_a, id_b
-        |  FROM read_parquet('__OUT__/dedup_minhash/*.parquet')),
-        |e AS (SELECT id_a AS u, id_b AS v FROM p
-        |  UNION SELECT id_b, id_a FROM p),
-        |reach AS (
-        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e)
-        |  UNION
-        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
-        |comp AS (SELECT u AS doc_id, MIN(r) AS rep FROM reach GROUP BY u)
-        |SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep_id
-        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    "dedup_components" -> componentsClosureOracle,
+    // the incremental merge is provably identical to from-scratch
+    // clustering of the same pair set — same closure oracle
+    "dedup_components_incremental" -> componentsClosureOracle,
     // same closure over the same verified pairs, then the portable md5
     // cut on the component label (the leakSafeSplit rule)
     "sample_split_component" ->

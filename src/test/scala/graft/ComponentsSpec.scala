@@ -73,6 +73,60 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.where(col("component") =!= 0L).count() === 0L)
   }
 
+  // Incremental merge must equal from-scratch over the edge union —
+  // including the hard cases: a new edge bridging two old components,
+  // a new node joining an old component, brand-new components, a new
+  // node whose id undercuts an old component's minimum (relabeling an
+  // untouched-by-id component), and already-connected duplicates.
+  test("mergeComponents equals from-scratch on the union (random graphs)") {
+    val rng = new scala.util.Random(1234)
+    (0 until 3).foreach { trial =>
+      val n = 200
+      val all = (0 until 300).map { _ =>
+        (rng.nextInt(n).toLong + 1, rng.nextInt(n).toLong + 1) }
+      val (oldE, newE) = all.splitAt(180)
+      val labels = Components.connectedComponents(
+        oldE.toDF("a", "b"), "a", "b")
+      val got = Components.mergeComponents(labels, newE.toDF("a", "b"),
+          "a", "b").as[(Long, Long)].collect()
+      assert(got.length === got.map(_._1).distinct.length,
+        s"trial $trial: duplicate node labels")
+      val full = Components.connectedComponents(all.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // emitted set = labeled-old ∪ new-edge endpoints; from-scratch
+      // emits nodes of all non-self edges — compare on the intersection
+      // and require every from-scratch node to be covered unless it only
+      // ever appeared in self-edges
+      val gotMap = got.toMap
+      full.foreach { case (node, comp) =>
+        assert(gotMap.get(node).contains(comp),
+          s"trial $trial node $node: got ${gotMap.get(node)}, want $comp")
+      }
+      // nodes only in self-edges label themselves
+      gotMap.keys.filterNot(full.contains).foreach { node =>
+        assert(gotMap(node) === node) }
+    }
+  }
+
+  test("mergeComponents: new min id relabels an existing component") {
+    val labels = Components.connectedComponents(
+      Seq((10L, 12L), (12L, 14L)).toDF("a", "b"), "a", "b")
+    val got = Components.mergeComponents(labels,
+        Seq((3L, 14L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 3L, 12L -> 3L, 14L -> 3L, 3L -> 3L))
+  }
+
+  test("mergeComponents: untouched components pass through unchanged") {
+    val labels = Components.connectedComponents(
+      Seq((1L, 2L), (50L, 60L)).toDF("a", "b"), "a", "b")
+    val got = Components.mergeComponents(labels,
+        Seq((100L, 101L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 50L -> 50L, 60L -> 50L,
+      100L -> 100L, 101L -> 100L))
+  }
+
   test("empty edge list yields empty assignment") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Components.connectedComponents(empty, "a", "b").count() === 0L)

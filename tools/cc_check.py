@@ -20,8 +20,10 @@ def read(pattern, cols):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     pairs = read(f"{out_dir}/dedup_minhash/*.parquet", ["id_a", "id_b"])
-    got = dict(read(f"{out_dir}/dedup_components/*.parquet",
-                    ["doc_id", "rep_id"]))
+    entries = ["dedup_components"]
+    import os.path
+    if glob.glob(f"{out_dir}/dedup_components_incremental/*.parquet"):
+        entries.append("dedup_components_incremental")
     docs_path = f"{sf_dir}/documents.parquet"
     import os
     doc_files = (glob.glob(f"{docs_path}/*.parquet")
@@ -47,18 +49,25 @@ def main():
                 parent[ra] = rb
 
     want = {n: find(n) for n in set(x for p in pairs for x in p)}
-    bad = [(d, r, want.get(d, d)) for d, r in got.items()
-           if r != want.get(d, d)]
-    ok = not bad and len(got) == n_docs
-    if bad:
-        print(f"[FAIL] dedup_components: {len(bad)} mislabeled, e.g. {bad[:3]}")
-    elif len(got) != n_docs:
-        print(f"[FAIL] dedup_components: {len(got)} rows != {n_docs} docs")
-    else:
-        n_comp = len(set(got.values()))
-        print(f"[PASS] dedup_components: {len(got)} docs, {n_comp} components,"
-              f" {len(pairs)} pairs — exact union-find match")
-    sys.exit(0 if ok else 1)
+    all_ok = True
+    for entry in entries:
+        rows = read(f"{out_dir}/{entry}/*.parquet", ["doc_id", "rep_id"])
+        got = dict(rows)
+        bad = [(d, r, want.get(d, d)) for d, r in got.items()
+               if r != want.get(d, d)]
+        ok = not bad and len(got) == n_docs and len(rows) == n_docs
+        if bad:
+            print(f"[FAIL] {entry}: {len(bad)} mislabeled, e.g. {bad[:3]}")
+        elif len(rows) != len(got):
+            print(f"[FAIL] {entry}: {len(rows)} rows but {len(got)} doc_ids")
+        elif len(got) != n_docs:
+            print(f"[FAIL] {entry}: {len(got)} rows != {n_docs} docs")
+        else:
+            n_comp = len(set(got.values()))
+            print(f"[PASS] {entry}: {len(got)} docs, {n_comp} components,"
+                  f" {len(pairs)} pairs — exact union-find match")
+        all_ok = all_ok and ok
+    sys.exit(0 if all_ok else 1)
 
 
 if __name__ == "__main__":
