@@ -779,6 +779,28 @@ object Dedup {
     buildSubstrIndex(batch, textCol, idCol, minLen)
       .write.mode("append").parquet(path)
 
+  /** Persist the window index as a BUCKETED metastore table
+    * (`bucketBy(nBuckets, h)`) — the exchange-free probe layout: both
+    * probe joins key on `h`, so the corpus-sized index side reads
+    * bucket-aligned with ZERO exchange per probe (only the small batch
+    * side shuffles to the bucket count; BucketingSpec asserts the plan).
+    * The layout shuffle is paid once at registration — the
+    * [[graft.Catalog.ensureBucketed]] contract; the flat-parquet form
+    * ([[appendSubstrIndex]]) stays the zero-infrastructure path.
+    */
+  def saveSubstrIndexBucketed(index: DataFrame, table: String,
+                              nBuckets: Int): Unit =
+    graft.Catalog.ensureBucketed(index, table, nBuckets, Seq("h"))
+
+  /** Append a batch's windows into the bucketed index table. `nBuckets`
+    * must match the registered spec (Spark enforces it).
+    */
+  def appendSubstrIndexBucketed(batch: DataFrame, textCol: String,
+                                idCol: String, minLen: Int, table: String,
+                                nBuckets: Int): Unit =
+    buildSubstrIndex(batch, textCol, idCol, minLen)
+      .write.mode("append").bucketBy(nBuckets, "h").saveAsTable(table)
+
   def probeSubstrIndex(batch: DataFrame, index: DataFrame,
                        textCol: String, idCol: String,
                        minLen: Int): DataFrame = {

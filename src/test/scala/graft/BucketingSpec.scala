@@ -52,6 +52,45 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  // The bucketed substr-index layout: identical probed spans, and the
+  // index side of both h-keyed probe joins reads bucket-aligned — the
+  // probe plan drops the index-side exchanges the flat layout pays.
+  test("bucketed substr index probes exchange-free on the index side") {
+    import graft.functions.Dedup
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val plant = "by the riverbank the quiet fox waited for the morning"
+    val a = docs.where(col("doc_id") % 3 === 0).limit(40)
+      .withColumn("text", concat(col("text"), lit(" " + plant)))
+    val b = docs.where(col("doc_id") % 3 === 1)
+    val c = docs.where(col("doc_id") % 3 === 2).limit(40)
+      .withColumn("text", concat(lit(plant + " "), col("text")))
+    try {
+      val idx = Dedup.buildSubstrIndex(a, "text", "doc_id", minLen = 8)
+      Dedup.saveSubstrIndexBucketed(idx, "substr_idx_bkt", 8)
+      Dedup.appendSubstrIndexBucketed(b, "text", "doc_id", minLen = 8,
+        "substr_idx_bkt", 8)
+      val flat = idx.unionByName(
+        Dedup.buildSubstrIndex(b, "text", "doc_id", minLen = 8))
+      def spans(ix: org.apache.spark.sql.DataFrame) =
+        Dedup.probeSubstrIndex(c, ix, "text", "doc_id", minLen = 8)
+      val wantRows = spans(flat).collect().map(_.toString).toSet
+      assert(wantRows.nonEmpty, "planted span must be probed")
+      val bucketed = spans(spark.table("substr_idx_bkt"))
+      assert(bucketed.collect().map(_.toString).toSet === wantRows)
+      val plan = bucketed.queryExecution.executedPlan.toString
+      val flatPlan = spans(flat).queryExecution.executedPlan.toString
+      def hExchanges(p: String) =
+        "Exchange hashpartitioning\\(h#".r.findAllIn(p).length
+      assert(plan.contains("Bucketed: true"),
+        s"index scan must be bucketed:\n$plan")
+      assert(hExchanges(plan) < hExchanges(flatPlan),
+        s"bucketed probe must drop index-side h exchanges: " +
+          s"${hExchanges(plan)} vs ${hExchanges(flatPlan)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS substr_idx_bkt")
+    }
+  }
+
   test("bucketed fact-fact join plans without a shuffle exchange") {
     // default warehouse dir (static conf); managed tables dropped below
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
