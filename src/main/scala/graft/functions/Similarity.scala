@@ -786,6 +786,46 @@ object Similarity {
       .where(col("cos_sim") >= threshold)
   }
 
+  /** MULTI-ASSIGN probe — the recall knob on [[probeSemanticIndex]]:
+    * each batch vector probes its `nProbe` nearest trained centers
+    * instead of one, catching boundary pairs whose two members fall on
+    * opposite sides of a Voronoi edge (the single-bucket probe's only
+    * miss mode). Soundness is unchanged — every emitted pair is an
+    * exact cosine at or above `threshold` (same oracle); completeness
+    * strictly grows with `nProbe` (SimilaritySpec pins single ⊆ multi
+    * and measures the recall gain vs the exhaustive pairs on the
+    * fixture). `nProbe = 1` is BIT-identical to [[probeSemanticIndex]]
+    * (same distance fold, same tie rule — spec-pinned).
+    *
+    * Cost shape: the probe side grows nProbe-fold (still |batch| ×
+    * nProbe rows of ids+vectors); each member still lives in exactly
+    * ONE bucket, so no pair can surface twice and no distinct is
+    * needed. Batch probes keep the static touched-bucket scan prune.
+    */
+  def probeSemanticIndexMulti(index: SemanticIndex, batch: DataFrame,
+                              idCol: String, vecCol: String,
+                              threshold: Double, nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val ivfLike = IvfIndex.Index(
+      index.centers.zipWithIndex.map { case (c, i) => (i, c) }, null)
+    val b = IvfIndex.probeRange(ivfLike, batch, idCol, vecCol, 0, nProbe)
+      .select(col("list_id").cast("long").as("bucket"),
+        col("query_id").cast("long").as("id_b"), col("qv").as("vb"))
+      .withColumn("nb", norm(col("vb")))
+    val allMembers = index.members.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("va"), col("n").as("na"))
+    val a = if (batch.isStreaming) allMembers else {
+      val touched = b.select("bucket").distinct().collect().map(_.getLong(0))
+      allMembers.where(col("bucket").isin(touched.map(Long.box): _*))
+    }
+    val denom = col("na") * col("nb")
+    val cos = when(denom === 0.0, lit(0.0))
+      .otherwise(dot(col("va"), col("vb")) / denom)
+    b.join(a, "bucket")
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   /** [[semanticDupPairs]] with PQ-pruned bucket verification — output
     * IDENTICAL by a sound bound, not approximate recall: inside each
     * cluster, every pair is first scored symmetrically from its PQ codes

@@ -372,6 +372,21 @@ object PipelineQueries {
         threshold = 0.4)
     }),
 
+    // Multi-assign probe: each batch vector probes its TWO nearest
+    // trained centers — boundary pairs the single-bucket probe misses
+    // surface, soundness unchanged (every emitted pair's exact cosine
+    // is oracle-replayed; completeness/recall is pinned in
+    // SimilaritySpec against the exhaustive pairs).
+    "dedup_semantic_multiprobe" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+      val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
+        nClusters = Similarity.semanticClusterCount(corpus.count()))
+      Similarity.probeSemanticIndexMulti(idx, batch, "vec_id", "embedding",
+        threshold = 0.4, nProbe = 2)
+    }),
+
     // The ingest LOOP: build on a third of the corpus, probe batch1 and
     // APPEND it (assigned with the trained centers, new files into the
     // touched bucket partitions only — no rebuild, no rescan), then
@@ -2614,6 +2629,8 @@ object PipelineQueries {
     "dedup_semantic_incremental_stream" ->
       cosPairOracle("dedup_semantic_incremental_stream", 0.4),
     "dedup_semantic_ingest" -> cosPairOracle("dedup_semantic_ingest", 0.4),
+    "dedup_semantic_multiprobe" ->
+      cosPairOracle("dedup_semantic_multiprobe", 0.4),
     "dedup_semantic_pq" -> cosPairOracle("dedup_semantic_pq", 0.4),
     "dedup_semantic_stream" -> cosPairOracle("dedup_semantic_stream", 0.4),
     "sim_topk_brute" ->

@@ -490,6 +490,46 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  // Multi-probe: nProbe=1 must be BIT-identical to the single probe;
+  // nProbe=2 is a strict-or-equal superset, sound (every emitted pair
+  // really clears the threshold — checked against the exhaustive
+  // cross-pairs), and measurably closes recall toward exhaustive.
+  test("multi-probe semantic index: nProbe=1 identity, recall grows, sound") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
+      nClusters = 8)
+    val thr = 0.3
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    val single = collect(Similarity.probeSemanticIndex(
+      idx, batch, "vec_id", "embedding", thr))
+    val multi1 = collect(Similarity.probeSemanticIndexMulti(
+      idx, batch, "vec_id", "embedding", thr, nProbe = 1))
+    assert(multi1 === single, "nProbe=1 must equal the single-bucket probe")
+    val multi2 = collect(Similarity.probeSemanticIndexMulti(
+      idx, batch, "vec_id", "embedding", thr, nProbe = 2))
+    assert(single.subsetOf(multi2), "nProbe=2 must be a superset")
+    // exhaustive corpus×batch truth at the same threshold + rounding
+    val ca = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      Similarity.norm(col("embedding")).as("na"))
+    val cb = batch.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      Similarity.norm(col("embedding")).as("nb"))
+    val denom = col("na") * col("nb")
+    val cos = when(denom === 0.0, lit(0.0))
+      .otherwise(Similarity.dot(col("va"), col("vb")) / denom)
+    val truth = ca.crossJoin(cb)
+      .select(col("id_a"), col("id_b"), round(cos, 6).as("cos_sim"))
+      .where(col("cos_sim") >= thr)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(multi2.subsetOf(truth), "multi-probe must stay sound")
+    val r1 = single.size.toDouble / math.max(truth.size, 1)
+    val r2 = multi2.size.toDouble / math.max(truth.size, 1)
+    assert(r2 >= r1, s"recall must not drop: $r1 -> $r2")
+    info(f"recall single=$r1%.3f multi2=$r2%.3f truth=${truth.size}")
+  }
+
   test("kCenterGreedy stops gracefully when k exceeds the corpus") {
     val tiny = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
