@@ -76,9 +76,13 @@ object Bench {
     // append-without-rebuild substr ingest loop
     "sample_kcenter_scalable", "dedup_semantic_incremental",
     "dedup_substr_ingest",
-    // round-7 close: the Gopher rule-set filter (scan-speed projection)
-    // and the IVF-PQ append-without-rebuild ingest loop
-    "text_gopher_rules", "sim_ivfpq_ingest")
+    // round-7 close: the Gopher rule-set filter (scan-speed projection),
+    // the IVF-PQ append-without-rebuild ingest loop, incremental
+    // component merge, and the multi-assign semantic probe
+    "text_gopher_rules", "sim_ivfpq_ingest",
+    "dedup_components_incremental", "dedup_semantic_multiprobe",
+    // the composed admission loop (exact gate + span gate + quality gate)
+    "pipeline_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

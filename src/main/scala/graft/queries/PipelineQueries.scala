@@ -129,6 +129,48 @@ object PipelineQueries {
           coalesce(col("component"), col("doc_id")).as("rep_id"))
     }),
 
+    // The INCREMENTAL INGEST LOOP end-to-end, composed from gate-proven
+    // stages: a new batch is admitted only if it (1) is not an exact
+    // duplicate of any corpus document, (2) contains no duplicate span
+    // >= 8 tokens already in the corpus's window index, and (3) clears
+    // the quality gate. Emits every verdict per batch doc so downstream
+    // can audit WHICH stage rejected it — the production admission
+    // record. Plants guarantee each stage fires: some corpus and batch
+    // docs share an exact text, others share an appended span.
+    "pipeline_ingest" -> ((spark, dir) => {
+      val raven = "the raven sat on the bust of pallas above the chamber door"
+      val plant =
+        "by the riverbank the quiet fox waited for the morning light to come"
+      val docs = Tables.read(spark, dir, "documents")
+      val aug = docs.withColumn("text",
+        when(col("doc_id") % 3 =!= 2 && col("doc_id") % 17 === 0, lit(raven))
+          .when(col("doc_id") % 3 === 2 && col("doc_id") % 13 === 0, lit(raven))
+          .otherwise(concat(col("text"),
+            when(col("doc_id") % 3 =!= 2 && col("doc_id") % 2 === 0,
+              lit(" " + plant))
+              .when(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0,
+                lit(" " + plant))
+              .otherwise(lit("")))))
+      val corpus = aug.where(col("doc_id") % 3 =!= 2)
+      val batch = aug.where(col("doc_id") % 3 === 2)
+      val exact = batch.join(
+          corpus.select(col("text")).distinct().withColumn("__e", lit(true)),
+          Seq("text"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("__e"), lit(false)).as("is_exact"))
+      val idx = Dedup.buildSubstrIndex(corpus, "text", "doc_id", minLen = 8)
+      val spanned = Dedup.probeSubstrIndex(batch, idx, "text", "doc_id",
+          minLen = 8)
+        .select(col("doc_id")).distinct().withColumn("__s", lit(true))
+      exact.join(spanned, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("is_exact"),
+          coalesce(col("__s"), lit(false)).as("has_span"),
+          TextAnalysis.qualityScoreFromStats(
+            TextAnalysis.stats(col("text"))).as("quality"))
+        .withColumn("admitted",
+          !col("is_exact") && !col("has_span") && col("quality") >= 0.5)
+    }),
+
     // INCREMENTAL near-dup clustering: labels from the old corpus's
     // pairs, then the batch's pairs (anything touching a new doc) merge
     // via quotient-graph contraction — the iterative loop runs over
@@ -4179,6 +4221,60 @@ object PipelineQueries {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |COUNT(*) AS count_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // admission-loop replay: exact membership = augmented batch text IN
+    // the corpus text set; span membership = any 8-token window of the
+    // batch doc in the corpus window set (dedup_substr_ingest's window
+    // CTEs); quality = the mirrored stats formula on the augmented text
+    "pipeline_ingest" -> s"""
+        |WITH aug AS (SELECT doc_id,
+        |    CASE WHEN (doc_id % 3 <> 2 AND doc_id % 17 = 0)
+        |           OR (doc_id % 3 = 2 AND doc_id % 13 = 0)
+        |      THEN 'the raven sat on the bust of pallas above the chamber door'
+        |      ELSE text || CASE
+        |        WHEN doc_id % 3 <> 2 AND doc_id % 2 = 0
+        |          THEN ' by the riverbank the quiet fox waited for the morning light to come'
+        |        WHEN doc_id % 3 = 2 AND doc_id % 7 = 0
+        |          THEN ' by the riverbank the quiet fox waited for the morning light to come'
+        |        ELSE '' END
+        |      END AS text
+        |  FROM documents),
+        |ex AS (SELECT doc_id, text,
+        |    COALESCE(text IN (SELECT text FROM aug WHERE doc_id % 3 <> 2),
+        |      FALSE) AS is_exact
+        |  FROM aug WHERE doc_id % 3 = 2),
+        |t AS (SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        |  FROM aug),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+        |cpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
+        |  FROM n WHERE doc_id % 3 <> 2),
+        |cw AS (SELECT DISTINCT array_to_string(toks[p:p+7], ' ') AS wtxt
+        |  FROM cpos),
+        |bpos AS (SELECT doc_id, toks, unnest(range(1, n - 8 + 2)) AS p
+        |  FROM n WHERE doc_id % 3 = 2),
+        |sp AS (SELECT DISTINCT doc_id FROM bpos
+        |  WHERE array_to_string(toks[p:p+7], ' ') IN (SELECT wtxt FROM cw)),
+        |st AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\\s+') AS stoks,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        |  FROM ex),
+        |m AS (SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+        |    CAST(len(list_filter(stoks, x -> list_contains($stopList, x))) AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS stopword_ratio
+        |  FROM st),
+        |q AS (SELECT doc_id,
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    least(stopword_ratio * 4.0, 1.0) * 0.3 +
+        |    greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
+        |  FROM m)
+        |SELECT e.doc_id, e.is_exact,
+        |  e.doc_id IN (SELECT doc_id FROM sp) AS has_span,
+        |  q.quality,
+        |  (NOT e.is_exact) AND NOT (e.doc_id IN (SELECT doc_id FROM sp))
+        |    AND q.quality >= 0.5 AS admitted
+        |FROM ex e JOIN q USING (doc_id)""".stripMargin,
     // the full DAG's oracle composes the independently-verified stage
     // oracles: dedup keep-one + quality formula (pipeline_curate's CTEs),
     // 4-gram decontamination (text_decontaminate's), chunking
