@@ -82,7 +82,9 @@ object Bench {
     "text_gopher_rules", "sim_ivfpq_ingest",
     "dedup_components_incremental", "dedup_semantic_multiprobe",
     // the composed admission loop (exact gate + span gate + quality gate)
-    "pipeline_ingest")
+    "pipeline_ingest",
+    // sparse lexical retrieval: inverted-index stats + BM25 ranked search
+    "search_index", "search_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

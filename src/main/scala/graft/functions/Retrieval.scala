@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over a document corpus: inverted-index
+  * construction and BM25-style ranked search (Robertson & Spärck Jones;
+  * Robertson et al., TREC-3 Okapi). In a training-data pipeline this is
+  * the workhorse for benchmark-contamination search ("which corpus docs
+  * score highly against this eval question?"), targeted data selection,
+  * and query-driven corpus audits.
+  *
+  * Scale shape (the 100 TB story):
+  *  - the inverted index is ONE explode + partial-aggregated groupBy —
+  *    the shuffle carries (term, doc_id) pairs already combined per map
+  *    task, and the resulting postings table is hash-partitioned by term;
+  *  - per-term statistics (df) aggregate the postings, not the corpus;
+  *  - the query set is small by contract (an eval suite, not a corpus)
+  *    and is broadcast to the postings — scoring never shuffles the
+  *    corpus text, only matched (query_id, doc_id, contribution) rows;
+  *  - ultra-common terms (df·2 > maxDfPermille·N/500) are dropped on the
+  *    INDEX side before the join — the classic stop-term guard that also
+  *    removes the one skew hazard (a stopword's posting list joining
+  *    every query containing it);
+  *  - final per-query top-k is a row_number window over candidates of a
+  *    single query — bounded by the matched-candidate count, never the
+  *    corpus.
+  *
+  * Cross-engine determinism: every floating-point step is an IEEE
+  * correctly-rounded operation (+, ×, ÷, sqrt) on inputs derived from
+  * integer counts, so any IEEE-754 engine reproduces the scores
+  * bit-for-bit. That is why the idf is the SQRT of the Robertson odds
+  * ratio `(N − df + ½)/(df + ½)` rather than its logarithm: sqrt is
+  * correctly rounded everywhere, ln is not, and sqrt is a monotone map
+  * of the same odds — per-term ordering is identical, and the gate can
+  * hash-compare scores exactly. (With a lib-specific ln, scores could
+  * drift in the last ulp between engines and even between libm builds —
+  * a reproducibility bug at 100 TB, not just an oracle nuisance.)
+  */
+object Retrieval {
+
+  private def toks(c: Column): Column = split(Dedup.normalizeText(c), " ")
+
+  /** Postings: one row per (term, doc) with its term frequency. Empty
+    * documents contribute nothing; `dl` rides along so scoring never
+    * rejoins the corpus.
+    */
+  def buildPostings(docs: DataFrame, textCol: String,
+                    idCol: String): DataFrame = {
+    val base = docs.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+    base.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+  }
+
+  /** Per-term statistics over a postings table: document frequency and
+    * collection frequency. This IS the index metadata a query planner
+    * needs; it aggregates postings rows, never the corpus.
+    */
+  def termStats(postings: DataFrame): DataFrame =
+    postings.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+
+  /** BM25 ranked search: top-`k` corpus documents per query.
+    *
+    * `queryTerms` is (query_id, term) — one row per DISTINCT query term
+    * (Okapi with query tf capped at 1, the common short-query form).
+    * `maxDfPermille`: index-side stop-term guard — drop terms whose
+    * df·1000 > maxDfPermille·N (integer arithmetic, no float cut).
+    *
+    * Score: Σ_t sqrt((N − df + ½)/(df + ½)) · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)),
+    * folded in term order (see the in-body note) so the score is
+    * bit-stable under any partitioning or reduce order.
+    */
+  def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
+               queryTerms: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDfPermille: Int = 1000): DataFrame = {
+    val postings = buildPostings(corpus, textCol, idCol)
+    // N and avgdl: one tiny aggregate over per-doc lengths, broadcast
+    val dls = postings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val qt = queryTerms.select(col("query_id"), col("term"))
+    // prune postings to query terms FIRST (broadcast semi-shape), so df
+    // is computed for query terms only — never a vocabulary-sized
+    // broadcast; the matched slice holds every posting of those terms,
+    // so its per-term count IS the exact corpus df
+    val matched = postings.join(broadcast(qt.select("term").distinct()),
+      "term")
+    val dfq = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val withN = matched
+      .crossJoin(broadcast(stats))
+      .join(broadcast(dfq), "term")
+      .where(col("df") * 1000 <= lit(maxDfPermille.toLong) * col("n"))
+      .join(broadcast(qt), "term")
+    val d = (x: Column) => x.cast("double")
+    val avgdl = d(col("sum_dl")) / d(col("n"))
+    val idf = sqrt((d(col("n") - col("df")) + lit(0.5)) /
+      (d(col("df")) + lit(0.5)))
+    val tfs = (d(col("tf")) * (lit(k1) + lit(1.0))) /
+      (d(col("tf")) + (lit(k1) * ((lit(1.0) - lit(b)) +
+        (lit(b) * (d(col("dl")) / avgdl)))))
+    // Sum the per-term contributions as a LEFT FOLD in term order — a
+    // plain double SUM's value depends on reduce order (partitioning),
+    // and a DECIMAL cast of an irrational double is not exactly rounded
+    // in every engine. The list is bounded by the query's term count, so
+    // collect_list here is a ≤|query| buffer, not a corpus collect.
+    val perDoc = withN
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (idf * tfs).as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+}

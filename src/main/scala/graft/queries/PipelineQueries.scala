@@ -1146,6 +1146,39 @@ object PipelineQueries {
         docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id", loaded)
     }),
 
+    // Sparse lexical retrieval, index side: per-term df/cf over the
+    // corpus slice — one explode + two partial-aggregated groupBys
+    // (shuffle carries (term, doc) pairs, then terms). df >= 2 bounds
+    // the emitted vocabulary to repeated terms.
+    "search_index" -> ((spark, dir) =>
+      graft.functions.Retrieval.termStats(
+          graft.functions.Retrieval.buildPostings(
+            Tables.read(spark, dir, "documents")
+              .where(col("doc_id") % 97 =!= 0), "text", "doc_id"))
+        .where(col("df") >= 2)),
+
+    // BM25 top-10 per query — the contamination-search shape: queries
+    // are the %97 benchmark slice's first five distinct tokens, corpus
+    // is everything else. Scoring is bit-portable by construction
+    // (sqrt-odds idf + DECIMAL contribution sum — see Retrieval's
+    // scaladoc), so the oracle hash-compares exact score values.
+    "search_bm25" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val qt = docs
+        .where(col("doc_id") % 97 === 0 && length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            split(Dedup.normalizeText(col("text")), " "), 1, 5)))
+            .as("term"))
+      // maxDfPermille stays at the no-op 1000 here: the fixture's tiny
+      // synthetic vocabulary puts EVERY term in >half the docs, so any
+      // real stop-term cut empties the result; the guard's semantics
+      // are spec-verified (RetrievalSpec) instead
+      graft.functions.Retrieval.bm25TopK(
+        docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id",
+        qt, k = 10)
+    }),
+
     // One BPE merge iteration, word-level: corpus-wide adjacent-pair
     // counts → (count desc, pair asc) argmax → literal left-to-right
     // fuse of every non-overlapping occurrence. The oracle replays the
@@ -3243,6 +3276,57 @@ object PipelineQueries {
     // lexicon replay: distinct-per-doc token doc-frequencies on the
     // benchmark slice split even/odd, then per-occurrence add-one sums
     "text_score_lexicon" -> lexiconScoreOracle,
+    // inverted-index stats replay: tf per (term, doc), then df/cf
+    "search_index" ->
+      """WITH t AS (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE doc_id % 97 <> 0 AND length(trim(text)) > 0),
+        |p AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |g AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM p GROUP BY term, doc_id)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS cf
+        |FROM g GROUP BY term HAVING count(*) >= 2""".stripMargin,
+    // BM25 replay with the identical IEEE association: sqrt-odds idf ×
+    // tf saturation, per-term DECIMAL(38,18) contributions summed, rank
+    // by (score desc, doc_id)
+    "search_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+        |  FROM t WHERE doc_id % 97 <> 0),
+        |g AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+        |    min(dl) AS dl
+        |  FROM p GROUP BY term, doc_id),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl
+        |  FROM (SELECT doc_id, min(dl) AS dl FROM g GROUP BY doc_id)),
+        |q AS (SELECT doc_id AS query_id,
+        |    unnest(list_distinct(toks[1:5])) AS term
+        |  FROM t WHERE doc_id % 97 = 0),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+        |c AS (SELECT q.query_id, g.doc_id, q.term,
+        |    sqrt((CAST(s.n - d.df AS DOUBLE) + 0.5) /
+        |         (CAST(d.df AS DOUBLE) + 0.5)) *
+        |      ((CAST(g.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |       (CAST(g.tf AS DOUBLE) + (CAST(1.2 AS DOUBLE) *
+        |         ((1.0 - CAST(0.75 AS DOUBLE)) + (CAST(0.75 AS DOUBLE) *
+        |           (CAST(g.dl AS DOUBLE) /
+        |            (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))))))
+        |      AS contrib
+        |  FROM g JOIN d USING (term) JOIN q USING (term) CROSS JOIN s),
+        |agg AS (SELECT query_id, doc_id,
+        |    list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+        |      AS score
+        |  FROM c GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+        |FROM r WHERE rank <= 10""".stripMargin,
     // identical semantics through the stream — same replay
     "text_score_lexicon_stream" -> lexiconScoreOracle,
     // full replay: same normalization, same pair counts and tie-break,

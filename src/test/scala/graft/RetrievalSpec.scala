@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // 4 docs, hand-computable counts: "fox" in 2 docs, "the" in all 4,
+  // "cat" in 1; dl = 3,4,3,2 → avgdl = 3.0
+  private def corpus = Seq(
+    (1L, "the quick fox"),
+    (2L, "the lazy fox fox"),
+    (3L, "the sleepy cat"),
+    (4L, "the den")
+  ).toDF("doc_id", "text")
+
+  private def q(terms: String*) =
+    terms.map(t => (100L, t)).toDF("query_id", "term")
+
+  test("postings carry tf and dl; termStats df/cf are exact") {
+    val p = Retrieval.buildPostings(corpus, "text", "doc_id")
+    val byKey = p.collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("tf"), r.getAs[Int]("dl"))).toMap
+    assert(byKey(("fox", 2L)) === ((2L, 4)))
+    assert(byKey(("the", 4L)) === ((1L, 2)))
+    val stats = Retrieval.termStats(p).collect()
+      .map(r => r.getAs[String]("term") ->
+        (r.getAs[Long]("df"), r.getAs[Long]("cf"))).toMap
+    assert(stats("fox") === ((2L, 3L)))   // docs 1,2; tf 1+2
+    assert(stats("the") === ((4L, 4L)))
+    assert(stats("cat") === ((1L, 1L)))
+  }
+
+  test("bm25 score matches the hand-computed formula") {
+    val out = Retrieval.bm25TopK(corpus, "text", "doc_id", q("fox"), k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("score"))).toMap
+    val k1 = 1.2; val b = 0.75
+    def expected(tf: Double, dl: Double): Double =
+      math.sqrt((4.0 - 2.0 + 0.5) / (2.0 + 0.5)) *
+        ((tf * (k1 + 1.0)) / (tf + (k1 * ((1.0 - b) + (b * (dl / 3.0))))))
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(1L)._2 === expected(1.0, 3.0))
+    assert(out(2L)._2 === expected(2.0, 4.0))
+    // doc 2: tf=2 outweighs its length penalty here → rank 1
+    assert(out(2L)._1 === 1 && out(1L)._1 === 2)
+  }
+
+  test("maxDfPermille drops stop terms on the index side") {
+    // "the" has df=4=N → kept at 1000, dropped at 999
+    val kept = Retrieval.bm25TopK(corpus, "text", "doc_id", q("the"), k = 10)
+    assert(kept.count() === 4)
+    val cut = Retrieval.bm25TopK(corpus, "text", "doc_id", q("the"), k = 10,
+      maxDfPermille = 999)
+    assert(cut.count() === 0)
+  }
+
+  test("multi-term scores are the term-ordered fold and rank ties break by id") {
+    val out = Retrieval.bm25TopK(corpus, "text", "doc_id",
+      q("fox", "cat", "the"), k = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("score"))).toMap
+    // every doc matches "the"; doc 3 adds cat, docs 1-2 add fox
+    assert(out.size === 4)
+    // fold = ((0 + c_first) + c_next): for doc 1 terms sort fox < the
+    val k1 = 1.2; val b = 0.75
+    def c(tf: Double, dl: Double, df: Double): Double =
+      math.sqrt((4.0 - df + 0.5) / (df + 0.5)) *
+        ((tf * (k1 + 1.0)) / (tf + (k1 * ((1.0 - b) + (b * (dl / 3.0))))))
+    assert(out(1L)._2 === 0.0 + c(1, 3, 2) + c(1, 3, 4))
+    assert(out(3L)._2 === 0.0 + c(1, 3, 1) + c(1, 3, 4))
+  }
+
+  test("scores are bit-identical across partitionings") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13} filler$i")).toDF("doc_id", "text")
+    val qt = Seq((1L, "tok3"), (1L, "tok5"), (2L, "tok1")).toDF("query_id", "term")
+    def run(parts: Int) =
+      Retrieval.bm25TopK(docs.repartition(parts), "text", "doc_id", qt, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).sortBy(x => (x._1, x._3))
+    assert(run(1).toSeq === run(13).toSeq)
+  }
+
+  test("plan broadcasts only the query side, never corpus-sized inputs") {
+    val plan = Retrieval.bm25TopK(corpus, "text", "doc_id", q("fox"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    // the corpus-side aggregations stay as exchanges, not broadcasts
+    assert(plan.contains("Exchange"))
+  }
+}
