@@ -83,8 +83,9 @@ object Bench {
     "dedup_components_incremental", "dedup_semantic_multiprobe",
     // the composed admission loop (exact gate + span gate + quality gate)
     "pipeline_ingest",
-    // sparse lexical retrieval: inverted-index stats + BM25 ranked search
-    "search_index", "search_bm25")
+    // sparse lexical retrieval: inverted-index stats + BM25 ranked
+    // search + positional phrase match
+    "search_index", "search_bm25", "search_phrase")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -64,6 +64,43 @@ object Retrieval {
     postings.groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
 
+  /** Positional postings: one row per token OCCURRENCE, `pos` 1-based —
+    * the index layout phrase and proximity queries need. Hash-partitioned
+    * by term like [[buildPostings]]; positions ride as plain ints, so the
+    * shuffle rows stay narrow.
+    */
+  def buildPositionalPostings(docs: DataFrame, textCol: String,
+                              idCol: String): DataFrame =
+    docs.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(toks(col(textCol))).as(Seq("pos0", "term")))
+      .select(col("doc_id"), (col("pos0") + lit(1)).as("pos"), col("term"))
+
+  /** Exact phrase search via anchor alignment: each posting that matches
+    * phrase position `qpos` votes for anchor `pos − qpos`; an anchor with
+    * one vote per phrase position is a match. One broadcast join (the
+    * phrase set) + one count per (query, doc, anchor) — the corpus never
+    * shuffles, only matched postings do, and a phrase's selectivity
+    * multiplies per term, so the anchor groupBy sees candidate rows, not
+    * the index. `phrases` is (query_id, qpos [0-based], term); output is
+    * (query_id, doc_id, match_pos [1-based start]). Pure integer
+    * arithmetic end to end — bit-portable on any engine.
+    */
+  def phraseMatches(corpus: DataFrame, textCol: String, idCol: String,
+                    phrases: DataFrame): DataFrame = {
+    val post = buildPositionalPostings(corpus, textCol, idCol)
+    val ph = phrases.select(col("query_id"), col("qpos"), col("term"))
+    val lens = ph.groupBy("query_id").agg(count(lit(1)).as("__len"))
+    post.join(broadcast(ph), "term")
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("qpos")).as("match_pos"))
+      .groupBy("query_id", "doc_id", "match_pos")
+      .agg(count(lit(1)).as("__hits"))
+      .join(broadcast(lens), "query_id")
+      .where(col("__hits") === col("__len"))
+      .select(col("query_id"), col("doc_id"), col("match_pos"))
+  }
+
   /** BM25 ranked search: top-`k` corpus documents per query.
     *
     * `queryTerms` is (query_id, term) — one row per DISTINCT query term

@@ -1179,6 +1179,20 @@ object PipelineQueries {
         qt, k = 10)
     }),
 
+    // Exact phrase search over positional postings: each benchmark doc's
+    // tokens 3-4 are its phrase; anchors (pos − qpos) with a full vote
+    // count are matches. Integer arithmetic end to end.
+    "search_phrase" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val tk = split(Dedup.normalizeText(col("text")), " ")
+      val phrases = docs
+        .where(col("doc_id") % 97 === 0 && size(tk) >= 5)
+        .select(col("doc_id").as("query_id"),
+          posexplode(slice(tk, 3, 2)).as(Seq("qpos", "term")))
+      graft.functions.Retrieval.phraseMatches(
+        docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id", phrases)
+    }),
+
     // One BPE merge iteration, word-level: corpus-wide adjacent-pair
     // counts → (count desc, pair asc) argmax → literal left-to-right
     // fuse of every non-overlapping occurrence. The oracle replays the
@@ -3327,6 +3341,26 @@ object PipelineQueries {
         |  FROM agg)
         |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
         |FROM r WHERE rank <= 10""".stripMargin,
+    // phrase replay: positional postings vs the benchmark bigrams,
+    // anchor votes counted per (query, doc, start)
+    "search_phrase" ->
+      """WITH t AS (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |pp AS (SELECT doc_id, unnest(range(1, n + 1)) AS pos, toks
+        |  FROM n WHERE doc_id % 97 <> 0),
+        |post AS (SELECT doc_id, pos, toks[CAST(pos AS INT)] AS term FROM pp),
+        |ph AS (SELECT doc_id AS query_id, unnest(range(0, 2)) AS qpos, toks
+        |  FROM n WHERE doc_id % 97 = 0 AND n >= 5),
+        |ph2 AS (SELECT query_id, qpos,
+        |    toks[CAST(3 + qpos AS INT)] AS term FROM ph),
+        |j AS (SELECT ph2.query_id, p.doc_id, p.pos - ph2.qpos AS match_pos
+        |  FROM post p JOIN ph2 USING (term)),
+        |g AS (SELECT query_id, doc_id, match_pos, count(*) AS hits
+        |  FROM j GROUP BY 1, 2, 3)
+        |SELECT query_id, doc_id, CAST(match_pos AS INT) AS match_pos
+        |FROM g WHERE hits = 2""".stripMargin,
     // identical semantics through the stream — same replay
     "text_score_lexicon_stream" -> lexiconScoreOracle,
     // full replay: same normalization, same pair counts and tie-break,

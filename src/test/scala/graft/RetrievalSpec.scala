@@ -86,6 +86,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(1).toSeq === run(13).toSeq)
   }
 
+  test("phrase matches find every occurrence, 1-based, full votes only") {
+    val docs = Seq(
+      (1L, "a b c a b c a b"),   // "a b c" at 1 and 4; "a b" also at 7
+      (2L, "a c b a b"),         // "a b" at 4 only
+      (3L, "b c b c")            // no "a"
+    ).toDF("doc_id", "text")
+    val phrase3 = Seq((9L, 0, "a"), (9L, 1, "b"), (9L, 2, "c"))
+      .toDF("query_id", "qpos", "term")
+    val m3 = Retrieval.phraseMatches(docs, "text", "doc_id", phrase3)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(m3 === Set((1L, 1), (1L, 4)))
+    val phrase2 = Seq((9L, 0, "a"), (9L, 1, "b"))
+      .toDF("query_id", "qpos", "term")
+    val m2 = Retrieval.phraseMatches(docs, "text", "doc_id", phrase2)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(m2 === Set((1L, 1), (1L, 4), (1L, 7), (2L, 4)))
+  }
+
+  test("phrase with a repeated term needs every position aligned") {
+    val docs = Seq((1L, "x a a x"), (2L, "a x a")).toDF("doc_id", "text")
+    val phrase = Seq((5L, 0, "a"), (5L, 1, "a"))
+      .toDF("query_id", "qpos", "term")
+    val m = Retrieval.phraseMatches(docs, "text", "doc_id", phrase)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(m === Set((1L, 2))) // doc 2's "a x a" never has adjacent a a
+  }
+
   test("plan broadcasts only the query side, never corpus-sized inputs") {
     val plan = Retrieval.bm25TopK(corpus, "text", "doc_id", q("fox"), k = 10)
       .queryExecution.executedPlan.toString
