@@ -84,8 +84,8 @@ object Bench {
     // the composed admission loop (exact gate + span gate + quality gate)
     "pipeline_ingest",
     // sparse lexical retrieval: inverted-index stats + BM25 ranked
-    // search + positional phrase match
-    "search_index", "search_bm25", "search_phrase")
+    // search + positional phrase match + append-without-rebuild ingest
+    "search_index", "search_bm25", "search_phrase", "search_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -115,8 +115,31 @@ object Retrieval {
   def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
                queryTerms: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75,
-               maxDfPermille: Int = 1000): DataFrame = {
-    val postings = buildPostings(corpus, textCol, idCol)
+               maxDfPermille: Int = 1000): DataFrame =
+    bm25TopKFromPostings(buildPostings(corpus, textCol, idCol),
+      queryTerms, k, k1, b, maxDfPermille)
+
+  /** Append a new batch's postings to a persisted index without rebuild:
+    * batch doc ids are new by contract, so its (term, doc, tf, dl) rows
+    * are simply new files — no merge pass. Because df, N, and avgdl are
+    * derived AT SEARCH TIME from the postings ([[bm25TopKFromPostings]]),
+    * not frozen into the index, an appended index scores bit-identically
+    * to a from-scratch rebuild (spec-pinned) — the property engines that
+    * cache per-term stats in index segments give up. Small-file pressure
+    * is [[IndexMaintenance.compact]]'s job, same as the other index
+    * layouts.
+    */
+  def appendPostings(batch: DataFrame, textCol: String, idCol: String,
+                     path: String): Unit =
+    buildPostings(batch, textCol, idCol).write.mode("append").parquet(path)
+
+  /** [[bm25TopK]] against an existing postings table (persisted index or
+    * freshly built) — the search path shared by the batch and ingest
+    * entries.
+    */
+  def bm25TopKFromPostings(postings: DataFrame, queryTerms: DataFrame,
+                           k: Int, k1: Double = 1.2, b: Double = 0.75,
+                           maxDfPermille: Int = 1000): DataFrame = {
     // N and avgdl: one tiny aggregate over per-doc lengths, broadcast
     val dls = postings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
     val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))

@@ -1179,6 +1179,33 @@ object PipelineQueries {
         qt, k = 10)
     }),
 
+    // Append-without-rebuild retrieval index: third 0 builds, the rest
+    // appends (new files only), then BM25 runs against the loaded
+    // postings. df/N/avgdl are search-time aggregates of the postings —
+    // never frozen into the index — so the appended index is
+    // score-identical to a from-scratch build over the union, and this
+    // entry shares search_bm25's oracle verbatim.
+    "search_ingest" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_post_ing").toString
+      graft.functions.Retrieval.buildPostings(
+          docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 97 =!= 0),
+          "text", "doc_id")
+        .write.mode("overwrite").parquet(s"$tmp/idx")
+      graft.functions.Retrieval.appendPostings(
+        docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 97 =!= 0),
+        "text", "doc_id", s"$tmp/idx")
+      val qt = docs
+        .where(col("doc_id") % 97 === 0 && length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            split(Dedup.normalizeText(col("text")), " "), 1, 5)))
+            .as("term"))
+      graft.functions.Retrieval.bm25TopKFromPostings(
+        spark.read.parquet(s"$tmp/idx"), qt, k = 10)
+    }),
+
     // Exact phrase search over positional postings: each benchmark doc's
     // tokens 3-4 are its phrase; anchors (pos − qpos) with a full vote
     // count are matches. Integer arithmetic end to end.
@@ -2523,6 +2550,49 @@ object PipelineQueries {
   // lexicon replay: distinct-per-doc token doc-frequencies on the
   // benchmark slice split even/odd, then per-occurrence add-one sums —
   // shared by the batch entry and its streaming twin
+  /** BM25 replay shared by the from-scratch (`search_bm25`) and the
+    * append-without-rebuild (`search_ingest`) entries — both see the
+    * identical corpus (every %97≠0 doc) because search-time statistics
+    * make the appended index score-identical to a rebuild.
+    */
+  private val bm25Oracle: String =
+    """WITH t AS (SELECT doc_id, string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+      |  FROM t WHERE doc_id % 97 <> 0),
+      |g AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+      |    min(dl) AS dl
+      |  FROM p GROUP BY term, doc_id),
+      |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl
+      |  FROM (SELECT doc_id, min(dl) AS dl FROM g GROUP BY doc_id)),
+      |q AS (SELECT doc_id AS query_id,
+      |    unnest(list_distinct(toks[1:5])) AS term
+      |  FROM t WHERE doc_id % 97 = 0),
+      |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g
+      |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+      |c AS (SELECT q.query_id, g.doc_id, q.term,
+      |    sqrt((CAST(s.n - d.df AS DOUBLE) + 0.5) /
+      |         (CAST(d.df AS DOUBLE) + 0.5)) *
+      |      ((CAST(g.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      |       (CAST(g.tf AS DOUBLE) + (CAST(1.2 AS DOUBLE) *
+      |         ((1.0 - CAST(0.75 AS DOUBLE)) + (CAST(0.75 AS DOUBLE) *
+      |           (CAST(g.dl AS DOUBLE) /
+      |            (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))))))
+      |      AS contrib
+      |  FROM g JOIN d USING (term) JOIN q USING (term) CROSS JOIN s),
+      |agg AS (SELECT query_id, doc_id,
+      |    list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+      |      AS score
+      |  FROM c GROUP BY query_id, doc_id),
+      |r AS (SELECT query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS rank
+      |  FROM agg)
+      |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+      |FROM r WHERE rank <= 10""".stripMargin
+
   private val lexiconScoreOracle: String =
     """WITH bt AS (SELECT DISTINCT doc_id, tok FROM (
       |    SELECT doc_id, unnest(string_split(
@@ -3302,45 +3372,12 @@ object PipelineQueries {
         |  CAST(sum(tf) AS BIGINT) AS cf
         |FROM g GROUP BY term HAVING count(*) >= 2""".stripMargin,
     // BM25 replay with the identical IEEE association: sqrt-odds idf ×
-    // tf saturation, per-term DECIMAL(38,18) contributions summed, rank
-    // by (score desc, doc_id)
-    "search_bm25" ->
-      """WITH t AS (SELECT doc_id, string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |p AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
-        |  FROM t WHERE doc_id % 97 <> 0),
-        |g AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
-        |    min(dl) AS dl
-        |  FROM p GROUP BY term, doc_id),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(dl) AS BIGINT) AS sum_dl
-        |  FROM (SELECT doc_id, min(dl) AS dl FROM g GROUP BY doc_id)),
-        |q AS (SELECT doc_id AS query_id,
-        |    unnest(list_distinct(toks[1:5])) AS term
-        |  FROM t WHERE doc_id % 97 = 0),
-        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g
-        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
-        |c AS (SELECT q.query_id, g.doc_id, q.term,
-        |    sqrt((CAST(s.n - d.df AS DOUBLE) + 0.5) /
-        |         (CAST(d.df AS DOUBLE) + 0.5)) *
-        |      ((CAST(g.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
-        |       (CAST(g.tf AS DOUBLE) + (CAST(1.2 AS DOUBLE) *
-        |         ((1.0 - CAST(0.75 AS DOUBLE)) + (CAST(0.75 AS DOUBLE) *
-        |           (CAST(g.dl AS DOUBLE) /
-        |            (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))))))
-        |      AS contrib
-        |  FROM g JOIN d USING (term) JOIN q USING (term) CROSS JOIN s),
-        |agg AS (SELECT query_id, doc_id,
-        |    list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
-        |      AS score
-        |  FROM c GROUP BY query_id, doc_id),
-        |r AS (SELECT query_id, doc_id, score,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, doc_id) AS rank
-        |  FROM agg)
-        |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
-        |FROM r WHERE rank <= 10""".stripMargin,
+    // tf saturation, term-ordered contribution fold, rank by
+    // (score desc, doc_id)
+    "search_bm25" -> bm25Oracle,
+    // the ingest entry's two appended batches union to the identical
+    // corpus, and search-time stats make append ≡ rebuild — same replay
+    "search_ingest" -> bm25Oracle,
     // phrase replay: positional postings vs the benchmark bigrams,
     // anchor votes counted per (query, doc, start)
     "search_phrase" ->

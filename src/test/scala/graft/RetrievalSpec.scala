@@ -113,6 +113,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(m === Set((1L, 2))) // doc 2's "a x a" never has adjacent a a
   }
 
+  test("appended postings score bit-identically to a from-scratch build") {
+    val docs = (0L until 120L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13} extra${i % 3}"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_retr_ing").toString
+    Retrieval.buildPostings(docs.where(col("doc_id") < 40), "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/idx")
+    Retrieval.appendPostings(docs.where(col("doc_id") >= 40 &&
+      col("doc_id") < 90), "text", "doc_id", s"$tmp/idx")
+    Retrieval.appendPostings(docs.where(col("doc_id") >= 90), "text",
+      "doc_id", s"$tmp/idx")
+    val qt = Seq((1L, "tok3"), (1L, "tok5"), (2L, "extra1"))
+      .toDF("query_id", "term")
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+        .sortBy(x => (x._1, x._3)).toSeq
+    val ingested = bits(Retrieval.bm25TopKFromPostings(
+      spark.read.parquet(s"$tmp/idx"), qt, k = 10))
+    val rebuilt = bits(Retrieval.bm25TopK(docs, "text", "doc_id", qt, k = 10))
+    assert(ingested === rebuilt)
+    assert(ingested.nonEmpty)
+  }
+
   test("plan broadcasts only the query side, never corpus-sized inputs") {
     val plan = Retrieval.bm25TopK(corpus, "text", "doc_id", q("fox"), k = 10)
       .queryExecution.executedPlan.toString
