@@ -171,6 +171,68 @@ object PipelineQueries {
           !col("is_exact") && !col("has_span") && col("quality") >= 0.5)
     }),
 
+    // The admission loop as CONTINUOUS INTAKE: every verdict is
+    // stateless per arriving doc — the exact check is a stream-static
+    // left join on the corpus text set, the span check is the window
+    // explode + static-index semi-join (the substr probe stream's
+    // shape), quality is a projection. Two append-mode streams over the
+    // same arrival feed, verdicts joined after the drain. Same oracle
+    // as the batch entry — the twentieth batch ≡ stream twin.
+    "pipeline_ingest_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val raven = "the raven sat on the bust of pallas above the chamber door"
+      val plant =
+        "by the riverbank the quiet fox waited for the morning light to come"
+      val docs = Tables.read(spark, dir, "documents")
+      val aug = docs.withColumn("text",
+        when(col("doc_id") % 3 =!= 2 && col("doc_id") % 17 === 0, lit(raven))
+          .when(col("doc_id") % 3 === 2 && col("doc_id") % 13 === 0, lit(raven))
+          .otherwise(concat(col("text"),
+            when(col("doc_id") % 3 =!= 2 && col("doc_id") % 2 === 0,
+              lit(" " + plant))
+              .when(col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0,
+                lit(" " + plant))
+              .otherwise(lit("")))))
+      val corpus = aug.where(col("doc_id") % 3 =!= 2)
+      val batch = aug.where(col("doc_id") % 3 === 2)
+      val corpusTexts = corpus.select(col("text")).distinct()
+        .withColumn("__e", lit(true))
+      val idx = Dedup.buildSubstrIndex(corpus, "text", "doc_id", minLen = 8)
+        .withColumnRenamed("wtxt", "__iw")
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val sentinel = Seq((-1L, "sentinel",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val feed = batch.select(col("doc_id"), col("text"), lit(t0).as("ts"))
+      val verdicts = streamWithSentinel(spark, feed, sentinel,
+          delaySec = 3600L)
+        .join(corpusTexts, Seq("text"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__e"), lit(false)).as("is_exact"),
+          TextAnalysis.qualityScoreFromStats(
+            TextAnalysis.stats(col("text"))).as("quality"))
+      graft.streaming.EventStream.runToMemory(
+        verdicts, "ingest_verdict_out", OutputMode.Append())
+      val flagged = streamWithSentinel(spark, feed, sentinel,
+          delaySec = 3600L)
+        .where(size(split(Dedup.normalizeText(col("text")), " ")) >= 8)
+        .select(col("doc_id"),
+          posexplode(Dedup.windowStrings(col("text"), 8))
+            .as(Seq("p0", "wtxt")))
+        .join(idx, col("wtxt") === col("__iw"), "left_semi")
+      graft.streaming.EventStream.runToMemory(
+        flagged.select("doc_id"), "ingest_span_out", OutputMode.Append())
+      val spanned = spark.table("ingest_span_out")
+        .where(col("doc_id") =!= -1L).distinct().withColumn("__s", lit(true))
+      spark.table("ingest_verdict_out").where(col("doc_id") =!= -1L)
+        .join(spanned, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("is_exact"),
+          coalesce(col("__s"), lit(false)).as("has_span"), col("quality"))
+        .withColumn("admitted",
+          !col("is_exact") && !col("has_span") && col("quality") >= 0.5)
+    }),
+
     // INCREMENTAL near-dup clustering: labels from the old corpus's
     // pairs, then the batch's pairs (anything touching a new doc) merge
     // via quotient-graph contraction — the iterative loop runs over
@@ -4380,7 +4442,11 @@ object PipelineQueries {
     // the corpus text set; span membership = any 8-token window of the
     // batch doc in the corpus window set (dedup_substr_ingest's window
     // CTEs); quality = the mirrored stats formula on the augmented text
-    "pipeline_ingest" -> s"""
+    "pipeline_ingest" -> ingestAdmissionOracle,
+    // per-arrival verdicts drain to the identical table — same replay
+    "pipeline_ingest_stream" -> ingestAdmissionOracle) ++ tailOracles
+
+  private lazy val ingestAdmissionOracle: String = s"""
         |WITH aug AS (SELECT doc_id,
         |    CASE WHEN (doc_id % 3 <> 2 AND doc_id % 17 = 0)
         |           OR (doc_id % 3 = 2 AND doc_id % 13 = 0)
@@ -4429,7 +4495,9 @@ object PipelineQueries {
         |  q.quality,
         |  (NOT e.is_exact) AND NOT (e.doc_id IN (SELECT doc_id FROM sp))
         |    AND q.quality >= 0.5 AS admitted
-        |FROM ex e JOIN q USING (doc_id)""".stripMargin,
+        |FROM ex e JOIN q USING (doc_id)""".stripMargin
+
+  private lazy val tailOracles: Map[String, String] = Map(
     // the full DAG's oracle composes the independently-verified stage
     // oracles: dedup keep-one + quality formula (pipeline_curate's CTEs),
     // 4-gram decontamination (text_decontaminate's), chunking
