@@ -85,7 +85,9 @@ object Bench {
     "pipeline_ingest",
     // sparse lexical retrieval: inverted-index stats + BM25 ranked
     // search + positional phrase match + append-without-rebuild ingest
-    "search_index", "search_bm25", "search_phrase", "search_ingest")
+    "search_index", "search_bm25", "search_phrase", "search_ingest",
+    // markup stripping (WET extraction) — scan-speed projection
+    "text_strip_markup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -876,4 +876,30 @@ object Curation {
       .where(col("rank") <= cap)
       .select(col("doc_id"), col("source"), col("quality"), col("rank"))
   }
+
+  // ---------------------------------------------------------- scrubbing
+
+  /** Markup tag pattern — same Java-regex/RE2 common subset contract as
+    * [[TextAnalysis.PiiPatterns]].
+    */
+  val TagRe: String = "<[^>]+>"
+
+  /** Strip markup: tags become spaces, the common entities unescape
+    * (&lt; &gt; &nbsp; first, &amp; LAST so "&amp;lt;" single-unescapes
+    * to the literal "&lt;" — the standard non-double-unescape order),
+    * then whitespace renormalizes. The WET-extraction step of a web
+    * corpus, as one codegen'd projection.
+    */
+  def stripMarkup(c: Column): Column = {
+    val noTags = regexp_replace(c, TagRe, " ")
+    val unescaped =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&nbsp;", " "),
+        "&amp;", "&")
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
 }

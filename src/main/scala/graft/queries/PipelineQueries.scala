@@ -974,6 +974,31 @@ object PipelineQueries {
       TextAnalysis.redactPii(aug, "text", "doc_id")
     }),
 
+    // Markup stripping over deterministically HTML-augmented fixture
+    // text (the synthetic corpus is plain text, so docs get wrapped in
+    // tags + entities derived from their ids): tags → spaces, entities
+    // unescape in the fixed non-double-unescape order, whitespace
+    // renormalizes — the WET-extraction pass as one codegen'd
+    // projection, mirrored verbatim by the oracle.
+    "text_strip_markup" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val aug = docs.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0,
+            lit("<html><body class=\"page\"><p>")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" <b>bold</b>&nbsp;&amp;&nbsp;more &lt;than&gt; that<br/>"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("</p></body></html>"))
+            .otherwise(lit(""))).as("t"))
+      aug.select(col("doc_id"),
+        size(regexp_extract_all(col("t"),
+          lit(graft.functions.Curation.TagRe), lit(0)))
+          .cast("long").as("n_tags"),
+        graft.functions.Curation.stripMarkup(col("t")).as("clean"))
+    }),
+
     // Winnowing fingerprint + simhash are xxhash64-based (engine-specific,
     // spec-verified; they ride through the oracle from the output file);
     // fp_exact (md5 of normalized text) and fp_min (min md5-prefix over
@@ -4021,6 +4046,27 @@ object PipelineQueries {
         |    AS n_phone,
         |  regexp_replace(t, '\+\d[\d-]{5,}\d', '<PHONE>', 'g') AS t FROM s2)
         |SELECT doc_id, t AS redacted, n_email, n_ip, n_phone FROM s3""".stripMargin,
+    // markup replay: identical wrap/entity augmentation, tag regex →
+    // space, replace() entity chain in the same order, '\s+' collapse
+    "text_strip_markup" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN '<html><body class="page"><p>' ELSE '' END ||
+        |  text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN ' <b>bold</b>&nbsp;&amp;&nbsp;more &lt;than&gt; that<br/>'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '</p></body></html>' ELSE '' END
+        |    AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(
+        |      regexp_replace(t, '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM aug""".stripMargin,
     // identical augmentation via chr() codepoints (769=U+0301, 771=U+0303,
     // 776=U+0308, 7=BEL), then the identical strip → NFC → collapse order;
     // utf8proc's NFC and the JDK normalizer must agree byte-for-byte

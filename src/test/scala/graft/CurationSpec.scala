@@ -519,4 +519,27 @@ class CurationSpec extends AnyFunSuite {
         s"round ${g.mkString(",")}")
     }
   }
+
+  test("stripMarkup: tags to spaces, single-pass entity unescape, collapse") {
+    val rows = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "a &lt;tag&gt; literal &amp; ampersand"),
+      // &amp;lt; must single-unescape to the LITERAL "&lt;", not "<"
+      (3L, "escaped: &amp;lt;b&amp;gt;"),
+      (4L, "spaced&nbsp;out<br/><br/>lines"),
+      (5L, "no markup at all"),
+      // unclosed angle bracket is NOT a tag (no closing >)
+      (6L, "math: 3 < 5 and 7 > 2")
+    ).toDF("id", "t")
+    val got = rows.select(col("id"), Curation.stripMarkup(col("t")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === "hello world")
+    assert(got(2L) === "a <tag> literal & ampersand")
+    assert(got(3L) === "escaped: &lt;b&gt;")
+    assert(got(4L) === "spaced out lines")
+    assert(got(5L) === "no markup at all")
+    // "< 5 and 7 >" parses as one bracketed run and is stripped — the
+    // regex extractor's documented over-approximation on bare < >
+    assert(got(6L) === "math: 3 2")
+  }
 }
