@@ -115,9 +115,16 @@ object Retrieval {
   def bm25TopK(corpus: DataFrame, textCol: String, idCol: String,
                queryTerms: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75,
-               maxDfPermille: Int = 1000): DataFrame =
-    bm25TopKFromPostings(buildPostings(corpus, textCol, idCol),
+               maxDfPermille: Int = 1000): DataFrame = {
+    // N/avgdl straight off the corpus (one scan, no token explode) —
+    // identical values to the postings-derived stats, but the expensive
+    // explode+aggregate runs ONCE (for the postings), not twice
+    val stats = corpus.where(length(trim(col(textCol))) > 0)
+      .select(size(toks(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl").cast("long")).as("sum_dl"))
+    bm25Core(buildPostings(corpus, textCol, idCol), stats,
       queryTerms, k, k1, b, maxDfPermille)
+  }
 
   /** Append a new batch's postings to a persisted index without rebuild:
     * batch doc ids are new by contract, so its (term, doc, tf, dl) rows
@@ -140,20 +147,30 @@ object Retrieval {
   def bm25TopKFromPostings(postings: DataFrame, queryTerms: DataFrame,
                            k: Int, k1: Double = 1.2, b: Double = 0.75,
                            maxDfPermille: Int = 1000): DataFrame = {
-    // N and avgdl: one tiny aggregate over per-doc lengths, broadcast
+    // N and avgdl off the index itself (a narrow columnar scan of
+    // (doc_id, dl) when the postings are persisted)
     val dls = postings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
     val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    bm25Core(postings, stats, queryTerms, k, k1, b, maxDfPermille)
+  }
+
+  private def bm25Core(postings: DataFrame, stats: DataFrame,
+                       queryTerms: DataFrame, k: Int, k1: Double,
+                       b: Double, maxDfPermille: Int): DataFrame = {
     val qt = queryTerms.select(col("query_id"), col("term"))
     // prune postings to query terms FIRST (broadcast semi-shape), so df
     // is computed for query terms only — never a vocabulary-sized
     // broadcast; the matched slice holds every posting of those terms,
-    // so its per-term count IS the exact corpus df
+    // so its per-term count IS the exact corpus df. df comes from a
+    // count-over-window on the matched slice itself (partitioned by
+    // term), not a separate aggregate branch — an aggregate would make
+    // Catalyst recompute the postings explode a second time
     val matched = postings.join(broadcast(qt.select("term").distinct()),
       "term")
-    val dfq = matched.groupBy("term").agg(count(lit(1)).as("df"))
     val withN = matched
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(stats))
-      .join(broadcast(dfq), "term")
       .where(col("df") * 1000 <= lit(maxDfPermille.toLong) * col("n"))
       .join(broadcast(qt), "term")
     val d = (x: Column) => x.cast("double")
