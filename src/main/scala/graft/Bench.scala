@@ -86,8 +86,9 @@ object Bench {
     // sparse lexical retrieval: inverted-index stats + BM25 ranked
     // search + positional phrase match + append-without-rebuild ingest
     "search_index", "search_bm25", "search_phrase", "search_ingest",
-    // markup stripping (WET extraction) — scan-speed projection
-    "text_strip_markup")
+    // markup stripping (WET extraction) — scan-speed projection — and
+    // bigram-lift collocation mining
+    "text_strip_markup", "text_collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

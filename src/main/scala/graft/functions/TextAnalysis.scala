@@ -472,6 +472,59 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Collocation mining by pointwise lift — the phrase-discovery pass a
+    * tokenizer/vocab pipeline runs before merging multi-word units
+    * (AutoPhrase/Mikolov-style `p(xy)/(p(x)p(y))`, kept as the RAW lift
+    * ratio rather than its log: ÷ and × are IEEE-exact, `ln` is
+    * libm-dependent — so the scores are bit-portable and the oracle can
+    * hash-compare them; ordering is identical since ln is monotone).
+    * `minCount` is the standard support cut (kills one-off pairs whose
+    * lift is huge but meaningless).
+    *
+    * Scale shape: one token explode for unigram counts, one positional
+    * bigram explode, both partial-aggregated; the unigram table joins
+    * the bigram table by each side's word (shuffle joins — the unigram
+    * table is vocab-sized, NOT broadcast); totals are one-row broadcast
+    * scalars; final top-k is TakeOrderedAndProject (never a full sort),
+    * with rank assigned over the k survivors only.
+    */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   minCount: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    val d = (x: Column) => x.cast("double")
+    val toksDf = df.where(length(trim(col(textCol))) > 0)
+      .select(split(Dedup.normalizeText(col(textCol)), " ").as("toks"))
+    val uni = toksDf.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // totals off the token-ARRAY scan (sum of sizes) — aggregating the
+    // exploded streams again would recompute each explode a second time
+    val tUni = toksDf
+      .select(size(col("toks")).cast("long").as("nw"))
+      .agg(sum(col("nw")).as("t_uni"))
+    val tBi = toksDf.where(size(col("toks")) >= 2)
+      .select((size(col("toks")) - 1).cast("long").as("nb"))
+      .agg(sum(col("nb")).as("t_bi"))
+    val bc = toksDf.where(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("x"),
+          element_at(col("toks"), i + 1).as("y")))).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+    val joined = bc
+      .join(uni.select(col("w").as("x"), col("c").as("cx")), "x")
+      .join(uni.select(col("w").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(tUni)).crossJoin(broadcast(tBi))
+    val lift = (d(col("c_xy")) / d(col("t_bi"))) /
+      ((d(col("cx")) / d(col("t_uni"))) * (d(col("cy")) / d(col("t_uni"))))
+    val top = joined.select(col("x"), col("y"), col("c_xy"),
+        lift.as("lift"))
+      .orderBy(col("lift").desc, col("x"), col("y")).limit(k)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("lift").desc, col("x"), col("y"))))
+  }
+
   /** Class-evidence lexicon from labeled documents: per normalized token,
     * the DOCUMENT frequency in positive vs negative docs (distinct per
     * doc — one vote per document, the Naive-Bayes convention). The table

@@ -928,6 +928,13 @@ object PipelineQueries {
         TextAnalysis.normalizeText(col("t")).as("normalized"))
     }),
 
+    // Collocation mining: top-50 adjacent bigrams by pointwise lift
+    // (raw p(xy)/(p(x)p(y)) ratio — IEEE-exact ÷/× only, no ln — with
+    // a min-support cut), ties broken lexicographically.
+    "text_collocations" -> ((spark, dir) =>
+      TextAnalysis.collocations(Tables.read(spark, dir, "documents"),
+        "text", minCount = 5L, k = 50)),
+
     // Corpus boilerplate detector: top-50 word-3-grams by document
     // frequency (exact; the bounded-shuffle estimate is the MisraGries
     // sketch, spec-verified against its n/(m+1) error bound)
@@ -4046,6 +4053,32 @@ object PipelineQueries {
         |    AS n_phone,
         |  regexp_replace(t, '\+\d[\d-]{5,}\d', '<PHONE>', 'g') AS t FROM s2)
         |SELECT doc_id, t AS redacted, n_email, n_ip, n_phone FROM s3""".stripMargin,
+    // collocation replay: same counts, same IEEE association for the
+    // lift ratio, same (lift desc, x, y) order
+    "text_collocations" ->
+      """WITH t AS (SELECT string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+        |tu AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS t_uni FROM t),
+        |tb AS (SELECT CAST(sum(len(toks) - 1) AS BIGINT) AS t_bi
+        |  FROM t WHERE len(toks) >= 2),
+        |b AS (SELECT toks[CAST(i AS INT)] AS x, toks[CAST(i + 1 AS INT)] AS y
+        |  FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |bc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM b GROUP BY x, y HAVING count(*) >= 5),
+        |j AS (SELECT bc.x, bc.y, bc.c_xy,
+        |    (CAST(bc.c_xy AS DOUBLE) / CAST(tb.t_bi AS DOUBLE)) /
+        |    ((CAST(ux.c AS DOUBLE) / CAST(tu.t_uni AS DOUBLE)) *
+        |     (CAST(uy.c AS DOUBLE) / CAST(tu.t_uni AS DOUBLE))) AS lift
+        |  FROM bc JOIN uc ux ON bc.x = ux.w JOIN uc uy ON bc.y = uy.w
+        |  CROSS JOIN tu CROSS JOIN tb),
+        |r AS (SELECT x, y, c_xy, lift,
+        |    row_number() OVER (ORDER BY lift DESC, x, y) AS rank FROM j)
+        |SELECT x, y, c_xy, lift, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 50""".stripMargin,
     // markup replay: identical wrap/entity augmentation, tag regex →
     // space, replace() entity chain in the same order, '\s+' collapse
     "text_strip_markup" ->

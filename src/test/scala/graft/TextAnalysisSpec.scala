@@ -346,4 +346,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       "SELECT graft_linear_score(text, 512) FROM lin_score_docs")
     assert(viaSql.collect().length === 5)
   }
+
+  test("collocations: hand-computed lift, support cut, rank ties") {
+    // t_uni = 6, t_bi = 4; (a,b) count 3, (b,a) count 1; c(a)=c(b)=3
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2L, k = 10)
+      .collect()
+    assert(got.length === 1) // (b,a) killed by support cut
+    val r = got.head
+    assert(r.getAs[String]("x") === "a" && r.getAs[String]("y") === "b")
+    assert(r.getAs[Long]("c_xy") === 3L)
+    // (3/4) / ((3/6)*(3/6)) = 3.0 exactly
+    assert(r.getAs[Double]("lift") === 3.0)
+    assert(r.getAs[Int]("rank") === 1)
+    // equal lifts order lexicographically: x y / y x symmetric counts
+    val sym = Seq((1L, "p q"), (2L, "q p")).toDF("doc_id", "text")
+    val both = TextAnalysis.collocations(sym, "text", minCount = 1L, k = 10)
+      .collect().map(r2 => (r2.getAs[Int]("rank"),
+        r2.getAs[String]("x"), r2.getAs[String]("y")))
+    assert(both.sorted.toSeq === Seq((1, "p", "q"), (2, "q", "p")))
+  }
 }
