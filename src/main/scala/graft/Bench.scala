@@ -86,6 +86,7 @@ object Bench {
     // sparse lexical retrieval: inverted-index stats + BM25 ranked
     // search + positional phrase match + append-without-rebuild ingest
     "search_index", "search_bm25", "search_phrase", "search_ingest",
+    "search_proximity",
     // markup stripping (WET extraction) — scan-speed projection — and
     // bigram-lift collocation mining
     "text_strip_markup", "text_collocations")

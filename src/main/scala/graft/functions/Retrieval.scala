@@ -76,6 +76,34 @@ object Retrieval {
         posexplode(toks(col(textCol))).as(Seq("pos0", "term")))
       .select(col("doc_id"), (col("pos0") + lit(1)).as("pos"), col("term"))
 
+  /** Proximity search: documents where a pair's two DISTINCT terms
+    * co-occur within `w` token positions (unordered — the "x NEAR y"
+    * operator). `pairs` is (query_id, x, y); output is (query_id,
+    * doc_id, n_pairs, min_dist) over every qualifying position pair.
+    *
+    * Scale shape: the positional postings stream is filtered to the
+    * queried terms by ONE broadcast join per side (so each side carries
+    * only matched positions), then the two sides join on
+    * (query_id, doc_id) — per-doc work is tf_x·tf_y, the postings-list
+    * merge cost every IR engine pays, never corpus-quadratic. Pure
+    * integer arithmetic.
+    */
+  def proximityMatches(corpus: DataFrame, textCol: String, idCol: String,
+                       pairs: DataFrame, w: Int): DataFrame = {
+    val post = buildPositionalPostings(corpus, textCol, idCol)
+    val px = post.join(broadcast(pairs.select(col("query_id"),
+        col("x").as("term"))), "term")
+      .select(col("query_id"), col("doc_id"), col("pos").as("px"))
+    val py = post.join(broadcast(pairs.select(col("query_id"),
+        col("y").as("term"))), "term")
+      .select(col("query_id"), col("doc_id"), col("pos").as("py"))
+    px.join(py, Seq("query_id", "doc_id"))
+      .where(abs(col("px") - col("py")) <= w)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("px") - col("py"))).as("min_dist"))
+  }
+
   /** Exact phrase search via anchor alignment: each posting that matches
     * phrase position `qpos` votes for anchor `pos − qpos`; an anchor with
     * one vote per phrase position is a match. One broadcast join (the

@@ -1300,6 +1300,21 @@ object PipelineQueries {
         spark.read.parquet(s"$tmp/idx"), qt, k = 10)
     }),
 
+    // Proximity search ("x NEAR/4 y"): each benchmark doc's tokens 1
+    // and 3 (when distinct) form its pair; qualifying position pairs
+    // counted per (query, doc) with the minimum distance.
+    "search_proximity" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val tk = split(Dedup.normalizeText(col("text")), " ")
+      val pairs = docs.where(col("doc_id") % 97 === 0 && size(tk) >= 3)
+        .select(col("doc_id").as("query_id"),
+          element_at(tk, 1).as("x"), element_at(tk, 3).as("y"))
+        .where(col("x") =!= col("y"))
+      graft.functions.Retrieval.proximityMatches(
+        docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id",
+        pairs, w = 4)
+    }),
+
     // Exact phrase search over positional postings: each benchmark doc's
     // tokens 3-4 are its phrase; anchors (pos − qpos) with a full vote
     // count are matches. Integer arithmetic end to end.
@@ -3472,6 +3487,27 @@ object PipelineQueries {
     // the ingest entry's two appended batches union to the identical
     // corpus, and search-time stats make append ≡ rebuild — same replay
     "search_ingest" -> bm25Oracle,
+    // proximity replay: matched position lists joined per (query, doc),
+    // |px − py| ≤ 4 pairs counted, minimum distance kept
+    "search_proximity" ->
+      """WITH t AS (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |pp AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+        |  FROM t WHERE doc_id % 97 <> 0),
+        |post AS (SELECT doc_id, pos, toks[CAST(pos AS INT)] AS term FROM pp),
+        |q AS (SELECT doc_id AS query_id, toks[1] AS x, toks[3] AS y
+        |  FROM t WHERE doc_id % 97 = 0 AND len(toks) >= 3
+        |    AND toks[1] <> toks[3]),
+        |px AS (SELECT q.query_id, p.doc_id, p.pos AS px
+        |  FROM post p JOIN q ON p.term = q.x),
+        |py AS (SELECT q.query_id, p.doc_id, p.pos AS py
+        |  FROM post p JOIN q ON p.term = q.y)
+        |SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(min(abs(px - py)) AS INT) AS min_dist
+        |FROM px JOIN py USING (query_id, doc_id)
+        |WHERE abs(px - py) <= 4
+        |GROUP BY query_id, doc_id""".stripMargin,
     // phrase replay: positional postings vs the benchmark bigrams,
     // anchor votes counted per (query, doc, start)
     "search_phrase" ->

@@ -113,6 +113,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(m === Set((1L, 2))) // doc 2's "a x a" never has adjacent a a
   }
 
+  test("proximity counts every |px-py| <= w pair and keeps min distance") {
+    val docs = Seq(
+      (1L, "a x x b x a"),   // a@1,6 b@4: pairs |1-4|=3, |6-4|=2 → 2 pairs, min 2
+      (2L, "a x x x x x b"), // |1-7|=6 > 4 → no match
+      (3L, "b a")            // |2-1|=1 → 1 pair, min 1
+    ).toDF("doc_id", "text")
+    val pairs = Seq((9L, "a", "b")).toDF("query_id", "x", "y")
+    val got = Retrieval.proximityMatches(docs, "text", "doc_id", pairs, w = 4)
+      .collect().map(r => r.getLong(1) -> (r.getAs[Long]("n_pairs"),
+        r.getAs[Int]("min_dist"))).toMap
+    assert(got === Map(1L -> ((2L, 2)), 3L -> ((1L, 1))))
+  }
+
   test("appended postings score bit-identically to a from-scratch build") {
     val docs = (0L until 120L).map(i =>
       (i, s"tok${i % 7} tok${i % 11} tok${i % 13} extra${i % 3}"))
