@@ -89,7 +89,9 @@ object Bench {
     "search_proximity",
     // markup stripping (WET extraction) — scan-speed projection — and
     // bigram-lift collocation mining
-    "text_strip_markup", "text_collocations")
+    "text_strip_markup", "text_collocations",
+    // DSIR-shaped importance resampling (hashed-bigram evidence weights)
+    "sample_importance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -115,6 +115,66 @@ object Sampling {
       .limit(k)
   }
 
+  /** DSIR-shaped importance weights for target-aware data selection
+    * (Xie et al., NeurIPS 2023: hashed n-gram features scored against a
+    * small TARGET corpus vs the raw pool), in this repo's log-free,
+    * bit-portable form. Features are adjacent word bigrams hashed into
+    * `nBuckets` md5 buckets (Weinberger-style feature hashing — the
+    * portable twin of DSIR's hashed n-grams); a document's weight is
+    * the ratio of its add-one-smoothed evidence sums
+    *
+    *   w(d) = (Σ_f c_f·(t_f+1) + 1) / (Σ_f c_f·(s_f+1) + 1)
+    *
+    * with t_f/s_f the bucket counts in target/pool. The inner-product
+    * evidence form replaces DSIR's product-of-ratios so every term stays
+    * an exact integer and the weight is ONE IEEE division — engines
+    * reproduce it bit-for-bit, where a log-space Σ c_f·(ln t̂_f − ln ŝ_f)
+    * inherits libm's ulp drift. Monotone in the same per-feature
+    * evidence; the outer +1 keeps featureless (≤1-token) docs at a
+    * well-defined weight instead of 0/0. Feed the result straight to
+    * [[prioritySample]] for the resampling step.
+    *
+    * Scale shape: one bigram explode over the pool (one over the small
+    * target), partial-aggregated per (doc, bucket); both bucket tables
+    * are ≤ nBuckets rows — broadcast by construction, never
+    * vocabulary-sized. At 100 TB the per-doc feature table is the thing
+    * to persist; the bucket stats re-derive from it in one narrow pass.
+    */
+  def importanceWeights(pool: DataFrame, target: DataFrame,
+                        textCol: String, idCol: String,
+                        nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
+    def feats(d: DataFrame): DataFrame = d
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        split(graft.functions.Dedup.normalizeText(col(textCol)), " ")
+          .as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => pmod(portableBucketInt(concat(
+          element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1))), lit(nBuckets.toLong))))
+        .as("feat"))
+    val docFeat = feats(pool).groupBy("doc_id", "feat")
+      .agg(count(lit(1)).as("c_f"))
+    val tf_ = feats(target).groupBy("feat").agg(count(lit(1)).as("t_f"))
+    val sf_ = docFeat.groupBy("feat").agg(sum(col("c_f")).as("s_f"))
+    val sums = docFeat
+      .join(broadcast(tf_), Seq("feat"), "left")
+      .join(broadcast(sf_), Seq("feat"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("c_f") * (coalesce(col("t_f"), lit(0L)) + 1L))
+        .as("tsum"),
+        sum(col("c_f") * (coalesce(col("s_f"), lit(0L)) + 1L))
+          .as("ssum"))
+    pool.select(col(idCol).as("doc_id")).join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        ((coalesce(col("tsum"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("ssum"), lit(0L)) + lit(1L)).cast("double"))
+          .as("weight"))
+  }
+
   /** Deterministic train/val/test (or any n-way) split: each row gets
     * the first label whose cumulative md5-bucket cut its key hashes
     * below — the standard reproducible dataset split (membership is a

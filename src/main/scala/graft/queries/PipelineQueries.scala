@@ -2293,6 +2293,20 @@ object PipelineQueries {
           .select("doc_id", "lang", "n_chars"),
         "doc_id", "n_chars", "lang", k = 30)),
 
+    // DSIR-shaped importance resampling: hashed-bigram evidence weights
+    // against the %97 target slice (log-free inner-product form — exact
+    // integer sums, one division), resampled by the same portable
+    // priority sampler. The full target-aware data-selection loop.
+    "sample_importance" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val w = graft.functions.Sampling.importanceWeights(
+        docs.where(col("doc_id") % 97 =!= 0),
+        docs.where(col("doc_id") % 97 === 0),
+        "text", "doc_id", nBuckets = 256)
+      graft.functions.Sampling.prioritySample(w, "doc_id", "weight",
+        k = 100)
+    }),
+
     // Deterministic 80/10/10 train/val/test split: membership is a pure
     // function of the key (portable md5 ranges), reproducible anywhere.
     "sample_split" -> ((spark, dir) =>
@@ -3174,6 +3188,41 @@ object PipelineQueries {
         |SELECT doc_id, n_chars,
         |  CAST(n_chars AS DOUBLE) / ((hv + 0.5) / 4294967296.0) AS priority
         |FROM h ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
+    // importance replay: same md5-bucketed bigram features, the same
+    // add-one evidence sums and single-division weight, the same
+    // portable priority top-k
+    "sample_importance" ->
+      """WITH t AS (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |f AS (SELECT doc_id,
+        |    ('0x' || substring(md5(toks[CAST(i AS INT)] || ' ' ||
+        |      toks[CAST(i + 1 AS INT)]), 1, 8))::BIGINT % 256 AS feat
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |df_ AS (SELECT doc_id, feat, CAST(count(*) AS BIGINT) AS c_f
+        |  FROM f WHERE doc_id % 97 <> 0 GROUP BY doc_id, feat),
+        |tf_ AS (SELECT feat, CAST(count(*) AS BIGINT) AS t_f
+        |  FROM f WHERE doc_id % 97 = 0 GROUP BY feat),
+        |sf_ AS (SELECT feat, CAST(sum(c_f) AS BIGINT) AS s_f
+        |  FROM df_ GROUP BY feat),
+        |sums AS (SELECT d.doc_id,
+        |    CAST(sum(d.c_f * (coalesce(t.t_f, 0) + 1)) AS BIGINT) AS tsum,
+        |    CAST(sum(d.c_f * (coalesce(s.s_f, 0) + 1)) AS BIGINT) AS ssum
+        |  FROM df_ d LEFT JOIN tf_ t USING (feat)
+        |    LEFT JOIN sf_ s USING (feat)
+        |  GROUP BY d.doc_id),
+        |w AS (SELECT p.doc_id,
+        |    CAST(coalesce(s.tsum, 0) + 1 AS DOUBLE) /
+        |    CAST(coalesce(s.ssum, 0) + 1 AS DOUBLE) AS weight
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) p
+        |  LEFT JOIN sums s USING (doc_id)),
+        |pr AS (SELECT doc_id, weight, weight /
+        |    ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      + 0.5) / 4294967296.0) AS priority
+        |  FROM w)
+        |SELECT doc_id, weight, priority FROM pr
+        |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
     "sample_split" ->
       """SELECT doc_id,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'

@@ -218,4 +218,41 @@ class SamplingSpec extends AnyFunSuite {
         mn2.compareTo(mn) === 0 && mx2.compareTo(mx) === 0, k)
     }
   }
+
+  test("importanceWeights: target-like docs up-weight, featureless get 1.0") {
+    import org.apache.spark.sql.functions.col
+    val target = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "alpha beta gamma delta"),  // every bigram in target
+      (2L, "zeta eta theta iota"),     // no target bigrams
+      (3L, "x")                        // no bigrams at all
+    ).toDF("doc_id", "text")
+    val w = graft.functions.Sampling
+      .importanceWeights(pool, target, "text", "doc_id", nBuckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.keySet === Set(1L, 2L, 3L))
+    assert(w(1L) > w(2L),
+      s"target-matching doc must outweigh non-matching: $w")
+    assert(w(3L) === 1.0)
+    // exact value for doc 2 (no collisions assumed at 4096 buckets):
+    // 3 bigrams, each c_f=1, t_f=0; s_f=1 unless it collides with doc 1
+    // — just pin the structural bound instead: weight < 1 (denominator
+    // counts pool evidence, numerator only the +1 smoothing)
+    assert(w(2L) < 1.0)
+  }
+
+  test("importanceWeights are bit-identical across partitionings") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 120L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13} tok${i % 5}"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = graft.functions.Sampling.importanceWeights(
+        docs.where(col("doc_id") % 9 =!= 0).repartition(parts),
+        docs.where(col("doc_id") % 9 === 0),
+        "text", "doc_id", nBuckets = 64)
+      .collect()
+      .map(r => (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
+      .sortBy(_._1).toSeq
+    assert(run(1) === run(13))
+  }
 }
