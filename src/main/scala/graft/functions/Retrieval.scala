@@ -182,6 +182,54 @@ object Retrieval {
     bm25Core(postings, stats, queryTerms, k, k1, b, maxDfPermille)
   }
 
+  /** The fully-scored probe table for CONTINUOUS query intake: per
+    * (term, doc) posting, its ready-to-sum BM25 contribution. Unlike the
+    * batch path (which prunes postings to the query's terms before
+    * computing df), this scores the whole index once — df via one
+    * count-over-window keyed by term, N/avgdl broadcast — because the
+    * queries aren't known yet. A query stream then probes it with ONE
+    * stateless stream-static equi-join on `term`; contributions fold to
+    * scores after the drain (or per watermark group). df/idf are
+    * IDENTICAL to the batch path's — pruning doesn't change a term's
+    * document frequency — so streamed probes score bit-identically
+    * (spec-pinned).
+    */
+  def bm25IndexScored(postings: DataFrame,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      maxDfPermille: Int = 1000): DataFrame = {
+    val dls = postings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val d = (x: Column) => x.cast("double")
+    val withDf = postings
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(stats))
+      .where(col("df") * 1000 <= lit(maxDfPermille.toLong) * col("n"))
+    val avgdl = d(col("sum_dl")) / d(col("n"))
+    val idf = sqrt((d(col("n") - col("df")) + lit(0.5)) /
+      (d(col("df")) + lit(0.5)))
+    val tfs = (d(col("tf")) * (lit(k1) + lit(1.0))) /
+      (d(col("tf")) + (lit(k1) * ((lit(1.0) - lit(b)) +
+        (lit(b) * (d(col("dl")) / avgdl)))))
+    withDf.select(col("term"), col("doc_id"), (idf * tfs).as("c"))
+  }
+
+  /** Fold per-(query, doc) contributions to ranked top-k — the shared
+    * tail of the batch path and the post-drain step of a streamed probe.
+    * Input needs (query_id, doc_id, term, c).
+    */
+  def bm25RankContributions(contribs: DataFrame, k: Int): DataFrame = {
+    val perDoc = contribs
+      .groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    perDoc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+  }
+
   private def bm25Core(postings: DataFrame, stats: DataFrame,
                        queryTerms: DataFrame, k: Int, k1: Double,
                        b: Double, maxDfPermille: Int): DataFrame = {
@@ -208,21 +256,13 @@ object Retrieval {
     val tfs = (d(col("tf")) * (lit(k1) + lit(1.0))) /
       (d(col("tf")) + (lit(k1) * ((lit(1.0) - lit(b)) +
         (lit(b) * (d(col("dl")) / avgdl)))))
-    // Sum the per-term contributions as a LEFT FOLD in term order — a
-    // plain double SUM's value depends on reduce order (partitioning),
-    // and a DECIMAL cast of an irrational double is not exactly rounded
-    // in every engine. The list is bounded by the query's term count, so
-    // collect_list here is a ≤|query| buffer, not a corpus collect.
-    val perDoc = withN
-      .select(col("query_id"), col("doc_id"), col("term"),
-        (idf * tfs).as("c"))
-      .groupBy("query_id", "doc_id")
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("term"), col("c")))),
-        lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"))
-    perDoc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+    // Per-term contributions fold as a LEFT FOLD in term order
+    // ([[bm25RankContributions]]) — a plain double SUM's value depends
+    // on reduce order (partitioning), and a DECIMAL cast of an
+    // irrational double is not exactly rounded in every engine. The
+    // folded list is bounded by the query's term count.
+    bm25RankContributions(
+      withN.select(col("query_id"), col("doc_id"), col("term"),
+        (idf * tfs).as("c")), k)
   }
 }

@@ -1300,6 +1300,40 @@ object PipelineQueries {
         spark.read.parquet(s"$tmp/idx"), qt, k = 10)
     }),
 
+    // CONTINUOUS query intake for BM25: the corpus index is scored once
+    // (per-posting contributions, df via one term-keyed window), then
+    // each arriving query probes it with ONE stateless stream-static
+    // join; contributions fold to ranked scores after the drain. Same
+    // oracle as search_bm25 — pruning by query terms does not change
+    // df, so the streamed probe scores bit-identically. Twin #21.
+    "search_bm25_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val docs = Tables.read(spark, dir, "documents")
+      val R = graft.functions.Retrieval
+      val static = R.bm25IndexScored(R.buildPostings(
+        docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id"))
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val sentinel = Seq((-1L, "sentinel",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val feed = docs
+        .where(col("doc_id") % 97 === 0 && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("text"), lit(t0).as("ts"))
+      val contribs = streamWithSentinel(spark, feed, sentinel,
+          delaySec = 3600L)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            split(Dedup.normalizeText(col("text")), " "), 1, 5)))
+            .as("term"))
+        .join(static, "term")
+      graft.streaming.EventStream.runToMemory(
+        contribs, "bm25_stream_out", OutputMode.Append())
+      R.bm25RankContributions(
+        spark.table("bm25_stream_out").where(col("query_id") =!= -1L),
+        k = 10)
+    }),
+
     // Proximity search ("x NEAR/4 y"): each benchmark doc's tokens 1
     // and 3 (when distinct) form its pair; qualifying position pairs
     // counted per (query, doc) with the minimum distance.
@@ -3536,6 +3570,8 @@ object PipelineQueries {
     // the ingest entry's two appended batches union to the identical
     // corpus, and search-time stats make append ≡ rebuild — same replay
     "search_ingest" -> bm25Oracle,
+    // streamed probes of the pre-scored index fold to identical scores
+    "search_bm25_stream" -> bm25Oracle,
     // proximity replay: matched position lists joined per (query, doc),
     // |px − py| ≤ 4 pairs counted, minimum distance kept
     "search_proximity" ->

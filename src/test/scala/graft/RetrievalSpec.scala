@@ -151,6 +151,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ingested.nonEmpty)
   }
 
+  test("pre-scored index probe ranks bit-identically to the batch path") {
+    val docs = (0L until 150L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13} pad${i % 4}"))
+      .toDF("doc_id", "text")
+    val qt = Seq((1L, "tok3"), (1L, "tok5"), (2L, "pad1"), (2L, "tok8"))
+      .toDF("query_id", "term")
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+        .sortBy(x => (x._1, x._3)).toSeq
+    val batch = bits(Retrieval.bm25TopK(docs, "text", "doc_id", qt, k = 10))
+    val static = Retrieval.bm25IndexScored(
+      Retrieval.buildPostings(docs, "text", "doc_id"))
+    val probed = bits(Retrieval.bm25RankContributions(
+      qt.join(static, "term"), k = 10))
+    assert(probed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("plan broadcasts only the query side, never corpus-sized inputs") {
     val plan = Retrieval.bm25TopK(corpus, "text", "doc_id", q("fox"), k = 10)
       .queryExecution.executedPlan.toString
