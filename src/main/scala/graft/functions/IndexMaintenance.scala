@@ -120,6 +120,16 @@ object IndexMaintenance {
                          targetFiles: Int = 1): (Long, Long) =
     compact(spark, path, None, targetFiles)
 
+  /** Re-pack a flat retrieval postings index ([[Retrieval.appendPostings]]
+    * accumulation). Postings rows are unique per (term, doc) by
+    * construction, so the distinct pass is a no-op on correct data and
+    * heals a double-submitted batch; BM25 stats re-derive at search time,
+    * so scores are unchanged by contract (spec-pinned).
+    */
+  def compactPostings(spark: SparkSession, path: String,
+                      targetFiles: Int = 1): (Long, Long) =
+    compact(spark, path, None, targetFiles)
+
   private def countDataFiles(fs: FileSystem, dir: HadoopPath): Long = {
     val it = fs.listFiles(dir, true)
     var n = 0L

@@ -124,4 +124,37 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(na === lists, "one file per surviving list")
     assert(run() === before)
   }
+
+  test("postings index: compact keeps bm25 scores bit-identical") {
+    import graft.functions.Retrieval
+    val corpus = (0L until 90L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13} pad${i % 3}"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_postcmp").toString
+    Retrieval.buildPostings(corpus.where(col("doc_id") < 30),
+        "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$tmp/idx")
+    Retrieval.appendPostings(corpus.where(col("doc_id") >= 30 &&
+      col("doc_id") < 60), "text", "doc_id", s"$tmp/idx")
+    // a double-submitted batch: identical rows land twice; compaction's
+    // distinct pass must heal them back to the correct index
+    Retrieval.appendPostings(corpus.where(col("doc_id") >= 60),
+      "text", "doc_id", s"$tmp/idx")
+    Retrieval.appendPostings(corpus.where(col("doc_id") >= 60),
+      "text", "doc_id", s"$tmp/idx")
+    val qt = Seq((1L, "tok3"), (1L, "pad1")).toDF("query_id", "term")
+    val healthy = Retrieval.bm25TopK(corpus, "text", "doc_id", qt, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .sortBy(x => (x._1, x._3)).toSeq
+    def probe() = Retrieval.bm25TopKFromPostings(
+        spark.read.parquet(s"$tmp/idx"), qt, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .sortBy(x => (x._1, x._3)).toSeq
+    val (nb, na) = IndexMaintenance.compactPostings(spark, s"$tmp/idx")
+    assert(na === 1L && na < nb, s"$nb -> $na")
+    assert(probe() === healthy,
+      "compacted (deduped) index must score like a from-scratch build")
+  }
 }
