@@ -200,9 +200,12 @@ object Retrieval {
     val dls = postings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
     val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
     val d = (x: Column) => x.cast("double")
+    // df via partial-aggregated termStats + a plain term-keyed join (AQE
+    // broadcasts the vocabulary-row side when it is small) — NOT a
+    // count-over-window, which sorts every posting inside per-term
+    // partitions and collapses onto hot terms (see bm25Core's note)
     val withDf = postings
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(termStats(postings).select(col("term"), col("df")), "term")
       .crossJoin(broadcast(stats))
       .where(col("df") * 1000 <= lit(maxDfPermille.toLong) * col("n"))
     val avgdl = d(col("sum_dl")) / d(col("n"))
@@ -214,16 +217,52 @@ object Retrieval {
     withDf.select(col("term"), col("doc_id"), (idf * tfs).as("c"))
   }
 
-  /** Fold per-(query, doc) contributions to ranked top-k — the shared
+  /** How many distinct terms a query may carry through the slot-pivot
+    * summation ([[bm25RankContributions]]). Raise if an entry needs
+    * longer queries — the cost is one more `sum(when)` column per slot.
+    */
+  val MaxQueryTerms: Int = 8
+
+  /** Sum per-(query, doc) contributions to ranked top-k — the shared
     * tail of the batch path and the post-drain step of a streamed probe.
     * Input needs (query_id, doc_id, term, c).
+    *
+    * The sum must be bit-stable (a double SUM's value depends on reduce
+    * order) yet cheap. Each contribution is routed to a SLOT — its
+    * term's rank among the query's distinct terms, a ≤-query-sized
+    * window on the tiny term table — so `sum(when(slot=i, c))` folds at
+    * most ONE value per (query, doc) slot (exact regardless of order,
+    * plain codegen'd HashAggregate), and the final fixed-association
+    * chain `((c₁+c₂)+…)+c_k` over coalesced slots equals the
+    * term-ordered left fold bit-for-bit: adding 0.0 in place of a
+    * missing positive term is IEEE-exact. (The collect_list +
+    * sort_array + fold alternative computes the identical bits through
+    * an ObjectHashAggregate — 3-4× slower at ~5M contribution rows.)
     */
-  def bm25RankContributions(contribs: DataFrame, k: Int): DataFrame = {
-    val perDoc = contribs
+  def bm25RankContributions(contribs: DataFrame, queryTerms: DataFrame,
+                            k: Int): DataFrame = {
+    val slotOf = Window.partitionBy("query_id").orderBy("term")
+    val qterms = queryTerms.select("query_id", "term").distinct()
+      .withColumn("slot", row_number().over(slotOf))
+    // loud, not silent: a query wider than the slot set must fail here,
+    // not drop its tail terms. The check aggregates the query term
+    // table only — small by the query-set contract, so the extra job is
+    // trivial (and never touches the corpus-sized contribution stream).
+    val widest = qterms.agg(max(col("slot"))).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toInt))
+      .getOrElse(0)
+    require(widest <= MaxQueryTerms,
+      s"query has $widest distinct terms > MaxQueryTerms=$MaxQueryTerms")
+    val slotted = contribs.join(broadcast(qterms), Seq("query_id", "term"))
+    val slotCols = (1 to MaxQueryTerms).map(i =>
+      sum(when(col("slot") === i, col("c"))).as(s"__c$i"))
+    val score = (1 to MaxQueryTerms)
+      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val perDoc = slotted
       .groupBy("query_id", "doc_id")
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("term"), col("c")))),
-        lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+      .agg(slotCols.head, slotCols.tail: _*)
+      .select(col("query_id"), col("doc_id"), score.as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
     perDoc.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -237,16 +276,20 @@ object Retrieval {
     // prune postings to query terms FIRST (broadcast semi-shape), so df
     // is computed for query terms only — never a vocabulary-sized
     // broadcast; the matched slice holds every posting of those terms,
-    // so its per-term count IS the exact corpus df. df comes from a
-    // count-over-window on the matched slice itself (partitioned by
-    // term), not a separate aggregate branch — an aggregate would make
-    // Catalyst recompute the postings explode a second time
+    // so its per-term count IS the exact corpus df. df is a partial-
+    // aggregated groupBy broadcast back (≤|query terms| rows): Catalyst
+    // recomputes the postings subtree for the branch, but that is
+    // parallel linear work — the count-over-window alternative avoids
+    // the recompute and instead SORTS each term's postings inside a
+    // per-term window partition, which collapses onto a handful of hot
+    // keys the moment a query contains a stopword-frequency term
+    // (measured 12× at 10× data on the 31-term fixture vocabulary)
     val matched = postings.join(broadcast(qt.select("term").distinct()),
       "term")
+    val dfq = matched.groupBy("term").agg(count(lit(1)).as("df"))
     val withN = matched
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(stats))
+      .join(broadcast(dfq), "term")
       .where(col("df") * 1000 <= lit(maxDfPermille.toLong) * col("n"))
       .join(broadcast(qt), "term")
     val d = (x: Column) => x.cast("double")
@@ -263,6 +306,6 @@ object Retrieval {
     // folded list is bounded by the query's term count.
     bm25RankContributions(
       withN.select(col("query_id"), col("doc_id"), col("term"),
-        (idf * tfs).as("c")), k)
+        (idf * tfs).as("c")), qt, k)
   }
 }

@@ -1259,7 +1259,8 @@ object PipelineQueries {
     "search_bm25" -> ((spark, dir) => {
       val docs = Tables.read(spark, dir, "documents")
       val qt = docs
-        .where(col("doc_id") % 97 === 0 && length(trim(col("text"))) > 0)
+        .where(col("doc_id") % 97 === 0 && col("doc_id") < 5000 &&
+          length(trim(col("text"))) > 0)
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(slice(
             split(Dedup.normalizeText(col("text")), " "), 1, 5)))
@@ -1291,7 +1292,8 @@ object PipelineQueries {
         docs.where(col("doc_id") % 3 =!= 0 && col("doc_id") % 97 =!= 0),
         "text", "doc_id", s"$tmp/idx")
       val qt = docs
-        .where(col("doc_id") % 97 === 0 && length(trim(col("text"))) > 0)
+        .where(col("doc_id") % 97 === 0 && col("doc_id") < 5000 &&
+          length(trim(col("text"))) > 0)
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(slice(
             split(Dedup.normalizeText(col("text")), " "), 1, 5)))
@@ -1311,14 +1313,26 @@ object PipelineQueries {
       import org.apache.spark.sql.streaming.OutputMode
       val docs = Tables.read(spark, dir, "documents")
       val R = graft.functions.Retrieval
-      val static = R.bm25IndexScored(R.buildPostings(
-        docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id"))
+      // persist the scored index ONCE — a streaming query re-evaluates
+      // its static side every micro-batch, so the static side must be a
+      // file scan, not the scoring plan itself (this is also the
+      // production shape: the index is a maintained artifact)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bm25s").toString
+      R.bm25IndexScored(R.buildPostings(
+          docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id"))
+        .write.mode("overwrite").parquet(s"$tmp/scored")
+      val static = spark.read.parquet(s"$tmp/scored")
       val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
       val sentinel = Seq((-1L, "sentinel",
         java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
         .toDF("doc_id", "text", "ts")
+      // tighter suite bound than the batch entries: every contribution
+      // row of every in-flight query transits the memory sink (driver
+      // RAM) in this harness, so the arrival set stays benchmark-sized
       val feed = docs
-        .where(col("doc_id") % 97 === 0 && length(trim(col("text"))) > 0)
+        .where(col("doc_id") % 97 === 0 && col("doc_id") < 1000 &&
+          length(trim(col("text"))) > 0)
         .select(col("doc_id"), col("text"), lit(t0).as("ts"))
       val contribs = streamWithSentinel(spark, feed, sentinel,
           delaySec = 3600L)
@@ -1329,9 +1343,18 @@ object PipelineQueries {
         .join(static, "term")
       graft.streaming.EventStream.runToMemory(
         contribs, "bm25_stream_out", OutputMode.Append())
+      // query-term table re-derived from the batch source (re-selecting
+      // from the drained table would self-join conflicting attributes)
+      val qtBatch = docs
+        .where(col("doc_id") % 97 === 0 && col("doc_id") < 1000 &&
+          length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            split(Dedup.normalizeText(col("text")), " "), 1, 5)))
+            .as("term"))
       R.bm25RankContributions(
         spark.table("bm25_stream_out").where(col("query_id") =!= -1L),
-        k = 10)
+        qtBatch, k = 10)
     }),
 
     // Proximity search ("x NEAR/4 y"): each benchmark doc's tokens 1
@@ -1340,7 +1363,8 @@ object PipelineQueries {
     "search_proximity" -> ((spark, dir) => {
       val docs = Tables.read(spark, dir, "documents")
       val tk = split(Dedup.normalizeText(col("text")), " ")
-      val pairs = docs.where(col("doc_id") % 97 === 0 && size(tk) >= 3)
+      val pairs = docs.where(col("doc_id") % 97 === 0 && col("doc_id") < 5000 &&
+          size(tk) >= 3)
         .select(col("doc_id").as("query_id"),
           element_at(tk, 1).as("x"), element_at(tk, 3).as("y"))
         .where(col("x") =!= col("y"))
@@ -1356,7 +1380,8 @@ object PipelineQueries {
       val docs = Tables.read(spark, dir, "documents")
       val tk = split(Dedup.normalizeText(col("text")), " ")
       val phrases = docs
-        .where(col("doc_id") % 97 === 0 && size(tk) >= 5)
+        .where(col("doc_id") % 97 === 0 && col("doc_id") < 5000 &&
+          size(tk) >= 5)
         .select(col("doc_id").as("query_id"),
           posexplode(slice(tk, 3, 2)).as(Seq("qpos", "term")))
       graft.functions.Retrieval.phraseMatches(
@@ -2710,9 +2735,17 @@ object PipelineQueries {
   /** BM25 replay shared by the from-scratch (`search_bm25`) and the
     * append-without-rebuild (`search_ingest`) entries — both see the
     * identical corpus (every %97≠0 doc) because search-time statistics
-    * make the appended index score-identical to a rebuild.
+    * make the appended index score-identical to a rebuild. The query
+    * suite is the %97 slice BELOW `bound` (a fixed benchmark does not
+    * grow with the corpus); the streamed-probe twin uses a tighter
+    * bound because its contributions transit the memory sink.
     */
-  private val bm25Oracle: String =
+  private def bm25OracleBound(bound: Int): String = bm25OracleTpl
+    .replace("QBOUND", bound.toString)
+
+  private lazy val bm25Oracle: String = bm25OracleBound(5000)
+
+  private val bm25OracleTpl: String =
     """WITH t AS (SELECT doc_id, string_split(
       |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
       |  FROM documents WHERE length(trim(text)) > 0),
@@ -2726,7 +2759,7 @@ object PipelineQueries {
       |  FROM (SELECT doc_id, min(dl) AS dl FROM g GROUP BY doc_id)),
       |q AS (SELECT doc_id AS query_id,
       |    unnest(list_distinct(toks[1:5])) AS term
-      |  FROM t WHERE doc_id % 97 = 0),
+      |  FROM t WHERE doc_id % 97 = 0 AND doc_id < QBOUND),
       |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g
       |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
       |c AS (SELECT q.query_id, g.doc_id, q.term,
@@ -3571,7 +3604,7 @@ object PipelineQueries {
     // corpus, and search-time stats make append ≡ rebuild — same replay
     "search_ingest" -> bm25Oracle,
     // streamed probes of the pre-scored index fold to identical scores
-    "search_bm25_stream" -> bm25Oracle,
+    "search_bm25_stream" -> bm25OracleBound(1000),
     // proximity replay: matched position lists joined per (query, doc),
     // |px − py| ≤ 4 pairs counted, minimum distance kept
     "search_proximity" ->
@@ -3582,8 +3615,8 @@ object PipelineQueries {
         |  FROM t WHERE doc_id % 97 <> 0),
         |post AS (SELECT doc_id, pos, toks[CAST(pos AS INT)] AS term FROM pp),
         |q AS (SELECT doc_id AS query_id, toks[1] AS x, toks[3] AS y
-        |  FROM t WHERE doc_id % 97 = 0 AND len(toks) >= 3
-        |    AND toks[1] <> toks[3]),
+        |  FROM t WHERE doc_id % 97 = 0 AND doc_id < 5000
+        |    AND len(toks) >= 3 AND toks[1] <> toks[3]),
         |px AS (SELECT q.query_id, p.doc_id, p.pos AS px
         |  FROM post p JOIN q ON p.term = q.x),
         |py AS (SELECT q.query_id, p.doc_id, p.pos AS py
@@ -3604,7 +3637,7 @@ object PipelineQueries {
         |  FROM n WHERE doc_id % 97 <> 0),
         |post AS (SELECT doc_id, pos, toks[CAST(pos AS INT)] AS term FROM pp),
         |ph AS (SELECT doc_id AS query_id, unnest(range(0, 2)) AS qpos, toks
-        |  FROM n WHERE doc_id % 97 = 0 AND n >= 5),
+        |  FROM n WHERE doc_id % 97 = 0 AND doc_id < 5000 AND n >= 5),
         |ph2 AS (SELECT query_id, qpos,
         |    toks[CAST(3 + qpos AS INT)] AS term FROM ph),
         |j AS (SELECT ph2.query_id, p.doc_id, p.pos - ph2.qpos AS match_pos

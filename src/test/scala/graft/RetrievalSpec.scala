@@ -165,7 +165,7 @@ class RetrievalSpec extends AnyFunSuite {
     val static = Retrieval.bm25IndexScored(
       Retrieval.buildPostings(docs, "text", "doc_id"))
     val probed = bits(Retrieval.bm25RankContributions(
-      qt.join(static, "term"), k = 10))
+      qt.join(static, "term"), qt, k = 10))
     assert(probed === batch)
     assert(batch.nonEmpty)
   }
