@@ -212,6 +212,73 @@ object IvfIndex {
     candidates.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Self-KNN graph over the whole indexed corpus — every vector's
+    * exact-cosine top-k among the members of its `nProbe` nearest
+    * lists. The building block of graph-based curation (near-dup
+    * neighborhoods, SemDeDup-style cluster pruning, kNN-classifier
+    * label propagation).
+    *
+    * This is NOT `search` with the corpus as the query set — that shape
+    * broadcasts the query side (fine for a benchmark-sized probe set,
+    * corpus-sized here) and explodes queries × nLists centroid rows to
+    * rank probes. Instead:
+    *
+    *  - each vector's `nProbe` nearest lists come from ONE fused
+    *    codegen'd projection ([[graft.plans.NearestListsF]]: O(nProbe)
+    *    insertion buffer over the literal centroid matrix, bit-equal to
+    *    the HOF `array_sort(struct(dist, list_id))` twin below) —
+    *    corpus × nProbe rows out, no corpus × nLists intermediate, and
+    *    the same (dist, list_id) tie rule as [[probeRange]], so probe 1
+    *    IS the assigned list (spec-pinned);
+    *  - probes join members with a plain shuffle join on `list_id` —
+    *    both sides are corpus-sized, so nothing broadcasts; AQE splits
+    *    a skewed (over-popular) list at runtime;
+    *  - per-vector top-k is a bounded window: a vector's candidate set
+    *    is its nProbe lists' members, ≈ nProbe/nLists of the corpus.
+    *
+    * Scan fraction per vector ≈ nProbe/nLists, like [[search]];
+    * `excludeSelf` semantics are implicit (a vector never reports
+    * itself). Output (query_id, neighbor_id, sim, rank) — emitted sims
+    * are exact cosines, so the ANN pair-value oracle applies unchanged.
+    */
+  def knnGraph(index: Index, idCol: String, vecCol: String, k: Int,
+               nProbe: Int): DataFrame = {
+    val nLists = index.centroids.length
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"nProbe must be in [1, $nLists], got $nProbe")
+    val centers = index.centroids.sortBy(_._1).map(_._2)
+    val probes = index.assigned
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(graft.plans.PqExpressions.nearestLists(col("qv"),
+          centers, nProbe)).as("list_id"))
+    val members = index.assigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col("list_id"))
+    val cands = probes.join(members, Seq("list_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Builtin-HOF formulation of the multi-probe list assignment
+    * ([[graft.plans.NearestListsF]]) — nLists interpreted distance
+    * folds plus an nLists-element sort per row; kept for the
+    * bit-equality spec, like [[nearestCentroidHof]].
+    */
+  private[graft] def nearestListsHof(v: Column, centers: Array[Array[Double]],
+                                     nProbe: Int): Column = {
+    val nLists = centers.length
+    val dists = transform(
+      array(centers.map(c => array(c.map(lit(_)): _*)): _*),
+      c => sqDist(v, c))
+    slice(array_sort(zip_with(dists, sequence(lit(0), lit(nLists - 1)),
+      (d, i) => struct(d.as("d"), i.as("list_id")))), 1, nProbe)
+      .getField("list_id")
+  }
+
   /** TWO-WAVE probe with residual-bound pruning — the recall/cost
     * refinement of [[search]] (IVF with triangle-inequality early exit).
     *

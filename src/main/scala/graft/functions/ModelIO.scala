@@ -50,4 +50,30 @@ object ModelIO {
       .select(col("token"),
         col("n_pos").cast("long").as("n_pos"),
         col("n_neg").cast("long").as("n_neg"))
+
+  /** Persist bigram-LM counts ([[TextAnalysis.buildBigramLm]]) — three
+    * parquet tables (contexts, bigrams, vocab): train once on the
+    * reference corpus, score any later batch without re-counting.
+    */
+  def saveBigramLm(lm: TextAnalysis.BigramLm, path: String): Unit = {
+    lm.contexts.select(col("w1"), col("c1").cast("long"))
+      .write.mode("overwrite").parquet(s"$path/contexts")
+    lm.bigrams.select(col("w1"), col("w2"), col("c2").cast("long"))
+      .write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.vocab.select(col("vsize").cast("long"), col("one").cast("int"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Load bigram-LM counts with the schema [[TextAnalysis.lmScore]]
+    * expects.
+    */
+  def loadBigramLm(spark: SparkSession, path: String): TextAnalysis.BigramLm =
+    TextAnalysis.BigramLm(
+      spark.read.parquet(s"$path/contexts")
+        .select(col("w1"), col("c1").cast("long").as("c1")),
+      spark.read.parquet(s"$path/bigrams")
+        .select(col("w1"), col("w2"), col("c2").cast("long").as("c2")),
+      spark.read.parquet(s"$path/vocab")
+        .select(col("vsize").cast("long").as("vsize"),
+          col("one").cast("int").as("one")))
 }

@@ -567,4 +567,78 @@ object TextAnalysis {
           sum(coalesce(col("n_pos"), lit(0L)) +
             coalesce(col("n_neg"), lit(0L)) + 2L).cast("double"))
           .as("score"))
+
+  /** Bigram language-model counts trained from a reference corpus — the
+    * TRAIN step of a CCNet-style LM quality filter. Three tables:
+    * `contexts` (w1, c1) unigram context counts, `bigrams` (w1, w2, c2)
+    * bigram counts, and `vocab` (one, vsize) the vocabulary size keyed
+    * by a constant so the APPLY step can attach it with a plain
+    * equi-join (works identically for batch and stream-static plans,
+    * where a crossJoin would need a nested-loop stream join).
+    *
+    * Scale shape: two vocabulary-bounded partial aggregations over the
+    * reference corpus — the shuffles carry one row per distinct
+    * unigram/bigram per map task, never the corpus.
+    */
+  case class BigramLm(contexts: org.apache.spark.sql.DataFrame,
+                      bigrams: org.apache.spark.sql.DataFrame,
+                      vocab: org.apache.spark.sql.DataFrame)
+
+  def buildBigramLm(df: org.apache.spark.sql.DataFrame,
+                    textCol: String): BigramLm = {
+    val t = split(Dedup.normalizeText(col(textCol)), " ")
+    val uni = df.select(explode(t).as("w1"))
+    val contexts = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count_distinct(col("w1")).as("vsize"))
+      .withColumn("one", lit(1))
+    val bigrams = df.select(t.as("__t")).where(size(col("__t")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    BigramLm(contexts, bigrams, vocab)
+  }
+
+  /** APPLY step of the bigram LM filter: each document's pooled add-one
+    * conditional-likelihood score over its bigram OCCURRENCES,
+    *   score = Σ_i (c(w1_i,w2_i)+1)  /  Σ_i (c(w1_i)+V)
+    * (OOV contexts contribute the 1/V prior). This is the log-free
+    * pooled form of the CCNet perplexity cut — perplexity exponentiates
+    * a mean of ln p, and ln is libm-dependent while integer sums plus
+    * ONE IEEE division are bit-portable across engines (the same rule
+    * as [[lexiconScore]] and the DSIR weights). Emits per doc:
+    * n_bigrams, n_known (bigrams seen in the reference), score.
+    *
+    * Scale shape: bigrams explode; the count tables join back — the
+    * context table is vocabulary-sized and the bigram table
+    * vocabulary²-bounded (MBs–GBs against a TB corpus), so AQE
+    * broadcasts them when small and falls back to a shuffle join when
+    * a real reference corpus outgrows the threshold (no forced
+    * broadcast: the train corpus is caller-supplied). The per-doc
+    * aggregation partial-combines before its single exchange. Works
+    * unchanged on a streaming input: both joins are stream-static
+    * equi-joins, the aggregation runs in Update mode.
+    */
+  def lmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+              idCol: String, lm: BigramLm): org.apache.spark.sql.DataFrame = {
+    val t = split(Dedup.normalizeText(col(textCol)), " ")
+    df.where(size(t) >= 2)
+      .select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"),
+            element_at(t, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.contexts, Seq("w1"), "left")
+      .withColumn("one", lit(1))
+      .join(lm.vocab, Seq("one"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        (sum(coalesce(col("c2"), lit(0L)) + 1L).cast("double") /
+          sum(coalesce(col("c1"), lit(0L)) + col("vsize")).cast("double"))
+          .as("score"))
+  }
 }

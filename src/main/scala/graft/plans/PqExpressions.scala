@@ -53,6 +53,16 @@ object PqExpressions {
     org.apache.spark.sql.GraftBridge.column(
       AdcSumF(org.apache.spark.sql.GraftBridge.expression(codes),
         org.apache.spark.sql.GraftBridge.expression(qtab)))
+
+  /** The `nProbe` nearest (squared-euclidean) literal centroids,
+    * ordered by (distance, index) — the multi-probe assignment kernel
+    * (see [[NearestListsF]]).
+    */
+  def nearestLists(v: Column, centers: Array[Array[Double]],
+                   nProbe: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      NearestListsF(org.apache.spark.sql.GraftBridge.expression(v),
+        centers, nProbe))
 }
 
 case class PqEncodeF(child: Expression,
@@ -237,6 +247,135 @@ case class NearestCentroidF(child: Expression, centers: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidF =
     copy(child = newChild)
   override def prettyName: String = "graft_nearest_centroid"
+}
+
+/** The `nProbe` nearest (squared-euclidean) literal centroids of a
+  * vector, as an int array ordered by (distance, centroid index) — the
+  * multi-probe generalization of [[NearestCentroidF]] powering the
+  * corpus-sized self-KNN probe ([[graft.functions.IvfIndex.knnGraph]]).
+  *
+  * Bit-identical to the HOF formulation
+  * `slice(array_sort(zip_with(transform(centers, c -> sqDist(v, c)),
+  * sequence(0, n-1), (d, i) -> struct(d, i))), 1, nProbe).list_id`:
+  * per-centroid distance is the same left-to-right `(x-y)²` fold, and
+  * the nProbe selection keeps the earlier index on exact distance ties
+  * (insertion below strictly-greater entries only). One fused loop with
+  * an O(nProbe) insertion buffer instead of n interpreted folds plus an
+  * n-element sort per row; stays in whole-stage codegen.
+  */
+case class NearestListsF(child: Expression, centers: Array[Array[Double]],
+                         nProbe: Int)
+    extends UnaryExpression {
+
+  require(nProbe >= 1 && nProbe <= centers.length,
+    s"nProbe must be in [1, ${centers.length}], got $nProbe")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_nearest_lists requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+    }
+
+  @transient private lazy val n = centers.length
+
+  private def read(arr: ArrayData, i: Int): Double = child.dataType match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => arr.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"graft_nearest_lists requires array<float|double>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val topD = new Array[Double](nProbe)
+    val topI = new Array[Int](nProbe)
+    var size = 0
+    var c = 0
+    while (c < n) {
+      val cent = centers(c)
+      val dim = math.min(arr.numElements(), cent.length)
+      var d = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = read(arr, j) - cent(j)
+        d += x * x
+        j += 1
+      }
+      // insert below strictly-greater entries: equal distances keep the
+      // earlier centroid index first (the array_sort struct tie rule)
+      var p = size
+      while (p > 0 && topD(p - 1) > d) p -= 1
+      if (p < nProbe) {
+        val last = math.min(size, nProbe - 1)
+        var q = last
+        while (q > p) { topD(q) = topD(q - 1); topI(q) = topI(q - 1); q -= 1 }
+        topD(p) = d; topI(p) = c
+        if (size < nProbe) size += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topI, size))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = child.dataType match {
+      case ArrayType(FloatType, _) => (a: String, i: String) => s"(double) $a.getFloat($i)"
+      case ArrayType(DoubleType, _) => (a: String, i: String) => s"$a.getDouble($i)"
+      case other => throw new IllegalArgumentException(
+        s"graft_nearest_lists requires array<float|double>, got ${other.sql}")
+    }
+    val cRef = ctx.addReferenceObj("nlCenters", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("nlC")
+      val j = ctx.freshName("nlJ")
+      val cent = ctx.freshName("nlCent")
+      val dim = ctx.freshName("nlDim")
+      val d = ctx.freshName("nlD")
+      val x = ctx.freshName("nlX")
+      val topD = ctx.freshName("nlTopD")
+      val topI = ctx.freshName("nlTopI")
+      val size = ctx.freshName("nlSize")
+      val p = ctx.freshName("nlP")
+      val q = ctx.freshName("nlQ")
+      val last = ctx.freshName("nlLast")
+      s"""
+         |double[] $topD = new double[$nProbe];
+         |int[] $topI = new int[$nProbe];
+         |int $size = 0;
+         |for (int $c = 0; $c < $n; $c++) {
+         |  double[] $cent = $cRef[$c];
+         |  int $dim = java.lang.Math.min($v.numElements(), $cent.length);
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    double $x = ${getter(v, j)} - $cent[$j];
+         |    $d += $x * $x;
+         |  }
+         |  int $p = $size;
+         |  while ($p > 0 && $topD[$p - 1] > $d) $p--;
+         |  if ($p < $nProbe) {
+         |    int $last = java.lang.Math.min($size, $nProbe - 1);
+         |    for (int $q = $last; $q > $p; $q--) {
+         |      $topD[$q] = $topD[$q - 1]; $topI[$q] = $topI[$q - 1];
+         |    }
+         |    $topD[$p] = $d; $topI[$p] = $c;
+         |    if ($size < $nProbe) $size++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($topI, $size));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestListsF =
+    copy(child = newChild)
+  override def prettyName: String = "graft_nearest_lists"
 }
 
 /** Nearest center by COSINE distance with the distance value and the

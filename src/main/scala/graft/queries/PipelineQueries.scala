@@ -692,6 +692,20 @@ object PipelineQueries {
           round(col("sim"), 6).as("sim"), col("rank"))
     }),
 
+    // Self-KNN graph: every corpus vector's exact-cosine top-5 among
+    // its 2 nearest lists' members — the corpus-sized self-join form
+    // (shuffle join on list_id, no query broadcast), not search() with
+    // corpus-as-queries. Same pair-value oracle as the ANN searches.
+    "sim_knn_graph" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val index = graft.functions.IvfIndex.build(emb, "vec_id",
+        "embedding", nLists = 16)
+      graft.functions.IvfIndex.knnGraph(index, "vec_id", "embedding",
+        k = 5, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
     // Product-quantization ANN: 64-dim floats → 8 codes (32× memory cut),
     // ADC table-lookup scan over the codes, exact cosine re-score of the
     // shortlist. Same pair-value verification contract as the other ANN
@@ -1238,6 +1252,58 @@ object PipelineQueries {
       val loaded = graft.functions.ModelIO.loadLexicon(spark, s"$tmp/lex")
       TextAnalysis.lexiconScore(
         docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id", loaded)
+    }),
+
+    // CCNet-style LM quality filter: bigram counts trained on the %3
+    // reference slice, every doc scored by its pooled add-one
+    // conditional likelihood (integer sums, ONE division — the log-free
+    // bit-portable form of the perplexity cut).
+    "text_lm_score" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+        .where(length(trim(col("text"))) > 0)
+      val lm = TextAnalysis.buildBigramLm(
+        docs.where(col("doc_id") % 3 === 0), "text")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bigram_lm").toString
+      graft.functions.ModelIO.saveBigramLm(lm, s"$tmp/lm")
+      val loaded = graft.functions.ModelIO.loadBigramLm(spark, s"$tmp/lm")
+      TextAnalysis.lmScore(docs, "text", "doc_id", loaded)
+    }),
+
+    // STREAMING twin: the frozen LM counts are stream-static join
+    // sides; arrivals score in Update mode and each doc finalizes
+    // within its microbatch (all its bigrams arrive in one row), so the
+    // post-drain max-collapse is the identity — SAME oracle as batch.
+    "text_lm_score_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = Tables.read(spark, dir, "documents")
+        .where(length(trim(col("text"))) > 0)
+      // persisted counts, not the live aggregation plan: a streaming
+      // query re-evaluates its static sides every micro-batch, so the
+      // model must be a file scan (also the production train/apply split)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_bigram_lm_s").toString
+      graft.functions.ModelIO.saveBigramLm(TextAnalysis.buildBigramLm(
+        docs.where(col("doc_id") % 3 === 0), "text"), s"$tmp/lm")
+      val lm = graft.functions.ModelIO.loadBigramLm(spark, s"$tmp/lm")
+      val feed = docs
+        .select(col("doc_id"), col("text"), lit(t0).as("ts"))
+      val sentinel = Seq((-1L, "sentinel",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val scored = TextAnalysis.lmScore(
+        streamWithSentinel(spark, feed, sentinel, delaySec = 3600L),
+        "text", "doc_id", lm)
+      graft.streaming.EventStream.runToMemory(
+        scored, "text_lm_score_stream_out", OutputMode.Update())
+      spark.table("text_lm_score_stream_out")
+        .where(col("doc_id") =!= -1L)
+        .groupBy("doc_id")
+        .agg(max(col("n_bigrams")).as("n_bigrams"),
+          max(col("n_known")).as("n_known"),
+          max(col("score")).as("score"))
     }),
 
     // Sparse lexical retrieval, index side: per-term df/cf over the
@@ -2783,6 +2849,41 @@ object PipelineQueries {
       |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
       |FROM r WHERE rank <= 10""".stripMargin
 
+  /** Bigram-LM scoring replay: unigram/bigram counts over the %3
+    * reference slice, then every ≥2-token doc's pooled add-one
+    * conditional likelihood Σ(c2+1)/Σ(c1+V) — numerator and denominator
+    * are exact integer sums so the single division hash-matches the
+    * engine bit-for-bit.
+    */
+  private val lmScoreOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |ref AS (SELECT * FROM t WHERE doc_id % 3 = 0),
+      |runi AS (SELECT unnest(toks) AS w1 FROM ref),
+      |v AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS vsize FROM runi),
+      |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM runi
+      |  GROUP BY w1),
+      |rp AS (SELECT toks, unnest(range(1, len(toks))) AS p FROM ref
+      |  WHERE len(toks) >= 2),
+      |c2 AS (SELECT toks[CAST(p AS INT)] AS w1,
+      |    toks[CAST(p + 1 AS INT)] AS w2,
+      |    CAST(count(*) AS BIGINT) AS c2
+      |  FROM rp GROUP BY 1, 2),
+      |dp AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS p FROM t
+      |  WHERE len(toks) >= 2),
+      |db AS (SELECT doc_id, toks[CAST(p AS INT)] AS w1,
+      |    toks[CAST(p + 1 AS INT)] AS w2 FROM dp),
+      |j AS (SELECT db.doc_id, coalesce(c2.c2, 0) + 1 AS num_i,
+      |    coalesce(c1.c1, 0) + v.vsize AS den_i,
+      |    CASE WHEN c2.c2 IS NOT NULL THEN 1 ELSE 0 END AS known
+      |  FROM db LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      |  CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(known) AS BIGINT) AS n_known,
+      |  CAST(sum(num_i) AS DOUBLE) / CAST(sum(den_i) AS DOUBLE) AS score
+      |FROM j GROUP BY doc_id""".stripMargin
+
   private val lexiconScoreOracle: String =
     """WITH bt AS (SELECT DISTINCT doc_id, tok FROM (
       |    SELECT doc_id, unnest(string_split(
@@ -3585,6 +3686,11 @@ object PipelineQueries {
     // lexicon replay: distinct-per-doc token doc-frequencies on the
     // benchmark slice split even/odd, then per-occurrence add-one sums
     "text_score_lexicon" -> lexiconScoreOracle,
+    // bigram-LM replay: reference counts, pooled add-one likelihood —
+    // integer sums and one division, so the doubles hash-match exactly
+    "text_lm_score" -> lmScoreOracle,
+    // stream-static twin folds to the identical per-doc rows
+    "text_lm_score_stream" -> lmScoreOracle,
     // inverted-index stats replay: tf per (term, doc), then df/cf
     "search_index" ->
       """WITH t AS (SELECT doc_id, string_split(
@@ -4163,6 +4269,8 @@ object PipelineQueries {
         |  FROM lineitem GROUP BY l_returnflag) e USING (l_returnflag)""".stripMargin,
     "sim_ann_lsh" -> annPairOracle("sim_ann_lsh"),
     "sim_ivf" -> annPairOracle("sim_ivf"),
+    // self-KNN graph: emitted neighbor sims recomputed exactly
+    "sim_knn_graph" -> annPairOracle("sim_knn_graph"),
     "sim_ivf_refined" -> annPairOracle("sim_ivf_refined"),
     "sim_pq" -> annPairOracle("sim_pq"),
     "sim_ivfpq" -> annPairOracle("sim_ivfpq"),

@@ -151,4 +151,84 @@ class IvfIndexSpec extends AnyFunSuite {
       probedPlan.contains("dynamicpruning") || probedPlan.contains("list_id"),
       s"expected list_id pruning evidence:\n$probedPlan")
   }
+
+  test("native nearestLists is bit-equal to the HOF sort form at any nProbe") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val sample = graft.functions.LocalKMeans.sampleVectors(
+      emb, "embedding", cap = 1024, seed = 7L)
+    val centers = graft.functions.LocalKMeans.fit(sample, 16, iters = 5, seed = 7L)
+    for (np <- Seq(1, 2, 5, 16)) {
+      val native = emb.select(col("vec_id"),
+          graft.plans.PqExpressions.nearestLists(col("embedding"), centers, np).as("l"))
+        .as[(Long, Seq[Int])].collect().toMap
+      val hof = emb.select(col("vec_id"),
+          IvfIndex.nearestListsHof(col("embedding"), centers, np).as("l"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(native === hof, s"nProbe=$np")
+    }
+    // head of the probe list IS the single-assignment kernel
+    val head1 = emb.select(col("vec_id"),
+        element_at(graft.plans.PqExpressions.nearestLists(
+          col("embedding"), centers, 1), 1).as("l"))
+      .as[(Long, Int)].collect().toMap
+    val single = emb.select(col("vec_id"),
+        graft.plans.PqExpressions.nearestCentroid(col("embedding"), centers).as("l"))
+      .as[(Long, Int)].collect().toMap
+    assert(head1 === single)
+  }
+
+  test("knnGraph: full probe equals brute force; probe 1 is the assigned list") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nLists = 8)
+
+    // probing every list must reproduce the exact self-KNN graph
+    val full = IvfIndex.knnGraph(index, "vec_id", "embedding", k = 5,
+        nProbe = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full === exact)
+
+    // the HOF probe ranking's first list must BE the assignment column
+    // (same (dist, list_id) tie rule as nearestCentroid / probeRange)
+    val g1 = IvfIndex.knnGraph(index, "vec_id", "embedding", k = 5,
+      nProbe = 1)
+    val assignedOf = index.assigned.select(col("vec_id"), col("list_id"))
+      .as[(Long, Int)].collect().toMap
+    val neighborLists = g1.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    // with nProbe=1, every reported neighbor shares the query's list
+    neighborLists.foreach { case (q, n) =>
+      assert(assignedOf(n) === assignedOf(q),
+        s"nProbe=1 neighbor $n of $q crossed lists")
+    }
+
+    // partial probe: sims are exact, no self edges, ranks contiguous,
+    // recall beats the 2/8 scan fraction
+    val g2 = IvfIndex.knnGraph(index, "vec_id", "embedding", k = 5,
+      nProbe = 2)
+    val rows = g2.select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.forall { case (q, n, _, _) => q != n })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length).toSeq)
+    }
+    val exactSims = Similarity.bruteForceTopK(emb, emb, "vec_id",
+        "embedding", k = 500)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rows.foreach { case (q, n, s, _) =>
+      assert(math.abs(exactSims((q, n)) - s) < 1e-12,
+        s"sim of ($q,$n) not exact")
+    }
+    val recall = (exact.map(r => (r._1, r._2)) intersect
+      rows.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.25, s"knn-graph recall $recall")
+  }
 }

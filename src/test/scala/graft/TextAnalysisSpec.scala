@@ -366,4 +366,29 @@ class TextAnalysisSpec extends AnyFunSuite {
         r2.getAs[String]("x"), r2.getAs[String]("y")))
     assert(both.sorted.toSeq === Seq((1, "p", "q"), (2, "q", "p")))
   }
+
+  test("bigram LM: hand-computed pooled likelihood, OOV prior, 1-token drop") {
+    // reference: "a b a" (uni a:2 b:1; bi ab, ba), "b b" (uni b:2; bi bb)
+    // → contexts a:2 b:3, V=2, bigrams ab:1 ba:1 bb:1
+    val ref = Seq((10L, "a b a"), (11L, "b b")).toDF("doc_id", "text")
+    val lm = TextAnalysis.buildBigramLm(ref, "text")
+    assert(lm.contexts.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap === Map("a" -> 2L, "b" -> 3L))
+    assert(lm.vocab.select("vsize").as[Long].head() === 2L)
+    val docs = Seq(
+      (1L, "a b"),   // (a,b): (1+1)/(2+2) = 0.5, known
+      (2L, "a c"),   // (a,c) unseen bigram: 1/(2+2) = 0.25
+      (3L, "c a"),   // OOV context c: 1/(0+2) = 0.5
+      (4L, "x"),     // single token → no bigrams → dropped
+      (5L, "b b a")  // (b,b)+(b,a): (2+2)/(5+5) = 0.4, both known
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "text", "doc_id", lm)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> ((1L, 1L, 0.5)),
+      2L -> ((1L, 0L, 0.25)),
+      3L -> ((1L, 0L, 0.5)),
+      5L -> ((2L, 2L, 0.4))))
+  }
 }
