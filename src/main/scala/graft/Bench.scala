@@ -91,7 +91,10 @@ object Bench {
     // bigram-lift collocation mining
     "text_strip_markup", "text_collocations",
     // DSIR-shaped importance resampling (hashed-bigram evidence weights)
-    "sample_importance")
+    "sample_importance",
+    // bigram-LM quality scoring (pooled add-one likelihood) and the
+    // corpus self-KNN graph (fused multi-probe assign + list self-join)
+    "text_lm_score", "sim_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -49,6 +49,32 @@ object PipelineQueries {
       Dedup.minhashDupPairs(Tables.read(spark, dir, "documents"),
         "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)),
 
+    // LSH tuning-loop evaluation: pairwise agreement of the two
+    // production near-dup paths — MinHash-LSH (bucketed candidates,
+    // full-set verify) against the pruned-postings exact jaccard — as
+    // one summary row (pair counts, recall, precision). This is the
+    // measurement you run before trusting a (bands, maxBucket) setting
+    // at scale; both sides are the gate entries' own constructions, so
+    // the oracle recomputes the exact side and replays the found side
+    // from the dedup_minhash dump (the sim_eval convention).
+    "dedup_lsh_eval" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val found = Dedup.minhashDupPairs(docs, "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+        .select("id_a", "id_b")
+      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 3, threshold = 0.5).select("id_a", "id_b")
+      val hit = exact.join(found, Seq("id_a", "id_b"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_found"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_exact").cast("double"))
+            .as("recall"),
+          (col("n_hit").cast("double") / col("n_found").cast("double"))
+            .as("precision"))
+    }),
+
     // Streaming EXACT-dedup groups: the same normalized-text aggregation
     // as `dedup_exact`, run as an Update-mode streaming aggregation and
     // collapsed after the drain (keep_id only ever decreases, n_copies
@@ -3012,6 +3038,40 @@ object PipelineQueries {
         |  CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) AS jaccard
         |FROM co JOIN sz a ON co.id_a = a.doc_id JOIN sz b ON co.id_b = b.doc_id
         |WHERE CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) >= 0.5""".stripMargin,
+    // LSH eval replay: exact side recomputed with the pruned-postings
+    // construction above; found side read from the (deterministic)
+    // dedup_minhash dump — counts are exact integers, the two ratios
+    // are single IEEE divisions
+    "dedup_lsh_eval" -> s"""
+        |WITH f AS (SELECT DISTINCT id_a, id_b
+        |  FROM read_parquet('__OUT__/dedup_minhash/*.parquet')),
+        |toks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 2, 1) + 1),
+        |  i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hot AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM ex0 GROUP BY g) h
+        |  WHERE df > least(${graft.functions.Dedup.MaxDocFreqCeiling},
+        |    greatest(${graft.functions.Dedup.MinDocFreqFloor},
+        |      ceil(${graft.functions.Dedup.HotShingleFraction} *
+        |        (SELECT COUNT(*) FROM documents))))),
+        |ex AS (SELECT doc_id, g FROM ex0 WHERE g NOT IN (SELECT g FROM hot)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+        |co AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n
+        |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
+        |ep AS (SELECT id_a, id_b
+        |  FROM co JOIN sz a ON co.id_a = a.doc_id JOIN sz b ON co.id_b = b.doc_id
+        |  WHERE CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) >= 0.5),
+        |h AS (SELECT id_a, id_b FROM ep INNER JOIN f USING (id_a, id_b))
+        |SELECT CAST((SELECT count(*) FROM ep) AS BIGINT) AS n_exact,
+        |  CAST((SELECT count(*) FROM f) AS BIGINT) AS n_found,
+        |  CAST((SELECT count(*) FROM h) AS BIGINT) AS n_hit,
+        |  CAST((SELECT count(*) FROM h) AS DOUBLE) /
+        |    CAST((SELECT count(*) FROM ep) AS DOUBLE) AS recall,
+        |  CAST((SELECT count(*) FROM h) AS DOUBLE) /
+        |    CAST((SELECT count(*) FROM f) AS DOUBLE) AS "precision"""".stripMargin,
     // containment replay: same shingles, same cap, both directions from
     // the undirected intersection count
     "dedup_containment" -> s"""
