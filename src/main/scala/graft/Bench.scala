@@ -94,7 +94,10 @@ object Bench {
     "sample_importance",
     // bigram-LM quality scoring (pooled add-one likelihood) and the
     // corpus self-KNN graph (fused multi-probe assign + list self-join)
-    "text_lm_score", "sim_knn_graph")
+    "text_lm_score", "sim_knn_graph",
+    // SCD2 change compaction (keyed gaps-and-islands) and integer
+    // fixed-point PageRank (5 join+agg supersteps over the purchase graph)
+    "events_scd2", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2506,7 +2506,50 @@ object PipelineQueries {
     "sample_split_leakproof" -> ((spark, dir) =>
       graft.functions.Sampling.leakSafeSplit(
         Tables.read(spark, dir, "documents"), "text", "doc_id",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))))
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
+
+    // SCD2 change compaction (gaps-and-islands): the events change log
+    // collapses into per-user validity intervals of event_type runs —
+    // the append-only-log → dimension-history operator. Both windows
+    // partition by the entity key (state = one lag row / a counter);
+    // the interval-closing window runs over the already-compacted run
+    // table, one row per run.
+    "events_scd2" -> ((spark, dir) =>
+      graft.functions.EventOps.changeIntervals(
+        Tables.read(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("second", col("ts")).as("ts_s")),
+        "user_id", "event_type", "ts_s", "event_id")
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"), col("is_current"))),
+
+    // Fixed-point PageRank over the customer↔supplier purchase graph
+    // (distinct orders⋈lineitem pairs, emitted both directions): 5
+    // power iterations with EVERY step in Long arithmetic — `div`
+    // truncation and order-independent integer sums make the ranks
+    // bit-portable, so the oracle unrolls the identical recurrence in
+    // SQL and the hash check covers all 5 supersteps. Each iteration is
+    // one hash join + one partial-agg groupBy(dst); top-20 by
+    // (rank desc, node) is a TakeOrderedAndProject.
+    "graph_pagerank" -> ((spark, dir) => {
+      val orders = Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 10000000L).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.functions.Graph.pageRankFixedPoint(edges, "src", "dst",
+          iters = 5)
+        .orderBy(col("rank").desc, col("node"))
+        .limit(20)
+        .select(col("node"), col("rank"),
+          when(col("node") >= 10000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"))
+    }))
 
   /** DuckDB SQL recomputing the exact cosine for each (query_id,
     * neighbor_id) pair an ANN entry returned: candidate sets are
@@ -4898,7 +4941,65 @@ object PipelineQueries {
         |    AND q.quality >= 0.5 AS admitted
         |FROM ex e JOIN q USING (doc_id)""".stripMargin
 
+  /** DuckDB replay of the fixed-point PageRank: the same integer
+    * recurrence unrolled — one chained CTE per superstep (SQL's
+    * recursive CTEs forbid aggregation in the recursive term, so the
+    * loop unrolls). `//` on non-negative BIGINTs matches Spark's `div`
+    * truncation; DuckDB's HUGEINT sums collapse back through the final
+    * BIGINT cast to the same values.
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val head =
+      """WITH pairs AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s""",
+         |r$i AS (SELECT n.node,
+         |  CAST(150000 + (85 * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ed.dst AS node, SUM(r.rank // ed.deg) AS m
+         |    FROM r${i - 1} r JOIN ed ON r.node = ed.src
+         |    GROUP BY ed.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString
+    head + its +
+      s"""
+         |SELECT node, rank,
+         |  CASE WHEN node >= 10000000 THEN 'supplier' ELSE 'customer' END AS kind
+         |FROM r$iters ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   private lazy val tailOracles: Map[String, String] = Map(
+    "events_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS ts_s FROM events),
+        |g AS (SELECT user_id, event_id, event_type, ts_s,
+        |  CASE WHEN event_type IS DISTINCT FROM lag(event_type)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |i AS (SELECT user_id, event_type, ts_s,
+        |  SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM g),
+        |r AS (SELECT user_id, run, min(event_type) AS event_type,
+        |  min(ts_s) AS valid_from, count(*) AS n_events
+        |  FROM i GROUP BY user_id, run)
+        |SELECT user_id, event_type,
+        |  CAST(valid_from AS TIMESTAMP) AS valid_from,
+        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+        |    AS TIMESTAMP) AS valid_to,
+        |  n_events,
+        |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL)
+        |    AS is_current
+        |FROM r""".stripMargin,
+    "graph_pagerank" -> pagerankOracle(5),
     // the full DAG's oracle composes the independently-verified stage
     // oracles: dedup keep-one + quality formula (pipeline_curate's CTEs),
     // 4-gram decontamination (text_decontaminate's), chunking

@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.{EventOps, Graph}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("changeIntervals: runs collapse, intervals chain, last is open") {
+    val ev = Seq(
+      (1L, 1L, "a", "2024-01-01 10:00:00"),
+      (1L, 2L, "a", "2024-01-01 10:05:00"),
+      (1L, 3L, "b", "2024-01-01 10:10:00"),
+      (1L, 4L, "a", "2024-01-01 10:20:00"),
+      (2L, 5L, "x", "2024-01-01 09:00:00")
+    ).toDF("user_id", "event_id", "event_type", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val got = EventOps.changeIntervals(ev, "user_id", "event_type", "ts", "event_id")
+      .select("user_id", "event_type", "valid_from", "valid_to", "n_events", "is_current")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Long, Boolean)]
+      .collect().toSet
+    assert(got === Set(
+      (1L, "a", ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 10:10:00")), 2L, false),
+      (1L, "b", ts("2024-01-01 10:10:00"), Some(ts("2024-01-01 10:20:00")), 1L, false),
+      (1L, "a", ts("2024-01-01 10:20:00"), None, 1L, true),
+      (2L, "x", ts("2024-01-01 09:00:00"), None, 1L, true)))
+  }
+
+  test("changeIntervals: null attr is its own run (null-safe change flag)") {
+    val ev = Seq(
+      (1L, 1L, Some("a"), "2024-01-01 10:00:00"),
+      (1L, 2L, None, "2024-01-01 10:05:00"),
+      (1L, 3L, None, "2024-01-01 10:10:00"),
+      (1L, 4L, Some("a"), "2024-01-01 10:15:00")
+    ).toDF("user_id", "event_id", "event_type", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val got = EventOps.changeIntervals(ev, "user_id", "event_type", "ts", "event_id")
+      .select("event_type", "n_events", "is_current")
+      .as[(Option[String], Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (Some("a"), 1L, false), (None, 2L, false), (Some("a"), 1L, true)))
+  }
+
+  test("changeIntervals: timestamp ties break by the tie column") {
+    val ev = Seq(
+      (1L, 2L, "b", "2024-01-01 10:00:00"),
+      (1L, 1L, "a", "2024-01-01 10:00:00"),
+      (1L, 3L, "b", "2024-01-01 10:00:00")
+    ).toDF("user_id", "event_id", "event_type", "s")
+      .withColumn("ts", col("s").cast("timestamp")).drop("s")
+    val got = EventOps.changeIntervals(ev, "user_id", "event_type", "ts", "event_id")
+      .select("event_type", "n_events", "is_current")
+      .as[(String, Long, Boolean)].collect().toSet
+    // event_id order a,b,b → runs (a,1), (b,2 open)
+    assert(got === Set(("a", 1L, false), ("b", 2L, true)))
+  }
+
+  /** Driver-side replay of the exact integer recurrence. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          scale: Long = 1000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = 15L * scale / 100L
+    var r = nodes.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val m = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      e.foreach { case (u, v) => m(v) += r(u) / deg(u) }
+      r = nodes.map(n => n -> (base + 85L * m(n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRankFixedPoint equals the driver replay on an asymmetric graph") {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 3L),
+      (5L, 6L) // separate pair; 6 is dangling (leaks mass)
+    )
+    val got = Graph.pageRankFixedPoint(edges.toDF("src", "dst"), "src", "dst",
+      iters = 7).as[(Long, Long)].collect().toMap
+    assert(got === refPageRank(edges, 7))
+    // dangling sink keeps only base + damped in-mass; no out-contribution
+    assert(got(6L) > 150000L)
+  }
+
+  test("pageRankFixedPoint: symmetric regular graph gives equal ranks; iters=0 is the seed") {
+    // 4-cycle, both directions: every node has degree 2 — ranks stay equal
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = cyc ++ cyc.map(_.swap)
+    val got = Graph.pageRankFixedPoint(edges.toDF("src", "dst"), "src", "dst",
+      iters = 5).as[(Long, Long)].collect().toMap
+    assert(got.values.toSet.size === 1)
+    // conservation up to truncation: total ≈ n·scale, never above
+    assert(got.values.sum <= 4L * 1000000L)
+    val seed = Graph.pageRankFixedPoint(edges.toDF("src", "dst"), "src", "dst",
+      iters = 0).as[(Long, Long)].collect().toMap
+    assert(seed === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
+  }
+}
