@@ -97,7 +97,10 @@ object Bench {
     "text_lm_score", "sim_knn_graph",
     // SCD2 change compaction (keyed gaps-and-islands) and integer
     // fixed-point PageRank (5 join+agg supersteps over the purchase graph)
-    "events_scd2", "graph_pagerank")
+    "events_scd2", "graph_pagerank",
+    // label-filtered ANN (hard-negative mining) and the entity-resolution
+    // family (blocked levenshtein match → cluster → survivorship)
+    "sim_filtered", "er_match", "er_resolve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

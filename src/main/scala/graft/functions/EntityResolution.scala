@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution (record linkage): find records that refer to the
+  * same real-world entity despite textual noise, cluster them, and elect
+  * a canonical survivor per cluster — the classic master-data /
+  * training-metadata cleanup pipeline: block → verify → cluster →
+  * survivorship.
+  *
+  * The verify metric is exact Levenshtein edit distance (built-in
+  * codegen'd `levenshtein`, identical semantics in the SQL oracle);
+  * blocking bounds the candidate set the same way LSH bands bound
+  * near-dup candidates: only records sharing a block key are compared,
+  * so the pair count is Σ|block|², never n².
+  */
+object EntityResolution {
+
+  /** Candidate pairs within each block, verified at `edit ≤ maxEdits`.
+    *
+    * `records` must carry (`idCol`, `nameCol`); `blockCol` is any
+    * deterministic expression over the record (a phonetic key, a prefix,
+    * a sorted-token signature). Emits (id_a, id_b, edit_dist) with
+    * id_a < id_b, one row per pair (a record has ONE block key, so no
+    * dedup join is needed — multi-key blocking unions several calls).
+    *
+    * 100 TB shape: one self-join keyed on the block — each block's pairs
+    * materialize bucket-locally like an LSH bucket's, and the length
+    * prefilter (|len_a − len_b| ≤ maxEdits, a Levenshtein lower bound)
+    * drops most candidates before the O(len²) distance loop runs. Blocks
+    * larger than `maxBlock` (0 = unlimited) are dropped whole — the
+    * stop-shingle analog: an over-common key (empty name, "UNKNOWN")
+    * would otherwise square into the pair count; dropping it is the
+    * documented, deterministic trade.
+    */
+  def blockedPairs(records: DataFrame, idCol: String, nameCol: String,
+                   blockCol: org.apache.spark.sql.Column, maxEdits: Int,
+                   maxBlock: Long = 0L): DataFrame = {
+    val r = records.select(blockCol.as("__b"), col(idCol).as("__id"),
+      col(nameCol).as("__name"))
+    val bounded = if (maxBlock > 0L) {
+      val small = r.groupBy("__b").agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBlock).select("__b")
+      r.join(small, "__b")
+    } else r
+    val a = bounded.select(col("__b"), col("__id").as("id_a"),
+      col("__name").as("name_a"))
+    val b = bounded.select(col("__b"), col("__id").as("id_b"),
+      col("__name").as("name_b"))
+    a.join(b, "__b")
+      .where(col("id_a") < col("id_b"))
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxEdits)
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("edit_dist") <= maxEdits)
+      .select("id_a", "id_b", "edit_dist")
+  }
+
+  /** Full resolution: [[blockedPairs]] → [[Components.connectedComponents]]
+    * → survivorship. Every record gets an `entity_id` (component min id;
+    * unmatched records are their own entities) and the cluster's canonical
+    * record — the member with the highest `rankCol` (ties to the LOWER
+    * id), elected with ONE `max(struct)` per entity, no window over hot
+    * clusters.
+    *
+    * Output: (id, entity_id, canonical_id, canonical_name, n_members).
+    */
+  def resolve(records: DataFrame, idCol: String, nameCol: String,
+              blockCol: org.apache.spark.sql.Column, maxEdits: Int,
+              rankCol: String, maxBlock: Long = 0L): DataFrame = {
+    val pairs = blockedPairs(records, idCol, nameCol, blockCol, maxEdits,
+      maxBlock)
+    val labels = Components.connectedComponents(pairs, "id_a", "id_b")
+    val base = records.select(col(idCol).cast("long").as("id"),
+      col(nameCol).as("name"), col(rankCol).as("__rank"))
+    val labeled = base
+      .join(labels.withColumnRenamed("node", "id"), Seq("id"), "left")
+      .withColumn("entity_id", coalesce(col("component"), col("id")))
+    val survivors = labeled.groupBy("entity_id")
+      .agg(max(struct(col("__rank").as("r"), (-col("id")).as("nid"),
+          col("name").as("nm"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("entity_id"), (-col("__best.nid")).as("canonical_id"),
+        col("__best.nm").as("canonical_name"), col("n_members"))
+    labeled.select("id", "entity_id")
+      .join(survivors, "entity_id")
+      .select("id", "entity_id", "canonical_id", "canonical_name",
+        "n_members")
+  }
+}

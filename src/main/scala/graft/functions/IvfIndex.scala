@@ -212,6 +212,45 @@ object IvfIndex {
     candidates.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** ATTRIBUTE-FILTERED probe — the vector-DB "filtered search" shape
+    * (and, with a not-equal predicate on a label column, hard-negative
+    * mining for contrastive training): exact top-k within the probed
+    * lists among ONLY the corpus rows whose `attrCol` satisfies
+    * `pred(corpusAttr, queryAttr)`.
+    *
+    * The predicate applies BEFORE the cosine is computed, so filtered-out
+    * members never cost a dot product; the probe itself is unchanged (the
+    * filter prunes candidates, not lists — post-filtering over a slightly
+    * deeper probe is the standard recall remedy, and `nProbe` is that
+    * knob here). Emitted sims are exact cosines — the ANN pair-value
+    * oracle applies, with the predicate re-checked in the oracle's join.
+    *
+    * 100 TB shape: identical to [[search]] (static list pruning + one
+    * broadcast of the tiny probe set); the only addition is one attr
+    * column riding the corpus scan.
+    */
+  def searchFiltered(index: Index, queries: DataFrame, idCol: String,
+                     vecCol: String, attrCol: String,
+                     pred: (Column, Column) => Column,
+                     k: Int, nProbe: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val probed = probeRange(index, queries, idCol, vecCol, 0, nProbe)
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(attrCol).as("__qattr"))), "query_id")
+    val c = index.assigned.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv"), col("list_id"), col(attrCol).as("__cattr"))
+      .where(col("list_id").isin(listSet(probed).map(Int.box): _*))
+    val cands = c
+      .join(broadcast(probed.select(col("query_id"), col("qv"),
+        col("list_id"), col("__qattr"))), "list_id")
+      .where(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .where(pred(col("__cattr"), col("__qattr")))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Self-KNN graph over the whole indexed corpus — every vector's
     * exact-cosine top-k among the members of its `nProbe` nearest
     * lists. The building block of graph-based curation (near-dup

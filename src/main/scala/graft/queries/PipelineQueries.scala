@@ -2549,7 +2549,69 @@ object PipelineQueries {
         .select(col("node"), col("rank"),
           when(col("node") >= 10000000L, lit("supplier"))
             .otherwise(lit("customer")).as("kind"))
-    }))
+    }),
+
+    // Attribute-filtered ANN — hard-negative mining: each query's top-10
+    // most-similar vectors with a DIFFERENT label, via the IVF probe with
+    // the label predicate applied BEFORE any cosine is computed. Emitted
+    // sims are exact; the oracle recomputes them per pair AND re-checks
+    // the label inequality in its join (a same-label emission drops the
+    // row → row-count mismatch).
+    "sim_filtered" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val index = graft.functions.IvfIndex.build(emb, "vec_id",
+        "embedding", nLists = 16)
+      graft.functions.IvfIndex.searchFiltered(index,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", "label",
+        (c, q) => c =!= q, k = 10, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"), col("rank"))
+    }),
+
+    // Entity resolution, stage 1 — blocked fuzzy match: the customer
+    // registry plus deterministically corrupted re-entries (last char
+    // dropped / appended / first char replaced, one per %4∈{1,2,3} row),
+    // blocked on the 8-digit name core the corruptions never touch,
+    // verified at edit distance ≤ 2 (length prefilter before the O(len²)
+    // loop). Σ|block|² pairs, never n².
+    "er_match" -> ((spark, dir) =>
+      graft.functions.EntityResolution.blockedPairs(
+        erRecords(spark, dir), "id", "name",
+        expr("substring(name, 10, 8)"), maxEdits = 2)),
+
+    // Entity resolution, stages 2-3 — cluster + survivorship: match
+    // pairs → connected components (entity_id = min member id) → ONE
+    // max(struct) survivor election per entity (highest acctbal, ties to
+    // the lower id; corrupted re-entries rank below every clean row).
+    // Oracle: recursive closure over the emitted er_match pairs + the
+    // same struct-max election.
+    "er_resolve" -> ((spark, dir) =>
+      graft.functions.EntityResolution.resolve(
+        erRecords(spark, dir), "id", "name",
+        expr("substring(name, 10, 8)"), maxEdits = 2,
+        rankCol = "acctbal")))
+
+  /** The entity-resolution fixture: the clean customer registry plus one
+    * deterministically corrupted re-entry per %4∈{1,2,3} row (dirty id =
+    * clean id + 1 000 000; last char dropped / 'x' appended / first char
+    * replaced — none touch the 8-digit blocking core at name[10..17]).
+    * Dirty rows rank 1 000 000 below their clean source so survivorship
+    * always elects a clean record.
+    */
+  private def erRecords(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.read(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"),
+        col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val dirty = cust.where(col("id") % 4 =!= 0)
+      .select((col("id") + 1000000L).as("id"),
+        when(col("id") % 4 === 1,
+            expr("substring(name, 1, length(name) - 1)"))
+          .when(col("id") % 4 === 2, concat(col("name"), lit("x")))
+          .otherwise(concat(lit("X"), expr("substring(name, 2)")))
+          .as("name"),
+        (col("acctbal") - lit(1000000.0)).as("acctbal"))
+    cust.unionByName(dirty)
+  }
 
   /** DuckDB SQL recomputing the exact cosine for each (query_id,
     * neighbor_id) pair an ANN entry returned: candidate sets are
@@ -4975,7 +5037,55 @@ object PipelineQueries {
          |FROM r$iters ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  /** The erRecords fixture in DuckDB — shared by both ER oracles. */
+  private val erRecsCtes: String =
+    """dirty AS (SELECT c_custkey + 1000000 AS id,
+      |    CASE WHEN c_custkey % 4 = 1 THEN substring(c_name, 1, length(c_name) - 1)
+      |         WHEN c_custkey % 4 = 2 THEN c_name || 'x'
+      |         ELSE 'X' || substring(c_name, 2) END AS name,
+      |    c_acctbal - 1000000.0 AS acctbal
+      |  FROM customer WHERE c_custkey % 4 <> 0),
+      |recs AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+      |    c_acctbal AS acctbal FROM customer
+      |  UNION ALL SELECT id, name, acctbal FROM dirty)""".stripMargin
+
   private lazy val tailOracles: Map[String, String] = Map(
+    "er_match" -> s"""
+        |WITH $erRecsCtes,
+        |b AS (SELECT substring(name, 10, 8) AS blk, id, name FROM recs)
+        |SELECT a.id AS id_a, bb.id AS id_b,
+        |  CAST(levenshtein(a.name, bb.name) AS INTEGER) AS edit_dist
+        |FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id
+        |WHERE abs(length(a.name) - length(bb.name)) <= 2
+        |  AND levenshtein(a.name, bb.name) <= 2""".stripMargin,
+    // closure over the emitted er_match pairs (the same contract as
+    // dedup_components' oracle) + the identical struct-max survivor
+    // election; field order (r, nid, nm) matches the engine's struct so
+    // lexicographic comparison agrees, and nid = −id is unique so the
+    // string field never decides
+    "er_resolve" -> s"""
+        |WITH RECURSIVE p AS (SELECT id_a, id_b
+        |  FROM read_parquet('__OUT__/er_match/*.parquet')),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+        |comp AS (SELECT u AS id, MIN(r) AS entity FROM reach GROUP BY u),
+        |$erRecsCtes,
+        |lab AS (SELECT recs.id, recs.name, recs.acctbal,
+        |    COALESCE(comp.entity, recs.id) AS entity_id
+        |  FROM recs LEFT JOIN comp ON recs.id = comp.id),
+        |surv AS (SELECT entity_id,
+        |    max(struct_pack(r := acctbal, nid := -id, nm := name)) AS best,
+        |    count(*) AS n_members
+        |  FROM lab GROUP BY entity_id)
+        |SELECT l.id, l.entity_id,
+        |  -struct_extract(s.best, 'nid') AS canonical_id,
+        |  struct_extract(s.best, 'nm') AS canonical_name,
+        |  s.n_members
+        |FROM lab l JOIN surv s USING (entity_id)""".stripMargin,
     "events_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    date_trunc('second', ts) AS ts_s FROM events),
@@ -5000,6 +5110,19 @@ object PipelineQueries {
         |    AS is_current
         |FROM r""".stripMargin,
     "graph_pagerank" -> pagerankOracle(5),
+    // annPairOracle + the filter contract: the neighbor join carries
+    // `n.label <> q.label`, so a same-label emission loses its row
+    "sim_filtered" -> """
+        |WITH p AS (SELECT query_id, neighbor_id, rank
+        |  FROM read_parquet('__OUT__/sim_filtered/*.parquet'))
+        |SELECT p.query_id, p.neighbor_id,
+        |  round(
+        |   list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)) /
+        |   (sqrt(list_sum(list_transform(range(1, len(q.embedding)+1), i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(range(1, len(n.embedding)+1), i -> n.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)))), 6) AS sim,
+        |  CAST(p.rank AS INTEGER) AS rank
+        |FROM p JOIN embeddings q ON p.query_id = q.vec_id
+        |JOIN embeddings n ON p.neighbor_id = n.vec_id AND n.label <> q.label""".stripMargin,
     // the full DAG's oracle composes the independently-verified stage
     // oracles: dedup keep-one + quality formula (pipeline_curate's CTEs),
     // 4-gram decontamination (text_decontaminate's), chunking

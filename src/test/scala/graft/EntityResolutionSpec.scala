@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.EntityResolution
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EntityResolutionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def recs = Seq(
+    (1L, "robert smith", 10.0),
+    (2L, "robert smith", 5.0),   // exact dup of 1
+    (3L, "robert smyth", 1.0),   // edit 1 from both
+    (4L, "bob jones", 7.0),      // same block ("bob"), far from all
+    (5L, "zelda brown", 3.0),    // different block, isolated
+    (6L, "zelda brown", 3.0)     // tie on rank with 5 → lower id wins
+  ).toDF("id", "name", "rank")
+
+  test("blockedPairs: verified pairs inside blocks only, distances exact") {
+    val got = EntityResolution.blockedPairs(recs, "id", "name",
+        substring(col("name"), 1, 3), maxEdits = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1), (5L, 6L, 0)))
+    // "bob jones" shares block "bob"? no — block is "rob" vs "bob";
+    // even same-block far names (4 is alone in "bob") emit nothing
+  }
+
+  test("blockedPairs: a cross-block near-identical pair is NOT compared") {
+    val df = Seq((1L, "anna"), (2L, "bnna")).toDF("id", "name")
+    val got = EntityResolution.blockedPairs(df, "id", "name",
+      substring(col("name"), 1, 1), maxEdits = 2)
+    assert(got.count() === 0L) // blocks "a" vs "b": blocking recall trade
+  }
+
+  test("blockedPairs: maxBlock drops an over-common block whole") {
+    val df = (1L to 10L).map(i => (i, "same name")).toDF("id", "name")
+      .union(Seq((20L, "rare x"), (21L, "rare y")).toDF("id", "name"))
+    val capped = EntityResolution.blockedPairs(df, "id", "name",
+      substring(col("name"), 1, 4), maxEdits = 2, maxBlock = 5L)
+    // the 10-member "same" block squares to 45 pairs uncapped; capped
+    // keeps only the 2-member "rare" block's single pair
+    assert(capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      === Set((20L, 21L)))
+    val uncapped = EntityResolution.blockedPairs(df, "id", "name",
+      substring(col("name"), 1, 4), maxEdits = 2)
+    assert(uncapped.count() === 46L)
+  }
+
+  test("resolve: min-id entities, max-rank survivor with lower-id ties, singletons") {
+    val got = EntityResolution.resolve(recs, "id", "name",
+        substring(col("name"), 1, 3), maxEdits = 2, rankCol = "rank")
+      .select("id", "entity_id", "canonical_id", "canonical_name", "n_members")
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 1L, "robert smith", 3L),
+      (2L, 1L, 1L, "robert smith", 3L),
+      (3L, 1L, 1L, "robert smith", 3L),  // survivor = highest rank (id 1)
+      (4L, 4L, 4L, "bob jones", 1L),     // unmatched: own entity
+      (5L, 5L, 5L, "zelda brown", 2L),   // rank tie 5 vs 6 → lower id
+      (6L, 5L, 5L, "zelda brown", 2L)))
+  }
+}

@@ -47,6 +47,48 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("filtered search: always-true pred equals search; filter is exact at full probe") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nLists = 8)
+
+    // degenerate predicate ⇒ bit-identical to the unfiltered probe
+    val unfiltered = IvfIndex.search(index, queries, "vec_id", "embedding",
+        k = 10, nProbe = 4)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val noop = IvfIndex.searchFiltered(index, queries, "vec_id", "embedding",
+        "label", (_, _) => lit(true), k = 10, nProbe = 4)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(noop === unfiltered)
+
+    // label-inequality predicate at FULL probe ⇒ exactly the brute-force
+    // top-k over the label-excluded corpus
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)]
+      .collect().toMap
+    val got = IvfIndex.searchFiltered(index, queries, "vec_id", "embedding",
+        "label", (c, q) => c =!= q, k = 10, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // every emission honors the predicate
+    got.foreach { case (q, n) => assert(labels(q) !== labels(n)) }
+    val gotSet = got.toSet
+    val want = queries.select(col("vec_id").as("query_id"), col("label").as("ql"))
+      .crossJoin(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("label").as("nl")))
+      .where(col("neighbor_id") =!= col("query_id") && col("ql") =!= col("nl"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .where(col("rank") <= 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(gotSet === want)
+  }
+
   // The residual bound is an upper bound on every member cosine, so a
   // pruned wave-2 list can never hold a true top-k member: the two-wave
   // refined search must equal the full nProbe2 search (modulo exact
