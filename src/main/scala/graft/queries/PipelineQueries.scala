@@ -2589,7 +2589,57 @@ object PipelineQueries {
       graft.functions.EntityResolution.resolve(
         erRecords(spark, dir), "id", "name",
         expr("substring(name, 10, 8)"), maxEdits = 2,
-        rankCol = "acctbal")))
+        rankCol = "acctbal")),
+
+    // Frame sampling over binary media payloads: fixed-size byte frames
+    // (every nth chunk — real byte slicing; only the frames-vs-chunks
+    // interpretation is domain-specific). Emitted as scalar rows
+    // (idx, byte length, hex) so every frame byte is value-checked;
+    // trailing empty frames filter out, so kept indices stay aligned
+    // with the original frame grid. Pure projection + posexplode — the
+    // payload never shuffles.
+    "multimodal_framesample" -> ((spark, dir) => {
+      val withBin = Multimodal.ingest(
+          Tables.read(spark, dir, "documents"), "text")
+        .select(col("doc_id"), col("content"))
+      withBin
+        .select(col("doc_id"),
+          posexplode(Multimodal.frameSample(col("content"),
+            nFrames = 4, frameBytes = 32)).as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          hex(col("frame")).as("frame_hex"))
+    }),
+
+    // The SAME SCD2 compaction as a Structured Streaming query
+    // (twin #22): watermark-buffered per-user fold — closed intervals
+    // append exactly once (their valid_to is the next run's first sealed
+    // event), the open run emits monotone snapshots keyed by its first
+    // event id, reconciled with the funnelExact max() contract. Same
+    // DuckDB oracle as events_scd2 — batch ≡ stream under the gate.
+    "events_scd2_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq((-1L, -1L, "noop", sentinelTs))
+        .toDF("user_id", "event_id", "event_type", "ts")
+      val streamed = graft.streaming.EventStream.scd2Exact(
+        streamWithSentinel(spark, ev, sentinel, delaySec)
+          .as[graft.streaming.EventStream.Scd2Event])
+      graft.streaming.EventStream.runToMemory(
+        streamed.toDF(), "events_scd2_stream_out", OutputMode.Append())
+      spark.table("events_scd2_stream_out")
+        .where(col("user_id") >= 0)
+        .groupBy("user_id", "event_type", "valid_from", "from_eid")
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("valid_to")).as("valid_to"))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"),
+          col("valid_to").isNull.as("is_current"))
+    }))
 
   /** The entity-resolution fixture: the clean customer registry plus one
     * deterministically corrupted re-entry per %4∈{1,2,3} row (dirty id =
@@ -5049,7 +5099,44 @@ object PipelineQueries {
       |    c_acctbal AS acctbal FROM customer
       |  UNION ALL SELECT id, name, acctbal FROM dirty)""".stripMargin
 
+  /** The SCD2 window replay, shared by the batch entry and its streaming
+    * twin (batch ≡ stream under the gate).
+    */
+  private lazy val scd2Oracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    date_trunc('second', ts) AS ts_s FROM events),
+      |g AS (SELECT user_id, event_id, event_type, ts_s,
+      |  CASE WHEN event_type IS DISTINCT FROM lag(event_type)
+      |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+      |    THEN 1 ELSE 0 END AS chg
+      |  FROM e),
+      |i AS (SELECT user_id, event_type, ts_s,
+      |  SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM g),
+      |r AS (SELECT user_id, run, min(event_type) AS event_type,
+      |  min(ts_s) AS valid_from, count(*) AS n_events
+      |  FROM i GROUP BY user_id, run)
+      |SELECT user_id, event_type,
+      |  CAST(valid_from AS TIMESTAMP) AS valid_from,
+      |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+      |    AS TIMESTAMP) AS valid_to,
+      |  n_events,
+      |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL)
+      |    AS is_current
+      |FROM r""".stripMargin
+
   private lazy val tailOracles: Map[String, String] = Map(
+    // byte-exact frame replay on the hex plane (2 hex chars per byte —
+    // character substring on VARCHAR would split multi-byte UTF-8)
+    "multimodal_framesample" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, 4)) AS i, h FROM b),
+        |s AS (SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  substring(h, CAST(i * 64 + 1 AS INT), 64) AS frame_hex FROM f)
+        |SELECT doc_id, frame_idx,
+        |  CAST(length(frame_hex) // 2 AS BIGINT) AS frame_len, frame_hex
+        |FROM s WHERE length(frame_hex) > 0""".stripMargin,
     "er_match" -> s"""
         |WITH $erRecsCtes,
         |b AS (SELECT substring(name, 10, 8) AS blk, id, name FROM recs)
@@ -5086,29 +5173,10 @@ object PipelineQueries {
         |  struct_extract(s.best, 'nm') AS canonical_name,
         |  s.n_members
         |FROM lab l JOIN surv s USING (entity_id)""".stripMargin,
-    "events_scd2" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |    date_trunc('second', ts) AS ts_s FROM events),
-        |g AS (SELECT user_id, event_id, event_type, ts_s,
-        |  CASE WHEN event_type IS DISTINCT FROM lag(event_type)
-        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
-        |    THEN 1 ELSE 0 END AS chg
-        |  FROM e),
-        |i AS (SELECT user_id, event_type, ts_s,
-        |  SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS run
-        |  FROM g),
-        |r AS (SELECT user_id, run, min(event_type) AS event_type,
-        |  min(ts_s) AS valid_from, count(*) AS n_events
-        |  FROM i GROUP BY user_id, run)
-        |SELECT user_id, event_type,
-        |  CAST(valid_from AS TIMESTAMP) AS valid_from,
-        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
-        |    AS TIMESTAMP) AS valid_to,
-        |  n_events,
-        |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL)
-        |    AS is_current
-        |FROM r""".stripMargin,
+    // identical oracle to events_scd2: the streaming compaction must
+    // reproduce the batch interval table bit-for-bit after the drain
+    "events_scd2_stream" -> scd2Oracle,
+    "events_scd2" -> scd2Oracle,
     "graph_pagerank" -> pagerankOracle(5),
     // annPairOracle + the filter contract: the neighbor join carries
     // `n.label <> q.label`, so a same-label emission loses its row

@@ -522,6 +522,75 @@ object EventStream {
       }
   }
 
+  final case class Scd2Event(user_id: Long, event_id: Long,
+                             event_type: String, ts: java.sql.Timestamp)
+  final case class Scd2Run(attr: String, fromTs: Long, fromEid: Long,
+                           n: Long)
+  final case class Scd2State(open: Option[Scd2Run],
+                             buf: Vector[(Long, Long, String)])
+  final case class Scd2Row(user_id: Long, event_type: String,
+                           valid_from: java.sql.Timestamp,
+                           valid_to: Option[java.sql.Timestamp],
+                           n_events: Long, from_eid: Long)
+
+  /** Streaming SCD2 change compaction — the continuous counterpart of
+    * [[graft.functions.EventOps.changeIntervals]], same watermark-buffer
+    * pattern as [[sessionizeExact]]: per-user events buffer until the
+    * watermark seals them, sealed events fold in exact (ts, event_id)
+    * order, and each run closure appends the FINAL interval row (a
+    * closed interval's valid_to is the next run's first sealed event —
+    * no later arrival inside the lateness bound can change it). The
+    * still-open run emits a monotone snapshot (`valid_to` null,
+    * `n_events` non-decreasing) keyed by its first event id
+    * (`from_eid`, unique even when second-truncated timestamps
+    * collide); readers reconcile with max(n_events)/max(valid_to) per
+    * from_eid — exactly the funnelExact set-once contract, which puts
+    * batch ≡ stream under the SAME DuckDB oracle.
+    *
+    * State per user is one open run + the out-of-order tail — bounded by
+    * the lateness bound, not the stream.
+    */
+  def scd2Exact(events: Dataset[Scd2Event]): Dataset[Scd2Row] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evts: Iterator[Scd2Event],
+         state: GroupState[Scd2State]) =>
+          val prev = state.getOption.getOrElse(Scd2State(None, Vector.empty))
+          val buf = prev.buf ++
+            evts.map(e => (e.ts.getTime, e.event_id, e.event_type))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = buf.partition(_._1 <= wm)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+          var cur = prev.open.orNull
+          ready.sortBy(e => (e._1, e._2)).foreach { case (t, eid, attr) =>
+            cur match {
+              case null => cur = Scd2Run(attr, t, eid, 1)
+              case r if r.attr == attr => cur = r.copy(n = r.n + 1)
+              case r =>
+                out += Scd2Row(user, r.attr, new java.sql.Timestamp(r.fromTs),
+                  Some(new java.sql.Timestamp(t)), r.n, r.fromEid)
+                cur = Scd2Run(attr, t, eid, 1)
+            }
+          }
+          // monotone open-run snapshot: superseded by later snapshots
+          // (higher n) or by the closing row (non-null valid_to)
+          if (ready.nonEmpty && cur != null)
+            out += Scd2Row(user, cur.attr, new java.sql.Timestamp(cur.fromTs),
+              None, cur.n, cur.fromEid)
+          if (hold.isEmpty && cur == null) state.remove()
+          else {
+            state.update(Scd2State(Option(cur), hold))
+            // only held events need a wake-up; the open run re-emits on
+            // the arrival that extends or closes it
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String,
                                ts: java.sql.Timestamp)
   final case class FunnelState(tSignup: Option[Long], tView: Option[Long],

@@ -325,6 +325,40 @@ class StreamingSpec extends AnyFunSuite {
       (1L, ts("2024-01-01 11:30:00"), 1L)))
   }
 
+  // An event delivered AFTER a newer one of a different type must still
+  // extend its own run once sealed — unbuffered folding would emit a
+  // spurious a|b|a run split; the watermark buffer recovers the exact
+  // a[2 events] → b compaction.
+  test("scd2Exact recovers exact intervals under cross-batch disorder") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val q = EventStream.scd2Exact(
+        in.toDF().toDF("user_id", "event_id", "event_type", "ts")
+          .withWatermark("ts", "3 hours")
+          .as[EventStream.Scd2Event])
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("scd2_ooo_out").start()
+    // the 10:30 'a' (extends the first run) arrives AFTER the 11:00 'b'
+    in.addData((1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (1L, 3L, "b", ts("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    in.addData((1L, 2L, "a", ts("2024-01-01 10:30:00")))
+    q.processAllAvailable()
+    in.addData((99L, 9L, "noop", ts("2024-01-02 12:00:00"))) // drains user 1
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("scd2_ooo_out").where(col("user_id") === 1L)
+      .groupBy("user_id", "event_type", "valid_from", "from_eid")
+      .agg(max(col("n_events")).as("n"), max(col("valid_to")).as("vt"))
+      .select("event_type", "valid_from", "vt", "n")
+      .as[(String, java.sql.Timestamp, Option[java.sql.Timestamp], Long)]
+      .collect().toSet
+    assert(fin === Set(
+      ("a", ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 11:00:00")), 2L),
+      ("b", ts("2024-01-01 11:00:00"), None, 1L)))
+  }
+
   // A d1 activity delivered BEFORE its signup (cross-batch) is lost by the
   // unbuffered retention fold but recovered by the watermark-buffered one.
   test("retentionFlagsExact recovers a d1 activity delivered before its signup") {
