@@ -100,7 +100,10 @@ object Bench {
     "events_scd2", "graph_pagerank",
     // label-filtered ANN (hard-negative mining) and the entity-resolution
     // family (blocked levenshtein match → cluster → survivorship)
-    "sim_filtered", "er_match", "er_resolve")
+    "sim_filtered", "er_match", "er_resolve",
+    // point-in-time dimension join (SCD2 ∘ as-of) and the digest-only
+    // corpus snapshot diff
+    "events_pit_join", "corpus_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

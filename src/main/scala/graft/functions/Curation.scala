@@ -902,4 +902,31 @@ object Curation {
         "&amp;", "&")
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
+
+  /** Corpus snapshot diff — dataset versioning's core primitive: compare
+    * two corpus versions by content digest and classify every id as
+    * added / removed / changed / unchanged. Emits
+    * (id, status, old_digest, new_digest); the digest of a missing side
+    * is NULL.
+    *
+    * 100 TB shape: each side projects to (id, 16-byte digest) BEFORE the
+    * full-outer hash join — document payloads never shuffle, the
+    * exchange carries two narrow columns per side. That is the only
+    * affordable diff shape at corpus scale; a text-comparing join would
+    * move both corpora.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, contentCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("__oid"),
+      md5(col(contentCol)).as("old_digest"))
+    val n = newSnap.select(col(idCol).as("__nid"),
+      md5(col(contentCol)).as("new_digest"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .select(coalesce(col("__oid"), col("__nid")).as(idCol),
+        when(col("__oid").isNull, lit("added"))
+          .when(col("__nid").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("old_digest"), col("new_digest"))
+  }
 }

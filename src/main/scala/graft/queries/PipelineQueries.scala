@@ -2639,6 +2639,50 @@ object PipelineQueries {
         .select(col("user_id"), col("event_type"), col("valid_from"),
           col("valid_to"), col("n_events"),
           col("valid_to").isNull.as("is_current"))
+    }),
+
+    // Point-in-time (temporal dimension) join — SCD2 composed with the
+    // as-of operator: each purchase looks up the profile state
+    // (signup/view run) its user was in AT purchase time. Empty
+    // [t, t) intervals (several profile changes inside one truncated
+    // second) are filtered, which leaves per-user interval starts
+    // strictly increasing — the as-of pick is unique and the kept
+    // intervals still tile the axis, so validity needs no second check.
+    // One shuffle on user_id (the carry-forward window), linear in
+    // facts + dim.
+    "events_pit_join" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      val dim = graft.functions.EventOps.changeIntervals(
+          ev.where(col("event_type").isin("signup", "view")),
+          "user_id", "event_type", "ts_s", "event_id")
+        .where(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from"))
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_s"))
+      graft.operators.AsOfJoin.asOf(facts, dim, "user_id", "ts_s",
+          "valid_from", payload = Seq("state", "valid_from"))
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          col("asof_state").as("state"),
+          col("asof_valid_from").as("state_since"))
+    }),
+
+    // Corpus snapshot diff — dataset versioning: the fixture corpus vs a
+    // deterministically evolved copy (%17 removed, %13 edited, %19
+    // re-added under new ids); only (id, digest) pairs reach the
+    // full-outer join.
+    "corpus_diff" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val newSnap = docs.where(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.functions.Curation.snapshotDiff(docs, newSnap, "doc_id", "text")
     }))
 
   /** The entity-resolution fixture: the clean customer registry plus one
@@ -5127,6 +5171,54 @@ object PipelineQueries {
       |FROM r""".stripMargin
 
   private lazy val tailOracles: Map[String, String] = Map(
+    // the SCD2 replay over profile events + the latest-start-≤-ts pick
+    // (unique after empty-interval filtering); LEFT join keeps purchases
+    // that precede any profile state, with NULL state
+    "events_pit_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS ts_s FROM events
+        |  WHERE event_type IN ('signup', 'view')),
+        |g AS (SELECT user_id, event_id, event_type, ts_s,
+        |  CASE WHEN event_type IS DISTINCT FROM lag(event_type)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |    THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |i AS (SELECT user_id, event_type, ts_s,
+        |  SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM g),
+        |r AS (SELECT user_id, run, min(event_type) AS state,
+        |  min(ts_s) AS valid_from FROM i GROUP BY user_id, run),
+        |iv AS (SELECT user_id, state, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+        |    AS valid_to FROM r),
+        |dim AS (SELECT user_id, state, valid_from FROM iv
+        |  WHERE valid_to IS NULL OR valid_from < valid_to),
+        |p AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id, p.event_id, p.ts_s, d.state, d.valid_from,
+        |    row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |      ORDER BY d.valid_from DESC) AS rn
+        |  FROM p LEFT JOIN dim d
+        |    ON p.user_id = d.user_id AND d.valid_from <= p.ts_s)
+        |SELECT user_id, event_id, CAST(ts_s AS TIMESTAMP) AS ts_s, state,
+        |  CAST(valid_from AS TIMESTAMP) AS state_since
+        |FROM j WHERE rn = 1""".stripMargin,
+    "corpus_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS d FROM documents),
+        |new AS (SELECT doc_id,
+        |    md5(text || CASE WHEN doc_id % 13 = 0 THEN ' v2' ELSE '' END) AS d
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text) FROM documents
+        |  WHERE doc_id % 19 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.d <> n.d THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  o.d AS old_digest, n.d AS new_digest
+        |FROM old o FULL JOIN new n ON o.doc_id = n.doc_id""".stripMargin,
     // byte-exact frame replay on the hex plane (2 hex chars per byte —
     // character substring on VARCHAR would split multi-byte UTF-8)
     "multimodal_framesample" ->

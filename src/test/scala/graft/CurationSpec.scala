@@ -542,4 +542,20 @@ class CurationSpec extends AnyFunSuite {
     // regex extractor's documented over-approximation on bare < >
     assert(got(6L) === "math: 3 2")
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val neu = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "t")
+    val got = Curation.snapshotDiff(old, neu, "id", "t")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // digests: null exactly on the missing side
+    val digests = Curation.snapshotDiff(old, neu, "id", "t")
+      .select("id", "old_digest", "new_digest")
+      .as[(Long, Option[String], Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(digests(3L)._2.isEmpty && digests(3L)._1.nonEmpty)
+    assert(digests(4L)._1.isEmpty && digests(4L)._2.nonEmpty)
+  }
 }
