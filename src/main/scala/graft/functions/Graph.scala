@@ -57,20 +57,31 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(scale))
     var i = 0
     while (i < iters) {
-      val contrib = ranks
-        .join(eDeg, col("node") === col("src"))
-        .select(col("dst").as("node"),
-          expr("rank div deg").as("c"))
-        .groupBy("node")
-        .agg(sum(col("c")).as("m"))
-      ranks = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen"))
-            .as("rank"))
+      ranks = superstep(ranks, eDeg, nodes, base, dampNum, dampDen)
         .localCheckpoint(true)
       i += 1
     }
     ranks
+  }
+
+  /** One power-iteration superstep (the unit [[pageRankFixedPoint]]
+    * checkpoints per round — exposed so the plan shape is auditable:
+    * PlanAuditSpec asserts the contribution sum partial-aggregates and
+    * nothing plans a nested loop).
+    */
+  private[graft] def superstep(ranks: DataFrame, eDeg: DataFrame,
+                               nodes: DataFrame, base: Long,
+                               dampNum: Int, dampDen: Int): DataFrame = {
+    val contrib = ranks
+      .join(eDeg, col("node") === col("src"))
+      .select(col("dst").as("node"),
+        expr("rank div deg").as("c"))
+      .groupBy("node")
+      .agg(sum(col("c")).as("m"))
+    nodes
+      .join(contrib, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen"))
+          .as("rank"))
   }
 }

@@ -387,4 +387,69 @@ class PlanAuditSpec extends AnyFunSuite {
     val lists = in.findFirstMatchIn(codeScan.head).get.group(1).split(",")
     assert(lists.length <= 4, s"probe must prune to ≤4 of 16 lists: $lists")
   }
+
+  test("graph_pagerank superstep: partial-agg contribution sum, hash joins only") {
+    // the loop localCheckpoints each round (the executed top-level plan
+    // is just the final RDD scan), so the auditable unit is one
+    // superstep: rank⋈edges hash join → map-side-combined sum on dst
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val eDeg = e.withColumn("deg", lit(1L))
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val ranks = nodes.withColumn("rank", lit(1000000L))
+    val df = graft.functions.Graph.superstep(ranks, eDeg, nodes,
+      base = 150000L, dampNum = 85, dampDen = 100)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"superstep must not plan a cartesian/nested-loop join:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"contribution sum must partial-aggregate:\n$plan")
+  }
+
+  test("er_match: block self-join is a hash join with the length prefilter below the edit distance") {
+    val plan = finalPlan("er_match")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked match must hash-join on the block key:\n$plan")
+    // the cheap length lower bound and the O(len²) levenshtein must both
+    // sit in the JOIN condition, length gate first (conjunct order in
+    // the same predicate — short-circuit before the distance loop)
+    val cond = plan.split("\n")
+      .find(l => l.contains("HashJoin") && l.contains("levenshtein"))
+      .getOrElse("")
+    assert(cond.contains("abs(") &&
+      cond.indexOf("abs(") < cond.indexOf("levenshtein"),
+      s"length prefilter must guard the levenshtein call:\n$plan")
+  }
+
+  test("events_scd2 / events_pit_join: keyed windows only, no corpus-wide partition") {
+    for (name <- Seq("events_scd2", "events_pit_join")) {
+      val plan = finalPlan(name)
+      // every window/sort in the plan must be keyed by user_id — a Window
+      // with an empty partition spec would serialize the corpus into one
+      // task (the scale-killer these operators are designed to avoid)
+      val bad = plan.split("\n").filter(l =>
+        l.contains("Window ") && !l.contains("user_id"))
+      assert(bad.isEmpty,
+        s"$name: un-keyed window in plan:\n${bad.mkString("\n")}")
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
+
+  test("corpus_diff: digest-only projections feed the full-outer join") {
+    val plan = finalPlan("corpus_diff")
+    assert(plan.contains("FullOuter"),
+      s"diff must plan a full-outer hash/merge join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"diff join must be key-based:\n$plan")
+    // the text column must be consumed by md5 below the exchange: no
+    // exchange row carries `text` itself
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      s"document payloads must not shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
