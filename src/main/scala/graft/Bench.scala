@@ -103,7 +103,9 @@ object Bench {
     "sim_filtered", "er_match", "er_resolve",
     // point-in-time dimension join (SCD2 ∘ as-of) and the digest-only
     // corpus snapshot diff
-    "events_pit_join", "corpus_diff")
+    "events_pit_join", "corpus_diff",
+    // degree-oriented triangle counting and the KNN label-error vote
+    "graph_triangles", "sim_label_vote")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -94,6 +94,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** KNN label vote — label-error detection (the confident-learning /
+    * "cleanlab" signal): for every query, the majority label among its
+    * nearest neighbors, vs its own. A row whose neighborhood votes a
+    * different label is a mislabeling candidate for human / model
+    * review.
+    *
+    * `knn` is any (query_id, neighbor_id) neighbor set — the exact
+    * window top-k at oracle scale, [[IvfIndex.knnGraph]] at corpus scale
+    * (the vote is a pure function of the neighbor set, so the two
+    * compose without changing this operator). Vote ties break to the
+    * LOWER label via one `max(struct(count, −label))` per query — no
+    * window over the vote table.
+    *
+    * Output: (vec_id, own_label, voted_label, n_votes, n_neighbors,
+    * mismatch).
+    */
+  def labelVote(knn: DataFrame, labels: DataFrame, idCol: String,
+                labelCol: String): DataFrame = {
+    val nl = labels.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"))
+    val ql = labels.select(col(idCol).as("query_id"),
+      col(labelCol).as("own_label"))
+    knn.select("query_id", "neighbor_id")
+      .join(nl, "neighbor_id")
+      .groupBy("query_id", "__nl").agg(count(lit(1)).as("__c"))
+      .groupBy("query_id")
+      .agg(max(struct(col("__c").as("c"), (-col("__nl")).as("negl"))).as("__b"),
+        sum(col("__c")).as("n_neighbors"))
+      .join(ql, "query_id")
+      .select(col("query_id").as("vec_id"), col("own_label"),
+        (-col("__b.negl")).as("voted_label"),
+        col("__b.c").as("n_votes"), col("n_neighbors"),
+        ((-col("__b.negl")) =!= col("own_label")).as("mismatch"))
+  }
+
   /** Cosine with a precomputed denominator (`norm(a)*norm(b)`). */
   def cosinePrenormed(a: Column, b: Column, denom: Column): Column =
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)

@@ -2683,6 +2683,31 @@ object PipelineQueries {
         .unionByName(docs.where(col("doc_id") % 19 === 0)
           .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
       graft.functions.Curation.snapshotDiff(docs, newSnap, "doc_id", "text")
+    }),
+
+    // Per-node triangle counts on the ER similarity graph — the local
+    // clustering signal (near-clique vs chain neighborhoods).
+    // Degree-ordered orientation bounds wedge blowup to O(m^1.5); the
+    // triangle SET is orientation-invariant, so the oracle replays with
+    // plain id order over the emitted er_match pairs and must agree
+    // bit-for-bit.
+    "graph_triangles" -> ((spark, dir) =>
+      graft.functions.Graph.triangleCounts(
+        graft.functions.EntityResolution.blockedPairs(
+          erRecords(spark, dir), "id", "name",
+          expr("substring(name, 10, 8)"), maxEdits = 2),
+        "id_a", "id_b")),
+
+    // KNN label vote — label-error detection: each vector's majority
+    // neighbor label vs its own. The gate runs the exact window top-5
+    // neighbor set (SQL-replayable end-to-end); at corpus scale the SAME
+    // vote composes over IvfIndex.knnGraph (SimilaritySpec pins the two
+    // equal at full probe).
+    "sim_label_vote" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val knn = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      Similarity.labelVote(knn, emb, "vec_id", "label")
     }))
 
   /** The entity-resolution fixture: the clean customer registry plus one
@@ -5171,6 +5196,42 @@ object PipelineQueries {
       |FROM r""".stripMargin
 
   private lazy val tailOracles: Map[String, String] = Map(
+    // id-ordered orientation (the triangle set is orientation-invariant)
+    // over the emitted er_match pairs
+    "graph_triangles" ->
+      """WITH p AS (SELECT id_a, id_b
+        |  FROM read_parquet('__OUT__/er_match/*.parquet')),
+        |e AS (SELECT DISTINCT least(id_a, id_b) AS a,
+        |    greatest(id_a, id_b) AS b FROM p WHERE id_a <> id_b),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+        |SELECT node, count(*) AS n_triangles FROM n GROUP BY node""".stripMargin,
+    // full replay: exact window top-5 neighbors → per-query vote with
+    // the (count desc, label asc) tie rule via the same struct max
+    "sim_label_vote" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        |  FROM embeddings),
+        |s AS (SELECT q.query_id, q.ql, e.vec_id AS nid, e.label AS nl,
+        |  list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |  (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) *
+        |   sqrt(list_sum(list_transform(range(1, len(e.embedding)+1), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, ql, nid, nl, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, nid) AS rnk FROM s),
+        |k AS (SELECT query_id, ql, nl FROM r WHERE rnk <= 5),
+        |v AS (SELECT query_id, ql, nl, count(*) AS c FROM k GROUP BY 1, 2, 3),
+        |best AS (SELECT query_id, ql,
+        |    max(struct_pack(c := c, negl := -nl)) AS b,
+        |    sum(c) AS n_neighbors
+        |  FROM v GROUP BY 1, 2)
+        |SELECT query_id AS vec_id, ql AS own_label,
+        |  CAST(-struct_extract(b, 'negl') AS INTEGER) AS voted_label,
+        |  CAST(struct_extract(b, 'c') AS BIGINT) AS n_votes,
+        |  CAST(n_neighbors AS BIGINT) AS n_neighbors,
+        |  (-struct_extract(b, 'negl')) <> ql AS mismatch
+        |FROM best""".stripMargin,
     // the SCD2 replay over profile events + the latest-start-≤-ts pick
     // (unique after empty-interval filtering); LEFT join keeps purchases
     // that precede any profile state, with NULL state

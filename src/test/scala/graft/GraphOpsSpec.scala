@@ -59,6 +59,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === Set(("a", 1L, false), ("b", 2L, true)))
   }
 
+  test("triangleCounts: K4, squares, pendants, duplicate/reversed edges") {
+    val edges = Seq(
+      // K4 on 1-4: C(4,3) = 4 triangles, every node in 3
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 3L), (3L, 4L),              // duplicates/reversals collapse
+      // square 10-13: no triangle
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      // star hub 20 with one closing edge: exactly one triangle
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L),
+      (30L, 30L)                        // self loop: dropped
+    ).toDF("u", "v")
+    val got = graft.functions.Graph.triangleCounts(edges, "u", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(
+      1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      20L -> 1L, 21L -> 1L, 22L -> 1L))
+  }
+
   /** Driver-side replay of the exact integer recurrence. */
   private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
                           scale: Long = 1000000L): Map[Long, Long] = {

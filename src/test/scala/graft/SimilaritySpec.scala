@@ -540,4 +540,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._2).toSet === Set(1L, 2L, 3L))
     assert(got.head === ((1, 1L, 0.0)))
   }
+
+  test("labelVote: majority, lower-label ties, and self-exclusion") {
+    import org.apache.spark.sql.functions.col
+    val knn = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L),        // labels 0,0,1 → vote 0
+      (2L, 3L), (2L, 4L),                  // labels 0,1 → tie → lower (0)
+      (4L, 1L), (4L, 2L)                   // labels 1,0 → tie → 0 ≠ own 1
+    ).toDF("query_id", "neighbor_id")
+    val labels = Seq((1L, 1), (2L, 0), (3L, 0), (4L, 1))
+      .toDF("vec_id", "label")
+    val got = Similarity.labelVote(knn, labels, "vec_id", "label")
+      .select("vec_id", "own_label", "voted_label", "n_votes",
+        "n_neighbors", "mismatch")
+      .as[(Long, Int, Int, Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 1, 0, 2L, 3L, true),
+      (2L, 0, 0, 1L, 2L, false),
+      (4L, 1, 0, 1L, 2L, true)))
+  }
+
+  test("labelVote over knnGraph at full probe equals the brute-force vote") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val brute = Similarity.labelVote(
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5),
+      emb, "vec_id", "label")
+    val index = graft.functions.IvfIndex.build(emb, "vec_id", "embedding",
+      nLists = 8)
+    val graph = Similarity.labelVote(
+      graft.functions.IvfIndex.knnGraph(index, "vec_id", "embedding",
+        k = 5, nProbe = 8),
+      emb, "vec_id", "label")
+    val cols = Seq("vec_id", "own_label", "voted_label", "n_votes",
+      "n_neighbors", "mismatch")
+    assert(
+      graph.select(cols.map(col): _*)
+        .as[(Long, Int, Int, Long, Long, Boolean)].collect().toSet ===
+      brute.select(cols.map(col): _*)
+        .as[(Long, Int, Int, Long, Long, Boolean)].collect().toSet)
+  }
 }
