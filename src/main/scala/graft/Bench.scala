@@ -105,7 +105,10 @@ object Bench {
     // corpus snapshot diff
     "events_pit_join", "corpus_diff",
     // degree-oriented triangle counting and the KNN label-error vote
-    "graph_triangles", "sim_label_vote")
+    "graph_triangles", "sim_label_vote",
+    // Markov transition counts, integer-exact volume anomaly flags, and
+    // exact-dup deletion propagation
+    "events_transitions", "events_anomaly", "pipeline_forget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2708,7 +2708,72 @@ object PipelineQueries {
       val knn = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
         k = 5)
       Similarity.labelVote(knn, emb, "vec_id", "label")
+    }),
+
+    // Event-type transition matrix (first-order Markov counts): per
+    // user, consecutive (ts, event_id)-ordered event pairs, aggregated
+    // to (from, to, n, gap_sum_s). Keyed lag window + one partial-agg
+    // groupBy; gap seconds accumulate as exact BIGINTs.
+    "events_transitions" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          date_trunc("second", col("ts")).as("ts_s"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+      ev.withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts_s")) - lag(unix_timestamp(col("ts_s")), 1).over(w))
+        .where(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("gap_sum_s"))
+    }),
+
+    // Hourly volume anomaly flags: per event type, each hour's count
+    // against its trailing-24h window — z² > 9 evaluated ENTIRELY in
+    // integer arithmetic ((x·n − s)² > 9·(q·n − s²), the z-score
+    // inequality cleared of divisions), so the flag is bit-portable with
+    // no float in sight. Range-frame window per type; exact for hourly
+    // counts up to ~10⁸ (the Long headroom of the squared term).
+    "events_anomaly" -> ((spark, dir) => {
+      val hourly = Tables.read(spark, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(unix_timestamp(col("hour_start")))
+        .rangeBetween(-86400L, -3600L)
+      hourly
+        .withColumn("trail_hours", count(lit(1)).over(w))
+        .withColumn("trail_sum", coalesce(sum(col("n_events")).over(w), lit(0L)))
+        .withColumn("trail_sumsq",
+          coalesce(sum(col("n_events") * col("n_events")).over(w), lit(0L)))
+        .withColumn("is_anomaly",
+          col("trail_hours") >= 3 &&
+            pow2(col("n_events") * col("trail_hours") - col("trail_sum")) >
+              lit(9L) * (col("trail_sumsq") * col("trail_hours") -
+                pow2(col("trail_sum"))))
+    }),
+
+    // Deletion propagation ("right to be forgotten"): a deletion request
+    // (%29 ids) purges the requested doc AND every exact duplicate of it
+    // (same normalized text) — otherwise deleted content survives under
+    // other ids. One content-keyed aggregate + one hash join back; only
+    // (hash, flag) rows shuffle.
+    "pipeline_forget" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"),
+          xxhash64(graft.functions.Dedup.normalizeText(col("text"))).as("__h"))
+        .withColumn("requested", col("doc_id") % 29 === 0)
+      val groups = docs.groupBy("__h")
+        .agg(max(col("requested")).as("linked"))
+      docs.join(groups, "__h")
+        .select(col("doc_id"), col("requested"), col("linked"),
+          col("linked").as("purged"))
     }))
+
+  /** Exact integer square as a Column (x*x — named for readability in
+    * the anomaly inequality).
+    */
+  private def pow2(c: org.apache.spark.sql.Column) = c * c
 
   /** The entity-resolution fixture: the clean customer registry plus one
     * deterministically corrupted re-entry per %4∈{1,2,3} row (dirty id =
@@ -5196,6 +5261,52 @@ object PipelineQueries {
       |FROM r""".stripMargin
 
   private lazy val tailOracles: Map[String, String] = Map(
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS ts_s FROM events),
+        |g AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |    AS from_type,
+        |  epoch(ts_s) - lag(epoch(ts_s)) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id) AS gap_s
+        |  FROM e)
+        |SELECT from_type, event_type AS to_type, count(*) AS n,
+        |  CAST(sum(gap_s) AS BIGINT) AS gap_sum_s
+        |FROM g WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // the z² > 9 inequality cleared of divisions — every term an exact
+    // integer in both engines (DuckDB's HUGEINT sums collapse to the
+    // same values through the BIGINT casts)
+    "events_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |    count(*) AS n_events FROM events GROUP BY 1, 2),
+        |t AS (SELECT hour_start, event_type, n_events,
+        |  count(*) OVER w AS trail_hours,
+        |  COALESCE(sum(n_events) OVER w, 0) AS trail_sum,
+        |  COALESCE(sum(n_events * n_events) OVER w, 0) AS trail_sumsq
+        |  FROM h WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY epoch(hour_start)
+        |    RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+        |SELECT CAST(hour_start AS TIMESTAMP) AS hour_start, event_type,
+        |  n_events,
+        |  CAST(trail_hours AS BIGINT) AS trail_hours,
+        |  CAST(trail_sum AS BIGINT) AS trail_sum,
+        |  CAST(trail_sumsq AS BIGINT) AS trail_sumsq,
+        |  (trail_hours >= 3 AND
+        |   (n_events * trail_hours - trail_sum) *
+        |     (n_events * trail_hours - trail_sum) >
+        |   9 * (trail_sumsq * trail_hours - trail_sum * trail_sum))
+        |    AS is_anomaly
+        |FROM t""".stripMargin,
+    // grouping by the normalized text itself — the same equivalence
+    // classes the engine's 64-bit content hash induces
+    "pipeline_forget" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k,
+        |    (doc_id % 29 = 0) AS requested
+        |  FROM documents),
+        |g AS (SELECT k, max(requested) AS linked FROM d GROUP BY k)
+        |SELECT d.doc_id, d.requested, g.linked, g.linked AS purged
+        |FROM d JOIN g USING (k)""".stripMargin,
     // id-ordered orientation (the triangle set is orientation-invariant)
     // over the emitted er_match pairs
     "graph_triangles" ->
