@@ -108,7 +108,10 @@ object Bench {
     "graph_triangles", "sim_label_vote",
     // Markov transition counts, integer-exact volume anomaly flags, and
     // exact-dup deletion propagation
-    "events_transitions", "events_anomaly", "pipeline_forget")
+    "events_transitions", "events_anomaly", "pipeline_forget",
+    // Z-order clustering key + range layout, and the one-pass column
+    // profile
+    "layout_zorder", "table_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

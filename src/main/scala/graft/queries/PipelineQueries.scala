@@ -2768,7 +2768,27 @@ object PipelineQueries {
       docs.join(groups, "__h")
         .select(col("doc_id"), col("requested"), col("linked"),
           col("linked").as("purged"))
-    }))
+    }),
+
+    // Z-order clustering key: Morton bit-interleave of (partkey,
+    // suppkey) — the multi-dimensional file-pruning layout (Delta/
+    // Iceberg OPTIMIZE ZORDER) as a pure integer projection; the
+    // range-partition + local sort shape is audited in PlanAuditSpec,
+    // the key math hash-checks against the SQL bit replay here.
+    "layout_zorder" -> ((spark, dir) =>
+      graft.functions.Layout.zorder(
+        Tables.read(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", bits = 10, numPartitions = 32)
+        .select("l_orderkey", "l_linenumber", "zval")),
+
+    // One-pass per-column table profile (nulls, exact distincts,
+    // min/max) — data-contract monitoring for warehouse tables.
+    "table_profile" -> ((spark, dir) =>
+      graft.functions.Profiling.tableProfile(
+        Tables.read(spark, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_linestatus"))))
 
   /** Exact integer square as a Column (x*x — named for readability in
     * the anomaly inequality).
@@ -5261,6 +5281,25 @@ object PipelineQueries {
       |FROM r""".stripMargin
 
   private lazy val tailOracles: Map[String, String] = Map(
+    // bit-exact Morton replay: bit i of a → 2i, bit i of b → 2i+1
+    "layout_zorder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(range(0, 10), i ->
+        |    (((l_partkey % 1024) >> i) & 1) * (1::BIGINT << (2*i)) +
+        |    (((l_suppkey % 1024) >> i) & 1) * (1::BIGINT << (2*i+1))))
+        |    AS BIGINT) AS zval
+        |FROM lineitem""".stripMargin,
+    "table_profile" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus").map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value,
+         |  count(*) AS n_rows
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "events_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |    date_trunc('second', ts) AS ts_s FROM events),

@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{Layout, Profiling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Driver reference interleave. */
+  private def zRef(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.sum
+
+  test("zValue matches the reference interleave and is bijective on the grid") {
+    val rows = for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.zValue(col("a"), col("b"), bits = 5).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z === zRef(a, b, 5), s"($a,$b)") }
+    // bijective: 1024 distinct z values covering exactly [0, 1024)
+    val zs = got.map(_._3).toSet
+    assert(zs.size === 1024 && zs.min === 0L && zs.max === 1023L)
+  }
+
+  test("zorder plans a range exchange on zval with a partition-local sort") {
+    val df = Layout.zorder(
+      Tables.read(spark, SparkTestSession.Sf, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey"),
+      "l_partkey", "l_suppkey", bits = 8, numPartitions = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(zval"),
+      s"zorder must range-partition on the curve key:\n$plan")
+    // SortExec prints "Sort [keys], false, 0" — false = not global
+    assert(plan.split("\n").exists(l =>
+      l.contains("Sort [zval") && l.contains("], false, 0")),
+      s"zorder must sort within partitions, not globally:\n$plan")
+  }
+
+  test("zorder tightens BOTH dimensions' per-partition bounds vs a 1-col sort") {
+    // locality metric: Σ over partitions of (spread_a + spread_b); the
+    // Z-curve must beat clustering by l_partkey alone on the b dimension
+    // without giving the a dimension away entirely
+    // orderkey × partkey: both span the full 256-bucket range at every
+    // fixture scale (suppkey's ~10 distinct values would make any layout
+    // look clustered in b)
+    val base = Tables.read(spark, SparkTestSession.Sf, "lineitem")
+      .select(pmod(col("l_orderkey"), lit(256L)).as("a"),
+        pmod(col("l_partkey"), lit(256L)).as("b"))
+    def spreads(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val parts = df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+        .agg(avg("sa"), avg("sb")).as[(Double, Double)].head()
+      parts
+    }
+    val byA = spreads(base.repartitionByRange(16, col("a")))
+    val byZ = spreads(Layout.zorder(base, "a", "b", bits = 8,
+      numPartitions = 16))
+    // single-column clustering leaves b unclustered (spread ≈ full range)
+    assert(byA._2 > 150.0, s"sanity: 1-col layout should not cluster b: $byA")
+    // the curve clusters b far better while keeping a's spread bounded
+    assert(byZ._2 < byA._2 / 2, s"z-order must tighten b: $byZ vs $byA")
+    assert(byZ._1 < 256.0, s"z-order must not abandon a: $byZ")
+  }
+
+  test("tableProfile: nulls, exact distincts, min/max per column in one pass") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(1L), None),
+      (Some(2L), Some("y")), (None, Some("y"))
+    ).toDF("k", "s")
+    val got = Profiling.tableProfile(df, Seq("k", "s"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value")
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("k") === (("k", 4L, 1L, 2L, Some("1"), Some("2"))))
+    assert(got("s") === (("s", 4L, 1L, 2L, Some("x"), Some("y"))))
+  }
+}
