@@ -56,6 +56,39 @@ object EntityResolution {
       .select("id_a", "id_b", "edit_dist")
   }
 
+  /** Candidate pairs TOUCHING a new batch — the incremental sibling of
+    * [[blockedPairs]]: (corpus × batch) ∪ (batch × batch) within shared
+    * blocks, never corpus × corpus. Emits canonicalized (id_a < id_b)
+    * verified pairs; with [[blockedPairs]] over the corpus alone it
+    * tiles exactly the full pair set over corpus ∪ batch (spec-pinned),
+    * so [[Components.mergeComponents]] over these pairs reproduces the
+    * from-scratch labels.
+    *
+    * 100 TB shape: the join's right side is the BATCH — the corpus-sized
+    * side is touched once, keyed by block, and only blocks the batch
+    * occupies produce any candidates.
+    */
+  def blockedPairsAgainst(corpus: DataFrame, batch: DataFrame,
+                          idCol: String, nameCol: String,
+                          blockCol: org.apache.spark.sql.Column,
+                          maxEdits: Int): DataFrame = {
+    val all = corpus.unionByName(batch)
+      .select(blockCol.as("__b"), col(idCol).as("id_a"),
+        col(nameCol).as("name_a"))
+    val b = batch.select(blockCol.as("__b"), col(idCol).as("id_b"),
+      col(nameCol).as("name_b"))
+    all.join(b, "__b")
+      .where(col("id_a") =!= col("id_b"))
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxEdits)
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("edit_dist") <= maxEdits)
+      // batch-internal pairs arrive twice (once per orientation):
+      // canonicalize then dedup
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("edit_dist"))
+      .distinct()
+  }
+
   /** Full resolution: [[blockedPairs]] → [[Components.connectedComponents]]
     * → survivorship. Every record gets an `entity_id` (component min id;
     * unmatched records are their own entities) and the cluster's canonical
@@ -71,6 +104,41 @@ object EntityResolution {
     val pairs = blockedPairs(records, idCol, nameCol, blockCol, maxEdits,
       maxBlock)
     val labels = Components.connectedComponents(pairs, "id_a", "id_b")
+    survivorship(records, idCol, nameCol, rankCol, labels)
+  }
+
+  /** INCREMENTAL resolution — fold a new batch into an already-resolved
+    * corpus without re-running the component loop over corpus pairs:
+    * batch-touching pairs ([[blockedPairsAgainst]]) contract into the
+    * existing labels via [[Components.mergeComponents]] (loop size ∝
+    * batch), then survivorship re-elects over the union. Labels — and
+    * therefore the output — are IDENTICAL to [[resolve]] over
+    * corpus ∪ batch (mergeComponents' identity + the pair-tiling
+    * property, both spec-pinned), so the gate entry shares er_resolve's
+    * oracle.
+    */
+  def resolveIncremental(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, nameCol: String,
+                         blockCol: org.apache.spark.sql.Column,
+                         maxEdits: Int, rankCol: String): DataFrame = {
+    val labels0 = Components.connectedComponents(
+      blockedPairs(corpus, idCol, nameCol, blockCol, maxEdits),
+      "id_a", "id_b")
+    val newPairs = blockedPairsAgainst(corpus, batch, idCol, nameCol,
+      blockCol, maxEdits)
+    val labels1 = Components.mergeComponents(labels0, newPairs,
+      "id_a", "id_b")
+    survivorship(corpus.unionByName(batch), idCol, nameCol, rankCol,
+      labels1)
+  }
+
+  /** Survivor election over labeled records: entity = component label
+    * (own id when unlabeled), canonical = highest `rankCol` with ties to
+    * the LOWER id — one `max(struct)` per entity, no window.
+    */
+  private def survivorship(records: DataFrame, idCol: String,
+                           nameCol: String, rankCol: String,
+                           labels: DataFrame): DataFrame = {
     val base = records.select(col(idCol).cast("long").as("id"),
       col(nameCol).as("name"), col(rankCol).as("__rank"))
     val labeled = base

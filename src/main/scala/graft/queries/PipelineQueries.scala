@@ -2591,6 +2591,20 @@ object PipelineQueries {
         expr("substring(name, 10, 8)"), maxEdits = 2,
         rankCol = "acctbal")),
 
+    // Incremental ER: the dirty re-entries arrive as a BATCH against the
+    // already-resolved clean registry — batch-touching pairs only, the
+    // component loop runs over the contracted graph (∝ batch), then
+    // survivorship re-elects. Labels are provably identical to the
+    // from-scratch resolve, so this entry shares er_resolve's oracle.
+    "er_resolve_incremental" -> ((spark, dir) => {
+      val recs = erRecords(spark, dir)
+      graft.functions.EntityResolution.resolveIncremental(
+        recs.where(col("id") < 1000000L),
+        recs.where(col("id") >= 1000000L),
+        "id", "name", expr("substring(name, 10, 8)"), maxEdits = 2,
+        rankCol = "acctbal")
+    }),
+
     // Frame sampling over binary media payloads: fixed-size byte frames
     // (every nth chunk — real byte slicing; only the frames-vs-chunks
     // interpretation is domain-specific). Emitted as scalar rows
@@ -5280,6 +5294,37 @@ object PipelineQueries {
       |    AS is_current
       |FROM r""".stripMargin
 
+  /** Closure over the emitted er_match pairs (the same contract as
+    * dedup_components' oracle) + the identical struct-max survivor
+    * election; field order (r, nid, nm) matches the engine's struct so
+    * lexicographic comparison agrees, and nid = −id is unique so the
+    * string field never decides. Shared by er_resolve and its
+    * incremental twin (labels provably identical).
+    */
+  private lazy val erResolveOracle: String = s"""
+        |WITH RECURSIVE p AS (SELECT id_a, id_b
+        |  FROM read_parquet('__OUT__/er_match/*.parquet')),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+        |comp AS (SELECT u AS id, MIN(r) AS entity FROM reach GROUP BY u),
+        |$erRecsCtes,
+        |lab AS (SELECT recs.id, recs.name, recs.acctbal,
+        |    COALESCE(comp.entity, recs.id) AS entity_id
+        |  FROM recs LEFT JOIN comp ON recs.id = comp.id),
+        |surv AS (SELECT entity_id,
+        |    max(struct_pack(r := acctbal, nid := -id, nm := name)) AS best,
+        |    count(*) AS n_members
+        |  FROM lab GROUP BY entity_id)
+        |SELECT l.id, l.entity_id,
+        |  -struct_extract(s.best, 'nid') AS canonical_id,
+        |  struct_extract(s.best, 'nm') AS canonical_name,
+        |  s.n_members
+        |FROM lab l JOIN surv s USING (entity_id)""".stripMargin
+
   private lazy val tailOracles: Map[String, String] = Map(
     // bit-exact Morton replay: bit i of a → 2i, bit i of b → 2i+1
     "layout_zorder" ->
@@ -5453,29 +5498,10 @@ object PipelineQueries {
     // election; field order (r, nid, nm) matches the engine's struct so
     // lexicographic comparison agrees, and nid = −id is unique so the
     // string field never decides
-    "er_resolve" -> s"""
-        |WITH RECURSIVE p AS (SELECT id_a, id_b
-        |  FROM read_parquet('__OUT__/er_match/*.parquet')),
-        |e AS (SELECT id_a AS u, id_b AS v FROM p
-        |  UNION SELECT id_b, id_a FROM p),
-        |reach AS (
-        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e)
-        |  UNION
-        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
-        |comp AS (SELECT u AS id, MIN(r) AS entity FROM reach GROUP BY u),
-        |$erRecsCtes,
-        |lab AS (SELECT recs.id, recs.name, recs.acctbal,
-        |    COALESCE(comp.entity, recs.id) AS entity_id
-        |  FROM recs LEFT JOIN comp ON recs.id = comp.id),
-        |surv AS (SELECT entity_id,
-        |    max(struct_pack(r := acctbal, nid := -id, nm := name)) AS best,
-        |    count(*) AS n_members
-        |  FROM lab GROUP BY entity_id)
-        |SELECT l.id, l.entity_id,
-        |  -struct_extract(s.best, 'nid') AS canonical_id,
-        |  struct_extract(s.best, 'nm') AS canonical_name,
-        |  s.n_members
-        |FROM lab l JOIN surv s USING (entity_id)""".stripMargin,
+    // identical oracle: the incremental merge's labels provably equal
+    // the from-scratch resolve's
+    "er_resolve_incremental" -> erResolveOracle,
+    "er_resolve" -> erResolveOracle,
     // identical oracle to events_scd2: the streaming compaction must
     // reproduce the batch interval table bit-for-bit after the drain
     "events_scd2_stream" -> scd2Oracle,

@@ -47,6 +47,43 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(uncapped.count() === 46L)
   }
 
+  test("batch pairs tile the full pair set; incremental resolve equals from-scratch") {
+    val corpus = Seq(
+      (1L, "robert smith", 10.0), (2L, "robert smith", 5.0),
+      (4L, "bob jones", 7.0), (5L, "zelda brown", 3.0)
+    ).toDF("id", "name", "rank")
+    val batch = Seq(
+      (3L, "robert smyth", 1.0),   // links 1-2's entity
+      (6L, "zelda brown", 3.0),    // links 5's
+      (7L, "bob jonez", 2.0),      // links 4's (edit 1)
+      (8L, "quinn ray", 9.0)       // brand-new singleton
+    ).toDF("id", "name", "rank")
+    val blk = substring(col("name"), 1, 3)
+
+    val full = EntityResolution.blockedPairs(corpus.unionByName(batch),
+        "id", "name", blk, maxEdits = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val tiled = EntityResolution.blockedPairs(corpus, "id", "name", blk,
+        maxEdits = 2).as[(Long, Long, Int)].collect().toSet ++
+      EntityResolution.blockedPairsAgainst(corpus, batch, "id", "name",
+        blk, maxEdits = 2).as[(Long, Long, Int)].collect().toSet
+    assert(tiled === full)
+
+    val cols = Seq("id", "entity_id", "canonical_id", "canonical_name",
+      "n_members")
+    val fromScratch = EntityResolution.resolve(corpus.unionByName(batch),
+        "id", "name", blk, maxEdits = 2, rankCol = "rank")
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    val incremental = EntityResolution.resolveIncremental(corpus, batch,
+        "id", "name", blk, maxEdits = 2, rankCol = "rank")
+      .select(cols.map(col): _*)
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(incremental === fromScratch)
+    // sanity on content: the new singleton stands alone
+    assert(incremental.exists(r => r._1 == 8L && r._5 == 1L))
+  }
+
   test("resolve: min-id entities, max-rank survivor with lower-id ties, singletons") {
     val got = EntityResolution.resolve(recs, "id", "name",
         substring(col("name"), 1, 3), maxEdits = 2, rankCol = "rank")
