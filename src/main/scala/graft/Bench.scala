@@ -111,7 +111,9 @@ object Bench {
     "events_transitions", "events_anomaly", "pipeline_forget",
     // Z-order clustering key + range layout, and the one-pass column
     // profile
-    "layout_zorder", "table_profile")
+    "layout_zorder", "table_profile",
+    // incremental ER merge (batch-touching pairs + contracted CC loop)
+    "er_resolve_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2591,6 +2591,29 @@ object PipelineQueries {
         expr("substring(name, 10, 8)"), maxEdits = 2,
         rankCol = "acctbal")),
 
+    // NEAR-DUP-aware deletion propagation: the forget verdict spreads
+    // through minhash components, not just exact copies — a paraphrased
+    // re-upload of requested content purges too. Same pair parameters as
+    // dedup_minhash, so the oracle closes over that entry's emitted
+    // pairs (the dedup_components contract).
+    "pipeline_forget_neardup" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val pairs = Dedup.minhashDupPairs(docs, "text", "doc_id",
+        k = 3, nPerm = 64, bands = 16, threshold = 0.5)
+      val labels = graft.functions.Components.connectedComponents(
+        pairs, "id_a", "id_b")
+      val lab = docs.select(col("doc_id"),
+          (col("doc_id") % 29 === 0).as("requested"))
+        .join(labels.withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left")
+        .withColumn("comp", coalesce(col("component"), col("doc_id")))
+      val verdict = lab.groupBy("comp")
+        .agg(max(col("requested")).as("linked"))
+      lab.join(verdict, "comp")
+        .select(col("doc_id"), col("requested"), col("linked"),
+          col("linked").as("purged"))
+    }),
+
     // Incremental ER: the dirty re-entries arrive as a BATCH against the
     // already-resolved clean registry — batch-touching pairs only, the
     // component loop runs over the contracted graph (∝ batch), then
@@ -5381,6 +5404,25 @@ object PipelineQueries {
         |   9 * (trail_sumsq * trail_hours - trail_sum * trail_sum))
         |    AS is_anomaly
         |FROM t""".stripMargin,
+    // closure over dedup_minhash's emitted pairs (the dedup_components
+    // contract), then the same max-per-component verdict spread
+    "pipeline_forget_neardup" ->
+      """WITH RECURSIVE p AS (SELECT id_a, id_b
+        |  FROM read_parquet('__OUT__/dedup_minhash/*.parquet')),
+        |e AS (SELECT id_a AS u, id_b AS v FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e)
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u),
+        |comp AS (SELECT u AS doc_id, MIN(r) AS rep FROM reach GROUP BY u),
+        |d AS (SELECT doc_id, (doc_id % 29 = 0) AS requested FROM documents),
+        |lab AS (SELECT d.doc_id, d.requested,
+        |    COALESCE(c.rep, d.doc_id) AS cmp
+        |  FROM d LEFT JOIN comp c USING (doc_id)),
+        |g AS (SELECT cmp, max(requested) AS linked FROM lab GROUP BY cmp)
+        |SELECT lab.doc_id, lab.requested, g.linked, g.linked AS purged
+        |FROM lab JOIN g USING (cmp)""".stripMargin,
     // grouping by the normalized text itself — the same equivalence
     // classes the engine's 64-bit content hash induces
     "pipeline_forget" ->
