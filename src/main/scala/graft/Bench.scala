@@ -113,7 +113,13 @@ object Bench {
     // profile
     "layout_zorder", "table_profile",
     // incremental ER merge (batch-touching pairs + contracted CC loop)
-    "er_resolve_incremental")
+    "er_resolve_incremental",
+    // warehouse maintenance: CDC MERGE (SCD1 apply) and incremental
+    // materialized-aggregate state merge
+    "table_merge_cdc", "events_hourly_incremental",
+    // cross-source duplicate-overlap matrix, join-key skew profile,
+    // integer-plane equi-width histogram, and sentence segmentation
+    "corpus_overlap", "profile_skew", "table_histogram", "text_sentences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

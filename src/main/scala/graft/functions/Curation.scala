@@ -929,4 +929,37 @@ object Curation {
           .otherwise(lit("unchanged")).as("status"),
         col("old_digest"), col("new_digest"))
   }
+
+  /** Cross-source duplicate-overlap matrix: for every source pair
+    * (a < b), the number of distinct normalized texts each source holds
+    * and how many they share — the multi-source acquisition diagnostic
+    * (is CommonCrawl-B mostly a re-crawl of CommonCrawl-A?). Counts are
+    * exact integers; Jaccard/containment are one division away and left
+    * to the caller so the output stays bit-portable.
+    *
+    * 100 TB shape: text never crosses an exchange — the corpus collapses
+    * to distinct (xxhash64(norm_text), source) rows first, the self-join
+    * runs on the 8-byte hash, and the full pair matrix comes from
+    * crossing the per-source totals (sources are metadata-sized, so that
+    * join broadcasts) with absent overlaps coalesced to 0.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val ds = docs
+      .select(xxhash64(Dedup.normalizeText(col(textCol))).as("__h"),
+        col(sourceCol).as("__s"))
+      .distinct()
+    val perSource = ds.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val shared = ds.as("a")
+      .join(ds.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("source_a"), col("b.__s").as("source_b"))
+      .agg(count(lit(1)).as("__sh"))
+    perSource.select(col("__s").as("source_a"), col("__n").as("n_a"))
+      .join(perSource.select(col("__s").as("source_b"), col("__n").as("n_b")),
+        col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("__sh"), lit(0L)).as("n_shared"))
+  }
 }

@@ -41,4 +41,53 @@ object Profiling {
         "(column_name, n_nulls, n_distinct, min_value, max_value)",
       "__rows AS n_rows")
   }
+
+  /** Join-key skew profile: the top-k heaviest keys of `keyCol` with
+    * per-key row counts, annotated with corpus totals and an integer
+    * skew factor `skew_x1000 = max_rows_key · 1000 · n_keys / n_rows`
+    * (1000 = perfectly uniform; the pre-join diagnostic that decides
+    * whether a salted join / AQE skew split is needed).
+    *
+    * Plan shape: one partial-agg groupBy, then TakeOrderedAndProject for
+    * the top-k (count desc, key asc — deterministic under ties) and a
+    * broadcast of the 1-row totals. Integer division keeps the factor
+    * bit-portable — no float anywhere.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows_key"))
+    val totals = counts.agg(
+      sum(col("n_rows_key")).as("n_rows_total"),
+      count(lit(1)).as("n_keys_total"),
+      max(col("n_rows_key")).as("max_rows_key"))
+    counts.orderBy(col("n_rows_key").desc, col(keyCol)).limit(topK)
+      .crossJoin(totals)
+      .withColumn("skew_x1000",
+        expr("max_rows_key * 1000 * n_keys_total div n_rows_total"))
+  }
+
+  /** Exact equi-width histogram of a numeric column, computed on an
+    * integer plane (`centsExpr` must already be a BIGINT — e.g.
+    * `floor(price * 100)` — so bucket assignment is bit-portable).
+    * Bucket `i` covers `[min + i·w, min + (i+1)·w)` with
+    * `w = (max − min + 1) / nBuckets` rational — assignment uses the
+    * division-free integer form `(v − min) · nBuckets div (max − min + 1)`.
+    *
+    * Plan shape: one 1-row bounds aggregate broadcast into a second scan's
+    * projection, then a partial-agg groupBy on the bucket id — two scans,
+    * no shuffle wider than nBuckets rows.
+    */
+  def histogram(df: DataFrame, centsCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val vals = df.select(col(centsCol).cast("long").as("__v"))
+    val bounds = vals.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    vals.crossJoin(bounds)
+      .withColumn("bucket",
+        expr(s"least($nBuckets - 1, (__v - __lo) * $nBuckets div (__hi - __lo + 1))")
+          .cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("lo_cents"),
+        max(col("__v")).as("hi_cents"))
+  }
 }

@@ -641,4 +641,22 @@ object TextAnalysis {
           sum(coalesce(col("c1"), lit(0L)) + col("vsize")).cast("double"))
           .as("score"))
   }
+
+  /** Sentence segmentation: split each document on terminal punctuation
+    * (`.` `!` `?`), keeping the terminator attached to its sentence. The
+    * pattern `[^.!?]+[.!?]*` is deliberately lookbehind-free (identical
+    * semantics under Java regex and RE2), segments are space-trimmed, and
+    * empties dropped; `seg_idx` is the segment's position in the raw
+    * split, so downstream windows can reconstruct document order. Pure
+    * projection + generator — no shuffle, stays in codegen.
+    */
+  def sentences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        posexplode(expr(s"regexp_extract_all($textCol, '[^.!?]+[.!?]*', 0)")))
+      .toDF(idCol, "seg_idx", "__seg")
+      .select(col(idCol), col("seg_idx").cast("int"),
+        trim(col("__seg")).as("sentence"))
+      .where(length(col("sentence")) > 0)
+      .withColumn("n_chars", length(col("sentence")).cast("long"))
 }

@@ -2825,12 +2825,136 @@ object PipelineQueries {
       graft.functions.Profiling.tableProfile(
         Tables.read(spark, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
-          "l_linestatus"))))
+          "l_linestatus"))),
+
+    // Cross-source duplicate-overlap matrix — multi-source acquisition
+    // diagnostic: distinct-normalized-text counts per source pair plus
+    // shared counts. Text collapses to (xxhash64, source) before any
+    // exchange; the pair matrix crosses the metadata-sized per-source
+    // totals.
+    "corpus_overlap" -> ((spark, dir) =>
+      graft.functions.Curation.sourceOverlap(
+        Tables.read(spark, dir, "documents"), "text", "source")),
+
+    // CDC MERGE (SCD1 upsert/delete apply): a deterministic change batch
+    // (%7=3 updates, %11=5 deletes — keys ≡38 mod 77 get BOTH, proving
+    // last-wins election — %13=7 inserts under shifted keys) applied to
+    // the orders snapshot. One max(struct) partial agg over the batch +
+    // one key join; the snapshot never pays a window.
+    "table_merge_cdc" -> ((spark, dir) => {
+      val o = Tables.read(spark, dir, "orders")
+      graft.functions.Warehouse.mergeCdc(o, cdcChanges(o),
+        "o_orderkey", "seq", "op")
+    }),
+
+    // Streaming twin #23 — continuous CDC intake: the change feed arrives
+    // as TWO microbatches delivered OUT of seq order (all seq-2 deletes
+    // first, then the seq-1 updates/inserts), so the per-key election
+    // must be arrival-order-independent. It is by construction — the
+    // streaming groupBy maintains max(struct(seq, op, …)), a set
+    // property; the drained state composes with the static snapshot
+    // through the SAME applyElected as batch, under the SAME oracle.
+    // State is bounded by touched keys — the CDC cost model.
+    "table_merge_cdc_stream" -> ((spark, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val o = Tables.read(spark, dir, "orders")
+      val ch = cdcChanges(o)
+      val payload = o.columns.filterNot(_ == "o_orderkey").toSeq
+      val stream = streamWithSentinel(spark,
+        ch.where(col("seq") === 2), ch.where(col("seq") === 1),
+        delaySec = 0L, watermarkOnTs = false)
+      val latest = graft.functions.Warehouse.electLatest(
+        stream, "o_orderkey", "seq", "op", payload)
+      graft.streaming.EventStream.runToMemory(
+        latest, "cdc_latest_out", OutputMode.Update())
+      // Update-mode memory sink keeps one row per key per emitting batch;
+      // a second max collapses to the final state (monotone in batches)
+      val finalLatest = spark.table("cdc_latest_out")
+        .groupBy("o_orderkey").agg(max(col("__c")).as("__c"))
+      graft.functions.Warehouse.applyElected(o, finalLatest,
+        "o_orderkey", "op")
+    }),
+
+    // Incremental materialized-aggregate maintenance: the hourly rollup
+    // split at a deliberately hour-UNaligned cutoff (first-hour + 36h30m)
+    // so the straddled hour exists in BOTH state and delta and the merge
+    // must recombine it. Sums stay DECIMAL through the merge (exact,
+    // order-independent), cast to double only at output — so merged ≡
+    // full recompute bit-for-bit, which is exactly what the oracle runs.
+    "events_hourly_incremental" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("ts"), col("event_type"), col("value"))
+      val cutoff = ev.agg(
+        (date_trunc("hour", min(col("ts"))).cast("long") + 36L * 3600L
+          + 1800L).cast("timestamp").as("__cut"))
+      val tagged = ev.crossJoin(broadcast(cutoff))
+      def hourly(d: DataFrame) = d
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("value_dec"))
+      graft.functions.Warehouse.mergeAggState(
+          hourly(tagged.where(col("ts") < col("__cut"))),
+          hourly(tagged.where(col("ts") >= col("__cut"))),
+          Seq("hour_start", "event_type"), Seq("n_events", "value_dec"))
+        .select(col("hour_start"), col("event_type"), col("n_events"),
+          col("value_dec").cast("double").as("value_sum"))
+    }),
+
+    // Join-key skew profile on events.user_id — the pre-join diagnostic
+    // feeding the salted-join decision. TakeOrderedAndProject top-10
+    // (count desc, key asc) + broadcast 1-row totals; integer skew factor.
+    "profile_skew" -> ((spark, dir) =>
+      graft.functions.Profiling.keySkew(
+        Tables.read(spark, dir, "events"), "user_id", topK = 10)),
+
+    // Exact equi-width histogram of order totals on the integer cent
+    // plane — optimizer/monitoring statistics. Division-free bucket
+    // assignment; two scans, shuffle no wider than 20 rows.
+    "table_histogram" -> ((spark, dir) =>
+      graft.functions.Profiling.histogram(
+        Tables.read(spark, dir, "orders")
+          .select(floor(col("o_totalprice") * 100).cast("long").as("cents")),
+        "cents", nBuckets = 20)),
+
+    // Sentence segmentation — lookbehind-free terminal-punctuation split
+    // (identical under Java regex and RE2), trimmed, empties dropped;
+    // pure projection + generator, no shuffle.
+    "text_sentences" -> ((spark, dir) =>
+      graft.functions.TextAnalysis.sentences(
+        Tables.read(spark, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text")))
 
   /** Exact integer square as a Column (x*x — named for readability in
     * the anomaly inequality).
     */
   private def pow2(c: org.apache.spark.sql.Column) = c * c
+
+  /** The CDC fixture for table_merge_cdc: updates (seq 1, repriced +1000
+    * and flagged 'R'), deletes (seq 2), and inserts under key+10M (seq 1,
+    * status 'N') — all derived deterministically from the snapshot so the
+    * oracle can replay them. Keys ≡38 (mod 77) receive an update AND a
+    * later delete, exercising the per-key latest-change election.
+    */
+  private def cdcChanges(o: DataFrame): DataFrame = {
+    val upd = o.where(col("o_orderkey") % 7 === 3).select(
+      col("o_orderkey"), lit(1L).as("seq"), lit("U").as("op"),
+      col("o_custkey"), lit("R").as("o_orderstatus"),
+      (col("o_totalprice") + 1000.0).as("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority"))
+    val del = o.where(col("o_orderkey") % 11 === 5).select(
+      col("o_orderkey"), lit(2L).as("seq"), lit("D").as("op"),
+      lit(null).cast("long").as("o_custkey"),
+      lit(null).cast("string").as("o_orderstatus"),
+      lit(null).cast("double").as("o_totalprice"),
+      lit(null).cast("timestamp").as("o_orderdate"),
+      lit(null).cast("string").as("o_orderpriority"))
+    val ins = o.where(col("o_orderkey") % 13 === 7).select(
+      (col("o_orderkey") + 10000000L).as("o_orderkey"), lit(1L).as("seq"),
+      lit("U").as("op"), col("o_custkey"), lit("N").as("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+    upd.unionByName(del).unionByName(ins)
+  }
 
   /** The entity-resolution fixture: the clean customer registry plus one
     * deterministically corrupted re-entry per %4∈{1,2,3} row (dirty id =
@@ -5645,5 +5769,122 @@ object PipelineQueries {
         |  WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
         |  ELSE 'und' END AS lang_pred,
         |  n_tokens, quality
-        |FROM s WHERE quality >= 0.5""".stripMargin)
+        |FROM s WHERE quality >= 0.5""".stripMargin,
+    // distinct-text counts replayed on the raw normalized strings (the
+    // engine counts distinct 64-bit hashes of the same normalization)
+    "corpus_overlap" ->
+      """WITH ds AS (SELECT DISTINCT
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t, source
+        |  FROM documents),
+        |ps AS (SELECT source, count(*) AS n FROM ds GROUP BY 1),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM ds a JOIN ds b ON a.t = b.t AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pa.source AS source_a, pb.source AS source_b,
+        |  pa.n AS n_a, pb.n AS n_b, COALESCE(sh.n_shared, 0) AS n_shared
+        |FROM ps pa JOIN ps pb ON pa.source < pb.source
+        |LEFT JOIN sh ON sh.source_a = pa.source AND sh.source_b = pb.source"""
+        .stripMargin,
+    // the engine's max(struct(seq, op, …)) election replayed as a
+    // row_number over seq desc — identical because seq totally orders
+    // each key's changes
+    "table_merge_cdc" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, o_custkey,
+        |    'R' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL, NULL, NULL, NULL, NULL
+        |  FROM orders WHERE o_orderkey % 11 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 1, 'U', o_custkey, 'N',
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 = 7),
+        |latest AS (SELECT k, op, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority,
+        |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM ch)
+        |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+        |  s.o_orderdate, s.o_orderpriority
+        |FROM orders s LEFT JOIN (SELECT DISTINCT k FROM ch) t
+        |  ON s.o_orderkey = t.k
+        |WHERE t.k IS NULL
+        |UNION ALL
+        |SELECT k, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM latest WHERE rn = 1 AND op = 'U'""".stripMargin,
+    // identical oracle to table_merge_cdc: the out-of-order streamed
+    // election must reproduce the batch merge bit-for-bit
+    "table_merge_cdc_stream" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, o_custkey,
+        |    'R' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL, NULL, NULL, NULL, NULL
+        |  FROM orders WHERE o_orderkey % 11 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 1, 'U', o_custkey, 'N',
+        |    o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 13 = 7),
+        |latest AS (SELECT k, op, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority,
+        |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM ch)
+        |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+        |  s.o_orderdate, s.o_orderpriority
+        |FROM orders s LEFT JOIN (SELECT DISTINCT k FROM ch) t
+        |  ON s.o_orderkey = t.k
+        |WHERE t.k IS NULL
+        |UNION ALL
+        |SELECT k, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM latest WHERE rn = 1 AND op = 'U'""".stripMargin,
+    // merged state ≡ full recompute bit-for-bit (decimal sums are exact),
+    // so the oracle IS the events_hourly oracle
+    "events_hourly_incremental" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "profile_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows_key FROM events
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows_key) AS BIGINT) AS n_rows_total,
+        |    count(*) AS n_keys_total,
+        |    CAST(max(n_rows_key) AS BIGINT) AS max_rows_key FROM c),
+        |r AS (SELECT user_id, n_rows_key,
+        |    row_number() OVER (ORDER BY n_rows_key DESC, user_id) AS rn
+        |  FROM c)
+        |SELECT r.user_id, r.n_rows_key, t.n_rows_total, t.n_keys_total,
+        |  t.max_rows_key,
+        |  max_rows_key * 1000 * n_keys_total // n_rows_total AS skew_x1000
+        |FROM r, t WHERE rn <= 10""".stripMargin,
+    // the division-free bucket formula on the integer cent plane; all
+    // operands non-negative so DuckDB's floor-div ≡ Spark's div
+    "table_histogram" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders),
+        |b AS (SELECT CAST(min(v) AS BIGINT) AS lo,
+        |    CAST(max(v) AS BIGINT) AS hi FROM v),
+        |a AS (SELECT v,
+        |    CAST(least(19, (v - lo) * 20 // (hi - lo + 1)) AS INT) AS bucket
+        |  FROM v, b)
+        |SELECT bucket, count(*) AS n, min(v) AS lo_cents,
+        |  max(v) AS hi_cents
+        |FROM a GROUP BY 1""".stripMargin,
+    // the same lookbehind-free pattern under RE2; list index is 1-based
+    "text_sentences" ->
+      """WITH a AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[^.!?]+[.!?]*') AS segs
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(range(0, len(segs))) AS i, segs FROM a),
+        |s AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        |    trim(segs[CAST(i AS INT) + 1]) AS sentence FROM e)
+        |SELECT doc_id, seg_idx, sentence,
+        |  CAST(length(sentence) AS BIGINT) AS n_chars
+        |FROM s WHERE length(sentence) > 0""".stripMargin)
 }

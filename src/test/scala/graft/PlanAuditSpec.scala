@@ -452,4 +452,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
       s"document payloads must not shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("corpus_overlap: text collapses to hashes below every exchange") {
+    val plan = finalPlan("corpus_overlap")
+    assert(!plan.contains("CartesianProduct"),
+      s"hash self-join must be key-based:\n$plan")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange"))
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text#")),
+      s"only (hash, source) rows may shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("table_merge_cdc: latest-change election is an aggregation, not a window") {
+    val plan = finalPlan("table_merge_cdc")
+    assert(plan.contains("max(struct"),
+      s"per-key election must be one max(struct(seq, op, …)) agg:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window sort in the CDC merge:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"untouched rows survive via a left-anti key join:\n$plan")
+  }
+
+  test("profile_skew: top-k plans as TakeOrderedAndProject, totals broadcast") {
+    val plan = executedPlan("profile_skew")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"1-row totals must broadcast:\n$plan")
+  }
+
+  test("events_hourly_incremental: both halves partial-aggregate before merging") {
+    val plan = executedPlan("events_hourly_incremental")
+    val partials = plan.split("\n").count(l =>
+      l.contains("HashAggregate") && l.contains("partial_"))
+    assert(partials >= 3,
+      s"state, delta, and merge aggregates must all map-side combine:\n$plan")
+    assert(!plan.contains("Window"), s"no window anywhere:\n$plan")
+  }
+
+  test("text_sentences: projection + generate only — no exchange at all") {
+    val plan = executedPlan("text_sentences")
+    assert(plan.contains("Generate"), s"expected posexplode:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"sentence split must not shuffle:\n$plan")
+  }
 }

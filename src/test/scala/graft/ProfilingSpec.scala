@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.Profiling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfilingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("keySkew: top-k by count desc with key-asc tie-break, integer factor") {
+    // key 1 ×4, key 2 ×2, keys 3 and 4 ×1 (tie broken by key order)
+    val df = Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 4L).toDF("k")
+    val got = Profiling.keySkew(df, "k", topK = 3)
+      .select("k", "n_rows_key", "n_rows_total", "n_keys_total",
+        "max_rows_key", "skew_x1000")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // 8 rows, 4 keys, max 4 → skew = 4*1000*4/8 = 2000
+    assert(got === Seq(
+      (1L, 4L, 8L, 4L, 4L, 2000L),
+      (2L, 2L, 8L, 4L, 4L, 2000L),
+      (3L, 1L, 8L, 4L, 4L, 2000L)))
+  }
+
+  test("keySkew on a uniform key distribution reports skew_x1000 = 1000") {
+    val df = (0L until 100L).map(i => i % 10).toDF("k")
+    val got = Profiling.keySkew(df, "k", topK = 1)
+      .select("skew_x1000").as[Long].collect()
+    assert(got.toSeq === Seq(1000L))
+  }
+
+  test("histogram: division-free buckets cover every row, max lands in last") {
+    val df = (0L to 99L).toDF("cents")
+    val got = Profiling.histogram(df, "cents", nBuckets = 10)
+      .select("bucket", "n", "lo_cents", "hi_cents")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length === 10)
+    assert(got.map(_._2).sum === 100L)
+    // width = (99-0+1)/10 = 10 exactly: bucket i holds [10i, 10i+9]
+    got.foreach { case (b, n, lo, hi) =>
+      assert(n === 10L); assert(lo === 10L * b); assert(hi === 10L * b + 9)
+    }
+  }
+
+  test("histogram: single-value column collapses to bucket 0") {
+    val df = Seq.fill(5)(42L).toDF("cents")
+    val got = Profiling.histogram(df, "cents", nBuckets = 8)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq((0, 5L, 42L, 42L)))
+  }
+
+  test("histogram: non-divisible range still caps the max into nBuckets-1") {
+    val df = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("cents") // range 7, nb 3
+    val got = Profiling.histogram(df, "cents", nBuckets = 3)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    // bucket = v*3 div 7: 0,0,0 | 1,1 | 2,2
+    assert(got.toSeq === Seq((0, 3L, 0L, 2L), (1, 2L, 3L, 4L), (2, 2L, 5L, 6L)))
+  }
+}

@@ -391,4 +391,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       3L -> ((1L, 0L, 0.5)),
       5L -> ((2L, 2L, 0.4))))
   }
+
+  test("sentences: terminator kept, trimmed, empties dropped, order indexed") {
+    val docs = Seq(
+      (1L, "One. Two!  Three?"),
+      (2L, "no terminal punctuation"),
+      (3L, "...Leading dots. tail"),
+      (4L, "Ellipsis wins... then more."),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.sentences(docs, "doc_id", "text")
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (1L, 0, "One.", 4L), (1L, 1, "Two!", 4L), (1L, 2, "Three?", 6L),
+      (2L, 0, "no terminal punctuation", 23L),
+      // the leading "..." is punctuation-only → no segment starts there;
+      // the first match begins at 'L' and carries its '.'
+      (3L, 0, "Leading dots.", 13L), (3L, 1, "tail", 4L),
+      (4L, 0, "Ellipsis wins...", 16L), (4L, 1, "then more.", 10L)))
+  }
+
+  test("sentences: multi-byte text counts code points, CJK passes through") {
+    val docs = Seq((1L, "héllo wörld. 中文句子!")).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.sentences(docs, "doc_id", "text")
+      .as[(Long, Int, String, Long)].collect().sortBy(_._2)
+    assert(got.toSeq === Seq(
+      (1L, 0, "héllo wörld.", 12L), (1L, 1, "中文句子!", 5L)))
+  }
 }
