@@ -119,7 +119,10 @@ object Bench {
     "table_merge_cdc", "events_hourly_incremental",
     // cross-source duplicate-overlap matrix, join-key skew profile,
     // integer-plane equi-width histogram, and sentence segmentation
-    "corpus_overlap", "profile_skew", "table_histogram", "text_sentences")
+    "corpus_overlap", "profile_skew", "table_histogram", "text_sentences",
+    // RFM quintiles via the arithmetic distributed ntile, market-basket
+    // pair rules, exact weighted median, deterministic per-group mode
+    "events_rfm", "basket_rules", "q_weighted_median", "q_mode_exact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

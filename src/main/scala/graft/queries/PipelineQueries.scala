@@ -2923,7 +2923,25 @@ object PipelineQueries {
     "text_sentences" -> ((spark, dir) =>
       graft.functions.TextAnalysis.sentences(
         Tables.read(spark, dir, "documents").select("doc_id", "text"),
-        "doc_id", "text")))
+        "doc_id", "text")),
+
+    // RFM customer segmentation — recency/frequency/monetary quintiles,
+    // exact-integer end-to-end: the engine computes SQL-ntile semantics
+    // ARITHMETICALLY from the two-phase bucketed global rank (range
+    // buckets + broadcast prefix offsets — no single-partition window),
+    // while the oracle replays with the plain window ntile under the same
+    // deterministic (metric, user_id) total orders.
+    "events_rfm" -> ((spark, dir) =>
+      graft.functions.Analytics.rfmSegments(
+        Tables.read(spark, dir, "events"), "user_id", "ts", "value")),
+
+    // Market-basket pair rules over order line items: exact integer
+    // support/confidence/lift ×1e6. Within-basket pair explode is bounded
+    // by basket size; counts partial-agg; 1-row basket total broadcasts.
+    "basket_rules" -> ((spark, dir) =>
+      graft.functions.Baskets.pairRules(
+        Tables.read(spark, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minPairCount = 2L)))
 
   /** Exact integer square as a Column (x*x — named for readability in
     * the anomaly inequality).
@@ -5886,5 +5904,47 @@ object PipelineQueries {
         |    trim(segs[CAST(i AS INT) + 1]) AS sentence FROM e)
         |SELECT doc_id, seg_idx, sentence,
         |  CAST(length(sentence) AS BIGINT) AS n_chars
-        |FROM s WHERE length(sentence) > 0""".stripMargin)
+        |FROM s WHERE length(sentence) > 0""".stripMargin,
+    // window-ntile replay of the engine's arithmetic ntile: identical
+    // under the same deterministic (metric, user_id) total orders
+    "events_rfm" ->
+      """WITH u AS (SELECT user_id, date_trunc('day', max(ts)) AS last_day,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT max(last_day) AS gday FROM u),
+        |r AS (SELECT user_id,
+        |    CAST(date_diff('day', last_day, gday) AS INT) AS rec_days,
+        |    frequency, monetary_cents FROM u, g),
+        |s AS (SELECT user_id, rec_days, frequency, monetary_cents,
+        |    CAST(ntile(5) OVER (ORDER BY rec_days, user_id) AS INT)
+        |      AS r_bucket,
+        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT)
+        |      AS f_bucket,
+        |    CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id)
+        |      AS INT) AS m_bucket
+        |  FROM r)
+        |SELECT user_id, rec_days, frequency, monetary_cents,
+        |  r_bucket, f_bucket, m_bucket,
+        |  CAST(r_bucket * 100 + f_bucket * 10 + m_bucket AS INT) AS rfm
+        |FROM s""".stripMargin,
+    "basket_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |  FROM lineitem),
+        |nb AS (SELECT count(DISTINCT o) AS n_baskets FROM it),
+        |ic AS (SELECT i, count(*) AS cnt FROM it GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+        |  FROM it a JOIN it b ON a.o = b.o AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b,
+        |  CAST(ia.cnt AS BIGINT) AS n_a, CAST(ib.cnt AS BIGINT) AS n_b,
+        |  CAST(p.n_ab AS BIGINT) AS n_ab,
+        |  CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+        |  p.n_ab * 1000000 // nb.n_baskets AS support_ppm,
+        |  p.n_ab * 1000000 // ia.cnt AS conf_ppm,
+        |  p.n_ab * nb.n_baskets * 1000000 // (ia.cnt * ib.cnt) AS lift_ppm
+        |FROM p
+        |JOIN ic ia ON p.item_a = ia.i
+        |JOIN ic ib ON p.item_b = ib.i, nb""".stripMargin)
 }

@@ -457,6 +457,42 @@ object SqlQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Exact weighted median per group on the integer cent plane: the
+    // smallest price whose cumulative quantity weight reaches half the
+    // group total (lower weighted median). Keyed cumulative window +
+    // one conditional-min aggregate — no floats, no percentile
+    // interpolation ambiguity.
+    "q_weighted_median" -> ((spark, dir) => {
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("w"))
+      val byPrice = li.groupBy("l_returnflag", "cents")
+        .agg(sum(col("w")).as("w"))
+      val wcum = Window.partitionBy("l_returnflag").orderBy("cents")
+      byPrice
+        .withColumn("cum", sum(col("w")).over(wcum))
+        .withColumn("total", sum(col("w")).over(
+          Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(min(when(col("cum") * 2 >= col("total"), col("cents")))
+          .as("wmedian_cents"),
+          max(col("total")).as("total_w"))
+    }),
+
+    // Deterministic per-group mode: most frequent l_quantity per
+    // (returnflag, linestatus), ties to the LARGER value — elected with
+    // one max(struct(cnt, value)) aggregate, no window.
+    "q_mode_exact" -> ((spark, dir) =>
+      Tables.read(spark, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(max(struct(col("cnt"), col("q"))).as("__m"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("__m.q").as("mode_qty"), col("__m.cnt").as("mode_count"))),
+
     // Window navigation: first/last/nth value over an explicit frame.
     "q_window_nav" -> ((spark, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -993,6 +1029,32 @@ object SqlQueries {
         |quantile_cont(o_totalprice, 0.9) AS p90,
         |COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |bp AS (SELECT l_returnflag, cents, CAST(sum(w) AS BIGINT) AS w
+        |  FROM li GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, cents, w,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+        |  FROM bp)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN cum * 2 >= total THEN cents END) AS wmedian_cents,
+        |  max(total) AS total_w
+        |FROM c GROUP BY 1""".stripMargin,
+    "q_mode_exact" ->
+      """WITH c AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS BIGINT) AS q, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |r AS (SELECT l_returnflag, l_linestatus, q, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |      ORDER BY cnt DESC, q DESC) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, l_linestatus, q AS mode_qty,
+        |  cnt AS mode_count
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_window_nav" ->
       """SELECT o_custkey, o_orderkey,
         |first_value(o_orderkey) OVER w AS first_order,

@@ -496,4 +496,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"sentence split must not shuffle:\n$plan")
   }
+
+  test("events_rfm: every rank window is range-bucketed (no corpus-wide rank)") {
+    val plan = executedPlan("events_rfm")
+    val rankWindows = plan.split("\n").filter(_.contains("row_number()"))
+    assert(rankWindows.length >= 3, s"expected 3 rank phases:\n$plan")
+    rankWindows.foreach(l => assert(l.contains("__b"),
+      s"rank window must partition by the range bucket:\n$l"))
+  }
+
+  test("basket_rules: bounded pair explode — key joins and partial aggs only") {
+    val plan = finalPlan("basket_rules").split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"),
+      s"within-basket pairs must come from a key-equi self-join:\n$plan")
+    // the ONLY nested-loop join allowed is the 1-row n_baskets broadcast
+    val bnlj = plan.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.length <= 1,
+      s"only the 1-row totals may cross-broadcast:\n${bnlj.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"the pair self-join must be a key join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"pair counts must map-side combine:\n$plan")
+  }
 }
