@@ -122,7 +122,10 @@ object Bench {
     "corpus_overlap", "profile_skew", "table_histogram", "text_sentences",
     // RFM quintiles via the arithmetic distributed ntile, market-basket
     // pair rules, exact weighted median, deterministic per-group mode
-    "events_rfm", "basket_rules", "q_weighted_median", "q_mode_exact")
+    "events_rfm", "basket_rules", "q_weighted_median", "q_mode_exact",
+    // integer Flesch readability, 3-step path mining, balanced-mix
+    // admission rates
+    "text_readability", "events_paths", "mix_to_target")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -95,4 +95,27 @@ object Analytics {
       (col("r_bucket") * 100 + col("f_bucket") * 10 + col("m_bucket"))
         .cast("int"))
   }
+
+  /** Top-k most common length-3 event paths (sequential pattern mining,
+    * the product-analytics "user flows" rollup): per user, consecutive
+    * event-type triples in (ts, event_id) order, counted corpus-wide,
+    * top-k by (count desc, path asc — deterministic under ties).
+    *
+    * 100 TB shape: two keyed lag windows (user partitions — bounded),
+    * one partial-agg groupBy on the triple, TakeOrderedAndProject for
+    * the top-k. No corpus-wide window, no collect.
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("e1", lag(col(typeCol), 2).over(w))
+      .withColumn("e2", lag(col(typeCol), 1).over(w))
+      .where(col("e1").isNotNull)
+      .groupBy(col("e1"), col("e2"), col(typeCol).as("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
 }

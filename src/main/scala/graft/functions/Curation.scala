@@ -962,4 +962,37 @@ object Curation {
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         coalesce(col("__sh"), lit(0L)).as("n_shared"))
   }
+
+  /** Balanced-mix downsampling: compute each source's token budget share
+    * and admit documents by portable hash so every source contributes
+    * ~the same token mass as the smallest source (the anti-dominance
+    * pre-mixing rule; the DoReMi-style generalization is the same shape
+    * with externally supplied target shares). `rate_ppm = min_avail·1e6
+    * div avail_s` — exact integer; admission replays in any md5-capable
+    * engine via [[Sampling.portableBucketInt]] mod 1e6.
+    *
+    * 100 TB shape: one partial-agg token sum per source (metadata-sized,
+    * broadcast back), one 1-row minimum, then a pure projection over the
+    * corpus — no shuffle of document rows at all. The ppm product
+    * assumes `min_avail·1e6 < 2⁶³` (~9·10¹² tokens); past that, divide
+    * before scaling.
+    */
+  def mixToTarget(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val d = docs.select(col(idCol), col(sourceCol).as("source"),
+      size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+        .cast("long").as("n_tokens"))
+    val avail = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("avail_tokens"))
+    val minA = avail.agg(min(col("avail_tokens")).as("__min_avail"))
+    d.join(broadcast(avail), Seq("source"))
+      .crossJoin(broadcast(minA))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("__min_avail * 1000000 div avail_tokens")))
+      .withColumn("admitted",
+        pmod(Sampling.portableBucketInt(col(idCol)), lit(1000000L)) <
+          col("rate_ppm"))
+      .select(col(idCol), col("source"), col("n_tokens"),
+        col("avail_tokens"), col("rate_ppm"), col("admitted"))
+  }
 }

@@ -650,6 +650,26 @@ object TextAnalysis {
     * split, so downstream windows can reconstruct document order. Pure
     * projection + generator — no shuffle, stays in codegen.
     */
+  /** Flesch-style readability on the exact integer plane: words = `\S+`
+    * runs, sentences = `[.!?]+` runs (min 1), syllables approximated as
+    * lowercase vowel-group (`[aeiouy]+`) runs — the standard heuristic.
+    * `flesch_x1000 = 206835 − 1015·words div sentences − 84600·syllables
+    * div words` (truncating integer division, all operands non-negative)
+    * — bit-portable, no float. Pure projection; stays in codegen.
+    */
+  def readability(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+          .cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))),
+          lit(1)).cast("long").as("n_sentences"),
+        size(regexp_extract_all(lower(col(textCol)), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .withColumn("flesch_x1000",
+        lit(206835L) - expr("(1015 * n_words) div n_sentences") -
+          expr("(84600 * n_syllables) div greatest(n_words, 1)"))
+
   def sentences(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol),

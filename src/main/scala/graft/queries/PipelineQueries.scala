@@ -2941,7 +2941,30 @@ object PipelineQueries {
     "basket_rules" -> ((spark, dir) =>
       graft.functions.Baskets.pairRules(
         Tables.read(spark, dir, "lineitem"), "l_orderkey", "l_partkey",
-        minPairCount = 2L)))
+        minPairCount = 2L)),
+
+    // Flesch-style readability — exact-integer vowel-group heuristic,
+    // pure projection (scan speed).
+    "text_readability" -> ((spark, dir) =>
+      graft.functions.TextAnalysis.readability(
+        Tables.read(spark, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text")),
+
+    // Top-20 3-step event paths — sequential pattern mining via two
+    // keyed lags + one partial-agg count + TakeOrdered.
+    "events_paths" -> ((spark, dir) =>
+      graft.functions.Analytics.topPaths(
+        Tables.read(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("second", col("ts")).as("ts_s")),
+        "user_id", "ts_s", "event_type", "event_id")),
+
+    // Balanced-mix admission: every source downsampled (by portable
+    // hash) toward the smallest source's token mass — per-source rates
+    // exact-integer, admission md5-replayable.
+    "mix_to_target" -> ((spark, dir) =>
+      graft.functions.Curation.mixToTarget(
+        Tables.read(spark, dir, "documents"), "doc_id", "text", "source")))
 
   /** Exact integer square as a Column (x*x — named for readability in
     * the anomaly inequality).
@@ -5946,5 +5969,49 @@ object PipelineQueries {
         |  p.n_ab * nb.n_baskets * 1000000 // (ia.cnt * ib.cnt) AS lift_ppm
         |FROM p
         |JOIN ic ia ON p.item_a = ia.i
-        |JOIN ic ib ON p.item_b = ib.i, nb""".stripMargin)
+        |JOIN ic ib ON p.item_b = ib.i, nb""".stripMargin,
+    // vowel-group syllable heuristic replayed under RE2; all-integer
+    // truncating division (operands non-negative)
+    "text_readability" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  206835 - (1015 * n_words) // n_sentences -
+        |    (84600 * n_syllables) // greatest(n_words, 1) AS flesch_x1000
+        |FROM m""".stripMargin,
+    "events_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    date_trunc('second', ts) AS ts_s FROM events),
+        |g AS (SELECT user_id, event_type AS e3,
+        |    lag(event_type, 2) OVER w AS e1,
+        |    lag(event_type, 1) OVER w AS e2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |c AS (SELECT e1, e2, e3, count(*) AS n FROM g
+        |  WHERE e1 IS NOT NULL GROUP BY 1, 2, 3),
+        |r AS (SELECT e1, e2, e3, n,
+        |    row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS rn FROM c)
+        |SELECT e1, e2, e3, n FROM r WHERE rn <= 20""".stripMargin,
+    // portable-hash admission: ('0x'||substring(md5(id),1,8))::UBIGINT
+    // replays Spark's conv(substring(md5(...),1,8),16,10)
+    "mix_to_target" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |a AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+        |  FROM d GROUP BY 1),
+        |m AS (SELECT min(avail_tokens) AS min_avail FROM a)
+        |SELECT d.doc_id, d.source, d.n_tokens, a.avail_tokens,
+        |  least(1000000, m.min_avail * 1000000 // a.avail_tokens)
+        |    AS rate_ppm,
+        |  (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |    % 1000000)::BIGINT <
+        |    least(1000000, m.min_avail * 1000000 // a.avail_tokens)
+        |    AS admitted
+        |FROM d JOIN a USING (source), m""".stripMargin)
 }

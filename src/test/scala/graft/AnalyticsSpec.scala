@@ -44,6 +44,22 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("topPaths: triples counted per user in time order, deterministic top-k") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      (1L, 1L, "a", t("10:00:00")), (1L, 2L, "b", t("10:01:00")),
+      (1L, 3L, "c", t("10:02:00")), (1L, 4L, "a", t("10:03:00")),
+      (2L, 5L, "a", t("09:00:00")), (2L, 6L, "b", t("09:01:00")),
+      (2L, 7L, "c", t("09:02:00")),
+      (3L, 8L, "x", t("08:00:00")), (3L, 9L, "y", t("08:01:00"))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Analytics.topPaths(ev, "user_id", "ts", "event_type",
+        "event_id", k = 5)
+      .as[(String, String, String, Long)].collect().toSeq
+    // (a,b,c) ×2 (users 1 and 2), (b,c,a) ×1 (user 1); user 3 too short
+    assert(got === Seq(("a", "b", "c", 2L), ("b", "c", "a", 1L)))
+  }
+
   test("rfmSegments: quintiles on a hand-checkable fixture") {
     // 5 users, one event each on distinct days, distinct values:
     // user i last active day 2024-01-0(i), spent i dollars, 1 event.

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.Curation
+import graft.functions.{Curation, Sampling}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -557,5 +557,30 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r._1 -> (r._2, r._3)).toMap
     assert(digests(3L)._2.isEmpty && digests(3L)._1.nonEmpty)
     assert(digests(4L)._1.isEmpty && digests(4L)._2.nonEmpty)
+  }
+
+  test("mixToTarget: rates balance every source toward the smallest") {
+    // source A: 10 tokens, B: 5, C: 20 → min 5; rates 500000/1000000/250000
+    val docs = Seq(
+      (1L, "a b c d e", "A"), (2L, "f g h i j", "A"),
+      (3L, "k l m n o", "B"),
+      (4L, "1 2 3 4 5 6 7 8 9 10", "C"), (5L, "x y z w v", "C"),
+      (6L, "p q r s t", "C")
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.mixToTarget(docs, "doc_id", "text", "source")
+      .select("doc_id", "source", "n_tokens", "avail_tokens", "rate_ppm",
+        "admitted")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._5 === 500000L && got(3L)._5 === 1000000L &&
+      got(4L)._5 === 250000L)
+    assert(got(4L)._4 === 20L && got(3L)._3 === 5L)
+    // min-rate source admits everything
+    assert(got(3L)._6)
+    // admission is the portable md5 bucket — replay one doc by hand
+    val bucket = Sampling.portableBucketInt(lit(1L).cast("long"))
+    val b1 = docs.sparkSession.range(1)
+      .select(pmod(bucket, lit(1000000L)).as("b")).as[Long].head()
+    assert(got(1L)._6 === (b1 < 500000L))
   }
 }

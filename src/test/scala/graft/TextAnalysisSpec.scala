@@ -411,6 +411,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       (4L, 0, "Ellipsis wins...", 16L), (4L, 1, "then more.", 10L)))
   }
 
+  test("readability: hand-computed integer Flesch, empty-text guards") {
+    val docs = Seq(
+      (1L, "Hello world. Yes!"),
+      (2L, ""),                    // 0 words → both guards engage
+      (3L, "rhythm")               // y counts as a vowel group
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // doc 1: words 3, sentences 2, vowel groups e|o|o|e = 4:
+    //   206835 - 1015·3 div 2 - 84600·4 div 3 = 206835 - 1522 - 112800
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, 4L, 92513L),
+      (2L, 0L, 1L, 0L, 206835L),
+      (3L, 1L, 1L, 1L, 1L * 0 + 206835L - 1015L - 84600L)))
+  }
+
   test("sentences: multi-byte text counts code points, CJK passes through") {
     val docs = Seq((1L, "héllo wörld. 中文句子!")).toDF("doc_id", "text")
     val got = graft.functions.TextAnalysis.sentences(docs, "doc_id", "text")
