@@ -124,8 +124,9 @@ object Bench {
     // pair rules, exact weighted median, deterministic per-group mode
     "events_rfm", "basket_rules", "q_weighted_median", "q_mode_exact",
     // integer Flesch readability, 3-step path mining, balanced-mix
-    // admission rates
-    "text_readability", "events_paths", "mix_to_target")
+    // admission rates, perceptual media near-dup
+    "text_readability", "events_paths", "mix_to_target",
+    "multimodal_phash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

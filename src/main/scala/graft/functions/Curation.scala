@@ -978,21 +978,47 @@ object Curation {
     * before scaling.
     */
   def mixToTarget(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame =
+    applyMixRates(
+      docs.select(col(idCol), col(sourceCol).as("source"),
+        tokenCountCol(col(textCol)).as("n_tokens")),
+      idCol, mixRates(docs, textCol, sourceCol))
+
+  /** The per-source rate table alone: (source, avail_tokens, rate_ppm).
+    * Metadata-sized — one row per source — so a continuous intake stream
+    * can join it statelessly (the search_ingest pattern: stats live
+    * OUTSIDE the stream and are refreshed by re-running this, never
+    * frozen into per-arrival state).
+    */
+  def mixRates(docs: DataFrame, textCol: String,
       sourceCol: String): DataFrame = {
-    val d = docs.select(col(idCol), col(sourceCol).as("source"),
-      size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
-        .cast("long").as("n_tokens"))
-    val avail = d.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("avail_tokens"))
-    val minA = avail.agg(min(col("avail_tokens")).as("__min_avail"))
-    d.join(broadcast(avail), Seq("source"))
-      .crossJoin(broadcast(minA))
+    val avail = docs
+      .select(col(sourceCol).as("source"),
+        tokenCountCol(col(textCol)).as("__t"))
+      .groupBy(col("source")).agg(sum(col("__t")).as("avail_tokens"))
+    avail.crossJoin(broadcast(
+        avail.agg(min(col("avail_tokens")).as("__min_avail"))))
       .withColumn("rate_ppm",
         least(lit(1000000L), expr("__min_avail * 1000000 div avail_tokens")))
+      .select(col("source"), col("avail_tokens"), col("rate_ppm"))
+  }
+
+  /** Stateless admission of (id, source, n_tokens) rows against a rate
+    * table — a broadcast join + projection, usable identically on a
+    * static corpus or a stream-static join.
+    */
+  def applyMixRates(d: DataFrame, idCol: String,
+      rates: DataFrame): DataFrame =
+    d.join(broadcast(rates), Seq("source"))
       .withColumn("admitted",
         pmod(Sampling.portableBucketInt(col(idCol)), lit(1000000L)) <
           col("rate_ppm"))
       .select(col(idCol), col("source"), col("n_tokens"),
         col("avail_tokens"), col("rate_ppm"), col("admitted"))
-  }
+
+  /** Whitespace token count as `\S+` runs — 0 for empty text, no guard
+    * column needed; identical under Java regex and RE2.
+    */
+  private def tokenCountCol(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
 }

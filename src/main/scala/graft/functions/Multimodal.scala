@@ -184,4 +184,54 @@ object Multimodal {
     digested.join(groups, "__d")
       .select(col(idCol), col("group_id"), col("n_copies"))
   }
+
+  /** The 56-bit difference-hash (dHash) of a payload given as a HEX
+    * string plus its byte count: 64 bytes sampled at the even positions
+    * `(i·nb) div 64` (an 8×8 grayscale-grid stand-in), bit `r·7+c` set
+    * when sample `r·8+c` > sample `r·8+c+1`. 56 bits — not 64 — so no
+    * term ever touches the sign bit and every engine's checked `<<` is
+    * happy. Working on the hex plane (2 chars/byte) keeps the arithmetic
+    * byte-exact and SQL-replayable; a production build would fuse this
+    * into one native expression over the raw bytes — the oracle contract
+    * is the sampled-comparison semantics, not the string ops.
+    */
+  def dHash56Sql(h: String, nb: String): String = {
+    def byteAt(i: Int): String =
+      s"CAST(conv(substring($h, CAST(((${i}L * $nb) div 64) * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)"
+    val terms = for (r <- 0 until 8; c <- 0 until 7) yield {
+      val i = r * 8 + c
+      s"(CASE WHEN ${byteAt(i)} > ${byteAt(i + 1)} THEN ${1L << (r * 7 + c)}L ELSE 0L END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Perceptual near-duplicate media pairs: dHash signatures, banded
+    * 4×14-bit LSH candidates (≤3 flipped bits ALWAYS share ≥1 of the 4
+    * bands), exact Hamming verify ≤ `maxHamming`. The signature is 8
+    * bytes per payload; the payload itself never crosses an exchange —
+    * the simhash shape applied to media.
+    */
+  def phashPairs(docs: DataFrame, idCol: String, hexCol: Column,
+      maxHamming: Int = 5): DataFrame = {
+    val sigs = docs.select(col(idCol).as("__id"), hexCol.as("__h"))
+      .where(length(col("__h")) >= 128) // ≥64 bytes: a full sample grid
+      .withColumn("__nb", (length(col("__h")) / 2).cast("long"))
+      .withColumn("sig", expr(dHash56Sql("__h", "__nb")))
+      .select("__id", "sig")
+    val bands = sigs.select(col("__id"), col("sig"),
+      explode(array((0 until 4).map(k =>
+        expr(s"struct($k as k, shiftright(sig, ${k * 14}) & 16383 as v)")): _*))
+        .as("b"))
+      .select(col("__id"), col("sig"), col("b.k").as("k"), col("b.v").as("v"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.sig").as("__sa"), col("b.sig").as("__sb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(__sa ^ __sb)"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

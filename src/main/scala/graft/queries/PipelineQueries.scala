@@ -2964,12 +2964,72 @@ object PipelineQueries {
     // exact-integer, admission md5-replayable.
     "mix_to_target" -> ((spark, dir) =>
       graft.functions.Curation.mixToTarget(
-        Tables.read(spark, dir, "documents"), "doc_id", "text", "source")))
+        Tables.read(spark, dir, "documents"), "doc_id", "text", "source")),
+
+    // Streaming twin #24 — continuous balanced-mix intake: the rate
+    // table lives OUTSIDE the stream (search_ingest pattern — computed
+    // from the corpus, refreshed by re-running mixRates, never frozen
+    // into per-arrival state), each arrival gets a STATELESS verdict via
+    // the stream-static broadcast join. Same oracle as the batch entry.
+    "mix_to_target_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val docs = Tables.read(spark, dir, "documents")
+      val rates = graft.functions.Curation.mixRates(docs, "text", "source")
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val sentinel = Seq((-1L, "", "__sentinel",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "source", "ts")
+      val feed = docs.select(col("doc_id"), col("text"), col("source"),
+        lit(t0).as("ts"))
+      val verdicts = graft.functions.Curation.applyMixRates(
+        streamWithSentinel(spark, feed, sentinel, delaySec = 3600L)
+          .select(col("doc_id"), col("source"),
+            size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+              .cast("long").as("n_tokens")),
+        "doc_id", rates)
+      graft.streaming.EventStream.runToMemory(
+        verdicts, "mix_target_stream_out", OutputMode.Append())
+      spark.table("mix_target_stream_out").where(col("doc_id") >= 0)
+    }),
+
+    // Perceptual near-duplicate media (dHash): planted one-byte-flipped
+    // re-uploads (%23=4 takes its donor's payload with byte 10 set to
+    // 0xFF) must surface with tiny Hamming distance while unrelated
+    // payloads (≈28/56 bits apart) stay silent. Signature + banded LSH +
+    // exact verify — the simhash shape on the media byte plane; payloads
+    // never shuffle, only 8-byte signatures.
+    "multimodal_phash" -> ((spark, dir) => {
+      val raw = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("h"))
+      val donor = raw.select(col("doc_id").as("__sid"), col("h").as("__sh"))
+      val planted = raw
+        .join(donor,
+          col("doc_id") % 23 === 4 && col("__sid") === col("doc_id") - 4,
+          "left")
+        .select(col("doc_id"),
+          when(col("__sh").isNotNull,
+            concat(expr("substring(__sh, 1, 20)"), lit("FF"),
+              expr("substring(__sh, 23)")))
+            .otherwise(col("h")).as("h"))
+      Multimodal.phashPairs(planted, "doc_id", col("h"))
+    }))
 
   /** Exact integer square as a Column (x*x — named for readability in
     * the anomaly inequality).
     */
   private def pow2(c: org.apache.spark.sql.Column) = c * c
+
+  /** DuckDB replay of [[Multimodal.dHash56Sql]] — same sampled positions,
+    * same comparisons, same shift weights, on the same hex plane.
+    */
+  private def duckDHash56(h: String, nb: String): String = {
+    def b(i: Int): String =
+      s"(('0x' || substring($h, (($i * $nb) // 64) * 2 + 1, 2))::BIGINT)"
+    (for (r <- 0 until 8; c <- 0 until 7) yield
+      s"(CASE WHEN ${b(r * 8 + c)} > ${b(r * 8 + c + 1)} THEN ${1L << (r * 7 + c)} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+  }
 
   /** The CDC fixture for table_merge_cdc: updates (seq 1, repriced +1000
     * and flagged 'R'), deletes (seq 2), and inserts under key+10M (seq 1,
@@ -5999,6 +6059,47 @@ object PipelineQueries {
     // portable-hash admission: ('0x'||substring(md5(id),1,8))::UBIGINT
     // replays Spark's conv(substring(md5(...),1,8),16,10)
     "mix_to_target" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |a AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+        |  FROM d GROUP BY 1),
+        |m AS (SELECT min(avail_tokens) AS min_avail FROM a)
+        |SELECT d.doc_id, d.source, d.n_tokens, a.avail_tokens,
+        |  least(1000000, m.min_avail * 1000000 // a.avail_tokens)
+        |    AS rate_ppm,
+        |  (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |    % 1000000)::BIGINT <
+        |    least(1000000, m.min_avail * 1000000 // a.avail_tokens)
+        |    AS admitted
+        |FROM d JOIN a USING (source), m""".stripMargin,
+    // full pipeline replay: planted flips, hex-plane signatures, band
+    // candidates, Hamming verify — engine and oracle must agree on the
+    // exact pair set AND distances
+    "multimodal_phash" -> s"""
+        |WITH raw AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        |pl AS (SELECT r.doc_id,
+        |    CASE WHEN d.h IS NOT NULL
+        |      THEN substring(d.h, 1, 20) || 'FF' || substring(d.h, 23)
+        |      ELSE r.h END AS h
+        |  FROM raw r LEFT JOIN raw d
+        |    ON r.doc_id % 23 = 4 AND d.doc_id = r.doc_id - 4),
+        |f AS (SELECT doc_id, h, length(h) // 2 AS nb FROM pl
+        |  WHERE length(h) >= 128),
+        |s AS (SELECT doc_id, ${duckDHash56("h", "nb")} AS sig FROM f),
+        |bt AS (SELECT doc_id, sig, unnest(range(0, 4)) AS k FROM s),
+        |bv AS (SELECT doc_id, sig, k,
+        |    (sig >> (CAST(k AS INT) * 14)) & 16383 AS v FROM bt),
+        |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.sig AS sa, b.sig AS sb
+        |  FROM bv a JOIN bv b
+        |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM p WHERE bit_count(xor(sa, sb)) <= 5""".stripMargin,
+    // identical oracle to mix_to_target: stateless per-arrival verdicts
+    // must reproduce the batch admission bit-for-bit
+    "mix_to_target_stream" ->
       """WITH d AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
         |      AS n_tokens

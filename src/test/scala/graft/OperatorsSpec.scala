@@ -194,4 +194,43 @@ class OperatorsSpec extends AnyFunSuite {
       === Seq(0.0f, 65.0f, 255.0f))
     assertThrows[IllegalArgumentException](Multimodal.codecFor("h264"))
   }
+
+  test("phashPairs: one-byte flip is near, unrelated payloads are silent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def pay(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      Array.fill(200)(f"${r.nextInt(256)}%02X").mkString
+    }
+    val base = pay(1)
+    val nearDup = base.substring(0, 20) + "FF" + base.substring(22)
+    val exact = base
+    val rows = Seq(
+      (1L, base), (2L, nearDup), (3L, exact),
+      (4L, pay(2)), (5L, pay(3)), // unrelated random payloads
+      (6L, "AB") // below the 64-byte floor → excluded entirely
+    ).toDF("id", "h")
+    val got = Multimodal.phashPairs(rows, "id", col("h"), maxHamming = 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) === 0) // exact dup
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) <= 5)  // flipped byte
+    // transitivity of the plant: nearDup vs exact also near
+    assert(got.contains((2L, 3L)))
+    // no unrelated pair, no under-floor id
+    assert(!got.keys.exists(k => k._1 >= 4L || k._2 >= 4L))
+    val _ = rnd
+  }
+
+  test("dHash56Sql: signature never sets the sign bit and is length-stable") {
+    import spark.implicits._
+    val payloads = (1 to 50).map { s =>
+      val r = new scala.util.Random(s)
+      (s.toLong, Array.fill(64 + r.nextInt(400))(f"${r.nextInt(256)}%02X").mkString)
+    }
+    val sigs = payloads.toDF("id", "h")
+      .withColumn("nb", (length(col("h")) / 2).cast("long"))
+      .withColumn("sig", expr(Multimodal.dHash56Sql("h", "nb")))
+      .select("sig").as[Long].collect()
+    assert(sigs.forall(s => s >= 0L && s < (1L << 56)))
+  }
 }

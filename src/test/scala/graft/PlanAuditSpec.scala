@@ -505,6 +505,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank window must partition by the range bucket:\n$l"))
   }
 
+  test("multimodal_phash: payload hex never shuffles — signatures only") {
+    val plan = finalPlan("multimodal_phash").split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"),
+      s"band candidates must come from a key join:\n$plan")
+    val exchanges = plan.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("__h#")),
+      s"only (id, sig, band) rows may shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("basket_rules: bounded pair explode — key joins and partial aggs only") {
     val plan = finalPlan("basket_rules").split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct"),
