@@ -126,7 +126,9 @@ object Bench {
     // integer Flesch readability, 3-step path mining, balanced-mix
     // admission rates, perceptual media near-dup
     "text_readability", "events_paths", "mix_to_target",
-    "multimodal_phash")
+    "multimodal_phash",
+    // dbt-style declarative checks and the ordered-array_agg dialect path
+    "table_checks", "tap_array_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -77,6 +77,54 @@ object Profiling {
     * projection, then a partial-agg groupBy on the bucket id — two scans,
     * no shuffle wider than nBuckets rows.
     */
+  /** Declarative data-quality checks (the dbt-test surface): each helper
+    * returns a 1-row (check_name, table_name, n_violations, n_rows)
+    * report; a suite is a `unionByName` of independent aggregates. Every
+    * check is a partial-agg scan or one key join — no check ever costs
+    * more than the cheapest full pass over its table.
+    */
+  def checkNotNull(df: DataFrame, table: String, c: String): DataFrame =
+    df.agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_rows"))
+      .select(lit(s"not_null:$c").as("check_name"),
+        lit(table).as("table_name"), col("n_violations"), col("n_rows"))
+
+  /** Duplicate-key mass: Σ (count−1) over keys seen more than once. */
+  def checkUnique(df: DataFrame, table: String, c: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n") - 1L).as("n_violations"),
+        sum(col("__n")).as("n_rows"))
+      .select(lit(s"unique:$c").as("check_name"),
+        lit(table).as("table_name"), col("n_violations"), col("n_rows"))
+
+  def checkAcceptedValues(df: DataFrame, table: String, c: String,
+      values: Seq[String]): DataFrame =
+    df.agg(sum(when(!col(c).isin(values: _*), 1L).otherwise(0L))
+        .as("n_violations"), count(lit(1)).as("n_rows"))
+      .select(lit(s"accepted_values:$c").as("check_name"),
+        lit(table).as("table_name"), col("n_violations"), col("n_rows"))
+
+  def checkRange(df: DataFrame, table: String, c: String, lo: Long,
+      hi: Long): DataFrame =
+    df.agg(sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L))
+        .as("n_violations"), count(lit(1)).as("n_rows"))
+      .select(lit(s"range:$c").as("check_name"),
+        lit(table).as("table_name"), col("n_violations"), col("n_rows"))
+
+  /** Referential integrity: child rows whose non-null FK misses every
+    * parent PK — a left-anti key join (broadcast when the parent's
+    * distinct keys are small), then one count.
+    */
+  def checkRefIntegrity(child: DataFrame, table: String, fk: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val orphans = child.where(col(fk).isNotNull)
+      .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    orphans.crossJoin(child.agg(count(lit(1)).as("n_rows")))
+      .select(lit(s"ref_integrity:$fk").as("check_name"),
+        lit(table).as("table_name"), col("n_violations"), col("n_rows"))
+  }
+
   def histogram(df: DataFrame, centsCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val vals = df.select(col(centsCol).cast("long").as("__v"))

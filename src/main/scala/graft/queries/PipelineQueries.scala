@@ -3013,6 +3013,38 @@ object PipelineQueries {
               expr("substring(__sh, 23)")))
             .otherwise(col("h")).as("h"))
       Multimodal.phashPairs(planted, "doc_id", col("h"))
+    }),
+
+    // Declarative data-quality checks (the dbt-test surface) against a
+    // deterministically corrupted copy — nulled FKs (%31=3), orphaned
+    // FKs (%29=8), invalid status (%37=5), re-appended duplicate keys
+    // (%41=6), out-of-range quantities (%43=7) — so every check's
+    // violation COUNTING is exercised, not just its zero path. Each
+    // check is one partial-agg scan or one anti join.
+    "table_checks" -> ((spark, dir) => {
+      val P = graft.functions.Profiling
+      val o = Tables.read(spark, dir, "orders")
+      val base = o.unionByName(o.where(col("o_orderkey") % 41 === 6))
+      val corrupted = base
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 31 === 3, lit(null).cast("long"))
+            .when(col("o_orderkey") % 29 === 8,
+              col("o_custkey") + 10000000L)
+            .otherwise(col("o_custkey")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 37 === 5, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val qty = Tables.read(spark, dir, "lineitem")
+        .select((col("l_quantity").cast("long") +
+          when(col("l_orderkey") % 43 === 7, 100L).otherwise(0L))
+          .as("qty"))
+      P.checkNotNull(corrupted, "orders", "o_custkey")
+        .unionByName(P.checkUnique(corrupted, "orders", "o_orderkey"))
+        .unionByName(P.checkAcceptedValues(corrupted, "orders",
+          "o_orderstatus", Seq("O", "F", "P")))
+        .unionByName(P.checkRefIntegrity(corrupted, "orders", "o_custkey",
+          Tables.read(spark, dir, "customer"), "c_custkey"))
+        .unionByName(P.checkRange(qty, "lineitem", "qty", 1L, 50L))
     }))
 
   /** Exact integer square as a Column (x*x — named for readability in
@@ -6074,6 +6106,41 @@ object PipelineQueries {
         |    least(1000000, m.min_avail * 1000000 // a.avail_tokens)
         |    AS admitted
         |FROM d JOIN a USING (source), m""".stripMargin,
+    // the same planted corruption replayed; CASE order pins the
+    // null-beats-orphan precedence for keys ≡ both moduli
+    "table_checks" ->
+      """WITH b AS (SELECT * FROM orders
+        |  UNION ALL SELECT * FROM orders WHERE o_orderkey % 41 = 6),
+        |c AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 31 = 3 THEN NULL
+        |         WHEN o_orderkey % 29 = 8 THEN o_custkey + 10000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    CASE WHEN o_orderkey % 37 = 5 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM b),
+        |q AS (SELECT CAST(l_quantity AS BIGINT) +
+        |    CASE WHEN l_orderkey % 43 = 7 THEN 100 ELSE 0 END AS qty
+        |  FROM lineitem)
+        |SELECT 'not_null:o_custkey' AS check_name, 'orders' AS table_name,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations, count(*) AS n_rows FROM c
+        |UNION ALL
+        |SELECT 'unique:o_orderkey', 'orders', CAST(sum(n - 1) AS BIGINT),
+        |  CAST(sum(n) AS BIGINT)
+        |FROM (SELECT count(*) AS n FROM c GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'accepted_values:o_orderstatus', 'orders',
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1
+        |    ELSE 0 END) AS BIGINT), count(*) FROM c
+        |UNION ALL
+        |SELECT 'ref_integrity:o_custkey', 'orders',
+        |  (SELECT count(*) FROM c WHERE o_custkey IS NOT NULL
+        |     AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |  count(*) FROM c
+        |UNION ALL
+        |SELECT 'range:qty', 'lineitem',
+        |  CAST(sum(CASE WHEN qty < 1 OR qty > 50 THEN 1 ELSE 0 END)
+        |    AS BIGINT), count(*) FROM q""".stripMargin,
     // full pipeline replay: planted flips, hex-plane signatures, band
     // candidates, Hamming verify — engine and oracle must agree on the
     // exact pair set AND distances

@@ -93,6 +93,17 @@ object TapQueries {
       |"key_properties":["n_nationkey"],
       |"columns":[{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"}]}""".stripMargin
 
+  // PG ordered array_agg + array_to_string — the most common PG
+  // aggregation idiom the Spark parser rejects verbatim: the dialect
+  // layer rewrites the single-key ORDER BY form to the struct-sort
+  // shape and injects array_join's element cast. DESC exercised with a
+  // globally-unique key so both engines' tie behavior is moot.
+  private val arrayAggJson =
+    """{"name":"cust_orders","sql":"SELECT o_custkey, array_to_string(array_agg(o_orderkey ORDER BY o_orderkey DESC), ',') AS recent_desc, array_to_string(array_agg(o_orderkey ORDER BY o_orderkey), ',') AS all_asc, count(*) AS n FROM orders WHERE o_totalprice > 100000.0 GROUP BY o_custkey",
+      |"key_properties":["o_custkey"],
+      |"columns":[{"name":"o_custkey","type":"bigint"},{"name":"recent_desc","type":"text"},
+      |{"name":"all_asc","type":"text"},{"name":"n","type":"bigint"}]}""".stripMargin
+
   // PG interval long tail (VERDICT r6 item 4): the `'…'::interval` cast
   // spelling, the native multi-unit `interval '…'` literal (Spark parses
   // it — the rewrite leaves it alone), and `(s1,e1) OVERLAPS (s2,e2)`
@@ -182,6 +193,7 @@ object TapQueries {
     "tap_operator_collate" -> run(operatorCollateJson),
     "tap_projection" -> run(projectionJson),
     "tap_interval" -> run(intervalJson),
+    "tap_array_agg" -> run(arrayAggJson),
 
     "tap_stream_map" -> ((spark, dir) => {
       val li = Tables.read(spark, dir, "lineitem")
@@ -246,6 +258,14 @@ object TapQueries {
         |WHERE n_name LIKE 'NATION_1%' OR n_name ILIKE 'nation_2_'
         |OR n_name NOT ILIKE '%2%'""".stripMargin,
     "tap_projection" -> "SELECT doc_id, lang, source FROM documents",
+    "tap_array_agg" ->
+      """SELECT o_custkey, array_to_string(array_agg(o_orderkey
+        |    ORDER BY o_orderkey DESC), ',') AS recent_desc,
+        |  array_to_string(array_agg(o_orderkey ORDER BY o_orderkey), ',')
+        |    AS all_asc,
+        |  count(*) AS n
+        |FROM orders WHERE o_totalprice > 100000.0
+        |GROUP BY o_custkey""".stripMargin,
     // non-point normalized periods: the standard OVERLAPS formula
     // reduces to the half-open check s1 < e2 AND s2 < e1
     "tap_interval" ->

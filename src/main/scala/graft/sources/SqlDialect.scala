@@ -145,6 +145,121 @@ object SqlDialect {
       sql.substring(0, m.start) + replaced + sql.substring(close + 1))
   }
 
+  private val arrayAggRe = """(?i)\barray_agg\s*\(""".r
+  private val arrayToStringRe = """(?i)\barray_to_string\s*\(""".r
+
+  /** Rewrite PG `array_agg(expr ORDER BY key [ASC|DESC])` — Spark's
+    * `array_agg` exists but takes no ORDER BY — to the struct-sort form
+    * `transform(array_sort(array_agg(named_struct('o', key, 'v', expr))),
+    * s -> s.v)` (wrapped in `reverse` for DESC). Only the single-key
+    * form rewrites (equal keys additionally tie-break on the value,
+    * which PG leaves unspecified anyway); multi-key ORDER BY is left
+    * untouched and rides the `auto` pushdown fallback. Plain
+    * `array_agg(x)` passes through — Spark has it natively.
+    */
+  def rewriteArrayAgg(sql: String): String = {
+    val m = arrayAggRe.findAllMatchIn(sql)
+      .find { mm =>
+        if (inLiteral(sql, mm.start)) false
+        else {
+          val close = matchParen(sql, mm.end - 1)
+          close > 0 && {
+            val args = sql.substring(mm.end, close)
+            topLevelIndexOf(args, "ORDER") >= 0 &&
+              !args.trim.toUpperCase.startsWith("DISTINCT") &&
+              !args.substring(topLevelIndexOf(args, "ORDER"))
+                .split("""(?i)\bORDER\s+BY\b""").last.contains(",")
+          }
+        }
+      }
+      .getOrElse(return sql)
+    val openIdx = m.end - 1
+    val close = matchParen(sql, openIdx)
+    val args = sql.substring(openIdx + 1, close)
+    val orderIdx = topLevelIndexOf(args, "ORDER")
+    val core = args.substring(0, orderIdx).trim.stripSuffix(",").trim
+    var key = args.substring(orderIdx).trim
+      .replaceFirst("""(?i)^ORDER\s+BY\s+""", "").trim
+    val desc = key.toUpperCase.endsWith(" DESC")
+    key = key.replaceFirst("""(?i)\s+(ASC|DESC)$""", "").trim
+    val sorted =
+      s"transform(array_sort(array_agg(named_struct('o', $key, 'v', $core))), s -> s.v)"
+    val replaced = if (desc) s"reverse($sorted)" else sorted
+    rewriteArrayAgg(
+      sql.substring(0, m.start) + replaced + sql.substring(close + 1))
+  }
+
+  /** PG `array_to_string(arr, delim)` → Spark
+    * `array_join(transform(arr, __x -> CAST(__x AS STRING)), delim)` —
+    * PG casts elements implicitly, Spark's array_join demands strings,
+    * so the rewrite injects the element cast. Both skip NULL elements.
+    * The 3-argument form (explicit null replacement) is left untouched
+    * for the pushdown fallback.
+    */
+  def rewriteArrayToString(sql: String): String = {
+    val m = arrayToStringRe.findAllMatchIn(sql)
+      .find { mm =>
+        !inLiteral(sql, mm.start) && {
+          val close = matchParen(sql, mm.end - 1)
+          close > 0 &&
+            topLevelCommas(sql.substring(mm.end, close)).length == 1
+        }
+      }
+      .getOrElse(return sql)
+    val openIdx = m.end - 1
+    val close = matchParen(sql, openIdx)
+    val args = sql.substring(openIdx + 1, close)
+    val cut = topLevelCommas(args).head
+    val arr = args.substring(0, cut).trim
+    val delim = args.substring(cut + 1).trim
+    val replaced =
+      s"array_join(transform($arr, __x -> CAST(__x AS STRING)), $delim)"
+    rewriteArrayToString(
+      sql.substring(0, m.start) + replaced + sql.substring(close + 1))
+  }
+
+  /** Positions of top-level (depth-0, non-literal) commas in `args`. */
+  private def topLevelCommas(args: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < args.length) {
+      val c = args.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += i
+        case _ =>
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Index of the `)` balancing the `(` at `openIdx` (literal-aware),
+    * or -1.
+    */
+  private def matchParen(sql: String, openIdx: Int): Int = {
+    var depth = 0
+    var i = openIdx
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** Rewrite PostgreSQL-flavored SQL into Spark-parseable SQL. */
   // ---- `OPERATOR(pg_catalog.op)` explicit-operator syntax + the LIKE
   // operator family (`~~` = LIKE, `~~*` = ILIKE, negations) + COLLATE ----
@@ -178,7 +293,8 @@ object SqlDialect {
 
   def rewrite(sql: String): String = {
     var out = rewriteOperatorSyntax(rewriteAtTimeZone(rewriteStringAgg(
-      rewriteNestedDistinctOn(rewriteDistinctOn(sql)))))
+      rewriteArrayAgg(rewriteArrayToString(
+        rewriteNestedDistinctOn(rewriteDistinctOn(sql)))))))
     // ANY/ALL first (its pattern consumes an optional ::type[] suffix),
     // then standalone array-literal casts — both BEFORE the scalar-cast
     // loop, which would otherwise mangle `'{a,b}'::text[]` into

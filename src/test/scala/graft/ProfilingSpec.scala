@@ -49,6 +49,31 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((0, 5L, 42L, 42L)))
   }
 
+  test("data-quality checks count planted violations exactly") {
+    import org.apache.spark.sql.DataFrame
+    val t: DataFrame = Seq(
+      (1L, Option(10L), "O"), (2L, Option(20L), "F"),
+      (2L, Option(20L), "F"),            // duplicate key (1 extra row)
+      (3L, None, "O"),                   // null FK
+      (4L, Option(99L), "X"),            // orphan FK + bad status
+      (5L, Option(10L), "P")
+    ).toDF("k", "fk", "status")
+    val parent = Seq(10L, 20L).toDF("pk")
+    def one(df: DataFrame): (String, Long, Long) = {
+      val r = df.collect().head
+      (r.getString(0), r.getLong(2), r.getLong(3))
+    }
+    assert(one(Profiling.checkNotNull(t, "t", "fk")) === (("not_null:fk", 1L, 6L)))
+    assert(one(Profiling.checkUnique(t, "t", "k")) === (("unique:k", 1L, 6L)))
+    assert(one(Profiling.checkAcceptedValues(t, "t", "status",
+      Seq("O", "F", "P"))) === (("accepted_values:status", 1L, 6L)))
+    assert(one(Profiling.checkRefIntegrity(t, "t", "fk", parent, "pk"))
+      === (("ref_integrity:fk", 1L, 6L)))
+    // keys 1,2,2,3,4,5 against [2,4]: 1 below, 5 above
+    assert(one(Profiling.checkRange(t.select(col("k")), "t", "k", 2L, 4L))
+      === (("range:k", 2L, 6L)))
+  }
+
   test("histogram: non-divisible range still caps the max into nBuckets-1") {
     val df = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("cents") // range 7, nb 3
     val got = Profiling.histogram(df, "cents", nBuckets = 3)

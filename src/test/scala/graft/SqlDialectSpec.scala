@@ -456,4 +456,44 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(r.contains("LEAST(a, b)") && r.contains("GREATEST(c, d)"))
     assert(!r.toLowerCase.contains("overlaps"))
   }
+
+  test("array_agg ORDER BY rewrites to the struct-sort form") {
+    val asc = SqlDialect.rewrite("SELECT array_agg(x ORDER BY y) FROM t")
+    assert(asc.contains(
+      "transform(array_sort(array_agg(named_struct('o', y, 'v', x))), s -> s.v)"),
+      asc)
+    val desc = SqlDialect.rewrite("SELECT array_agg(x ORDER BY y DESC) FROM t")
+    assert(desc.startsWith("SELECT reverse(transform(array_sort("), desc)
+    // plain, DISTINCT, and multi-key forms stay untouched (fallback path)
+    assert(SqlDialect.rewriteArrayAgg("SELECT array_agg(x) FROM t")
+      === "SELECT array_agg(x) FROM t")
+    assert(SqlDialect.rewriteArrayAgg(
+      "SELECT array_agg(DISTINCT x ORDER BY x) FROM t")
+      === "SELECT array_agg(DISTINCT x ORDER BY x) FROM t")
+    assert(SqlDialect.rewriteArrayAgg(
+      "SELECT array_agg(x ORDER BY y, z) FROM t")
+      === "SELECT array_agg(x ORDER BY y, z) FROM t")
+    // a string literal containing the name is immune
+    assert(SqlDialect.rewriteArrayAgg("SELECT 'array_agg(x ORDER BY y)'")
+      === "SELECT 'array_agg(x ORDER BY y)'")
+  }
+
+  test("array_to_string rewrites to array_join with the element cast") {
+    val r = SqlDialect.rewrite("SELECT array_to_string(arr, ',') FROM t")
+    assert(r ===
+      "SELECT array_join(transform(arr, __x -> CAST(__x AS STRING)), ',') FROM t")
+    // composed: outer array_to_string over an ordered array_agg
+    val c = SqlDialect.rewrite(
+      "SELECT array_to_string(array_agg(a ORDER BY a), ';') FROM t")
+    assert(c.contains("array_join(transform(") && c.contains("named_struct"), c)
+    // 3-arg (null replacement) form left for the pushdown fallback
+    assert(SqlDialect.rewriteArrayToString(
+      "SELECT array_to_string(arr, ',', 'NULL') FROM t")
+      === "SELECT array_to_string(arr, ',', 'NULL') FROM t")
+    // delimiter containing parens/commas inside the literal is safe
+    val tricky = SqlDialect.rewriteArrayToString(
+      "SELECT array_to_string(f(a, b), '(,)') FROM t")
+    assert(tricky ===
+      "SELECT array_join(transform(f(a, b), __x -> CAST(__x AS STRING)), '(,)') FROM t")
+  }
 }
