@@ -128,7 +128,13 @@ object Bench {
     "text_readability", "events_paths", "mix_to_target",
     "multimodal_phash",
     // dbt-style declarative checks and the ordered-array_agg dialect path
-    "table_checks", "tap_array_agg")
+    "table_checks", "tap_array_agg",
+    // date-spine LOCF gap fill and per-user interval union
+    "q_gap_fill", "events_interval_union",
+    // Pareto frontier, multi-source BFS, bitmask audience overlap,
+    // fixed-point EWMA, integer TF-IDF keywords, winsorized rollup
+    "q_skyline", "graph_bfs", "events_audience_overlap",
+    "events_ewma", "text_keywords", "table_winsorize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

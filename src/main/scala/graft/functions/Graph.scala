@@ -119,6 +119,65 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source BFS hop distance: for every node reachable from
+    * `seeds` within `maxHops` edge traversals, the MINIMUM number of
+    * hops. Emits (`node`, `dist`), seeds at dist 0. The reachability /
+    * blast-radius primitive (supply-chain exposure, contamination
+    * spread over a similarity graph, k-hop neighborhoods for GNN
+    * sampling).
+    *
+    * Algorithm: frontier-only label propagation. Round i joins the
+    * CURRENT FRONTIER (nodes first reached at dist i−1, not the whole
+    * visited set) against the edge list, then anti-joins the visited
+    * set so each node is expanded exactly once — total work is
+    * Σ_frontiers outdeg(frontier) ≤ m over the whole run, the textbook
+    * Pregel BFS. Each round is one hash join + one distinct + one
+    * left-anti join, all key-partitioned; per-round localCheckpoint
+    * truncates lineage so k rounds never stack into one plan. No
+    * windows, no collect, no driver-side graph.
+    *
+    * The hop-bounded distance SET is deterministic (min over paths), so
+    * a SQL recursive-CTE replay with UNION-dedup per level must match
+    * bit-for-bit.
+    */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String,
+                maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var visited = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = visited
+    var i = 1
+    while (i <= maxHops && !frontier.isEmpty) {
+      val next = bfsStep(frontier, e, visited, i).localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+      i += 1
+    }
+    visited
+  }
+
+  /** One BFS round (the unit [[bfsLevels]] checkpoints per hop —
+    * exposed so the plan shape is auditable: frontier ⋈ edges is a
+    * key-partitioned hash join, the visited exclusion a left-anti hash
+    * join; no windows, no cartesian anywhere).
+    */
+  private[graft] def bfsStep(frontier: DataFrame, e: DataFrame,
+                             visited: DataFrame, i: Int): DataFrame =
+    frontier
+      .join(e, col("node") === col("src"))
+      .select(col("dst").as("node"))
+      .distinct()
+      .join(visited.select("node"), Seq("node"), "left_anti")
+      .withColumn("dist", lit(i))
+
   /** One power-iteration superstep (the unit [[pageRankFixedPoint]]
     * checkpoints per round — exposed so the plan shape is auditable:
     * PlanAuditSpec asserts the contribution sum partial-aggregates and

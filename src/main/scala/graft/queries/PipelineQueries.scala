@@ -2551,6 +2551,34 @@ object PipelineQueries {
             .otherwise(lit("customer")).as("kind"))
     }),
 
+    // Multi-source BFS blast radius over the same customer–supplier
+    // bipartite graph as graph_pagerank: hop distance (≤ 4) from the
+    // 20 highest-degree customers. Frontier-only expansion — each node
+    // is expanded once, total join work ≤ |E| across all rounds; the
+    // hop-bounded min-distance set is order-invariant so the recursive
+    // CTE (UNION-deduped per level) replays it exactly.
+    "graph_bfs" -> ((spark, dir) => {
+      val orders = Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 10000000L).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val seeds = pairs.groupBy(col("c").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("node"))
+        .limit(20)
+      graft.functions.Graph.bfsLevels(edges, "src", "dst",
+          seeds, "node", maxHops = 4)
+        .select(col("node"), col("dist"),
+          when(col("node") >= 10000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"))
+    }),
+
     // Attribute-filtered ANN — hard-negative mining: each query's top-10
     // most-similar vectors with a DIFFERENT label, via the IVF probe with
     // the label predicate applied BEFORE any cosine is computed. Emitted
@@ -3013,6 +3041,166 @@ object PipelineQueries {
               expr("substring(__sh, 23)")))
             .otherwise(col("h")).as("h"))
       Multimodal.phashPairs(planted, "doc_id", col("h"))
+    }),
+
+    // Per-user interval union: each event opens a 30-minute activity
+    // interval; overlapping intervals merge (gaps-and-islands on a keyed
+    // window — prev-max-end then running island sum), reporting island
+    // counts and total covered seconds per user — all epoch-second
+    // integers. Tie rows (same start+end) are island-invariant, so both
+    // engines agree regardless of within-frame tie order.
+    "events_interval_union" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("s"))
+        .withColumn("e", col("s") + 1800L)
+      val ord = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+      val marked = ev
+        .withColumn("pmax", max(col("e")).over(
+          ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          (col("pmax").isNull || col("s") > col("pmax")).cast("long"))
+      marked
+        .withColumn("island", sum(col("new_island")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("ie") - col("is")).as("covered_s"))
+    }),
+
+    // Streaming twin of events_interval_union: the watermark-sealed
+    // session fold (an island IS a gap-1800s session) emits each merged
+    // interval exactly once with epoch-second bounds; the per-user
+    // rollup after the drain must hash-match the batch window form
+    // under the SAME oracle.
+    "events_interval_union_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq((-1L, sentinelTs)).toDF("user_id", "ts")
+      val streamed = graft.streaming.EventStream.intervalUnionExact(
+        streamWithSentinel(spark, ev, sentinel, delaySec)
+          .as[graft.streaming.EventStream.SessionEvent], lenSeconds = 1800L)
+      graft.streaming.EventStream.runToMemory(
+        streamed.toDF(), "events_interval_union_stream_out",
+        OutputMode.Append())
+      spark.table("events_interval_union_stream_out")
+        .where(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("island_e") - col("island_s")).as("covered_s"))
+    }),
+
+    // Per-user fixed-point EWMA over the last 16 events: weight halves
+    // per step of recency (w_j = 2^(16−j), j = recency rank), numerator
+    // and denominator emitted as exact integers so the result is
+    // bit-portable — a double-accumulated EWMA is reduce-order-
+    // dependent and could never hash-check. One keyed window (bounded
+    // top-16 per user) + one partial-aggregated groupBy; ties on ts
+    // broken by event_id so the rank is a total order.
+    "events_ewma" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 16)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents") * expr("shiftleft(1L, 16 - rn)"))
+            .as("ewma_num"),
+          sum(expr("shiftleft(1L, 16 - rn)")).as("ewma_den"))
+    }),
+
+    // Per-doc keyword extraction: top-3 terms by integer TF-IDF-ish
+    // score (tf·10⁶ div df — the rational idf ordering without a
+    // partition-order-dependent ln sum). Token explode → two partial-
+    // aggregated counts (tf keyed by doc, df by term), one term-keyed
+    // hash join back, one doc-keyed bounded window. Ties: higher tf,
+    // then lexicographically smaller term.
+    "text_keywords" -> ((spark, dir) => {
+      val toks = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(length(col("term")) >= 5)
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tf").desc, col("term"))
+      tf.join(df_, "term")
+        .withColumn("score", expr("(tf * 1000000L) div df"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("score"),
+          col("rk"))
+    }),
+
+    // Audience overlap matrix: for every event-type pair, how many
+    // distinct users did both. The scale shape is ONE shuffle of the
+    // distinct (user, type) pairs into per-user bitmasks (type vocab is
+    // tiny — indexed via a broadcast 6-row dimension), then a ≤2^|types|
+    // row mask histogram joined against the type-pair grid — the
+    // user-level self-join (what the oracle runs, per-user |types|²
+    // blowup) never happens on the big side.
+    "events_audience_overlap" -> ((spark, dir) => {
+      val ut = Tables.read(spark, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val idx = ut.select("event_type").distinct()
+        .withColumn("idx",
+          row_number().over(Window.orderBy("event_type")) - 1)
+      val hist = ut.join(broadcast(idx), "event_type")
+        .groupBy("user_id")
+        .agg(sum(expr("shiftleft(1L, idx)")).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n"))
+      val pairs = idx.select(col("event_type").as("type_a"),
+          col("idx").as("ia"))
+        .join(idx.select(col("event_type").as("type_b"),
+          col("idx").as("ib")), col("type_a") < col("type_b"))
+      hist.join(broadcast(pairs),
+          expr("((mask >> ia) & 1) = 1 AND ((mask >> ib) & 1) = 1"))
+        .groupBy("type_a", "type_b")
+        .agg(sum(col("n")).as("n_users"))
+    }),
+
+    // Winsorized rollup: per returnflag, exact p05/p95 price cuts via
+    // the integer cum-weight election (cum·20 ≥ total / ≥ 19·total —
+    // same engine-agnostic percentile form as q_weighted_median, no
+    // float quantile semantics to disagree on), then outliers clamped
+    // to the cuts and re-summed. Value-histogram first (the window
+    // orders DISTINCT cents per flag, not rows), cuts re-join as a
+    // broadcast per-flag dimension.
+    "table_winsorize" -> ((spark, dir) => {
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val hist = li.groupBy("l_returnflag", "cents")
+        .agg(count(lit(1)).as("w"))
+      val wc = Window.partitionBy("l_returnflag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cuts = hist
+        .withColumn("cum", sum(col("w")).over(wc))
+        .withColumn("total", sum(col("w")).over(
+          Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(min(when(col("cum") * 20 >= col("total"), col("cents")))
+          .as("lo_cents"),
+          min(when(col("cum") * 20 >= col("total") * 19, col("cents")))
+            .as("hi_cents"))
+      hist.join(broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max(col("lo_cents")).as("lo_cents"),
+          max(col("hi_cents")).as("hi_cents"),
+          sum(col("w") * greatest(col("lo_cents"),
+            least(col("hi_cents"), col("cents")))).as("win_sum_cents"),
+          sum(when(col("cents") < col("lo_cents"), col("w"))
+            .otherwise(lit(0L))).as("n_lo"),
+          sum(when(col("cents") > col("hi_cents"), col("w"))
+            .otherwise(lit(0L))).as("n_hi"))
     }),
 
     // Declarative data-quality checks (the dbt-test surface) against a
@@ -5581,6 +5769,30 @@ object PipelineQueries {
     * string field never decides. Shared by er_resolve and its
     * incremental twin (labels provably identical).
     */
+  // gaps-and-islands replay of the 30-minute activity-interval union;
+  // shared by the batch (window) and streaming (watermark-sealed fold)
+  // entries — both must reproduce it bit-for-bit
+  private val intervalUnionOracle: String =
+    """WITH ev AS (SELECT user_id,
+      |    epoch(date_trunc('second', ts)) AS s,
+      |    epoch(date_trunc('second', ts)) + 1800 AS e FROM events),
+      |m AS (SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM ev),
+      |k AS (SELECT user_id, s, e,
+      |    CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+      |      AS new_island FROM m),
+      |i AS (SELECT user_id, s, e,
+      |    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM k),
+      |g AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_islands,
+      |  CAST(sum(i_e - i_s) AS BIGINT) AS covered_s
+      |FROM g GROUP BY 1""".stripMargin
+
   private lazy val erResolveOracle: String = s"""
         |WITH RECURSIVE p AS (SELECT id_a, id_b
         |  FROM read_parquet('__OUT__/er_match/*.parquet')),
@@ -5806,6 +6018,25 @@ object PipelineQueries {
     "events_scd2_stream" -> scd2Oracle,
     "events_scd2" -> scd2Oracle,
     "graph_pagerank" -> pagerankOracle(5),
+    // recursive CTE, UNION-deduped per (node, dist) level, min over
+    // dists — the order-invariant replay of the frontier expansion
+    "graph_bfs" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |seeds AS (SELECT c AS node FROM pairs GROUP BY c
+        |  ORDER BY count(*) DESC, c LIMIT 20),
+        |r AS (SELECT node, 0 AS dist FROM seeds
+        |  UNION
+        |  SELECT e.dst AS node, r.dist + 1 AS dist
+        |  FROM r JOIN edges e ON e.src = r.node WHERE r.dist < 4)
+        |SELECT node, CAST(min(dist) AS INT) AS dist,
+        |  CASE WHEN node >= 10000000 THEN 'supplier' ELSE 'customer' END
+        |    AS kind
+        |FROM r GROUP BY node""".stripMargin,
     // annPairOracle + the filter contract: the neighbor join carries
     // `n.label <> q.label`, so a same-label emission loses its row
     "sim_filtered" -> """
@@ -6106,6 +6337,69 @@ object PipelineQueries {
         |    least(1000000, m.min_avail * 1000000 // a.avail_tokens)
         |    AS admitted
         |FROM d JOIN a USING (source), m""".stripMargin,
+    // same oracle for batch and streaming: the drained island set must
+    // be bit-identical to the window-computed one
+    "events_interval_union_stream" -> intervalUnionOracle,
+    "events_interval_union" -> intervalUnionOracle,
+    "events_ewma" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents * (CAST(1 AS BIGINT) << (16 - rn))) AS BIGINT)
+        |    AS ewma_num,
+        |  CAST(sum(CAST(1 AS BIGINT) << (16 - rn)) AS BIGINT) AS ewma_den
+        |FROM r WHERE rn <= 16 GROUP BY 1""".stripMargin,
+    "text_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE length(term) >= 5 GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    (tf.tf * 1000000) // df.df AS score
+        |  FROM tf JOIN df USING (term)),
+        |r AS (SELECT doc_id, term, tf, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, tf DESC, term) AS INT) AS rk
+        |  FROM s)
+        |SELECT doc_id, term, tf, score, rk FROM r WHERE rk <= 3""".stripMargin,
+    "table_winsorize" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, cents, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM h),
+        |cuts AS (SELECT l_returnflag,
+        |    min(CASE WHEN cum * 20 >= total THEN cents END) AS lo_cents,
+        |    min(CASE WHEN cum * 20 >= total * 19 THEN cents END)
+        |      AS hi_cents
+        |  FROM c GROUP BY 1)
+        |SELECT h.l_returnflag, max(lo_cents) AS lo_cents,
+        |  max(hi_cents) AS hi_cents,
+        |  CAST(sum(w * greatest(lo_cents, least(hi_cents, cents)))
+        |    AS BIGINT) AS win_sum_cents,
+        |  CAST(sum(CASE WHEN cents < lo_cents THEN w ELSE 0 END)
+        |    AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN cents > hi_cents THEN w ELSE 0 END)
+        |    AS BIGINT) AS n_hi
+        |FROM h JOIN cuts USING (l_returnflag) GROUP BY 1""".stripMargin,
+    // the naive per-user self-join replay of the bitmask aggregation
+    "events_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
     // the same planted corruption replayed; CASE order pins the
     // null-beats-orphan precedence for keys ≡ both moduli
     "table_checks" ->

@@ -480,6 +480,62 @@ object SqlQueries {
           max(col("total")).as("total_w"))
     }),
 
+    // Time-series gap filling: the hour spine (sequence per type from a
+    // broadcast 1-row bounds aggregate), observed counts left-joined in,
+    // missing hours forward-filled with last-observation-carried-forward
+    // (keyed window, IGNORE NULLS) and 0 before the first observation.
+    // The date-spine + LOCF idiom every reporting warehouse runs.
+    "q_gap_fill" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val hourly = ev
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = hourly.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("observed", col("n").isNotNull)
+        .withColumn("filled_n",
+          coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L)))
+        .select(col("event_type"), col("h").as("hour_start"),
+          col("observed"), col("filled_n"))
+    }),
+
+    // 2D skyline (Pareto frontier): suppliers not strictly dominated on
+    // (total quantity, revenue) by any other supplier. Two-stage prune —
+    // a bucket-partitioned running-max window first (each bucket's local
+    // skyline is a superset of its global-frontier members, so the
+    // global pass runs over survivors only: the distributive-skyline
+    // shape that avoids a corpus-wide single-partition sort at 100 TB),
+    // then the same RANGE window globally. The RANGE frame
+    // (UNBOUNDED PRECEDING .. 1 PRECEDING over qty DESC) sees exactly
+    // the strictly-greater-qty rows, so `pmax <= rev` IS un-dominance;
+    // the oracle replays with the naive NOT EXISTS quadratic form.
+    "q_skyline" -> ((spark, dir) => {
+      val s = Tables.read(spark, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("suppkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("qty"),
+          sum(floor(col("l_extendedprice") * 100)).cast("long")
+            .as("rev_cents"))
+      def prune(df: org.apache.spark.sql.DataFrame,
+                w: org.apache.spark.sql.expressions.WindowSpec) = {
+        val pm = max(col("rev_cents")).over(
+          w.orderBy(col("qty").desc)
+            .rangeBetween(Window.unboundedPreceding, -1))
+        df.withColumn("pmax", pm)
+          .where(col("pmax").isNull || col("pmax") <= col("rev_cents"))
+          .drop("pmax")
+      }
+      val local = prune(s.withColumn("b", pmod(col("suppkey"), lit(32))),
+        Window.partitionBy("b")).drop("b")
+      prune(local, Window.partitionBy())
+    }),
+
     // Deterministic per-group mode: most frequent l_quantity per
     // (returnflag, linestatus), ties to the LARGER value — elected with
     // one max(struct(cnt, value)) aggregate, no window.
@@ -1044,6 +1100,33 @@ object SqlQueries {
         |  min(CASE WHEN cum * 2 >= total THEN cents END) AS wmedian_cents,
         |  max(total) AS total_w
         |FROM c GROUP BY 1""".stripMargin,
+    "q_gap_fill" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |    date_trunc('hour', max(ts)) AS hi FROM events),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |s AS (SELECT ty.event_type,
+        |    unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+        |  FROM ty, b),
+        |j AS (SELECT s.event_type, s.h, hourly.n FROM s
+        |  LEFT JOIN hourly ON s.event_type = hourly.event_type
+        |    AND s.h = hourly.h)
+        |SELECT event_type, CAST(h AS TIMESTAMP) AS hour_start,
+        |  n IS NOT NULL AS observed,
+        |  CAST(COALESCE(last_value(n IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |    AS BIGINT) AS filled_n
+        |FROM j""".stripMargin,
+    "q_skyline" ->
+      """WITH s AS (SELECT l_suppkey AS suppkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty,
+        |    CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT suppkey, qty, rev_cents FROM s a
+        |WHERE NOT EXISTS (SELECT 1 FROM s b
+        |  WHERE b.qty > a.qty AND b.rev_cents > a.rev_cents)""".stripMargin,
     "q_mode_exact" ->
       """WITH c AS (SELECT l_returnflag, l_linestatus,
         |    CAST(l_quantity AS BIGINT) AS q, count(*) AS cnt

@@ -460,6 +460,10 @@ object EventStream {
   final case class SessionExactState(open: Option[SessionState],
                                      buf: Vector[Long])
 
+  /** Merged activity interval: epoch-second bounds, event count. */
+  final case class SpanOut(user_id: Long, island_s: Long,
+                           island_e: Long, n_events: Long)
+
   /** Watermark-ordered EXACT gap sessionization — the [[funnelExact]]
     * buffer pattern applied to sessions: arrivals are held per user until
     * the event-time watermark seals them, then folded in EVENT-TIME order
@@ -483,9 +487,33 @@ object EventStream {
   def sessionizeExact(events: Dataset[SessionEvent],
                       gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    sessionFold[SessionOut](events, gapMinutes * 60L * 1000L,
+      (user, s) => SessionOut(user, new java.sql.Timestamp(s.start), s.n))
+  }
+
+  /** Streaming twin of the batch interval-union (gaps-and-islands) entry:
+    * each event opens a `lenSeconds` activity interval; overlapping
+    * intervals merge. An island IS a gap-`lenSeconds` session (intervals
+    * [s, s+L] and [t, t+L] with s ≤ t overlap iff t − s ≤ L — exactly the
+    * inclusive session-merge boundary), so this reuses the watermark-
+    * sealed [[sessionizeExact]] fold verbatim and only the emission
+    * differs: epoch-second island bounds (`island_e = last + L`), ready
+    * for the same per-user covered-seconds rollup the batch oracle runs.
+    */
+  def intervalUnionExact(events: Dataset[SessionEvent],
+                         lenSeconds: Long): Dataset[SpanOut] = {
+    import events.sparkSession.implicits._
+    sessionFold[SpanOut](events, lenSeconds * 1000L,
+      (user, s) => SpanOut(user, s.start / 1000L,
+        s.last / 1000L + lenSeconds, s.n))
+  }
+
+  private def sessionFold[O](events: Dataset[SessionEvent], gapMs: Long,
+                             emit: (Long, SessionState) => O)(
+      implicit enc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionExactState, SessionOut](
+      .flatMapGroupsWithState[SessionExactState, O](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, evts: Iterator[SessionEvent],
          state: GroupState[SessionExactState]) =>
@@ -494,7 +522,7 @@ object EventStream {
           val buf = prev.buf ++ evts.map(_.ts.getTime)
           val wm = state.getCurrentWatermarkMs()
           val (ready, hold) = buf.partition(_ <= wm)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          val out = scala.collection.mutable.ArrayBuffer.empty[O]
           var cur = prev.open.orNull
           ready.sorted.foreach { t =>
             cur match {
@@ -502,12 +530,12 @@ object EventStream {
               case s if t - s.last <= gapMs =>
                 cur = SessionState(s.start, t, s.n + 1)
               case s =>
-                out += SessionOut(user, new java.sql.Timestamp(s.start), s.n)
+                out += emit(user, s)
                 cur = SessionState(t, t, 1)
             }
           }
           if (cur != null && wm >= cur.last + gapMs) {
-            out += SessionOut(user, new java.sql.Timestamp(cur.start), cur.n)
+            out += emit(user, cur)
             cur = null
           }
           if (hold.isEmpty && cur == null) state.remove()

@@ -505,6 +505,96 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank window must partition by the range bucket:\n$l"))
   }
 
+  test("q_gap_fill: spine explodes from broadcast bounds; windows are keyed") {
+    val plan = executedPlan("q_gap_fill")
+    assert(plan.contains("Generate"), s"expected sequence+explode spine:\n$plan")
+    val windows = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty && windows.forall(_.contains("event_type")),
+      s"LOCF window must partition by event_type:\n${windows.mkString("\n")}")
+  }
+
+  test("events_interval_union: keyed windows only, two partial aggs") {
+    val plan = executedPlan("events_interval_union")
+    val windows = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")),
+      s"island windows must partition by user_id:\n${windows.mkString("\n")}")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"island and per-user aggregates must map-side combine:\n$plan")
+  }
+
+  test("q_skyline: bucket-local prune before the global window; no cartesian") {
+    val plan = executedPlan("q_skyline")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not plan the quadratic dominance join:\n$plan")
+    val windows = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windows.length >= 2, s"expected local+global prune windows:\n$plan")
+    assert(windows.exists(_.contains("b#")),
+      s"first prune must partition by the hash bucket:\n${windows.mkString("\n")}")
+    assert(plan.contains("partial_sum"),
+      s"supplier rollup must map-side combine:\n$plan")
+  }
+
+  test("graph_bfs round: frontier hash join + anti join, no window/cartesian") {
+    import org.apache.spark.sql.functions._
+    val e = spark.range(100).select((col("id") % 10).as("src"),
+      ((col("id") * 7) % 10).as("dst"))
+    val seeds = spark.range(2).select(col("id").as("node"),
+      lit(0).as("dist"))
+    val plan = graft.functions.Graph.bfsStep(seeds, e, seeds, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"no window:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"visited exclusion must be a left-anti hash join:\n$plan")
+    // keys-only distinct plans as partial+final HashAggregate around the
+    // node-key exchange — both phases must be present
+    assert(plan.split("\n").count(_.contains("HashAggregate")) >= 2,
+      s"frontier distinct must two-phase aggregate:\n$plan")
+  }
+
+  test("events_ewma: one keyed window, map-side combined rollup") {
+    val plan = executedPlan("events_ewma")
+    val windows = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")),
+      s"recency rank must partition by user_id:\n${windows.mkString("\n")}")
+    assert(plan.contains("partial_sum"),
+      s"EWMA sums must map-side combine:\n$plan")
+  }
+
+  test("text_keywords: doc-keyed rank window; tf/df aggregate partially") {
+    val plan = executedPlan("text_keywords")
+    val windows = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"keyword rank must partition by doc_id:\n${windows.mkString("\n")}")
+    assert(plan.contains("partial_count"),
+      s"tf/df counts must map-side combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("table_winsorize: cuts broadcast back; histogram windows are flag-keyed") {
+    val plan = finalPlan("table_winsorize").split("== Initial Plan ==")(0)
+    val windows = plan.split("\n").filter(_.contains("windowspecdefinition"))
+    assert(windows.nonEmpty && windows.forall(_.contains("l_returnflag")),
+      s"cum/total windows must partition by returnflag:\n${windows.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-flag cuts must re-join as a broadcast dim:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"value histogram must map-side combine:\n$plan")
+  }
+
+  test("events_audience_overlap: big side shuffles once into masks; pair grid broadcast") {
+    val plan = finalPlan("events_audience_overlap").split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"),
+      s"the per-user type self-join must never plan:\n$plan")
+    // only tiny sides (≤2^|types| hist rows, |types|² grid) may nest
+    val bnlj = plan.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.length <= 2,
+      s"only the mask-histogram × pair-grid joins may nest:\n${bnlj.mkString("\n")}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"mask aggregation must map-side combine:\n$plan")
+  }
+
   test("multimodal_phash: payload hex never shuffles — signatures only") {
     val plan = finalPlan("multimodal_phash").split("== Initial Plan ==")(0)
     assert(!plan.contains("CartesianProduct"),

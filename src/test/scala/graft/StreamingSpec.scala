@@ -325,6 +325,38 @@ class StreamingSpec extends AnyFunSuite {
       (1L, ts("2024-01-01 11:30:00"), 1L)))
   }
 
+  // The interval-union fold shares sessionizeExact's machinery; this pins
+  // its OWN contract — epoch-second island bounds with end = last + L —
+  // under the same cross-batch disorder, including the exactly-touching
+  // boundary (11:30 starts ≤ 30 min after 11:00's interval opens ⇒ one
+  // island spanning both).
+  test("intervalUnionExact merges exact islands under cross-batch disorder") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def es(s: String) = ts(s).getTime / 1000L
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStream.intervalUnionExact(
+        in.toDF().toDF("user_id", "ts").withWatermark("ts", "2 hours")
+          .as[EventStream.SessionEvent], lenSeconds = 1800L)
+      .toDF().writeStream.outputMode("append").format("memory")
+      .queryName("iu_ooo_out").start()
+    // 10:20 (merges with 10:00) arrives AFTER the 11:00/11:30 pair,
+    // which themselves touch exactly at the 30-minute boundary
+    in.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-01 11:30:00")))
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 10:20:00")))
+    q.processAllAvailable()
+    in.addData((99L, ts("2024-01-02 12:00:00"))) // sentinel: drains user 1
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("iu_ooo_out").where(col("user_id") === 1L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, es("2024-01-01 10:00:00"), es("2024-01-01 10:50:00"), 2L),
+      (1L, es("2024-01-01 11:00:00"), es("2024-01-01 12:00:00"), 2L)))
+  }
+
   // An event delivered AFTER a newer one of a different type must still
   // extend its own run once sealed — unbuffered folding would emit a
   // spurious a|b|a run split; the watermark buffer recovers the exact
