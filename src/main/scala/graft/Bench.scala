@@ -134,7 +134,9 @@ object Bench {
     // Pareto frontier, multi-source BFS, bitmask audience overlap,
     // fixed-point EWMA, integer TF-IDF keywords, winsorized rollup
     "q_skyline", "graph_bfs", "events_audience_overlap",
-    "events_ewma", "text_keywords", "table_winsorize")
+    "events_ewma", "text_keywords", "table_winsorize",
+    // hopping windows, wide-to-long melt, exact correlation moments
+    "events_hopping", "q_unpivot", "table_corr_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

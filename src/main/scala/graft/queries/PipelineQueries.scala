@@ -2268,6 +2268,44 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))),
 
+    // Hopping (sliding) windows — the third windowed-aggregation family
+    // next to tumbling (events_hourly) and session (events_session_window):
+    // 1-hour windows every 30 minutes, each event in exactly 2. Spark's
+    // window() explodes the assignment before the partial aggregate, so
+    // the shuffle carries (window, type) partial sums — 2× the tumbling
+    // volume, never row-level fan-out.
+    "events_hopping" -> ((spark, dir) =>
+      Tables.read(spark, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("vdec"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("vdec").cast("double").as("value_sum"))),
+
+    // The same hopping windows through the watermarked streaming path in
+    // Append mode — each of an event's two windows emits exactly once
+    // when the watermark passes its end; the sentinel pushes it past
+    // every real window. Same oracle as the batch form.
+    "events_hopping_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq(("noop", sentinelTs, 0.0))
+        .toDF("event_type", "ts", "value")
+      val agg = streamWithSentinel(spark, ev, sentinel, delaySec)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("vdec"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("vdec").cast("double").as("value_sum"))
+      graft.streaming.EventStream.runToMemory(
+        agg, "events_hopping_stream_out", OutputMode.Append())
+      spark.table("events_hopping_stream_out")
+        .where(col("event_type") =!= "noop")
+    }),
+
     // The canonical streaming shape — watermarked tumbling-window
     // aggregation in Append mode — at the gate: each hour window emits
     // exactly once when the watermark passes its end (the sentinel pushes
@@ -3165,6 +3203,39 @@ object PipelineQueries {
           expr("((mask >> ia) & 1) = 1 AND ((mask >> ib) & 1) = 1"))
         .groupBy("type_a", "type_b")
         .agg(sum(col("n")).as("n_users"))
+    }),
+
+    // Pairwise correlation SUFFICIENT STATISTICS over the numeric
+    // measures — n, Σx, Σy, Σxy, Σx², Σy² per measure pair, the exact
+    // integer moments a feature-correlation / drift monitor derives r
+    // from. A float corr() is reduce-order-dependent and could never
+    // hash-check; these moments are exact (per-row products stay in
+    // Long, the sums ride DECIMAL(38)). One generate (6 structs/row)
+    // into a partial-aggregated 6-group rollup — no self-join of the
+    // measure columns.
+    "table_corr_stats" -> ((spark, dir) => {
+      val li = Tables.read(spark, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price"),
+        floor(col("l_discount") * 100).cast("long").as("disc"),
+        floor(col("l_tax") * 100).cast("long").as("tax"))
+      val ms = Seq("qty", "price", "disc", "tax")
+      val pairs = for {
+        i <- ms.indices; j <- (i + 1) until ms.size
+      } yield (ms(i), ms(j))
+      li.select(explode(array(pairs.map { case (a, b) =>
+          struct(lit(a).as("ma"), lit(b).as("mb"),
+            col(a).as("x"), col(b).as("y"))
+        }: _*)).as("p"))
+        .groupBy(col("p.ma").as("measure_a"), col("p.mb").as("measure_b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p.x")).as("sum_x"), sum(col("p.y")).as("sum_y"),
+          sum((col("p.x") * col("p.y")).cast("decimal(38,0)"))
+            .cast("double").as("sum_xy"),
+          sum((col("p.x") * col("p.x")).cast("decimal(38,0)"))
+            .cast("double").as("sum_xx"),
+          sum((col("p.y") * col("p.y")).cast("decimal(38,0)"))
+            .cast("double").as("sum_yy"))
     }),
 
     // Winsorized rollup: per returnflag, exact p05/p95 price cuts via
@@ -5516,6 +5587,10 @@ object PipelineQueries {
         |COUNT(*) AS n_events,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // each event replayed into both of its 30-min-slide hour windows;
+    // shared by the batch and Append-mode streaming forms
+    "events_hopping" -> hoppingOracle,
+    "events_hopping_stream" -> hoppingOracle,
     // identical oracle to events_hourly: Append-mode windowed aggregation
     // must reproduce the batch hourly rollup bit-for-bit
     "events_hourly_stream" ->
@@ -5769,6 +5844,21 @@ object PipelineQueries {
     * string field never decides. Shared by er_resolve and its
     * incremental twin (labels provably identical).
     */
+  // hopping-window replay: an event at t belongs to the hour windows
+  // starting at floor30(t) and floor30(t) − 30 min (second-truncation is
+  // bucket-safe — boundaries sit on whole minutes)
+  private val hoppingOracle: String =
+    """WITH e AS (SELECT event_type, value,
+      |    to_timestamp((epoch(date_trunc('second', ts))::BIGINT // 1800)
+      |      * 1800) AS b
+      |  FROM events),
+      |w AS (SELECT event_type, value,
+      |    unnest([b, b - INTERVAL 30 MINUTE]) AS ws FROM e)
+      |SELECT CAST(ws AS TIMESTAMP) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   // gaps-and-islands replay of the 30-minute activity-interval union;
   // shared by the batch (window) and streaming (watermark-sealed fold)
   // entries — both must reproduce it bit-for-bit
@@ -6368,6 +6458,25 @@ object PipelineQueries {
         |      ORDER BY score DESC, tf DESC, term) AS INT) AS rk
         |  FROM s)
         |SELECT doc_id, term, tf, score, rk FROM r WHERE rk <= 3""".stripMargin,
+    "table_corr_stats" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS disc,
+        |    CAST(floor(l_tax * 100) AS BIGINT) AS tax FROM lineitem),
+        |p AS (
+        |  SELECT 'qty' AS measure_a, 'price' AS measure_b,
+        |    qty AS x, price AS y FROM li
+        |  UNION ALL SELECT 'qty', 'disc', qty, disc FROM li
+        |  UNION ALL SELECT 'qty', 'tax', qty, tax FROM li
+        |  UNION ALL SELECT 'price', 'disc', price, disc FROM li
+        |  UNION ALL SELECT 'price', 'tax', price, tax FROM li
+        |  UNION ALL SELECT 'disc', 'tax', disc, tax FROM li)
+        |SELECT measure_a, measure_b, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sum_xy,
+        |  CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sum_xx,
+        |  CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS sum_yy
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "table_winsorize" ->
       """WITH h AS (SELECT l_returnflag,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,

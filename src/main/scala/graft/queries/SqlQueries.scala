@@ -506,6 +506,24 @@ object SqlQueries {
           col("observed"), col("filled_n"))
     }),
 
+    // Wide-to-long UNPIVOT (the inverse of q_pivot): per-flag measure
+    // sums melted to (flag, measure, value) rows via the native melt —
+    // a projection + generate over the 3-row aggregate, no shuffle
+    // beyond the rollup itself. Measures integer-ized first (qty units,
+    // price/discount cents) so the long column is one exact LONG.
+    "q_unpivot" -> ((spark, dir) => {
+      val agg = Tables.read(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100)).cast("long")
+            .as("sum_price_cents"),
+          sum(floor(col("l_discount") * 100)).cast("long")
+            .as("sum_disc_cents"))
+      agg.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price_cents"), col("sum_disc_cents")),
+        "measure", "value")
+    }),
+
     // 2D skyline (Pareto frontier): suppliers not strictly dominated on
     // (total quantity, revenue) by any other supplier. Two-stage prune —
     // a bucket-partitioned running-max window first (each bucket's local
@@ -1119,6 +1137,18 @@ object SqlQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
         |    AS BIGINT) AS filled_n
         |FROM j""".stripMargin,
+    "q_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |    CAST(sum(floor(l_extendedprice * 100)) AS BIGINT)
+        |      AS sum_price_cents,
+        |    CAST(sum(floor(l_discount * 100)) AS BIGINT) AS sum_disc_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price_cents', sum_price_cents FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_disc_cents', sum_disc_cents FROM a""".stripMargin,
     "q_skyline" ->
       """WITH s AS (SELECT l_suppkey AS suppkey,
         |    CAST(sum(l_quantity) AS BIGINT) AS qty,

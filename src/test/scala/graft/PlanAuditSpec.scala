@@ -553,6 +553,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"frontier distinct must two-phase aggregate:\n$plan")
   }
 
+  test("events_hopping: window fan-out feeds a partial aggregate, no window fn") {
+    val plan = executedPlan("events_hopping")
+    assert(plan.contains("Expand") || plan.contains("Generate"),
+      s"hopping assignment must expand before the aggregate:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"hopping agg must map-side combine:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"no analytic window anywhere:\n$plan")
+  }
+
+  test("q_unpivot: melt is expand-over-aggregate — no join, no shuffle after rollup") {
+    val plan = executedPlan("q_unpivot")
+    assert(plan.contains("Expand") || plan.contains("Generate"),
+      s"unpivot must plan as expand/generate:\n$plan")
+    assert(!plan.contains("Join"), s"no join in a melt:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"measure rollup must map-side combine:\n$plan")
+  }
+
+  test("table_corr_stats: pair explode partial-aggregates to 6 groups, no self-join") {
+    val plan = executedPlan("table_corr_stats")
+    assert(plan.contains("Generate"),
+      s"pair stacking must be a generate:\n$plan")
+    assert(!plan.contains("Join"),
+      s"measure pairs must not plan a self-join:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"moment sums must map-side combine:\n$plan")
+  }
+
   test("events_ewma: one keyed window, map-side combined rollup") {
     val plan = executedPlan("events_ewma")
     val windows = plan.split("\n").filter(_.contains("windowspecdefinition"))
