@@ -607,6 +607,185 @@ object Curation {
           .otherwise(size(split(col("encoded"), " ")).cast("long")))
   }
 
+  /** WordPiece initial tokenization of one word: first char plain,
+    * every later char `##`-prefixed ("cat" → "c ##a ##t") — the BERT
+    * convention, where the prefix marks continuation-of-word so merged
+    * pieces keep their word-position class. Assumes the corpus alphabet
+    * contains no literal `#` (true of the fixture; a production caller
+    * would escape it in normalization).
+    */
+  private def wpInitTokens(w: Column): Column =
+    concat_ws(" ", transform(
+      sequence(lit(1), length(w)),
+      i => when(i === 1, w.substr(i, lit(1)))
+        .otherwise(concat(lit("##"), w.substr(i, lit(1))))))
+
+  /** WordPiece merge fusion: the joined piece keeps the LEFT element's
+    * word-position class, so the continuation marker of the right
+    * element is absorbed ("c"+"##a" → "ca", "##a"+"##t" → "##at").
+    */
+  private def wpFuse(a: String, b: String): String =
+    a + (if (b.startsWith("##")) b.substring(2) else b)
+
+  /** WordPiece vocabulary induction — BPE's iteration machinery with the
+    * WordPiece LIKELIHOOD objective: each step merges the adjacent pair
+    * maximizing `count(a,b) / (count(a)·count(b))` (the unigram-LM
+    * likelihood-gain approximation of Wu et al. 2016 §3.1 / the BERT
+    * training recipe), not the raw pair count. The score is compared on
+    * the exact integer plane: `score_fp = (cnt·10¹⁸) div (cnt_a·cnt_b)`
+    * — one fixed-point truncating division (Spark's decimal `div` and
+    * DuckDB's `//` truncate identically), so the argmax and the emitted
+    * score are bit-portable across engines; ties break lexicographically
+    * on (a, b). Emits one row per merge:
+    * (step, a, b, cnt_ab, cnt_a, cnt_b, score_fp).
+    *
+    * Scale shape — identical to [[bpeCharVocab]]: ONE corpus pass builds
+    * the word histogram; all `k` iterations run over the weighted vocab
+    * (pair counts AND token counts are vocab-sized aggregates), so the
+    * per-iteration cost at 100 TB is a MB-scale job and the merge table
+    * is the only driver-side data. The fixed-point scale bounds: counts
+    * ≤ ~10¹³ keep `cnt·10¹⁸` inside DECIMAL(38,0) exactly.
+    */
+  def wordpieceVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    var cur = df.where(length(trim(col(textCol))) > 0)
+      .select(explode(split(norm, " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(wpInitTokens(col("w")).as("t"), col("n"))
+      .persist()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long, Long, Long)]
+    try {
+      var step = 1
+      var done = false
+      while (step <= k && !done) {
+        // project the split ONCE (lambda-recompute trap, see bpeMergeTable)
+        val toksed = cur.select(split(col("t"), " ").as("toks"), col("n"))
+        val tokCnt = toksed
+          .select(explode(col("toks")).as("tok"), col("n"))
+          .groupBy("tok").agg(sum(col("n")).as("c"))
+        val pairs = toksed.where(size(col("toks")) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("a"),
+              element_at(col("toks"), (i + lit(1)).cast("int")).as("b"))))
+            .as("p"), col("n"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).as("cnt"))
+        val topOpt = pairs
+          .join(tokCnt.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+          .join(tokCnt.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
+          .withColumn("score_fp", expr(
+            "CAST(cnt AS DECIMAL(38,0)) * 1000000000000000000 div " +
+              "(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))"))
+          .orderBy(col("score_fp").desc, col("a"), col("b")).limit(1)
+          .collect().headOption
+        topOpt match {
+          case None => done = true
+          case Some(r) =>
+            val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+            val cnt = r.getAs[Long]("cnt")
+            val ca = r.getAs[Long]("ca")
+            val cb = r.getAs[Long]("cb")
+            val fp = r.getAs[Long]("score_fp")
+            merges += ((step, a, b, cnt, ca, cb, fp))
+            val doubled = concat(lit(" "),
+              regexp_replace(col("t"), " ", "  "), lit(" "))
+            val next = cur.select(trim(replace(
+                replace(doubled, lit(s" $a  $b "), lit(s" ${wpFuse(a, b)} ")),
+                lit("  "), lit(" "))).as("t"), col("n"))
+              .persist()
+            next.count() // materialize before dropping the parent
+            cur.unpersist()
+            cur = next
+        }
+        step += 1
+      }
+    } finally cur.unpersist()
+    merges.toSeq.toDF("step", "a", "b", "cnt_ab", "cnt_a", "cnt_b", "score_fp")
+  }
+
+  /** The final WordPiece piece inventory: the corpus ALPHABET (every
+    * word-initial char plain, every continuation char `##`-prefixed —
+    * the base vocabulary induction starts from) plus the `k` merged
+    * pieces. Alphabet collection is charset-bounded metadata (≤ 2×
+    * distinct codepoints), the same driver-size contract as the PQ
+    * codebooks.
+    */
+  def wordpieceFinalVocab(df: DataFrame, textCol: String,
+                          merges: Seq[(String, String)]): Seq[String] = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val alpha = df.where(length(trim(col(textCol))) > 0)
+      .select(explode(split(norm, " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .select(explode(split(wpInitTokens(col("w")), " ")).as("p"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    alpha ++ merges.map { case (a, b) => wpFuse(a, b) }
+  }
+
+  /** WordPiece ENCODE — greedy longest-match-first inference (the BERT
+    * rule) over the final piece inventory. Encodes each DISTINCT word
+    * once through the native [[graft.plans.WordPieceEncodeF]] kernel
+    * (O(len·maxPiece) per word, whole-stage codegen), then documents
+    * re-encode by one word → pieces join — the [[bpeCharApplyVocab]]
+    * plan shape, which is the one that survives a 30k-piece production
+    * vocabulary: vocabulary-sized encode work plus ONE corpus join, no
+    * per-merge corpus passes at all. A word with an unmatchable
+    * position encodes to `[UNK]` (cannot happen when the vocabulary was
+    * induced on the same corpus: the alphabet covers every char).
+    * Emits (id, encoded, n_pieces); blank documents encode to "".
+    */
+  def wordpieceApply(df: DataFrame, textCol: String, idCol: String,
+                     pieces: Seq[String]): DataFrame = {
+    val vocab = new graft.plans.WordPieceVocab(pieces)
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val words = df.where(length(trim(col(textCol))) > 0)
+      .select(explode(split(norm, " ")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+    val enc = words.select(col("w"),
+      graft.plans.WordPieceEncodeF.wordpieceEncode(col("w"), vocab).as("t"))
+    val exploded = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(split(norm, " ")).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+    val reassembled = exploded.join(enc, "w")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        x => x.getField("t")), " ").as("encoded"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("encoded"), lit("")).as("encoded"))
+      .withColumn("n_pieces",
+        when(col("encoded") === "", lit(0L))
+          .otherwise(size(split(col("encoded"), " ")).cast("long")))
+  }
+
+  /** Per-OCCURRENCE WordPiece encode: the greedy kernel runs inside a
+    * `transform` over each document's token array — one stateless
+    * projection, no join, no shuffle. Output identical to
+    * [[wordpieceApply]] (spec-pinned); the join form amortizes encode
+    * work across repeated words, this form is the STREAMING shape: a
+    * pure row-local map that is exactly-once under any microbatch
+    * split, with the trained piece inventory shipped as task metadata.
+    */
+  def wordpieceApplyPerRow(df: DataFrame, textCol: String, idCol: String,
+                           pieces: Seq[String]): DataFrame = {
+    val vocab = new graft.plans.WordPieceVocab(pieces)
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val blank = length(trim(col(textCol))) === 0
+    val encoded = when(blank, lit("")).otherwise(
+      concat_ws(" ", transform(split(norm, " "),
+        w => graft.plans.WordPieceEncodeF.wordpieceEncode(w, vocab))))
+    df.select(col(idCol), encoded.as("encoded"))
+      .withColumn("n_pieces",
+        when(col("encoded") === "", lit(0L))
+          .otherwise(size(split(col("encoded"), " ")).cast("long")))
+  }
+
   /** Quality-prioritized token-budget fill: admit documents in
     * (quality desc, id) order while the INCLUSIVE running token total
     * stays within `budget` — "the best N tokens", the selection rule a

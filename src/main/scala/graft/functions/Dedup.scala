@@ -1286,4 +1286,71 @@ object Dedup {
         (inter.cast("double") / uni.cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  // ------------------------------------------------------------- Winnowing
+
+  /** Winnowing fingerprint overlap — the MOSS local-fingerprinting scheme
+    * (Schleimer, Wilkerson & Aiken, SIGMOD 2003): positional token
+    * `k`-gram hashes, then each sliding window of `w` consecutive grams
+    * SELECTS its rightmost-minimum hash; the union of selections is the
+    * document's fingerprint set. The guarantee that makes this different
+    * from MinHash: any shared substring of ≥ `w + k − 1` tokens yields at
+    * least one shared fingerprint (detection is POSITIONAL, not
+    * bag-of-shingles), at an expected density of 2/(w+1) of the grams.
+    * Pairs sharing ≥ `minShared` fingerprints emit with their
+    * fingerprint-set Jaccard (integer counts, ONE IEEE division —
+    * bit-portable).
+    *
+    * Hashes are portable md5 hex prefixes (not xxhash64) so the DuckDB
+    * oracle replays selection exactly; the rightmost-min rule is the
+    * lexicographic `min(struct(h, −p))` over the doc-local window frame
+    * `[current, w−1 following]`, evaluated only at full-window starts
+    * (`p ≤ max(G−w+1, 1)`; a doc with fewer than `w` grams winnows its
+    * single partial window so every doc keeps ≥ 1 fingerprint).
+    *
+    * Scale shape: the only corpus-sized shuffles are doc-local (the
+    * per-doc window sort) and the fingerprint-postings self-join, whose
+    * density winnowing already cut ~2/(w+1)× and whose hot keys the
+    * `maxDf` document-frequency cap prunes (boilerplate shared by every
+    * corpus — the same linear pair bound as the stop-shingle cap). No
+    * all-pairs form anywhere.
+    */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 4, w: Int = 4, minShared: Int = 2,
+                  maxDf: Int = 50): DataFrame = {
+    require(k >= 1 && w >= 1 && minShared >= 1 && maxDf >= 1,
+      s"bad winnow params: k=$k w=$w minShared=$minShared maxDf=$maxDf")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(normalizeText(col(textCol)), " ")
+    val grams = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), toks.as("__t"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), greatest(size(col("__t")) - lit(k - 1), lit(1))),
+        i => concat_ws(" ", slice(col("__t"), i, lit(k))))).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"),
+        substring(md5(col("g").cast("binary")), 1, 16).as("h"))
+    val byDoc = Window.partitionBy("doc_id")
+    val frame = byDoc.orderBy("p").rowsBetween(0, w - 1)
+    val sel = grams
+      .withColumn("__rm", min(struct(col("h"), (-col("p")).as("negp")))
+        .over(frame))
+      .withColumn("__g", count(lit(1)).over(byDoc))
+      .where(col("p") <= greatest(col("__g") - lit(w - 1), lit(1)))
+    val fp0 = sel.select(col("doc_id"), col("__rm.h").as("h")).distinct()
+    val hot = fp0.groupBy("h").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("h")
+    val fp = fp0.join(hot, Seq("h"), "left_anti")
+    val sz = fp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val co = fp.select(col("doc_id").as("id_a"), col("h"))
+      .join(fp.select(col("doc_id").as("id_b"), col("h")), "h")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    co.join(sz.select(col("doc_id").as("id_a"), col("sz").as("__sa")), "id_a")
+      .join(sz.select(col("doc_id").as("id_b"), col("sz").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("__sa") + col("__sb") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+  }
 }

@@ -47,4 +47,31 @@ object Skew {
       .agg(phase2(aggs.head._1, aggs.head._2),
         aggs.tail.map(a => phase2(a._1, a._2)): _*)
   }
+
+  /** Salted equi-join for a skewed FACT side against a dimension too big
+    * (or forbidden) to broadcast: the dimension replicates `buckets`×
+    * (explode over the salt range), each fact row picks ONE deterministic
+    * salt, and the join runs on `keys :+ salt` — so a hot key's rows
+    * spread over `buckets` reducers instead of funneling one sort-merge
+    * partition. Result set is EXACTLY the plain join's (each fact row
+    * still meets each matching dim row exactly once — on its own salt
+    * replica); cost is `buckets`× the dim shuffle, the standard trade.
+    *
+    * `salt` must be a deterministic per-row expression on the fact side
+    * (a hash of stable columns), NOT rand(): retries and speculative
+    * tasks must re-derive the same salt or rows silently drop/duplicate
+    * under the join. AQE's OptimizeSkewedJoin handles the
+    * detectable-at-runtime cases; explicit salting remains the tool when
+    * skew is known ahead (power-law keys at 100 TB) or the join sits
+    * inside a cached/bucketed plan AQE won't re-split.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 buckets: Int, salt: Column): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val dimR = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    val factS = fact.withColumn("__salt",
+      pmod(salt, lit(buckets)).cast("int"))
+    factS.join(dimR, keys :+ "__salt").drop("__salt")
+  }
 }

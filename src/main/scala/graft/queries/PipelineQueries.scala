@@ -37,6 +37,16 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(Tables.read(spark, dir, "documents"),
         "text", "doc_id", k = 3, threshold = 0.5)),
 
+    // Winnowing (MOSS) fingerprint overlap: positional 4-gram md5
+    // hashes, rightmost-min selection per 4-gram window, pairs sharing
+    // ≥2 fingerprints with fingerprint-set Jaccard. POSITIONAL overlap
+    // detection (any shared ≥7-token run guarantees a shared
+    // fingerprint) — the plagiarism-detector guarantee bag-of-shingles
+    // schemes don't give.
+    "dedup_winnow" -> ((spark, dir) =>
+      Dedup.winnowPairs(Tables.read(spark, dir, "documents"),
+        "text", "doc_id", k = 4, w = 4, minShared = 2, maxDf = 50)),
+
     // Directed containment |sub∩sup|/|sub| ≥ 0.8 — the asymmetric
     // overlap Jaccard misses (a quote inside a long article). Same
     // pruned postings + one self-join; both directions from the single
@@ -1242,6 +1252,61 @@ object PipelineQueries {
       graft.functions.Curation.bpeCharApplyVocab(docs, "text", "doc_id", merges)
     }),
 
+    // WordPiece vocabulary induction (BERT recipe): BPE's histogram
+    // machinery with the LIKELIHOOD objective — merge the pair
+    // maximizing cnt(a,b)/(cnt(a)·cnt(b)), compared on the exact
+    // fixed-point integer plane (score_fp = cnt·10^18 div ca·cb; Spark
+    // decimal `div` and DuckDB `//` truncate identically) so the argmax
+    // and the emitted score hash-match across engines.
+    "text_wordpiece_vocab" -> ((spark, dir) =>
+      graft.functions.Curation.wordpieceVocab(
+        Tables.read(spark, dir, "documents"), "text", k = 8)),
+
+    // WordPiece ENCODE: greedy longest-match-first (the BERT inference
+    // rule) via the native per-word kernel over the final piece
+    // inventory (alphabet + merges), documents re-encoded by ONE
+    // word → pieces join. Oracle: the induction replay CTE plus a
+    // greedy-match recursion per distinct word.
+    "text_wordpiece_apply" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val merges = graft.functions.Curation
+        .wordpieceVocab(docs, "text", k = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+      val pieces = graft.functions.Curation
+        .wordpieceFinalVocab(docs, "text", merges)
+      graft.functions.Curation.wordpieceApply(docs, "text", "doc_id", pieces)
+    }),
+
+    // Streaming WordPiece encode (twin of text_wordpiece_apply): the
+    // piece inventory trains batch-side, then documents arrive as a
+    // stream and encode through the per-row greedy kernel — a STATELESS
+    // projection (no join, no aggregation, Append mode), exactly-once
+    // under any microbatch split, SAME oracle as the batch entry.
+    "text_wordpiece_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = Tables.read(spark, dir, "documents")
+      val merges = graft.functions.Curation
+        .wordpieceVocab(docs, "text", k = 8)
+        .orderBy("step").collect()
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+      val pieces = graft.functions.Curation
+        .wordpieceFinalVocab(docs, "text", merges)
+      val feed = docs.select(col("doc_id"), col("text"), lit(t0).as("ts"))
+      val sentinel = Seq((-1L, "sentinel",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val enc = graft.functions.Curation.wordpieceApplyPerRow(
+        streamWithSentinel(spark, feed, sentinel, delaySec = 3600L),
+        "text", "doc_id", pieces)
+      graft.streaming.EventStream.runToMemory(
+        enc, "text_wordpiece_stream_out", OutputMode.Append())
+      spark.table("text_wordpiece_stream_out")
+        .where(col("doc_id") =!= -1L)
+    }),
+
     // Pretrained-tokenizer plug-in seam: the merge table induced on the
     // %5 slice round-trips through parquet (ModelIO.saveMerges →
     // loadMerges — the entry point where a REAL GPT-2/SentencePiece
@@ -2389,6 +2454,37 @@ object PipelineQueries {
         window = 16, stride = 8)
     }),
 
+    // Curation AUDIT: the per-document "why was my doc dropped" trail a
+    // production pipeline owes its users — every doc (not just
+    // survivors) with its stage verdicts and ONE reason code, the FIRST
+    // failing stage in pipeline_full's order (exact_dup → low_quality →
+    // benchmark_doc → contaminated → admitted). Same operators, same
+    // single Catalyst DAG; the output is the complement view of
+    // pipeline_full's survivor table.
+    "pipeline_audit" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val keepers = graft.functions.Dedup
+        .dropExactDuplicates(docs, "text", "doc_id")
+        .select(col("doc_id")).withColumn("__keep", lit(true))
+      val contam = graft.functions.Curation.decontaminate(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0), "text", "doc_id", k = 4)
+        .select(col("doc_id"), col("contaminated").as("__c"))
+      docs.select(col("doc_id"),
+          TextAnalysis.qualityScoreFromStats(
+            TextAnalysis.stats(col("text"))).as("quality"))
+        .join(keepers, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("quality"),
+          coalesce(col("__keep"), lit(false)).as("is_keeper"),
+          coalesce(col("__c"), lit(false)).as("contaminated"),
+          when(!coalesce(col("__keep"), lit(false)), lit("exact_dup"))
+            .when(col("quality") < 0.5, lit("low_quality"))
+            .when(col("doc_id") % 97 === 0, lit("benchmark_doc"))
+            .when(coalesce(col("__c"), lit(false)), lit("contaminated"))
+            .otherwise(lit("admitted")).as("reason"))
+    }),
+
     // Salted two-phase aggregation — identical results to the direct
     // groupBy (the oracle IS the direct form), with the hot-key shuffle
     // split across 8 sub-keys.
@@ -2402,6 +2498,27 @@ object PipelineQueries {
         .select(col("l_returnflag"), col("l_linestatus"),
           col("sum_qty").cast("double").as("sum_qty"),
           col("count_qty").as("count_qty"))
+    }),
+
+    // Salted JOIN — the skew mitigation for a fact⋈dim equi-join whose
+    // key is pathological (here: 3 distinct values over all of
+    // lineitem, the worst case for sort-merge). The dim replicates 8×,
+    // each fact row picks one deterministic salt, the join runs on
+    // (key, salt) — bit-identical result to the plain join (the
+    // oracle IS the plain join), hot key spread across 8 reducers.
+    "q_salted_join" -> ((spark, dir) => {
+      val li = Tables.read(spark, dir, "lineitem")
+        .withColumn("k", pmod(col("l_orderkey"), lit(3)))
+      val dim = Tables.read(spark, dir, "region")
+        .where(col("r_regionkey") < 3)
+        .select(col("r_regionkey").cast("long").as("k"), col("r_name"))
+      graft.functions.Skew.saltedJoin(li, dim, Seq("k"), buckets = 8,
+          salt = col("l_partkey") * 7 + col("l_linenumber"))
+        .groupBy("r_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
     }),
 
     // Deterministic content-keyed sampling, portable form: membership is
@@ -3861,6 +3978,197 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN encoded e USING (doc_id)
         |WHERE ($pred)""".stripMargin
 
+  /** WordPiece induction replay: the same recursion shape as the BPE
+    * vocab oracle, but each iteration also aggregates TOKEN counts from
+    * the vocab state and scores pairs on the exact fixed-point plane —
+    * `(cnt·10¹⁸) // (ca·cb)` in HUGEINT, the identical truncating
+    * division Spark's decimal `div` performs — so argmax, fusion (`##`
+    * absorbed from the right element), and the emitted score replay
+    * bit-for-bit.
+    */
+  private val wordpieceVocabOracle: String =
+    raw"""WITH RECURSIVE it AS (
+      |  SELECT 0 AS step, CAST(NULL AS VARCHAR) AS a,
+      |    CAST(NULL AS VARCHAR) AS b, CAST(NULL AS BIGINT) AS cnt_ab,
+      |    CAST(NULL AS BIGINT) AS cnt_a, CAST(NULL AS BIGINT) AS cnt_b,
+      |    CAST(NULL AS BIGINT) AS score_fp,
+      |    (SELECT list(struct_pack(t := array_to_string(
+      |        list_transform(range(1, length(w) + 1),
+      |          i -> CASE WHEN i = 1 THEN w[i:i] ELSE '##' || w[i:i] END),
+      |        ' '), n := cnt))
+      |     FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |        SELECT unnest(string_split(
+      |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |        FROM documents WHERE length(trim(text)) > 0) u
+      |      WHERE length(w) > 0 GROUP BY w)) AS vocab
+      |  UNION ALL
+      |  SELECT g.step + 1,
+      |    struct_extract(g.m, 'a'), struct_extract(g.m, 'b'),
+      |    struct_extract(g.m, 'cnt'), struct_extract(g.m, 'ca'),
+      |    struct_extract(g.m, 'cb'), -struct_extract(g.m, 'negfp'),
+      |    list_transform(g.vocab, e -> struct_pack(
+      |      t := trim(replace(replace(
+      |        ' ' || replace(struct_extract(e, 't'), ' ', '  ') || ' ',
+      |        ' ' || struct_extract(g.m, 'a') || '  ' ||
+      |          struct_extract(g.m, 'b') || ' ',
+      |        ' ' || struct_extract(g.m, 'a') ||
+      |          CASE WHEN struct_extract(g.m, 'b') LIKE '##%'
+      |               THEN struct_extract(g.m, 'b')[3:]
+      |               ELSE struct_extract(g.m, 'b') END || ' '),
+      |        '  ', ' ')),
+      |      n := struct_extract(e, 'n')))
+      |  FROM (
+      |    SELECT it.step, it.vocab,
+      |      min(struct_pack(negfp := -c.fp, a := c.a, b := c.b,
+      |        cnt := c.cnt, ca := c.ca, cb := c.cb)) AS m
+      |    FROM it, LATERAL (
+      |      SELECT pc.a AS a, pc.b AS b, pc.cnt AS cnt,
+      |        ta.c AS ca, tb.c AS cb,
+      |        CAST((CAST(pc.cnt AS HUGEINT) * 1000000000000000000) //
+      |             (CAST(ta.c AS HUGEINT) * CAST(tb.c AS HUGEINT))
+      |          AS BIGINT) AS fp
+      |      FROM (SELECT p.a AS a, p.b AS b, CAST(sum(pn) AS BIGINT) AS cnt
+      |        FROM (
+      |          SELECT unnest(list_transform(range(1, len(tk.toks)),
+      |            i -> struct_pack(a := tk.toks[i], b := tk.toks[i + 1]))) AS p,
+      |            tk.n AS pn
+      |          FROM (SELECT string_split(struct_extract(e2, 't'), ' ') AS toks,
+      |                struct_extract(e2, 'n') AS n
+      |                FROM unnest(it.vocab) AS u(e2)) tk
+      |          WHERE len(tk.toks) >= 2) bp
+      |        GROUP BY 1, 2) pc
+      |      JOIN (SELECT tok, CAST(sum(n2) AS BIGINT) AS c FROM (
+      |            SELECT unnest(string_split(struct_extract(e3, 't'), ' ')) AS tok,
+      |              struct_extract(e3, 'n') AS n2
+      |            FROM unnest(it.vocab) AS u2(e3)) tt
+      |          GROUP BY tok) ta ON ta.tok = pc.a
+      |      JOIN (SELECT tok, CAST(sum(n3) AS BIGINT) AS c FROM (
+      |            SELECT unnest(string_split(struct_extract(e4, 't'), ' ')) AS tok,
+      |              struct_extract(e4, 'n') AS n3
+      |            FROM unnest(it.vocab) AS u3(e4)) tt2
+      |          GROUP BY tok) tb ON tb.tok = pc.b
+      |      ) c
+      |    WHERE it.step < 8
+      |    GROUP BY it.step, it.vocab
+      |  ) g
+      |)
+      |SELECT step, a, b, cnt_ab, cnt_a, cnt_b, score_fp
+      |FROM it WHERE step >= 1""".stripMargin
+
+  /** WordPiece encode replay: the induction recursion above feeds the
+    * final piece inventory (alphabet ∪ fused merges); a second
+    * recursion walks each DISTINCT word with the greedy
+    * longest-match-first rule (min over (−len, piece) at each
+    * position — single deterministic chain per word); documents
+    * re-encode by positional join, the BPE apply oracle's reassembly.
+    */
+  private val wordpieceApplyOracle: String =
+    raw"""WITH RECURSIVE it AS (
+      |  SELECT 0 AS step, CAST(NULL AS VARCHAR) AS a,
+      |    CAST(NULL AS VARCHAR) AS b,
+      |    (SELECT list(struct_pack(t := array_to_string(
+      |        list_transform(range(1, length(w) + 1),
+      |          i -> CASE WHEN i = 1 THEN w[i:i] ELSE '##' || w[i:i] END),
+      |        ' '), n := cnt))
+      |     FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |        SELECT unnest(string_split(
+      |          regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |        FROM documents WHERE length(trim(text)) > 0) u
+      |      WHERE length(w) > 0 GROUP BY w)) AS vocab
+      |  UNION ALL
+      |  SELECT g.step + 1,
+      |    struct_extract(g.m, 'a'), struct_extract(g.m, 'b'),
+      |    list_transform(g.vocab, e -> struct_pack(
+      |      t := trim(replace(replace(
+      |        ' ' || replace(struct_extract(e, 't'), ' ', '  ') || ' ',
+      |        ' ' || struct_extract(g.m, 'a') || '  ' ||
+      |          struct_extract(g.m, 'b') || ' ',
+      |        ' ' || struct_extract(g.m, 'a') ||
+      |          CASE WHEN struct_extract(g.m, 'b') LIKE '##%'
+      |               THEN struct_extract(g.m, 'b')[3:]
+      |               ELSE struct_extract(g.m, 'b') END || ' '),
+      |        '  ', ' ')),
+      |      n := struct_extract(e, 'n')))
+      |  FROM (
+      |    SELECT it.step, it.vocab,
+      |      min(struct_pack(negfp := -c.fp, a := c.a, b := c.b)) AS m
+      |    FROM it, LATERAL (
+      |      SELECT pc.a AS a, pc.b AS b,
+      |        CAST((CAST(pc.cnt AS HUGEINT) * 1000000000000000000) //
+      |             (CAST(ta.c AS HUGEINT) * CAST(tb.c AS HUGEINT))
+      |          AS BIGINT) AS fp
+      |      FROM (SELECT p.a AS a, p.b AS b, CAST(sum(pn) AS BIGINT) AS cnt
+      |        FROM (
+      |          SELECT unnest(list_transform(range(1, len(tk.toks)),
+      |            i -> struct_pack(a := tk.toks[i], b := tk.toks[i + 1]))) AS p,
+      |            tk.n AS pn
+      |          FROM (SELECT string_split(struct_extract(e2, 't'), ' ') AS toks,
+      |                struct_extract(e2, 'n') AS n
+      |                FROM unnest(it.vocab) AS u(e2)) tk
+      |          WHERE len(tk.toks) >= 2) bp
+      |        GROUP BY 1, 2) pc
+      |      JOIN (SELECT tok, CAST(sum(n2) AS BIGINT) AS c FROM (
+      |            SELECT unnest(string_split(struct_extract(e3, 't'), ' ')) AS tok,
+      |              struct_extract(e3, 'n') AS n2
+      |            FROM unnest(it.vocab) AS u2(e3)) tt
+      |          GROUP BY tok) ta ON ta.tok = pc.a
+      |      JOIN (SELECT tok, CAST(sum(n3) AS BIGINT) AS c FROM (
+      |            SELECT unnest(string_split(struct_extract(e4, 't'), ' ')) AS tok,
+      |              struct_extract(e4, 'n') AS n3
+      |            FROM unnest(it.vocab) AS u3(e4)) tt2
+      |          GROUP BY tok) tb ON tb.tok = pc.b
+      |      ) c
+      |    WHERE it.step < 8
+      |    GROUP BY it.step, it.vocab
+      |  ) g
+      |),
+      |words AS (SELECT DISTINCT w FROM (
+      |    SELECT unnest(string_split(
+      |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |    FROM documents WHERE length(trim(text)) > 0) u
+      |  WHERE length(w) > 0),
+      |alpha AS (SELECT DISTINCT
+      |    CASE WHEN i = 1 THEN w[i:i] ELSE '##' || w[i:i] END AS piece
+      |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS i FROM words) z),
+      |mp AS (SELECT a || CASE WHEN b LIKE '##%' THEN b[3:] ELSE b END AS piece
+      |  FROM it WHERE step >= 1),
+      |vocab2 AS (SELECT piece,
+      |    CASE WHEN piece LIKE '##%' THEN piece[3:] ELSE piece END AS raw,
+      |    (piece LIKE '##%') AS cont
+      |  FROM (SELECT DISTINCT piece FROM (
+      |    SELECT piece FROM alpha UNION ALL SELECT piece FROM mp) vv) v),
+      |gw AS (
+      |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST('' AS VARCHAR) AS acc
+      |  FROM words
+      |  UNION ALL
+      |  SELECT s.w, s.pos + length(struct_extract(s.m, 'raw')),
+      |    CASE WHEN s.acc = '' THEN struct_extract(s.m, 'piece')
+      |         ELSE s.acc || ' ' || struct_extract(s.m, 'piece') END
+      |  FROM (SELECT gw.w, gw.pos, gw.acc,
+      |      min(struct_pack(neglen := -length(v.raw), piece := v.piece,
+      |        raw := v.raw)) AS m
+      |    FROM gw JOIN vocab2 v ON v.cont = (gw.pos > 1)
+      |      AND substr(gw.w, CAST(gw.pos AS INT), length(v.raw)) = v.raw
+      |    WHERE gw.pos <= length(gw.w)
+      |    GROUP BY gw.w, gw.pos, gw.acc) s),
+      |encw AS (SELECT words.w AS w, coalesce(d.acc, '[UNK]') AS t
+      |  FROM words LEFT JOIN (SELECT w, acc FROM gw
+      |    WHERE pos = length(w) + 1) d USING (w)),
+      |dws AS (SELECT doc_id, string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |pos AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM dws),
+      |wx AS (SELECT doc_id, i, ws[i] AS w FROM pos WHERE length(ws[i]) > 0),
+      |j AS (SELECT wx.doc_id, wx.i, encw.t FROM wx JOIN encw USING (w)),
+      |encoded AS (SELECT doc_id,
+      |    array_to_string(list(t ORDER BY i), ' ') AS encoded
+      |  FROM j GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(e.encoded, '') AS encoded,
+      |  CASE WHEN COALESCE(e.encoded, '') = '' THEN 0
+      |       ELSE CAST(len(string_split(e.encoded, ' ')) AS BIGINT)
+      |  END AS n_pieces
+      |FROM documents d LEFT JOIN encoded e USING (doc_id)""".stripMargin
+
   def oracles: Map[String, String] = moreOracles ++ Map(
     "dedup_exact" ->
       """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
@@ -3900,6 +4208,39 @@ object PipelineQueries {
         |  CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) AS jaccard
         |FROM co JOIN sz a ON co.id_a = a.doc_id JOIN sz b ON co.id_b = b.doc_id
         |WHERE CAST(n AS DOUBLE) / CAST(a.sz + b.sz - n AS DOUBLE) >= 0.5""".stripMargin,
+    // Winnowing replay: positional 4-gram md5-prefix hashes, the
+    // rightmost-min selection as min(struct(h, −p)) over the identical
+    // doc-local window frame, df-capped postings, shared-count Jaccard
+    "dedup_winnow" ->
+      raw"""WITH t AS (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |g AS (SELECT doc_id, i AS p,
+        |    substring(md5(array_to_string(toks[i:i+3], ' ')), 1, 16) AS h
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i
+        |    FROM t) z),
+        |sel AS (SELECT doc_id, p,
+        |    min(struct_pack(h := h, negp := -p)) OVER (PARTITION BY doc_id
+        |      ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS rm,
+        |    count(*) OVER (PARTITION BY doc_id) AS gcnt
+        |  FROM g),
+        |fp0 AS (SELECT DISTINCT doc_id, struct_extract(rm, 'h') AS h
+        |  FROM sel WHERE p <= greatest(gcnt - 3, 1)),
+        |hot AS (SELECT h FROM (SELECT h, count(*) AS df FROM fp0 GROUP BY h) x
+        |  WHERE df > 50),
+        |fp AS (SELECT doc_id, h FROM fp0 WHERE h NOT IN (SELECT h FROM hot)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM fp GROUP BY doc_id),
+        |co AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fp x JOIN fp y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared,
+        |  CAST(n_shared AS DOUBLE) /
+        |    CAST(a.sz + b.sz - n_shared AS DOUBLE) AS jaccard
+        |FROM co JOIN sz a ON co.id_a = a.doc_id
+        |  JOIN sz b ON co.id_b = b.doc_id
+        |WHERE n_shared >= 2""".stripMargin,
     // LSH eval replay: exact side recomputed with the pruned-postings
     // construction above; found side read from the (deterministic)
     // dedup_minhash dump — counts are exact integers, the two ratios
@@ -4605,6 +4946,12 @@ object PipelineQueries {
     // the vocab-join encode is pure plan shape — same output, same oracle
     "text_bpe_char_apply_vocab" -> bpeCharApplyOracle,
     "text_bpe_pretrained" -> bpeCharApplyOracleWhere("doc_id % 5 = 0"),
+    // WordPiece replay: likelihood-scored merges on the exact
+    // fixed-point plane, then greedy longest-match encode per word
+    "text_wordpiece_vocab" -> wordpieceVocabOracle,
+    "text_wordpiece_apply" -> wordpieceApplyOracle,
+    // the drained stream's per-row encodes fold to the identical table
+    "text_wordpiece_stream" -> wordpieceApplyOracle,
     // lexicon replay: distinct-per-doc token doc-frequencies on the
     // benchmark slice split even/odd, then per-occurrence add-one sums
     "text_score_lexicon" -> lexiconScoreOracle,
@@ -5705,6 +6052,16 @@ object PipelineQueries {
         |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |COUNT(*) AS count_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // the salted join's oracle IS the plain join — salting must be
+    // result-invisible
+    "q_salted_join" ->
+      """SELECT r_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_rows
+        |FROM lineitem JOIN region ON r_regionkey = l_orderkey % 3
+        |WHERE r_regionkey < 3
+        |GROUP BY r_name""".stripMargin,
     // admission-loop replay: exact membership = augmented batch text IN
     // the corpus text set; span membership = any 8-token window of the
     // batch doc in the corpus window set (dedup_substr_ingest's window
@@ -6224,6 +6581,47 @@ object PipelineQueries {
         |  ELSE 'und' END AS lang_pred,
         |  n_tokens, quality
         |FROM s WHERE quality >= 0.5""".stripMargin,
+    // audit replay: keeper set, the pinned quality formula over ALL
+    // docs, the contamination hit set — one reason code per doc in
+    // pipeline_full's stage order
+    "pipeline_audit" -> s"""
+        |WITH keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents
+        |  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),
+        |t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        |  FROM documents),
+        |m AS (SELECT doc_id, toks, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS stopword_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  least(stopword_ratio * 4.0, 1.0) * 0.3 +
+        |  greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
+        |  FROM m),
+        |ntoks AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |  range(1, greatest(len(t) - 3, 1) + 1),
+        |  i -> array_to_string(t[i:i+3], ' '))) AS s FROM ntoks),
+        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id % 97 = 0),
+        |cand AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id % 97 <> 0),
+        |hits AS (SELECT DISTINCT c.doc_id FROM cand c JOIN bench USING (gram))
+        |SELECT d.doc_id, q.quality,
+        |  (k.doc_id IS NOT NULL) AS is_keeper,
+        |  (h.doc_id IS NOT NULL) AS contaminated,
+        |  CASE WHEN k.doc_id IS NULL THEN 'exact_dup'
+        |       WHEN q.quality < 0.5 THEN 'low_quality'
+        |       WHEN d.doc_id % 97 = 0 THEN 'benchmark_doc'
+        |       WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+        |       ELSE 'admitted' END AS reason
+        |FROM documents d JOIN q USING (doc_id)
+        |LEFT JOIN keepers k ON k.doc_id = d.doc_id
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id""".stripMargin,
     // distinct-text counts replayed on the raw normalized strings (the
     // engine counts distinct 64-bit hashes of the same normalization)
     "corpus_overlap" ->

@@ -583,4 +583,107 @@ class CurationSpec extends AnyFunSuite {
       .select(pmod(bucket, lit(1000000L)).as("b")).as[Long].head()
     assert(got(1L)._6 === (b1 < 500000L))
   }
+
+  test("wordpieceVocab: likelihood argmax differs from raw-count BPE") {
+    // histogram aa×10, bc×3 → init "a ##a"×10, "b ##c"×3.
+    // counts a:10 ##a:10 b:3 ##c:3; pair (a,##a)=10 scores 10/100,
+    // pair (b,##c)=3 scores 3/9 — the LIKELIHOOD objective merges the
+    // rarer-but-tighter (b,##c) first, where raw-count BPE would take
+    // (a,##a). Fixed-point keys: 10/100→1e17, 3/9→333...3.
+    val docs = (1 to 10).map(i => (i.toLong, "aa")) ++
+      (11 to 13).map(i => (i.toLong, "bc"))
+    val m = Curation.wordpieceVocab(docs.toDF("doc_id", "text"), "text", k = 5)
+      .orderBy("step")
+      .as[(Int, String, String, Long, Long, Long, Long)].collect()
+    assert(m.length === 2)
+    assert(m(0) === ((1, "b", "##c", 3L, 3L, 3L, 333333333333333333L)))
+    // after bc fuses, only (a,##a) remains: 10·1e18 div 100
+    assert(m(1) === ((2, "a", "##a", 10L, 10L, 10L, 100000000000000000L)))
+  }
+
+  test("wordpieceVocab: fusion absorbs ## and keeps the left class") {
+    // "cat"×2: init "c ##a ##t". counts c:2 ##a:2 ##t:2; both pairs
+    // score 2/4 → lexicographic tie-break picks (##a,##t) → "##at";
+    // then (c,##at) → "cat".
+    val docs = Seq((1L, "cat cat")).toDF("doc_id", "text")
+    val m = Curation.wordpieceVocab(docs, "text", k = 5)
+      .orderBy("step")
+      .as[(Int, String, String, Long, Long, Long, Long)].collect()
+    assert(m.map(r => (r._2, r._3)).toSeq ===
+      Seq(("##a", "##t"), ("c", "##at")))
+  }
+
+  test("wordpieceApply: greedy longest-match, [UNK], blanks, driver replay") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val merges = Curation.wordpieceVocab(docs, "text", k = 8)
+      .orderBy("step")
+      .as[(Int, String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    val pieces = Curation.wordpieceFinalVocab(docs, "text", merges)
+    val got = Curation.wordpieceApply(docs, "text", "doc_id", pieces)
+      .as[(Long, String, Long)].collect()
+      .map { case (id, enc, n) => id -> ((enc, n)) }.toMap
+    // driver replay of greedy longest-match-first
+    val initSet = pieces.filterNot(_.startsWith("##")).toSet
+    val contSet = pieces.filter(_.startsWith("##")).map(_.substring(2)).toSet
+    def encodeWord(w: String): String = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < w.length) {
+        val set = if (pos == 0) initSet else contSet
+        val hit = (w.length to (pos + 1) by -1)
+          .map(e => w.substring(pos, e)).find(set.contains)
+        hit match {
+          case None => return "[UNK]"
+          case Some(p) =>
+            out += (if (pos == 0) p else "##" + p)
+            pos += p.length
+        }
+      }
+      out.mkString(" ")
+    }
+    docs.select("doc_id", "text").as[(Long, String)].collect()
+      .foreach { case (id, text) =>
+        val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        val expect = if (norm.isEmpty) ""
+          else norm.split(" ").map(encodeWord).mkString(" ")
+        assert(got(id)._1 === expect, s"doc $id")
+        val n = if (expect.isEmpty) 0L else expect.split(" ").length.toLong
+        assert(got(id)._2 === n, s"doc $id n_pieces")
+      }
+    // the vocabulary compresses: some doc has fewer pieces than chars
+    assert(got.values.exists(_._2 > 0))
+    // [UNK]: a char outside the training alphabet kills its word only
+    val weird = Seq((1L, "zebra9 cat")).toDF("doc_id", "text")
+    val enc = Curation.wordpieceApply(weird, "text", "doc_id", pieces)
+      .as[(Long, String, Long)].head()
+    assert(enc._2.startsWith("[UNK] "))
+  }
+
+  test("wordpieceApplyPerRow is bit-equal to the vocab-join encode") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val merges = Curation.wordpieceVocab(docs, "text", k = 8)
+      .orderBy("step")
+      .as[(Int, String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    val pieces = Curation.wordpieceFinalVocab(docs, "text", merges)
+    val viaJoin = Curation.wordpieceApply(docs, "text", "doc_id", pieces)
+      .as[(Long, String, Long)].collect().toSet
+    val perRow = Curation.wordpieceApplyPerRow(docs, "text", "doc_id", pieces)
+      .as[(Long, String, Long)].collect().toSet
+    assert(perRow === viaJoin)
+  }
+
+  test("WordPieceEncodeF: empty word and pure-continuation inventory") {
+    import graft.plans.{WordPieceEncodeF, WordPieceVocab}
+    val v = new WordPieceVocab(Seq("a", "##b", "##bc"))
+    import org.apache.spark.unsafe.types.UTF8String
+    def enc(s: String): String =
+      WordPieceEncodeF.encode(UTF8String.fromString(s), v).toString
+    assert(enc("") === "")
+    assert(enc("abc") === "a ##bc")   // longest continuation wins over ##b
+    assert(enc("ab") === "a ##b")
+    assert(enc("ba") === "[UNK]")     // 'b' is continuation-only
+    assert(enc("abd") === "[UNK]")    // mid-word dead end collapses the word
+  }
 }

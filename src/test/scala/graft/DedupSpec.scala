@@ -495,4 +495,39 @@ class DedupSpec extends AnyFunSuite {
     val n = Tables.read(spark, SparkTestSession.Sf, "documents").count()
     assert(rows.length === n)
   }
+
+  test("winnowPairs: shared >= w+k-1 token run guarantees a shared print") {
+    val spark2 = spark
+    import spark2.implicits._
+    // k=4, w=4 → any shared run of >= 7 tokens must share a fingerprint.
+    // docs 1/2 share an 8-token run embedded in different contexts;
+    // doc 3 shares nothing long enough.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"intro words here $shared trailing tail one"),
+      (2L, s"completely different opening $shared other ending"),
+      (3L, "alpha beta gamma nothing else in common at all here")
+    ).toDF("doc_id", "text")
+    val pairs = graft.functions.Dedup
+      .winnowPairs(docs, "text", "doc_id", k = 4, w = 4,
+        minShared = 1, maxDf = 50)
+      .as[(Long, Long, Long, Double)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.contains((1L, 2L)), "positional guarantee violated")
+    assert(byPair((1L, 2L)) >= 1L)
+    // short docs (< w grams) still fingerprint: a 5-token doc has 2
+    // grams, < w, and must keep >= 1 print (partial-window rule)
+    val tiny = Seq((9L, "just five tokens right here")).toDF("doc_id", "text")
+    val fpCount = graft.functions.Dedup
+      .winnowPairs(tiny.union(tiny.withColumn("doc_id", lit(10L))),
+        "text", "doc_id", k = 4, w = 4, minShared = 1, maxDf = 50)
+      .count()
+    assert(fpCount === 1L) // the two identical tiny docs pair up
+    // density: selection keeps a strict subset of gram positions on
+    // real text (the 2/(w+1) expectation, loosely bounded)
+    val real = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val got = graft.functions.Dedup
+      .winnowPairs(real, "text", "doc_id").count()
+    assert(got > 0)
+  }
 }

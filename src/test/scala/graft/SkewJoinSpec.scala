@@ -49,4 +49,39 @@ class SkewJoinSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("saltedJoin: bit-identical to the plain join, salt in the join keys") {
+    val spark2 = spark
+    import spark2.implicits._
+    // hot key 7 carries ~10× the rows; dim has multiple rows per key so
+    // the per-replica fan-out matters (each fact row must meet EVERY
+    // matching dim row exactly once, on its own salt replica)
+    val fact = spark.range(0, 30000)
+      .select(when(col("id") < 20000, 7L).otherwise(col("id") % 11).as("k"),
+        col("id").as("v"))
+    val dim = spark.range(0, 22)
+      .select((col("id") % 11).as("k"), col("id").as("w"))
+    val plainRows = fact.join(dim, "k").select("k", "v", "w")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val salted = graft.functions.Skew
+      .saltedJoin(fact, dim, Seq("k"), buckets = 8, salt = col("v") * 13 + 5)
+    val saltedRows = salted.select("k", "v", "w")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(saltedRows === plainRows)
+    // the physical join really keys on (k, __salt): with broadcast off,
+    // the exchange must hash-partition on both columns
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = graft.functions.Skew
+        .saltedJoin(fact, dim, Seq("k"), buckets = 8, salt = col("v"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"),
+        s"expected the salt in the join keys:\n$plan")
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
