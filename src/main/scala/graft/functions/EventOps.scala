@@ -48,4 +48,35 @@ object EventOps {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__run")
   }
+
+  /** Seasonal profile — the hour-of-day decomposition of an event
+    * series: per (type, hour-of-day) bucket, the event count, exact
+    * value sum, and the bucket's share of its type's traffic in ppm
+    * (`n·10⁶ div type_total` — truncating integer division, bit-portable
+    * like every ppm rate in the mixing family). This is the seasonal
+    * component a naive seasonal decomposition subtracts, and the
+    * baseline a rate-anomaly monitor compares against (events_anomaly's
+    * global-window complement).
+    *
+    * Scale shape: one partial-aggregated groupBy on (type, hod) — ≤
+    * 24·|types| rows out of any corpus — plus a broadcast-sized join of
+    * per-type totals derived from the SAME aggregate (no second corpus
+    * pass). Value sums ride DECIMAL(18,6), cast to double only at
+    * output.
+    */
+  def seasonalProfile(ev: DataFrame, typeCol: String = "event_type",
+                      tsCol: String = "ts",
+                      valueCol: String = "value"): DataFrame = {
+    val byHod = ev
+      .select(col(typeCol).as("event_type"),
+        hour(col(tsCol)).as("hod"),
+        col(valueCol).cast("decimal(18,6)").as("__v"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__vs"))
+    val tot = byHod.groupBy("event_type").agg(sum(col("n")).as("__tot"))
+    byHod.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("hod"), col("n"),
+        col("__vs").cast("double").as("value_sum"),
+        expr("n * 1000000 div __tot").as("share_ppm"))
+  }
 }

@@ -125,6 +125,26 @@ object Profiling {
         lit(table).as("table_name"), col("n_violations"), col("n_rows"))
   }
 
+  /** k-anonymity audit — the governance check a dataset release runs
+    * before publication: group rows by their QUASI-IDENTIFIER tuple
+    * (the columns an attacker could link to an external register) and
+    * flag every equivalence class smaller than `k` — those rows are
+    * re-identifiable and must be suppressed or generalized. Emits one
+    * row per class: the quasi values, `class_size`, `at_risk`.
+    *
+    * Scale shape: one partial-aggregated groupBy on the quasi tuple —
+    * the map-side combine collapses each task's rows to its distinct
+    * classes, so the shuffle carries class counts, not rows. The risky
+    * classes (the usual consumer: a suppression join back) are by
+    * definition the SMALL ones, so the verdict table broadcasts.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1, s"bad kAnonymity args: $quasiCols/$k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", col("class_size") < k)
+  }
+
   def histogram(df: DataFrame, centsCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val vals = df.select(col(centsCol).cast("long").as("__v"))

@@ -3100,6 +3100,24 @@ object PipelineQueries {
           .select(floor(col("o_totalprice") * 100).cast("long").as("cents")),
         "cents", nBuckets = 20)),
 
+    // k-anonymity audit — every (event_type, day, user-bucket)
+    // equivalence class with its size and the < k re-identifiability
+    // flag; the release-gate governance check. One partial-aggregated
+    // groupBy; shuffle carries class counts, not rows.
+    "table_kanon" -> ((spark, dir) =>
+      graft.functions.Profiling.kAnonymity(
+        Tables.read(spark, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            pmod(col("user_id"), lit(97)).as("user_bucket")),
+        Seq("event_type", "day", "user_bucket"), k = 5)),
+
+    // Seasonal (hour-of-day) traffic profile per event type — counts,
+    // exact DECIMAL value sums, and the bucket's integer-exact traffic
+    // share in ppm. ≤ 24·|types| output rows from one aggregate.
+    "events_seasonal" -> ((spark, dir) =>
+      graft.functions.EventOps.seasonalProfile(
+        Tables.read(spark, dir, "events"))),
+
     // Sentence segmentation — lookbehind-free terminal-punctuation split
     // (identical under Java regex and RE2), trimmed, empties dropped;
     // pure projection + generator, no shuffle.
@@ -6728,6 +6746,23 @@ object PipelineQueries {
         |SELECT bucket, count(*) AS n, min(v) AS lo_cents,
         |  max(v) AS hi_cents
         |FROM a GROUP BY 1""".stripMargin,
+    // class sizes replayed directly; % on non-negative ids ≡ pmod
+    "table_kanon" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |user_id % 97 AS user_bucket,
+        |COUNT(*) AS class_size, COUNT(*) < 5 AS at_risk
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // hour-of-day rollup + per-type ppm share (truncating div, exact)
+    "events_seasonal" ->
+      """WITH h AS (SELECT event_type, date_part('hour', ts) AS hod,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, CAST(h.hod AS INT) AS hod, h.n, h.value_sum,
+        |  h.n * 1000000 // t.tot AS share_ppm
+        |FROM h JOIN t USING (event_type)""".stripMargin,
     // the same lookbehind-free pattern under RE2; list index is 1-based
     "text_sentences" ->
       """WITH a AS (SELECT doc_id,
