@@ -48,4 +48,35 @@ object Layout {
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions(col("zval"), col(colA), col(colB))
   }
+
+  /** Zone map (data-skipping statistics index): per `bucket` (the file /
+    * row-group surrogate), per tracked column — min, max, null count —
+    * plus the bucket row count. This is the stats table Delta/Iceberg
+    * keep per file and Spark keeps per parquet row group; materialized
+    * relationally it drives [[pruneDecisions]] without touching data.
+    *
+    * 100 TB shape: ONE partial-aggregated scan (min/max/count all have
+    * map-side combine) emitting #buckets rows — metadata-sized output no
+    * matter how wide the table. No window, no join, no second pass.
+    */
+  def zoneMap(df: DataFrame, bucket: Column, statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "zoneMap needs at least one stat column")
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"nulls_$c"))
+    }
+    df.groupBy(bucket.as("bucket")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Skip/scan decision for a closed-range predicate `lo <= c <= hi`
+    * against a [[zoneMap]]: a bucket is provably skippable when its
+    * value range is disjoint from the predicate range, or when it holds
+    * no non-null values at all (`min` is NULL — a range predicate never
+    * matches NULL). Pure metadata projection over the stats table —
+    * the scan-planning step that at 100 TB turns a full-table read into
+    * a handful of files.
+    */
+  def pruneDecision(statCol: String, lo: Column, hi: Column): Column =
+    col(s"max_$statCol") < lo || col(s"min_$statCol") > hi ||
+      col(s"min_$statCol").isNull
 }

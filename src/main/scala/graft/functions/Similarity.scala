@@ -630,6 +630,75 @@ object Similarity {
     transform(codes, c =>
       when(scale === 0.0, lit(0.0)).otherwise(c.cast("double") / scale))
 
+  /** Sign-bit binary quantization: dim floats → ceil(dim/32) Long words,
+    * bit i of word w set iff `vec[32w+i] >= 0`. 1 bit per dimension —
+    * a 256× compression of float32 embeddings whose Hamming distance
+    * tracks angular distance (the SimHash/LSH hyperplane bound with
+    * axis-aligned planes). Words stay in [0, 2³²) so every value is
+    * integer-exact and engine-portable (no sign-bit packing games).
+    * Output: `idCol` + `sig0..sig{w-1}` — a pure codegen'd projection.
+    */
+  def signPack(df: DataFrame, idCol: String, vecCol: String,
+               dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val nWords = (dim + 31) / 32
+    val words = (0 until nWords).map { w =>
+      (0 until math.min(32, dim - 32 * w)).map { i =>
+        when(element_at(col(vecCol), 32 * w + i + 1) >= 0f,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"sig$w")
+    }
+    df.select(col(idCol) +: words: _*)
+  }
+
+  /** Hamming-signature top-k with exact cosine re-score: sign-pack both
+    * sides, rank the corpus per query by popcount distance on the packed
+    * words (ties → lower id), keep k, THEN join only the winners back to
+    * their float vectors for the exact similarity.
+    *
+    * 100 TB shape: the distance pass streams the corpus's ~16-byte
+    * signatures against a BROADCAST packed query table — the float
+    * vectors never enter the scan, the shuffle carries (query, id,
+    * distance) triples only, and the per-query k-cut is a partial
+    * TakeOrdered, not a global sort. The expensive join back to
+    * embeddings is |queries|·k rows — output-sized. This is the memory
+    * hierarchy of a binary-quantized vector store (sig scan in RAM,
+    * float re-score from storage) as one declarative plan.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, dim: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nWords = (dim + 31) / 32
+    val cp = signPack(corpus, idCol, vecCol, dim)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val qp = signPack(queries, idCol, vecCol, dim)
+      .withColumnRenamed(idCol, "query_id")
+    (0 until nWords).foldLeft(qp) { (df, w) =>
+      df.withColumnRenamed(s"sig$w", s"qsig$w")
+    } match { case qpr =>
+      val ham = (0 until nWords).map { w =>
+        expr(s"bit_count(sig$w ^ qsig$w)")
+      }.reduce(_ + _)
+      val win = Window.partitionBy("query_id")
+        .orderBy(col("hamming"), col("neighbor_id"))
+      val cand = cp.crossJoin(broadcast(qpr))
+        .where(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          ham.cast("int").as("hamming"))
+        .withColumn("rank", row_number().over(win))
+        .where(col("rank") <= k)
+      val cv = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+      val qv = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+      cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("neighbor_id"), col("hamming"),
+          round(cosinePrenormed(col("__qv"), col("__cv"),
+            col("__qn") * col("__cn")), 6).as("sim"),
+          col("rank"))
+    }
+  }
+
   /** ANN quality evaluation as a relational operator: per-query
     * recall@k (overlap with the exact top-k) and reciprocal rank of the
     * TRUE nearest neighbor in the approximate list — the two numbers an

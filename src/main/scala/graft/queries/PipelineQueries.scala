@@ -629,6 +629,17 @@ object PipelineQueries {
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
     }),
 
+    // Binary-quantized ANN: 64-dim float32 → two 32-bit sign words
+    // (256× smaller scan), per-query Hamming top-10 (ties → lower id),
+    // exact cosine re-score joined back for ONLY the winners — the
+    // sig-scan-then-float-rescore memory hierarchy of a binary vector
+    // store. Integer Hamming + the recomputed cosine both hash-check.
+    "sim_hamming" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", dim = 64, k = 10)
+    }),
+
     // ANN candidate sets are probe-order-specific, but the emitted cosine
     // is EXACT: the oracle recomputes it per returned (query, neighbor)
     // pair from the embeddings table and hash-checks the value column.
@@ -2734,6 +2745,25 @@ object PipelineQueries {
             .otherwise(lit("customer")).as("kind"))
     }),
 
+    // Resource-Allocation link prediction over the customer–part
+    // co-purchase bipartite graph: which customer pairs share the most
+    // (rarest) parts. Integer-exact RA scores; hub parts (deg > 30) are
+    // capped out BEFORE the pair expansion so the candidate volume is
+    // ≤ |parts|·30²/2 no matter how skewed the catalog — the top-100
+    // ranking rides TakeOrderedAndProject, never a global sort.
+    "graph_linkpred" -> ((spark, dir) => {
+      val orders = Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      graft.functions.Graph.linkPredictionRA(edges, "cust", "part",
+          maxDeg = 30L)
+        .orderBy(col("ra_score").desc, col("node_a"), col("node_b"))
+        .limit(100)
+    }),
+
     // Attribute-filtered ANN — hard-negative mining: each query's top-10
     // most-similar vectors with a DIFFERENT label, via the IVF probe with
     // the label predicate applied BEFORE any cosine is computed. Emitted
@@ -3001,6 +3031,54 @@ object PipelineQueries {
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
         "l_partkey", "l_suppkey", bits = 10, numPartitions = 32)
         .select("l_orderkey", "l_linenumber", "zval")),
+
+    // Zone-map statistics index (data skipping): per ingest-order bucket
+    // (l_orderkey div 256 — the file surrogate), min/max/null-count for
+    // a date and a measure column + row count. ONE partial-aggregated
+    // scan emitting metadata-sized output — the per-file stats table
+    // (Delta/Iceberg manifests, parquet row-group footers) that lets a
+    // 100 TB scan plan touch only the files a predicate can hit.
+    "layout_stats_index" -> ((spark, dir) =>
+      graft.functions.Layout.zoneMap(
+        Tables.read(spark, dir, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_shipdate").cast("date").as("ship_date"),
+            floor(col("l_extendedprice") * 100).cast("long")
+              .as("price_cents")),
+        expr("l_orderkey div 256"), Seq("ship_date", "price_cents"))),
+
+    // Prune evaluation: zone map over a CLUSTERED layout (month-of-
+    // shipdate buckets) + a two-column range predicate → per-bucket
+    // provable skip decision, cross-checked against the actual matching
+    // row count (pruning soundness: can_skip ⇒ n_match = 0; the date
+    // clustering makes most buckets skippable, the unclustered price
+    // column proves the no-prune negative case). The decision is a
+    // metadata projection over the stats table; the verification count
+    // rides the same single aggregate scan.
+    "layout_prune_eval" -> ((spark, dir) => {
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_shipdate").cast("date").as("ship_date"),
+          floor(col("l_extendedprice") * 100).cast("long")
+            .as("price_cents"))
+      val bucket =
+        (year(col("ship_date")) * 12 + month(col("ship_date")) - 1)
+          .cast("long")
+      val dLo = lit("1995-03-15").cast("date")
+      val dHi = lit("1995-09-15").cast("date")
+      val pLo = lit(100000L)
+      val pHi = lit(5000000L)
+      val zm = graft.functions.Layout.zoneMap(
+        li, bucket, Seq("ship_date", "price_cents"))
+      val dec = zm.select(col("bucket"),
+        (graft.functions.Layout.pruneDecision("ship_date", dLo, dHi) ||
+          graft.functions.Layout.pruneDecision("price_cents", pLo, pHi))
+          .as("can_skip"))
+      val actual = li.groupBy(bucket.as("bucket"))
+        .agg(sum(when(col("ship_date").between(dLo, dHi) &&
+          col("price_cents").between(pLo, pHi), 1L).otherwise(0L))
+          .as("n_match"))
+      dec.join(actual, "bucket")
+    }),
 
     // One-pass per-column table profile (nulls, exact distincts,
     // min/max) — data-contract monitoring for warehouse tables.
@@ -4376,6 +4454,41 @@ object PipelineQueries {
         |  SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM s) t WHERE rank <= 10""".stripMargin,
+    // sign-pack replay (bit i of word w ⇔ embedding[32w+i] >= 0),
+    // popcount Hamming rank with the (hamming, id) tie-break, exact
+    // cosine recomputed for the winners only
+    "sim_hamming" ->
+      """WITH p AS (SELECT vec_id, embedding,
+        |  CAST(list_sum(list_transform(range(1, 33), i ->
+        |    CASE WHEN embedding[i] >= 0 THEN 1::BIGINT << (i - 1)
+        |         ELSE 0 END)) AS BIGINT) AS s0,
+        |  CAST(list_sum(list_transform(range(33, 65), i ->
+        |    CASE WHEN embedding[i] >= 0 THEN 1::BIGINT << (i - 33)
+        |         ELSE 0 END)) AS BIGINT) AS s1
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv, s0 AS q0,
+        |    s1 AS q1 FROM p WHERE vec_id < 8),
+        |h AS (SELECT q.query_id, p.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(p.s0, q.q0)) + bit_count(xor(p.s1, q.q1))
+        |      AS INTEGER) AS hamming
+        |  FROM p CROSS JOIN q WHERE p.vec_id <> q.query_id),
+        |t AS (SELECT query_id, neighbor_id, hamming,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY hamming, neighbor_id) AS INTEGER) AS rank
+        |  FROM h WHERE true),
+        |w AS (SELECT * FROM t WHERE rank <= 10)
+        |SELECT w.query_id, w.neighbor_id, w.hamming,
+        |  round(
+        |   list_sum(list_transform(range(1, len(q.qv)+1),
+        |     i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |   (sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+        |     i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6)
+        |    AS sim,
+        |  w.rank
+        |FROM w JOIN q ON w.query_id = q.query_id
+        |JOIN embeddings e ON w.neighbor_id = e.vec_id""".stripMargin,
     // full greedy replay: each recursion step carries the selected
     // (vectors, norms, ids) and re-derives the next farthest point with
     // the identical IEEE arithmetic and tie-break
@@ -6291,6 +6404,38 @@ object PipelineQueries {
         |    (((l_suppkey % 1024) >> i) & 1) * (1::BIGINT << (2*i+1))))
         |    AS BIGINT) AS zval
         |FROM lineitem""".stripMargin,
+    "layout_stats_index" ->
+      """SELECT l_orderkey // 256 AS bucket, count(*) AS n_rows,
+        |  min(CAST(l_shipdate AS DATE)) AS min_ship_date,
+        |  max(CAST(l_shipdate AS DATE)) AS max_ship_date,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nulls_ship_date,
+        |  min(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS min_price_cents,
+        |  max(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS max_price_cents,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nulls_price_cents
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "layout_prune_eval" ->
+      """WITH li AS (SELECT CAST(l_shipdate AS DATE) AS d,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+        |  FROM lineitem),
+        |b AS (SELECT CAST(year(d) * 12 + month(d) - 1 AS BIGINT)
+        |    AS bucket, d, p FROM li),
+        |zm AS (SELECT bucket, min(d) AS min_d, max(d) AS max_d,
+        |  min(p) AS min_p, max(p) AS max_p,
+        |  CAST(sum(CASE WHEN d BETWEEN DATE '1995-03-15'
+        |      AND DATE '1995-09-15'
+        |    AND p BETWEEN 100000 AND 5000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_match
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket,
+        |  (max_d < DATE '1995-03-15' OR min_d > DATE '1995-09-15'
+        |   OR min_d IS NULL
+        |   OR max_p < 100000 OR min_p > 5000000 OR min_p IS NULL)
+        |    AS can_skip,
+        |  n_match FROM zm""".stripMargin,
     "table_profile" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_returnflag", "l_linestatus").map { c =>
       s"""SELECT '$c' AS column_name,
@@ -6367,6 +6512,19 @@ object PipelineQueries {
         |g AS (SELECT k, max(requested) AS linked FROM d GROUP BY k)
         |SELECT d.doc_id, d.requested, g.linked, g.linked AS purged
         |FROM d JOIN g USING (k)""".stripMargin,
+    // RA replay: same degree window, capped postings self-join, integer
+    // truncating division, (score desc, a, b) top-100
+    "graph_linkpred" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS u, l_partkey AS z
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |d AS (SELECT z, count(*) AS deg FROM e GROUP BY z
+        |  HAVING count(*) BETWEEN 2 AND 30)
+        |SELECT a.u AS node_a, b.u AS node_b, count(*) AS n_common,
+        |  CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_score
+        |FROM e a JOIN d ON a.z = d.z JOIN e b ON b.z = d.z
+        |WHERE a.u < b.u
+        |GROUP BY 1, 2
+        |ORDER BY ra_score DESC, node_a, node_b LIMIT 100""".stripMargin,
     // id-ordered orientation (the triangle set is orientation-invariant)
     // over the emitted er_match pairs
     "graph_triangles" ->

@@ -118,4 +118,28 @@ class GraphOpsSpec extends AnyFunSuite {
       iters = 0).as[(Long, Long)].collect().toMap
     assert(seed === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
   }
+
+  test("linkPredictionRA: rare shared neighbors outscore common ones, hubs capped") {
+    // bipartite: users 1..4 × items 10..13
+    //   item 10: users {1,2}          deg 2 → each pair gets 500000
+    //   item 11: users {1,2,3}        deg 3 → 333333 per pair
+    //   item 12: users {1,2,3,4}      deg 4 → over maxDeg=3, dropped
+    //   item 13: user  {4}            deg 1 → below minDeg, dropped
+    val edges = Seq(
+      (1L, 10L), (2L, 10L),
+      (1L, 11L), (2L, 11L), (3L, 11L),
+      (1L, 12L), (2L, 12L), (3L, 12L), (4L, 12L),
+      (4L, 13L),
+      (1L, 10L) // duplicate edge must not double-count
+    ).toDF("u", "z")
+    val got = Graph.linkPredictionRA(edges, "u", "z", maxDeg = 3L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got === Map(
+      (1L, 2L) -> ((2L, 833333L)),   // 500000 + 333333
+      (1L, 3L) -> ((1L, 333333L)),
+      (2L, 3L) -> ((1L, 333333L))))  // no pair through the capped hub 12
+    // orientation: node_a < node_b always
+    got.keys.foreach { case (a, b) => assert(a < b) }
+  }
 }

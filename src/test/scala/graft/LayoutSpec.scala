@@ -68,6 +68,43 @@ class LayoutSpec extends AnyFunSuite {
     assert(byZ._1 < 256.0, s"z-order must not abandon a: $byZ")
   }
 
+  test("zoneMap: per-bucket min/max/nulls/rows, one partial-agg pass") {
+    val df = Seq(
+      (0L, Some(10L)), (0L, Some(3L)), (0L, None),
+      (1L, None), (1L, None),
+      (2L, Some(-5L))
+    ).toDF("b", "v")
+    val got = Layout.zoneMap(df, col("b"), Seq("v"))
+      .select("bucket", "n_rows", "min_v", "max_v", "nulls_v")
+      .as[(Long, Long, Option[Long], Option[Long], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(0L) === ((0L, 3L, Some(3L), Some(10L), 1L)))
+    assert(got(1L) === ((1L, 2L, None, None, 2L)))
+    assert(got(2L) === ((2L, 1L, Some(-5L), Some(-5L), 0L)))
+    // plan shape: a single aggregate over the scan, no join/window
+    val plan = Layout.zoneMap(df, col("b"), Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
+
+  test("pruneDecision is sound (skip ⇒ no match) and fires on disjoint/all-null") {
+    val df = Seq(
+      (0L, Some(10L)), (0L, Some(20L)),   // overlaps [15,30] → keep
+      (1L, Some(40L)), (1L, Some(55L)),   // min > 30 → skip
+      (2L, None), (2L, None),             // all-null → skip
+      (3L, Some(1L)), (3L, Some(5L))      // max < 15 → skip
+    ).toDF("b", "v")
+    val zm = Layout.zoneMap(df, col("b"), Seq("v"))
+    val dec = zm.select(col("bucket"),
+        Layout.pruneDecision("v", lit(15L), lit(30L)).as("skip"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(dec === Map(0L -> false, 1L -> true, 2L -> true, 3L -> true))
+    // soundness: every skipped bucket has zero rows matching the range
+    val matches = df.where(col("v").between(15L, 30L))
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    dec.filter(_._2).keys.foreach(b => assert(!matches.contains(b), s"bucket $b"))
+  }
+
   test("tableProfile: nulls, exact distincts, min/max per column in one pass") {
     val df = Seq(
       (Some(1L), Some("x")), (Some(1L), None),

@@ -580,4 +580,41 @@ class SimilaritySpec extends AnyFunSuite {
       brute.select(cols.map(col): _*)
         .as[(Long, Int, Int, Long, Long, Boolean)].collect().toSet)
   }
+
+  test("signPack matches the driver bit replay; words stay in [0, 2^32)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 20L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val got = Similarity.signPack(rows.toDF("id", "v"), "id", "v", dim = 64)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (id, v) =>
+      def word(off: Int): Long =
+        (0 until 32).map(i => if (v(off + i) >= 0f) 1L << i else 0L).sum
+      assert(got(id) === ((word(0), word(32))), s"id $id")
+      assert(got(id)._1 >= 0L && got(id)._1 < (1L << 32))
+      assert(got(id)._2 >= 0L && got(id)._2 < (1L << 32))
+    }
+  }
+
+  test("hammingTopK: exact distances on constructed sign patterns + cosine rescore") {
+    // base: all +1; flipK(j): first j dims flipped to -1 → hamming = j
+    def vec(flip: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i < flip) -1f else 1f)
+    val corpus = Seq(
+      (0L, vec(0)), (1L, vec(3)), (2L, vec(10)), (3L, vec(64))
+    ).toDF("id", "v")
+    val q = corpus.where(col("id") === 0L)
+    val got = Similarity.hammingTopK(corpus, q, "id", "v", dim = 64, k = 3)
+      .select("neighbor_id", "hamming", "rank", "sim")
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 3 && got(1L)._3 === 1)
+    assert(got(2L)._2 === 10 && got(2L)._3 === 2)
+    assert(got(3L)._2 === 64 && got(3L)._3 === 3)
+    // exact rescore: cos(all+1, vec(3)) = (64-2*3)/64 = 0.90625
+    assert(got(1L)._4 === 0.90625)
+    assert(got(3L)._4 === -1.0)
+    // self is excluded
+    assert(!got.contains(0L))
+  }
 }
