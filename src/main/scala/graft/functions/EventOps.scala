@@ -79,4 +79,96 @@ object EventOps {
         col("__vs").cast("double").as("value_sum"),
         expr("n * 1000000 div __tot").as("share_ppm"))
   }
+
+  /** Autocorrelation SUFFICIENT STATISTICS per series and lag 1..`maxLag`
+    * — the exact integer moments (n, Σx, Σy, Σxy, Σx², Σy²) that
+    * acf(lag) = corr(x_t, x_{t-lag}) derives from, in the same
+    * reduce-order-portable form as `table_corr_stats` (per-row products
+    * stay in Long, the big sums ride DECIMAL(38) — a float acf could
+    * never hash-check across engines). Pairs where the lagged value
+    * falls off the series start are dropped, so each lag's n is
+    * `series_len − lag` (the standard unpadded ACF sample).
+    *
+    * Input must be a DENSE series (one row per `idxCol` tick per key —
+    * gap-fill zeros first, or lag-k means "k observations ago", not "k
+    * ticks ago").
+    *
+    * 100 TB shape: ONE per-key window pass materializes all maxLag lag
+    * columns (state = maxLag rows per key, keys parallelize), a row-local
+    * explode to (key, lag) pairs, then a partial-aggregated groupBy of
+    * ≤ |keys|·maxLag groups. The series table is already aggregate-sized
+    * (ticks × keys), never raw-event-sized.
+    */
+  def acfStats(series: DataFrame, keyCol: String, idxCol: String,
+               valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(keyCol).orderBy(idxCol)
+    val base = series.select(col(keyCol), col(idxCol),
+      col(valCol).cast("long").as("__x"))
+    val withLags = (1 to maxLag).foldLeft(base) { (df, l) =>
+      df.withColumn(s"__y$l", lag(col("__x"), l).over(w))
+    }
+    withLags
+      .select(col(keyCol), col("__x").as("x"),
+        explode(array((1 to maxLag).map(l =>
+          struct(lit(l).as("l"), col(s"__y$l").as("y"))): _*)).as("p"))
+      .select(col(keyCol), col("p.l").as("lag_k"), col("x"), col("p.y").as("y"))
+      .where(col("y").isNotNull)
+      .groupBy(col(keyCol), col("lag_k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum((col("x") * col("y")).cast("decimal(38,0)"))
+          .cast("double").as("sum_xy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)"))
+          .cast("double").as("sum_xx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)"))
+          .cast("double").as("sum_yy"))
+  }
+
+  /** CUSUM change-point scan, integer-exact: per key, with counts c_i in
+    * series order (prefix sums P_i, totals n and S), the classic
+    * cumulative deviation from the series mean
+    *
+    *   CUSUM_i = P_i − i·S/n      (≡ Σ_{j≤i} (c_j − mean))
+    *
+    * is kept in EXACT integers as dev_i = n·P_i − i·S, and a point is
+    * flagged when |CUSUM_i| exceeds λ·√S (λ = `lambdaNum/lambdaDen`) —
+    * the Brownian-bridge scaling: under a stable Poisson-ish rate,
+    * max|CUSUM| concentrates near √(i·σ²) ≲ √S, so a √S threshold is
+    * scale-free (a fixed FRACTION of S would stop firing as the corpus
+    * grows). The comparison is squared into pure integers:
+    *
+    *   flag_i ⇔ (lambdaDen·dev_i)² > lambdaNum²·n²·S
+    *
+    * — no float ever enters the decision, so it hash-checks across
+    * engines. A sustained rate shift makes |CUSUM| ramp to its maximum
+    * AT the change point (argmax-of-|dev| is the classic estimator);
+    * emitting every flagged tick keeps the operator relational.
+    *
+    * 100 TB shape: one per-key ordered window for (i, P_i) and one
+    * per-key total — per-key state is a running pair, keys parallelize,
+    * and the series table is aggregate-sized (ticks × keys), never
+    * raw-event-sized. Headroom: |dev| ≤ n·S so dev² needs
+    * 2·(log₂n + log₂S) bits — fine in Long for any hourly grid up to
+    * ~10⁷ events per key; past that, cast the squares to DECIMAL(38).
+    */
+  def cusumFlags(series: DataFrame, keyCol: String, idxCol: String,
+                 valCol: String, lambdaNum: Long, lambdaDen: Long): DataFrame = {
+    require(lambdaNum >= 0 && lambdaDen > 0,
+      s"bad lambda $lambdaNum/$lambdaDen")
+    val w = Window.partitionBy(keyCol).orderBy(idxCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(keyCol)
+    val dev = col("__n") * col("__p") - col("__i") * col("__s")
+    series.select(col(keyCol), col(idxCol),
+        col(valCol).cast("long").as("x"))
+      .withColumn("__i", count(lit(1)).over(w))
+      .withColumn("__p", sum(col("x")).over(w))
+      .withColumn("__n", count(lit(1)).over(tot))
+      .withColumn("__s", sum(col("x")).over(tot))
+      .select(col(keyCol), col(idxCol), col("x"), dev.as("dev"),
+        (dev * dev * (lambdaDen * lambdaDen) >
+          col("__n") * col("__n") * col("__s") * (lambdaNum * lambdaNum))
+          .as("flagged"))
+  }
 }

@@ -3196,6 +3196,33 @@ object PipelineQueries {
       graft.functions.EventOps.seasonalProfile(
         Tables.read(spark, dir, "events"))),
 
+    // Autocorrelation sufficient stats (lags 1–3) over the DENSE hourly
+    // count series per event type — zero-filled spine so lag-k means
+    // k HOURS ago, moments in the table_corr_stats exact-integer form.
+    // The series is aggregate-sized; the window is per-type.
+    "events_acf" -> ((spark, dir) =>
+      graft.functions.EventOps.acfStats(
+        denseHourlyCounts(spark, dir), "event_type", "h", "c",
+        maxLag = 3)),
+
+    // CUSUM change-point flags over the same dense hourly series, with a
+    // deterministic +3/hour rate shift planted on the 'error' type's
+    // last third (hour 480 of the 720-hour span) so the detector has a
+    // true change to find at every SF; threshold λ·√S with λ = 3/2,
+    // compared in squared integers — no float in the decision.
+    "events_cusum" -> ((spark, dir) => {
+      val dense = denseHourlyCounts(spark, dir)
+      val bounds = dense.agg(min(col("h")).as("lo")).select(
+        (col("lo") + expr("INTERVAL 480 HOURS")).as("cut"))
+      val planted = dense.crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("h"),
+          when(col("event_type") === "error" && col("h") >= col("cut"),
+            col("c") + 3L).otherwise(col("c")).as("c"))
+      graft.functions.EventOps.cusumFlags(planted, "event_type", "h",
+          "c", lambdaNum = 3L, lambdaDen = 2L)
+        .withColumnRenamed("h", "hour_start")
+    }),
+
     // Sentence segmentation — lookbehind-free terminal-punctuation split
     // (identical under Java regex and RE2), trimmed, empties dropped;
     // pure projection + generator, no shuffle.
@@ -3523,6 +3550,26 @@ object PipelineQueries {
     * the anomaly inequality).
     */
   private def pow2(c: org.apache.spark.sql.Column) = c * c
+
+  /** Dense per-type hourly count series over the global [min, max] hour
+    * span (zero-filled spine — shared by events_acf / events_cusum; the
+    * q_gap_fill construction without the carry-forward).
+    */
+  private def denseHourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.read(spark, dir, "events")
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    hourly.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      .join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("c"), lit(0L)).as("c"))
+  }
 
   /** DuckDB replay of [[Multimodal.dHash56Sql]] — same sampled positions,
     * same comparisons, same shift weights, on the same hex plane.
@@ -6921,6 +6968,60 @@ object PipelineQueries {
         |SELECT h.event_type, CAST(h.hod AS INT) AS hod, h.n, h.value_sum,
         |  h.n * 1000000 // t.tot AS share_ppm
         |FROM h JOIN t USING (event_type)""".stripMargin,
+    // dense zero-filled spine, per-type lag windows, exact-integer
+    // moments (products summed via HUGEINT, cast to DOUBLE at the end)
+    "events_acf" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h
+        |    FROM events),
+        |cnt AS (SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |g AS (SELECT t.event_type,
+        |    unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e) t, b),
+        |d AS (SELECT g.event_type, g.h, coalesce(cnt.c, 0) AS x
+        |  FROM g LEFT JOIN cnt USING (event_type, h)),
+        |l AS (SELECT event_type, x,
+        |    lag(x, 1) OVER pk AS y1,
+        |    lag(x, 2) OVER pk AS y2,
+        |    lag(x, 3) OVER pk AS y3
+        |  FROM d WINDOW pk AS (PARTITION BY event_type ORDER BY h)),
+        |p AS (
+        |  SELECT event_type, 1 AS lag_k, x, y1 AS y FROM l
+        |  UNION ALL SELECT event_type, 2, x, y2 FROM l
+        |  UNION ALL SELECT event_type, 3, x, y3 FROM l)
+        |SELECT event_type, lag_k, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * y) AS DOUBLE) AS sum_xy,
+        |  CAST(sum(x * x) AS DOUBLE) AS sum_xx,
+        |  CAST(sum(y * y) AS DOUBLE) AS sum_yy
+        |FROM p WHERE y IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // same dense spine + planted +3/hour shift on error's last third;
+    // flag comparison in squared integers (λ = 3/2 → 4·dev² > 9·n²·S)
+    "events_cusum" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h
+        |    FROM events),
+        |cnt AS (SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |g AS (SELECT t.event_type,
+        |    unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e) t, b),
+        |d AS (SELECT g.event_type, g.h, coalesce(cnt.c, 0) AS x
+        |  FROM g LEFT JOIN cnt USING (event_type, h)),
+        |pl AS (SELECT d.event_type, d.h AS hour_start,
+        |    CASE WHEN d.event_type = 'error'
+        |      AND d.h >= b.lo + INTERVAL 480 HOUR
+        |      THEN d.x + 3 ELSE d.x END AS x
+        |  FROM d, b),
+        |w AS (SELECT event_type, hour_start, x,
+        |    count(*) OVER pk AS i, sum(x) OVER pk AS p,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    sum(x) OVER (PARTITION BY event_type) AS s
+        |  FROM pl WINDOW pk AS (PARTITION BY event_type
+        |    ORDER BY hour_start ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, hour_start, CAST(x AS BIGINT) AS x,
+        |  CAST(n * p - i * s AS BIGINT) AS dev,
+        |  (4 * (n*p - i*s) * (n*p - i*s) > 9 * n * n * s) AS flagged
+        |FROM w""".stripMargin,
     // the same lookbehind-free pattern under RE2; list index is 1-based
     "text_sentences" ->
       """WITH a AS (SELECT doc_id,

@@ -119,6 +119,50 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(seed === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L, 4L -> 1000000L))
   }
 
+  test("acfStats: exact moments on a hand-computed series, per lag") {
+    // series A: 1,2,3,4 — lag1 pairs (2,1),(3,2),(4,3); lag2 (3,1),(4,2)
+    val s = Seq(("A", 0L, 1L), ("A", 1L, 2L), ("A", 2L, 3L), ("A", 3L, 4L))
+      .toDF("k", "t", "v")
+    val got = EventOps.acfStats(s, "k", "t", "v", maxLag = 2)
+      .select("k", "lag_k", "n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy")
+      .as[(String, Int, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(got(1) === (("A", 1, 3L, 9L, 6L, 20.0, 29.0, 14.0)))
+    assert(got(2) === (("A", 2, 2L, 7L, 3L, 11.0, 25.0, 5.0)))
+  }
+
+  test("acfStats: a period-2 series has negative lag-1 and perfect lag-2 covariance") {
+    val s = (0L until 20L).map(i => ("P", i, if (i % 2 == 0) 10L else 0L))
+      .toDF("k", "t", "v")
+    val m = EventOps.acfStats(s, "k", "t", "v", maxLag = 2)
+      .select("lag_k", "n", "sum_x", "sum_y", "sum_xy")
+      .as[(Int, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // lag 1: x,y always one 10 and one 0 → sum_xy = 0 (perfect anti-phase)
+    assert(m(1)._5 === 0.0)
+    // lag 2: aligned → every even pair contributes 100
+    assert(m(2)._5 === 9 * 100.0)
+  }
+
+  test("cusumFlags: exact dev on a step series, flags only after the shift") {
+    // 8 ticks: 0,0,0,0,10,10,10,10 — mean 5; CUSUM dips to -20 at i=4
+    val s = (0L until 8L).map(i => ("S", i, if (i < 4) 0L else 10L))
+      .toDF("k", "t", "v")
+    val got = EventOps.cusumFlags(s, "k", "t", "v",
+        lambdaNum = 1L, lambdaDen = 1L)
+      .select("t", "x", "dev", "flagged")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // dev_i = n·P_i − i·S = 8·P_i − 40·i
+    assert(got(0L)._3 === -40L && got(3L)._3 === -160L)
+    assert(got(7L)._3 === 0L)
+    // |CUSUM_4| = 20 > 1·√40 ≈ 6.3 → flagged; last tick dev 0 → not
+    assert(got(3L)._4 && got(4L)._4 && !got(7L)._4)
+    // a flat series never flags (dev ≡ 0)
+    val flat = (0L until 8L).map(i => ("F", i, 5L)).toDF("k", "t", "v")
+    assert(EventOps.cusumFlags(flat, "k", "t", "v", 1L, 1L)
+      .where(col("flagged")).count() === 0L)
+  }
+
   test("linkPredictionRA: rare shared neighbors outscore common ones, hubs capped") {
     // bipartite: users 1..4 × items 10..13
     //   item 10: users {1,2}          deg 2 → each pair gets 500000
