@@ -145,6 +145,27 @@ object Profiling {
       .withColumn("at_risk", col("class_size") < k)
   }
 
+  /** l-diversity — [[kAnonymity]]'s companion re-identification check:
+    * a k-anonymous equivalence class is still unsafe if everyone in it
+    * shares the sensitive value (the homogeneity attack). Per
+    * quasi-identifier class: size, number of DISTINCT sensitive values,
+    * and the at-risk flag `n_sensitive < l`.
+    *
+    * 100 TB shape: one exact two-level aggregate — (quasi*, sensitive)
+    * partial count, then a quasi-level rollup — both partial-aggregated,
+    * output is class-count-sized. No window, no self-join.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 1, s"bad lDiversity args: $quasiCols/$l")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n")).as("class_size"),
+        count(lit(1)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+  }
+
   def histogram(df: DataFrame, centsCol: String, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val vals = df.select(col(centsCol).cast("long").as("__v"))

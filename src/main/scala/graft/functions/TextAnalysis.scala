@@ -670,6 +670,57 @@ object TextAnalysis {
         lit(206835L) - expr("(1015 * n_words) div n_sentences") -
           expr("(84600 * n_syllables) div greatest(n_words, 1)"))
 
+  /** Hashing-trick feature index of a token: first 8 md5 hex digits →
+    * integer mod `nFeatures` — the engine-portable hash the repo's
+    * samplers use, so any SQL engine replays the bucket exactly.
+    */
+  private def featureIdx(term: Column, nFeatures: Int): Column =
+    (conv(substring(md5(term.cast("binary")), 1, 8), 16, 10)
+      .cast("long") % nFeatures).cast("int")
+
+  /** Hashing-trick featurization (Weinberger et al. 2009): lowercase
+    * whitespace tokens hashed into a fixed `nFeatures`-bucket space,
+    * emitted as SPARSE (id, feature, tf) rows — the fixed-width,
+    * vocabulary-free text representation quality classifiers train on
+    * (no vocab table to build, ship, or keep consistent across a
+    * 100 TB corpus).
+    *
+    * Scale shape: explode + ONE partial-aggregated groupBy on
+    * (id, feature) — combine happens map-side inside each doc's tokens,
+    * so the shuffle carries at most nFeatures rows per doc.
+    */
+  def hashedFeatures(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nFeatures: Int): org.apache.spark.sql.DataFrame = {
+    require(nFeatures >= 2, s"nFeatures must be >= 2, got $nFeatures")
+    df.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("__term"))
+      .where(length(col("__term")) > 0)
+      .select(col(idCol), featureIdx(col("__term"), nFeatures).as("feature"))
+      .groupBy(col(idCol), col("feature"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Row-local form of [[hashedFeatures]] — identical output, computed
+    * entirely inside the row (HOF histogram over the token array, no
+    * shuffle at all), so it runs as a STATELESS streaming projection
+    * (Append mode, no state store) and as the map-only path when the
+    * id is already unique per row. Bit-equality with the groupBy form
+    * is spec-checked.
+    */
+  def hashedFeaturesPerRow(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, nFeatures: Int): org.apache.spark.sql.DataFrame = {
+    require(nFeatures >= 2, s"nFeatures must be >= 2, got $nFeatures")
+    val feats = transform(
+      filter(tokens(lower(col(textCol))), t => length(t) > 0),
+      t => featureIdx(t, nFeatures))
+    df.select(col(idCol), feats.as("__f"))
+      .select(col(idCol), col("__f"),
+        explode(array_distinct(col("__f"))).as("feature"))
+      .select(col(idCol), col("feature"),
+        size(filter(col("__f"), x => x === col("feature")))
+          .cast("long").as("tf"))
+  }
+
   def sentences(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
     df.select(col(idCol),

@@ -1318,6 +1318,38 @@ object PipelineQueries {
         .where(col("doc_id") =!= -1L)
     }),
 
+    // Hashing-trick featurization: lowercase whitespace tokens hashed
+    // (portable md5-prefix) into 256 buckets, sparse (doc, feature, tf)
+    // rows — the vocabulary-free representation quality classifiers
+    // train on. One explode + one partial-aggregated groupBy.
+    "text_hashed_features" -> ((spark, dir) =>
+      graft.functions.TextAnalysis.hashedFeatures(
+        Tables.read(spark, dir, "documents"), "doc_id", "text",
+        nFeatures = 256)),
+
+    // Streaming twin #27 — the row-local HOF form of the same
+    // featurization as a STATELESS Append-mode projection (no state
+    // store, no watermark dependency): per-doc histograms computed
+    // inside the row, hash-checked against the same oracle as the
+    // batch groupBy form.
+    "text_hashed_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = Tables.read(spark, dir, "documents")
+      val feed = docs.select(col("doc_id"), col("text"), lit(t0).as("ts"))
+      val sentinel = Seq((-1L, "sentinel",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val out = graft.functions.TextAnalysis.hashedFeaturesPerRow(
+        streamWithSentinel(spark, feed, sentinel, delaySec = 3600L),
+        "doc_id", "text", nFeatures = 256)
+      graft.streaming.EventStream.runToMemory(
+        out, "text_hashed_stream_out", OutputMode.Append())
+      spark.table("text_hashed_stream_out")
+        .where(col("doc_id") =!= -1L)
+    }),
+
     // Pretrained-tokenizer plug-in seam: the merge table induced on the
     // %5 slice round-trips through parquet (ModelIO.saveMerges →
     // loadMerges — the entry point where a REAL GPT-2/SentencePiece
@@ -3189,6 +3221,17 @@ object PipelineQueries {
             pmod(col("user_id"), lit(97)).as("user_bucket")),
         Seq("event_type", "day", "user_bucket"), k = 5)),
 
+    // l-diversity — the homogeneity-attack check k-anonymity misses: per
+    // (event_type, day) class, how many DISTINCT users (the sensitive
+    // attribute) it contains; classes below l=5 are re-identifiable even
+    // when large. Two-level exact aggregate, class-count-sized output.
+    "table_ldiversity" -> ((spark, dir) =>
+      graft.functions.Profiling.lDiversity(
+        Tables.read(spark, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            pmod(col("user_id"), lit(97)).as("user_bucket")),
+        Seq("event_type", "day"), "user_bucket", l = 5)),
+
     // Seasonal (hour-of-day) traffic profile per event type — counts,
     // exact DECIMAL value sums, and the bucket's integer-exact traffic
     // share in ppm. ≤ 24·|types| output rows from one aggregate.
@@ -3550,6 +3593,21 @@ object PipelineQueries {
     * the anomaly inequality).
     */
   private def pow2(c: org.apache.spark.sql.Column) = c * c
+
+  /** Hashing-trick replay: lowercase whitespace tokens, first-8-hex-md5
+    * bucket mod 256, per-doc counts — one oracle for the batch groupBy
+    * form and the row-local streaming form.
+    */
+  private val hashedFeaturesOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |f AS (SELECT doc_id,
+      |    CAST(('0x' || substring(md5(term), 1, 8))::BIGINT % 256
+      |      AS INTEGER) AS feature
+      |  FROM t WHERE length(term) > 0)
+      |SELECT doc_id, feature, count(*) AS tf
+      |FROM f GROUP BY 1, 2""".stripMargin
 
   /** Dense per-type hourly count series over the global [min, max] hour
     * span (zero-filled spine — shared by events_acf / events_cusum; the
@@ -6957,6 +7015,16 @@ object PipelineQueries {
         |user_id % 97 AS user_bucket,
         |COUNT(*) AS class_size, COUNT(*) < 5 AS at_risk
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "table_ldiversity" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |COUNT(*) AS class_size,
+        |COUNT(DISTINCT user_id % 97) AS n_sensitive,
+        |COUNT(DISTINCT user_id % 97) < 5 AS at_risk
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // portable md5-prefix bucket replay of the hashing trick; shared by
+    // the batch groupBy form and the row-local streaming twin
+    "text_hashed_features" -> hashedFeaturesOracle,
+    "text_hashed_stream" -> hashedFeaturesOracle,
     // hour-of-day rollup + per-type ppm share (truncating div, exact)
     "events_seasonal" ->
       """WITH h AS (SELECT event_type, date_part('hour', ts) AS hod,

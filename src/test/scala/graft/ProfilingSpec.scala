@@ -81,4 +81,21 @@ class ProfilingSpec extends AnyFunSuite {
     // bucket = v*3 div 7: 0,0,0 | 1,1 | 2,2
     assert(got.toSeq === Seq((0, 3L, 0L, 2L), (1, 2L, 3L, 4L), (2, 2L, 5L, 6L)))
   }
+
+  test("lDiversity: homogeneous class flagged even when k-anonymous") {
+    val df = Seq(
+      // class A: 4 rows, all the same sensitive value → at risk at l=2
+      ("A", "flu"), ("A", "flu"), ("A", "flu"), ("A", "flu"),
+      // class B: 2 rows, 2 distinct values → diverse
+      ("B", "flu"), ("B", "cold"),
+      // class C: null and non-null are distinct sensitive values
+      ("C", null), ("C", "flu")
+    ).toDF("quasi", "diagnosis")
+    val got = Profiling.lDiversity(df, Seq("quasi"), "diagnosis", l = 2)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") === (("A", 4L, 1L, true)))
+    assert(got("B") === (("B", 2L, 2L, false)))
+    assert(got("C") === (("C", 2L, 2L, false)))
+  }
 }

@@ -434,4 +434,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(
       (1L, 0, "héllo wörld.", 12L), (1L, 1, "中文句子!", 5L)))
   }
+
+  test("hashedFeatures: deterministic buckets, repeats sum into tf, case folds") {
+    val docs = Seq((1L, "The the THE cat"), (2L, ""), (3L, "cat")).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis
+      .hashedFeatures(docs, "doc_id", "text", nFeatures = 256)
+      .as[(Long, Int, Long)].collect()
+    // doc 2 (empty) emits nothing
+    assert(!got.exists(_._1 == 2L))
+    val d1 = got.filter(_._1 == 1L).map(r => r._2 -> r._3).toMap
+    val d3 = got.filter(_._1 == 3L).map(r => r._2 -> r._3).toMap
+    // "cat" lands in the same bucket for both docs; "the"×3 folds case
+    assert(d3.size === 1 && d3.values.head === 1L)
+    val catBucket = d3.keys.head
+    assert(d1(catBucket) >= 1L)
+    assert(d1.values.sum === 4L) // 3×the + 1×cat
+    got.foreach(r => assert(r._2 >= 0 && r._2 < 256))
+  }
+
+  test("hashedFeaturesPerRow is bit-equal to the groupBy form on fixture docs") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val a = graft.functions.TextAnalysis
+      .hashedFeatures(docs, "doc_id", "text", nFeatures = 64)
+      .as[(Long, Int, Long)].collect().toSet
+    val b = graft.functions.TextAnalysis
+      .hashedFeaturesPerRow(docs, "doc_id", "text", nFeatures = 64)
+      .select("doc_id", "feature", "tf")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
