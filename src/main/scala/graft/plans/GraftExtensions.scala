@@ -72,5 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft_deflate_size(text) — DEFLATE-compressed byte count
     inject(e, "graft_deflate_size", classOf[DeflateSizeF],
       exprs => DeflateSizeF(exprs.head))
+    // graft_gram_moments(quantized_vec, dim) — exact Gram/cov moments
+    inject(e, "graft_gram_moments", classOf[GramMoments],
+      exprs => GramMoments(exprs.head, intArg(exprs, 1, "graft_gram_moments")))
   }
 }

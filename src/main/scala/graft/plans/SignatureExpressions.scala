@@ -313,5 +313,8 @@ object SignatureExpressions {
         intArg(exprs, 1, "graft_linear_score")))
     GraftBridge.registerTempFunction(spark, "graft_deflate_size",
       exprs => DeflateSizeF(exprs.head))
+    GraftBridge.registerTempFunction(spark, "graft_gram_moments",
+      exprs => GramMoments(exprs.head,
+        intArg(exprs, 1, "graft_gram_moments")))
   }
 }

@@ -694,6 +694,22 @@ object PipelineQueries {
             transform(col("codes"), c => c.cast("string")))).as("codes_md5"),
           col("scale"))),
 
+    // Distributed covariance/PCA prep: EXACT Gram moments (n, Σqᵢ, Σqⱼ,
+    // Σqᵢqⱼ over the upper triangle) of the ×2²⁰-quantized embeddings
+    // via the native GramMoments aggregate — ONE ~16 KB buffer per
+    // partition crosses the exchange instead of dim²/2 exploded rows
+    // per vector (the relational form the oracle replays). Lossless
+    // power-of-two quantization keeps every moment integer-exact.
+    "embed_covariance" -> ((spark, dir) =>
+      Tables.read(spark, dir, "embeddings")
+        .select(transform(col("embedding"),
+          x => floor(x.cast("double") * 1048576.0).cast("long")).as("qv"))
+        .agg(graft.plans.GramMoments.gramMoments(col("qv"), 64).as("m"))
+        .select(explode(col("m")).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"),
+          col("e.sum_i").as("sum_i"), col("e.sum_j").as("sum_j"),
+          col("e.sum_ij").as("sum_ij"), col("e.n").as("n"))),
+
     // Embedding hygiene: L2-normalize + zero-vector flag (vectors at
     // vec_id % 101 == 0 are zeroed deterministically to exercise the
     // guard). Exploded to (vec_id, idx, val) rows, values rounded 6dp
@@ -4682,6 +4698,23 @@ object PipelineQueries {
         |  CAST(coalesce(agg.n_assigned, 0) AS BIGINT) AS n_assigned,
         |  round(coalesce(agg.cover, 0.0), 6) AS cover
         |FROM r LEFT JOIN agg ON agg.rank = r.rank""".stripMargin,
+    // unnest-and-self-join replay of the moment table: the oracle pays
+    // the dim²/2-rows-per-vector blowup the native aggregate avoids
+    "embed_covariance" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(x::DOUBLE * 1048576) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, qv, unnest(range(1, 65)) AS i FROM q),
+        |x AS (SELECT vec_id, CAST(i - 1 AS INT) AS i,
+        |    qv[CAST(i AS INT)] AS v FROM u)
+        |SELECT a.i, b.i AS j,
+        |  CAST(sum(a.v) AS BIGINT) AS sum_i,
+        |  CAST(sum(b.v) AS BIGINT) AS sum_j,
+        |  CAST(sum(a.v * b.v) AS BIGINT) AS sum_ij,
+        |  count(*) AS n
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin,
     "embed_quantize" ->
       """WITH b AS (SELECT vec_id,
         |  list_transform(embedding, x -> x::DOUBLE) AS xd FROM embeddings),
