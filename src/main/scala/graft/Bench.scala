@@ -136,7 +136,13 @@ object Bench {
     "q_skyline", "graph_bfs", "events_audience_overlap",
     "events_ewma", "text_keywords", "table_winsorize",
     // hopping windows, wide-to-long melt, exact correlation moments
-    "events_hopping", "q_unpivot", "table_corr_stats")
+    "events_hopping", "q_unpivot", "table_corr_stats",
+    // round-8: zone-map stats + prune eval, RA link prediction, binary
+    // Hamming ANN, ACF moments, CUSUM change-points, hashing-trick
+    // features, l-diversity, native Gram/covariance moments
+    "layout_stats_index", "layout_prune_eval", "graph_linkpred",
+    "sim_hamming", "events_acf", "events_cusum", "text_hashed_features",
+    "table_ldiversity", "embed_covariance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,6 +166,14 @@ object Bench {
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // a query that killed the context (executor OOM → uncaught-
+        // handler shutdown) would make every later query "fail" in 10 ms
+        // and shrink the total SILENTLY — abort instead, so the missing
+        // suite is visible (nonzero exit; a 10× child reports None)
+        if (spark.sparkContext.isStopped) {
+          System.err.println(s"[bench] SparkContext died during $name — aborting suite")
+          sys.exit(53)
+        }
       }
       (System.nanoTime() - t0) / 1e9
     }

@@ -152,6 +152,57 @@ object EventOps {
     * 2·(log₂n + log₂S) bits — fine in Long for any hourly grid up to
     * ~10⁷ events per key; past that, cast the squares to DECIMAL(38).
     */
+  /** Holt double exponential smoothing (level + trend) in FIXED-POINT
+    * integer arithmetic — the forecasting recursion
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * with α = alphaNum/den, β = betaNum/den, state scaled ×1000 and every
+    * division a TRUNCATING integer division (Scala `/`, Spark `div`, and
+    * DuckDB `//` all truncate toward zero — checked for negative trends
+    * too), so the whole recursion is bit-portable. Seed: l_0 = 1000·x_0,
+    * b_0 = 0.
+    *
+    * A true sequential recursion can't be a window (each step needs the
+    * PREVIOUS step's output), so this is the one operator family that
+    * rides `KeyValueGroupedDataset.flatMapGroups`: one shuffle on the
+    * series key, then an in-memory fold over that key's ticks. The
+    * contract is per-KEY memory = the key's tick count (series are
+    * aggregate-sized: hourly ticks, not raw events) — keys parallelize,
+    * the corpus never sits on one task. Emits per tick: x, level, trend,
+    * and the one-step-ahead forecast (l + b), all ×1000.
+    */
+  def holtSmooth(series: DataFrame, keyCol: String, idxCol: String,
+                 valCol: String, alphaNum: Long = 3L, betaNum: Long = 2L,
+                 den: Long = 10L): DataFrame = {
+    require(den > 0 && alphaNum >= 0 && alphaNum <= den &&
+      betaNum >= 0 && betaNum <= den,
+      s"need 0 <= alphaNum, betaNum <= den, got $alphaNum/$betaNum/$den")
+    val spark = series.sparkSession
+    import spark.implicits._
+    series
+      .select(col(keyCol).cast("string"),
+        col(idxCol).cast("timestamp"), col(valCol).cast("long"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        var l = 0L
+        var b = 0L
+        rows.iterator.zipWithIndex.map { case ((_, t, x), i) =>
+          if (i == 0) { l = x * 1000L; b = 0L }
+          else {
+            val lPrev = l
+            l = (alphaNum * x * 1000L + (den - alphaNum) * (l + b)) / den
+            b = (betaNum * (l - lPrev) + (den - betaNum) * b) / den
+          }
+          (k, t, x, l, b, l + b)
+        }
+      }
+      .toDF(keyCol, idxCol, "x", "level_fp", "trend_fp", "forecast_fp")
+  }
+
   def cusumFlags(series: DataFrame, keyCol: String, idxCol: String,
                  valCol: String, lambdaNum: Long, lambdaDen: Long): DataFrame = {
     require(lambdaNum >= 0 && lambdaDen > 0,

@@ -2986,14 +2986,20 @@ object PipelineQueries {
     // Per-node triangle counts on the ER similarity graph — the local
     // clustering signal (near-clique vs chain neighborhoods).
     // Degree-ordered orientation bounds wedge blowup to O(m^1.5); the
-    // triangle SET is orientation-invariant, so the oracle replays with
-    // plain id order over the emitted er_match pairs and must agree
-    // bit-for-bit.
+    // triangle SET is orientation-invariant, so the oracle replays the
+    // capped blocked-pair construction with plain id order and must
+    // agree bit-for-bit. maxBlock = 100 drops non-informative blocking
+    // keys BEFORE the pair expansion — at organic scales every block is
+    // ≤ ~20 records (output unchanged at sf0.001/0.01/0.1); on the
+    // replicated 10× fixture, name copies inflate blocks to ~175
+    // near-identical records whose cliques cost Σdeg³ wedge volume
+    // (measured: 216 s + child-JVM OOM uncapped) while carrying no
+    // clustering signal — the standard ER block-size guard.
     "graph_triangles" -> ((spark, dir) =>
       graft.functions.Graph.triangleCounts(
         graft.functions.EntityResolution.blockedPairs(
           erRecords(spark, dir), "id", "name",
-          expr("substring(name, 10, 8)"), maxEdits = 2),
+          expr("substring(name, 10, 8)"), maxEdits = 2, maxBlock = 100L),
         "id_a", "id_b")),
 
     // KNN label vote — label-error detection: each vector's majority
@@ -3263,6 +3269,16 @@ object PipelineQueries {
       graft.functions.EventOps.acfStats(
         denseHourlyCounts(spark, dir), "event_type", "h", "c",
         maxLag = 3)),
+
+    // Holt level+trend smoothing over the dense hourly series — a TRUE
+    // sequential recursion (each step consumes the previous step's
+    // output), so it rides flatMapGroups: one shuffle on the series key,
+    // an in-memory fold per key. Fixed-point ×1000, truncating integer
+    // divisions — bit-portable against the oracle's recursive CTE.
+    "events_holt" -> ((spark, dir) =>
+      graft.functions.EventOps.holtSmooth(
+        denseHourlyCounts(spark, dir), "event_type", "h", "c")
+        .withColumnRenamed("h", "hour_start")),
 
     // CUSUM change-point flags over the same dense hourly series, with a
     // deterministic +3/hour rate shift planted on the 'error' type's
@@ -6665,9 +6681,18 @@ object PipelineQueries {
         |ORDER BY ra_score DESC, node_a, node_b LIMIT 100""".stripMargin,
     // id-ordered orientation (the triangle set is orientation-invariant)
     // over the emitted er_match pairs
-    "graph_triangles" ->
-      """WITH p AS (SELECT id_a, id_b
-        |  FROM read_parquet('__OUT__/er_match/*.parquet')),
+    // self-contained replay: capped blocked pairs (levenshtein ≤ 2,
+    // block size ≤ 100) then the id-ordered triangle closure
+    "graph_triangles" -> s"""
+        |WITH $erRecsCtes,
+        |blk0 AS (SELECT substring(name, 10, 8) AS blk, id, name FROM recs),
+        |ok AS (SELECT blk FROM blk0 GROUP BY blk HAVING count(*) <= 100),
+        |bb AS (SELECT blk0.blk, blk0.id, blk0.name
+        |  FROM blk0 JOIN ok USING (blk)),
+        |p AS (SELECT a.id AS id_a, c.id AS id_b
+        |  FROM bb a JOIN bb c ON a.blk = c.blk AND a.id < c.id
+        |  WHERE abs(length(a.name) - length(c.name)) <= 2
+        |    AND levenshtein(a.name, c.name) <= 2),
         |e AS (SELECT DISTINCT least(id_a, id_b) AS a,
         |    greatest(id_a, id_b) AS b FROM p WHERE id_a <> id_b),
         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -7096,6 +7121,34 @@ object PipelineQueries {
         |  CAST(sum(x * x) AS DOUBLE) AS sum_xx,
         |  CAST(sum(y * y) AS DOUBLE) AS sum_yy
         |FROM p WHERE y IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // the same dense spine, then the level/trend recursion replayed
+    // step-by-step by a recursive CTE with identical truncating integer
+    // divisions (both engines truncate toward zero, negatives included)
+    "events_holt" ->
+      """WITH RECURSIVE e AS (SELECT event_type, date_trunc('hour', ts)
+        |    AS h FROM events),
+        |cnt AS (SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |g AS (SELECT t.event_type,
+        |    unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e) t, b),
+        |d AS (SELECT g.event_type, g.h,
+        |    CAST(coalesce(cnt.c, 0) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY g.event_type ORDER BY g.h)
+        |      AS i
+        |  FROM g LEFT JOIN cnt USING (event_type, h)),
+        |r AS (
+        |  SELECT event_type, h, x, i, x * 1000 AS l, CAST(0 AS BIGINT)
+        |    AS bt
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.h, d.x, d.i,
+        |    (3 * d.x * 1000 + 7 * (r.l + r.bt)) // 10,
+        |    (2 * ((3 * d.x * 1000 + 7 * (r.l + r.bt)) // 10 - r.l)
+        |      + 8 * r.bt) // 10
+        |  FROM r JOIN d ON d.event_type = r.event_type AND d.i = r.i + 1)
+        |SELECT event_type, h AS hour_start, x, l AS level_fp,
+        |  bt AS trend_fp, l + bt AS forecast_fp FROM r""".stripMargin,
     // same dense spine + planted +3/hour shift on error's last third;
     // flag comparison in squared integers (λ = 3/2 → 4·dev² > 9·n²·S)
     "events_cusum" ->

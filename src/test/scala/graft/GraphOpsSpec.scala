@@ -144,6 +144,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(m(2)._5 === 9 * 100.0)
   }
 
+  test("holtSmooth: hand-replayed recursion, negative trend divisions truncate") {
+    // declining series forces negative (l_t − l_{t−1}) and negative b:
+    // x = 100, 50, 10 with α=0.3, β=0.2, scale 1000
+    //   t0: l=100000, b=0
+    //   t1: l=(3·50000+7·100000)/10=85000; b=(2·(85000−100000)+0)/10=−3000
+    //   t2: l=(3·10000+7·(85000−3000))/10=60400
+    //       b=(2·(60400−85000)+8·(−3000))/10=(−49200−24000)/10=−7320
+    val ts = (0 until 3).map(i =>
+      java.sql.Timestamp.valueOf(s"2024-01-01 0$i:00:00"))
+    val s = Seq(("A", ts(0), 100L), ("A", ts(1), 50L), ("A", ts(2), 10L))
+      .toDF("k", "t", "v")
+    val got = EventOps.holtSmooth(s, "k", "t", "v")
+      .select("t", "x", "level_fp", "trend_fp", "forecast_fp")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(ts(0)) === ((ts(0), 100L, 100000L, 0L, 100000L)))
+    assert(got(ts(1)) === ((ts(1), 50L, 85000L, -3000L, 82000L)))
+    assert(got(ts(2)) === ((ts(2), 10L, 60400L, -7320L, 53080L)))
+    // keys are independent: a second constant series is untouched
+    val two = s.union(Seq(("B", ts(0), 5L), ("B", ts(1), 5L))
+      .toDF("k", "t", "v"))
+    val b5 = EventOps.holtSmooth(two, "k", "t", "v")
+      .where(col("k") === "B").select("level_fp", "trend_fp")
+      .as[(Long, Long)].collect().toSet
+    assert(b5 === Set((5000L, 0L)))
+  }
+
   test("cusumFlags: exact dev on a step series, flags only after the shift") {
     // 8 ticks: 0,0,0,0,10,10,10,10 — mean 5; CUSUM dips to -20 at i=4
     val s = (0L until 8L).map(i => ("S", i, if (i < 4) 0L else 10L))
