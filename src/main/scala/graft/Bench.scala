@@ -142,10 +142,79 @@ object Bench {
     // features, l-diversity, native Gram/covariance moments
     "layout_stats_index", "layout_prune_eval", "graph_linkpred",
     "sim_hamming", "events_acf", "events_cusum", "text_hashed_features",
-    "table_ldiversity", "embed_covariance")
+    "table_ldiversity", "embed_covariance", "events_holt")
+
+  /** Max queries measured per JVM. After ~100+ query executions in one
+    * local-mode JVM the shared driver+executor heap carries enough
+    * residue (codegen caches, localCheckpoint blocks pending
+    * ContextCleaner GC) that later queries measure GC pressure, not
+    * plans — observed 358 s in-JVM vs 187 s fresh for an identical
+    * sweep, and a 70-query-overlap comparison inflating 79 s → 133 s as
+    * the suite grew past 140. The coordinator shards the headline into
+    * fresh child JVMs of this size so every query is measured near
+    * steady state regardless of suite growth.
+    */
+  private val ChunkSize = 40
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Headline)
+    if (!sys.env.contains("SPARK_GRAFT_NO_SHARD") && names.size > ChunkSize)
+      runCoordinator(sfDir, names)
+    else
+      runInline(sfDir, names)
+  }
+
+  /** Shard coordinator: measure `names` in fresh child JVMs of
+    * [[ChunkSize]], at the base SF and (unless skipped) the 10× dir,
+    * then emit the single merged JSON line the driver parses.
+    */
+  private def runCoordinator(sfDir: String, names: Seq[String]): Unit = {
+    val chunks = names.grouped(ChunkSize).toSeq
+    def sweep(dir: String): Option[Seq[(String, Double)]] = {
+      val parts = chunks.zipWithIndex.map { case (ch, i) =>
+        System.err.println(
+          s"[bench] chunk ${i + 1}/${chunks.size} (${ch.size} queries) @ $dir")
+        runChunk(dir, ch)
+      }
+      if (parts.contains(None)) None else Some(parts.flatMap(_.get))
+    }
+    val base = sweep(sfDir).getOrElse {
+      System.err.println("[bench] base-sf sweep lost a chunk — aborting")
+      sys.exit(54)
+    }
+    def qJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+        .mkString("{", ",", "}")
+    val total = base.map(_._2).sum
+    val tenxDir = sys.env.get("SPARK_GRAFT_SF10_DIR").orElse {
+      if (new java.io.File(sfDir).getName == "sf0.1") Some("/tmp/sf1")
+      else None
+    }.filter(_ => !sys.env.contains("SPARK_GRAFT_SKIP_10X"))
+    val tenxJson = tenxDir.flatMap { dir =>
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        System.err.println(s"[bench] generating 10x fixture at $dir")
+        val spark = buildSession(sfDir)
+        try graft.tools.ScaleUp.scale(spark, sfDir, dir, 10)
+        finally spark.stop()
+      }
+      sweep(dir).map { qs =>
+        f""","value_10x":${qs.map(_._2).sum}%.3f,"queries_10x":${qJson(qs)},"sf_10x":"$dir""""
+      }
+    }.getOrElse("")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qJson(base)},"sf":"$sfDir"$tenxJson}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_RESULT_FILE", "bench_result.json")),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(json)
+  }
+
+  private def buildSession(sfDir: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -156,6 +225,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def runInline(sfDir: String, names: Seq[String]): Unit = {
+    val spark = buildSession(sfDir)
 
     // one trivial action to absorb session/codegen cold start
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -182,7 +256,7 @@ object Bench {
     // whole-stage codegen compilation; the second is the steady state a
     // long-running cluster job actually sees
     def suite(dir: String, tag: String): Seq[(String, Double)] =
-      Headline.map { name =>
+      names.map { name =>
         val secs = math.min(once(name, dir), once(name, dir))
         System.err.println(f"[bench]$tag $name%-22s $secs%.2fs")
         name -> secs
@@ -215,7 +289,7 @@ object Bench {
         System.err.println(s"[bench] generating 10x fixture at $dir")
         graft.tools.ScaleUp.scale(spark, sfDir, dir, 10)
       }
-      runChildSuite(dir).map { case (childTotal, childQueries) =>
+      runChildSuite(dir, names).map { case (childTotal, childQueries) =>
         f""","value_10x":$childTotal%.3f,"queries_10x":$childQueries,"sf_10x":"$dir""""
       }
     }.getOrElse("")
@@ -237,35 +311,61 @@ object Bench {
     * queries-json) parsed from its sidecar file. None on any failure —
     * the base-sf headline still reports.
     */
-  private def runChildSuite(dir: String): Option[(Double, String)] =
+  private def runChildSuite(dir: String,
+                            names: Seq[String]): Option[(Double, String)] =
     try {
-      import scala.jdk.CollectionConverters._
-      val javaBin = System.getProperty("java.home") + "/bin/java"
-      val jvmArgs = java.lang.management.ManagementFactory
-        .getRuntimeMXBean.getInputArguments.asScala.toSeq
-      val cp = System.getProperty("java.class.path")
-      val resultFile = java.nio.file.Files
-        .createTempFile("graft_bench_10x", ".json").toString
-      val cmd = Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", cp, "graft.Bench")
-      val pb = new ProcessBuilder(cmd.asJava)
-      pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
-      pb.environment().put("SPARK_GRAFT_SKIP_10X", "1")
-      pb.environment().put("SPARK_GRAFT_RESULT_FILE", resultFile)
-      pb.redirectErrorStream(false)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
-      val code = pb.start().waitFor()
-      if (code != 0) { System.err.println(s"[bench] 10x child exit $code"); None }
-      else {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readString(
-            java.nio.file.Paths.get(resultFile)))
-        Some((node.get("value").asDouble(),
-          node.get("queries").toString))
-      }
+      val resultFile = spawnChild(dir, names, shard = true)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(resultFile)))
+      Some((node.get("value").asDouble(), node.get("queries").toString))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] 10x child failed: ${e.getMessage}")
       None
     }
+
+  /** Measure one chunk of queries in a fresh child JVM; per-query
+    * timings in chunk order, None if the child failed.
+    */
+  private def runChunk(dir: String,
+                       names: Seq[String]): Option[Seq[(String, Double)]] =
+    try {
+      val resultFile = spawnChild(dir, names, shard = false)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(resultFile)))
+      val q = node.get("queries")
+      Some(names.map(n => n -> q.get(n).asDouble()))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] chunk failed: ${e.getMessage}")
+      None
+    }
+
+  /** Launch `graft.Bench` in a child JVM (same flags/classpath) against
+    * `dir` restricted to `names`, 10× re-entry disabled; returns the
+    * sidecar result path. Throws on nonzero exit.
+    */
+  private def spawnChild(dir: String, names: Seq[String],
+                         shard: Boolean): String = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val resultFile = java.nio.file.Files
+      .createTempFile("graft_bench_child", ".json").toString
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
+    pb.environment().put("SPARK_GRAFT_SKIP_10X", "1")
+    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+    if (!shard) pb.environment().put("SPARK_GRAFT_NO_SHARD", "1")
+    pb.environment().put("SPARK_GRAFT_RESULT_FILE", resultFile)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    val code = pb.start().waitFor()
+    if (code != 0) throw new RuntimeException(s"child exit $code")
+    resultFile
+  }
 }
