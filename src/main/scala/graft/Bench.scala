@@ -142,7 +142,9 @@ object Bench {
     // features, l-diversity, native Gram/covariance moments
     "layout_stats_index", "layout_prune_eval", "graph_linkpred",
     "sim_hamming", "events_acf", "events_cusum", "text_hashed_features",
-    "table_ldiversity", "embed_covariance", "events_holt")
+    "table_ldiversity", "embed_covariance", "events_holt",
+    // bit-portable HLL distinct sketch and count-min point frequencies
+    "events_hll_users", "text_countmin")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

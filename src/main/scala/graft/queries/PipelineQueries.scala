@@ -1366,6 +1366,41 @@ object PipelineQueries {
         .where(col("doc_id") =!= -1L)
     }),
 
+    // Bit-portable HyperLogLog distinct-user counts per event type:
+    // md5-derived 64-register sketch, ONE partial-aggregated groupBy
+    // (duplicates die map-side — the whole point vs count(DISTINCT),
+    // which must shuffle every distinct value), exact-integer harmonic
+    // sum, one IEEE division. The exact count rides along so the gate
+    // hash-checks sketch state AND the accuracy story in one entry.
+    "events_hll_users" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val regs = graft.functions.Sketches.hllRegisters(
+        ev, Seq("event_type"), col("user_id"))
+      val est = graft.functions.Sketches.hllEstimate(regs, Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "event_type")
+    }),
+
+    // Count-min frequency sketch over the corpus token stream: 4×256
+    // salted-md5 counter cells (the shuffle carries at most 1024
+    // combined rows per map task regardless of corpus size), probed
+    // for the exact top-20 terms — estimate is provably >= truth, and
+    // the overcount column exposes the collision error directly.
+    "text_countmin" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val terms = docs
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .where(length(col("term")) > 0)
+      val sketch = graft.functions.Sketches.countMinBuild(terms, col("term"))
+      val top = terms.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(20)
+      graft.functions.Sketches.countMinQuery(sketch, top, "term")
+        .join(broadcast(top), "term")
+        .select(col("term"), col("exact_cnt"), col("cm_est"),
+          (col("cm_est") - col("exact_cnt")).as("overcount"))
+    }),
+
     // Pretrained-tokenizer plug-in seam: the merge table induced on the
     // %5 slice round-trips through parquet (ModelIO.saveMerges →
     // loadMerges — the entry point where a REAL GPT-2/SentencePiece
@@ -7083,6 +7118,64 @@ object PipelineQueries {
     // the batch groupBy form and the row-local streaming twin
     "text_hashed_features" -> hashedFeaturesOracle,
     "text_hashed_stream" -> hashedFeaturesOracle,
+    // HLL register replay: identical 60-bit md5-prefix hash, bucket =
+    // h % 64, rho = trailing zeros of h // 64 plus one, register = max;
+    // the harmonic sum is exact integers and the estimate the same
+    // literal-constant product / one division
+    "events_hll_users" ->
+      """WITH h AS (SELECT event_type,
+        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM events),
+        |r AS (SELECT event_type, CAST(h % 64 AS INTEGER) AS bucket,
+        |    max(CASE WHEN (h // 64) = 0 THEN 55
+        |      ELSE CAST(bit_count(((h // 64) & (-(h // 64))) - 1)
+        |        AS INTEGER) + 1 END) AS register
+        |  FROM h GROUP BY 1, 2),
+        |e AS (SELECT event_type,
+        |    CAST(sum(1::BIGINT << (55 - register)) +
+        |      (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS sum_scaled,
+        |    CAST(64 - count(*) AS BIGINT) AS zero_buckets
+        |  FROM r GROUP BY 1),
+        |x AS (SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, e.sum_scaled, e.zero_buckets,
+        |  CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) *
+        |    CAST(36028797018963968.0 AS DOUBLE) /
+        |    CAST(sum_scaled AS DOUBLE) AS hll_est,
+        |  x.exact_users
+        |FROM e JOIN x USING (event_type)""".stripMargin,
+    // count-min replay: same salted md5-prefix cells, same top-20 term
+    // suite (count desc, term tie-break), min over the 4 rows
+    "text_countmin" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(
+        |      trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |f AS (SELECT term FROM t WHERE length(term) > 0),
+        |ex AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM f GROUP BY 1),
+        |top AS (SELECT term, exact_cnt FROM (
+        |    SELECT term, exact_cnt,
+        |      row_number() OVER (ORDER BY exact_cnt DESC, term) AS rn
+        |    FROM ex) WHERE rn <= 20),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (SELECT j,
+        |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term),
+        |      1, 8))::BIGINT % 256 AS INTEGER) AS c
+        |  FROM f CROSS JOIN js),
+        |sk AS (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |probe AS (SELECT term, exact_cnt, j,
+        |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term),
+        |      1, 8))::BIGINT % 256 AS INTEGER) AS c
+        |  FROM top CROSS JOIN js),
+        |est AS (SELECT term, min(exact_cnt) AS exact_cnt,
+        |    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est
+        |  FROM probe LEFT JOIN sk USING (j, c) GROUP BY term)
+        |SELECT term, exact_cnt, cm_est,
+        |  CAST(cm_est - exact_cnt AS BIGINT) AS overcount
+        |FROM est""".stripMargin,
     // hour-of-day rollup + per-type ppm share (truncating div, exact)
     "events_seasonal" ->
       """WITH h AS (SELECT event_type, date_part('hour', ts) AS hod,

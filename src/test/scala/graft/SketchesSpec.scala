@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.Sketches
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("hll estimate tracks exact cardinality within the m=64 error band") {
+    // 3x the expected 13% standard error, for n in the raw estimator's
+    // valid range (n >= 2.5m — below that raw HLL overestimates and a
+    // consumer applies linear counting from the emitted zero_buckets;
+    // ln is libm-dependent so the engine does not bake it in). A
+    // deterministic-hash sketch either passes this forever or never.
+    for (n <- Seq(300, 1000, 5000)) {
+      val df = (1 to n).map(i => s"user-$i").toDF("u")
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(df, Seq.empty, col("u")), Seq.empty)
+        .select("hll_est").as[Double].head()
+      assert(math.abs(est - n) < 0.40 * n,
+        s"n=$n est=$est off by ${math.abs(est - n) / n}")
+    }
+  }
+
+  test("hll registers ignore duplicates and layout") {
+    val base = (1 to 300).map(i => s"v$i")
+    val dups = (base ++ base ++ base.take(50)).toDF("u")
+    val once = base.toDF("u").repartition(7)
+    val a = Sketches.hllRegisters(dups, Seq.empty, col("u"))
+      .as[(Int, Int)].collect().toMap
+    val b = Sketches.hllRegisters(once, Seq.empty, col("u"))
+      .as[(Int, Int)].collect().toMap
+    assert(a === b)
+  }
+
+  test("hll registers merge by max across shards") {
+    val all = (1 to 400).map(i => s"k$i")
+    val (l, r) = all.splitAt(137)
+    val merged = Sketches.hllRegisters(l.toDF("u"), Seq.empty, col("u"))
+      .unionByName(Sketches.hllRegisters(r.toDF("u"), Seq.empty, col("u")))
+      .groupBy("bucket").agg(max("register").as("register"))
+      .as[(Int, Int)].collect().toMap
+    val full = Sketches.hllRegisters(all.toDF("u"), Seq.empty, col("u"))
+      .as[(Int, Int)].collect().toMap
+    assert(merged === full)
+  }
+
+  test("count-min never underestimates and is exact sans collisions") {
+    val items = (Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++
+      Seq("gamma")).toDF("term")
+    val sketch = Sketches.countMinBuild(items, col("term"))
+    val est = Sketches.countMinQuery(
+      sketch, Seq("alpha", "beta", "gamma", "absent").toDF("term"), "term")
+      .as[(String, Long)].collect().toMap
+    assert(est("alpha") >= 7 && est("beta") >= 3 && est("gamma") >= 1)
+    // three distinct terms in a 4x256 grid cannot collide in every row
+    assert(est("alpha") === 7 && est("beta") === 3 && est("gamma") === 1)
+    assert(est("absent") === 0)
+  }
+
+  test("count-min sketches merge by cell-wise sum") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    val terms = docs
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val half1 = terms.where(crc32(col("term")) % 2 === 0)
+    val half2 = terms.where(crc32(col("term")) % 2 === 1)
+    val merged = Sketches.countMinBuild(half1, col("term"))
+      .unionByName(Sketches.countMinBuild(half2, col("term")))
+      .groupBy("row", "col").agg(sum("cnt").as("cnt"))
+      .as[(Int, Int, Long)].collect().toSet
+    val full = Sketches.countMinBuild(terms, col("term"))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(merged === full)
+  }
+}
