@@ -144,7 +144,9 @@ object Bench {
     "sim_hamming", "events_acf", "events_cusum", "text_hashed_features",
     "table_ldiversity", "embed_covariance", "events_holt",
     // bit-portable HLL distinct sketch and count-min point frequencies
-    "events_hll_users", "text_countmin")
+    "events_hll_users", "text_countmin",
+    // hybrid BM25+vector RRF fusion and MMR diversity rerank
+    "search_hybrid_rrf", "sim_mmr")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

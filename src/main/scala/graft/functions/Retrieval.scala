@@ -269,6 +269,48 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of a lexical and a
+    * vector ranking — the standard hybrid-search combiner: each list
+    * contributes `scale div (kRrf + rank)` for the documents it ranked,
+    * fused score is the sum, ties break to the lower doc id. INTEGER
+    * arithmetic throughout (truncating div of a fixed scale), so fused
+    * scores are bit-portable across engines — no float mixing of two
+    * incomparable score spaces, which is exactly why RRF beats score
+    * interpolation in practice.
+    *
+    * 100 TB shape: both inputs are per-query top-k lists — bounded by
+    * queries × k BY CONTRACT, not corpus-sized — so the full-outer
+    * fusion join and the final per-query window touch at most 2k rows
+    * per query. The expensive work (BM25 over postings, ANN over the
+    * embedding corpus) happens upstream in operators that already
+    * carry their own scale story.
+    *
+    * Inputs need columns (`query_id`, `doc_id`, `rank`). Output:
+    * (`query_id`, `doc_id`, `lex_rank`, `vec_rank`, `rrf`, `rank`)
+    * with 0 marking "not ranked by this list".
+    */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int,
+              kRrf: Int = 60, scale: Long = 1000000000L): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"),
+      col("rank").cast("int").as("lex_rank"))
+    val v = vec.select(col("query_id"), col("doc_id"),
+      col("rank").cast("int").as("vec_rank"))
+    val fused = l.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"))
+      .withColumn("rrf",
+        when(col("lex_rank") > 0,
+          expr(s"CAST($scale AS BIGINT) div CAST(${kRrf} + lex_rank AS BIGINT)"))
+          .otherwise(lit(0L)) +
+        when(col("vec_rank") > 0,
+          expr(s"CAST($scale AS BIGINT) div CAST(${kRrf} + vec_rank AS BIGINT)"))
+          .otherwise(lit(0L)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   private def bm25Core(postings: DataFrame, stats: DataFrame,
                        queryTerms: DataFrame, k: Int, k1: Double,
                        b: Double, maxDfPermille: Int): DataFrame = {

@@ -1095,4 +1095,103 @@ object Similarity {
       out.result()
     }.toDF("id_a", "id_b", "cos_sim").distinct()
   }
+
+  /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998):
+    * per query, greedily select `k` of the top-`m` cosine shortlist,
+    * each step maximizing `0.5·rel − 0.5·maxSim(cand, selected)` — the
+    * diversity-aware top-k every RAG retrieval stack applies after ANN.
+    * Ties break to the lower doc id; `rel` and the candidate-candidate
+    * cosines use the same left-to-right double fold as [[dot]], so the
+    * greedy recursion is bit-portable and a SQL engine replays it.
+    *
+    * 100 TB shape: the corpus-sized work is the shortlist (brute here;
+    * swap in any ANN operator upstream — the rerank only needs
+    * (query_id, doc_id, rel, vec) rows). The greedy itself runs per
+    * query over ≤ m rows via `flatMapGroups` — queries parallelize
+    * across executors, memory per group is m vectors, and NOTHING is
+    * collected to the driver.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, m: Int, k: Int): DataFrame = {
+    require(m >= k && k >= 1, s"need m >= k >= 1, got m=$m k=$k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"),
+      norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).cast("long").as("doc_id"),
+      col(vecCol).cast("array<double>").as("cv"),
+      norm(col(vecCol)).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("cv"),
+        cosinePrenormed(col("qv"), col("cv"),
+          col("qn") * col("cn")).as("rel"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("doc_id"))
+    val shortlist = scored.withColumn("srank", row_number().over(w))
+      .where(col("srank") <= m)
+      .select("query_id", "doc_id", "rel", "cv")
+
+    def lnorm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    def lcos(a: Array[Double], b: Array[Double], denom: Double): Double = {
+      if (denom == 0.0) 0.0
+      else {
+        var s = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { s += a(i) * b(i); i += 1 }
+        s / denom
+      }
+    }
+    shortlist.as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy(_._2)
+        val vecs = cands.map(_._4.toArray)
+        val nrms = vecs.map(lnorm)
+        val n = cands.length
+        val chosen = Array.fill(n)(false)
+        // running max-similarity-to-selected; max is associative so the
+        // incremental update is bit-identical to a full rescan. A true
+        // max (it CAN be negative) — step 1's empty set uses 0.0
+        // explicitly, mirroring the replay's base case.
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
+        val out = Array.newBuilder[(Long, Long, Int, Double, Double)]
+        var step = 1
+        val steps = math.min(k, n)
+        while (step <= steps) {
+          var bi = -1; var bs = 0.0
+          var i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              val ms = if (step == 1) 0.0 else maxSim(i)
+              val s = 0.5 * cands(i)._3 - 0.5 * ms
+              if (bi < 0 || s > bs ||
+                  (s == bs && cands(i)._2 < cands(bi)._2)) { bi = i; bs = s }
+            }
+            i += 1
+          }
+          chosen(bi) = true
+          out += ((qid, cands(bi)._2, step, cands(bi)._3, bs))
+          var j = 0
+          while (j < n) {
+            if (!chosen(j)) {
+              val s = lcos(vecs(j), vecs(bi), nrms(j) * nrms(bi))
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          step += 1
+        }
+        out.result().iterator
+      }
+      .toDF("query_id", "doc_id", "mmr_rank", "rel", "mmr_score")
+      .select(col("query_id"), col("doc_id"), col("mmr_rank"),
+        round(col("rel"), 6).as("rel"),
+        round(col("mmr_score"), 6).as("mmr_score"))
+  }
 }

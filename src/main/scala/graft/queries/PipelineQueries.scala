@@ -629,6 +629,17 @@ object PipelineQueries {
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
     }),
 
+    // Diversity-aware rerank: MMR greedy over the cosine top-30
+    // shortlist, 5 selections maximizing 0.5·rel − 0.5·maxSim-to-
+    // selected (ties → lower id). The greedy runs per query over the
+    // BOUNDED shortlist via flatMapGroups — queries parallelize, no
+    // driver collect; the oracle replays the full recursion.
+    "sim_mmr" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", m = 30, k = 5)
+    }),
+
     // Binary-quantized ANN: 64-dim float32 → two 32-bit sign words
     // (256× smaller scan), per-query Hamming top-10 (ties → lower id),
     // exact cosine re-score joined back for ONLY the winners — the
@@ -1606,6 +1617,40 @@ object PipelineQueries {
       R.bm25RankContributions(
         spark.table("bm25_stream_out").where(col("query_id") =!= -1L),
         qtBatch, k = 10)
+    }),
+
+    // Hybrid retrieval: BM25 lexical top-10 and exact-cosine vector
+    // top-10 over the SAME query suite, fused by reciprocal rank
+    // (integer RRF, k=60) — the dense+sparse combiner behind modern
+    // RAG stacks. Both lists are per-query top-k by contract, so the
+    // fusion join is metadata-sized; fused scores are integer-exact.
+    "search_hybrid_rrf" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val emb = Tables.read(spark, dir, "embeddings")
+      val qdocs = docs.where(col("doc_id") % 97 === 0 &&
+        col("doc_id") < 1000 && length(trim(col("text"))) > 0)
+      val qt = qdocs.select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(
+          split(Dedup.normalizeText(col("text")), " "), 1, 5))).as("term"))
+      val lex = graft.functions.Retrieval.bm25TopK(
+        docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id", qt, k = 10)
+      val qv = emb
+        .join(broadcast(qdocs.select(col("doc_id").as("query_id"))),
+          col("vec_id") === col("query_id"))
+        .select(col("query_id"), col("embedding").as("qv"),
+          Similarity.norm(col("embedding")).as("qn"))
+      val cand = emb.where(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
+          Similarity.norm(col("embedding")).as("cn"))
+      val scored = cand.crossJoin(broadcast(qv))
+        .select(col("query_id"), col("doc_id"),
+          round(Similarity.cosinePrenormed(col("qv"), col("cv"),
+            col("qn") * col("cn")), 6).as("sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("doc_id"))
+      val vec = scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+      graft.functions.Retrieval.rrfFuse(lex, vec, k = 10)
     }),
 
     // Proximity search ("x NEAR/4 y"): each benchmark doc's tokens 1
@@ -4122,6 +4167,52 @@ object PipelineQueries {
       |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
       |FROM r WHERE rank <= 10""".stripMargin
 
+  /** Hybrid-retrieval replay: the full BM25 replay (query bound 1000)
+    * and the brute-cosine top-10 (same query suite, corpus = %97≠0
+    * vectors) as derived tables, fused by the identical integer RRF
+    * (1e9 truncating-div, k = 60, absent list contributes 0).
+    */
+  private lazy val hybridRrfOracle: String =
+    s"""WITH lex AS (SELECT query_id, doc_id, rank
+      |  FROM (${bm25OracleBound(1000)})),
+      |qe AS (SELECT d.doc_id AS query_id, e.embedding AS qv
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      |  WHERE d.doc_id % 97 = 0 AND d.doc_id < 1000
+      |    AND length(trim(d.text)) > 0),
+      |s AS (SELECT qe.query_id, e.vec_id AS doc_id,
+      |  round(
+      |   list_sum(list_transform(range(1, len(qe.qv)+1),
+      |     i -> qe.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+      |   (sqrt(list_sum(list_transform(range(1, len(qe.qv)+1),
+      |     i -> qe.qv[i]::DOUBLE * qe.qv[i]::DOUBLE))) *
+      |    sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6)
+      |    AS sim
+      |  FROM embeddings e CROSS JOIN qe WHERE e.vec_id % 97 <> 0),
+      |vec AS (SELECT query_id, doc_id, rank FROM (
+      |    SELECT query_id, doc_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY sim DESC, doc_id) AS rank
+      |    FROM s) WHERE rank <= 10),
+      |u AS (SELECT query_id, doc_id FROM lex
+      |  UNION SELECT query_id, doc_id FROM vec),
+      |f AS (SELECT u.query_id, u.doc_id,
+      |    CAST(coalesce(l.rank, 0) AS INTEGER) AS lex_rank,
+      |    CAST(coalesce(v.rank, 0) AS INTEGER) AS vec_rank,
+      |    CAST((CASE WHEN l.rank IS NULL THEN 0
+      |        ELSE CAST(1000000000 AS BIGINT) // CAST(60 + l.rank AS BIGINT)
+      |      END) +
+      |      (CASE WHEN v.rank IS NULL THEN 0
+      |        ELSE CAST(1000000000 AS BIGINT) // CAST(60 + v.rank AS BIGINT)
+      |      END) AS BIGINT) AS rrf
+      |  FROM u LEFT JOIN lex l USING (query_id, doc_id)
+      |  LEFT JOIN vec v USING (query_id, doc_id))
+      |SELECT query_id, doc_id, lex_rank, vec_rank, rrf,
+      |  CAST(rank AS INTEGER) AS rank
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf DESC, doc_id) AS rank FROM f)
+      |WHERE rank <= 10""".stripMargin
+
   /** Bigram-LM scoring replay: unigram/bigram counts over the %3
     * reference slice, then every ≥2-token doc's pooled add-one
     * conditional likelihood Σ(c2+1)/Σ(c1+V) — numerator and denominator
@@ -4626,6 +4717,73 @@ object PipelineQueries {
         |  SELECT query_id, neighbor_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
         |  FROM s) t WHERE rank <= 10""".stripMargin,
+    // MMR greedy replay: cosine shortlist (rel desc, id), then the
+    // full per-query recursion — argmax of 0.5·rel − 0.5·maxSim via
+    // struct max with the (score desc, lower id) tie-break; step 1's
+    // empty selected set contributes an explicit 0.0
+    "sim_mmr" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+        |  FROM base WHERE vec_id < 8),
+        |sc AS (SELECT q.query_id, b.vec_id AS doc_id, b.v AS cv,
+        |    b.nrm AS cn,
+        |    CASE WHEN q.qn * b.nrm = 0 THEN CAST(0.0 AS DOUBLE)
+        |      ELSE list_sum(list_transform(range(1, len(q.qv)+1),
+        |        i -> q.qv[i] * b.v[i])) / (q.qn * b.nrm) END AS rel
+        |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.query_id),
+        |sl AS (SELECT query_id, doc_id, cv, cn, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, doc_id) AS srank FROM sc)
+        |  WHERE srank <= 30),
+        |r AS (
+        |  SELECT query_id, 1 AS step,
+        |    -struct_extract(m, 'nid') AS doc_id,
+        |    struct_extract(m, 'rel') AS rel,
+        |    struct_extract(m, 's') AS score,
+        |    [-struct_extract(m, 'nid')] AS sids,
+        |    [struct_extract(m, 'v')] AS svecs,
+        |    [struct_extract(m, 'nrm')] AS snrms
+        |  FROM (SELECT query_id,
+        |      max(struct_pack(
+        |        s := CAST(0.5 AS DOUBLE) * rel -
+        |          CAST(0.5 AS DOUBLE) * CAST(0.0 AS DOUBLE),
+        |        nid := -doc_id, rel := rel, v := cv, nrm := cn)) AS m
+        |    FROM sl GROUP BY query_id)
+        |  UNION ALL
+        |  SELECT g.query_id, g.step + 1,
+        |    -struct_extract(g.m, 'nid'),
+        |    struct_extract(g.m, 'rel'),
+        |    struct_extract(g.m, 's'),
+        |    list_append(g.sids, -struct_extract(g.m, 'nid')),
+        |    list_append(g.svecs, struct_extract(g.m, 'v')),
+        |    list_append(g.snrms, struct_extract(g.m, 'nrm'))
+        |  FROM (
+        |    SELECT r.query_id, r.step, r.sids, r.svecs, r.snrms,
+        |      max(struct_pack(
+        |        s := CAST(0.5 AS DOUBLE) * sl.rel -
+        |          CAST(0.5 AS DOUBLE) * lat.ms,
+        |        nid := -sl.doc_id, rel := sl.rel, v := sl.cv,
+        |        nrm := sl.cn)) AS m
+        |    FROM r JOIN sl ON r.query_id = sl.query_id
+        |      AND NOT list_contains(r.sids, sl.doc_id),
+        |    LATERAL (SELECT list_max(list_transform(
+        |        range(1, len(r.svecs)+1),
+        |        i -> CASE WHEN sl.cn * r.snrms[i] = 0
+        |          THEN CAST(0.0 AS DOUBLE)
+        |          ELSE list_sum(list_transform(range(1, len(sl.cv)+1),
+        |            j -> sl.cv[j] * r.svecs[i][j])) /
+        |            (sl.cn * r.snrms[i]) END)) AS ms) lat
+        |    WHERE r.step < 5
+        |    GROUP BY r.query_id, r.step, r.sids, r.svecs, r.snrms
+        |  ) g
+        |)
+        |SELECT query_id, doc_id, CAST(step AS INT) AS mmr_rank,
+        |  round(rel, 6) AS rel, round(score, 6) AS mmr_score
+        |FROM r""".stripMargin,
     // sign-pack replay (bit i of word w ⇔ embedding[32w+i] >= 0),
     // popcount Hamming rank with the (hamming, id) tie-break, exact
     // cosine recomputed for the winners only
@@ -5300,6 +5458,10 @@ object PipelineQueries {
     "search_ingest" -> bm25Oracle,
     // streamed probes of the pre-scored index fold to identical scores
     "search_bm25_stream" -> bm25OracleBound(1000),
+    // hybrid fusion replay: the full BM25 replay (bound 1000) and the
+    // brute cosine top-10 as derived tables, fused with the identical
+    // truncating-div RRF and (rrf desc, doc_id) tie-break
+    "search_hybrid_rrf" -> hybridRrfOracle,
     // proximity replay: matched position lists joined per (query, doc),
     // |px − py| ≤ 4 pairs counted, minimum distance kept
     "search_proximity" ->

@@ -170,6 +170,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("rrf fusion: both-list docs beat single-list docs at equal rank") {
+    // query 1: doc 10 ranked 1 by BOTH lists; doc 20 ranked 2 lexically
+    // only; doc 30 ranked 2 vector-only
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 10L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(lex, vec, k = 10)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("lex_rank"),
+        r.getAs[Int]("vec_rank"), r.getAs[Long]("rrf"), r.getAs[Int]("rank")))
+      .toSeq
+    val c1 = 1000000000L / 61 // rank-1 contribution
+    val c2 = 1000000000L / 62
+    // doc 10 fused from both lists; 20 vs 30 tie on score, doc id breaks
+    assert(got === Seq(
+      (10L, 1, 1, 2 * c1, 1),
+      (20L, 2, 0, c2, 2),
+      (30L, 0, 2, c2, 3)))
+  }
+
   test("plan broadcasts only the query side, never corpus-sized inputs") {
     val plan = Retrieval.bm25TopK(corpus, "text", "doc_id", q("fox"), k = 10)
       .queryExecution.executedPlan.toString

@@ -617,4 +617,33 @@ class SimilaritySpec extends AnyFunSuite {
     // self is excluded
     assert(!got.contains(0L))
   }
+
+  test("mmr rerank: first pick is relevance argmax, then diversity wins") {
+    // q = [1,0]; a(1) and its near-dup a'(2) sit at +24° from q,
+    // b(3) mirrored at −24° — equal relevance, far from a. Plain
+    // top-3 ranks a, a' adjacent; MMR top-2 must pick a (tie with b
+    // breaks to the lower id) then SKIP the near-dup for b, because
+    // the dup's maxSim ≈ 1 while b's maxSim-to-a is only ~0.67.
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.4f)),
+      (2L, Array(0.9f, 0.401f)),
+      (3L, Array(0.9f, -0.4f)),
+      (9L, Array(1.0f, 0.0f))
+    ).toDF("id", "v")
+    val got = Similarity.mmrTopK(
+      corpus, corpus.where(col("id") === 9L), "id", "v", m = 3, k = 2)
+      .orderBy("mmr_rank")
+      .select("doc_id", "mmr_rank").as[(Long, Int)].collect().toSeq
+    assert(got === Seq((1L, 1), (3L, 2)))
+  }
+
+  test("mmr emits exactly k per query and never repeats a doc") {
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val got = Similarity.mmrTopK(emb, emb.where(col("vec_id") < 4),
+      "vec_id", "embedding", m = 20, k = 6)
+      .select("query_id", "doc_id").as[(Long, Long)].collect()
+    assert(got.length === 4 * 6)
+    assert(got.distinct.length === got.length)
+    got.foreach { case (q, d) => assert(q != d) }
+  }
 }
