@@ -146,7 +146,10 @@ object Bench {
     // bit-portable HLL distinct sketch and count-min point frequencies
     "events_hll_users", "text_countmin",
     // hybrid BM25+vector RRF fusion and MMR diversity rerank
-    "search_hybrid_rrf", "sim_mmr")
+    "search_hybrid_rrf", "sim_mmr",
+    // incremental HLL register merge, MAD robust outliers, last-touch
+    // attribution (as-of ∘ rollup)
+    "events_hll_incremental", "events_mad_outliers", "events_attribution")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

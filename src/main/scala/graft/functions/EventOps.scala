@@ -222,4 +222,45 @@ object EventOps {
           col("__n") * col("__n") * col("__s") * (lambdaNum * lambdaNum))
           .as("flagged"))
   }
+
+  /** Lower weighted median of an integer column per group, computed
+    * over the per-group VALUE HISTOGRAM (distinct values), never the
+    * raw rows — a hot group costs its distinct-value count, not its
+    * row count (the q_weighted_median shape).
+    */
+  def lowerMedianByGroup(df: DataFrame, groupCol: String, valCol: String,
+                         out: String): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("__w"))
+    val cum = Window.partitionBy(groupCol).orderBy(valCol)
+    hist.withColumn("__cum", sum(col("__w")).over(cum))
+      .withColumn("__tot", sum(col("__w")).over(
+        Window.partitionBy(groupCol)))
+      .groupBy(groupCol)
+      .agg(min(when(col("__cum") * 2 >= col("__tot"), col(valCol)))
+        .as(out))
+  }
+
+  /** Robust outlier summary by Median Absolute Deviation on an integer
+    * value plane: per group, the lower median, the MAD (median of
+    * |x − median|), and the count of rows past the 3σ-equivalent cut
+    * `10000·|x − med| > 44478·MAD` (3 × 1.4826 scaled — the Gaussian
+    * consistency constant, compared in exact integers, no floats).
+    * Unlike mean/stddev z-scores, the planted outliers themselves
+    * cannot drag the threshold (50% breakdown point).
+    */
+  def madOutlierSummary(df: DataFrame, groupCol: String,
+                        valCol: String): DataFrame = {
+    val med = lowerMedianByGroup(df, groupCol, valCol, "med")
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(col(valCol) - col("med")))
+    val mad = lowerMedianByGroup(dev, groupCol, "__dev", "mad")
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(min(col("med")).as("med_" + valCol),
+        min(col("mad")).as("mad_" + valCol),
+        sum(when(col("__dev") * 10000 > col("mad") * 44478, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        count(lit(1)).as("n_rows"))
+  }
 }

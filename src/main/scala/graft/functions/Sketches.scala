@@ -35,9 +35,24 @@ object Sketches {
   /** 60-bit md5-prefix hash (15 hex chars — stays positive in a Long,
     * identical to DuckDB's `('0x' || substring(md5(v),1,15))::BIGINT`).
     */
-  private def hash60(v: Column): Column =
+  private[graft] def hash60(v: Column): Column =
     conv(substring(md5(v.cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
+
+  /** Register bucket of a precomputed [[hash60]] column. */
+  private[graft] def hllBucketFromH(h: Column): Column =
+    pmod(h, lit(HllM.toLong)).cast("int")
+
+  /** Register rank of a precomputed [[hash60]] column: trailing-zero
+    * count of the post-bucket bits, + 1. Pure column composition, so it
+    * drops into streaming aggregations unchanged.
+    */
+  private[graft] def hllRhoFromH(h: Column): Column = {
+    val w = shiftright(h, HllP)
+    when(w === 0L, lit(55))
+      .otherwise(bit_count(w.bitwiseAND(lit(0L) - w) - lit(1L))
+        .cast("int") + lit(1))
+  }
 
   /** HLL register table: one row per (group, bucket) with the max rank
     * (rho = trailing-zero count of the post-bucket hash bits, + 1).
@@ -50,20 +65,11 @@ object Sketches {
     * into per-month cardinalities without re-touching raw data.
     */
   def hllRegisters(df: DataFrame, groupCols: Seq[String],
-                   valueCol: Column): DataFrame = {
-    val h = hash60(valueCol)
-    df.select(groupCols.map(col) ++ Seq(
-        pmod(h, lit(HllM.toLong)).cast("int").as("bucket"),
-        shiftright(h, HllP).as("__w")): _*)
-      // lowest set bit of __w, its trailing-zero count + 1 = rho;
-      // __w spans 54 bits so __w == 0 is unreachable for real input,
-      // but the sentinel keeps the expression total
-      .withColumn("__rho",
-        when(col("__w") === 0L, lit(55))
-          .otherwise(expr("bit_count((__w & -__w) - 1L) + 1")))
-      .groupBy((groupCols :+ "bucket").map(col): _*)
-      .agg(max(col("__rho")).cast("int").as("register"))
-  }
+                   valueCol: Column): DataFrame =
+    df.select(groupCols.map(col) :+ hash60(valueCol).as("__h"): _*)
+      .groupBy(groupCols.map(col) :+
+        hllBucketFromH(col("__h")).as("bucket"): _*)
+      .agg(max(hllRhoFromH(col("__h"))).cast("int").as("register"))
 
   /** Harmonic HLL estimate from a register table: exact integer
     * `sum_scaled = Σ_buckets 2^(55 − register)` (absent buckets count

@@ -1393,6 +1393,99 @@ object PipelineQueries {
       est.join(exact, "event_type")
     }),
 
+    // The incremental path for the HLL sketch: registers built on the
+    // first 20 days PERSIST to parquet; the new slice's registers merge
+    // in by bucket-max — provably identical to the from-scratch build
+    // (max is associative), so this entry shares events_hll_users'
+    // oracle VERBATIM. The 100 TB story: yesterday's corpus never
+    // re-scans; a day's merge touches groups × 64 register rows.
+    "events_hll_incremental" -> ((spark, dir) => {
+      val S = graft.functions.Sketches
+      val ev = Tables.read(spark, dir, "events")
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_hll_inc").toString
+      S.hllRegisters(ev.where(col("ts") < cut),
+          Seq("event_type"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$tmp/regs")
+      val merged = spark.read.parquet(s"$tmp/regs")
+        .unionByName(S.hllRegisters(ev.where(col("ts") >= cut),
+          Seq("event_type"), col("user_id")))
+        .groupBy("event_type", "bucket")
+        .agg(max("register").cast("int").as("register"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      S.hllEstimate(merged, Seq("event_type")).join(exact, "event_type")
+    }),
+
+    // Streaming twin #28 — daily distinct-user HLL registers as a
+    // watermarked windowed aggregation (register max IS a streaming
+    // aggregate: order-independent, bounded state of 64 rows per
+    // (day, type) window), each window sealing exactly once in Append
+    // mode; the metadata-sized estimate projects from the sink table.
+    "events_hll_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val S = graft.functions.Sketches
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("event_type"), col("ts"), col("user_id"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq(("noop", sentinelTs, -1L))
+        .toDF("event_type", "ts", "user_id")
+      val regs = streamWithSentinel(spark, ev, sentinel, delaySec)
+        .withColumn("__h", S.hash60(col("user_id")))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"),
+          S.hllBucketFromH(col("__h")).as("bucket"))
+        .agg(max(S.hllRhoFromH(col("__h"))).cast("int").as("register"))
+        .select(col("window.start").as("day_start"), col("event_type"),
+          col("bucket"), col("register"))
+      graft.streaming.EventStream.runToMemory(
+        regs, "events_hll_stream_out", OutputMode.Append())
+      S.hllEstimate(
+        spark.table("events_hll_stream_out")
+          .where(col("event_type") =!= "noop"),
+        Seq("event_type", "day_start"))
+    }),
+
+    // Robust outliers by median absolute deviation on the cents plane
+    // (the homogeneity-resistant alternative to z-scores — one planted
+    // +$5000 shift on the %101 events gives every SF true outliers).
+    // Both medians run over the per-type VALUE HISTOGRAM (distinct
+    // cents), never the raw rows — the q_weighted_median shape — and
+    // the 3σ-equivalent cut 10000·dev > 44478·MAD stays in integers.
+    "events_mad_outliers" -> ((spark, dir) =>
+      graft.functions.EventOps.madOutlierSummary(
+        Tables.read(spark, dir, "events")
+          .select(col("event_type"),
+            (floor(col("value") * 100).cast("long") +
+              when(col("event_id") % 101 === 0, lit(500000L))
+                .otherwise(lit(0L))).as("cents")),
+        "event_type", "cents")),
+
+    // Last-touch revenue attribution: each purchase's cents credit to
+    // the user's most recent click within 7 days (the native as-of
+    // operator), rolled up per (user, click hour) — null hour is the
+    // unattributed bucket. As-of ∘ rollup, the marketing-attribution
+    // composition.
+    "events_attribution" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          date_trunc("second", col("ts")).as("p_ts"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          date_trunc("second", col("ts")).as("c_ts"))
+      graft.plans.AsOfJoinPlan.asOf(purchases, clicks,
+          leftKey = "user_id", rightKey = "c_user",
+          leftTime = "p_ts", rightTime = "c_ts",
+          tolerance = Some(7L * 24 * 3600 * 1000000L)) // native µs units
+        .groupBy(col("user_id"),
+          date_trunc("hour", col("c_ts")).as("click_hour"))
+        .agg(sum("cents").as("attributed_cents"),
+          count(lit(1)).as("n_purchases"))
+    }),
+
     // Count-min frequency sketch over the corpus token stream: 4×256
     // salted-md5 counter cells (the shuffle carries at most 1024
     // combined rows per map task regardless of corpus size), probed
@@ -6610,6 +6703,36 @@ object PipelineQueries {
     * truncation; DuckDB's HUGEINT sums collapse back through the final
     * BIGINT cast to the same values.
     */
+  /** HLL replay shared by the from-scratch (`events_hll_users`) and the
+    * persisted-shard-merge (`events_hll_incremental`) entries — register
+    * max is associative, so the merged sketch is provably identical to
+    * the full build and one replay gates both.
+    */
+  private val hllUsersOracle: String =
+    """WITH h AS (SELECT event_type,
+      |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM events),
+      |r AS (SELECT event_type, CAST(h % 64 AS INTEGER) AS bucket,
+      |    max(CASE WHEN (h // 64) = 0 THEN 55
+      |      ELSE CAST(bit_count(((h // 64) & (-(h // 64))) - 1)
+      |        AS INTEGER) + 1 END) AS register
+      |  FROM h GROUP BY 1, 2),
+      |e AS (SELECT event_type,
+      |    CAST(sum(1::BIGINT << (55 - register)) +
+      |      (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS sum_scaled,
+      |    CAST(64 - count(*) AS BIGINT) AS zero_buckets
+      |  FROM r GROUP BY 1),
+      |x AS (SELECT event_type,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, e.sum_scaled, e.zero_buckets,
+      |  CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) *
+      |    CAST(36028797018963968.0 AS DOUBLE) /
+      |    CAST(sum_scaled AS DOUBLE) AS hll_est,
+      |  x.exact_users
+      |FROM e JOIN x USING (event_type)""".stripMargin
+
   private def pagerankOracle(iters: Int): String = {
     val head =
       """WITH pairs AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
@@ -7283,31 +7406,88 @@ object PipelineQueries {
     // HLL register replay: identical 60-bit md5-prefix hash, bucket =
     // h % 64, rho = trailing zeros of h // 64 plus one, register = max;
     // the harmonic sum is exact integers and the estimate the same
-    // literal-constant product / one division
-    "events_hll_users" ->
+    // literal-constant product / one division. The incremental entry
+    // shares it VERBATIM: register max is associative, so persisted-
+    // shard merge is provably identical to the from-scratch build.
+    "events_hll_users" -> hllUsersOracle,
+    "events_hll_incremental" -> hllUsersOracle,
+    // daily-windowed register replay for the streaming twin — same
+    // register construction per (day, type); the estimate is the same
+    // constant product / one division per sealed window
+    "events_hll_stream" ->
       """WITH h AS (SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
         |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
         |      AS h
         |  FROM events),
-        |r AS (SELECT event_type, CAST(h % 64 AS INTEGER) AS bucket,
+        |r AS (SELECT event_type, day_start, CAST(h % 64 AS INTEGER) AS bucket,
         |    max(CASE WHEN (h // 64) = 0 THEN 55
         |      ELSE CAST(bit_count(((h // 64) & (-(h // 64))) - 1)
         |        AS INTEGER) + 1 END) AS register
-        |  FROM h GROUP BY 1, 2),
-        |e AS (SELECT event_type,
-        |    CAST(sum(1::BIGINT << (55 - register)) +
-        |      (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS sum_scaled,
-        |    CAST(64 - count(*) AS BIGINT) AS zero_buckets
-        |  FROM r GROUP BY 1),
-        |x AS (SELECT event_type,
-        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
-        |  FROM events GROUP BY 1)
-        |SELECT e.event_type, e.sum_scaled, e.zero_buckets,
+        |  FROM h GROUP BY 1, 2, 3)
+        |SELECT event_type, day_start,
+        |  CAST(sum(1::BIGINT << (55 - register)) +
+        |    (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS sum_scaled,
+        |  CAST(64 - count(*) AS BIGINT) AS zero_buckets,
         |  CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE) *
         |    CAST(36028797018963968.0 AS DOUBLE) /
-        |    CAST(sum_scaled AS DOUBLE) AS hll_est,
-        |  x.exact_users
-        |FROM e JOIN x USING (event_type)""".stripMargin,
+        |    CAST(CAST(sum(1::BIGINT << (55 - register)) +
+        |      (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS DOUBLE)
+        |    AS hll_est
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    // MAD replay: same planted +$5000 shift, lower weighted median over
+    // the per-type cents histogram (cum·2 >= total), MAD the same over
+    // the deviation histogram, integer 3σ-equivalent cut
+    "events_mad_outliers" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) +
+        |    CASE WHEN event_id % 101 = 0 THEN 500000 ELSE 0 END AS cents
+        |  FROM events),
+        |hist AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS w
+        |  FROM ev GROUP BY 1, 2),
+        |medt AS (SELECT event_type,
+        |    min(CASE WHEN cum * 2 >= total THEN cents END) AS med_cents
+        |  FROM (SELECT event_type, cents,
+        |      sum(w) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |      sum(w) OVER (PARTITION BY event_type) AS total FROM hist)
+        |  GROUP BY 1),
+        |dev AS (SELECT e.event_type, abs(e.cents - m.med_cents) AS dev,
+        |    m.med_cents
+        |  FROM ev e JOIN medt m USING (event_type)),
+        |dhist AS (SELECT event_type, dev, CAST(count(*) AS BIGINT) AS w
+        |  FROM dev GROUP BY 1, 2),
+        |madt AS (SELECT event_type,
+        |    min(CASE WHEN cum * 2 >= total THEN dev END) AS mad_cents
+        |  FROM (SELECT event_type, dev,
+        |      sum(w) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+        |      sum(w) OVER (PARTITION BY event_type) AS total FROM dhist)
+        |  GROUP BY 1)
+        |SELECT d.event_type,
+        |  CAST(min(d.med_cents) AS BIGINT) AS med_cents,
+        |  CAST(min(t.mad_cents) AS BIGINT) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev * 10000 > t.mad_cents * 44478
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM dev d JOIN madt t USING (event_type) GROUP BY 1""".stripMargin,
+    // last-touch attribution replay: max preceding click within 7 days
+    // per purchase (the q_asof_tolerance rule), cents rolled up per
+    // (user, click hour); NULL hour = unattributed
+    "events_attribution" ->
+      """WITH l AS (SELECT user_id, date_trunc('second', ts) AS p_ts,
+        |      CAST(floor(value * 100) AS BIGINT) AS cents
+        |    FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id AS c_user, date_trunc('second', ts) AS c_ts
+        |    FROM events WHERE event_type = 'click'),
+        |a AS (SELECT l.user_id, l.cents,
+        |    (SELECT max(r.c_ts) FROM r WHERE r.c_user = l.user_id
+        |       AND r.c_ts <= l.p_ts
+        |       AND r.c_ts >= l.p_ts - INTERVAL 7 DAY) AS c_ts
+        |  FROM l)
+        |SELECT user_id,
+        |  CAST(date_trunc('hour', c_ts) AS TIMESTAMP) AS click_hour,
+        |  CAST(sum(cents) AS BIGINT) AS attributed_cents,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM a GROUP BY 1, 2""".stripMargin,
     // count-min replay: same salted md5-prefix cells, same top-20 term
     // suite (count desc, term tie-break), min over the 4 rows
     "text_countmin" ->

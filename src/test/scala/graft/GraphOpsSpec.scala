@@ -213,4 +213,32 @@ class GraphOpsSpec extends AnyFunSuite {
     // orientation: node_a < node_b always
     got.keys.foreach { case (a, b) => assert(a < b) }
   }
+
+  test("mad outliers: exact medians, breakdown resistance, planted flags") {
+    import graft.functions.EventOps
+    // odd group: values 1..5 + one wild outlier; median stays 3,
+    // MAD = median(|x-3|) over {2,1,0,1,2,9997} -> lower median 1
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+      ("a", 10000L), ("b", 7L), ("b", 7L), ("b", 7L))
+      .toDF("g", "v")
+    val got = EventOps.madOutlierSummary(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // lower median of {1,2,3,4,5,10000} is 3 (cum*2>=total at 3)
+    assert(got("a") === ((3L, 1L, 1L, 6L)))   // only 10000 flagged
+    // constant group: MAD 0 -> nothing beats 0 threshold... except dev>0
+    assert(got("b") === ((7L, 0L, 0L, 3L)))
+  }
+
+  test("lower median runs on the histogram, not raw rows") {
+    import graft.functions.EventOps
+    val df = Seq.fill(1000)(("a", 5L)).toDF("g", "v")
+    val med = EventOps.lowerMedianByGroup(df, "g", "v", "m")
+      .collect().head.getLong(1)
+    assert(med === 5L)
+    // the window input is the aggregated histogram: one row per value
+    val plan = EventOps.lowerMedianByGroup(df, "g", "v", "m")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+  }
 }
