@@ -149,7 +149,9 @@ object Bench {
     "search_hybrid_rrf", "sim_mmr",
     // incremental HLL register merge, MAD robust outliers, last-touch
     // attribution (as-of ∘ rollup)
-    "events_hll_incremental", "events_mad_outliers", "events_attribution")
+    "events_hll_incremental", "events_mad_outliers", "events_attribution",
+    // integer OLS trend, ppm quantile transform, Bloom skip-index
+    "events_trend", "table_quantile_transform", "layout_bloom_prune")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

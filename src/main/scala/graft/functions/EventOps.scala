@@ -263,4 +263,25 @@ object EventOps {
           .otherwise(0L)).as("n_flagged"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** Per-group ordinary-least-squares trend over integer (x, y) pairs:
+    * the five sufficient moments in ONE partial-aggregated pass, slope
+    * as the exact integer pair (num, den) plus a truncating-div ppm
+    * fixed point — zero floats, so the fitted trend is bit-portable
+    * (the same discipline as the ACF/CUSUM/EWMA family).
+    */
+  def olsTrend(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String, scale: Long = 1000000L): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol)).as("sx"), sum(col(yCol)).as("sy"),
+        sum(col(xCol) * col(yCol)).as("sxy"),
+        sum(col(xCol) * col(xCol)).as("sxx"))
+      .select(col(groupCol), col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope_ppm",
+        when(col("slope_den") =!= 0L,
+          expr(s"(slope_num * ${scale}L) div slope_den"))
+          .otherwise(lit(null).cast("long")))
 }

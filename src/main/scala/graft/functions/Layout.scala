@@ -79,4 +79,63 @@ object Layout {
   def pruneDecision(statCol: String, lo: Column, hi: Column): Column =
     col(s"max_$statCol") < lo || col(s"min_$statCol") > hi ||
       col(s"min_$statCol").isNull
+
+  /** Bloom-index geometry: 1024 bits as 32 half-filled Long words (shifts stay under 32 — a 1<<63 mask overflows checked engines), 2 salted hashes
+    * per key — ~5% false-positive rate at 256 distinct keys/bucket,
+    * 256 bytes of index per bucket.
+    */
+  val BloomBits = 1024
+  val BloomK = 2
+
+  /** Bit position of `v` under salted hash `j` (portable md5 prefix —
+    * the same trick as the count-min sketch and hashing-trick cells).
+    */
+  private[graft] def bloomBitPos(v: Column, j: Int): Column =
+    (conv(substring(md5(concat(lit(s"$j:"), v.cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") % BloomBits).cast("int")
+
+  /** Per-bucket Bloom filter over an equality-key column — the
+    * data-skipping structure for point predicates that zone maps
+    * ([[zoneMap]]) cannot serve (high-cardinality keys scattered within
+    * each bucket's min/max range). One explode (per hash) + ONE
+    * partial-aggregated groupBy producing (`bucket`, `word`, `bits`)
+    * rows: at most buckets × 16 rows reach the shuffle no matter the
+    * table size, and filters merge across shards by `bit_or` — the
+    * Parquet-bloom/Iceberg-puffin structure as a relational operator.
+    */
+  def bloomIndex(df: DataFrame, bucket: Column, keyCol: String): DataFrame =
+    df.where(col(keyCol).isNotNull)
+      .select(bucket.as("bucket"),
+        explode(array((0 until BloomK).map(j =>
+          bloomBitPos(col(keyCol), j)): _*)).as("bit"))
+      .select(col("bucket"), expr("CAST(bit div 32 AS INT)").as("word"),
+        expr("shiftleft(1L, bit % 32)").as("mask"))
+      .groupBy("bucket", "word")
+      .agg(expr("bit_or(mask)").as("bits"))
+
+  /** Skip/scan decisions for a set of point-lookup keys against a
+    * [[bloomIndex]]: a bucket is provably skippable for a key when ANY
+    * of the key's probe bits is absent (no false negatives by the Bloom
+    * property; false positives scan and find nothing). The probe is
+    * (keys × hashes) joined against the metadata-sized index — never
+    * the data.
+    */
+  def bloomPrune(index: DataFrame, keys: DataFrame,
+                 keyCol: String): DataFrame = {
+    val probes = keys.select(col(keyCol).as("key")).distinct()
+      .select(col("key"),
+        explode(array((0 until BloomK).map(j =>
+          bloomBitPos(col("key"), j)): _*)).as("bit"))
+      .select(col("key"), expr("CAST(bit div 32 AS INT)").as("word"),
+        expr("shiftleft(1L, bit % 32)").as("mask"))
+    val buckets = index.select("bucket").distinct()
+    probes.crossJoin(broadcast(buckets))
+      .join(broadcast(index), Seq("bucket", "word"), "left")
+      .select(col("key"), col("bucket"),
+        when(col("bits").isNotNull &&
+          (col("bits").bitwiseAND(col("mask")) =!= 0L), 1L)
+          .otherwise(0L).as("present"))
+      .groupBy("key", "bucket")
+      .agg((sum("present") < BloomK).as("can_skip"))
+  }
 }

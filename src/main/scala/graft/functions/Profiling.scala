@@ -179,4 +179,31 @@ object Profiling {
         min(col("__v")).as("lo_cents"),
         max(col("__v")).as("hi_cents"))
   }
+
+  /** Rank / quantile transform of an integer column per group: each
+    * DISTINCT value maps to its fractional rank in ppm — the
+    * scale-free, outlier-immune feature normalization (scikit-learn's
+    * QuantileTransformer shape). `ppm = count_strictly_smaller_rows ×
+    * 10^6 div (total_rows − 1)`, exact integers end to end.
+    *
+    * Runs over the per-group VALUE HISTOGRAM (one partial-agg groupBy,
+    * then a window over distinct values only) — a hot group costs its
+    * distinct-value count, never its row count. Output: one row per
+    * (group, value) with `ppm`; rows join back by value when the
+    * transformed column is needed inline.
+    */
+  def quantileTransform(df: DataFrame, groupCol: String,
+                        valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("w"))
+    val cum = Window.partitionBy(groupCol).orderBy(valCol)
+    hist.withColumn("cum", sum(col("w")).over(cum))
+      .withColumn("total", sum(col("w")).over(
+        Window.partitionBy(groupCol)))
+      .select(col(groupCol), col(valCol),
+        when(col("total") > 1,
+          expr("((cum - w) * 1000000) div (total - 1)"))
+          .otherwise(lit(0L)).as("ppm"))
+  }
 }

@@ -1462,6 +1462,56 @@ object PipelineQueries {
                 .otherwise(lit(0L))).as("cents")),
         "event_type", "cents")),
 
+    // Per-type OLS trend of the dense hourly count series: five integer
+    // moments in one pass, slope as the exact (num, den) pair + a
+    // truncating-div ppm fixed point — "is error volume trending up"
+    // answered bit-portably, no floats anywhere.
+    "events_trend" -> ((spark, dir) => {
+      val dense = denseHourlyCounts(spark, dir)
+      val lo = dense.agg(min(col("h")).as("lo"))
+      val xy = dense.crossJoin(broadcast(lo))
+        .select(col("event_type"),
+          expr("(unix_timestamp(h) - unix_timestamp(lo)) div 3600")
+            .as("x"),
+          col("c").as("y"))
+      graft.functions.EventOps.olsTrend(xy, "event_type", "x", "y")
+    }),
+
+    // Rank/quantile transform (scikit QuantileTransformer shape): each
+    // distinct cents value maps to its fractional rank in ppm, exact
+    // integers, computed over the per-type value histogram — the
+    // outlier-immune normalization step of a feature pipeline.
+    "table_quantile_transform" -> ((spark, dir) =>
+      graft.functions.Profiling.quantileTransform(
+        Tables.read(spark, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents")),
+
+    // Bloom data-skipping index + prune eval — the point-predicate
+    // complement of the zone-map family: per-bucket 1024-bit Bloom over
+    // the customer key (32 bit_or'd words/bucket reach the shuffle, no
+    // matter the table size), probed for a fixed key suite; soundness
+    // (can_skip ⇒ 0 matches) is cross-checked row by row, and the
+    // can_skip=false & n_match=0 rows expose the false-positive rate.
+    "layout_bloom_prune" -> ((spark, dir) => {
+      val o = Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_custkey").cast("long").as("ckey"))
+      val idx = graft.functions.Layout.bloomIndex(
+        o, expr("okey div 256"), "ckey")
+      val keys = o.select(col("ckey"))
+        .where(col("ckey") % 211 === 3 && col("ckey") < 2000).distinct()
+      val dec = graft.functions.Layout.bloomPrune(idx, keys, "ckey")
+      val actual = o
+        .select(col("ckey").as("key"), expr("okey div 256").as("bucket"))
+        .join(broadcast(keys.select(col("ckey").as("key"))), "key")
+        .groupBy("key", "bucket").agg(count(lit(1)).as("n_match"))
+      dec.join(actual, Seq("key", "bucket"), "left")
+        .select(col("key"), col("bucket"), col("can_skip"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"))
+    }),
+
     // Last-touch revenue attribution: each purchase's cents credit to
     // the user's most recent click within 7 days (the native as-of
     // operator), rolled up per (user, click hour) — null hour is the
@@ -7469,6 +7519,84 @@ object PipelineQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM dev d JOIN madt t USING (event_type) GROUP BY 1""".stripMargin,
+    // OLS trend replay: same dense zero-filled spine as events_acf,
+    // same integer moments and truncating-div ppm slope
+    "events_trend" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h
+        |    FROM events),
+        |cnt AS (SELECT event_type, h, count(*) AS c FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |g AS (SELECT t.event_type,
+        |    unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT DISTINCT event_type FROM e) t, b),
+        |d AS (SELECT g.event_type,
+        |    CAST((date_part('epoch', g.h) - date_part('epoch', b.lo))
+        |      AS BIGINT) // 3600 AS x,
+        |    CAST(coalesce(cnt.c, 0) AS BIGINT) AS y
+        |  FROM g LEFT JOIN cnt USING (event_type, h), b),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n, sx, sy,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        |  CASE WHEN n * sxx - sx * sx <> 0
+        |    THEN CAST(((n * sxy - sx * sy) * 1000000) //
+        |      (n * sxx - sx * sx) AS BIGINT)
+        |    ELSE NULL END AS slope_ppm
+        |FROM m""".stripMargin,
+    // quantile-transform replay: per-type cents histogram, strictly-
+    // smaller row count × 1e6 truncating-div (total − 1)
+    "table_quantile_transform" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |hist AS (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS w
+        |  FROM ev GROUP BY 1, 2),
+        |c AS (SELECT event_type, cents, w,
+        |    sum(w) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |    sum(w) OVER (PARTITION BY event_type) AS total FROM hist)
+        |SELECT event_type, cents,
+        |  CAST(CASE WHEN total > 1
+        |    THEN ((cum - w) * 1000000) // (total - 1) ELSE 0 END
+        |    AS BIGINT) AS ppm
+        |FROM c""".stripMargin,
+    // Bloom prune replay: same salted md5 bit positions, bit_or'd
+    // per-bucket words, any-absent-bit skip rule, actual counts joined
+    "layout_bloom_prune" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(o_custkey AS BIGINT) AS ckey FROM orders),
+        |keys AS (SELECT DISTINCT ckey AS key FROM o
+        |  WHERE ckey % 211 = 3 AND ckey < 2000),
+        |js AS (SELECT unnest([0, 1]) AS j),
+        |kb AS (SELECT okey // 256 AS bucket, j,
+        |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
+        |      CAST(ckey AS VARCHAR)), 1, 8))::BIGINT % 1024 AS INTEGER)
+        |      AS bit
+        |  FROM o CROSS JOIN js),
+        |idx AS (SELECT bucket, bit // 32 AS word,
+        |    bit_or(1::BIGINT << (bit % 32)) AS bits
+        |  FROM kb GROUP BY 1, 2),
+        |probe AS (SELECT key, j,
+        |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
+        |      CAST(key AS VARCHAR)), 1, 8))::BIGINT % 1024 AS INTEGER)
+        |      AS bit
+        |  FROM keys CROSS JOIN js),
+        |bkts AS (SELECT DISTINCT bucket FROM idx),
+        |dec AS (SELECT p.key, b.bucket,
+        |    sum(CASE WHEN i.bits IS NOT NULL AND
+        |        (i.bits & (1::BIGINT << (p.bit % 32))) <> 0
+        |      THEN 1 ELSE 0 END) < 2 AS can_skip
+        |  FROM probe p CROSS JOIN bkts b
+        |  LEFT JOIN idx i ON i.bucket = b.bucket AND i.word = p.bit // 32
+        |  GROUP BY 1, 2),
+        |act AS (SELECT ckey AS key, okey // 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_match
+        |  FROM o JOIN keys ON o.ckey = keys.key GROUP BY 1, 2)
+        |SELECT d.key, d.bucket, d.can_skip,
+        |  CAST(coalesce(a.n_match, 0) AS BIGINT) AS n_match
+        |FROM dec d LEFT JOIN act a USING (key, bucket)""".stripMargin,
     // last-touch attribution replay: max preceding click within 7 days
     // per purchase (the q_asof_tolerance rule), cents rolled up per
     // (user, click hour); NULL hour = unattributed

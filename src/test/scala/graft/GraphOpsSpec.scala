@@ -241,4 +241,27 @@ class GraphOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"))
   }
+
+  test("ols trend: exact slope on a planted line, null den on constant x") {
+    import graft.functions.EventOps
+    // y = 3x + 7 exactly -> slope_ppm = 3_000_000
+    val line = (0L to 9L).map(x => ("a", x, 3 * x + 7)) :+ (("b", 5L, 1L)) :+ (("b", 5L, 9L))
+    val got = EventOps.olsTrend(line.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(4), r.getLong(5), Option(r.get(6)).map(_.toString.toLong)))
+      .toMap
+    assert(got("a")._3 === Some(3000000L))
+    // single x value: den = 0 -> slope undefined (null), not a crash
+    assert(got("b")._2 === 0L && got("b")._3 === None)
+  }
+
+  test("quantile transform: min at 0 ppm, max at 1e6 for unique max") {
+    import graft.functions.Profiling
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 30L))
+      .toDF("g", "v")
+    val got = Profiling.quantileTransform(df, "g", "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // strictly-smaller counts: 10->0, 20->1, 30->3 of (n-1)=3
+    assert(got === Map(10L -> 0L, 20L -> 333333L, 30L -> 1000000L))
+  }
 }

@@ -118,4 +118,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(got("k") === (("k", 4L, 1L, 2L, Some("1"), Some("2"))))
     assert(got("s") === (("s", 4L, 1L, 2L, Some("x"), Some("y"))))
   }
+
+  test("bloom index: no false negatives, mergeable, skips the absent") {
+    import graft.functions.Layout
+    val df = Seq((0L, "a"), (1L, "b"), (256L, "c"), (257L, "d"))
+      .toDF("okey", "k")
+    val idx = Layout.bloomIndex(df, expr("okey div 256"), "k")
+    val keys = Seq("a", "c", "zz").toDF("k")
+    val dec = Layout.bloomPrune(idx, keys, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2))
+      .toMap
+    // present keys are NEVER skipped in their own bucket
+    assert(dec(("a", 0L)) === false)
+    assert(dec(("c", 1L)) === false)
+    // a key in no bucket is skippable everywhere (2 hashes, 1024 bits,
+    // 4 keys total -- a double collision would be a broken hash)
+    assert(dec(("zz", 0L)) === true && dec(("zz", 1L)) === true)
+    // shard merge: bit_or of per-shard filters == whole-table filter
+    val merged = Layout.bloomIndex(df.where(col("okey") % 2 === 0),
+        expr("okey div 256"), "k")
+      .unionByName(Layout.bloomIndex(df.where(col("okey") % 2 === 1),
+        expr("okey div 256"), "k"))
+      .groupBy("bucket", "word").agg(expr("bit_or(bits)").as("bits"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = idx.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged === full)
+  }
 }
