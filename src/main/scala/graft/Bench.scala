@@ -151,7 +151,10 @@ object Bench {
     // attribution (as-of ∘ rollup)
     "events_hll_incremental", "events_mad_outliers", "events_attribution",
     // integer OLS trend, ppm quantile transform, Bloom skip-index
-    "events_trend", "table_quantile_transform", "layout_bloom_prune")
+    "events_trend", "table_quantile_transform", "layout_bloom_prune",
+    // calibration curve, Cohen's kappa, temperature mix, stats drift
+    "text_score_calibration", "text_classifier_agreement",
+    "mix_temperature", "table_drift")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

@@ -1200,4 +1200,28 @@ object Curation {
     */
   private def tokenCountCol(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+
+  /** Temperature-scaled mixture weights at tau = 1/2 (UniMax/multilingual-
+    * sampling shape): each source's sampling weight is n^tau, flattening
+    * the head and boosting the tail. tau = 1/2 specifically because
+    * sqrt is IEEE-correctly-rounded everywhere while pow/exp are
+    * libm-dependent — the one tau where temperature sampling is
+    * bit-portable. The share denominator folds over the SOURCE-SORTED
+    * weight list (sources are metadata-sized by contract), so the one
+    * float sum has a fixed association order on every engine.
+    */
+  def temperatureShares(df: DataFrame, srcCol: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .agg(array_sort(collect_list(struct(col("source"), col("n"))))
+        .as("arr"))
+      .select(explode(col("arr")).as("e"),
+        aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + sqrt(x.getField("n").cast("double")))
+          .as("denom"))
+      .select(col("e.source").as("source"), col("e.n").as("n"),
+        sqrt(col("e.n").cast("double")).as("w"),
+        (sqrt(col("e.n").cast("double")) / col("denom")).as("share"))
+  }
 }

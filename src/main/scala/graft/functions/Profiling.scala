@@ -206,4 +206,29 @@ object Profiling {
           expr("((cum - w) * 1000000) div (total - 1)"))
           .otherwise(lit(0L)).as("ppm"))
   }
+
+  /** Stats-drift monitor between two slices of the same table (e.g.
+    * yesterday vs today): both sides run the one-pass [[tableProfile]],
+    * then per-column deltas — null-rate delta in ppm (truncating div,
+    * exact), distinct-count delta, and a null-safe min/max range-change
+    * flag. The 100 TB shape is two single-pass aggregates joined on the
+    * metadata-sized column list — drift detection never re-reads either
+    * slice twice.
+    */
+  def profileDrift(a: DataFrame, b: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, p: String) =
+      tableProfile(df, cols).select(col("column_name"),
+        col("n_nulls").as(s"${p}_nulls"),
+        col("n_distinct").as(s"${p}_distinct"),
+        col("min_value").as(s"${p}_min"),
+        col("max_value").as(s"${p}_max"),
+        col("n_rows").as(s"${p}_rows"))
+    side(a, "a").join(side(b, "b"), "column_name")
+      .withColumn("null_rate_delta_ppm",
+        expr("(b_nulls * 1000000) div b_rows - (a_nulls * 1000000) div a_rows"))
+      .withColumn("distinct_delta", col("b_distinct") - col("a_distinct"))
+      .withColumn("range_changed",
+        !(col("a_min") <=> col("b_min")) || !(col("a_max") <=> col("b_max")))
+  }
 }

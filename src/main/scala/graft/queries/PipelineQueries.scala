@@ -1593,6 +1593,78 @@ object PipelineQueries {
         docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id", loaded)
     }),
 
+    // Classifier calibration audit (reliability diagram): the lexicon
+    // scorer's candidates bucketed by decile, each bin's observed
+    // positive rate in exact ppm — the is-my-quality-filter-honest
+    // check every scored pipeline needs. Binning rides the scorer's
+    // bit-portable score; everything after is integer.
+    "text_score_calibration" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val lex = TextAnalysis.buildLexicon(
+        docs.where(col("doc_id") % 97 === 0), "text",
+        col("doc_id") % 2 === 0)
+      TextAnalysis.lexiconScore(
+          docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id", lex)
+        .select(least(floor(col("score") * 10), lit(9.0)).cast("int")
+          .as("bin"),
+          (col("doc_id") % 2 === 0).as("is_pos"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("pos_ppm", expr("(n_pos * 1000000) div n_docs"))
+    }),
+
+    // Inter-rater agreement (Cohen's kappa) between two admission
+    // rules — evidence score >= 0.5 vs token coverage >= 50% — as one
+    // exact contingency aggregate; kappa in ppm via the all-integer
+    // rational form (N·agree − Σ marginal products) / (N² − Σ...).
+    // The do-my-filters-agree-beyond-chance audit.
+    "text_classifier_agreement" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val lex = TextAnalysis.buildLexicon(
+        docs.where(col("doc_id") % 97 === 0), "text",
+        col("doc_id") % 2 === 0)
+      val m = TextAnalysis.lexiconScore(
+          docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id", lex)
+        .select((col("score") >= 0.5).as("a"),
+          (col("n_hits") * 2 >= col("n_tokens")).as("b"))
+        .agg(sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      m.select(col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("""CASE WHEN (n11+n10+n01+n00)*(n11+n10+n01+n00)
+            - (n11+n10)*(n11+n01) - (n01+n00)*(n10+n00) <> 0
+          THEN (((n11+n10+n01+n00)*(n11+n00)
+            - (n11+n10)*(n11+n01) - (n01+n00)*(n10+n00)) * 1000000)
+            div ((n11+n10+n01+n00)*(n11+n10+n01+n00)
+            - (n11+n10)*(n11+n01) - (n01+n00)*(n10+n00))
+          ELSE NULL END""").as("kappa_ppm"))
+    }),
+
+    // Temperature-scaled mixture weights at tau = 1/2 (the UniMax /
+    // multilingual-sampling flattening): weight = sqrt(n) per source —
+    // sqrt because it is the one temperature that stays IEEE-portable
+    // (pow is libm-dependent) — with the share denominator folded over
+    // the source-sorted list so the single float sum has a fixed
+    // association order.
+    "mix_temperature" -> ((spark, dir) =>
+      graft.functions.Curation.temperatureShares(
+        Tables.read(spark, dir, "documents"), "source")),
+
+    // Stats-drift monitor: the one-pass tableProfile on two date slices
+    // of orders, joined per column — null-rate delta in exact ppm,
+    // distinct-count delta, null-safe range-change flag. The
+    // yesterday-vs-today data-contract diff.
+    "table_drift" -> ((spark, dir) => {
+      val o = Tables.read(spark, dir, "orders")
+      val cut = lit("1995-01-01").cast("date")
+      graft.functions.Profiling.profileDrift(
+        o.where(col("o_orderdate") < cut),
+        o.where(col("o_orderdate") >= cut),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+    }),
+
     // CCNet-style LM quality filter: bigram counts trained on the %3
     // reference slice, every doc scored by its pooled add-one
     // conditional likelihood (integer sums, ONE division — the log-free
@@ -4391,6 +4463,37 @@ object PipelineQueries {
       |  CAST(sum(num_i) AS DOUBLE) / CAST(sum(den_i) AS DOUBLE) AS score
       |FROM j GROUP BY doc_id""".stripMargin
 
+  /** table_drift replay: the per-column profile recomputed over both
+    * date slices of orders with UNION ALL per column, then the same ppm
+    * deltas and null-safe range flag. Fixing the same three int/string
+    * columns as the entry keeps min/max-to-string engine-portable.
+    */
+  private val tableDriftOracle: String = {
+    def side(tag: String, pred: String): String =
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS ${tag}_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS ${tag}_distinct,
+           |  CAST(min($c) AS VARCHAR) AS ${tag}_min,
+           |  CAST(max($c) AS VARCHAR) AS ${tag}_max,
+           |  CAST(count(*) AS BIGINT) AS ${tag}_rows
+           |FROM orders WHERE $pred""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH pa AS (${side("a", "o_orderdate < DATE '1995-01-01'")}),
+       |pb AS (${side("b", "o_orderdate >= DATE '1995-01-01'")})
+       |SELECT pa.column_name,
+       |  a_nulls, a_distinct, a_min, a_max, a_rows,
+       |  b_nulls, b_distinct, b_min, b_max, b_rows,
+       |  CAST((b_nulls * 1000000) // b_rows
+       |    - (a_nulls * 1000000) // a_rows AS BIGINT)
+       |    AS null_rate_delta_ppm,
+       |  CAST(b_distinct - a_distinct AS BIGINT) AS distinct_delta,
+       |  (NOT (a_min IS NOT DISTINCT FROM b_min))
+       |    OR (NOT (a_max IS NOT DISTINCT FROM b_max)) AS range_changed
+       |FROM pa JOIN pb USING (column_name)""".stripMargin
+  }
+
   private val lexiconScoreOracle: String =
     """WITH bt AS (SELECT DISTINCT doc_id, tok FROM (
       |    SELECT doc_id, unnest(string_split(
@@ -5576,6 +5679,57 @@ object PipelineQueries {
     // lexicon replay: distinct-per-doc token doc-frequencies on the
     // benchmark slice split even/odd, then per-occurrence add-one sums
     "text_score_lexicon" -> lexiconScoreOracle,
+    // calibration replay: the full lexicon-score replay as a derived
+    // table, decile bins on the identical score double, integer ppm
+    "text_score_calibration" ->
+      s"""WITH s AS (SELECT * FROM ($lexiconScoreOracle)),
+        |b AS (SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS pos FROM s)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST((sum(pos) * 1000000) // count(*) AS BIGINT) AS pos_ppm
+        |FROM b GROUP BY 1""".stripMargin,
+    // kappa replay: same contingency counts; the ppm division is
+    // sign-split so DuckDB's floor // matches Spark's truncating div
+    // when kappa is negative
+    "text_classifier_agreement" ->
+      s"""WITH s AS (SELECT * FROM ($lexiconScoreOracle)),
+        |r AS (SELECT (score >= 0.5) AS a,
+        |    (n_hits * 2 >= n_tokens) AS b FROM s),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |  FROM r),
+        |k AS (SELECT n11, n10, n01, n00,
+        |    (n11+n10+n01+n00)*(n11+n00)
+        |      - (n11+n10)*(n11+n01) - (n01+n00)*(n10+n00) AS num,
+        |    (n11+n10+n01+n00)*(n11+n10+n01+n00)
+        |      - (n11+n10)*(n11+n01) - (n01+n00)*(n10+n00) AS den
+        |  FROM m)
+        |SELECT n11, n10, n01, n00,
+        |  CASE WHEN den <> 0 THEN
+        |    CASE WHEN num >= 0 THEN CAST((num * 1000000) // den AS BIGINT)
+        |      ELSE -CAST(((-num) * 1000000) // den AS BIGINT) END
+        |  ELSE NULL END AS kappa_ppm
+        |FROM k""".stripMargin,
+    // temperature-share replay: sqrt weights, source-sorted list fold
+    // for the one float denominator, same division
+    "mix_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |p AS (SELECT list(struct_pack(source := source, n := n)
+        |    ORDER BY source, n) AS arr FROM c),
+        |d AS (SELECT arr, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(arr, x -> sqrt(CAST(x.n AS DOUBLE)))),
+        |    (a, b) -> a + b) AS denom FROM p),
+        |e AS (SELECT unnest(arr) AS x, denom FROM d)
+        |SELECT x.source AS source, x.n AS n,
+        |  sqrt(CAST(x.n AS DOUBLE)) AS w,
+        |  sqrt(CAST(x.n AS DOUBLE)) / denom AS share FROM e""".stripMargin,
+    // drift replay: per-column profile recompute on both date slices
+    "table_drift" -> tableDriftOracle,
     // bigram-LM replay: reference counts, pooled add-one likelihood —
     // integer sums and one division, so the doubles hash-match exactly
     "text_lm_score" -> lmScoreOracle,
@@ -7542,9 +7696,12 @@ object PipelineQueries {
         |SELECT event_type, n, sx, sy,
         |  CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
         |  CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
-        |  CASE WHEN n * sxx - sx * sx <> 0
-        |    THEN CAST(((n * sxy - sx * sy) * 1000000) //
-        |      (n * sxx - sx * sx) AS BIGINT)
+        |  CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |    CASE WHEN n * sxy - sx * sy >= 0
+        |      THEN CAST(((n * sxy - sx * sy) * 1000000) //
+        |        (n * sxx - sx * sx) AS BIGINT)
+        |      ELSE -CAST(((sx * sy - n * sxy) * 1000000) //
+        |        (n * sxx - sx * sx) AS BIGINT) END
         |    ELSE NULL END AS slope_ppm
         |FROM m""".stripMargin,
     // quantile-transform replay: per-type cents histogram, strictly-

@@ -686,4 +686,17 @@ class CurationSpec extends AnyFunSuite {
     assert(enc("ba") === "[UNK]")     // 'b' is continuation-only
     assert(enc("abd") === "[UNK]")    // mid-word dead end collapses the word
   }
+
+  test("temperature shares: sqrt flattening, shares sum to ~1") {
+    import graft.functions.Curation
+    val df = (Seq.fill(81)("big") ++ Seq.fill(9)("small")).toDF("src")
+    val got = Curation.temperatureShares(df, "src")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("big")._2 === 9.0 && got("small")._2 === 3.0)
+    // raw ratio 9:1 flattens to 3:1 at tau = 1/2
+    assert(math.abs(got("big")._3 - 0.75) < 1e-12)
+    assert(math.abs(got("small")._3 - 0.25) < 1e-12)
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-12)
+  }
 }

@@ -98,4 +98,21 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got("B") === (("B", 2L, 2L, false)))
     assert(got("C") === (("C", 2L, 2L, false)))
   }
+
+  test("profile drift: ppm null delta, distinct delta, range flag") {
+    import graft.functions.Profiling
+    val a = Seq((1L, Option("x")), (2L, Option("y")), (3L, None))
+      .toDF("k", "s")
+    val b = Seq((1L, Option("x")), (9L, None), (9L, None), (9L, None))
+      .toDF("k", "s")
+    val got = Profiling.profileDrift(a, b, Seq("k", "s"))
+      .collect().map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("null_rate_delta_ppm"),
+         r.getAs[Long]("distinct_delta"),
+         r.getAs[Boolean]("range_changed"))).toMap
+    // k: nulls 0 -> 0; distinct 3 -> 2; max 3 -> 9 (range changed)
+    assert(got("k") === ((0L, -1L, true)))
+    // s: null rate 1/3 -> 3/4 = +416667 ppm; distinct 2 -> 1; max y -> x
+    assert(got("s") === ((750000L - 333333L, -1L, true)))
+  }
 }
