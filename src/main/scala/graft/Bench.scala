@@ -154,7 +154,9 @@ object Bench {
     "events_trend", "table_quantile_transform", "layout_bloom_prune",
     // calibration curve, Cohen's kappa, temperature mix, stats drift
     "text_score_calibration", "text_classifier_agreement",
-    "mix_temperature", "table_drift")
+    "mix_temperature", "table_drift",
+    // fixed-point chunk->doc pooling and sweep-line session concurrency
+    "embed_pool", "events_concurrency")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

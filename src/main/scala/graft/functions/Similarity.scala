@@ -1194,4 +1194,25 @@ object Similarity {
         round(col("rel"), 6).as("rel"),
         round(col("mmr_score"), 6).as("mmr_score"))
   }
+
+  /** Mean-pool chunk embeddings into one vector per parent (the RAG
+    * ingest step: chunk vectors → document vector), on a ×2^scaleBits
+    * integer plane so the pooled values are bit-portable: per-element
+    * quantize (floor), exact integer sums, one truncating div by the
+    * chunk count. Emitted as (group, idx, n_chunks, sum_fp, mean_fp)
+    * scalar rows — one partial-aggregated groupBy on (group, idx), no
+    * windows, order-independent by construction (integer + is
+    * associative — the float mean would depend on partitioning).
+    */
+  def meanPoolFixedPoint(df: DataFrame, groupCol: Column, vecCol: Column,
+                         scaleBits: Int = 20): DataFrame = {
+    val scale = math.pow(2.0, scaleBits)
+    df.select(groupCol.as("group_id"),
+        posexplode(vecCol).as(Seq("idx", "__v")))
+      .select(col("group_id"), col("idx"),
+        floor(col("__v").cast("double") * scale).cast("long").as("__q"))
+      .groupBy("group_id", "idx")
+      .agg(sum(col("__q")).as("sum_fp"), count(lit(1)).as("n_chunks"))
+      .withColumn("mean_fp", expr("sum_fp div n_chunks"))
+  }
 }

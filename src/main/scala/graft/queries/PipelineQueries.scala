@@ -629,6 +629,40 @@ object PipelineQueries {
       scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
     }),
 
+    // Chunk→document mean pooling (RAG ingest): every 4 consecutive
+    // chunk vectors pool into one document vector on the ×2^20 integer
+    // plane — exact integer sums, one truncating div, so the pooled
+    // vector is identical under any partitioning (a float mean is not).
+    "embed_pool" -> ((spark, dir) =>
+      Similarity.meanPoolFixedPoint(
+        Tables.read(spark, dir, "embeddings"),
+        expr("vec_id div 4"), col("embedding"))),
+
+    // Hourly session-concurrency by sweep-line: 30-min-gap sessions
+    // (min/max event ts per session), +1/−1 deltas aggregated PER HOUR
+    // first (partial-agg), then ONE cumulative window over the
+    // metadata-sized hour spine — never a window over raw rows. The
+    // how-many-users-are-on-right-now operator.
+    "events_concurrency" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"))
+      val sess = ev
+        .groupBy(session_window(col("ts_s"), "30 minutes"), col("user_id"))
+        .agg(min("ts_s").as("s"), max("ts_s").as("e"))
+        .select(date_trunc("hour", col("s")).as("sh"),
+          date_trunc("hour", col("e")).as("eh"))
+      val deltas = sess.select(col("sh").as("h"), lit(1L).as("d"))
+        .unionByName(sess.select(
+          (col("eh") + expr("INTERVAL 1 HOUR")).as("h"), lit(-1L).as("d")))
+        .groupBy("h").agg(sum("d").as("delta"))
+      val bounds = sess.agg(min(col("sh")).as("lo"), max(col("eh")).as("hi"))
+      bounds.select(explode(expr("sequence(lo, hi, interval 1 hour)"))
+          .as("h"))
+        .join(deltas, Seq("h"), "left")
+        .select(col("h"), coalesce(col("delta"), lit(0L)).as("delta"))
+        .withColumn("n_active", sum("delta").over(Window.orderBy("h")))
+    }),
+
     // Diversity-aware rerank: MMR greedy over the cosine top-30
     // shortlist, 5 selections maximizing 0.5·rel − 0.5·maxSim-to-
     // selected (ties → lower id). The greedy runs per query over the
@@ -6724,6 +6758,53 @@ object PipelineQueries {
         |COUNT(*) AS n_events,
         |CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // mean-pool replay: same floor quantization and integer sums; the
+    // mean div is trunc-vs-floor-safe via the sign split
+    "embed_pool" ->
+      """WITH u AS (SELECT vec_id // 4 AS group_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS xd
+        |  FROM embeddings),
+        |e AS (SELECT group_id, xd, unnest(range(1, len(xd) + 1)) AS i
+        |  FROM u),
+        |q AS (SELECT group_id, CAST(i - 1 AS INTEGER) AS idx,
+        |    CAST(floor(xd[i] * 1048576.0) AS BIGINT) AS q FROM e),
+        |a AS (SELECT group_id, idx, CAST(sum(q) AS BIGINT) AS sum_fp,
+        |    CAST(count(*) AS BIGINT) AS n_chunks
+        |  FROM q GROUP BY 1, 2)
+        |SELECT group_id, idx, sum_fp, n_chunks,
+        |  CASE WHEN sum_fp >= 0 THEN CAST(sum_fp // n_chunks AS BIGINT)
+        |    ELSE -CAST((-sum_fp) // n_chunks AS BIGINT) END AS mean_fp
+        |FROM a""".stripMargin,
+    // concurrency replay: the session_window islands (gap > 1800 rule),
+    // hour-truncated span per session, +1/−1 per-hour deltas, cumsum
+    // over the generate_series hour spine
+    "events_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    date_trunc('second', ts) AS ts_s FROM events),
+        |g AS (SELECT user_id, event_id, ts_s,
+        |  epoch(ts_s) - epoch(lag(ts_s, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id)) AS gap
+        |  FROM e),
+        |s AS (SELECT user_id, ts_s,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |sess AS (SELECT
+        |    CAST(date_trunc('hour', min(ts_s)) AS TIMESTAMP) AS sh,
+        |    CAST(date_trunc('hour', max(ts_s)) AS TIMESTAMP) AS eh
+        |  FROM s GROUP BY user_id, session_id),
+        |d AS (SELECT h, CAST(sum(dd) AS BIGINT) AS delta FROM (
+        |    SELECT sh AS h, 1 AS dd FROM sess
+        |    UNION ALL SELECT eh + INTERVAL 1 HOUR, -1 FROM sess)
+        |  GROUP BY 1),
+        |b AS (SELECT min(sh) AS lo, max(eh) AS hi FROM sess),
+        |spine AS (SELECT unnest(generate_series(b.lo, b.hi,
+        |    INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT spine.h, CAST(coalesce(d.delta, 0) AS BIGINT) AS delta,
+        |  CAST(sum(coalesce(d.delta, 0)) OVER (ORDER BY spine.h)
+        |    AS BIGINT) AS n_active
+        |FROM spine LEFT JOIN d USING (h)""".stripMargin,
     "events_session_window" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
         |g AS (SELECT user_id, event_id, ts_s,

@@ -646,4 +646,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.distinct.length === got.length)
     got.foreach { case (q, d) => assert(q != d) }
   }
+
+  test("mean pooling: exact fixed point, layout-invariant, trunc on negatives") {
+    val df = Seq(
+      (0L, Array(1.0f, -1.0f)), (1L, Array(0.5f, -0.25f)),
+      (2L, Array(0.5f, -0.25f)),
+      (4L, Array(0.25f, 0.75f))
+    ).toDF("vec_id", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPoolFixedPoint(d, expr("vec_id div 4"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = run(df)
+    val m = 1L << 20
+    // group 0, idx 0: (1.0 + 0.5 + 0.5) * 2^20 / 3 = 2^20 * 2 / 3 trunc
+    assert(got((0L, 0)) === ((2 * m, 3L, 2 * m / 3)))
+    // group 0, idx 1: sum_fp = -2^20 - 2^18 - 2^18 = -1572864; /3 exact
+    assert(got((0L, 1)) === ((-1572864L, 3L, -524288L)))
+    // negative trunc-toward-zero: -5 div 2 = -2, not floor -3
+    val odd = Seq((0L, Array(-5.0f / m))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"))
+    val o = Similarity.meanPoolFixedPoint(
+      odd.unionByName(Seq((1L, Array(0.0f))).toDF("vec_id", "embedding")),
+      lit(0L), col("embedding")).collect()
+      .map(r => r.getLong(2) -> r.getLong(4)).toMap
+    assert(o(-5L) === -2L)
+    // layout invariance: integer sums don't care about partitioning
+    assert(run(df.repartition(7)) === got)
+  }
 }
