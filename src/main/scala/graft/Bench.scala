@@ -156,7 +156,9 @@ object Bench {
     "text_score_calibration", "text_classifier_agreement",
     "mix_temperature", "table_drift",
     // fixed-point chunk->doc pooling and sweep-line session concurrency
-    "embed_pool", "events_concurrency")
+    "embed_pool", "events_concurrency",
+    // PCM frame energy, DP bounded contributions, deterministic masking
+    "multimodal_pcm_energy", "table_dp_bounded", "table_masking")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

@@ -234,4 +234,34 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Per-frame PCM energy over a binary payload interpreted as 16-bit
+    * little-endian samples: frame f's energy = Σ s², exact integers —
+    * the silence-detection / loudness-normalization primitive of an
+    * audio pipeline, expressed entirely as row-local codegen'd HOFs
+    * over the payload's hex plane (sample decode → signed conversion →
+    * square-sum fold). No UDF, no driver loop; bytes never shuffle —
+    * only (id, frame_idx, energy) scalar rows leave the row.
+    * Trailing partial frames are dropped (both engines agree).
+    */
+  def pcmFrameEnergy(df: DataFrame, idCol: String, contentCol: String,
+                     frameSamples: Int = 64): DataFrame = {
+    val fb = frameSamples * 2 // bytes per frame
+    val energies = expr(
+      s"""transform(sequence(0, CAST(length($contentCol) div $fb AS INT) - 1),
+         |  f -> aggregate(
+         |    transform(sequence(0, ${frameSamples - 1}), i ->
+         |      CAST(conv(substr(lower(hex($contentCol)),
+         |        (f * $fb + i * 2) * 2 + 1, 2), 16, 10) AS INT)
+         |      + 256 * CAST(conv(substr(lower(hex($contentCol)),
+         |        (f * $fb + i * 2) * 2 + 3, 2), 16, 10) AS INT)),
+         |    0L,
+         |    (acc, v) -> acc +
+         |      CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+         |        AS BIGINT) *
+         |      CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+         |        AS BIGINT)))""".stripMargin)
+    df.where(length(col(contentCol)) >= fb)
+      .select(col(idCol), posexplode(energies).as(Seq("frame_idx", "energy")))
+  }
 }

@@ -1151,6 +1151,51 @@ object PipelineQueries {
           Multimodal.mediaHeader(col("content")).getField("format")
             .as("media_format"))),
 
+    // Per-frame PCM energy (silence detection / loudness audit): the
+    // payload bytes decode as 16-bit little-endian samples entirely
+    // inside the row — hex-plane sample decode, signed conversion,
+    // exact Σs² fold; only (id, frame, energy) scalars leave the row.
+    "multimodal_pcm_energy" -> ((spark, dir) =>
+      Multimodal.pcmFrameEnergy(
+        Multimodal.ingest(Tables.read(spark, dir, "documents"), "text")
+          .select(col("doc_id"), col("content")),
+        "doc_id", "content", frameSamples = 64)),
+
+    // Bounded-contribution aggregation — the differential-privacy
+    // preprocessing primitive: each user's per-type contribution clips
+    // at the cap BEFORE the rollup, bounding any one user's influence
+    // on the released aggregate. Raw sums ride along to expose the
+    // clipped mass. Two partial-aggregated levels, exact integers.
+    "table_dp_bounded" -> ((spark, dir) =>
+      Tables.read(spark, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy("event_type", "user_id")
+        .agg(sum("cents").as("user_cents"), count(lit(1)).as("user_rows"))
+        .groupBy("event_type")
+        .agg(sum(least(col("user_cents"), lit(10000L)))
+          .as("bounded_cents"),
+          sum(col("user_cents")).as("raw_cents"),
+          sum(least(col("user_rows"), lit(20L))).as("bounded_rows"),
+          sum(col("user_rows")).as("raw_rows"),
+          count(lit(1)).as("n_users"))),
+
+    // Deterministic masking/pseudonymization (the governance release
+    // step): stable md5 surrogate for the name (joinable across tables,
+    // irreversible), last-4 retention, account balance
+    // generalized to $1000 buckets — every rule a pure projection.
+    "table_masking" -> ((spark, dir) =>
+      Tables.read(spark, dir, "customer")
+        .select(col("c_custkey"),
+          concat(lit("cust-"),
+            substring(md5(col("c_name").cast("binary")), 1, 12))
+            .as("name_token"),
+          concat(lit("***"),
+            expr("substring(c_name, length(c_name) - 3, 4)"))
+            .as("name_last4"),
+          (floor(col("c_acctbal") / 1000.0).cast("long") * 1000L)
+            .as("acctbal_bucket"))),
+
     // Exact media dedup over deterministically planted re-uploads (every
     // doc_id % 7 == 3 doc carries the payload of doc_id − 3): group by
     // payload digest — only digests + ids shuffle, never the bytes.
@@ -6597,6 +6642,58 @@ object PipelineQueries {
         |FROM planted p JOIN g ON md5(p.payload) = g.dg""".stripMargin,
     // byte-bucket histogram recomputed from the UTF-8 payload via
     // hex-nibble decode (bucket 0 = byte positions ≡ 0 mod 16)
+    // PCM energy replay: same hex-nibble byte decode, little-endian
+    // sample assembly, signed conversion, exact square-sum per frame
+    "multimodal_pcm_energy" ->
+      """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, hx, unnest(range(0, n // 128)) AS frame
+        |  FROM h WHERE n >= 128),
+        |s AS (SELECT doc_id, CAST(frame AS INTEGER) AS frame_idx,
+        |    list_transform(range(0, 64), i ->
+        |      (strpos('0123456789abcdef',
+        |        hx[CAST((frame*128 + i*2)*2 + 1 AS INT)
+        |          :CAST((frame*128 + i*2)*2 + 1 AS INT)]) - 1) * 16
+        |      + (strpos('0123456789abcdef',
+        |        hx[CAST((frame*128 + i*2)*2 + 2 AS INT)
+        |          :CAST((frame*128 + i*2)*2 + 2 AS INT)]) - 1)
+        |      + 256 * ((strpos('0123456789abcdef',
+        |        hx[CAST((frame*128 + i*2)*2 + 3 AS INT)
+        |          :CAST((frame*128 + i*2)*2 + 3 AS INT)]) - 1) * 16
+        |      + (strpos('0123456789abcdef',
+        |        hx[CAST((frame*128 + i*2)*2 + 4 AS INT)
+        |          :CAST((frame*128 + i*2)*2 + 4 AS INT)]) - 1))) AS vs
+        |  FROM f)
+        |SELECT doc_id, frame_idx,
+        |  CAST(list_sum(list_transform(vs, v ->
+        |    CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS BIGINT)
+        |    * CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+        |      AS BIGINT))) AS BIGINT) AS energy
+        |FROM s""".stripMargin,
+    // bounded-contribution replay: per-user clip then rollup
+    "table_dp_bounded" ->
+      """WITH u AS (SELECT event_type, user_id,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS user_cents,
+        |    CAST(count(*) AS BIGINT) AS user_rows
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(sum(least(user_cents, 10000)) AS BIGINT) AS bounded_cents,
+        |  CAST(sum(user_cents) AS BIGINT) AS raw_cents,
+        |  CAST(sum(least(user_rows, 20)) AS BIGINT) AS bounded_rows,
+        |  CAST(sum(user_rows) AS BIGINT) AS raw_rows,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1""".stripMargin,
+    // masking replay: identical md5 surrogate, last-4 retention,
+    // floor-division $1000 generalization
+    "table_masking" ->
+      """SELECT c_custkey,
+        |  'cust-' || substring(md5(c_name), 1, 12) AS name_token,
+        |  '***' || substring(c_name, length(c_name) - 3, 4)
+        |    AS name_last4,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) * 1000
+        |    AS acctbal_bucket
+        |FROM customer""".stripMargin,
     "multimodal_features" ->
       """WITH h AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
         |  octet_length(encode(text)) AS n FROM documents),
