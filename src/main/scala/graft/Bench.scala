@@ -158,7 +158,9 @@ object Bench {
     // fixed-point chunk->doc pooling and sweep-line session concurrency
     "embed_pool", "events_concurrency",
     // PCM frame energy, DP bounded contributions, deterministic masking
-    "multimodal_pcm_energy", "table_dp_bounded", "table_masking")
+    "multimodal_pcm_energy", "table_dp_bounded", "table_masking",
+    // chunked passage retrieval with per-doc collapse
+    "search_passages")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

@@ -1913,6 +1913,42 @@ object PipelineQueries {
         qtBatch, k = 10)
     }),
 
+    // Passage retrieval with per-document collapse (the RAG search
+    // shape): the corpus chunks into 16-token windows (stride 8), BM25
+    // ranks CHUNKS, then each (query, parent doc) keeps its best chunk
+    // via one max(struct) — no window over chunk hits — and the final
+    // doc-level top-10 reranks the collapsed scores. Multiple chunks of
+    // one doc can no longer crowd out other documents.
+    "search_passages" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      // materialized once: BM25 consumes the chunk corpus from three
+      // branches (postings, stats, df) — in production the chunk index
+      // persists anyway (the search_ingest pattern), so the checkpoint
+      // stands in for the real persisted index
+      val chunks = graft.functions.Curation.chunkByTokens(
+          docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id",
+          window = 16, stride = 8)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("ckey"),
+          col("chunk_text"))
+        .localCheckpoint(true)
+      val qt = docs.where(col("doc_id") % 97 === 0 &&
+          col("doc_id") < 1000 && length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            split(Dedup.normalizeText(col("text")), " "), 1, 5)))
+            .as("term"))
+      val hits = graft.functions.Retrieval.bm25TopK(
+        chunks, "chunk_text", "ckey", qt, k = 50)
+      val best = hits
+        .groupBy(col("query_id"), expr("doc_id div 1000").as("parent"))
+        .agg(max(struct(col("score"), (-col("doc_id")).as("nck"))).as("m"))
+        .select(col("query_id"), col("parent").as("doc_id"),
+          col("m.score").as("score"), (-col("m.nck")).as("best_chunk"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      best.withColumn("rank", row_number().over(w)).where(col("rank") <= 10)
+    }),
+
     // Hybrid retrieval: BM25 lexical top-10 and exact-cosine vector
     // top-10 over the SAME query suite, fused by reciprocal rank
     // (integer RRF, k=60) — the dense+sparse combiner behind modern
@@ -5834,6 +5870,70 @@ object PipelineQueries {
     "search_ingest" -> bm25Oracle,
     // streamed probes of the pre-scored index fold to identical scores
     "search_bm25_stream" -> bm25OracleBound(1000),
+    // passage replay: the chunk construction (text_chunk's spanning),
+    // BM25 over chunks with the identical IEEE fold, per-parent best
+    // chunk via the same struct max, doc-level rerank
+    "search_passages" ->
+      """WITH t0 AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS rtoks
+        |  FROM documents
+        |  WHERE length(trim(text)) > 0 AND doc_id % 97 <> 0),
+        |nn AS (SELECT doc_id, rtoks, len(rtoks) AS n FROM t0),
+        |ch AS (SELECT doc_id, rtoks, n, unnest(range(0,
+        |    1 + CAST(floor((greatest(n - 16, 0) + 7) / 8.0) AS BIGINT)))
+        |    AS cid
+        |  FROM nn),
+        |chunks AS (SELECT doc_id * 1000 + cid AS ckey,
+        |    array_to_string(rtoks[(cid*8+1):least(cid*8+16, n)], ' ')
+        |      AS ctext
+        |  FROM ch),
+        |tc AS (SELECT ckey, string_split(regexp_replace(lower(trim(ctext)),
+        |    '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM chunks WHERE length(trim(ctext)) > 0),
+        |p AS (SELECT ckey, len(toks) AS dl, unnest(toks) AS term FROM tc),
+        |g AS (SELECT term, ckey, CAST(count(*) AS BIGINT) AS tf,
+        |    min(dl) AS dl FROM p GROUP BY 1, 2),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl
+        |  FROM (SELECT ckey, min(dl) AS dl FROM g GROUP BY ckey)),
+        |q AS (SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split(regexp_replace(
+        |      lower(trim(text)), '\s+', ' ', 'g'), ' ')[1:5])) AS term
+        |  FROM documents WHERE length(trim(text)) > 0
+        |    AND doc_id % 97 = 0 AND doc_id < 1000),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+        |c AS (SELECT q.query_id, g.ckey, q.term,
+        |    sqrt((CAST(s.n - d.df AS DOUBLE) + 0.5) /
+        |         (CAST(d.df AS DOUBLE) + 0.5)) *
+        |      ((CAST(g.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |       (CAST(g.tf AS DOUBLE) + (CAST(1.2 AS DOUBLE) *
+        |         ((1.0 - CAST(0.75 AS DOUBLE)) + (CAST(0.75 AS DOUBLE) *
+        |           (CAST(g.dl AS DOUBLE) /
+        |            (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))))))
+        |      AS contrib
+        |  FROM g JOIN d USING (term) JOIN q USING (term) CROSS JOIN s),
+        |agg AS (SELECT query_id, ckey,
+        |    list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+        |      AS score
+        |  FROM c GROUP BY query_id, ckey),
+        |r AS (SELECT query_id, ckey, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, ckey) AS rnk
+        |  FROM agg),
+        |hits AS (SELECT query_id, ckey, score FROM r WHERE rnk <= 50),
+        |best AS (SELECT query_id, ckey // 1000 AS doc_id,
+        |    max(struct_pack(s := score, nck := -ckey)) AS m
+        |  FROM hits GROUP BY 1, 2),
+        |f AS (SELECT query_id, doc_id,
+        |    struct_extract(m, 's') AS score,
+        |    -struct_extract(m, 'nck') AS best_chunk
+        |  FROM best)
+        |SELECT query_id, doc_id, score, best_chunk,
+        |  CAST(rank AS INT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rank FROM f)
+        |WHERE rank <= 10""".stripMargin,
     // hybrid fusion replay: the full BM25 replay (bound 1000) and the
     // brute cosine top-10 as derived tables, fused with the identical
     // truncating-div RRF and (rrf desc, doc_id) tie-break
