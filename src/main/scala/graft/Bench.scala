@@ -160,7 +160,9 @@ object Bench {
     // PCM frame energy, DP bounded contributions, deterministic masking
     "multimodal_pcm_energy", "table_dp_bounded", "table_masking",
     // chunked passage retrieval with per-doc collapse
-    "search_passages")
+    "search_passages",
+    // sweep-line concurrency streaming twin (#29)
+    "events_concurrency_stream")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

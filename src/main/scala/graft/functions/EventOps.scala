@@ -284,4 +284,23 @@ object EventOps {
         when(col("slope_den") =!= 0L,
           expr(s"(slope_num * ${scale}L) div slope_den"))
           .otherwise(lit(null).cast("long")))
+
+  /** Sweep-line concurrency from (session-start-hour, session-end-hour)
+    * rows: +1/−1 deltas partial-aggregate PER HOUR first, then one
+    * cumulative window over the metadata-sized hour spine — shared by
+    * the batch entry and the streaming twin (which feeds it the sealed
+    * sessions from the sink table).
+    */
+  def concurrencySweep(spans: DataFrame): DataFrame = {
+    val deltas = spans.select(col("sh").as("h"), lit(1L).as("d"))
+      .unionByName(spans.select(
+        (col("eh") + expr("INTERVAL 1 HOUR")).as("h"), lit(-1L).as("d")))
+      .groupBy("h").agg(sum(col("d")).as("delta"))
+    val bounds = spans.agg(min(col("sh")).as("lo"), max(col("eh")).as("hi"))
+    bounds.select(explode(expr("sequence(lo, hi, interval 1 hour)"))
+        .as("h"))
+      .join(deltas, Seq("h"), "left")
+      .select(col("h"), coalesce(col("delta"), lit(0L)).as("delta"))
+      .withColumn("n_active", sum(col("delta")).over(Window.orderBy("h")))
+  }
 }

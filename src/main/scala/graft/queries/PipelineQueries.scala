@@ -646,21 +646,36 @@ object PipelineQueries {
     "events_concurrency" -> ((spark, dir) => {
       val ev = Tables.read(spark, dir, "events")
         .select(col("user_id"), date_trunc("second", col("ts")).as("ts_s"))
-      val sess = ev
+      graft.functions.EventOps.concurrencySweep(ev
         .groupBy(session_window(col("ts_s"), "30 minutes"), col("user_id"))
         .agg(min("ts_s").as("s"), max("ts_s").as("e"))
         .select(date_trunc("hour", col("s")).as("sh"),
-          date_trunc("hour", col("e")).as("eh"))
-      val deltas = sess.select(col("sh").as("h"), lit(1L).as("d"))
-        .unionByName(sess.select(
-          (col("eh") + expr("INTERVAL 1 HOUR")).as("h"), lit(-1L).as("d")))
-        .groupBy("h").agg(sum("d").as("delta"))
-      val bounds = sess.agg(min(col("sh")).as("lo"), max(col("eh")).as("hi"))
-      bounds.select(explode(expr("sequence(lo, hi, interval 1 hour)"))
-          .as("h"))
-        .join(deltas, Seq("h"), "left")
-        .select(col("h"), coalesce(col("delta"), lit(0L)).as("delta"))
-        .withColumn("n_active", sum("delta").over(Window.orderBy("h")))
+          date_trunc("hour", col("e")).as("eh")))
+    }),
+
+    // Streaming twin #29 — the same concurrency from a live stream:
+    // native session_window aggregation seals each 30-min-gap session
+    // exactly once in Append mode (watermark past its close), the sink
+    // table holds (user, start, end), and the metadata-sized sweep
+    // projects from the sealed sessions. SAME oracle as the batch form.
+    "events_concurrency_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq((-1L, sentinelTs)).toDF("user_id", "ts")
+      val sess = streamWithSentinel(spark, ev, sentinel, delaySec)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(min("ts").as("s"), max("ts").as("e"))
+        .select(col("user_id"), col("s"), col("e"))
+      graft.streaming.EventStream.runToMemory(
+        sess, "events_concurrency_stream_out", OutputMode.Append())
+      graft.functions.EventOps.concurrencySweep(
+        spark.table("events_concurrency_stream_out")
+          .where(col("user_id") >= 0)
+          .select(date_trunc("hour", col("s")).as("sh"),
+            date_trunc("hour", col("e")).as("eh")))
     }),
 
     // Diversity-aware rerank: MMR greedy over the cosine top-30
@@ -4578,6 +4593,38 @@ object PipelineQueries {
       |  CAST(sum(num_i) AS DOUBLE) / CAST(sum(den_i) AS DOUBLE) AS score
       |FROM j GROUP BY doc_id""".stripMargin
 
+  /** Concurrency sweep replay — shared by the batch entry and the
+    * streaming twin #29 (sealed sessions must reproduce the batch
+    * session_window answer bit-for-bit).
+    */
+  private val concurrencyOracle: String =
+      """WITH e AS (SELECT user_id, event_id,
+        |    date_trunc('second', ts) AS ts_s FROM events),
+        |g AS (SELECT user_id, event_id, ts_s,
+        |  epoch(ts_s) - epoch(lag(ts_s, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id)) AS gap
+        |  FROM e),
+        |s AS (SELECT user_id, ts_s,
+        |  SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |sess AS (SELECT
+        |    CAST(date_trunc('hour', min(ts_s)) AS TIMESTAMP) AS sh,
+        |    CAST(date_trunc('hour', max(ts_s)) AS TIMESTAMP) AS eh
+        |  FROM s GROUP BY user_id, session_id),
+        |d AS (SELECT h, CAST(sum(dd) AS BIGINT) AS delta FROM (
+        |    SELECT sh AS h, 1 AS dd FROM sess
+        |    UNION ALL SELECT eh + INTERVAL 1 HOUR, -1 FROM sess)
+        |  GROUP BY 1),
+        |b AS (SELECT min(sh) AS lo, max(eh) AS hi FROM sess),
+        |spine AS (SELECT unnest(generate_series(b.lo, b.hi,
+        |    INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT spine.h, CAST(coalesce(d.delta, 0) AS BIGINT) AS delta,
+        |  CAST(sum(coalesce(d.delta, 0)) OVER (ORDER BY spine.h)
+        |    AS BIGINT) AS n_active
+        |FROM spine LEFT JOIN d USING (h)""".stripMargin
+
   /** table_drift replay: the per-column profile recomputed over both
     * date slices of orders with UNION ALL per column, then the same ppm
     * deltas and null-safe range flag. Fixing the same three int/string
@@ -6975,33 +7022,8 @@ object PipelineQueries {
     // concurrency replay: the session_window islands (gap > 1800 rule),
     // hour-truncated span per session, +1/−1 per-hour deltas, cumsum
     // over the generate_series hour spine
-    "events_concurrency" ->
-      """WITH e AS (SELECT user_id, event_id,
-        |    date_trunc('second', ts) AS ts_s FROM events),
-        |g AS (SELECT user_id, event_id, ts_s,
-        |  epoch(ts_s) - epoch(lag(ts_s, 1) OVER (PARTITION BY user_id
-        |    ORDER BY ts_s, event_id)) AS gap
-        |  FROM e),
-        |s AS (SELECT user_id, ts_s,
-        |  SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
-        |  FROM g),
-        |sess AS (SELECT
-        |    CAST(date_trunc('hour', min(ts_s)) AS TIMESTAMP) AS sh,
-        |    CAST(date_trunc('hour', max(ts_s)) AS TIMESTAMP) AS eh
-        |  FROM s GROUP BY user_id, session_id),
-        |d AS (SELECT h, CAST(sum(dd) AS BIGINT) AS delta FROM (
-        |    SELECT sh AS h, 1 AS dd FROM sess
-        |    UNION ALL SELECT eh + INTERVAL 1 HOUR, -1 FROM sess)
-        |  GROUP BY 1),
-        |b AS (SELECT min(sh) AS lo, max(eh) AS hi FROM sess),
-        |spine AS (SELECT unnest(generate_series(b.lo, b.hi,
-        |    INTERVAL 1 HOUR)) AS h FROM b)
-        |SELECT spine.h, CAST(coalesce(d.delta, 0) AS BIGINT) AS delta,
-        |  CAST(sum(coalesce(d.delta, 0)) OVER (ORDER BY spine.h)
-        |    AS BIGINT) AS n_active
-        |FROM spine LEFT JOIN d USING (h)""".stripMargin,
+    "events_concurrency_stream" -> concurrencyOracle,
+    "events_concurrency" -> concurrencyOracle,
     "events_session_window" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts_s FROM events),
         |g AS (SELECT user_id, event_id, ts_s,

@@ -646,4 +646,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"),
       s"pair counts must map-side combine:\n$plan")
   }
+
+  test("events_hll_users: registers partial-aggregate before the shuffle") {
+    val plan = finalPlan("events_hll_users")
+    assert(plan.contains("partial_max"),
+      s"register max must map-side combine (duplicates die before the exchange):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("layout_bloom_prune: probes join the broadcast index, data never re-shuffles") {
+    val plan = finalPlan("layout_bloom_prune")
+    assert(plan.contains("partial_bit_or") || plan.contains("bit_or"),
+      s"bloom words must bit_or map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the metadata-sized index/buckets must broadcast:\n$plan")
+  }
+
+  test("search_passages: collapse is an aggregate, not a window over chunk hits") {
+    val plan = finalPlan("search_passages")
+    // exactly one window is allowed: the final per-query doc rerank
+    // (plus bm25's own per-query top-k) — the per-parent collapse must
+    // be max(struct), i.e. a HashAggregate, not another window sort
+    assert(plan.contains("partial_max"),
+      s"per-parent best chunk must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("events_concurrency: deltas partial-aggregate; window only over the spine") {
+    val plan = finalPlan("events_concurrency")
+    assert(plan.contains("partial_sum"),
+      s"hour deltas must map-side combine before the cum window:\n$plan")
+    // the global-order window input must be the joined SPINE, whose rows
+    // are bounded by the hour range — assert the spine join exists
+    assert(plan.contains("Generate") || plan.contains("sequence"),
+      s"the hour spine must come from a sequence generate:\n$plan")
+  }
 }
