@@ -162,7 +162,9 @@ object Bench {
     // chunked passage retrieval with per-doc collapse
     "search_passages",
     // sweep-line concurrency streaming twin (#29)
-    "events_concurrency_stream")
+    "events_concurrency_stream",
+    // Kaplan-Meier conversion survival
+    "events_survival")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

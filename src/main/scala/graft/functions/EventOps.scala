@@ -303,4 +303,43 @@ object EventOps {
       .select(col("h"), coalesce(col("delta"), lit(0L)).as("delta"))
       .withColumn("n_active", sum(col("delta")).over(Window.orderBy("h")))
   }
+
+  /** Kaplan–Meier survival curve from per-subject (duration, event)
+    * rows (event=false ⇒ right-censored at that duration): for each
+    * event time d, the risk set n_d (subjects with duration ≥ d), the
+    * event count, and the survival estimate Π_{d' ≤ d}(1 − e_{d'}/n_{d'}).
+    *
+    * Determinism: every count is exact; each factor is ONE IEEE
+    * division; the product folds over the DURATION-SORTED factor list,
+    * so the float chain has a fixed association order on any engine.
+    * Scale shape: one partial-agg groupBy to the per-duration histogram
+    * (metadata-sized — distinct durations, not subjects), a cum window
+    * over it, then row-local prefix products over the collected
+    * histogram (bounded by distinct event times by construction —
+    * the one collect_list is over that same metadata-sized table).
+    */
+  def kaplanMeier(durations: DataFrame, durCol: String,
+                  eventCol: String): DataFrame = {
+    val hist = durations
+      .groupBy(col(durCol).cast("long").as("d"))
+      .agg(sum(when(col(eventCol), 1L).otherwise(0L)).as("d_events"),
+        count(lit(1)).as("d_total"))
+    val risk = hist
+      .withColumn("n_at_risk",
+        sum(col("d_total")).over(Window.orderBy("d")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .where(col("d_events") > 0)
+      .select(col("d"), col("d_events"), col("n_at_risk"))
+    val packed = risk
+      .agg(array_sort(collect_list(struct(col("d"), col("d_events"),
+        col("n_at_risk")))).as("arr"))
+    packed
+      .select(col("arr"), posexplode(col("arr")).as(Seq("i", "e")))
+      .select(col("e.d").as("duration"), col("e.n_at_risk"),
+        col("e.d_events").as("n_events"),
+        expr("""aggregate(slice(arr, 1, i + 1), CAST(1.0 AS DOUBLE),
+          (acc, x) -> acc * (CAST(1.0 AS DOUBLE) -
+            CAST(x.d_events AS DOUBLE) / CAST(x.n_at_risk AS DOUBLE)))""")
+          .as("survival"))
+  }
 }

@@ -1606,6 +1606,32 @@ object PipelineQueries {
           coalesce(col("n_match"), lit(0L)).as("n_match"))
     }),
 
+    // Kaplan–Meier signup→purchase survival curve (time-to-conversion
+    // with right censoring at the corpus horizon): exact risk sets and
+    // event counts over the per-duration histogram, one IEEE division
+    // per factor, and the survival product folded in duration order —
+    // churn analysis with a hash-checkable float chain.
+    "events_survival" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val maxTs = ev.agg(max(col("ts")).as("mx"))
+      val su = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t0"))
+      val pu = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pt"))
+      val durations = su
+        .join(pu, col("user_id") === col("p_user") &&
+          col("pt") >= col("t0"), "left")
+        .groupBy(col("user_id"), col("t0"))
+        .agg(min(col("pt")).as("pt1"))
+        .crossJoin(broadcast(maxTs))
+        .select(
+          when(col("pt1").isNotNull, datediff(col("pt1"), col("t0")))
+            .otherwise(datediff(col("mx"), col("t0")))
+            .cast("long").as("duration"),
+          col("pt1").isNotNull.as("event"))
+      graft.functions.EventOps.kaplanMeier(durations, "duration", "event")
+    }),
+
     // Last-touch revenue attribution: each purchase's cents credit to
     // the user's most recent click within 7 days (the native as-of
     // operator), rolled up per (user, click hour) — null hour is the
@@ -8054,6 +8080,46 @@ object PipelineQueries {
         |SELECT d.key, d.bucket, d.can_skip,
         |  CAST(coalesce(a.n_match, 0) AS BIGINT) AS n_match
         |FROM dec d LEFT JOIN act a USING (key, bucket)""".stripMargin,
+    // Kaplan–Meier replay: same durations (censored at the horizon),
+    // reverse-cum risk sets over the duration histogram, the identical
+    // duration-ordered factor fold
+    "events_survival" ->
+      """WITH su AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |mx AS (SELECT max(ts) AS mx FROM events),
+        |fp AS (SELECT su.user_id, su.t0, min(e.ts) AS pt1
+        |  FROM su LEFT JOIN events e ON e.user_id = su.user_id
+        |    AND e.event_type = 'purchase' AND e.ts >= su.t0
+        |  GROUP BY 1, 2),
+        |dur AS (SELECT CAST(CASE WHEN pt1 IS NOT NULL
+        |      THEN date_diff('day', CAST(t0 AS DATE), CAST(pt1 AS DATE))
+        |      ELSE date_diff('day', CAST(t0 AS DATE), CAST(mx.mx AS DATE))
+        |      END AS BIGINT) AS d,
+        |    (pt1 IS NOT NULL) AS ev
+        |  FROM fp, mx),
+        |hist AS (SELECT d,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS d_events,
+        |    CAST(count(*) AS BIGINT) AS d_total FROM dur GROUP BY 1),
+        |risk AS (SELECT d, d_events,
+        |    CAST(sum(d_total) OVER (ORDER BY d DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_at_risk
+        |  FROM hist),
+        |ev2 AS (SELECT d, d_events, n_at_risk FROM risk
+        |  WHERE d_events > 0),
+        |p AS (SELECT list(struct_pack(d := d, d_events := d_events,
+        |    n_at_risk := n_at_risk) ORDER BY d) AS arr FROM ev2),
+        |e AS (SELECT arr, unnest(range(1, len(arr) + 1)) AS i FROM p)
+        |SELECT arr[CAST(i AS INT)].d AS duration,
+        |  arr[CAST(i AS INT)].n_at_risk AS n_at_risk,
+        |  arr[CAST(i AS INT)].d_events AS n_events,
+        |  list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        |    list_transform(arr[1:CAST(i AS INT)],
+        |      y -> CAST(1.0 AS DOUBLE) -
+        |        CAST(y.d_events AS DOUBLE) / CAST(y.n_at_risk AS DOUBLE))),
+        |    (a, b) -> a * b) AS survival
+        |FROM e""".stripMargin,
     // last-touch attribution replay: max preceding click within 7 days
     // per purchase (the q_asof_tolerance rule), cents rolled up per
     // (user, click hour); NULL hour = unattributed

@@ -264,4 +264,20 @@ class GraphOpsSpec extends AnyFunSuite {
     // strictly-smaller counts: 10->0, 20->1, 30->3 of (n-1)=3
     assert(got === Map(10L -> 0L, 20L -> 333333L, 30L -> 1000000L))
   }
+
+  test("kaplan-meier: textbook fixture with censoring") {
+    import graft.functions.EventOps
+    // subjects: events at t=1 (2 of 5), censored at t=2 (1), event at
+    // t=3 (1), censored at t=4 (1)
+    val df = Seq((1L, true), (1L, true), (2L, false), (3L, true),
+      (4L, false)).toDF("dur", "ev")
+    val got = EventOps.kaplanMeier(df, "dur", "ev")
+      .orderBy("duration")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // t=1: risk 5, events 2 -> S = 3/5 = 0.6
+    // t=3: risk 2, events 1 -> S = 0.6 * 0.5 = 0.3
+    assert(got === Seq((1L, 5L, 2L, 1.0 * (1.0 - 2.0 / 5.0)),
+      (3L, 2L, 1L, (1.0 * (1.0 - 2.0 / 5.0)) * (1.0 - 1.0 / 2.0))))
+  }
 }
