@@ -163,8 +163,8 @@ object Bench {
     "search_passages",
     // sweep-line concurrency streaming twin (#29)
     "events_concurrency_stream",
-    // Kaplan-Meier conversion survival
-    "events_survival")
+    // Kaplan-Meier conversion survival and exact-rational A/B verdict
+    "events_survival", "events_abtest")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

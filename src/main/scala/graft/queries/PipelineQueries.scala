@@ -1606,6 +1606,40 @@ object PipelineQueries {
           coalesce(col("n_match"), lit(0L)).as("n_match"))
     }),
 
+    // Two-proportion A/B test on (user, day) exposure units: portable
+    // md5 arm assignment, conversion = any purchase that day, and the
+    // pooled z² significance verdict via the DIVISION-FREE rational
+    // form — z²·den = (c1·n2 − c2·n1)²·(n1+n2) cross-multiplied against
+    // 3.84·n1·n2·c·(n−c) in DECIMAL(38,0), so the p<0.05 verdict is
+    // exact at any count scale (no float z, no sqrt, no division).
+    "events_abtest" -> ((spark, dir) => {
+      val ev = Tables.read(spark, dir, "events")
+      val units = ev
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          (col("event_type") === "purchase").as("conv"))
+        .groupBy("user_id", "day")
+        .agg(max(col("conv")).as("converted"))
+        .withColumn("arm",
+          (conv(substring(md5(concat(col("user_id").cast("string"),
+            lit(":"), col("day").cast("string")).cast("binary")), 1, 8),
+            16, 10).cast("long") % 2).cast("int"))
+      val m = units.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0 && col("converted"), 1L).otherwise(0L))
+          .as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1 && col("converted"), 1L).otherwise(0L))
+          .as("c1"))
+      m.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        expr("""(CAST(c0 AS DECIMAL(38,0)) * n1 -
+            CAST(c1 AS DECIMAL(38,0)) * n0) *
+          (CAST(c0 AS DECIMAL(38,0)) * n1 -
+            CAST(c1 AS DECIMAL(38,0)) * n0) *
+          (CAST(n0 AS DECIMAL(38,0)) + n1) * 100
+          > CAST(384 AS DECIMAL(38,0)) * n0 * n1 *
+            (c0 + c1) * (n0 + n1 - c0 - c1)""").as("significant"))
+    }),
+
     // Kaplan–Meier signup→purchase survival curve (time-to-conversion
     // with right censoring at the corpus horizon): exact risk sets and
     // event counts over the per-duration histogram, one IEEE division
@@ -8080,6 +8114,33 @@ object PipelineQueries {
         |SELECT d.key, d.bucket, d.can_skip,
         |  CAST(coalesce(a.n_match, 0) AS BIGINT) AS n_match
         |FROM dec d LEFT JOIN act a USING (key, bucket)""".stripMargin,
+    // A/B replay: same md5 arms, same conversion units, the identical
+    // cross-multiplied z² verdict in HUGEINT
+    "events_abtest" ->
+      """WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+        |      AS converted
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT converted,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':' ||
+        |      strftime(day, '%Y-%m-%d')), 1, 8))::BIGINT % 2 AS INTEGER)
+        |      AS arm
+        |  FROM u),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 AND converted THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 AND converted THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM a)
+        |SELECT n0, c0, n1, c1,
+        |  (CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0) *
+        |  (CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0) *
+        |  (CAST(n0 AS HUGEINT) + n1) * 100
+        |  > CAST(384 AS HUGEINT) * n0 * n1 * (c0 + c1) *
+        |    (n0 + n1 - c0 - c1) AS significant
+        |FROM m""".stripMargin,
     // Kaplan–Meier replay: same durations (censored at the horizon),
     // reverse-cum risk sets over the duration histogram, the identical
     // duration-ordered factor fold
