@@ -105,7 +105,9 @@ object Bench {
     // corpus snapshot diff
     "events_pit_join", "corpus_diff",
     // degree-oriented triangle counting and the KNN label-error vote
-    "graph_triangles", "sim_label_vote",
+    // (the IVF-composed scale shape; the exact-KNN entry stays in the
+    // gate as the verification form — it is quadratic by definition)
+    "graph_triangles", "sim_label_vote_ann",
     // Markov transition counts, integer-exact volume anomaly flags, and
     // exact-dup deletion propagation
     "events_transitions", "events_anomaly", "pipeline_forget",

@@ -129,6 +129,29 @@ object Similarity {
         ((-col("__b.negl")) =!= col("own_label")).as("mismatch"))
   }
 
+  /** [[labelVote]] exploded to one row per (query, neighbor) with the
+    * final vote columns attached — the emit shape that lets an ANN-fed
+    * vote be verified from its own output (the sim_ann_lsh contract:
+    * the neighbor SET is probe-order-specific, but every emitted row's
+    * labels, majority vote, and mismatch flag are exactly recomputable
+    * from the base tables plus the emitted pairs).
+    */
+  def labelVoteDetail(knn: DataFrame, labels: DataFrame, idCol: String,
+                      labelCol: String): DataFrame = {
+    val nl = labels.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"))
+    val ql = labels.select(col(idCol).as("query_id"),
+      col(labelCol).as("own_label"))
+    val voted = labelVote(knn, labels, idCol, labelCol)
+      .select(col("vec_id").as("query_id"), col("voted_label"),
+        col("mismatch"))
+    knn.select("query_id", "neighbor_id")
+      .join(nl, "neighbor_id").join(ql, "query_id").join(voted, "query_id")
+      .select(col("query_id").as("vec_id"), col("neighbor_id"),
+        col("own_label"), col("neighbor_label"), col("voted_label"),
+        col("mismatch"))
+  }
+
   /** Cosine with a precomputed denominator (`norm(a)*norm(b)`). */
   def cosinePrenormed(a: Column, b: Column, denom: Column): Column =
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)

@@ -3499,6 +3499,29 @@ object PipelineQueries {
       Similarity.labelVote(knn, emb, "vec_id", "label")
     }),
 
+    // The SCALE path for the label-error vote: the KNN graph comes from
+    // the IVF multi-probe index (bucket-pruned — never the quadratic
+    // brute self-join), and the vote emits one row per (query,
+    // neighbor) so the oracle verifies labels + majority + mismatch
+    // exactly FROM THE EMITTED PAIRS (the sim_ann_lsh contract; the
+    // neighbor set itself is recall-dependent). The exact-KNN entry
+    // above stays as the verification shape; THIS is the bench shape.
+    "sim_label_vote_ann" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      // √n index geometry: bucket size stays ~√n as the corpus grows,
+      // so the within-bucket self-join is n^1.5 total — not n²/nLists
+      // with a frozen list count. Safe to adapt per-corpus because the
+      // oracle verifies the vote from the EMITTED pairs, whatever the
+      // candidate sets were.
+      val nLists = math.max(16,
+        math.ceil(math.sqrt(emb.count().toDouble / 4.0)).toInt)
+      val index = graft.functions.IvfIndex.build(emb, "vec_id",
+        "embedding", nLists = nLists)
+      val knn = graft.functions.IvfIndex.knnGraph(index, "vec_id",
+        "embedding", k = 5, nProbe = 2)
+      Similarity.labelVoteDetail(knn, emb, "vec_id", "label")
+    }),
+
     // Event-type transition matrix (first-order Markov counts): per
     // user, consecutive (ts, event_id)-ordered event pairs, aggregated
     // to (from, to, n, gap_sum_s). Keyed lag window + one partial-agg
@@ -6605,6 +6628,28 @@ object PipelineQueries {
     "sim_ivf" -> annPairOracle("sim_ivf"),
     // self-KNN graph: emitted neighbor sims recomputed exactly
     "sim_knn_graph" -> annPairOracle("sim_knn_graph"),
+    // readback vote verification: labels, the (count desc, lower label)
+    // majority, and the mismatch flag recomputed from the emitted pairs
+    "sim_label_vote_ann" ->
+      """WITH o AS (SELECT vec_id, neighbor_id
+        |  FROM read_parquet('__OUT__/sim_label_vote_ann/*.parquet')),
+        |v AS (SELECT o.vec_id, o.neighbor_id,
+        |    ql.label AS own_label, nl.label AS neighbor_label
+        |  FROM o
+        |  JOIN embeddings ql ON o.vec_id = ql.vec_id
+        |  JOIN embeddings nl ON o.neighbor_id = nl.vec_id),
+        |cnt AS (SELECT vec_id, neighbor_label AS l,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM v GROUP BY 1, 2),
+        |w AS (SELECT vec_id, max(struct_pack(c := c, negl := -l)) AS b
+        |  FROM cnt GROUP BY 1),
+        |vote AS (SELECT vec_id,
+        |    CAST(-struct_extract(b, 'negl') AS INTEGER) AS voted_label
+        |  FROM w)
+        |SELECT v.vec_id, v.neighbor_id, v.own_label, v.neighbor_label,
+        |  vote.voted_label,
+        |  (vote.voted_label <> v.own_label) AS mismatch
+        |FROM v JOIN vote USING (vec_id)""".stripMargin,
     "sim_ivf_refined" -> annPairOracle("sim_ivf_refined"),
     "sim_pq" -> annPairOracle("sim_pq"),
     "sim_ivfpq" -> annPairOracle("sim_ivfpq"),
