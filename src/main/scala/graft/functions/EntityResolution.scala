@@ -120,11 +120,29 @@ object EntityResolution {
   def resolveIncremental(corpus: DataFrame, batch: DataFrame,
                          idCol: String, nameCol: String,
                          blockCol: org.apache.spark.sql.Column,
-                         maxEdits: Int, rankCol: String): DataFrame = {
+                         maxEdits: Int, rankCol: String,
+                         maxBlock: Long = 0L): DataFrame = {
+    // With a block cap, the block universe is the UNION's counts: both
+    // the base pairs and the batch-touching pairs restrict to the same
+    // informative blocks, so merge ≡ from-scratch holds EXACTLY under
+    // the cap (records in dropped blocks still resolve — as singletons
+    // unless matched elsewhere, same as the from-scratch form). The
+    // keep-list recomputes per batch; it is block-count metadata, not
+    // corpus data.
+    val (c2, b2) =
+      if (maxBlock > 0L) {
+        val keep = corpus.unionByName(batch)
+          .select(blockCol.as("__b"))
+          .groupBy("__b").agg(count(lit(1)).as("__n"))
+          .where(col("__n") <= maxBlock)
+          .select("__b")
+        (corpus.join(keep, blockCol === col("__b"), "left_semi"),
+          batch.join(keep, blockCol === col("__b"), "left_semi"))
+      } else (corpus, batch)
     val labels0 = Components.connectedComponents(
-      blockedPairs(corpus, idCol, nameCol, blockCol, maxEdits),
+      blockedPairs(c2, idCol, nameCol, blockCol, maxEdits),
       "id_a", "id_b")
-    val newPairs = blockedPairsAgainst(corpus, batch, idCol, nameCol,
+    val newPairs = blockedPairsAgainst(c2, b2, idCol, nameCol,
       blockCol, maxEdits)
     val labels1 = Components.mergeComponents(labels0, newPairs,
       "id_a", "id_b")

@@ -3321,9 +3321,15 @@ object PipelineQueries {
     // verified at edit distance ≤ 2 (length prefilter before the O(len²)
     // loop). Σ|block|² pairs, never n².
     "er_match" -> ((spark, dir) =>
+      // maxBlock = 100: the standard ER non-informative-block guard
+      // (same rationale as graph_triangles) — organic-scale blocks are
+      // <= ~20 so sf0.001/0.01/0.1 output is unchanged; the replicated
+      // 10x fixture's ~175-copy name blocks would otherwise emit tens
+      // of millions of signal-free pairs (21.9M measured) and OOM the
+      // closure oracle downstream
       graft.functions.EntityResolution.blockedPairs(
         erRecords(spark, dir), "id", "name",
-        expr("substring(name, 10, 8)"), maxEdits = 2)),
+        expr("substring(name, 10, 8)"), maxEdits = 2, maxBlock = 100L)),
 
     // Entity resolution, stages 2-3 — cluster + survivorship: match
     // pairs → connected components (entity_id = min member id) → ONE
@@ -3335,7 +3341,7 @@ object PipelineQueries {
       graft.functions.EntityResolution.resolve(
         erRecords(spark, dir), "id", "name",
         expr("substring(name, 10, 8)"), maxEdits = 2,
-        rankCol = "acctbal")),
+        rankCol = "acctbal", maxBlock = 100L)),
 
     // NEAR-DUP-aware deletion propagation: the forget verdict spreads
     // through minhash components, not just exact copies — a paraphrased
@@ -3371,7 +3377,7 @@ object PipelineQueries {
         recs.where(col("id") < 1000000L),
         recs.where(col("id") >= 1000000L),
         "id", "name", expr("substring(name, 10, 8)"), maxEdits = 2,
-        rankCol = "acctbal")
+        rankCol = "acctbal", maxBlock = 100L)
     }),
 
     // Frame sampling over binary media payloads: fixed-size byte frames
@@ -7713,10 +7719,12 @@ object PipelineQueries {
         |FROM s WHERE length(frame_hex) > 0""".stripMargin,
     "er_match" -> s"""
         |WITH $erRecsCtes,
-        |b AS (SELECT substring(name, 10, 8) AS blk, id, name FROM recs)
+        |b AS (SELECT substring(name, 10, 8) AS blk, id, name FROM recs),
+        |keep AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 100),
+        |bk AS (SELECT b.* FROM b JOIN keep USING (blk))
         |SELECT a.id AS id_a, bb.id AS id_b,
         |  CAST(levenshtein(a.name, bb.name) AS INTEGER) AS edit_dist
-        |FROM b a JOIN b bb ON a.blk = bb.blk AND a.id < bb.id
+        |FROM bk a JOIN bk bb ON a.blk = bb.blk AND a.id < bb.id
         |WHERE abs(length(a.name) - length(bb.name)) <= 2
         |  AND levenshtein(a.name, bb.name) <= 2""".stripMargin,
     // closure over the emitted er_match pairs (the same contract as
