@@ -166,7 +166,9 @@ object Bench {
     // sweep-line concurrency streaming twin (#29)
     "events_concurrency_stream",
     // Kaplan-Meier conversion survival and exact-rational A/B verdict
-    "events_survival", "events_abtest")
+    "events_survival", "events_abtest",
+    // nearest-centroid classification (fixed-point centroids)
+    "sim_centroid_classify")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

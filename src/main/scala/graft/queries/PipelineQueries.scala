@@ -3505,6 +3505,41 @@ object PipelineQueries {
       Similarity.labelVote(knn, emb, "vec_id", "label")
     }),
 
+    // Nearest-centroid classification (Rocchio / few-shot eval): per-
+    // label centroids from the %3 train slice on the ×2^20 fixed-point
+    // plane (partitioning-invariant), eval rows assigned by the fused
+    // nearest-center kernel (ONE codegen'd loop over the label-sorted
+    // centroid matrix, ties → lower label), confusion matrix out. The
+    // centroid collect is labels × dim rows — model-sized metadata.
+    "sim_centroid_classify" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val train = emb.where(col("vec_id") % 3 === 0)
+      val cents = Similarity.meanPoolFixedPoint(
+          train, col("label").cast("long"), col("embedding"))
+        .select(col("group_id"), col("idx"), col("mean_fp"))
+        .collect()
+      val byLabel = cents.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      val centers = byLabel.map { case (_, rows) =>
+        val arr = new Array[Float](rows.map(_.getInt(1)).max + 1)
+        rows.foreach(r =>
+          arr(r.getInt(1)) = (r.getLong(2).toDouble / 1048576.0).toFloat)
+        arr
+      }.toArray
+      val cnorms = centers.map { a =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+      val ranks = byLabel.map(_._1.toInt).toArray
+      val best = graft.plans.PqExpressions.nearestCenterCos(
+        col("embedding"), centers, cnorms, ranks)
+      emb.where(col("vec_id") % 3 =!= 0)
+        .select(col("label").as("own_label"),
+          best.getField("rnk").as("pred_label"))
+        .groupBy("own_label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // The SCALE path for the label-error vote: the KNN graph comes from
     // the IVF multi-probe index (bucket-pruned — never the quadratic
     // brute self-join), and the vote emits one row per (query,
@@ -6634,6 +6669,47 @@ object PipelineQueries {
     "sim_ivf" -> annPairOracle("sim_ivf"),
     // self-KNN graph: emitted neighbor sims recomputed exactly
     "sim_knn_graph" -> annPairOracle("sim_knn_graph"),
+    // centroid-classifier replay: fixed-point centroids (trunc-div
+    // mean, FLOAT-cast elements), the identical cosine-distance argmin
+    // with (distance, lower label) tie-break, confusion counts
+    "sim_centroid_classify" ->
+      """WITH tr AS (SELECT label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |e AS (SELECT label, v, unnest(range(1, len(v) + 1)) AS i FROM tr),
+        |q AS (SELECT CAST(label AS BIGINT) AS l, CAST(i - 1 AS INT) AS idx,
+        |    CAST(sum(CAST(floor(v[i] * 1048576.0) AS BIGINT)) AS BIGINT)
+        |      AS sum_fp,
+        |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |m AS (SELECT l, idx,
+        |    CASE WHEN sum_fp >= 0 THEN sum_fp // n
+        |      ELSE -((-sum_fp) // n) END AS mean_fp FROM q),
+        |cent AS (SELECT l,
+        |    list(CAST(CAST(mean_fp AS DOUBLE) / 1048576.0 AS FLOAT)
+        |      ORDER BY idx) AS cv
+        |  FROM m GROUP BY l),
+        |cn AS (SELECT l, cv,
+        |    sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+        |      j -> cv[j]::DOUBLE * cv[j]::DOUBLE))) AS cnrm FROM cent),
+        |ev AS (SELECT vec_id, label AS own_label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+        |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))) AS nrm
+        |  FROM embeddings WHERE vec_id % 3 <> 0),
+        |d AS (SELECT ev.vec_id, ev.own_label, cn.l,
+        |    CASE WHEN ev.nrm * cn.cnrm = 0 THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(1.0 AS DOUBLE) -
+        |        list_sum(list_transform(range(1, len(ev.v) + 1),
+        |          j -> ev.v[j] * cn.cv[j]::DOUBLE)) / (ev.nrm * cn.cnrm)
+        |      END AS dist
+        |  FROM ev CROSS JOIN cn),
+        |best AS (SELECT vec_id, own_label,
+        |    min(struct_pack(d := dist, l := l)) AS b
+        |  FROM d GROUP BY 1, 2)
+        |SELECT own_label,
+        |  CAST(struct_extract(b, 'l') AS INTEGER) AS pred_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM best GROUP BY 1, 2""".stripMargin,
     // readback vote verification: labels, the (count desc, lower label)
     // majority, and the mismatch flag recomputed from the emitted pairs
     "sim_label_vote_ann" ->
