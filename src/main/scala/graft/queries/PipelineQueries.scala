@@ -821,8 +821,15 @@ object PipelineQueries {
     // corpus-as-queries. Same pair-value oracle as the ANN searches.
     "sim_knn_graph" -> ((spark, dir) => {
       val emb = Tables.read(spark, dir, "embeddings")
+      // √n geometry (same rationale as sim_label_vote_ann): bucket
+      // size tracks √n as the corpus grows, so the within-bucket
+      // self-join totals n^1.5 instead of n²/nLists under a frozen
+      // list count; candidate sets may shift but the pair-value
+      // oracle verifies the emitted cosines whatever they are
+      val nLists = math.max(16,
+        math.ceil(math.sqrt(emb.count().toDouble / 4.0)).toInt)
       val index = graft.functions.IvfIndex.build(emb, "vec_id",
-        "embedding", nLists = 16)
+        "embedding", nLists = nLists)
       graft.functions.IvfIndex.knnGraph(index, "vec_id", "embedding",
         k = 5, nProbe = 2)
         .select(col("query_id"), col("neighbor_id"),
