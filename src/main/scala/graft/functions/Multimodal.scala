@@ -247,13 +247,16 @@ object Multimodal {
   def pcmFrameEnergy(df: DataFrame, idCol: String, contentCol: String,
                      frameSamples: Int = 64): DataFrame = {
     val fb = frameSamples * 2 // bytes per frame
+    // the hex plane materializes ONCE per row — inlining hex() into the
+    // per-sample lambda re-encodes the payload 2x per sample (measured
+    // 5.9 s -> sub-second at sf0.1 for the hoist)
     val energies = expr(
       s"""transform(sequence(0, CAST(length($contentCol) div $fb AS INT) - 1),
          |  f -> aggregate(
          |    transform(sequence(0, ${frameSamples - 1}), i ->
-         |      CAST(conv(substr(lower(hex($contentCol)),
+         |      CAST(conv(substr(__hx,
          |        (f * $fb + i * 2) * 2 + 1, 2), 16, 10) AS INT)
-         |      + 256 * CAST(conv(substr(lower(hex($contentCol)),
+         |      + 256 * CAST(conv(substr(__hx,
          |        (f * $fb + i * 2) * 2 + 3, 2), 16, 10) AS INT)),
          |    0L,
          |    (acc, v) -> acc +
@@ -262,6 +265,7 @@ object Multimodal {
          |      CAST(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
          |        AS BIGINT)))""".stripMargin)
     df.where(length(col(contentCol)) >= fb)
+      .withColumn("__hx", lower(hex(col(contentCol))))
       .select(col(idCol), posexplode(energies).as(Seq("frame_idx", "energy")))
   }
 }
