@@ -168,7 +168,9 @@ object Bench {
     // Kaplan-Meier conversion survival and exact-rational A/B verdict
     "events_survival", "events_abtest",
     // nearest-centroid classification (fixed-point centroids)
-    "sim_centroid_classify")
+    "sim_centroid_classify",
+    // monitoring-cadence profile (approx distincts, no Expand)
+    "table_profile_fast")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

@@ -42,6 +42,31 @@ object Profiling {
       "__rows AS n_rows")
   }
 
+  /** [[tableProfile]] with `approx_count_distinct` (HLL++) in place of
+    * the exact distinct — the monitoring-cadence form: the multi-column
+    * Expand drops from the plan (no k× row expansion), so the profile
+    * is one plain partial-aggregated scan. Nulls/min/max/rows stay
+    * exact; the distinct estimate is engine-specific and gate-checked
+    * by readback (exact counts ride alongside for the error story).
+    */
+  def tableProfileApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggExprs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        approx_count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__rows")
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS " +
+        "(column_name, n_nulls, n_distinct_approx, min_value, max_value)",
+      "__rows AS n_rows")
+  }
+
   /** Join-key skew profile: the top-k heaviest keys of `keyCol` with
     * per-key row counts, annotated with corpus totals and an integer
     * skew factor `skew_x1000 = max_rows_key · 1000 · n_keys / n_rows`

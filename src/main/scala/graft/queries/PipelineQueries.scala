@@ -3698,6 +3698,17 @@ object PipelineQueries {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
           "l_linestatus"))),
 
+    // The monitoring-cadence profile: approx_count_distinct drops the
+    // multi-distinct Expand from the plan (no k× row expansion — the
+    // exact form costs 7.9 s at sf0.1, this is one plain scan).
+    // Nulls/min/max/rows stay exact and hash-check; the estimate
+    // gate-checks by readback (q_approx_distinct contract).
+    "table_profile_fast" -> ((spark, dir) =>
+      graft.functions.Profiling.tableProfileApprox(
+        Tables.read(spark, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_linestatus"))),
+
     // Cross-source duplicate-overlap matrix — multi-source acquisition
     // diagnostic: distinct-normalized-text counts per source pair plus
     // shared counts. Text collapses to (xxhash64, source) before any
@@ -7608,6 +7619,26 @@ object PipelineQueries {
         |   OR max_p < 100000 OR min_p > 5000000 OR min_p IS NULL)
         |    AS can_skip,
         |  n_match FROM zm""".stripMargin,
+    // approx-profile replay: exact nulls/min/max/rows + exact distinct
+    // recomputed per column; the engine-specific HLL++ estimate reads
+    // back from the entry's own output (the q_approx_distinct contract)
+    "table_profile_fast" -> ("""WITH o AS (SELECT column_name,
+        |    n_distinct_approx
+        |  FROM read_parquet('__OUT__/table_profile_fast/*.parquet')),
+        |e AS (""".stripMargin +
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+        "l_linestatus").map { c =>
+        s"""SELECT '$c' AS column_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value,
+           |  CAST(count(*) AS BIGINT) AS n_rows
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n") + """)
+        |SELECT e.column_name, e.n_nulls, o.n_distinct_approx,
+        |  e.min_value, e.max_value, e.n_rows
+        |FROM e JOIN o USING (column_name)""".stripMargin),
     "table_profile" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
         "l_returnflag", "l_linestatus").map { c =>
       s"""SELECT '$c' AS column_name,
