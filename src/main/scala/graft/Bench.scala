@@ -221,25 +221,47 @@ object Bench {
       if (new java.io.File(sfDir).getName == "sf0.1") Some("/tmp/sf1")
       else None
     }.filter(_ => !sys.env.contains("SPARK_GRAFT_SKIP_10X"))
-    val tenxJson = tenxDir.flatMap { dir =>
+    val tenx = tenxDir.flatMap { dir =>
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
         System.err.println(s"[bench] generating 10x fixture at $dir")
         val spark = buildSession(sfDir)
         try graft.tools.ScaleUp.scale(spark, sfDir, dir, 10)
         finally spark.stop()
       }
-      sweep(dir).map { qs =>
-        f""","value_10x":${qs.map(_._2).sum}%.3f,"queries_10x":${qJson(qs)},"sf_10x":"$dir""""
-      }
+      sweep(dir).map { qs => (qs.map(_._2).sum, qJson(qs), dir) }
+    }
+    val tenxJson = tenx.map { case (t, qs, dir) =>
+      f""","value_10x":$t%.3f,"queries_10x":$qs,"sf_10x":"$dir""""
     }.getOrElse("")
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qJson(base)},"sf":"$sfDir"$tenxJson}"""
+    emit(json, total, sfDir, base, tenx.map(_._1))
+  }
+
+  /** Final stdout emission. The full JSON goes to the sidecar file and to
+    * stdout; the LAST stdout line is a compact (< 1.5 KB) summary that a
+    * log-tail parser can recover even when the wrapper keeps only the last
+    * ~2 KB of a decorated log — the full 160+-query line alone exceeds that
+    * tail, and sbt prints a `[success]` trailer after us, so a parser
+    * scanning backwards for a complete `{...}` line must find this one.
+    * Keys mirror the full JSON; `queries` carries the 15 slowest entries,
+    * with the complete set in the sidecar (`bench_result.json`).
+    */
+  private def emit(json: String, total: Double, sfDir: String,
+                   results: Seq[(String, Double)],
+                   tenxTotal: Option[Double]): Unit = {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_RESULT_FILE", "bench_result.json")),
       (json + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(json)
+    val slowest = results.sortBy(-_._2).take(15)
+    val qj = slowest.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val tenx = tenxTotal.map(t => f""","value_10x":$t%.3f""").getOrElse("")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qj,"queries_note":"15 slowest of ${results.size}; full set in bench_result.json"$tenx}""")
   }
 
   private def buildSession(sfDir: String): SparkSession = {
@@ -312,26 +334,20 @@ object Bench {
       if (new java.io.File(sfDir).getName == "sf0.1") Some("/tmp/sf1")
       else None
     }.filter(_ => !sys.env.contains("SPARK_GRAFT_SKIP_10X"))
-    val tenxJson = tenxDir.flatMap { dir =>
+    val tenx = tenxDir.flatMap { dir =>
       if (!new java.io.File(s"$dir/documents.parquet").exists()) {
         System.err.println(s"[bench] generating 10x fixture at $dir")
         graft.tools.ScaleUp.scale(spark, sfDir, dir, 10)
       }
       runChildSuite(dir, names).map { case (childTotal, childQueries) =>
-        f""","value_10x":$childTotal%.3f,"queries_10x":$childQueries,"sf_10x":"$dir""""
+        (childTotal,
+         f""","value_10x":$childTotal%.3f,"queries_10x":$childQueries,"sf_10x":"$dir"""")
       }
-    }.getOrElse("")
+    }
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qJson(results)},"sf":"$sfDir"$tenxJson}"""
-    // sidecar copy for wrappers whose log-tail parsing misses the stdout
-    // line (sbt decoration, truncation) — always the full JSON, nothing else
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_RESULT_FILE", "bench_result.json")),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    println(json)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qJson(results)},"sf":"$sfDir"${tenx.map(_._2).getOrElse("")}}"""
     spark.stop()
+    emit(json, total, sfDir, results, tenx.map(_._1))
   }
 
   /** Run the headline suite against `dir` in a fresh child JVM (same

@@ -184,6 +184,57 @@ object Tap {
     }.toSet).getOrElse(Set.empty)
   }
 
+  /** Per-stream DESELECTED property names from a Singer catalog: entries
+    * whose breadcrumb is `["properties", <name>]` and whose metadata says
+    * `"selected": false` — unless `"inclusion": "automatic"`, which per the
+    * singer-sdk standard-metadata rules always syncs regardless of user
+    * selection. Names are lower-cased for the same case-insensitive
+    * resolution conformance uses.
+    */
+  def deselectedProperties(catalogJson: String): Map[String, Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(catalogJson)
+    Option(root.get("streams")).map(_.elements().asScala.flatMap { s =>
+      val id = Option(s.get("tap_stream_id")).map(_.asText)
+      val drops = Option(s.get("metadata")).map(_.elements().asScala.flatMap { m =>
+        val crumb = Option(m.get("breadcrumb"))
+          .filter(b => b.isArray && b.size() == 2 &&
+            b.get(0).asText == "properties")
+          .map(_.get(1).asText)
+        val md = Option(m.get("metadata"))
+        val deselected = md.flatMap(x => Option(x.get("selected")))
+          .exists(n => n.isBoolean && !n.asBoolean)
+        val automatic = md.flatMap(x => Option(x.get("inclusion")))
+          .exists(_.asText == "automatic")
+        if (deselected && !automatic) crumb else None
+      }.map(_.toLowerCase).toSet).getOrElse(Set.empty[String])
+      id.filter(_ => drops.nonEmpty).map(_ -> drops)
+    }.toMap).getOrElse(Map.empty)
+  }
+
+  /** Apply a (possibly user-edited) Singer catalog to the config:
+    * stream-level selection ([[selectedStreams]]) plus property-level
+    * selection — a deselected property is removed from the stream's
+    * declared columns BEFORE the sync, so it is absent from the SCHEMA
+    * message and from every RECORD (the conformance projection is the
+    * drop). Key properties and the replication key are always kept
+    * (automatic inclusion: the bookmark and primary-key contracts must
+    * survive any user selection), matching the singer-sdk standard
+    * metadata semantics (reference: tap.py:196-202 via singer_sdk).
+    */
+  def applyCatalogSelection(tap: TapConfig, catalogJson: String): TapConfig = {
+    val ids = selectedStreams(catalogJson)
+    val drops = deselectedProperties(catalogJson)
+    tap.copy(streams = tap.streams.filter(s => ids(s.streamId)).map { s =>
+      val auto = (s.keyProperties ++ s.replicationKey).map(_.toLowerCase).toSet
+      val drop = drops.getOrElse(s.streamId, Set.empty)
+      if (drop.isEmpty) s
+      else s.copy(columns = s.columns.filterNot(c =>
+        drop(c.name.toLowerCase) && !auto(c.name.toLowerCase)))
+    })
+  }
+
   /** `--discover`: the Singer catalog. As in the reference, the catalog for
     * this tap comes from the configured streams (tap.py:211-215), not DB
     * introspection.
@@ -278,13 +329,12 @@ object Main {
       return
     }
 
-    // --catalog: run only the streams the supplied catalog selects
-    val selected = opts.get("--catalog").map(p => Tap.selectedStreams(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
-    val effectiveTap = selected match {
-      case Some(ids) => tap.copy(streams = tap.streams.filter(s => ids(s.streamId)))
-      case None => tap
-    }
+    // --catalog: run only the streams the supplied catalog selects, minus
+    // any per-property deselections (both SCHEMA and RECORD drop them)
+    val effectiveTap = opts.get("--catalog")
+      .map(p => Tap.applyCatalogSelection(tap,
+        java.nio.file.Files.readString(java.nio.file.Paths.get(p))))
+      .getOrElse(tap)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))

@@ -116,21 +116,30 @@ object Layout {
   /** Skip/scan decisions for a set of point-lookup keys against a
     * [[bloomIndex]]: a bucket is provably skippable for a key when ANY
     * of the key's probe bits is absent (no false negatives by the Bloom
-    * property; false positives scan and find nothing). The probe is
-    * (keys × hashes) joined against the metadata-sized index — never
-    * the data.
+    * property; false positives scan and find nothing).
+    *
+    * Scale contract (ADVICE r8): the probe never touches the DATA, but
+    * the index itself grows linearly with the table (one bucket per
+    * ~256 rows), and the decision matrix is keys × buckets BY DESIGN —
+    * it answers "which buckets may hold each key" exhaustively. At the
+    * 100 TB end, broadcasting the full bucket list (and emitting the
+    * full matrix) stops being metadata-sized; bound the probed set with
+    * `bucketPred` (e.g. a partition/date range the caller already
+    * knows, the standard mins/maxes-then-bloom pruning order), which
+    * filters BOTH the broadcast bucket list and the emitted matrix.
     */
-  def bloomPrune(index: DataFrame, keys: DataFrame,
-                 keyCol: String): DataFrame = {
+  def bloomPrune(index: DataFrame, keys: DataFrame, keyCol: String,
+                 bucketPred: Option[Column] = None): DataFrame = {
+    val idx = bucketPred.map(index.where).getOrElse(index)
     val probes = keys.select(col(keyCol).as("key")).distinct()
       .select(col("key"),
         explode(array((0 until BloomK).map(j =>
           bloomBitPos(col("key"), j)): _*)).as("bit"))
       .select(col("key"), expr("CAST(bit div 32 AS INT)").as("word"),
         expr("shiftleft(1L, bit % 32)").as("mask"))
-    val buckets = index.select("bucket").distinct()
+    val buckets = idx.select("bucket").distinct()
     probes.crossJoin(broadcast(buckets))
-      .join(broadcast(index), Seq("bucket", "word"), "left")
+      .join(broadcast(idx), Seq("bucket", "word"), "left")
       .select(col("key"), col("bucket"),
         when(col("bits").isNotNull &&
           (col("bits").bitwiseAND(col("mask")) =!= 0L), 1L)

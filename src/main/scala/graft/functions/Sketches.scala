@@ -79,6 +79,17 @@ object Sketches {
     * Emits `sum_scaled` / `zero_buckets` as exact integers alongside
     * the estimate so the gate hash-checks the full sketch state, not
     * just the headline number.
+    *
+    * Valid range (ADVICE r8): this is the RAW harmonic estimator with
+    * no small-range correction, so `hll_est` is heavily biased below
+    * n ≈ 2.5·m (≈ 160 at m = 64). Callers in that regime should apply
+    * linear counting from the emitted state instead:
+    * `m · ln(m / zero_buckets)` when `zero_buckets > 0` — the natural
+    * log is deliberately NOT computed here because libm `log` is not
+    * bit-portable across engines and would break the cross-engine hash
+    * gate; consumers outside the gate can apply it freely. (The
+    * rationale was previously only in SketchesSpec — a caller of
+    * `hll_est` alone gets biased small-n numbers without this note.)
     */
   def hllEstimate(registers: DataFrame,
                   groupCols: Seq[String]): DataFrame = {

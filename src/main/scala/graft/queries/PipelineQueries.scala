@@ -413,8 +413,7 @@ object PipelineQueries {
         docs.where(pmod(col("doc_id"), lit(2)) === 0),
         "text", "doc_id", k = 3, nPerm = 64, bands = 16, threshold = 0.5)
         .cache()
-      val src = java.nio.file.Files
-        .createTempDirectory("graft-incr-stream").toString + "/arrivals"
+      val src = graft.tools.Scratch.dir("graft-incr-stream") + "/arrivals"
       val arriving = docs.where(pmod(col("doc_id"), lit(2)) === 1)
         .select("doc_id", "text")
       arriving.repartition(4).write.parquet(src)
@@ -504,8 +503,7 @@ object PipelineQueries {
       val batch = emb.where(pmod(col("vec_id"), lit(2)) === 1)
       val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
         nClusters = Similarity.semanticClusterCount(corpus.count()))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_sem_idx").toString
+      val tmp = graft.tools.Scratch.dir("graft_sem_idx")
       Similarity.saveSemanticIndex(idx, s"$tmp/idx")
       val loaded = Similarity.loadSemanticIndex(spark, s"$tmp/idx")
       Similarity.probeSemanticIndex(loaded, batch, "vec_id", "embedding",
@@ -539,8 +537,7 @@ object PipelineQueries {
       val batch2 = emb.where(pmod(col("vec_id"), lit(3)) === 2)
       val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
         nClusters = Similarity.semanticClusterCount(corpus.count()))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_sem_ing").toString
+      val tmp = graft.tools.Scratch.dir("graft_sem_ing")
       Similarity.saveSemanticIndex(idx, s"$tmp/idx")
       Similarity.appendSemanticIndex(spark, s"$tmp/idx", batch1,
         "vec_id", "embedding")
@@ -560,8 +557,7 @@ object PipelineQueries {
       val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
       val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
         nClusters = Similarity.semanticClusterCount(corpus.count()))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_sem_idx_s").toString
+      val tmp = graft.tools.Scratch.dir("graft_sem_idx_s")
       Similarity.saveSemanticIndex(idx, s"$tmp/idx")
       val loaded = Similarity.loadSemanticIndex(spark, s"$tmp/idx")
       loaded.members.cache()
@@ -877,8 +873,7 @@ object PipelineQueries {
       val arrivals = emb.where(col("vec_id") % 5 === 0)
       val index = graft.functions.PqIndex.buildIvfPq(base, "vec_id",
         "embedding", nLists = 16, m = 8, ksub = 16)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ivfpq-append").toString
+      val root = graft.tools.Scratch.dir("graft-ivfpq-append")
       graft.functions.PqIndex.saveIvfPq(index, root)
       val reloaded = graft.functions.PqIndex.loadIvfPq(spark, root)
       graft.functions.PqIndex.appendIvfPq(reloaded, arrivals,
@@ -902,8 +897,7 @@ object PipelineQueries {
       val emb = Tables.read(spark, dir, "embeddings")
       val index = graft.functions.PqIndex.buildIvfPq(emb, "vec_id",
         "embedding", nLists = 16, m = 8, ksub = 16)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-ivfpq-ingest").toString
+      val root = graft.tools.Scratch.dir("graft-ivfpq-ingest")
       graft.functions.PqIndex.saveIvfPq(index, root)
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(s"$root/codes"))
@@ -914,7 +908,7 @@ object PipelineQueries {
         .option("maxFilesPerTrigger", "1").parquet(src)
       val q = graft.functions.PqIndex.ingestStream(index, stream,
         "vec_id", "embedding", root,
-        java.nio.file.Files.createTempDirectory("graft-ivfpq-ckpt").toString)
+        graft.tools.Scratch.dir("graft-ivfpq-ckpt"))
       q.processAllAvailable(); q.stop()
       val loaded = graft.functions.PqIndex.loadIvfPq(spark, root)
       graft.functions.PqIndex.searchIvfPq(loaded, emb,
@@ -1504,8 +1498,7 @@ object PipelineQueries {
       val S = graft.functions.Sketches
       val ev = Tables.read(spark, dir, "events")
       val cut = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_hll_inc").toString
+      val tmp = graft.tools.Scratch.dir("graft_hll_inc")
       S.hllRegisters(ev.where(col("ts") < cut),
           Seq("event_type"), col("user_id"))
         .write.mode("overwrite").parquet(s"$tmp/regs")
@@ -1618,7 +1611,16 @@ object PipelineQueries {
     // pooled z² significance verdict via the DIVISION-FREE rational
     // form — z²·den = (c1·n2 − c2·n1)²·(n1+n2) cross-multiplied against
     // 3.84·n1·n2·c·(n−c) in DECIMAL(38,0), so the p<0.05 verdict is
-    // exact at any count scale (no float z, no sqrt, no division).
+    // exact with no float z, no sqrt, no division. Exactness bound
+    // (ADVICE r8): (c0·n1−c1·n0)²·(n0+n1)·100 fits DECIMAL(38,0) while
+    // per-arm units stay below ~1e9 (worst case (1e9·1e9)²·2e9·100 ≈
+    // 2e47 overflows; at n≈1e9 the product is ≈2e45 > 1e38, so the real
+    // bound is n ≲ 2e7 per arm for adversarial c; conversions ≪ n push
+    // it far higher). Beyond that, non-ANSI Spark yields NULL
+    // `significant` rather than an error — run with
+    // spark.sql.ansi.enabled=true to fail loudly, or pre-aggregate to
+    // per-cohort slices. DuckDB's HUGEINT oracle has the same 128-bit
+    // ceiling (~1.7e38).
     "events_abtest" -> ((spark, dir) => {
       val ev = Tables.read(spark, dir, "events")
       val units = ev
@@ -1729,8 +1731,7 @@ object PipelineQueries {
         .bpeCharVocab(docs, "text", k = 8)
         .orderBy("step").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bpe_model").toString
+      val tmp = graft.tools.Scratch.dir("graft_bpe_model")
       graft.functions.ModelIO.saveMerges(spark, merges, s"$tmp/merges")
       val loaded = graft.functions.ModelIO.loadMerges(spark, s"$tmp/merges")
       graft.functions.Curation.bpeCharApplyVocab(docs, "text", "doc_id", loaded)
@@ -1746,8 +1747,7 @@ object PipelineQueries {
       val lex = TextAnalysis.buildLexicon(
         docs.where(col("doc_id") % 97 === 0), "text",
         col("doc_id") % 2 === 0)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_lexicon").toString
+      val tmp = graft.tools.Scratch.dir("graft_lexicon")
       graft.functions.ModelIO.saveLexicon(lex, s"$tmp/lex")
       val loaded = graft.functions.ModelIO.loadLexicon(spark, s"$tmp/lex")
       TextAnalysis.lexiconScore(
@@ -1835,8 +1835,7 @@ object PipelineQueries {
         .where(length(trim(col("text"))) > 0)
       val lm = TextAnalysis.buildBigramLm(
         docs.where(col("doc_id") % 3 === 0), "text")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bigram_lm").toString
+      val tmp = graft.tools.Scratch.dir("graft_bigram_lm")
       graft.functions.ModelIO.saveBigramLm(lm, s"$tmp/lm")
       val loaded = graft.functions.ModelIO.loadBigramLm(spark, s"$tmp/lm")
       TextAnalysis.lmScore(docs, "text", "doc_id", loaded)
@@ -1855,8 +1854,7 @@ object PipelineQueries {
       // persisted counts, not the live aggregation plan: a streaming
       // query re-evaluates its static sides every micro-batch, so the
       // model must be a file scan (also the production train/apply split)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bigram_lm_s").toString
+      val tmp = graft.tools.Scratch.dir("graft_bigram_lm_s")
       graft.functions.ModelIO.saveBigramLm(TextAnalysis.buildBigramLm(
         docs.where(col("doc_id") % 3 === 0), "text"), s"$tmp/lm")
       val lm = graft.functions.ModelIO.loadBigramLm(spark, s"$tmp/lm")
@@ -1920,8 +1918,7 @@ object PipelineQueries {
     // entry shares search_bm25's oracle verbatim.
     "search_ingest" -> ((spark, dir) => {
       val docs = Tables.read(spark, dir, "documents")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_post_ing").toString
+      val tmp = graft.tools.Scratch.dir("graft_post_ing")
       graft.functions.Retrieval.buildPostings(
           docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 97 =!= 0),
           "text", "doc_id")
@@ -1955,8 +1952,7 @@ object PipelineQueries {
       // its static side every micro-batch, so the static side must be a
       // file scan, not the scoring plan itself (this is also the
       // production shape: the index is a maintained artifact)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_bm25s").toString
+      val tmp = graft.tools.Scratch.dir("graft_bm25s")
       R.bm25IndexScored(R.buildPostings(
           docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id"))
         .write.mode("overwrite").parquet(s"$tmp/scored")
@@ -2007,10 +2003,21 @@ object PipelineQueries {
       // branches (postings, stats, df) — in production the chunk index
       // persists anyway (the search_ingest pattern), so the checkpoint
       // stands in for the real persisted index
+      // ckey packs (doc_id, chunk_id) into one BIGINT so BM25 ranks a
+      // single key column. Multiplier 1e6 = a million chunks per doc
+      // (~8M tokens at window 16 / stride 8); the raise_error branch
+      // makes an overflow a LOUD plan failure instead of silently
+      // mis-attributing chunks to a neighboring document's key range —
+      // the oracle packs identically, so a collision would otherwise
+      // pass the gate while being wrong (ADVICE r8).
       val chunks = graft.functions.Curation.chunkByTokens(
           docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id",
           window = 16, stride = 8)
-        .select((col("doc_id") * 1000 + col("chunk_id")).as("ckey"),
+        .select((col("doc_id") * lit(1000000L) +
+            when(col("chunk_id") < lit(1000000L), col("chunk_id"))
+              .otherwise(raise_error(concat(
+                lit("search_passages: chunk_id >= 1000000 breaks ckey packing: "),
+                col("chunk_id").cast("string"))))).as("ckey"),
           col("chunk_text"))
         .localCheckpoint(true)
       val qt = docs.where(col("doc_id") % 97 === 0 &&
@@ -2022,7 +2029,7 @@ object PipelineQueries {
       val hits = graft.functions.Retrieval.bm25TopK(
         chunks, "chunk_text", "ckey", qt, k = 50)
       val best = hits
-        .groupBy(col("query_id"), expr("doc_id div 1000").as("parent"))
+        .groupBy(col("query_id"), expr("doc_id div 1000000").as("parent"))
         .agg(max(struct(col("score"), (-col("doc_id")).as("nck"))).as("m"))
         .select(col("query_id"), col("parent").as("doc_id"),
           col("m.score").as("score"), (-col("m.nck")).as("best_chunk"))
@@ -2441,8 +2448,7 @@ object PipelineQueries {
             .when(col("doc_id") % 3 === 2 && col("doc_id") % 13 === 0,
               lit(" " + plant))
             .otherwise(lit(""))))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_substr_ing").toString
+      val tmp = graft.tools.Scratch.dir("graft_substr_ing")
       Dedup.buildSubstrIndex(docs.where(col("doc_id") % 3 === 0),
           "text", "doc_id", minLen = 8)
         .write.mode("overwrite").parquet(s"$tmp/idx")
@@ -2464,8 +2470,7 @@ object PipelineQueries {
             lit(" " + plant)).otherwise(lit(""))))
       val idx = Dedup.buildSubstrIndex(
         docs.where(col("doc_id") % 3 === 0), "text", "doc_id", minLen = 8)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_substr_idx").toString
+      val tmp = graft.tools.Scratch.dir("graft_substr_idx")
       idx.write.mode("overwrite").parquet(s"$tmp/idx")
       val loaded = spark.read.parquet(s"$tmp/idx")
       Dedup.probeSubstrIndex(
@@ -4397,8 +4402,7 @@ object PipelineQueries {
                                  sentinel: DataFrame,
                                  delaySec: Long,
                                  watermarkOnTs: Boolean = true): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-stream-gate").toString
+    val root = graft.tools.Scratch.dir("graft-stream-gate")
     ev.write.parquet(s"$root/events")
     sentinel.coalesce(1).write.parquet(s"$root/sentinel")
     // file source reads oldest-mtime first: all event files land in
@@ -6072,7 +6076,7 @@ object PipelineQueries {
         |    1 + CAST(floor((greatest(n - 16, 0) + 7) / 8.0) AS BIGINT)))
         |    AS cid
         |  FROM nn),
-        |chunks AS (SELECT doc_id * 1000 + cid AS ckey,
+        |chunks AS (SELECT doc_id * 1000000 + cid AS ckey,
         |    array_to_string(rtoks[(cid*8+1):least(cid*8+16, n)], ' ')
         |      AS ctext
         |  FROM ch),
@@ -6111,7 +6115,7 @@ object PipelineQueries {
         |      ORDER BY score DESC, ckey) AS rnk
         |  FROM agg),
         |hits AS (SELECT query_id, ckey, score FROM r WHERE rnk <= 50),
-        |best AS (SELECT query_id, ckey // 1000 AS doc_id,
+        |best AS (SELECT query_id, ckey // 1000000 AS doc_id,
         |    max(struct_pack(s := score, nck := -ckey)) AS m
         |  FROM hits GROUP BY 1, 2),
         |f AS (SELECT query_id, doc_id,

@@ -52,8 +52,7 @@ object ProfKCenter {
     // second probe is the steady state an ingest loop sees
     val corpus = emb.where(pmod(col("vec_id"), lit(2)) === 0)
     val batch = emb.where(pmod(col("vec_id"), lit(2)) === 1)
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_prof_semidx").toString
+    val tmp = graft.tools.Scratch.dir("graft_prof_semidx")
     time("semanticIndex build+save") {
       val idx = Similarity.buildSemanticIndex(corpus, "vec_id", "embedding",
         nClusters = Similarity.semanticClusterCount(corpus.count()))

@@ -134,6 +134,14 @@ class LayoutSpec extends AnyFunSuite {
     // a key in no bucket is skippable everywhere (2 hashes, 1024 bits,
     // 4 keys total -- a double collision would be a broken hash)
     assert(dec(("zz", 0L)) === true && dec(("zz", 1L)) === true)
+    // bucketPred bounds BOTH the broadcast bucket list and the emitted
+    // decision matrix (the 100 TB contract): only bucket 1 is probed
+    val bounded = Layout.bloomPrune(idx, keys, "k",
+        bucketPred = Some(col("bucket") === 1L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getBoolean(2))
+      .toMap
+    assert(bounded.keySet.forall(_._2 === 1L))
+    assert(bounded(("c", 1L)) === false && bounded(("zz", 1L)) === true)
     // shard merge: bit_or of per-shard filters == whole-table filter
     val merged = Layout.bloomIndex(df.where(col("okey") % 2 === 0),
         expr("okey div 256"), "k")

@@ -301,6 +301,49 @@ class TapSpec extends AnyFunSuite {
     assert(Tap.selectedStreams(edited) === Set("db1-public-s2"))
   }
 
+  // Property-level selection (VERDICT r8 item 3): a ["properties", name]
+  // breadcrumb with selected:false drops that column from the SCHEMA
+  // message and every RECORD; key properties / the replication key are
+  // automatic and survive any deselection (singer-sdk standard metadata).
+  test("property-level catalog selection drops the column end-to-end") {
+    val cfg =
+      """{"database":"db1","streams":[
+        |{"name":"s1","sql":"SELECT 1 AS v, 'keepme' AS a, 'dropme' AS b",
+        | "key_properties":["v"],
+        | "columns":[{"name":"v","type":"int"},{"name":"a","type":"text"},
+        |            {"name":"b","type":"text"}]}
+        |]}""".stripMargin
+    val tap = ConfigParser.parseTap(cfg)
+    val cat =
+      """{"streams":[
+        |{"tap_stream_id":"db1-public-s1","stream":"s1","metadata":[
+        |  {"breadcrumb":[],"metadata":{"selected":true}},
+        |  {"breadcrumb":["properties","b"],"metadata":{"selected":false}},
+        |  {"breadcrumb":["properties","v"],
+        |   "metadata":{"selected":false,"inclusion":"automatic"}}
+        |]}]}""".stripMargin
+    assert(Tap.deselectedProperties(cat) === Map("db1-public-s1" -> Set("b")))
+    val eff = Tap.applyCatalogSelection(tap, cat)
+    assert(eff.streams.head.columns.map(_.name) === Seq("v", "a"))
+    val buf = new ByteArrayOutputStream()
+    Tap.syncAll(spark, eff, None, new PrintStream(buf, true, "UTF-8"))
+    val lines = buf.toString("UTF-8").split("\n")
+    val schema = lines.find(_.contains(""""type":"SCHEMA"""")).get
+    assert(schema.contains("\"a\"") && !schema.contains("\"b\""), schema)
+    val rec = lines.find(_.contains(""""type":"RECORD"""")).get
+    assert(rec.contains("keepme") && !rec.contains("dropme"), rec)
+    assert(rec.contains("\"v\""), rec) // automatic key property survives
+
+    // even without an explicit inclusion marker, a key property cannot be
+    // deselected — the bookmark/PK contract wins
+    val catKey =
+      """{"streams":[{"tap_stream_id":"db1-public-s1","stream":"s1",
+        |"metadata":[{"breadcrumb":["properties","v"],
+        |  "metadata":{"selected":false}}]}]}""".stripMargin
+    assert(Tap.applyCatalogSelection(tap, catKey)
+      .streams.head.columns.map(_.name) === Seq("v", "a", "b"))
+  }
+
   test("config validation reports every problem with stream context") {
     val bad = ConfigParser.parseTap(
       """{"streams":[
