@@ -170,7 +170,10 @@ object Bench {
     // nearest-centroid classification (fixed-point centroids)
     "sim_centroid_classify",
     // monitoring-cadence profile (approx distincts, no Expand)
-    "table_profile_fast")
+    "table_profile_fast",
+    // round-9: the composed RAG flagship (strip → chunk → passage BM25 →
+    // hybrid RRF → MMR in one plan)
+    "pipeline_rag")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

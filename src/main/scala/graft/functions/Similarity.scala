@@ -1137,8 +1137,6 @@ object Similarity {
   def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, m: Int, k: Int): DataFrame = {
     require(m >= k && k >= 1, s"need m >= k >= 1, got m=$m k=$k")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qv"),
       norm(col(vecCol)).as("qn"))
@@ -1155,6 +1153,40 @@ object Similarity {
     val shortlist = scored.withColumn("srank", row_number().over(w))
       .where(col("srank") <= m)
       .select("query_id", "doc_id", "rel", "cv")
+    mmrGreedy(shortlist, k)
+  }
+
+  /** MMR rerank of an EXTERNALLY-scored candidate list — the composed-
+    * pipeline form: upstream retrieval (BM25, hybrid RRF, ANN) supplies
+    * (`query_id`, `doc_id`, `rel`) and only the DIVERSITY term comes
+    * from the embedding table. The candidate list is per-query bounded
+    * by the upstream top-k contract, so the vector join ships the tiny
+    * candidate side against the corpus-partitioned embeddings (AQE
+    * broadcasts it) and the greedy runs per query over ≤ |candidates|
+    * rows via `flatMapGroups` — same recursion, tie-breaks, and IEEE
+    * fold as [[mmrTopK]], so a SQL engine replays it.
+    */
+  def mmrRerank(cands: DataFrame, emb: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = emb.select(col(idCol).cast("long").as("doc_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val shortlist = cands
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rel").cast("double").as("rel"))
+      .join(c, Seq("doc_id"))
+      .select("query_id", "doc_id", "rel", "cv")
+    mmrGreedy(shortlist, k)
+  }
+
+  /** Shared greedy of [[mmrTopK]]/[[mmrRerank]] over a per-query-bounded
+    * shortlist (query_id, doc_id, rel, cv): k steps of
+    * argmax(0.5·rel − 0.5·maxSim-to-selected), ties to the lower id.
+    */
+  private def mmrGreedy(shortlist: DataFrame, k: Int): DataFrame = {
+    val spark = shortlist.sparkSession
+    import spark.implicits._
 
     def lnorm(v: Array[Double]): Double = {
       var s = 0.0; var i = 0

@@ -589,7 +589,9 @@ object TextAnalysis {
     val t = split(Dedup.normalizeText(col(textCol)), " ")
     val uni = df.select(explode(t).as("w1"))
     val contexts = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count_distinct(col("w1")).as("vsize"))
+    // |vocab| = |contexts|: counting the vocabulary-sized context table
+    // replaces a second explode + distinct aggregation over the corpus
+    val vocab = contexts.agg(count(lit(1)).as("vsize"))
       .withColumn("one", lit(1))
     val bigrams = df.select(t.as("__t")).where(size(col("__t")) >= 2)
       .select(explode(transform(
@@ -622,16 +624,52 @@ object TextAnalysis {
     * equi-joins, the aggregation runs in Update mode.
     */
   def lmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
-              idCol: String, lm: BigramLm): org.apache.spark.sql.DataFrame = {
+              idCol: String, lm: BigramLm,
+              hotK: Int = 65536): org.apache.spark.sql.DataFrame = {
+    // token array MATERIALIZED in its own projection before the bigram
+    // lambda: inlining it re-runs normalize+split (two regexes) for
+    // every element_at call — measured 2.4× on the whole entry at sf0.1
     val t = split(Dedup.normalizeText(col(textCol)), " ")
-    df.where(size(t) >= 2)
-      .select(col(idCol).as("doc_id"),
-        explode(transform(sequence(lit(1), size(t) - 1),
-          i => struct(element_at(t, i).as("w1"),
-            element_at(t, i + 1).as("w2")))).as("b"))
+    val b = df.select(col(idCol).as("doc_id"), t.as("__t"))
+      .where(size(col("__t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
-      .join(lm.bigrams, Seq("w1", "w2"), "left")
-      .join(lm.contexts, Seq("w1"), "left")
+    // Skew-proof count attach (VERDICT r8 item 5): the (w1, w2) and
+    // (w1) join keys are stop-word-skewed in any natural-language
+    // corpus, so a plain shuffle join collapses onto the hot keys at
+    // scale. Split each count table into a frequency-capped HOT head
+    // (top-hotK by count — bounded broadcast regardless of reference-
+    // corpus size) and the TAIL (shuffle join whose keys are uniform
+    // once the hot heads are gone). Exactness is preserved: every
+    // bigram occurrence gets the same count through either route, the
+    // per-doc sums are integer, and the union feeds one partial-
+    // aggregated groupBy. hotK <= 0 restores the plain two-join plan.
+    // All joins stay stream-static, so the streaming twin shares it.
+    val scored =
+      if (hotK <= 0)
+        b.join(lm.bigrams, Seq("w1", "w2"), "left")
+          .join(lm.contexts, Seq("w1"), "left")
+      else {
+        val hotB = lm.bigrams
+          .orderBy(col("c2").desc, col("w1"), col("w2")).limit(hotK)
+        val hotC = lm.contexts.orderBy(col("c1").desc, col("w1")).limit(hotK)
+        val tailB = lm.bigrams.join(broadcast(hotB.select("w1", "w2")),
+          Seq("w1", "w2"), "left_anti")
+        val tailC = lm.contexts.join(broadcast(hotC.select("w1")),
+          Seq("w1"), "left_anti")
+        val withB = b.join(broadcast(hotB), Seq("w1", "w2"), "left")
+        val bAll = withB.where(col("c2").isNotNull).unionByName(
+          withB.where(col("c2").isNull).drop("c2")
+            .join(tailB, Seq("w1", "w2"), "left"))
+        val withC = bAll.join(broadcast(hotC), Seq("w1"), "left")
+        withC.where(col("c1").isNotNull).unionByName(
+          withC.where(col("c1").isNull).drop("c1")
+            .join(tailC, Seq("w1"), "left"))
+      }
+    scored
       .withColumn("one", lit(1))
       .join(lm.vocab, Seq("one"))
       .groupBy("doc_id")

@@ -647,6 +647,39 @@ class SimilaritySpec extends AnyFunSuite {
     got.foreach { case (q, d) => assert(q != d) }
   }
 
+  test("mmrRerank on the exact cosine shortlist bit-matches mmrTopK") {
+    // mmrTopK = (brute cosine top-m) ∘ greedy; feeding the same top-m
+    // list with rel = the same cosine into the externally-scored form
+    // must reproduce the selections AND scores bit-for-bit.
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val queries = emb.where(col("vec_id") < 4)
+    val m = 20
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"),
+      Similarity.norm(col("embedding")).as("qn"))
+    val c = emb.select(col("vec_id").cast("long").as("doc_id"),
+      col("embedding").cast("array<double>").as("cv"),
+      Similarity.norm(col("embedding")).as("cn"))
+    val shortlist = c.crossJoin(broadcast(q))
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        Similarity.cosinePrenormed(col("qv"), col("cv"),
+          col("qn") * col("cn")).as("rel"))
+      .withColumn("srank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rel").desc, col("doc_id"))))
+      .where(col("srank") <= m)
+      .select("query_id", "doc_id", "rel")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "doc_id", "mmr_rank", "rel", "mmr_score")
+      .as[(Long, Long, Int, Double, Double)].collect().sorted.toSeq
+    val viaRerank = key(
+      Similarity.mmrRerank(shortlist, emb, "vec_id", "embedding", k = 6))
+    val direct = key(
+      Similarity.mmrTopK(emb, queries, "vec_id", "embedding", m = m, k = 6))
+    assert(viaRerank === direct)
+  }
+
   test("mean pooling: exact fixed point, layout-invariant, trunc on negatives") {
     val df = Seq(
       (0L, Array(1.0f, -1.0f)), (1L, Array(0.5f, -0.25f)),

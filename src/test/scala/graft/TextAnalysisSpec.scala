@@ -392,6 +392,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       5L -> ((2L, 2L, 0.4))))
   }
 
+  test("bigram LM: hot/tail skew split is bit-equal to the plain joins") {
+    // hotK=1 forces MOST keys through the tail (shuffle) route while the
+    // single hottest bigram/context rides the broadcast head; hotK=0 is
+    // the plain two-join plan — any routing bug breaks the equality.
+    val ref = Tables.read(spark, SparkTestSession.Sf, "documents")
+      .where(col("doc_id") % 3 === 0 && length(trim(col("text"))) > 0)
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+      .where(length(trim(col("text"))) > 0)
+    val lm = TextAnalysis.buildBigramLm(ref, "text")
+    def run(hotK: Int) =
+      TextAnalysis.lmScore(docs, "text", "doc_id", lm, hotK = hotK)
+        .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val plain = run(0)
+    assert(run(1) === plain)
+    assert(run(65536) === plain)
+    assert(plain.nonEmpty)
+  }
+
   test("sentences: terminator kept, trimmed, empties dropped, order indexed") {
     val docs = Seq(
       (1L, "One. Two!  Three?"),
