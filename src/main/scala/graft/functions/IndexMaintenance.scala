@@ -130,6 +130,29 @@ object IndexMaintenance {
                       targetFiles: Int = 1): (Long, Long) =
     compact(spark, path, None, targetFiles)
 
+  /** Merge-rewrite an appended Bloom skipping index
+    * ([[Layout.appendBloomIndex]] accumulation): unlike the distinct-
+    * based compactions, shards carrying DIFFERENT bits for one
+    * (bucket, word) must fold by `bit_or` — a distinct pass would keep
+    * both rows and double the probe join's fanout. Prune decisions are
+    * unchanged by contract (load folds identically; spec-pinned).
+    */
+  def compactBloomIndex(spark: SparkSession, path: String,
+                        targetFiles: Int = 1): (Long, Long) = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val src = new HadoopPath(path)
+    val fs: FileSystem =
+      src.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = countDataFiles(fs, src)
+    val df = spark.read.parquet(path)
+      .groupBy("bucket", "word")
+      .agg(org.apache.spark.sql.functions.expr("bit_or(bits)").as("bits"))
+    val tmp = new HadoopPath(path + ".compact-tmp")
+    df.repartition(targetFiles).write.mode("overwrite").parquet(tmp.toString)
+    swap(fs, src, tmp)
+    (before, countDataFiles(fs, src))
+  }
+
   private def countDataFiles(fs: FileSystem, dir: HadoopPath): Long = {
     val it = fs.listFiles(dir, true)
     var n = 0L

@@ -113,6 +113,27 @@ object Layout {
       .groupBy("bucket", "word")
       .agg(expr("bit_or(mask)").as("bits"))
 
+  /** Persist/accumulate a [[bloomIndex]] (VERDICT r8 item 8, ROADMAP r8
+    * candidate 5): shards are plain appended files — no merge pass at
+    * write time, mirroring the postings/HLL register layouts.
+    * [[loadBloomIndex]] folds every shard by bucket-word `bit_or` at
+    * read time; bit_or is associative and commutative, so an appended
+    * index prunes IDENTICALLY to a from-scratch rebuild over the union
+    * of the slices (gate-shared soundness check). Small-file pressure
+    * is [[IndexMaintenance.compactBloomIndex]]'s job.
+    */
+  def appendBloomIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("append").parquet(path)
+
+  /** Read a persisted Bloom index, folding appended shards by `bit_or`
+    * (a no-op fold on a freshly compacted layout).
+    */
+  def loadBloomIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("bucket", "word")
+      .agg(expr("bit_or(bits)").as("bits"))
+
   /** Skip/scan decisions for a set of point-lookup keys against a
     * [[bloomIndex]]: a bucket is provably skippable for a key when ANY
     * of the key's probe bits is absent (no false negatives by the Bloom

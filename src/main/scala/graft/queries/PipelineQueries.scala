@@ -1541,6 +1541,54 @@ object PipelineQueries {
         Seq("event_type", "day_start"))
     }),
 
+    // Streaming merged-register HLL sink (VERDICT r8 item 6, ROADMAP r8
+    // candidate 1): foreachBatch maintenance of the ALL-TIME register
+    // table — each micro-batch's registers (groups × 64 rows, computed
+    // by the same partial-aggregated hllRegisters) merge into the
+    // persisted store by bucket-max, giving live all-time distinct
+    // counts with BOUNDED state (the store never exceeds groups × 64
+    // rows no matter how much data streamed through). Merge ≡
+    // from-scratch because max is associative and commutative, so the
+    // entry shares events_hll_users' oracle VERBATIM — the streaming
+    // counterpart of events_hll_incremental. Store versions are
+    // immutable per-batch parquet dirs (a transactional-table MERGE in
+    // production); the final version feeds the estimate.
+    "events_hll_merge_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      val S = graft.functions.Sketches
+      val ev = Tables.read(spark, dir, "events")
+        .select(col("event_type"), col("ts"), col("user_id"))
+      val (delaySec, sentinelTs) = sentinelBounds(spark, ev)
+      val sentinel = Seq(("noop", sentinelTs, -1L))
+        .toDF("event_type", "ts", "user_id")
+      val root = graft.tools.Scratch.dir("graft_hll_merge_s")
+      var cur: Option[String] = None
+      val q = streamWithSentinel(spark, ev, sentinel, delaySec)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val regs = S.hllRegisters(
+            batch.where(col("event_type") =!= "noop"),
+            Seq("event_type"), col("user_id"))
+          val merged = cur match {
+            case Some(p) => spark.read.parquet(p).unionByName(regs)
+              .groupBy("event_type", "bucket")
+              .agg(max("register").cast("int").as("register"))
+            case None => regs
+          }
+          val next = s"$root/v$id"
+          merged.write.mode("overwrite").parquet(next)
+          cur = Some(next)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      S.hllEstimate(spark.read.parquet(cur.get), Seq("event_type"))
+        .join(exact, "event_type")
+    }),
+
     // Robust outliers by median absolute deviation on the cents plane
     // (the homogeneity-resistant alternative to z-scores — one planted
     // +$5000 shift on the %101 events gives every SF true outliers).
@@ -1597,6 +1645,39 @@ object PipelineQueries {
       val keys = o.select(col("ckey"))
         .where(col("ckey") % 211 === 3 && col("ckey") < 2000).distinct()
       val dec = graft.functions.Layout.bloomPrune(idx, keys, "ckey")
+      val actual = o
+        .select(col("ckey").as("key"), expr("okey div 256").as("bucket"))
+        .join(broadcast(keys.select(col("ckey").as("key"))), "key")
+        .groupBy("key", "bucket").agg(count(lit(1)).as("n_match"))
+      dec.join(actual, Seq("key", "bucket"), "left")
+        .select(col("key"), col("bucket"), col("can_skip"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"))
+    }),
+
+    // Incremental persisted form of the Bloom skipping index: the two
+    // okey-parity slices append as independent shards (no merge at
+    // write), compaction folds them by bit_or, and the loaded index
+    // prunes IDENTICALLY to the from-scratch build over all orders —
+    // bit_or is associative+commutative, so this entry shares
+    // layout_bloom_prune's oracle (and its can_skip ⇒ 0-matches
+    // soundness check) VERBATIM.
+    "layout_bloom_incremental" -> ((spark, dir) => {
+      val L = graft.functions.Layout
+      val o = Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_custkey").cast("long").as("ckey"))
+      val tmp = graft.tools.Scratch.dir("graft_bloom_inc")
+      L.appendBloomIndex(L.bloomIndex(
+        o.where(col("okey") % 2 === 0), expr("okey div 256"), "ckey"),
+        s"$tmp/idx")
+      L.appendBloomIndex(L.bloomIndex(
+        o.where(col("okey") % 2 === 1), expr("okey div 256"), "ckey"),
+        s"$tmp/idx")
+      graft.functions.IndexMaintenance.compactBloomIndex(spark, s"$tmp/idx")
+      val idx = L.loadBloomIndex(spark, s"$tmp/idx")
+      val keys = o.select(col("ckey"))
+        .where(col("ckey") % 211 === 3 && col("ckey") < 2000).distinct()
+      val dec = L.bloomPrune(idx, keys, "ckey")
       val actual = o
         .select(col("ckey").as("key"), expr("okey div 256").as("bucket"))
         .join(broadcast(keys.select(col("ckey").as("key"))), "key")
@@ -7671,6 +7752,46 @@ object PipelineQueries {
     * max is associative, so the merged sketch is provably identical to
     * the full build and one replay gates both.
     */
+  /** Bloom skip-index replay shared by the from-scratch
+    * (`layout_bloom_prune`) and appended/compacted
+    * (`layout_bloom_incremental`) entries — identical index rows by the
+    * bit_or associativity argument, identical probe, and the can_skip ⇒
+    * 0-matches soundness columns.
+    */
+  private val bloomPruneOracle: String =
+    """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+      |    CAST(o_custkey AS BIGINT) AS ckey FROM orders),
+      |keys AS (SELECT DISTINCT ckey AS key FROM o
+      |  WHERE ckey % 211 = 3 AND ckey < 2000),
+      |js AS (SELECT unnest([0, 1]) AS j),
+      |kb AS (SELECT okey // 256 AS bucket, j,
+      |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
+      |      CAST(ckey AS VARCHAR)), 1, 8))::BIGINT % 1024 AS INTEGER)
+      |      AS bit
+      |  FROM o CROSS JOIN js),
+      |idx AS (SELECT bucket, bit // 32 AS word,
+      |    bit_or(1::BIGINT << (bit % 32)) AS bits
+      |  FROM kb GROUP BY 1, 2),
+      |probe AS (SELECT key, j,
+      |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
+      |      CAST(key AS VARCHAR)), 1, 8))::BIGINT % 1024 AS INTEGER)
+      |      AS bit
+      |  FROM keys CROSS JOIN js),
+      |bkts AS (SELECT DISTINCT bucket FROM idx),
+      |dec AS (SELECT p.key, b.bucket,
+      |    sum(CASE WHEN i.bits IS NOT NULL AND
+      |        (i.bits & (1::BIGINT << (p.bit % 32))) <> 0
+      |      THEN 1 ELSE 0 END) < 2 AS can_skip
+      |  FROM probe p CROSS JOIN bkts b
+      |  LEFT JOIN idx i ON i.bucket = b.bucket AND i.word = p.bit // 32
+      |  GROUP BY 1, 2),
+      |act AS (SELECT ckey AS key, okey // 256 AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_match
+      |  FROM o JOIN keys ON o.ckey = keys.key GROUP BY 1, 2)
+      |SELECT d.key, d.bucket, d.can_skip,
+      |  CAST(coalesce(a.n_match, 0) AS BIGINT) AS n_match
+      |FROM dec d LEFT JOIN act a USING (key, bucket)""".stripMargin
+
   private val hllUsersOracle: String =
     """WITH h AS (SELECT event_type,
       |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
@@ -8396,6 +8517,9 @@ object PipelineQueries {
     // shard merge is provably identical to the from-scratch build.
     "events_hll_users" -> hllUsersOracle,
     "events_hll_incremental" -> hllUsersOracle,
+    // streaming merged-register sink: per-batch registers merge into the
+    // all-time store by bucket-max ≡ from-scratch build — same replay
+    "events_hll_merge_stream" -> hllUsersOracle,
     // daily-windowed register replay for the streaming twin — same
     // register construction per (day, type); the estimate is the same
     // constant product / one division per sealed window
@@ -8502,39 +8626,9 @@ object PipelineQueries {
         |FROM c""".stripMargin,
     // Bloom prune replay: same salted md5 bit positions, bit_or'd
     // per-bucket words, any-absent-bit skip rule, actual counts joined
-    "layout_bloom_prune" ->
-      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
-        |    CAST(o_custkey AS BIGINT) AS ckey FROM orders),
-        |keys AS (SELECT DISTINCT ckey AS key FROM o
-        |  WHERE ckey % 211 = 3 AND ckey < 2000),
-        |js AS (SELECT unnest([0, 1]) AS j),
-        |kb AS (SELECT okey // 256 AS bucket, j,
-        |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
-        |      CAST(ckey AS VARCHAR)), 1, 8))::BIGINT % 1024 AS INTEGER)
-        |      AS bit
-        |  FROM o CROSS JOIN js),
-        |idx AS (SELECT bucket, bit // 32 AS word,
-        |    bit_or(1::BIGINT << (bit % 32)) AS bits
-        |  FROM kb GROUP BY 1, 2),
-        |probe AS (SELECT key, j,
-        |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' ||
-        |      CAST(key AS VARCHAR)), 1, 8))::BIGINT % 1024 AS INTEGER)
-        |      AS bit
-        |  FROM keys CROSS JOIN js),
-        |bkts AS (SELECT DISTINCT bucket FROM idx),
-        |dec AS (SELECT p.key, b.bucket,
-        |    sum(CASE WHEN i.bits IS NOT NULL AND
-        |        (i.bits & (1::BIGINT << (p.bit % 32))) <> 0
-        |      THEN 1 ELSE 0 END) < 2 AS can_skip
-        |  FROM probe p CROSS JOIN bkts b
-        |  LEFT JOIN idx i ON i.bucket = b.bucket AND i.word = p.bit // 32
-        |  GROUP BY 1, 2),
-        |act AS (SELECT ckey AS key, okey // 256 AS bucket,
-        |    CAST(count(*) AS BIGINT) AS n_match
-        |  FROM o JOIN keys ON o.ckey = keys.key GROUP BY 1, 2)
-        |SELECT d.key, d.bucket, d.can_skip,
-        |  CAST(coalesce(a.n_match, 0) AS BIGINT) AS n_match
-        |FROM dec d LEFT JOIN act a USING (key, bucket)""".stripMargin,
+    "layout_bloom_prune" -> bloomPruneOracle,
+    // appended shards fold by bit_or ≡ from-scratch build — same replay
+    "layout_bloom_incremental" -> bloomPruneOracle,
     // A/B replay: same md5 arms, same conversion units, the identical
     // cross-multiplied z² verdict in HUGEINT
     "events_abtest" ->

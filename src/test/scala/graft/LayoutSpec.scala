@@ -153,4 +153,31 @@ class LayoutSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(merged === full)
   }
+
+  test("bloom index persistence: append-load ≡ compact-load ≡ from-scratch") {
+    import graft.functions.{IndexMaintenance, Layout}
+    val df = Seq((0L, "a"), (1L, "b"), (256L, "c"), (257L, "d"),
+      (512L, "a"), (513L, "e")).toDF("okey", "k")
+    val path = graft.tools.Scratch.dir("graft_bloom_spec") + "/idx"
+    Layout.appendBloomIndex(Layout.bloomIndex(
+      df.where(col("okey") % 2 === 0), expr("okey div 256"), "k"), path)
+    Layout.appendBloomIndex(Layout.bloomIndex(
+      df.where(col("okey") % 2 === 1), expr("okey div 256"), "k"), path)
+    def snap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = snap(Layout.bloomIndex(df, expr("okey div 256"), "k"))
+    val appended = snap(Layout.loadBloomIndex(spark, path))
+    assert(appended === full)
+    // compaction folds shard rows by bit_or and shrinks the file count;
+    // the loaded index (and so every prune decision) is unchanged
+    val (before, after) = IndexMaintenance.compactBloomIndex(spark, path)
+    assert(before > after && after === 1L)
+    assert(snap(Layout.loadBloomIndex(spark, path)) === full)
+    assert(snap(spark.read.parquet(path)
+      .groupBy("bucket", "word")
+      .agg(expr("bit_or(bits)").as("bits"))) === full)
+    // post-compaction the raw rows are already merged (one per key)
+    assert(spark.read.parquet(path).count() ===
+      spark.read.parquet(path).select("bucket", "word").distinct().count())
+  }
 }
