@@ -149,4 +149,117 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---------------------------------------------------------------------
+  // PG-semantics property tests for the dialect layer (VERDICT r8 item 9):
+  // the fixed corners in SqlDialectSpec generalize to generated patterns,
+  // each checked against a small independent interpreter of the PG rules
+  // (PG docs §9.7.1/9.7.2), so a divergence in ANY generated case —
+  // wildcards, escapes, classes, literal `.^$`, quantifiers, alternation —
+  // fails the property instead of waiting for a fixture to hit it.
+
+  /** Tiny reference matcher for the generated SIMILAR TO fragment:
+    * tokens match min..max (max = -1 unbounded) repetitions of a
+    * char predicate; plain backtracking (inputs are ≤ 8 chars).
+    */
+  private case class Rep(ok: Char => Boolean, min: Int, max: Int)
+  private def refMatch(toks: List[Rep], s: List[Char]): Boolean =
+    (toks, s) match {
+      case (Nil, rest) => rest.isEmpty
+      case (Rep(ok, min, max) :: tr, _) =>
+        if (min > 0) s match {
+          case c :: cs if ok(c) =>
+            refMatch(Rep(ok, min - 1, if (max < 0) max else max - 1) :: tr, cs)
+          case _ => false
+        }
+        else if (max == 0) refMatch(tr, s)
+        else refMatch(tr, s) || (s match {
+          case c :: cs if ok(c) =>
+            refMatch(Rep(ok, 0, if (max < 0) max else max - 1) :: tr, cs)
+          case _ => false
+        })
+    }
+
+  test("SIMILAR TO translation agrees with a PG-rules interpreter") {
+    // atoms: literal chars INCLUDING the PG-literal-but-POSIX-meta `.^$`,
+    // escaped wildcards, `_`, `%`, [classes], with POSIX quantifiers
+    val litChars = Seq('a', 'b', 'c', 'x', '.', '^', '$')
+    val litAtom = Gen.oneOf(litChars)
+      .map(c => (c.toString, Rep(_ == c, 1, 1)))
+    val escAtom = Gen.oneOf('%', '_')
+      .map(c => ("\\" + c, Rep(_ == c, 1, 1)))
+    val oneAtom = Gen.const(("_", Rep(_ => true, 1, 1)))
+    val anyAtom = Gen.const(("%", Rep(_ => true, 0, -1)))
+    val clsAtom = for {
+      cs <- Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', '.', '$'))
+        .map(_.toSet)
+      neg <- Gen.oneOf(false, true)
+    } yield ("[" + (if (neg) "^" else "") + cs.toSeq.sorted.mkString + "]",
+      Rep(c => cs.contains(c) != neg, 1, 1))
+    val quantable = Gen.oneOf(litAtom, clsAtom)
+    val quantAtom = for {
+      (p, r) <- quantable
+      q <- Gen.oneOf("*", "+", "?")
+    } yield (p + q, q match {
+      case "*" => r.copy(min = 0, max = -1)
+      case "+" => r.copy(min = 1, max = -1)
+      case _   => r.copy(min = 0, max = 1)
+    })
+    val atom = Gen.frequency(4 -> litAtom, 1 -> escAtom, 2 -> oneAtom,
+      2 -> anyAtom, 2 -> clsAtom, 2 -> quantAtom)
+    val branch = Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, atom))
+    val pattern = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, branch))
+    val input = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf('a', 'b', 'c', 'x', '.', '^', '$', '%', '_'))).map(_.mkString)
+    forAll(Gen.zip(pattern, input), n = 1500) { case (branches, s) =>
+      val pat = branches.map(_.map(_._1).mkString).mkString("|")
+      val expected = branches.exists(b => refMatch(b.map(_._2), s.toList))
+      val rx = "^(?:" + SqlDialect.similarToRegex(pat) + ")$"
+      assert(s.matches(rx) === expected,
+        s"pattern <$pat> (rx <$rx>) on <$s>")
+      // and the statement-level rewrite emits exactly that anchored RLIKE
+      val sql = s"WHERE x SIMILAR TO '$pat'"
+      assert(SqlDialect.rewriteSimilarTo(sql) ===
+        s"WHERE x RLIKE '^(?:${SqlDialect.similarToRegex(pat)})$$'")
+    }
+  }
+
+  test("LIKE-operator family: right keyword outside literals, literals kept") {
+    val ident = Gen.oneOf("c0", "note", "v")
+    val op = Gen.oneOf("~~" -> "LIKE", "~~*" -> "ILIKE",
+      "!~~" -> "NOT LIKE", "!~~*" -> "NOT ILIKE")
+    // literal content may itself contain operator look-alikes
+    val patBody = Gen.listOf(Gen.oneOf("a", "%", "_", "~~", "~~*", "!~~"))
+      .map(_.mkString)
+    forAll(Gen.zip(ident, op, patBody), n = 400) { case (id, (o, kw), p) =>
+      val decoy = s"'x $o y'"
+      val sql = s"SELECT * FROM t WHERE $id $o '$p' AND note = $decoy"
+      val out = SqlDialect.rewriteOperatorSyntax(sql)
+      assert(out.contains(s"$id $kw '$p'"), out)
+      assert(out.contains(decoy), s"literal mangled: $out")
+      assert(SqlDialect.rewriteOperatorSyntax(out) === out)
+      // the OPERATOR(pg_catalog.op) spelling unwraps to the same keyword
+      val wrapped =
+        s"SELECT * FROM t WHERE $id OPERATOR(pg_catalog.$o) '$p'"
+      assert(SqlDialect.rewriteOperatorSyntax(wrapped)
+        .contains(s"$id $kw '$p'"))
+    }
+  }
+
+  test("::interval casts: INTERVAL literal form, literal-safe, idempotent") {
+    val unit = Gen.oneOf("day", "days", "hour", "hours", "minute",
+      "minutes", "second", "month", "year")
+    val spelling = Gen.oneOf("::interval", "::INTERVAL", ":: Interval",
+      " ::interval", " :: INTERVAL")
+    forAll(Gen.zip(Gen.choose(0L, 10000L), unit, spelling), n = 400) {
+      case (n0, u, sp) =>
+        val sql = s"SELECT * FROM t WHERE ts < ts2 - '$n0 $u'$sp " +
+          s"AND note = 'keep ''1 day''::interval here'"
+        val out = SqlDialect.rewriteIntervalCast(sql)
+        assert(out.contains(s"INTERVAL '$n0 $u'"), out)
+        assert(out.contains("'keep ''1 day''::interval here'"),
+          s"literal mangled: $out")
+        assert(SqlDialect.rewriteIntervalCast(out) === out)
+    }
+  }
 }

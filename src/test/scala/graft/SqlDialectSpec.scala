@@ -496,4 +496,46 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(tricky ===
       "SELECT array_join(transform(f(a, b), __x -> CAST(__x AS STRING)), '(,)') FROM t")
   }
+
+  test("ILIKE rewrite target matches PG case-folded LIKE semantics (generated)") {
+    // PG `x ~~* p` = case-insensitive LIKE (% = any run, _ = any one
+    // char, case folded). The rewrite maps the operator to Spark ILIKE;
+    // this pins the TARGET's semantics against an independent wildcard
+    // matcher over generated pairs — one batch job, not one per case.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def refLike(s: List[Char], p: List[Char]): Boolean = (p, s) match {
+      case (Nil, rest) => rest.isEmpty
+      case ('%' :: pr, _) =>
+        refLike(s, pr) || (s match {
+          case _ :: cs => refLike(cs, p)
+          case Nil => false
+        })
+      case ('_' :: pr, _ :: cs) => refLike(cs, pr)
+      case ('_' :: _, Nil) => false
+      case (c :: pr, d :: cs) => c.toLower == d.toLower && refLike(cs, pr)
+      case (_ :: _, Nil) => false
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "aAbBcC%_"
+    def randStr(maxLen: Int) =
+      (0 until rnd.nextInt(maxLen + 1)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    val cases = (0 until 500).map { _ =>
+      val s = randStr(8)
+      // patterns over letters + wildcards only (no escape generation)
+      val p = (0 until rnd.nextInt(7)).map(_ =>
+        "aAbBcC%_"(rnd.nextInt(8)).toString).mkString
+      (s, p, refLike(s.toList, p.toList))
+    }
+    val sqlOp = SqlDialect.rewriteOperatorSyntax("s ~~* p")
+    assert(sqlOp.trim === "s ILIKE p")
+    val got = cases.toDF("s", "p", "expected")
+      .selectExpr("s", "p", "expected", s"coalesce($sqlOp, false) AS got")
+      .collect()
+    got.foreach { r =>
+      assert(r.getBoolean(3) === r.getBoolean(2),
+        s"ILIKE '<${r.getString(0)}>' ~~* '<${r.getString(1)}>'")
+    }
+  }
 }
