@@ -797,6 +797,44 @@ object PipelineQueries {
       Similarity.evaluateAnn(approx, exact, k = 10)
     }),
 
+    // nProbe/recall tuning sweep at the √n IVF geometry (ROADMAP r8
+    // candidate 4): one index build, searches at nProbe ∈ {1, 2, 4}
+    // over a bounded query slice, every returned pair flagged against
+    // the EXACT top-5 on that slice, and the per-nProbe recall emitted
+    // as exact integers (n_hit, n_exact, recall_ppm) on each row. The
+    // oracle reads the found pairs back from the entry's own dump
+    // (candidate sets are kmeans-dependent), recomputes the exact side
+    // and every cosine, and re-derives hit/recall — so the sweep's
+    // recall CLAIM, not just its pair values, is hash-checked. This is
+    // the measurement loop that justifies an nProbe setting before
+    // trusting it at scale (dedup_lsh_eval's convention for vectors).
+    "sim_knn_sweep" -> ((spark, dir) => {
+      val emb = Tables.read(spark, dir, "embeddings")
+      val nLists = math.max(16,
+        math.ceil(math.sqrt(emb.count().toDouble / 4.0)).toInt)
+      val index = graft.functions.IvfIndex.build(emb, "vec_id",
+        "embedding", nLists = nLists)
+      val queries = emb.filter(col("vec_id") < 32)
+      val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val found = Seq(1, 2, 4).map { np =>
+        graft.functions.IvfIndex.search(index, queries, "vec_id",
+            "embedding", k = 5, nProbe = np)
+          .select(lit(np).as("n_probe"), col("query_id"),
+            col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      }.reduce(_ unionByName _)
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val wp = Window.partitionBy("n_probe")
+      found.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .select(col("n_probe"), col("query_id"), col("neighbor_id"),
+          col("sim"), coalesce(col("hit"), lit(0L)).as("hit"))
+        .withColumn("n_hit", sum(col("hit")).over(wp))
+        .crossJoin(broadcast(nExact))
+        .withColumn("recall_ppm",
+          expr("n_hit * 1000000 div n_exact"))
+    }),
+
     // IVF coarse-quantizer ANN: KMeans lists + nProbe search (the
     // clustered-data scale path; LSH above is the data-independent one).
     // Same pair-value verification contract as sim_ann_lsh.
@@ -5682,6 +5720,41 @@ object PipelineQueries {
         |  round(CASE WHEN nn = 0 THEN 0.0 ELSE e[i]::DOUBLE / nn END, 6) AS val,
         |  round(nn, 6) AS l2_norm, nn = 0 AS is_zero
         |FROM x""".stripMargin,
+    // sweep replay: found pairs read back from the dump (kmeans-
+    // dependent candidate sets), exact slice top-5 + every cosine +
+    // hit/recall re-derived independently and hash-checked
+    "sim_knn_sweep" ->
+      """WITH a AS (SELECT n_probe, query_id, neighbor_id
+        |  FROM read_parquet('__OUT__/sim_knn_sweep/*.parquet')),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 32),
+        |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  round(
+        |   list_sum(list_transform(range(1, len(q.qv)+1),
+        |     i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |   (sqrt(list_sum(list_transform(range(1, len(q.qv)+1),
+        |     i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6)
+        |    AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM s) t WHERE rank <= 5),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+        |j AS (SELECT a.n_probe, a.query_id, a.neighbor_id, s.sim,
+        |    CASE WHEN ex.neighbor_id IS NOT NULL
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS hit
+        |  FROM a JOIN s USING (query_id, neighbor_id)
+        |  LEFT JOIN ex USING (query_id, neighbor_id)),
+        |h AS (SELECT n_probe, CAST(sum(hit) AS BIGINT) AS n_hit
+        |  FROM j GROUP BY 1)
+        |SELECT j.n_probe, j.query_id, j.neighbor_id, j.sim, j.hit,
+        |  h.n_hit, ne.n_exact,
+        |  CAST((h.n_hit * 1000000) // ne.n_exact AS BIGINT) AS recall_ppm
+        |FROM j JOIN h USING (n_probe) CROSS JOIN ne""".stripMargin,
     "sim_eval" ->
       """WITH a AS (SELECT query_id, neighbor_id, rank
         |  FROM read_parquet('__OUT__/sim_ann_lsh/*.parquet')),

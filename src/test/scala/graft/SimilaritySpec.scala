@@ -680,6 +680,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaRerank === direct)
   }
 
+  test("knn sweep: recall weakly increases with nProbe; full probe is exact") {
+    import graft.functions.IvfIndex
+    val emb = Tables.read(spark, SparkTestSession.Sf, "embeddings")
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nLists = 8)
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", k = 5).select("query_id", "neighbor_id")
+    val nExact = exact.count().toDouble
+    def recall(np: Int): Double =
+      IvfIndex.search(index, queries, "vec_id", "embedding",
+          k = 5, nProbe = np)
+        .select("query_id", "neighbor_id")
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / nExact
+    // candidates grow with nProbe and exact/ANN share the (sim desc, id)
+    // tie-break, so a true hit found at a smaller probe is never lost
+    val Seq(r1, r2, r8) = Seq(1, 2, 8).map(recall)
+    assert(r1 <= r2 && r2 <= r8)
+    assert(r8 === 1.0) // probing every list IS the exact top-5
+  }
+
   test("mean pooling: exact fixed point, layout-invariant, trunc on negatives") {
     val df = Seq(
       (0L, Array(1.0f, -1.0f)), (1L, Array(0.5f, -0.25f)),
