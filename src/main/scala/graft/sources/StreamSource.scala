@@ -53,8 +53,12 @@ object StreamSource {
         case Some(v) => spark.conf.set(escKey, v)
         case None => spark.conf.unset(escKey)
       } }
+    // flattening enabled ⇒ JSON-string values (PG json/jsonb through
+    // JDBC/SQL) first parse through the bounded schema-inference hop,
+    // then expand like any struct
     val flat = flattenDepth
-      .map(d => graft.operators.Flattener.flatten(df, d)).getOrElse(df)
+      .map(d => graft.operators.Flattener.flatten(
+        graft.operators.Flattener.parseJsonStrings(df), d)).getOrElse(df)
     Conformance.conform(flat, stream.columns, stream.name)
   }
 
@@ -100,8 +104,12 @@ object StreamSource {
            flattenDepth: Option[Int] = None): DataFrame = {
     val df = spark.read.format("jdbc")
       .options(jdbcOptions(tap, stream, state, numPartitions, bounds)).load()
+    // flattening enabled ⇒ JSON-string values (PG json/jsonb through
+    // JDBC/SQL) first parse through the bounded schema-inference hop,
+    // then expand like any struct
     val flat = flattenDepth
-      .map(d => graft.operators.Flattener.flatten(df, d)).getOrElse(df)
+      .map(d => graft.operators.Flattener.flatten(
+        graft.operators.Flattener.parseJsonStrings(df), d)).getOrElse(df)
     Conformance.conform(flat, stream.columns, stream.name)
   }
 

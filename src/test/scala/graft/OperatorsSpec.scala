@@ -55,6 +55,28 @@ class OperatorsSpec extends AnyFunSuite {
       Seq("id", "c__a", "c__b"))
   }
 
+  test("parseJsonStrings: object columns parse+flatten, others untouched") {
+    val df = Seq(
+      (1L, """{"a": 1, "b": {"c": "x"}}""", "plain", null.asInstanceOf[String]),
+      (2L, """{"a": 2, "b": {"c": "y"}}""", """{"not": "all rows"}""", null)
+    ).toDF("id", "props", "note", "empty")
+    val out = Flattener.flatten(Flattener.parseJsonStrings(df))
+    // props (all-object) expands; note has a non-object value in row 1 so
+    // it MUST stay a string; an all-null column stays as-is
+    assert(out.columns.toSeq ===
+      Seq("id", "props__a", "props__b__c", "note", "empty"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getLong(1) === 1L && rows(0).getString(2) === "x")
+    assert(rows(1).getLong(1) === 2L && rows(1).getString(2) === "y")
+    assert(rows(0).getString(3) === "plain")
+    // malformed JSON in an otherwise-object column: schema inference
+    // flags _corrupt_record → the column is left untouched
+    val bad = Seq((1L, """{"a": 1}"""), (2L, """{"a": """))
+      .toDF("id", "props")
+    assert(Flattener.parseJsonStrings(bad).schema("props").dataType ===
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("stream maps: filter sees pre-drop columns; compute/alias/drop apply") {
     val df = Seq((1, 10.0, "a"), (2, 3.0, "b")).toDF("id", "amt", "tag")
     val out = StreamMaps(df, StreamMap(
