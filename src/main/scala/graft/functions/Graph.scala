@@ -242,4 +242,57 @@ object Graph {
       .agg(count(lit(1)).as("n_common"),
         sum(expr(s"$scale div deg")).as("ra_score"))
   }
+
+  /** k-core: the maximal subgraph where every node keeps degree ≥ k —
+    * the web-graph quality/spam filter (Kumar et al.) and the standard
+    * "dense region" extractor. Iterative SYNCHRONOUS peeling: each
+    * round drops every node whose current degree is below k, then
+    * re-filters edges to surviving endpoints; the fixpoint is the
+    * k-core regardless of removal order (peeling is monotone and
+    * confluent), which is what lets a SQL engine replay it with
+    * unrolled rounds — extra rounds past the fixpoint are no-ops.
+    *
+    * `edges` must carry each undirected edge in BOTH directions (the
+    * convention of the other graph operators here). Returns
+    * (`node`, `core_deg`) for the surviving nodes with their degree
+    * inside the core.
+    *
+    * 100 TB shape: per round ONE partial-aggregated groupBy(src) for
+    * degrees and one semi-shaped hash join per endpoint to re-filter —
+    * all key-partitioned, no windows, no collect; each round's edge
+    * set localCheckpoints so rounds never stack one plan. Convergence
+    * is node-count based: peeling only shrinks the node set, so an
+    * unchanged count IS the fixpoint.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var cur = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    var prevNodes = -1L
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val keep = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint(true)
+      val n = keep.count()
+      if (n == prevNodes) converged = true
+      else {
+        prevNodes = n
+        cur = cur
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    require(converged, s"kCore: no fixpoint within $maxRounds rounds")
+    cur.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
 }

@@ -1725,6 +1725,49 @@ object PipelineQueries {
           coalesce(col("n_match"), lit(0L)).as("n_match"))
     }),
 
+    // Streaming Bloom-index maintenance: each micro-batch's index rows
+    // append as shards through the SAME foreachBatch pattern as the HLL
+    // merge sink (bit_or-mergeable rows are exactly what makes an index
+    // streamable); a compaction after the drain folds them, and the
+    // pruned decisions equal the from-scratch build over everything
+    // streamed — layout_bloom_prune's oracle VERBATIM, soundness check
+    // included. orders stream in keyed by o_orderdate.
+    "layout_bloom_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      val L = graft.functions.Layout
+      val o = Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_custkey").cast("long").as("ckey"),
+          col("o_orderdate").cast("timestamp").as("ts"))
+      val (delaySec, sentinelTs) = sentinelBounds(
+        spark, o.select(col("okey"), col("ts")))
+      val sentinel = Seq((-1L, -1L, sentinelTs)).toDF("okey", "ckey", "ts")
+      val tmp = graft.tools.Scratch.dir("graft_bloom_stream")
+      val q = streamWithSentinel(spark, o, sentinel, delaySec)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = L.bloomIndex(batch.where(col("okey") >= 0),
+            expr("okey div 256"), "ckey")
+          if (!rows.isEmpty) L.appendBloomIndex(rows, s"$tmp/idx")
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      graft.functions.IndexMaintenance.compactBloomIndex(spark, s"$tmp/idx")
+      val idx = L.loadBloomIndex(spark, s"$tmp/idx")
+      val keys = o.select(col("ckey"))
+        .where(col("ckey") % 211 === 3 && col("ckey") < 2000).distinct()
+      val dec = L.bloomPrune(idx, keys, "ckey")
+      val actual = o
+        .select(col("ckey").as("key"), expr("okey div 256").as("bucket"))
+        .join(broadcast(keys.select(col("ckey").as("key"))), "key")
+        .groupBy("key", "bucket").agg(count(lit(1)).as("n_match"))
+      dec.join(actual, Seq("key", "bucket"), "left")
+        .select(col("key"), col("bucket"), col("can_skip"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"))
+    }),
+
     // Two-proportion A/B test on (user, day) exposure units: portable
     // md5 arm assignment, conversion = any purchase that day, and the
     // pooled z² significance verdict via the DIVISION-FREE rational
@@ -3459,6 +3502,29 @@ object PipelineQueries {
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
         .select(col("node"), col("rank"),
+          when(col("node") >= 10000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"))
+    }),
+
+    // k-core over the same customer–supplier bipartite graph: the
+    // maximal subgraph where every node keeps ≥ 10 neighbors — the
+    // web-graph dense-region/quality filter. Synchronous peeling to
+    // the fixpoint; peeling is confluent, so the oracle replays it
+    // with unrolled rounds (no-ops past the fixpoint — measured 1–2
+    // rounds at the fixture SFs, replayed with 12).
+    "graph_kcore" -> ((spark, dir) => {
+      val orders = Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 10000000L).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.functions.Graph.kCore(edges, "src", "dst", k = 10)
+        .select(col("node"), col("core_deg"),
           when(col("node") >= 10000000L, lit("supplier"))
             .otherwise(lit("customer")).as("kind"))
     }),
@@ -7890,6 +7956,37 @@ object PipelineQueries {
       |  x.exact_users
       |FROM e JOIN x USING (event_type)""".stripMargin
 
+  /** k-core peeling replay: `rounds` unrolled (degree → keep → filter)
+    * rounds over the bipartite projection; peeling is confluent and
+    * monotone, so rounds past the engine's fixpoint are no-ops — the
+    * replay only needs rounds ≥ the actual peel depth (measured 1–2).
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val head =
+      """WITH pairs AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e0 AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs)""".stripMargin
+    // MATERIALIZED is load-bearing: each e_{i+1} references e_i three
+    // times (directly + through k_i twice); DuckDB inlines plain CTEs
+    // per reference, which goes exponential across unrolled rounds
+    val its = (0 until rounds).map { i =>
+      s""",
+         |k$i AS MATERIALIZED (SELECT src AS node FROM e$i
+         |  GROUP BY src HAVING count(*) >= $k),
+         |e${i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e$i e
+         |  JOIN k$i a ON e.src = a.node
+         |  JOIN k$i b ON e.dst = b.node)""".stripMargin
+    }.mkString
+    head + its +
+      s"""
+         |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg,
+         |  CASE WHEN src >= 10000000 THEN 'supplier' ELSE 'customer' END
+         |    AS kind
+         |FROM e$rounds GROUP BY src""".stripMargin
+  }
+
   private def pagerankOracle(iters: Int): String = {
     val head =
       """WITH pairs AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
@@ -8303,6 +8400,7 @@ object PipelineQueries {
     "events_scd2_stream" -> scd2Oracle,
     "events_scd2" -> scd2Oracle,
     "graph_pagerank" -> pagerankOracle(5),
+    "graph_kcore" -> kcoreOracle(10, 12),
     // recursive CTE, UNION-deduped per (node, dist) level, min over
     // dists — the order-invariant replay of the frontier expansion
     "graph_bfs" ->
@@ -8702,6 +8800,8 @@ object PipelineQueries {
     "layout_bloom_prune" -> bloomPruneOracle,
     // appended shards fold by bit_or ≡ from-scratch build — same replay
     "layout_bloom_incremental" -> bloomPruneOracle,
+    // per-micro-batch shards fold identically — streaming twin, same replay
+    "layout_bloom_stream" -> bloomPruneOracle,
     // A/B replay: same md5 arms, same conversion units, the identical
     // cross-multiplied z² verdict in HUGEINT
     "events_abtest" ->

@@ -280,4 +280,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === Seq((1L, 5L, 2L, 1.0 * (1.0 - 2.0 / 5.0)),
       (3L, 2L, 1L, (1.0 * (1.0 - 2.0 / 5.0)) * (1.0 - 1.0 / 2.0))))
   }
+  test("kCore: triangle survives k=2, pendant drops, chain cascades to empty") {
+    def und(pairs: (Long, Long)*) = {
+      val df = pairs.toSeq.toDF("a", "b")
+      df.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(df.select(col("b").as("src"), col("a").as("dst")))
+    }
+    // triangle 1-2-3 with pendant 4 on 1: 2-core = the triangle, every
+    // member at core degree 2 (the pendant peels in round 1, nothing
+    // cascades because triangle degrees stay at 2)
+    val g1 = Graph.kCore(und((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)),
+      "src", "dst", k = 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(g1 === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // path 1-2-3-4 under k=2: endpoints peel, the removals CASCADE
+    // inward round by round until nothing is left
+    val g2 = Graph.kCore(und((1L, 2L), (2L, 3L), (3L, 4L)),
+      "src", "dst", k = 2)
+    assert(g2.count() === 0L)
+    // k=1 keeps every non-isolated node with its full degree
+    val g3 = Graph.kCore(und((1L, 2L), (2L, 3L)), "src", "dst", k = 1)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(g3 === Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
 }
