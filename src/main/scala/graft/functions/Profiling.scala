@@ -150,6 +150,35 @@ object Profiling {
         lit(table).as("table_name"), col("n_violations"), col("n_rows"))
   }
 
+  /** Inclusion-dependency profile — foreign-key DISCOVERY, the
+    * complement of [[checkRefIntegrity]] (which validates a KNOWN key
+    * over rows): for a candidate (child → parent) column pair, how much
+    * of the child's distinct value set the parent covers. Emits one row
+    * (`child`, `parent`, `n_child_distinct`, `n_missing`,
+    * `containment_ppm`) — containment 10⁶ means the pair behaves as a
+    * real FK; profilers union these rows over a candidate matrix.
+    *
+    * Scale shape: both sides project to ONE column and partial-agg
+    * deduplicate before the left-anti hash join, so the exchanges carry
+    * distinct keys, never rows — the only affordable shape when the
+    * child is a 100 TB fact table.
+    */
+  def inclusionProfile(child: DataFrame, childCol: String, childName: String,
+                       parent: DataFrame, parentCol: String,
+                       parentName: String): DataFrame = {
+    val c = child.select(col(childCol).as("k"))
+      .where(col("k").isNotNull).distinct()
+    val p = parent.select(col(parentCol).as("k"))
+      .where(col("k").isNotNull).distinct()
+    val missing = c.join(p, Seq("k"), "left_anti")
+    c.agg(count(lit(1)).as("n_child_distinct"))
+      .crossJoin(missing.agg(count(lit(1)).as("n_missing")))
+      .select(lit(childName).as("child"), lit(parentName).as("parent"),
+        col("n_child_distinct"), col("n_missing"),
+        expr("(n_child_distinct - n_missing) * 1000000" +
+          " div n_child_distinct").as("containment_ppm"))
+  }
+
   /** k-anonymity audit — the governance check a dataset release runs
     * before publication: group rows by their QUASI-IDENTIFIER tuple
     * (the columns an attacker could link to an external register) and

@@ -1768,6 +1768,31 @@ object PipelineQueries {
           coalesce(col("n_match"), lit(0L)).as("n_match"))
     }),
 
+    // FK discovery across a candidate matrix: distinct-level containment
+    // for five (child → parent) pairs — the three real FKs profile at
+    // 10⁶ ppm, the reversed/garbage candidates at whatever the data
+    // says — the schema-inference pass a warehouse runs over an
+    // undocumented landing zone.
+    "profile_fk" -> ((spark, dir) => {
+      val P = graft.functions.Profiling
+      val li = Tables.read(spark, dir, "lineitem")
+      val o = Tables.read(spark, dir, "orders")
+      val c = Tables.read(spark, dir, "customer")
+      val s = Tables.read(spark, dir, "supplier")
+      Seq(
+        P.inclusionProfile(li, "l_orderkey", "lineitem.l_orderkey",
+          o, "o_orderkey", "orders.o_orderkey"),
+        P.inclusionProfile(o, "o_custkey", "orders.o_custkey",
+          c, "c_custkey", "customer.c_custkey"),
+        P.inclusionProfile(li, "l_suppkey", "lineitem.l_suppkey",
+          s, "s_suppkey", "supplier.s_suppkey"),
+        P.inclusionProfile(c, "c_custkey", "customer.c_custkey",
+          o, "o_custkey", "orders.o_custkey"),
+        P.inclusionProfile(c, "c_nationkey", "customer.c_nationkey",
+          s, "s_suppkey", "supplier.s_suppkey")
+      ).reduce(_ unionByName _)
+    }),
+
     // Two-proportion A/B test on (user, day) exposure units: portable
     // md5 arm assignment, conversion = any purchase that day, and the
     // pooled z² significance verdict via the DIVISION-FREE rational
@@ -8802,6 +8827,31 @@ object PipelineQueries {
     "layout_bloom_incremental" -> bloomPruneOracle,
     // per-micro-batch shards fold identically — streaming twin, same replay
     "layout_bloom_stream" -> bloomPruneOracle,
+    // inclusion replay per candidate pair: distinct child keys anti-join
+    // distinct parent keys, integer ppm containment
+    "profile_fk" -> {
+      def one(childTbl: String, childCol: String, parentTbl: String,
+              parentCol: String): String =
+        s"""SELECT '$childTbl.$childCol' AS child,
+           |  '$parentTbl.$parentCol' AS parent,
+           |  CAST(n_child AS BIGINT) AS n_child_distinct,
+           |  CAST(n_missing AS BIGINT) AS n_missing,
+           |  CAST((n_child - n_missing) * 1000000 // n_child AS BIGINT)
+           |    AS containment_ppm
+           |FROM (SELECT count(*) AS n_child,
+           |    sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS n_missing
+           |  FROM (SELECT DISTINCT $childCol AS k FROM $childTbl
+           |        WHERE $childCol IS NOT NULL) ch
+           |  LEFT JOIN (SELECT DISTINCT $parentCol AS k FROM $parentTbl
+           |        WHERE $parentCol IS NOT NULL) p USING (k))""".stripMargin
+      Seq(
+        one("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        one("orders", "o_custkey", "customer", "c_custkey"),
+        one("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        one("customer", "c_custkey", "orders", "o_custkey"),
+        one("customer", "c_nationkey", "supplier", "s_suppkey")
+      ).mkString("\nUNION ALL\n")
+    },
     // A/B replay: same md5 arms, same conversion units, the identical
     // cross-multiplied z² verdict in HUGEINT
     "events_abtest" ->
