@@ -636,6 +636,42 @@ object Similarity {
         round(coalesce(col("cover"), lit(0.0)), 6).as("cover"))
   }
 
+  /** Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    * hash-sign matrix (Achlioptas 2003 ±1 form): out_j = Σ_i s(i,j)·q_i
+    * where q is the ×2^scaleBits floor quantization (the repo's
+    * fixed-point plane) and the sign s(i,j) = parity of the first md5
+    * hex digit of "i:j" — no sampled matrix to ship or keep consistent
+    * across a 100 TB corpus, any engine replays the projection exactly,
+    * and integer sums make the result bit-portable. The standard
+    * dimensionality-reduction hop before ANN indexing (JL: pairwise
+    * distances are preserved within ε for outDims = O(log n / ε²)).
+    *
+    * Emitted exploded to (vec_id, out_idx, value_fp) scalar rows so
+    * every coordinate is value-checked. Pure projection + generate —
+    * no shuffle, stays in codegen; the quantized array materializes in
+    * its own projection so the per-output-dim lambda never re-runs the
+    * quantization (the lmScore lesson).
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDims: Int, scaleBits: Int = 20): DataFrame = {
+    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    val scale = math.pow(2.0, scaleBits)
+    val sign = (i: Column, j: Column) =>
+      when(conv(substring(md5(concat(i.cast("string"), lit(":"),
+        j.cast("string")).cast("binary")), 1, 1), 16, 10)
+        .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    df.select(col(idCol).as("vec_id"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scale).cast("long")).as("__q"))
+      .select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(outDims - 1)),
+          j => struct(j.cast("int").as("out_idx"),
+            aggregate(sequence(lit(1), size(col("__q"))), lit(0L),
+              (acc, i) => acc + sign(i, j) * element_at(col("__q"), i))
+              .as("value_fp")))).as("o"))
+      .select(col("vec_id"), col("o.out_idx"), col("o.value_fp"))
+  }
+
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val xd = transform(col(vecCol), x => x.cast("double"))
     val mx = array_max(transform(xd, x => abs(x)))

@@ -737,6 +737,14 @@ object PipelineQueries {
           posexplode(col("codes")).as(Seq("idx", "code")),
           col("scale"))),
 
+    // JL random projection 64 → 16 dims with the deterministic hash-
+    // sign matrix — the dimensionality-reduction hop before ANN; every
+    // projected coordinate is an exact integer the oracle recomputes.
+    "embed_project" -> ((spark, dir) =>
+      Similarity.randomProject(
+        Tables.read(spark, dir, "embeddings"), "vec_id", "embedding",
+        outDims = 16)),
+
     // Same operator in its production shape (VERDICT r6 item 3): the
     // pure projection, one row per vector, codes value-checked through a
     // per-row md5 digest instead of the scalar-row explode — this is the
@@ -5770,6 +5778,21 @@ object PipelineQueries {
         |  count(*) AS n
         |FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         |GROUP BY 1, 2""".stripMargin,
+    // JL replay: same floor quantization, same md5-parity sign matrix,
+    // exact integer sums per output coordinate
+    "embed_project" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(x::DOUBLE * 1048576.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |o AS (SELECT vec_id, unnest(range(0, 16)) AS j, qv FROM q)
+        |SELECT vec_id, CAST(j AS INT) AS out_idx,
+        |  CAST(list_sum(list_transform(range(1, len(qv) + 1),
+        |    i -> (CASE WHEN ('0x' || substring(md5(
+        |          CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+        |          1, 1))::INT % 2 = 0
+        |      THEN 1 ELSE -1 END) * qv[i])) AS BIGINT) AS value_fp
+        |FROM o""".stripMargin,
     "embed_quantize" ->
       """WITH b AS (SELECT vec_id,
         |  list_transform(embedding, x -> x::DOUBLE) AS xd FROM embeddings),

@@ -701,6 +701,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r8 === 1.0) // probing every list IS the exact top-5
   }
 
+  test("randomProject: md5-parity signs, exact linearity on the integer plane") {
+    def sgn(i: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+      val firstHex = (h(0) >> 4) & 0xf
+      if (firstHex % 2 == 0) 1L else -1L
+    }
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, -3.0f)),
+      (1L, Array(2.0f, 0.0f, 5.0f)),
+      (2L, Array(3.0f, 2.0f, 2.0f)) // = v0 + v1 elementwise
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(df, "vec_id", "embedding", outDims = 4)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, j, v) => (id, j) -> v }.toMap
+    // hand-computed against the same md5-parity matrix
+    val q = Map(0L -> Seq(1L, 2L, -3L), 1L -> Seq(2L, 0L, 5L),
+      2L -> Seq(3L, 2L, 2L)).view.mapValues(_.map(_ << 20)).toMap
+    for (id <- q.keys; j <- 0 until 4) {
+      val want = (1 to 3).map(i => sgn(i, j) * q(id)(i - 1)).sum
+      assert(got((id, j)) === want, s"id=$id j=$j")
+    }
+    // integer-valued inputs quantize exactly, so projection is linear
+    for (j <- 0 until 4)
+      assert(got((2L, j)) === got((0L, j)) + got((1L, j)))
+  }
+
   test("mean pooling: exact fixed point, layout-invariant, trunc on negatives") {
     val df = Seq(
       (0L, Array(1.0f, -1.0f)), (1L, Array(0.5f, -0.25f)),
