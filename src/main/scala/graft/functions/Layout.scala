@@ -113,6 +113,47 @@ object Layout {
       .groupBy("bucket", "word")
       .agg(expr("bit_or(mask)").as("bits"))
 
+  /** Clustering-depth profile of a layout for one column — the
+    * measurement behind "should I re-cluster?" (Snowflake's
+    * `clustering_information`, Delta's OPTIMIZE heuristics): sweep the
+    * per-bucket [min, max] zone-map intervals and record, at each
+    * bucket's open point, how many bucket ranges are simultaneously
+    * open (inclusive). A perfectly clustered layout has depth 1
+    * everywhere (disjoint ranges — every range scan touches one
+    * bucket); a shuffled layout has depth ≈ #buckets (every bucket
+    * overlaps every probe). Emits one row: (`layout`, `n_buckets`,
+    * `max_depth`, `avg_depth_ppm`) — exact integers.
+    *
+    * Scale note: the sweep's single-partition window runs over the
+    * ZONE MAP (2 rows per bucket), never the data — the same
+    * metadata-not-data contract as [[zoneMap]]/[[pruneDecision]]. Ties
+    * process opens before closes at equal values (inclusive ranges
+    * overlap on touch), then by bucket id, so any engine replays the
+    * running sum exactly.
+    */
+  def clusteringProfile(df: DataFrame, bucket: Column, keyCol: String,
+                        label: String): DataFrame = {
+    val zm = df.where(col(keyCol).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(min(col(keyCol).cast("long")).as("mn"),
+        max(col(keyCol).cast("long")).as("mx"))
+    val events = zm.select(col("bucket"), col("mn").as("v"),
+        lit(0).as("tie"), lit(1L).as("delta"))
+      .unionByName(zm.select(col("bucket"), col("mx").as("v"),
+        lit(1).as("tie"), lit(-1L).as("delta")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("tie"), col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events.withColumn("depth", sum(col("delta")).over(w))
+      .where(col("tie") === 0)
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("depth")).as("max_depth"),
+        expr("sum(depth) * 1000000 div count(1)").as("avg_depth_ppm"))
+      .select(lit(label).as("layout"), col("n_buckets"),
+        col("max_depth"), col("avg_depth_ppm"))
+  }
+
   /** Persist/accumulate a [[bloomIndex]] (VERDICT r8 item 8, ROADMAP r8
     * candidate 5): shards are plain appended files — no merge pass at
     * write time, mirroring the postings/HLL register layouts.

@@ -1776,6 +1776,21 @@ object PipelineQueries {
           coalesce(col("n_match"), lit(0L)).as("n_match"))
     }),
 
+    // Clustering-depth profile: the same okey-div-256 buckets measured
+    // for the clustering key itself (disjoint ranges, depth 1 — every
+    // range scan hits one bucket) vs the customer key (shuffled within
+    // buckets, depth ≈ n_buckets) — the re-cluster decision metric,
+    // computed on the zone map, never the data.
+    "layout_clustering" -> ((spark, dir) => {
+      val L = graft.functions.Layout
+      val o = Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey").cast("long").as("okey"),
+          col("o_custkey").cast("long").as("ckey"))
+      L.clusteringProfile(o, expr("okey div 256"), "okey", "by_okey")
+        .unionByName(
+          L.clusteringProfile(o, expr("okey div 256"), "ckey", "by_ckey"))
+    }),
+
     // FK discovery across a candidate matrix: distinct-level containment
     // for five (child → parent) pairs — the three real FKs profile at
     // 10⁶ ppm, the reversed/garbage candidates at whatever the data
@@ -8850,6 +8865,33 @@ object PipelineQueries {
     "layout_bloom_incremental" -> bloomPruneOracle,
     // per-micro-batch shards fold identically — streaming twin, same replay
     "layout_bloom_stream" -> bloomPruneOracle,
+    // sweep replay: zone-map events ordered (v, open-first, bucket),
+    // inclusive running sum sampled at each open
+    "layout_clustering" -> {
+      def one(key: String, label: String): String =
+        s"""SELECT '$label' AS layout,
+           |  CAST(count(*) AS BIGINT) AS n_buckets,
+           |  CAST(max(depth) AS BIGINT) AS max_depth,
+           |  CAST(sum(depth) * 1000000 // count(*) AS BIGINT)
+           |    AS avg_depth_ppm
+           |FROM (SELECT tie, sum(delta) OVER (ORDER BY v, tie, bucket
+           |      ROWS UNBOUNDED PRECEDING) AS depth
+           |  FROM (SELECT bucket, mn AS v, 0 AS tie, 1 AS delta FROM (
+           |      SELECT okey // 256 AS bucket,
+           |        min($key) AS mn, max($key) AS mx
+           |      FROM (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           |            CAST(o_custkey AS BIGINT) AS ckey FROM orders)
+           |      GROUP BY 1)
+           |    UNION ALL
+           |    SELECT bucket, mx, 1, -1 FROM (
+           |      SELECT okey // 256 AS bucket,
+           |        min($key) AS mn, max($key) AS mx
+           |      FROM (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           |            CAST(o_custkey AS BIGINT) AS ckey FROM orders)
+           |      GROUP BY 1)))
+           |WHERE tie = 0""".stripMargin
+      one("okey", "by_okey") + "\nUNION ALL\n" + one("ckey", "by_ckey")
+    },
     // inclusion replay per candidate pair: distinct child keys anti-join
     // distinct parent keys, integer ppm containment
     "profile_fk" -> {
