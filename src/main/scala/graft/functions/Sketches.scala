@@ -132,6 +132,41 @@ object Sketches {
       .groupBy("row", "col")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Join-cardinality estimate from two count-min sketches (AGMS /
+    * Rusu–Dobra): |A ⋈_k B| = Σ_v fA(v)·fB(v) ≤ Σ_cols cmA[j,·]·cmB[j,·]
+    * for EVERY hash row j (collisions only add cross-mass), so the min
+    * over rows is still a provable upper bound — the optimizer
+    * statistic that decides join strategies without touching either
+    * table's rows twice. Emits one row per estimated pair:
+    * (`pair`, `cm_join_est`, `exact_join`).
+    *
+    * Scale shape: each side collapses to its ≤ depth×width = 1024-cell
+    * sketch behind ONE partial-aggregated groupBy; the inner product
+    * joins two 1024-row tables. The exact side (emitted for the gate's
+    * benefit and for calibration runs) is the frequency-vector join —
+    * distinct keys only, never rows. Long headroom: cell products reach
+    * ~(rows/width)², exact at ~10¹² rows per side; beyond that switch
+    * the sums to DECIMAL(38,0).
+    */
+  def countMinJoinEstimate(a: DataFrame, aKey: Column,
+                           b: DataFrame, bKey: Column,
+                           label: String): DataFrame = {
+    val sa = countMinBuild(a.select(aKey.cast("string").as("k")), col("k"))
+    val sb = countMinBuild(b.select(bKey.cast("string").as("k")), col("k"))
+      .withColumnRenamed("cnt", "cnt_b")
+    val est = sa.join(sb, Seq("row", "col"))
+      .groupBy("row").agg(sum(col("cnt") * col("cnt_b")).as("est"))
+      .agg(min(col("est")).as("cm_join_est"))
+    val fa = a.select(aKey.as("k")).groupBy("k")
+      .agg(count(lit(1)).as("fa"))
+    val fb = b.select(bKey.as("k")).groupBy("k")
+      .agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, "k")
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
+    est.crossJoin(exact)
+      .select(lit(label).as("pair"), col("cm_join_est"), col("exact_join"))
+  }
+
   /** Point-frequency estimates: for each query term, min over the
     * depth rows of its counter — the classic CM upper bound (estimate
     * >= true count always; equality unless another term collided in

@@ -1791,6 +1791,23 @@ object PipelineQueries {
           L.clusteringProfile(o, expr("okey div 256"), "ckey", "by_ckey"))
     }),
 
+    // Join-size estimation from count-min sketches (the AGMS inner
+    // product): provable upper bound per pair, exact size alongside —
+    // the optimizer statistic for join planning over tables too big to
+    // count twice. Two real joins + one near-empty one.
+    "profile_join_estimate" -> ((spark, dir) => {
+      val S = graft.functions.Sketches
+      val li = Tables.read(spark, dir, "lineitem")
+      val o = Tables.read(spark, dir, "orders")
+      val c = Tables.read(spark, dir, "customer")
+      S.countMinJoinEstimate(li, col("l_orderkey"), o, col("o_orderkey"),
+          "lineitem*orders")
+        .unionByName(S.countMinJoinEstimate(o, col("o_custkey"),
+          c, col("c_custkey"), "orders*customer"))
+        .unionByName(S.countMinJoinEstimate(c, col("c_custkey"),
+          li, col("l_partkey"), "customer*part_mismatch"))
+    }),
+
     // FK discovery across a candidate matrix: distinct-level containment
     // for five (child → parent) pairs — the three real FKs profile at
     // 10⁶ ppm, the reversed/garbage candidates at whatever the data
@@ -8891,6 +8908,44 @@ object PipelineQueries {
            |      GROUP BY 1)))
            |WHERE tie = 0""".stripMargin
       one("okey", "by_okey") + "\nUNION ALL\n" + one("ckey", "by_ckey")
+    },
+    // AGMS replay: same salted-md5 cells per side, per-row inner
+    // products, min over rows; exact side via frequency vectors
+    "profile_join_estimate" -> {
+      def one(aTbl: String, aCol: String, bTbl: String, bCol: String,
+              label: String): String =
+        s"""SELECT '$label' AS pair, est.cm_join_est, ex.exact_join
+           |FROM (
+           |  SELECT CAST(min(est) AS BIGINT) AS cm_join_est FROM (
+           |    SELECT sa.j, sum(sa.cnt * sb.cnt) AS est
+           |    FROM (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |        SELECT j, CAST(('0x' || substring(md5(
+           |            CAST(j AS VARCHAR) || ':' ||
+           |            CAST($aCol AS VARCHAR)), 1, 8))::BIGINT % 256
+           |          AS INTEGER) AS c
+           |        FROM $aTbl CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
+           |      GROUP BY 1, 2) sa
+           |    JOIN (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |        SELECT j, CAST(('0x' || substring(md5(
+           |            CAST(j AS VARCHAR) || ':' ||
+           |            CAST($bCol AS VARCHAR)), 1, 8))::BIGINT % 256
+           |          AS INTEGER) AS c
+           |        FROM $bTbl CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
+           |      GROUP BY 1, 2) sb
+           |      ON sa.j = sb.j AND sa.c = sb.c
+           |    GROUP BY sa.j)) est
+           |CROSS JOIN (
+           |  SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS exact_join
+           |  FROM (SELECT $aCol AS k, CAST(count(*) AS BIGINT) AS fa
+           |        FROM $aTbl GROUP BY 1) a
+           |  JOIN (SELECT $bCol AS k, CAST(count(*) AS BIGINT) AS fb
+           |        FROM $bTbl GROUP BY 1) b USING (k)) ex""".stripMargin
+      Seq(one("lineitem", "l_orderkey", "orders", "o_orderkey",
+            "lineitem*orders"),
+          one("orders", "o_custkey", "customer", "c_custkey",
+            "orders*customer"),
+          one("customer", "c_custkey", "lineitem", "l_partkey",
+            "customer*part_mismatch")).mkString("\nUNION ALL\n")
     },
     // inclusion replay per candidate pair: distinct child keys anti-join
     // distinct parent keys, integer ppm containment

@@ -60,6 +60,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(est("absent") === 0)
   }
 
+  test("join estimate: provable upper bound, exact side hand-checked") {
+    // fa = {a:2, b:1, c:3}, fb = {a:1, c:2, d:5} → exact = 2·1 + 3·2 = 8
+    val a = Seq("a", "a", "b", "c", "c", "c").toDF("k")
+    val b = Seq("a", "c", "c", "d", "d", "d", "d", "d").toDF("k")
+    val row = Sketches.countMinJoinEstimate(a, col("k"), b, col("k"), "ab")
+      .as[(String, Long, Long)].head()
+    assert(row._1 === "ab")
+    assert(row._3 === 8L)
+    assert(row._2 >= row._3) // CM inner product never underestimates
+    // disjoint key sets: exact 0, estimate still a valid (>=0) bound
+    val d = Sketches.countMinJoinEstimate(
+      Seq("x").toDF("k"), col("k"), Seq("y").toDF("k"), col("k"), "xy")
+      .as[(String, Long, Long)].head()
+    assert(d._3 === 0L && d._2 >= 0L)
+  }
+
   test("count-min sketches merge by cell-wise sum") {
     val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
     val terms = docs
