@@ -154,9 +154,15 @@ object Sketches {
     val sa = countMinBuild(a.select(aKey.cast("string").as("k")), col("k"))
     val sb = countMinBuild(b.select(bKey.cast("string").as("k")), col("k"))
       .withColumnRenamed("cnt", "cnt_b")
-    val est = sa.join(sb, Seq("row", "col"))
+    val perRow = sa.join(sb, Seq("row", "col"))
       .groupBy("row").agg(sum(col("cnt") * col("cnt_b")).as("est"))
-      .agg(min(col("est")).as("cm_join_est"))
+    // a hash row with ZERO shared cells proves the join is empty — it
+    // must enter the min as 0, not drop out of it (low-overlap inputs
+    // would otherwise report the overlapping rows' estimate)
+    val allRows = a.sparkSession.range(CmDepth)
+      .select(col("id").cast("int").as("row"))
+    val est = allRows.join(perRow, Seq("row"), "left")
+      .agg(min(coalesce(col("est"), lit(0L))).as("cm_join_est"))
     val fa = a.select(aKey.as("k")).groupBy("k")
       .agg(count(lit(1)).as("fa"))
     val fb = b.select(bKey.as("k")).groupBy("k")

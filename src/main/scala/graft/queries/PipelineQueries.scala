@@ -8916,7 +8916,9 @@ object PipelineQueries {
               label: String): String =
         s"""SELECT '$label' AS pair, est.cm_join_est, ex.exact_join
            |FROM (
-           |  SELECT CAST(min(est) AS BIGINT) AS cm_join_est FROM (
+           |  SELECT CAST(min(coalesce(p.est, 0)) AS BIGINT) AS cm_join_est
+           |  FROM (SELECT unnest([0,1,2,3]) AS j) js
+           |  LEFT JOIN (
            |    SELECT sa.j, sum(sa.cnt * sb.cnt) AS est
            |    FROM (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt FROM (
            |        SELECT j, CAST(('0x' || substring(md5(
@@ -8933,7 +8935,7 @@ object PipelineQueries {
            |        FROM $bTbl CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
            |      GROUP BY 1, 2) sb
            |      ON sa.j = sb.j AND sa.c = sb.c
-           |    GROUP BY sa.j)) est
+           |    GROUP BY sa.j) p ON js.j = p.j) est
            |CROSS JOIN (
            |  SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS exact_join
            |  FROM (SELECT $aCol AS k, CAST(count(*) AS BIGINT) AS fa
