@@ -173,7 +173,14 @@ object Bench {
     "table_profile_fast",
     // round-9: the composed RAG flagship (strip → chunk → passage BM25 →
     // hybrid RRF → MMR in one plan)
-    "pipeline_rag")
+    "pipeline_rag",
+    // round-9: k-core peel, FK discovery, AGMS join-size estimate, JL
+    // projection, clustering-depth profile, nProbe/recall sweep,
+    // appended Bloom index, JSON-value flattening, streaming HLL merge
+    "graph_kcore", "profile_fk", "profile_join_estimate",
+    "embed_project", "layout_clustering", "sim_knn_sweep",
+    "layout_bloom_incremental", "tap_flatten_json",
+    "events_hll_merge_stream")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough
