@@ -1808,6 +1808,30 @@ object PipelineQueries {
           li, col("l_partkey"), "customer*part_mismatch"))
     }),
 
+    // The same depth metric over a Z-ORDER layout: Morton buckets keep
+    // BOTH interleaved dimensions' depth far below bucket count (the
+    // multi-dimensional locality Z-order buys), while a single-column
+    // sort gives depth 1 in its own dimension and ≈ n_buckets in the
+    // other — the quantified version of the zorder entry's claim.
+    "layout_clustering_zorder" -> ((spark, dir) => {
+      val L = graft.functions.Layout
+      // two SYMMETRIC 8-bit dimensions (the fixture's suppkey range is
+      // too narrow to exercise the interleave); 64 buckets both ways:
+      // Morton buckets are 32x32 squares -> depth ~ sqrt(B) = 8 in BOTH
+      // dimensions, the single-column sort gives (1, B)
+      val li = Tables.read(spark, dir, "lineitem")
+        .select((col("l_partkey") % 256).cast("long").as("pk"),
+          (col("l_orderkey") % 256).cast("long").as("ok"))
+        .withColumn("zv", L.zValue(col("pk"), col("ok"), 8))
+      L.clusteringProfile(li, expr("zv div 1024"), "pk", "zorder:pk")
+        .unionByName(
+          L.clusteringProfile(li, expr("zv div 1024"), "ok", "zorder:ok"))
+        .unionByName(
+          L.clusteringProfile(li, expr("pk div 4"), "pk", "bypart:pk"))
+        .unionByName(
+          L.clusteringProfile(li, expr("pk div 4"), "ok", "bypart:ok"))
+    }),
+
     // FK discovery across a candidate matrix: distinct-level containment
     // for five (child → parent) pairs — the three real FKs profile at
     // 10⁶ ppm, the reversed/garbage candidates at whatever the data
@@ -8908,6 +8932,39 @@ object PipelineQueries {
            |      GROUP BY 1)))
            |WHERE tie = 0""".stripMargin
       one("okey", "by_okey") + "\nUNION ALL\n" + one("ckey", "by_ckey")
+    },
+    // z-order depth replay: Morton zval recomputed, same sweep per
+    // (bucketing, key) combination
+    "layout_clustering_zorder" -> {
+      val base =
+        """(SELECT l_partkey % 256 AS pk, l_orderkey % 256 AS ok,
+          |  CAST(list_sum(list_transform(range(0, 8), i ->
+          |    (((l_partkey % 256) >> i) & 1) * (1::BIGINT << (2*i)) +
+          |    (((l_orderkey % 256) >> i) & 1) * (1::BIGINT << (2*i+1))))
+          |    AS BIGINT) AS zv
+          |  FROM lineitem)""".stripMargin
+      def one(bucket: String, key: String, label: String): String =
+        s"""SELECT '$label' AS layout,
+           |  CAST(count(*) AS BIGINT) AS n_buckets,
+           |  CAST(max(depth) AS BIGINT) AS max_depth,
+           |  CAST(sum(depth) * 1000000 // count(*) AS BIGINT)
+           |    AS avg_depth_ppm
+           |FROM (SELECT tie, sum(delta) OVER (ORDER BY v, tie, bucket
+           |      ROWS UNBOUNDED PRECEDING) AS depth
+           |  FROM (SELECT bucket, mn AS v, 0 AS tie, 1 AS delta FROM (
+           |      SELECT $bucket AS bucket, min($key) AS mn,
+           |        max($key) AS mx
+           |      FROM $base GROUP BY 1)
+           |    UNION ALL
+           |    SELECT bucket, mx, 1, -1 FROM (
+           |      SELECT $bucket AS bucket, min($key) AS mn,
+           |        max($key) AS mx
+           |      FROM $base GROUP BY 1)))
+           |WHERE tie = 0""".stripMargin
+      Seq(one("zv // 1024", "pk", "zorder:pk"),
+          one("zv // 1024", "ok", "zorder:ok"),
+          one("pk // 4", "pk", "bypart:pk"),
+          one("pk // 4", "ok", "bypart:ok")).mkString("\nUNION ALL\n")
     },
     // AGMS replay: same salted-md5 cells per side, per-row inner
     // products, min over rows; exact side via frequency vectors
