@@ -2405,6 +2405,82 @@ object PipelineQueries {
         emb, "vec_id", "embedding", k = 5)
     }),
 
+    // The flagship against a PERSISTED chunk index: the same
+    // composition, but passage BM25 runs over postings appended in two
+    // shards and compacted — search-time df/N/avgdl derivation makes
+    // append ≡ rebuild bit-identical (spec-pinned for the postings
+    // layout), so this entry shares pipeline_rag's oracle VERBATIM
+    // while exercising the index build/append/compact/search lifecycle
+    // a production RAG stack actually runs.
+    "pipeline_rag_indexed" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val emb = Tables.read(spark, dir, "embeddings")
+      val clean = docs.select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0,
+              lit("<html><body class=\"page\"><p>")).otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              lit(" <b>bold</b>&nbsp;&amp;&nbsp;more &lt;than&gt; that<br/>"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 2 === 0, lit("</p></body></html>"))
+              .otherwise(lit(""))).as("t"))
+        .select(col("doc_id"),
+          graft.functions.Curation.stripMarkup(col("t")).as("clean"))
+      val chunks = graft.functions.Curation.chunkByTokens(
+          clean.where(col("doc_id") % 97 =!= 0), "clean", "doc_id",
+          window = 16, stride = 8)
+        .select((col("doc_id") * lit(1000000L) +
+            when(col("chunk_id") < lit(1000000L), col("chunk_id"))
+              .otherwise(raise_error(concat(
+                lit("pipeline_rag_indexed: chunk_id overflows ckey: "),
+                col("chunk_id").cast("string"))))).as("ckey"),
+          col("chunk_text"))
+      val idxPath = graft.tools.Scratch.dir("graft_rag_idx") + "/postings"
+      graft.functions.Retrieval.appendPostings(
+        chunks.where(col("ckey") % 2 === 0), "chunk_text", "ckey", idxPath)
+      graft.functions.Retrieval.appendPostings(
+        chunks.where(col("ckey") % 2 === 1), "chunk_text", "ckey", idxPath)
+      graft.functions.IndexMaintenance.compactPostings(spark, idxPath)
+      val postings = spark.read.parquet(idxPath)
+      val qdocs = clean.where(col("doc_id") % 97 === 0 &&
+        col("doc_id") < 1000 && length(trim(col("clean"))) > 0)
+      val qt = qdocs.select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(
+          split(Dedup.normalizeText(col("clean")), " "), 1, 5))).as("term"))
+      val hits = graft.functions.Retrieval.bm25TopKFromPostings(
+        postings, qt, k = 50)
+      val lex = hits
+        .groupBy(col("query_id"), expr("doc_id div 1000000").as("parent"))
+        .agg(max(struct(col("score"), (-col("doc_id")).as("nck"))).as("m"))
+        .select(col("query_id"), col("parent").as("doc_id"),
+          col("m.score").as("score"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))))
+        .where(col("rank") <= 10)
+      val qv = emb
+        .join(broadcast(qdocs.select(col("doc_id").as("query_id"))),
+          col("vec_id") === col("query_id"))
+        .select(col("query_id"), col("embedding").as("qv"),
+          Similarity.norm(col("embedding")).as("qn"))
+      val vec = emb.where(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
+          Similarity.norm(col("embedding")).as("cn"))
+        .crossJoin(broadcast(qv))
+        .select(col("query_id"), col("doc_id"),
+          round(Similarity.cosinePrenormed(col("qv"), col("cv"),
+            col("qn") * col("cn")), 6).as("sim"))
+        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("doc_id"))))
+        .where(col("rank") <= 10)
+      val fused = graft.functions.Retrieval.rrfFuse(lex, vec, k = 10)
+      val maxRrf = 2L * (1000000000L / 61L)
+      Similarity.mmrRerank(
+        fused.select(col("query_id"), col("doc_id"),
+          (col("rrf").cast("double") / lit(maxRrf.toDouble)).as("rel")),
+        emb, "vec_id", "embedding", k = 5)
+    }),
+
     // Proximity search ("x NEAR/4 y"): each benchmark doc's tokens 1
     // and 3 (when distinct) form its pair; qualifying position pairs
     // counted per (query, doc) with the minimum distance.
@@ -6544,167 +6620,9 @@ object PipelineQueries {
     // 1.0.0 does NOT dedup a plain UNION in a non-recursive CTE
     // (measured: (97,60) doubled at sf0.01), unlike the identical shape
     // in the non-recursive hybridRrfOracle.
-    "pipeline_rag" ->
-      """WITH RECURSIVE aug AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0
-        |    THEN '<html><body class="page"><p>' ELSE '' END ||
-        |  text ||
-        |  CASE WHEN doc_id % 3 = 0
-        |    THEN ' <b>bold</b>&nbsp;&amp;&nbsp;more &lt;than&gt; that<br/>'
-        |    ELSE '' END ||
-        |  CASE WHEN doc_id % 2 = 0 THEN '</p></body></html>' ELSE '' END
-        |    AS t
-        |  FROM documents),
-        |cl AS (SELECT doc_id,
-        |  trim(regexp_replace(
-        |    replace(replace(replace(replace(
-        |      regexp_replace(t, '<[^>]+>', ' ', 'g'),
-        |      '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
-        |    '\s+', ' ', 'g')) AS clean
-        |  FROM aug),
-        |t0 AS (SELECT doc_id,
-        |    string_split_regex(trim(clean), '\s+') AS rtoks
-        |  FROM cl
-        |  WHERE length(trim(clean)) > 0 AND doc_id % 97 <> 0),
-        |nn AS (SELECT doc_id, rtoks, len(rtoks) AS n FROM t0),
-        |ch AS (SELECT doc_id, rtoks, n, unnest(range(0,
-        |    1 + CAST(floor((greatest(n - 16, 0) + 7) / 8.0) AS BIGINT)))
-        |    AS cid
-        |  FROM nn),
-        |chunks AS (SELECT doc_id * 1000000 + cid AS ckey,
-        |    array_to_string(rtoks[(cid*8+1):least(cid*8+16, n)], ' ')
-        |      AS ctext
-        |  FROM ch),
-        |tc AS (SELECT ckey, string_split(regexp_replace(lower(trim(ctext)),
-        |    '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM chunks WHERE length(trim(ctext)) > 0),
-        |p AS (SELECT ckey, len(toks) AS dl, unnest(toks) AS term FROM tc),
-        |g AS (SELECT term, ckey, CAST(count(*) AS BIGINT) AS tf,
-        |    min(dl) AS dl FROM p GROUP BY 1, 2),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(dl) AS BIGINT) AS sum_dl
-        |  FROM (SELECT ckey, min(dl) AS dl FROM g GROUP BY ckey)),
-        |q AS (SELECT doc_id AS query_id,
-        |    unnest(list_distinct(string_split(regexp_replace(
-        |      lower(trim(clean)), '\s+', ' ', 'g'), ' ')[1:5])) AS term
-        |  FROM cl WHERE length(trim(clean)) > 0
-        |    AND doc_id % 97 = 0 AND doc_id < 1000),
-        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g
-        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
-        |co AS (SELECT q.query_id, g.ckey, q.term,
-        |    sqrt((CAST(st.n - d.df AS DOUBLE) + 0.5) /
-        |         (CAST(d.df AS DOUBLE) + 0.5)) *
-        |      ((CAST(g.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
-        |       (CAST(g.tf AS DOUBLE) + (CAST(1.2 AS DOUBLE) *
-        |         ((1.0 - CAST(0.75 AS DOUBLE)) + (CAST(0.75 AS DOUBLE) *
-        |           (CAST(g.dl AS DOUBLE) /
-        |            (CAST(st.sum_dl AS DOUBLE) / CAST(st.n AS DOUBLE))))))))
-        |      AS contrib
-        |  FROM g JOIN d USING (term) JOIN q USING (term) CROSS JOIN st),
-        |agg AS (SELECT query_id, ckey,
-        |    list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
-        |      AS score
-        |  FROM co GROUP BY query_id, ckey),
-        |rk AS (SELECT query_id, ckey, score,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, ckey) AS rnk
-        |  FROM agg),
-        |hits AS (SELECT query_id, ckey, score FROM rk WHERE rnk <= 50),
-        |best AS (SELECT query_id, ckey // 1000000 AS doc_id,
-        |    max(struct_pack(s := score, nck := -ckey)) AS m
-        |  FROM hits GROUP BY 1, 2),
-        |lex AS (SELECT query_id, doc_id, rank FROM (
-        |    SELECT query_id, doc_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY struct_extract(m, 's') DESC, doc_id) AS rank
-        |    FROM best) WHERE rank <= 10),
-        |qe AS (SELECT c2.doc_id AS query_id, e.embedding AS qv
-        |  FROM cl c2 JOIN embeddings e ON e.vec_id = c2.doc_id
-        |  WHERE c2.doc_id % 97 = 0 AND c2.doc_id < 1000
-        |    AND length(trim(c2.clean)) > 0),
-        |sc2 AS (SELECT qe.query_id, e.vec_id AS doc_id,
-        |  round(
-        |   list_sum(list_transform(range(1, len(qe.qv)+1),
-        |     i -> qe.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
-        |   (sqrt(list_sum(list_transform(range(1, len(qe.qv)+1),
-        |     i -> qe.qv[i]::DOUBLE * qe.qv[i]::DOUBLE))) *
-        |    sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-        |     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6)
-        |    AS sim
-        |  FROM embeddings e CROSS JOIN qe WHERE e.vec_id % 97 <> 0),
-        |vec AS (SELECT query_id, doc_id, rank FROM (
-        |    SELECT query_id, doc_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |        ORDER BY sim DESC, doc_id) AS rank
-        |    FROM sc2) WHERE rank <= 10),
-        |u AS (SELECT DISTINCT query_id, doc_id FROM (
-        |  SELECT query_id, doc_id FROM lex
-        |  UNION ALL SELECT query_id, doc_id FROM vec)),
-        |fz AS (SELECT u.query_id, u.doc_id,
-        |    CAST((CASE WHEN l.rank IS NULL THEN 0
-        |        ELSE CAST(1000000000 AS BIGINT) // CAST(60 + l.rank AS BIGINT)
-        |      END) +
-        |      (CASE WHEN v.rank IS NULL THEN 0
-        |        ELSE CAST(1000000000 AS BIGINT) // CAST(60 + v.rank AS BIGINT)
-        |      END) AS BIGINT) AS rrf
-        |  FROM u LEFT JOIN lex l USING (query_id, doc_id)
-        |  LEFT JOIN vec v USING (query_id, doc_id)),
-        |fused AS (SELECT query_id, doc_id, rrf FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY rrf DESC, doc_id) AS rank FROM fz) WHERE rank <= 10),
-        |bse AS (SELECT vec_id,
-        |    list_transform(embedding, x -> x::DOUBLE) AS v,
-        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
-        |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))) AS nrm
-        |  FROM embeddings),
-        |sl AS (SELECT f.query_id, f.doc_id, b.v AS cv, b.nrm AS cn,
-        |    CAST(f.rrf AS DOUBLE) / 32786884.0 AS rel
-        |  FROM fused f JOIN bse b ON b.vec_id = f.doc_id),
-        |r2 AS (
-        |  SELECT query_id, 1 AS step,
-        |    -struct_extract(m, 'nid') AS doc_id,
-        |    struct_extract(m, 'rel') AS rel,
-        |    struct_extract(m, 's') AS score,
-        |    [-struct_extract(m, 'nid')] AS sids,
-        |    [struct_extract(m, 'v')] AS svecs,
-        |    [struct_extract(m, 'nrm')] AS snrms
-        |  FROM (SELECT query_id,
-        |      max(struct_pack(
-        |        s := CAST(0.5 AS DOUBLE) * rel -
-        |          CAST(0.5 AS DOUBLE) * CAST(0.0 AS DOUBLE),
-        |        nid := -doc_id, rel := rel, v := cv, nrm := cn)) AS m
-        |    FROM sl GROUP BY query_id)
-        |  UNION ALL
-        |  SELECT g2.query_id, g2.step + 1,
-        |    -struct_extract(g2.m, 'nid'),
-        |    struct_extract(g2.m, 'rel'),
-        |    struct_extract(g2.m, 's'),
-        |    list_append(g2.sids, -struct_extract(g2.m, 'nid')),
-        |    list_append(g2.svecs, struct_extract(g2.m, 'v')),
-        |    list_append(g2.snrms, struct_extract(g2.m, 'nrm'))
-        |  FROM (
-        |    SELECT r2.query_id, r2.step, r2.sids, r2.svecs, r2.snrms,
-        |      max(struct_pack(
-        |        s := CAST(0.5 AS DOUBLE) * sl.rel -
-        |          CAST(0.5 AS DOUBLE) * lat.ms,
-        |        nid := -sl.doc_id, rel := sl.rel, v := sl.cv,
-        |        nrm := sl.cn)) AS m
-        |    FROM r2 JOIN sl ON r2.query_id = sl.query_id
-        |      AND NOT list_contains(r2.sids, sl.doc_id),
-        |    LATERAL (SELECT list_max(list_transform(
-        |        range(1, len(r2.svecs)+1),
-        |        i -> CASE WHEN sl.cn * r2.snrms[i] = 0
-        |          THEN CAST(0.0 AS DOUBLE)
-        |          ELSE list_sum(list_transform(range(1, len(sl.cv)+1),
-        |            j -> sl.cv[j] * r2.svecs[i][j])) /
-        |            (sl.cn * r2.snrms[i]) END)) AS ms) lat
-        |    WHERE r2.step < 5
-        |    GROUP BY r2.query_id, r2.step, r2.sids, r2.svecs, r2.snrms
-        |  ) g2
-        |)
-        |SELECT query_id, doc_id, CAST(step AS INT) AS mmr_rank,
-        |  round(rel, 6) AS rel, round(score, 6) AS mmr_score
-        |FROM r2""".stripMargin,
+    "pipeline_rag" -> ragOracle,
+    // same replay: append = rebuild for the persisted postings index
+    "pipeline_rag_indexed" -> ragOracle,
     // proximity replay: matched position lists joined per (query, doc),
     // |px − py| ≤ 4 pairs counted, minimum distance kept
     "search_proximity" ->
@@ -7995,6 +7913,172 @@ object PipelineQueries {
     * max is associative, so the merged sketch is provably identical to
     * the full build and one replay gates both.
     */
+  /** Composed-RAG replay shared by pipeline_rag and its
+    * persisted-index twin (append ≡ rebuild for the postings
+    * layout, spec-pinned).
+    */
+  private lazy val ragOracle: String =
+    """WITH RECURSIVE aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN '<html><body class="page"><p>' ELSE '' END ||
+        |  text ||
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN ' <b>bold</b>&nbsp;&amp;&nbsp;more &lt;than&gt; that<br/>'
+        |    ELSE '' END ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '</p></body></html>' ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |cl AS (SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(
+        |      regexp_replace(t, '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM aug),
+        |t0 AS (SELECT doc_id,
+        |    string_split_regex(trim(clean), '\s+') AS rtoks
+        |  FROM cl
+        |  WHERE length(trim(clean)) > 0 AND doc_id % 97 <> 0),
+        |nn AS (SELECT doc_id, rtoks, len(rtoks) AS n FROM t0),
+        |ch AS (SELECT doc_id, rtoks, n, unnest(range(0,
+        |    1 + CAST(floor((greatest(n - 16, 0) + 7) / 8.0) AS BIGINT)))
+        |    AS cid
+        |  FROM nn),
+        |chunks AS (SELECT doc_id * 1000000 + cid AS ckey,
+        |    array_to_string(rtoks[(cid*8+1):least(cid*8+16, n)], ' ')
+        |      AS ctext
+        |  FROM ch),
+        |tc AS (SELECT ckey, string_split(regexp_replace(lower(trim(ctext)),
+        |    '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM chunks WHERE length(trim(ctext)) > 0),
+        |p AS (SELECT ckey, len(toks) AS dl, unnest(toks) AS term FROM tc),
+        |g AS (SELECT term, ckey, CAST(count(*) AS BIGINT) AS tf,
+        |    min(dl) AS dl FROM p GROUP BY 1, 2),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS BIGINT) AS sum_dl
+        |  FROM (SELECT ckey, min(dl) AS dl FROM g GROUP BY ckey)),
+        |q AS (SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split(regexp_replace(
+        |      lower(trim(clean)), '\s+', ' ', 'g'), ' ')[1:5])) AS term
+        |  FROM cl WHERE length(trim(clean)) > 0
+        |    AND doc_id % 97 = 0 AND doc_id < 1000),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term),
+        |co AS (SELECT q.query_id, g.ckey, q.term,
+        |    sqrt((CAST(st.n - d.df AS DOUBLE) + 0.5) /
+        |         (CAST(d.df AS DOUBLE) + 0.5)) *
+        |      ((CAST(g.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+        |       (CAST(g.tf AS DOUBLE) + (CAST(1.2 AS DOUBLE) *
+        |         ((1.0 - CAST(0.75 AS DOUBLE)) + (CAST(0.75 AS DOUBLE) *
+        |           (CAST(g.dl AS DOUBLE) /
+        |            (CAST(st.sum_dl AS DOUBLE) / CAST(st.n AS DOUBLE))))))))
+        |      AS contrib
+        |  FROM g JOIN d USING (term) JOIN q USING (term) CROSS JOIN st),
+        |agg AS (SELECT query_id, ckey,
+        |    list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+        |      AS score
+        |  FROM co GROUP BY query_id, ckey),
+        |rk AS (SELECT query_id, ckey, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, ckey) AS rnk
+        |  FROM agg),
+        |hits AS (SELECT query_id, ckey, score FROM rk WHERE rnk <= 50),
+        |best AS (SELECT query_id, ckey // 1000000 AS doc_id,
+        |    max(struct_pack(s := score, nck := -ckey)) AS m
+        |  FROM hits GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY struct_extract(m, 's') DESC, doc_id) AS rank
+        |    FROM best) WHERE rank <= 10),
+        |qe AS (SELECT c2.doc_id AS query_id, e.embedding AS qv
+        |  FROM cl c2 JOIN embeddings e ON e.vec_id = c2.doc_id
+        |  WHERE c2.doc_id % 97 = 0 AND c2.doc_id < 1000
+        |    AND length(trim(c2.clean)) > 0),
+        |sc2 AS (SELECT qe.query_id, e.vec_id AS doc_id,
+        |  round(
+        |   list_sum(list_transform(range(1, len(qe.qv)+1),
+        |     i -> qe.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+        |   (sqrt(list_sum(list_transform(range(1, len(qe.qv)+1),
+        |     i -> qe.qv[i]::DOUBLE * qe.qv[i]::DOUBLE))) *
+        |    sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+        |     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6)
+        |    AS sim
+        |  FROM embeddings e CROSS JOIN qe WHERE e.vec_id % 97 <> 0),
+        |vec AS (SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, doc_id) AS rank
+        |    FROM sc2) WHERE rank <= 10),
+        |u AS (SELECT DISTINCT query_id, doc_id FROM (
+        |  SELECT query_id, doc_id FROM lex
+        |  UNION ALL SELECT query_id, doc_id FROM vec)),
+        |fz AS (SELECT u.query_id, u.doc_id,
+        |    CAST((CASE WHEN l.rank IS NULL THEN 0
+        |        ELSE CAST(1000000000 AS BIGINT) // CAST(60 + l.rank AS BIGINT)
+        |      END) +
+        |      (CASE WHEN v.rank IS NULL THEN 0
+        |        ELSE CAST(1000000000 AS BIGINT) // CAST(60 + v.rank AS BIGINT)
+        |      END) AS BIGINT) AS rrf
+        |  FROM u LEFT JOIN lex l USING (query_id, doc_id)
+        |  LEFT JOIN vec v USING (query_id, doc_id)),
+        |fused AS (SELECT query_id, doc_id, rrf FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf DESC, doc_id) AS rank FROM fz) WHERE rank <= 10),
+        |bse AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v,
+        |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
+        |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))) AS nrm
+        |  FROM embeddings),
+        |sl AS (SELECT f.query_id, f.doc_id, b.v AS cv, b.nrm AS cn,
+        |    CAST(f.rrf AS DOUBLE) / 32786884.0 AS rel
+        |  FROM fused f JOIN bse b ON b.vec_id = f.doc_id),
+        |r2 AS (
+        |  SELECT query_id, 1 AS step,
+        |    -struct_extract(m, 'nid') AS doc_id,
+        |    struct_extract(m, 'rel') AS rel,
+        |    struct_extract(m, 's') AS score,
+        |    [-struct_extract(m, 'nid')] AS sids,
+        |    [struct_extract(m, 'v')] AS svecs,
+        |    [struct_extract(m, 'nrm')] AS snrms
+        |  FROM (SELECT query_id,
+        |      max(struct_pack(
+        |        s := CAST(0.5 AS DOUBLE) * rel -
+        |          CAST(0.5 AS DOUBLE) * CAST(0.0 AS DOUBLE),
+        |        nid := -doc_id, rel := rel, v := cv, nrm := cn)) AS m
+        |    FROM sl GROUP BY query_id)
+        |  UNION ALL
+        |  SELECT g2.query_id, g2.step + 1,
+        |    -struct_extract(g2.m, 'nid'),
+        |    struct_extract(g2.m, 'rel'),
+        |    struct_extract(g2.m, 's'),
+        |    list_append(g2.sids, -struct_extract(g2.m, 'nid')),
+        |    list_append(g2.svecs, struct_extract(g2.m, 'v')),
+        |    list_append(g2.snrms, struct_extract(g2.m, 'nrm'))
+        |  FROM (
+        |    SELECT r2.query_id, r2.step, r2.sids, r2.svecs, r2.snrms,
+        |      max(struct_pack(
+        |        s := CAST(0.5 AS DOUBLE) * sl.rel -
+        |          CAST(0.5 AS DOUBLE) * lat.ms,
+        |        nid := -sl.doc_id, rel := sl.rel, v := sl.cv,
+        |        nrm := sl.cn)) AS m
+        |    FROM r2 JOIN sl ON r2.query_id = sl.query_id
+        |      AND NOT list_contains(r2.sids, sl.doc_id),
+        |    LATERAL (SELECT list_max(list_transform(
+        |        range(1, len(r2.svecs)+1),
+        |        i -> CASE WHEN sl.cn * r2.snrms[i] = 0
+        |          THEN CAST(0.0 AS DOUBLE)
+        |          ELSE list_sum(list_transform(range(1, len(sl.cv)+1),
+        |            j -> sl.cv[j] * r2.svecs[i][j])) /
+        |            (sl.cn * r2.snrms[i]) END)) AS ms) lat
+        |    WHERE r2.step < 5
+        |    GROUP BY r2.query_id, r2.step, r2.sids, r2.svecs, r2.snrms
+        |  ) g2
+        |)
+        |SELECT query_id, doc_id, CAST(step AS INT) AS mmr_rank,
+        |  round(rel, 6) AS rel, round(score, 6) AS mmr_score
+        |FROM r2""".stripMargin
+
   /** Bloom skip-index replay shared by the from-scratch
     * (`layout_bloom_prune`) and appended/compacted
     * (`layout_bloom_incremental`) entries — identical index rows by the
