@@ -114,19 +114,21 @@ object Sketches {
   /** Column index of `term` under hash row `j` (salted md5 prefix —
     * the same portable trick as the hashing-trick featurizer).
     */
-  private[graft] def cmCol(term: Column, j: Int): Column =
+  private[graft] def cmCol(term: Column, j: Int,
+                           width: Int = CmWidth): Column =
     (conv(substring(md5(concat(lit(s"$j:"), term).cast("binary")), 1, 8),
-      16, 10).cast("long") % CmWidth).cast("int")
+      16, 10).cast("long") % width).cast("int")
 
   /** Build a count-min sketch over one string column: one explode (per
     * hash row) + ONE partial-aggregated groupBy — the shuffle carries
     * at most depth × width = 1024 combined rows per map task no matter
     * the corpus size. Output: (`row`, `col`, `cnt`).
     */
-  def countMinBuild(items: DataFrame, termCol: Column): DataFrame =
+  def countMinBuild(items: DataFrame, termCol: Column,
+                    width: Int = CmWidth): DataFrame =
     items
       .select(explode(array((0 until CmDepth).map(j =>
-        struct(lit(j).as("row"), cmCol(termCol, j).as("col"))): _*))
+        struct(lit(j).as("row"), cmCol(termCol, j, width).as("col"))): _*))
         .as("__cell"))
       .select(col("__cell.row").as("row"), col("__cell.col").as("col"))
       .groupBy("row", "col")
@@ -150,9 +152,12 @@ object Sketches {
     */
   def countMinJoinEstimate(a: DataFrame, aKey: Column,
                            b: DataFrame, bKey: Column,
-                           label: String): DataFrame = {
-    val sa = countMinBuild(a.select(aKey.cast("string").as("k")), col("k"))
-    val sb = countMinBuild(b.select(bKey.cast("string").as("k")), col("k"))
+                           label: String,
+                           width: Int = CmWidth): DataFrame = {
+    val sa = countMinBuild(a.select(aKey.cast("string").as("k")), col("k"),
+      width)
+    val sb = countMinBuild(b.select(bKey.cast("string").as("k")), col("k"),
+      width)
       .withColumnRenamed("cnt", "cnt_b")
     val perRow = sa.join(sb, Seq("row", "col"))
       .groupBy("row").agg(sum(col("cnt") * col("cnt_b")).as("est"))

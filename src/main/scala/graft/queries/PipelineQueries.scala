@@ -1832,6 +1832,23 @@ object PipelineQueries {
           L.clusteringProfile(li, expr("pk div 4"), "ok", "bypart:ok"))
     }),
 
+    // The calibration story: the SAME estimates at width 4096 (sized
+    // ≥ distinct keys of the biggest side) — bounds tighten from ~60×
+    // over to near-exact, showing width, not the method, sets the
+    // error. Sketch stays ≤ 16384 cells — still metadata.
+    "profile_join_estimate_wide" -> ((spark, dir) => {
+      val S = graft.functions.Sketches
+      val li = Tables.read(spark, dir, "lineitem")
+      val o = Tables.read(spark, dir, "orders")
+      val c = Tables.read(spark, dir, "customer")
+      S.countMinJoinEstimate(li, col("l_orderkey"), o, col("o_orderkey"),
+          "lineitem*orders", width = 4096)
+        .unionByName(S.countMinJoinEstimate(o, col("o_custkey"),
+          c, col("c_custkey"), "orders*customer", width = 4096))
+        .unionByName(S.countMinJoinEstimate(c, col("c_custkey"),
+          li, col("l_partkey"), "customer*part_mismatch", width = 4096))
+    }),
+
     // FK discovery across a candidate matrix: distinct-level containment
     // for five (child → parent) pairs — the three real FKs profile at
     // 10⁶ ppm, the reversed/garbage candidates at whatever the data
@@ -8079,6 +8096,51 @@ object PipelineQueries {
         |  round(rel, 6) AS rel, round(score, 6) AS mmr_score
         |FROM r2""".stripMargin
 
+  /** AGMS join-estimate replay at a given sketch width, shared by the
+    * demo-width (256) and calibrated (4096) entries: same salted-md5
+    * cells per side, per-row inner products left-joined against the
+    * full row set (zero-overlap rows count as 0), min over rows; exact
+    * side via frequency vectors.
+    */
+  private def joinEstimateOracle(width: Int): String = {
+    def one(aTbl: String, aCol: String, bTbl: String, bCol: String,
+            label: String): String =
+      s"""SELECT '$label' AS pair, est.cm_join_est, ex.exact_join
+         |FROM (
+         |  SELECT CAST(min(coalesce(p.est, 0)) AS BIGINT) AS cm_join_est
+         |  FROM (SELECT unnest([0,1,2,3]) AS j) js
+         |  LEFT JOIN (
+         |    SELECT sa.j, sum(sa.cnt * sb.cnt) AS est
+         |    FROM (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |        SELECT j, CAST(('0x' || substring(md5(
+         |            CAST(j AS VARCHAR) || ':' ||
+         |            CAST($aCol AS VARCHAR)), 1, 8))::BIGINT % $width
+         |          AS INTEGER) AS c
+         |        FROM $aTbl CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
+         |      GROUP BY 1, 2) sa
+         |    JOIN (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |        SELECT j, CAST(('0x' || substring(md5(
+         |            CAST(j AS VARCHAR) || ':' ||
+         |            CAST($bCol AS VARCHAR)), 1, 8))::BIGINT % $width
+         |          AS INTEGER) AS c
+         |        FROM $bTbl CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
+         |      GROUP BY 1, 2) sb
+         |      ON sa.j = sb.j AND sa.c = sb.c
+         |    GROUP BY sa.j) p ON js.j = p.j) est
+         |CROSS JOIN (
+         |  SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS exact_join
+         |  FROM (SELECT $aCol AS k, CAST(count(*) AS BIGINT) AS fa
+         |        FROM $aTbl GROUP BY 1) a
+         |  JOIN (SELECT $bCol AS k, CAST(count(*) AS BIGINT) AS fb
+         |        FROM $bTbl GROUP BY 1) b USING (k)) ex""".stripMargin
+    Seq(one("lineitem", "l_orderkey", "orders", "o_orderkey",
+          "lineitem*orders"),
+        one("orders", "o_custkey", "customer", "c_custkey",
+          "orders*customer"),
+        one("customer", "c_custkey", "lineitem", "l_partkey",
+          "customer*part_mismatch")).mkString("\nUNION ALL\n")
+  }
+
   /** Bloom skip-index replay shared by the from-scratch
     * (`layout_bloom_prune`) and appended/compacted
     * (`layout_bloom_incremental`) entries — identical index rows by the
@@ -9052,44 +9114,8 @@ object PipelineQueries {
     },
     // AGMS replay: same salted-md5 cells per side, per-row inner
     // products, min over rows; exact side via frequency vectors
-    "profile_join_estimate" -> {
-      def one(aTbl: String, aCol: String, bTbl: String, bCol: String,
-              label: String): String =
-        s"""SELECT '$label' AS pair, est.cm_join_est, ex.exact_join
-           |FROM (
-           |  SELECT CAST(min(coalesce(p.est, 0)) AS BIGINT) AS cm_join_est
-           |  FROM (SELECT unnest([0,1,2,3]) AS j) js
-           |  LEFT JOIN (
-           |    SELECT sa.j, sum(sa.cnt * sb.cnt) AS est
-           |    FROM (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt FROM (
-           |        SELECT j, CAST(('0x' || substring(md5(
-           |            CAST(j AS VARCHAR) || ':' ||
-           |            CAST($aCol AS VARCHAR)), 1, 8))::BIGINT % 256
-           |          AS INTEGER) AS c
-           |        FROM $aTbl CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
-           |      GROUP BY 1, 2) sa
-           |    JOIN (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt FROM (
-           |        SELECT j, CAST(('0x' || substring(md5(
-           |            CAST(j AS VARCHAR) || ':' ||
-           |            CAST($bCol AS VARCHAR)), 1, 8))::BIGINT % 256
-           |          AS INTEGER) AS c
-           |        FROM $bTbl CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
-           |      GROUP BY 1, 2) sb
-           |      ON sa.j = sb.j AND sa.c = sb.c
-           |    GROUP BY sa.j) p ON js.j = p.j) est
-           |CROSS JOIN (
-           |  SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS exact_join
-           |  FROM (SELECT $aCol AS k, CAST(count(*) AS BIGINT) AS fa
-           |        FROM $aTbl GROUP BY 1) a
-           |  JOIN (SELECT $bCol AS k, CAST(count(*) AS BIGINT) AS fb
-           |        FROM $bTbl GROUP BY 1) b USING (k)) ex""".stripMargin
-      Seq(one("lineitem", "l_orderkey", "orders", "o_orderkey",
-            "lineitem*orders"),
-          one("orders", "o_custkey", "customer", "c_custkey",
-            "orders*customer"),
-          one("customer", "c_custkey", "lineitem", "l_partkey",
-            "customer*part_mismatch")).mkString("\nUNION ALL\n")
-    },
+    "profile_join_estimate" -> joinEstimateOracle(256),
+    "profile_join_estimate_wide" -> joinEstimateOracle(4096),
     // inclusion replay per candidate pair: distinct child keys anti-join
     // distinct parent keys, integer ppm containment
     "profile_fk" -> {
