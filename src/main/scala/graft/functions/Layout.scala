@@ -68,6 +68,25 @@ object Layout {
     df.groupBy(bucket.as("bucket")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Merge zone-map shards ([[zoneMap]] outputs over slices of the same
+    * bucketing) into the exact from-scratch stats: min of mins, max of
+    * maxes, sums of null/row counts — every piece is associative and
+    * null-correct (an all-null shard contributes a NULL min that the
+    * min aggregate ignores, exactly like the all-null rows it stands
+    * for), so appended stats shards reload into the identical index —
+    * the same append-don't-rebuild contract as the Bloom/postings/HLL
+    * layouts.
+    */
+  def mergeZoneMaps(shards: DataFrame, statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "mergeZoneMaps needs at least one stat column")
+    val aggs = sum(col("n_rows")).as("n_rows") +: statCols.flatMap { c =>
+      Seq(min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c"),
+        sum(col(s"nulls_$c")).as(s"nulls_$c"))
+    }
+    shards.groupBy("bucket").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Skip/scan decision for a closed-range predicate `lo <= c <= hi`
     * against a [[zoneMap]]: a bucket is provably skippable when its
     * value range is disjoint from the predicate range, or when it holds

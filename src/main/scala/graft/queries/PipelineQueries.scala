@@ -1832,6 +1832,30 @@ object PipelineQueries {
           L.clusteringProfile(li, expr("pk div 4"), "ok", "bypart:ok"))
     }),
 
+    // Incremental zone-map maintenance: each ingest slice's stats shard
+    // appends as files; the loaded merge (min/min, max/max, summed
+    // counts) equals the from-scratch build — layout_stats_index's
+    // oracle VERBATIM. The lineitem slices split WITHIN buckets
+    // (linenumber parity), so every bucket's stats really merge.
+    "layout_stats_incremental" -> ((spark, dir) => {
+      val L = graft.functions.Layout
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          floor(col("l_extendedprice") * 100).cast("long")
+            .as("price_cents"))
+      val tmp = graft.tools.Scratch.dir("graft_zm_inc")
+      def shard(p: org.apache.spark.sql.DataFrame) =
+        L.zoneMap(p, expr("l_orderkey div 256"),
+          Seq("ship_date", "price_cents"))
+      shard(li.where(col("l_linenumber") % 2 === 0))
+        .write.mode("append").parquet(s"$tmp/zm")
+      shard(li.where(col("l_linenumber") % 2 === 1))
+        .write.mode("append").parquet(s"$tmp/zm")
+      L.mergeZoneMaps(spark.read.parquet(s"$tmp/zm"),
+        Seq("ship_date", "price_cents"))
+    }),
+
     // The calibration story: the SAME estimates at width 4096 (sized
     // ≥ distinct keys of the biggest side) — bounds tighten from ~60×
     // over to near-exact, showing width, not the method, sets the
@@ -8096,6 +8120,23 @@ object PipelineQueries {
         |  round(rel, 6) AS rel, round(score, 6) AS mmr_score
         |FROM r2""".stripMargin
 
+  /** Zone-map replay shared by the from-scratch and appended/
+    * merged (shard min/min, max/max, summed counts) entries.
+    */
+  private val statsIndexOracle: String =
+    """SELECT l_orderkey // 256 AS bucket, count(*) AS n_rows,
+        |  min(CAST(l_shipdate AS DATE)) AS min_ship_date,
+        |  max(CAST(l_shipdate AS DATE)) AS max_ship_date,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nulls_ship_date,
+        |  min(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS min_price_cents,
+        |  max(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS max_price_cents,
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nulls_price_cents
+        |FROM lineitem GROUP BY 1""".stripMargin
+
   /** AGMS join-estimate replay at a given sketch width, shared by the
     * demo-width (256) and calibrated (4096) entries: same salted-md5
     * cells per side, per-row inner products left-joined against the
@@ -8382,19 +8423,9 @@ object PipelineQueries {
         |    (((l_suppkey % 1024) >> i) & 1) * (1::BIGINT << (2*i+1))))
         |    AS BIGINT) AS zval
         |FROM lineitem""".stripMargin,
-    "layout_stats_index" ->
-      """SELECT l_orderkey // 256 AS bucket, count(*) AS n_rows,
-        |  min(CAST(l_shipdate AS DATE)) AS min_ship_date,
-        |  max(CAST(l_shipdate AS DATE)) AS max_ship_date,
-        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS nulls_ship_date,
-        |  min(CAST(floor(l_extendedprice * 100) AS BIGINT))
-        |    AS min_price_cents,
-        |  max(CAST(floor(l_extendedprice * 100) AS BIGINT))
-        |    AS max_price_cents,
-        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS nulls_price_cents
-        |FROM lineitem GROUP BY 1""".stripMargin,
+    "layout_stats_index" -> statsIndexOracle,
+    // appended shards merge to the identical stats — same replay
+    "layout_stats_incremental" -> statsIndexOracle,
     "layout_prune_eval" ->
       """WITH li AS (SELECT CAST(l_shipdate AS DATE) AS d,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
