@@ -154,6 +154,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(merged === full)
   }
 
+  test("mergeZoneMaps: shard merge ≡ from-scratch, all-null shard handled") {
+    import graft.functions.Layout
+    val df = Seq(
+      (0L, Some(5L), 0), (1L, None, 0), (256L, Some(9L), 0),
+      (2L, Some(1L), 1), (257L, None, 1), (258L, Some(2L), 1)
+    ).toDF("okey", "v", "shard")
+    def zm(d: org.apache.spark.sql.DataFrame) =
+      Layout.zoneMap(d, expr("okey div 256"), Seq("v"))
+    def snap(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)),
+        Option(r.get(3)), r.getLong(4))).toMap
+    val full = snap(zm(df))
+    val merged = snap(Layout.mergeZoneMaps(
+      zm(df.where(col("shard") === 0))
+        .unionByName(zm(df.where(col("shard") === 1))), Seq("v")))
+    assert(merged === full)
+    // bucket 0 shard 1 contributes a real min (1); bucket 1 shard 1 is
+    // all-null for v — its NULL min must not poison the merged min
+    assert(full(0L)._2 === Some(1L))
+    assert(full(1L)._2 === Some(2L) && full(1L)._1 === 3L &&
+      full(1L)._4 === 1L)
+  }
+
   test("bloom index persistence: append-load ≡ compact-load ≡ from-scratch") {
     import graft.functions.{IndexMaintenance, Layout}
     val df = Seq((0L, "a"), (1L, "b"), (256L, "c"), (257L, "d"),
