@@ -1210,6 +1210,48 @@ object Curation {
     * weight list (sources are metadata-sized by contract), so the one
     * float sum has a fixed association order on every engine.
     */
+  /** Per-GROUP token-budget fill — [[tokenBudgetFill]] with the budget
+    * split across groups (languages, sources): each group admits its
+    * own highest-quality documents until ITS budget is spent. `budgets`
+    * is (`groupCol`, `budget`) — group-count-sized, broadcast. Same
+    * two-phase bucketed prefix-sum shape as the global form (windows
+    * partition by (group, quality bucket) — state bounded by bucket
+    * size, never a corpus-wide single partition); the effective
+    * admission order within a group is exactly (quality desc, doc_id)
+    * because the bucket index is monotone in quality.
+    */
+  def tokenBudgetFillBy(df: DataFrame, textCol: String, idCol: String,
+                        groupCol: String, budgets: DataFrame,
+                        nBuckets: Int = 256): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be > 0, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .withColumn("__s", TextAnalysis.stats(col(textCol)))
+      .select(col(groupCol).as("__g"), col(idCol).as("doc_id"),
+        TextAnalysis.qualityScoreFromStats(col("__s")).as("quality"),
+        col("__s.n_tokens").cast("long").as("n_tokens"))
+      .withColumn("__b",
+        floor((lit(1.0) - col("quality")) * nBuckets).cast("long"))
+    val wLocal = Window.partitionBy(col("__g"), col("__b"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val local = base.withColumn("__cum",
+      sum(col("n_tokens")).over(wLocal.rowsBetween(
+        Window.unboundedPreceding, 0)))
+    val bSums = base.groupBy("__g", "__b").agg(sum(col("n_tokens")).as("__bs"))
+    val wPre = Window.partitionBy(col("__g")).orderBy(col("__b"))
+    val offs = bSums.withColumn("__off",
+        coalesce(sum(col("__bs")).over(wPre.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__g"), col("__b"), col("__off"))
+    local.join(broadcast(offs), Seq("__g", "__b"))
+      .withColumn("cum_tokens", col("__off") + col("__cum"))
+      .join(broadcast(budgets.select(col(groupCol).as("__g"),
+        col("budget"))), Seq("__g"))
+      .where(col("cum_tokens") <= col("budget"))
+      .select(col("__g").as(groupCol), col("doc_id"), col("quality"),
+        col("n_tokens"), col("cum_tokens"), col("budget"))
+  }
+
   def temperatureShares(df: DataFrame, srcCol: String): DataFrame = {
     val counts = df.groupBy(col(srcCol).as("source"))
       .agg(count(lit(1)).as("n"))

@@ -1832,6 +1832,24 @@ object PipelineQueries {
           L.clusteringProfile(li, expr("pk div 4"), "ok", "bypart:ok"))
     }),
 
+    // Multilingual-curation flagship: langid → UniMax τ=1/2 shares per
+    // LANGUAGE → per-language token budget (share × 16k, floored) →
+    // per-language quality-ordered fill — the balanced-mix corpus
+    // assembly a multilingual pretraining run performs, as ONE plan.
+    // Every stage reuses a gate-checked operator; the oracle replays
+    // the whole chain (langid markers, share fold, per-lang cumsum).
+    "pipeline_multilingual" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val tagged = docs
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+      val budgets = graft.functions.Curation
+        .temperatureShares(tagged, "lang")
+        .select(col("source").as("lang"),
+          floor(col("share") * lit(16000.0)).cast("long").as("budget"))
+      graft.functions.Curation.tokenBudgetFillBy(
+        tagged, "text", "doc_id", "lang", budgets)
+    }),
+
     // Incremental zone-map maintenance: each ingest slice's stats shard
     // appends as files; the loaded merge (min/min, max/max, summed
     // counts) equals the from-scratch build — layout_stats_index's
@@ -6839,6 +6857,60 @@ object PipelineQueries {
         |FROM n WHERE nrep >= 1""".stripMargin,
     // budget replay: mirrored quality + token count, one flat ordered
     // cumsum (the oracle may funnel; the engine must not)
+    // multilingual-mix replay: langid markers → per-lang sqrt-share
+    // fold (sorted list, one float sum) → floored budgets → per-lang
+    // quality-ordered prefix sums, admission while cum ≤ budget
+    "pipeline_multilingual" -> s"""
+        |WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(${markerList("en")}, x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(${markerList("fr")}, x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(${markerList("es")}, x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(${markerList("de")}, x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(${markerList("zh")}, x))) AS s_zh
+        |  FROM t),
+        |lg AS (SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+        |  WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+        |  WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+        |  WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+        |  WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
+        |  ELSE 'und' END AS lang
+        |  FROM sc),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM lg GROUP BY 1),
+        |pp AS (SELECT list(struct_pack(lang := lang, n := n)
+        |    ORDER BY lang, n) AS arr FROM c),
+        |dd AS (SELECT arr, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(arr, x -> sqrt(CAST(x.n AS DOUBLE)))),
+        |    (a, b) -> a + b) AS denom FROM pp),
+        |bb AS (SELECT x.lang AS lang,
+        |    CAST(floor(sqrt(CAST(x.n AS DOUBLE)) / denom * 16000.0)
+        |      AS BIGINT) AS budget
+        |  FROM (SELECT unnest(arr) AS x, denom FROM dd)),
+        |m AS (SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+        |  CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS DOUBLE) / CAST(greatest(ntok, 1) AS DOUBLE) AS stopword_ratio
+        |  FROM t),
+        |q AS (SELECT doc_id, n_tokens,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  least(stopword_ratio * 4.0, 1.0) * 0.3 +
+        |  greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
+        |  FROM m),
+        |o AS (SELECT lg.lang, q.doc_id, q.quality, q.n_tokens,
+        |  CAST(sum(q.n_tokens) OVER (PARTITION BY lg.lang
+        |    ORDER BY q.quality DESC, q.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |  FROM q JOIN lg USING (doc_id))
+        |SELECT lang, doc_id, quality, n_tokens, cum_tokens, budget
+        |FROM o JOIN bb USING (lang) WHERE cum_tokens <= budget""".stripMargin,
     "sample_token_budget" -> s"""
         |WITH t AS (SELECT doc_id, text,
         |  string_split_regex(trim(text), '\\s+') AS toks,
