@@ -180,7 +180,12 @@ object Bench {
     "graph_kcore", "profile_fk", "profile_join_estimate",
     "embed_project", "layout_clustering", "sim_knn_sweep",
     "layout_bloom_incremental", "tap_flatten_json",
-    "events_hll_merge_stream")
+    "events_hll_merge_stream",
+    // round-9 late wave: indexed RAG twin, multilingual mix flagship,
+    // zone-map shard merge, calibrated join estimate, z-order depth
+    "pipeline_rag_indexed", "pipeline_multilingual",
+    "layout_stats_incremental", "profile_join_estimate_wide",
+    "layout_clustering_zorder")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough
