@@ -306,6 +306,36 @@ class CurationSpec extends AnyFunSuite {
     rejected.foreach(r => assert(ord.gt(r, admitted)))
   }
 
+  test("tokenBudgetFillBy: per-group budgets; one group ≡ global fill") {
+    val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
+    // single constant group with the same budget must reproduce the
+    // global fill row-for-row
+    val one = Seq(("all", 8000L)).toDF("g", "budget")
+    val grouped = Curation.tokenBudgetFillBy(
+        docs.withColumn("g", lit("all")), "text", "doc_id", "g", one)
+      .select("doc_id", "quality", "n_tokens", "cum_tokens")
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._4).toSeq
+    val global = Curation.tokenBudgetFill(docs, "text", "doc_id", 8000L)
+      .select("doc_id", "quality", "n_tokens", "cum_tokens")
+      .as[(Long, Double, Long, Long)].collect().sortBy(_._4).toSeq
+    assert(grouped === global)
+    // real groups: every group's admitted tokens stay within ITS budget
+    // and admission is per-group prefix-closed in (quality desc, id)
+    val budgets = Seq(("a", 3000L), ("b", 1500L)).toDF("g", "budget")
+    val two = Curation.tokenBudgetFillBy(
+        docs.withColumn("g",
+          when(col("doc_id") % 2 === 0, "a").otherwise("b")),
+        "text", "doc_id", "g", budgets)
+      .select("g", "doc_id", "cum_tokens", "budget")
+      .as[(String, Long, Long, Long)].collect()
+    assert(two.nonEmpty)
+    two.groupBy(_._1).foreach { case (g, rows) =>
+      val cap = if (g == "a") 3000L else 1500L
+      assert(rows.map(_._3).max <= cap)
+      assert(rows.forall(_._4 === cap))
+    }
+  }
+
   test("qualityPercentiles equals the naive per-source rank; singleton → 0.5") {
     val docs = Tables.read(spark, SparkTestSession.Sf, "documents")
       // graft a singleton source to pin the n=1 branch
