@@ -2486,6 +2486,9 @@ object PipelineQueries {
               .otherwise(lit(""))).as("t"))
         .select(col("doc_id"),
           graft.functions.Curation.stripMarkup(col("t")).as("clean"))
+      // checkpointed ONCE: both ingest shards read the same chunk
+      // table — without it each appendPostings re-runs strip+chunk
+      // over the corpus (measured ~0.7 s of the entry at sf0.1)
       val chunks = graft.functions.Curation.chunkByTokens(
           clean.where(col("doc_id") % 97 =!= 0), "clean", "doc_id",
           window = 16, stride = 8)
@@ -2495,6 +2498,7 @@ object PipelineQueries {
                 lit("pipeline_rag_indexed: chunk_id overflows ckey: "),
                 col("chunk_id").cast("string"))))).as("ckey"),
           col("chunk_text"))
+        .localCheckpoint(true)
       val idxPath = graft.tools.Scratch.dir("graft_rag_idx") + "/postings"
       graft.functions.Retrieval.appendPostings(
         chunks.where(col("ckey") % 2 === 0), "chunk_text", "ckey", idxPath)
