@@ -39,17 +39,28 @@ object Sketches {
     conv(substring(md5(v.cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
 
+  /** Flajolet bias constant for m = 2^p registers (exact published
+    * values for the small m; the asymptotic form above m = 64).
+    */
+  def hllAlpha(m: Long): Double = m match {
+    case 16L => 0.673
+    case 32L => 0.697
+    case 64L => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m.toDouble)
+  }
+
   /** Register bucket of a precomputed [[hash60]] column. */
-  private[graft] def hllBucketFromH(h: Column): Column =
-    pmod(h, lit(HllM.toLong)).cast("int")
+  private[graft] def hllBucketFromH(h: Column, p: Int = HllP): Column =
+    pmod(h, lit(1L << p)).cast("int")
 
   /** Register rank of a precomputed [[hash60]] column: trailing-zero
-    * count of the post-bucket bits, + 1. Pure column composition, so it
+    * count of the post-bucket bits, + 1 (capped at 61 − p when the
+    * remaining bits are all zero). Pure column composition, so it
     * drops into streaming aggregations unchanged.
     */
-  private[graft] def hllRhoFromH(h: Column): Column = {
-    val w = shiftright(h, HllP)
-    when(w === 0L, lit(55))
+  private[graft] def hllRhoFromH(h: Column, p: Int = HllP): Column = {
+    val w = shiftright(h, p)
+    when(w === 0L, lit(61 - p))
       .otherwise(bit_count(w.bitwiseAND(lit(0L) - w) - lit(1L))
         .cast("int") + lit(1))
   }
@@ -65,11 +76,11 @@ object Sketches {
     * into per-month cardinalities without re-touching raw data.
     */
   def hllRegisters(df: DataFrame, groupCols: Seq[String],
-                   valueCol: Column): DataFrame =
+                   valueCol: Column, p: Int = HllP): DataFrame =
     df.select(groupCols.map(col) :+ hash60(valueCol).as("__h"): _*)
       .groupBy(groupCols.map(col) :+
-        hllBucketFromH(col("__h")).as("bucket"): _*)
-      .agg(max(hllRhoFromH(col("__h"))).cast("int").as("register"))
+        hllBucketFromH(col("__h"), p).as("bucket"): _*)
+      .agg(max(hllRhoFromH(col("__h"), p)).cast("int").as("register"))
 
   /** Harmonic HLL estimate from a register table: exact integer
     * `sum_scaled = Σ_buckets 2^(55 − register)` (absent buckets count
@@ -92,17 +103,19 @@ object Sketches {
     * `hll_est` alone gets biased small-n numbers without this note.)
     */
   def hllEstimate(registers: DataFrame,
-                  groupCols: Seq[String]): DataFrame = {
-    val twoPow55 = 1L << 55
+                  groupCols: Seq[String], p: Int = HllP): DataFrame = {
+    val m = 1L << p
+    val maxReg = 61 - p
+    val twoPowMax = 1L << maxReg
     registers
       .groupBy(groupCols.map(col): _*)
       .agg(
-        (sum(expr("shiftleft(1L, 55 - register)")) +
-          (lit(HllM.toLong) - count(lit(1))) * twoPow55).as("sum_scaled"),
-        (lit(HllM.toLong) - count(lit(1))).as("zero_buckets"))
+        (sum(expr(s"shiftleft(1L, $maxReg - register)")) +
+          (lit(m) - count(lit(1))) * twoPowMax).as("sum_scaled"),
+        (lit(m) - count(lit(1))).as("zero_buckets"))
       .withColumn("hll_est",
-        lit(0.709) * lit(HllM.toDouble * HllM.toDouble) *
-          lit(twoPow55.toDouble) / col("sum_scaled").cast("double"))
+        lit(hllAlpha(m)) * lit(m.toDouble * m.toDouble) *
+          lit(twoPowMax.toDouble) / col("sum_scaled").cast("double"))
   }
 
   /** Count-min geometry: `CmDepth` independent hash rows × `CmWidth`

@@ -1534,6 +1534,26 @@ object PipelineQueries {
       est.join(exact, "event_type")
     }),
 
+    // The precision knob: the SAME sketch at p=10 (1024 registers,
+    // ~3.2% standard error in the raw estimator's valid range n ≳ 2.5m
+    // vs p=6's 13%) — register table still metadata-sized (groups ×
+    // 1024). At the fixture's tiny per-type cardinality this entry
+    // deliberately sits in the SMALL-RANGE regime (n ≪ 2.5m): the raw
+    // harmonic estimate is biased high exactly as hllEstimate's
+    // scaladoc warns, and the emitted zero_buckets state recovers the
+    // near-exact linear-counting answer m·ln(m/V) (SketchesSpec pins
+    // it within 5%). The oracle builder replays the generalized
+    // geometry (bucket mod m, rho cap 61−p, alpha(m), 2^(61−p) scale).
+    "events_hll_precise" -> ((spark, dir) => {
+      val S = graft.functions.Sketches
+      val ev = Tables.read(spark, dir, "events")
+      val regs = S.hllRegisters(ev, Seq("event_type"), col("user_id"),
+        p = 10)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      S.hllEstimate(regs, Seq("event_type"), p = 10).join(exact, "event_type")
+    }),
+
     // The incremental path for the HLL sketch: registers built on the
     // first 20 days PERSIST to parquet; the new slice's registers merge
     // in by bucket-max — provably identical to the from-scratch build
@@ -8298,6 +8318,44 @@ object PipelineQueries {
       |  CAST(coalesce(a.n_match, 0) AS BIGINT) AS n_match
       |FROM dec d LEFT JOIN act a USING (key, bucket)""".stripMargin
 
+  /** [[hllUsersOracle]] at an arbitrary precision p: bucket mod 2^p,
+    * rho capped at 61 − p, alpha(m) bias constant, 2^(61−p) scale —
+    * double literals rendered with Scala's shortest-round-trip repr,
+    * which DuckDB's correctly-rounded parser maps to the identical
+    * IEEE value.
+    */
+  private def hllUsersOracleP(p: Int): String = {
+    val m = 1L << p
+    val maxReg = 61 - p
+    val alpha = graft.functions.Sketches.hllAlpha(m).toString
+    val m2 = (m.toDouble * m.toDouble).toString
+    val tp = (1L << maxReg).toDouble.toString
+    s"""WITH h AS (SELECT event_type,
+       |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |      AS h
+       |  FROM events),
+       |r AS (SELECT event_type, CAST(h % $m AS INTEGER) AS bucket,
+       |    max(CASE WHEN (h // $m) = 0 THEN $maxReg
+       |      ELSE CAST(bit_count(((h // $m) & (-(h // $m))) - 1)
+       |        AS INTEGER) + 1 END) AS register
+       |  FROM h GROUP BY 1, 2),
+       |e AS (SELECT event_type,
+       |    CAST(sum(1::BIGINT << ($maxReg - register)) +
+       |      ($m - count(*)) * (1::BIGINT << $maxReg) AS BIGINT)
+       |      AS sum_scaled,
+       |    CAST($m - count(*) AS BIGINT) AS zero_buckets
+       |  FROM r GROUP BY 1),
+       |x AS (SELECT event_type,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type, e.sum_scaled, e.zero_buckets,
+       |  CAST($alpha AS DOUBLE) * CAST($m2 AS DOUBLE) *
+       |    CAST($tp AS DOUBLE) /
+       |    CAST(sum_scaled AS DOUBLE) AS hll_est,
+       |  x.exact_users
+       |FROM e JOIN x USING (event_type)""".stripMargin
+  }
+
   private val hllUsersOracle: String =
     """WITH h AS (SELECT event_type,
       |    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
@@ -9044,6 +9102,8 @@ object PipelineQueries {
     // shares it VERBATIM: register max is associative, so persisted-
     // shard merge is provably identical to the from-scratch build.
     "events_hll_users" -> hllUsersOracle,
+    // generalized-geometry replay at p=10
+    "events_hll_precise" -> hllUsersOracleP(10),
     "events_hll_incremental" -> hllUsersOracle,
     // streaming merged-register sink: per-batch registers merge into the
     // all-time store by bucket-max ≡ from-scratch build — same replay

@@ -60,6 +60,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(est("absent") === 0)
   }
 
+  test("hll p knob: tighter band in range, linear counting below it") {
+    val S = Sketches
+    // n = 20000 sits inside p=10's valid range (n >= 2.5m = 2560):
+    // the raw estimate must land within 3x the ~3.2% standard error
+    val big = spark.range(20000).select(lit("g").as("g"), col("id"))
+    val est = S.hllEstimate(
+        S.hllRegisters(big, Seq("g"), col("id"), p = 10), Seq("g"), p = 10)
+      .select("hll_est").as[Double].head()
+    assert(math.abs(est - 20000.0) / 20000.0 < 3 * 0.0325, s"est=$est")
+    // n = 150 is deep in the small-range regime: the raw estimate is
+    // biased HIGH, and linear counting m*ln(m/zero_buckets) from the
+    // emitted state recovers the truth within ~5%
+    val small = spark.range(150).select(lit("g").as("g"), col("id"))
+    val row = S.hllEstimate(
+        S.hllRegisters(small, Seq("g"), col("id"), p = 10), Seq("g"), p = 10)
+      .select("hll_est", "zero_buckets").as[(Double, Long)].head()
+    assert(row._1 > 150.0 * 2, s"raw=${row._1}") // documented bias
+    val lc = 1024.0 * math.log(1024.0 / row._2.toDouble)
+    assert(math.abs(lc - 150.0) / 150.0 < 0.05, s"lc=$lc")
+  }
+
   test("join estimate: provable upper bound, exact side hand-checked") {
     // fa = {a:2, b:1, c:3}, fb = {a:1, c:2, d:5} → exact = 2·1 + 3·2 = 8
     val a = Seq("a", "a", "b", "c", "c", "c").toDF("k")
