@@ -243,6 +243,47 @@ object Graph {
         sum(expr(s"$scale div deg")).as("ra_score"))
   }
 
+  /** Bounded-hop weighted shortest paths (Bellman–Ford relaxation,
+    * `rounds` synchronous rounds): dist_{i+1}(v) = min(dist_i(v),
+    * min_{(u,v,w)} dist_i(u) + w) from the seed set at distance 0 —
+    * the weighted companion of [[bfsLevels]] (shortest path using at
+    * most `rounds` edges; min is associative and order-free, so a SQL
+    * engine replays the rounds exactly). Weights must be non-negative
+    * Longs; unreached nodes are absent.
+    *
+    * 100 TB shape: per round ONE key-partitioned hash join (dists ⋈
+    * edges on the source key) + one partial-aggregated groupBy(dst)
+    * min + one merge groupBy — the Pregel relaxation superstep; each
+    * round's dist table localCheckpoints so rounds never stack one
+    * plan. No windows, no collect.
+    */
+  def ssspBounded(edges: DataFrame, srcCol: String, dstCol: String,
+                  wCol: String, seeds: DataFrame, seedCol: String,
+                  rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(wCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val relaxed = dist.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    dist
+  }
+
   /** k-core: the maximal subgraph where every node keeps degree ≥ k —
     * the web-graph quality/spam filter (Kumar et al.) and the standard
     * "dense region" extractor. Iterative SYNCHRONOUS peeling: each

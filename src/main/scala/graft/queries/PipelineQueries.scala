@@ -3754,6 +3754,36 @@ object PipelineQueries {
             .otherwise(lit("customer")).as("kind"))
     }),
 
+    // Bounded-hop WEIGHTED shortest paths over the customer–supplier
+    // graph (edge weight = min order quantity on the relationship):
+    // 4 Bellman–Ford relaxation rounds from the 20 highest-degree
+    // customers — the weighted companion of graph_bfs; min is
+    // order-free so the oracle unrolls the identical rounds.
+    "graph_sssp" -> ((spark, dir) => {
+      val orders = Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val pairs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 10000000L).as("s"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy("c", "s").agg(min(col("w")).as("w"))
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"),
+          col("w"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst"),
+          col("w")))
+      val seeds = pairs.groupBy(col("c").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("node"))
+        .limit(20)
+      graft.functions.Graph.ssspBounded(edges, "src", "dst", "w",
+          seeds, "node", rounds = 4)
+        .select(col("node"), col("dist"),
+          when(col("node") >= 10000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"))
+    }),
+
     // k-core over the same customer–supplier bipartite graph: the
     // maximal subgraph where every node keeps ≥ 10 neighbors — the
     // web-graph dense-region/quality filter. Synchronous peeling to
@@ -8816,6 +8846,37 @@ object PipelineQueries {
     "events_scd2" -> scd2Oracle,
     "graph_pagerank" -> pagerankOracle(5),
     "graph_kcore" -> kcoreOracle(10, 12),
+    // 4 unrolled relaxation rounds (min is confluent; MATERIALIZED for
+    // the same multi-reference reason as the k-core replay)
+    "graph_sssp" -> {
+      val head =
+        """WITH pairs AS (SELECT CAST(o_custkey AS BIGINT) AS c,
+          |    CAST(l_suppkey AS BIGINT) + 10000000 AS s,
+          |    min(CAST(l_quantity AS BIGINT)) AS w
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          |  GROUP BY 1, 2),
+          |edges AS MATERIALIZED (
+          |  SELECT c AS src, s AS dst, w FROM pairs
+          |  UNION ALL SELECT s AS src, c AS dst, w FROM pairs),
+          |d0 AS MATERIALIZED (SELECT c AS node, CAST(0 AS BIGINT) AS dist
+          |  FROM pairs GROUP BY c ORDER BY count(*) DESC, c LIMIT 20)"""
+          .stripMargin
+      val rounds = (0 until 4).map { i =>
+        s""",
+           |d${i + 1} AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d$i
+           |  UNION ALL
+           |  SELECT e.dst AS node, d$i.dist + e.w AS dist
+           |  FROM d$i JOIN edges e ON e.src = d$i.node) GROUP BY node)"""
+          .stripMargin
+      }.mkString
+      head + rounds +
+        """
+          |SELECT node, dist,
+          |  CASE WHEN node >= 10000000 THEN 'supplier' ELSE 'customer' END
+          |    AS kind
+          |FROM d4""".stripMargin
+    },
     // recursive CTE, UNION-deduped per (node, dist) level, min over
     // dists — the order-invariant replay of the frontier expansion
     "graph_bfs" ->

@@ -303,4 +303,20 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sorted.toSeq
     assert(g3 === Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
+  test("ssspBounded: hand-relaxed weighted paths, min over parallel routes") {
+    // 1 -2-> 2 -3-> 3, and a direct 1 -9-> 3: 4 rounds must pick 5
+    // (via 2), not 9; node 4 unreachable within the bound stays absent
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 3L), (1L, 3L, 9L),
+      (5L, 4L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.ssspBounded(edges, "src", "dst", "w",
+        seeds, "node", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+    // rounds = 1 can only use single edges: direct 9 wins for node 3
+    val one = Graph.ssspBounded(edges, "src", "dst", "w",
+        seeds, "node", rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one === Map(1L -> 0L, 2L -> 2L, 3L -> 9L))
+  }
 }
