@@ -1894,6 +1894,41 @@ object PipelineQueries {
         Seq("ship_date", "price_cents"))
     }),
 
+    // Streaming zone-map maintenance — the third index layout with a
+    // foreachBatch twin (HLL registers, Bloom words, now file stats):
+    // per-batch shards append, the merged load equals the from-scratch
+    // build, layout_stats_index's oracle VERBATIM.
+    "layout_stats_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      val L = graft.functions.Layout
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("okey"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          floor(col("l_extendedprice") * 100).cast("long")
+            .as("price_cents"),
+          col("l_shipdate").cast("timestamp").as("ts"))
+      val (delaySec, sentinelTs) = sentinelBounds(
+        spark, li.select(col("okey"), col("ts")))
+      val sentinel = Seq((-1L,
+          java.sql.Date.valueOf("1990-01-01"), -1L, sentinelTs))
+        .toDF("okey", "ship_date", "price_cents", "ts")
+      val tmp = graft.tools.Scratch.dir("graft_zm_stream")
+      val q = streamWithSentinel(spark, li, sentinel, delaySec)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = L.zoneMap(batch.where(col("okey") >= 0),
+            expr("okey div 256"), Seq("ship_date", "price_cents"))
+          if (!rows.isEmpty)
+            rows.write.mode("append").parquet(s"$tmp/zm")
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      L.mergeZoneMaps(spark.read.parquet(s"$tmp/zm"),
+        Seq("ship_date", "price_cents"))
+    }),
+
     // The calibration story: the SAME estimates at width 4096 (sized
     // ≥ distinct keys of the biggest side) — bounds tighten from ~60×
     // over to near-exact, showing width, not the method, sets the
@@ -8590,6 +8625,8 @@ object PipelineQueries {
     "layout_stats_index" -> statsIndexOracle,
     // appended shards merge to the identical stats — same replay
     "layout_stats_incremental" -> statsIndexOracle,
+    // per-micro-batch shards merge identically — streaming twin
+    "layout_stats_stream" -> statsIndexOracle,
     "layout_prune_eval" ->
       """WITH li AS (SELECT CAST(l_shipdate AS DATE) AS d,
         |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
