@@ -269,6 +269,78 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
   }
 
+  /** BM25F fielded ranking (Robertson/Zaragoza 2004, simple-BM25F
+    * form): the document splits into a TITLE (first `titleLen` tokens)
+    * and BODY field; each field's term frequency normalizes by its own
+    * length (tf̃_f = tf / (1 + b_f·(dl_f/avgdl_f − 1))), the weighted
+    * combination c = w_title·tf̃_T + w_body·tf̃_B saturates ONCE
+    * (c/(k1+c)) — so a title hit is worth `wTitle`× a body hit without
+    * double-counting saturation, the property a per-field BM25 sum
+    * lacks. idf is the same sqrt-odds as [[bm25TopK]] over ANY-field
+    * document frequency; contributions fold in term order through the
+    * shared slot machinery, so every IEEE step is SQL-replayable.
+    *
+    * Scale shape: identical to [[bm25TopK]] — fielded postings prune to
+    * the query's terms FIRST (broadcast semi-shape), field stats are a
+    * 1-row broadcast, the per-(query, doc) combine is one partial-
+    * aggregated groupBy.
+    */
+  def bm25fTopK(corpus: DataFrame, textCol: String, idCol: String,
+                queryTerms: DataFrame, k: Int, titleLen: Int = 8,
+                wTitle: Double = 2.0, wBody: Double = 1.0,
+                k1: Double = 1.2, bTitle: Double = 0.75,
+                bBody: Double = 0.75): DataFrame = {
+    require(titleLen >= 1, s"titleLen must be >= 1, got $titleLen")
+    val d = (x: Column) => x.cast("double")
+    val base = corpus.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        least(size(col("__toks")), lit(titleLen)).as("dl_t"),
+        greatest(size(col("__toks")) - titleLen, lit(0)).as("dl_b"),
+        posexplode(col("__toks")).as(Seq("__pos", "term")))
+    val fielded = base
+      .withColumn("field",
+        when(col("__pos") < titleLen, lit("t")).otherwise(lit("b")))
+      .groupBy("term", "doc_id", "field")
+      .agg(count(lit(1)).as("tf"),
+        first(col("dl_t")).as("dl_t"), first(col("dl_b")).as("dl_b"))
+    val stats = corpus.where(length(trim(col(textCol))) > 0)
+      .select(least(size(toks(col(textCol))), lit(titleLen)).as("dl_t"),
+        greatest(size(toks(col(textCol))) - titleLen, lit(0)).as("dl_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dl_t").cast("long")).as("sum_t"),
+        sum(col("dl_b").cast("long")).as("sum_b"))
+    val qt = queryTerms.select(col("query_id"), col("term"))
+    val matched = fielded.join(broadcast(qt.select("term").distinct()),
+      "term")
+    val avgT = d(col("sum_t")) / d(col("n"))
+    val avgB = d(col("sum_b")) / d(col("n"))
+    val tfn = when(col("field") === "t",
+        d(col("tf")) / (lit(1.0) + lit(bTitle) *
+          (d(col("dl_t")) / avgT - lit(1.0))))
+      .otherwise(
+        d(col("tf")) / (lit(1.0) + lit(bBody) *
+          (d(col("dl_b")) / avgB - lit(1.0))))
+    val combined = matched.crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"), col("n"), tfn.as("tfn"),
+        col("field"))
+      .groupBy("term", "doc_id")
+      .agg(first(col("n")).as("n"),
+        coalesce(sum(when(col("field") === "t", col("tfn"))), lit(0.0))
+          .as("ct"),
+        coalesce(sum(when(col("field") === "b", col("tfn"))), lit(0.0))
+          .as("cb"))
+      .withColumn("c0", lit(wTitle) * col("ct") + lit(wBody) * col("cb"))
+    val dfq = combined.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = sqrt((d(col("n") - col("df")) + lit(0.5)) /
+      (d(col("df")) + lit(0.5)))
+    val contribs = combined.join(broadcast(dfq), "term")
+      .join(broadcast(qt), "term")
+      .select(col("query_id"), col("doc_id"), col("term"),
+        (idf * (col("c0") / (lit(k1) + col("c0")))).as("c"))
+    bm25RankContributions(contribs, qt, k)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of a lexical and a
     * vector ranking — the standard hybrid-search combiner: each list
     * contributes `scale div (kRrf + rank)` for the documents it ranked,

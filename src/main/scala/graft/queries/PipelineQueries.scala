@@ -2599,6 +2599,22 @@ object PipelineQueries {
         emb, "vec_id", "embedding", k = 5)
     }),
 
+    // BM25F fielded ranking: title = first 8 tokens, body = the rest;
+    // per-field length normalization, weighted combine (title ×2),
+    // ONE saturation — same query suite as search_bm25, so the two
+    // rankers are directly comparable.
+    "search_bm25f" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val qt = docs.where(col("doc_id") % 97 === 0 &&
+          col("doc_id") < 5000 && length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            split(Dedup.normalizeText(col("text")), " "), 1, 5)))
+            .as("term"))
+      graft.functions.Retrieval.bm25fTopK(
+        docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id", qt, k = 10)
+    }),
+
     // Proximity search ("x NEAR/4 y"): each benchmark doc's tokens 1
     // and 3 (when distinct) form its pair; qualifying position pairs
     // counted per (query, doc) with the minimum distance.
@@ -6688,6 +6704,64 @@ object PipelineQueries {
     // tf saturation, term-ordered contribution fold, rank by
     // (score desc, doc_id)
     "search_bm25" -> bm25Oracle,
+    // fielded replay: per-field tf normalization, ×2 title combine, one
+    // saturation, any-field df, the same term-ordered IEEE fold
+    "search_bm25f" ->
+      """WITH t AS (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |fl AS (SELECT doc_id, least(len(toks), 8) AS dl_t,
+        |    greatest(len(toks) - 8, 0) AS dl_b, toks
+        |  FROM t WHERE doc_id % 97 <> 0),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl_t) AS BIGINT) AS sum_t,
+        |    CAST(sum(dl_b) AS BIGINT) AS sum_b FROM fl),
+        |p AS (SELECT doc_id, dl_t, dl_b,
+        |    unnest(range(1, len(toks) + 1)) AS pos, toks FROM fl),
+        |pf AS (SELECT doc_id, dl_t, dl_b, toks[pos] AS term,
+        |    CASE WHEN pos <= 8 THEN 't' ELSE 'b' END AS field FROM p),
+        |g AS (SELECT term, doc_id, field, CAST(count(*) AS BIGINT) AS tf,
+        |    min(dl_t) AS dl_t, min(dl_b) AS dl_b
+        |  FROM pf GROUP BY 1, 2, 3),
+        |q AS (SELECT doc_id AS query_id,
+        |    unnest(list_distinct(toks[1:5])) AS term
+        |  FROM t WHERE doc_id % 97 = 0 AND doc_id < 5000),
+        |mg AS (SELECT * FROM g
+        |  WHERE term IN (SELECT DISTINCT term FROM q)),
+        |tn AS (SELECT term, doc_id, field, st.n,
+        |    CASE WHEN field = 't'
+        |      THEN CAST(tf AS DOUBLE) / (1.0 + 0.75 *
+        |        (CAST(dl_t AS DOUBLE) /
+        |         (CAST(st.sum_t AS DOUBLE) / CAST(st.n AS DOUBLE)) - 1.0))
+        |      ELSE CAST(tf AS DOUBLE) / (1.0 + 0.75 *
+        |        (CAST(dl_b AS DOUBLE) /
+        |         (CAST(st.sum_b AS DOUBLE) / CAST(st.n AS DOUBLE)) - 1.0))
+        |      END AS tfn
+        |  FROM mg CROSS JOIN st),
+        |cb AS (SELECT term, doc_id, min(n) AS n,
+        |    coalesce(sum(CASE WHEN field = 't' THEN tfn END), 0.0) AS ct,
+        |    coalesce(sum(CASE WHEN field = 'b' THEN tfn END), 0.0) AS cbv
+        |  FROM tn GROUP BY 1, 2),
+        |cc AS (SELECT term, doc_id, n,
+        |    CAST(2.0 AS DOUBLE) * ct + CAST(1.0 AS DOUBLE) * cbv AS c0
+        |  FROM cb),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM cc GROUP BY 1),
+        |co AS (SELECT q.query_id, cc.doc_id, q.term,
+        |    sqrt((CAST(cc.n - dfq.df AS DOUBLE) + 0.5) /
+        |         (CAST(dfq.df AS DOUBLE) + 0.5)) *
+        |      (cc.c0 / (CAST(1.2 AS DOUBLE) + cc.c0)) AS contrib
+        |  FROM cc JOIN dfq USING (term) JOIN q USING (term)),
+        |agg AS (SELECT query_id, doc_id,
+        |    list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+        |      AS score
+        |  FROM co GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+        |FROM r WHERE rank <= 10""".stripMargin,
     // the ingest entry's two appended batches union to the identical
     // corpus, and search-time stats make append ≡ rebuild — same replay
     "search_ingest" -> bm25Oracle,
