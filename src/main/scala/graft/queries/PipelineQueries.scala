@@ -4564,6 +4564,42 @@ object PipelineQueries {
       Multimodal.phashPairs(planted, "doc_id", col("h"))
     }),
 
+    // Frame-level near-dup across media (clip detection): sample each
+    // payload's fixed-size frames, dHash+LSH pair FRAMES across
+    // different parents, aggregate to parent pairs with matching-frame
+    // counts — how shared segments surface even when whole-file hashes
+    // differ. The %23 plant flips one byte inside frame 0, so planted
+    // pairs show the signature mix: 3 frames at hamming 0 + frame 0 at
+    // a small positive hamming.
+    "multimodal_frame_neardup" -> ((spark, dir) => {
+      val raw = Tables.read(spark, dir, "documents")
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("h"))
+      val donor = raw.select(col("doc_id").as("__sid"), col("h").as("__sh"))
+      val planted = raw
+        .join(donor,
+          col("doc_id") % 23 === 4 && col("__sid") === col("doc_id") - 4,
+          "left")
+        .select(col("doc_id"),
+          when(col("__sh").isNotNull,
+            concat(expr("substring(__sh, 1, 20)"), lit("FF"),
+              expr("substring(__sh, 23)")))
+            .otherwise(col("h")).as("h"))
+      val frames = planted
+        .select(col("doc_id"),
+          posexplode(Multimodal.frameSample(unhex(col("h")),
+            nFrames = 4, frameBytes = 64)).as(Seq("fidx", "frame")))
+        .where(length(col("frame")) === 64)
+        .select((col("doc_id") * lit(100L) + col("fidx")).as("fkey"),
+          hex(col("frame")).as("fh"))
+      Multimodal.phashPairs(frames, "fkey", col("fh"))
+        .where(expr("id_a div 100") =!= expr("id_b div 100"))
+        .groupBy(expr("id_a div 100").as("vid_a"),
+          expr("id_b div 100").as("vid_b"))
+        .agg(count(lit(1)).as("n_frames"),
+          min(col("hamming")).as("min_hamming"),
+          max(col("hamming")).as("max_hamming"))
+    }),
+
     // Per-user interval union: each event opens a 30-minute activity
     // interval; overlapping intervals merge (gaps-and-islands on a keyed
     // window — prev-max-end then running island sum), reporting island
@@ -9906,6 +9942,39 @@ object PipelineQueries {
     // full pipeline replay: planted flips, hex-plane signatures, band
     // candidates, Hamming verify — engine and oracle must agree on the
     // exact pair set AND distances
+    // frame replay: same plant, 64-byte hex slices as frame keys
+    // (doc*100+idx), the identical dHash/band/verify, parent rollup
+    "multimodal_frame_neardup" -> s"""
+        |WITH raw AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        |pl AS (SELECT r.doc_id,
+        |    CASE WHEN d.h IS NOT NULL
+        |      THEN substring(d.h, 1, 20) || 'FF' || substring(d.h, 23)
+        |      ELSE r.h END AS h
+        |  FROM raw r LEFT JOIN raw d
+        |    ON r.doc_id % 23 = 4 AND d.doc_id = r.doc_id - 4),
+        |fr AS (SELECT doc_id, unnest(range(0, 4)) AS i, h FROM pl),
+        |fx AS (SELECT doc_id * 100 + i AS fkey,
+        |    substring(h, CAST(i * 128 + 1 AS INT), 128) AS fh
+        |  FROM fr),
+        |f AS (SELECT fkey, fh AS h, 64 AS nb FROM fx
+        |  WHERE length(fh) = 128),
+        |s AS (SELECT fkey, ${duckDHash56("h", "nb")} AS sig FROM f),
+        |bt AS (SELECT fkey, sig, unnest(range(0, 4)) AS k FROM s),
+        |bv AS (SELECT fkey, sig, k,
+        |    (sig >> (CAST(k AS INT) * 14)) & 16383 AS v FROM bt),
+        |p AS (SELECT DISTINCT a.fkey AS id_a, b.fkey AS id_b,
+        |    a.sig AS sa, b.sig AS sb
+        |  FROM bv a JOIN bv b
+        |    ON a.k = b.k AND a.v = b.v AND a.fkey < b.fkey),
+        |pr AS (SELECT id_a, id_b,
+        |    CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |  FROM p WHERE bit_count(xor(sa, sb)) <= 5)
+        |SELECT id_a // 100 AS vid_a, id_b // 100 AS vid_b,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(min(hamming) AS INT) AS min_hamming,
+        |  CAST(max(hamming) AS INT) AS max_hamming
+        |FROM pr WHERE id_a // 100 <> id_b // 100
+        |GROUP BY 1, 2""".stripMargin,
     "multimodal_phash" -> s"""
         |WITH raw AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
         |pl AS (SELECT r.doc_id,
