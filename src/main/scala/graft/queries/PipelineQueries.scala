@@ -8240,14 +8240,14 @@ object PipelineQueries {
         |  CASE WHEN doc_id % 2 = 0 THEN '</p></body></html>' ELSE '' END
         |    AS t
         |  FROM documents),
-        |cl AS (SELECT doc_id,
+        |cl AS MATERIALIZED (SELECT doc_id,
         |  trim(regexp_replace(
         |    replace(replace(replace(replace(
         |      regexp_replace(t, '<[^>]+>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '), '&amp;', '&'),
         |    '\s+', ' ', 'g')) AS clean
         |  FROM aug),
-        |t0 AS (SELECT doc_id,
+        |t0 AS MATERIALIZED (SELECT doc_id,
         |    string_split_regex(trim(clean), '\s+') AS rtoks
         |  FROM cl
         |  WHERE length(trim(clean)) > 0 AND doc_id % 97 <> 0),
@@ -8256,7 +8256,7 @@ object PipelineQueries {
         |    1 + CAST(floor((greatest(n - 16, 0) + 7) / 8.0) AS BIGINT)))
         |    AS cid
         |  FROM nn),
-        |chunks AS (SELECT doc_id * 1000000 + cid AS ckey,
+        |chunks AS MATERIALIZED (SELECT doc_id * 1000000 + cid AS ckey,
         |    array_to_string(rtoks[(cid*8+1):least(cid*8+16, n)], ' ')
         |      AS ctext
         |  FROM ch),
@@ -8264,12 +8264,12 @@ object PipelineQueries {
         |    '\s+', ' ', 'g'), ' ') AS toks
         |  FROM chunks WHERE length(trim(ctext)) > 0),
         |p AS (SELECT ckey, len(toks) AS dl, unnest(toks) AS term FROM tc),
-        |g AS (SELECT term, ckey, CAST(count(*) AS BIGINT) AS tf,
+        |g AS MATERIALIZED (SELECT term, ckey, CAST(count(*) AS BIGINT) AS tf,
         |    min(dl) AS dl FROM p GROUP BY 1, 2),
         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(dl) AS BIGINT) AS sum_dl
         |  FROM (SELECT ckey, min(dl) AS dl FROM g GROUP BY ckey)),
-        |q AS (SELECT doc_id AS query_id,
+        |q AS MATERIALIZED (SELECT doc_id AS query_id,
         |    unnest(list_distinct(string_split(regexp_replace(
         |      lower(trim(clean)), '\s+', ' ', 'g'), ' ')[1:5])) AS term
         |  FROM cl WHERE length(trim(clean)) > 0
@@ -8294,20 +8294,20 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY score DESC, ckey) AS rnk
         |  FROM agg),
-        |hits AS (SELECT query_id, ckey, score FROM rk WHERE rnk <= 50),
+        |hits AS MATERIALIZED (SELECT query_id, ckey, score FROM rk WHERE rnk <= 50),
         |best AS (SELECT query_id, ckey // 1000000 AS doc_id,
         |    max(struct_pack(s := score, nck := -ckey)) AS m
         |  FROM hits GROUP BY 1, 2),
-        |lex AS (SELECT query_id, doc_id, rank FROM (
+        |lex AS MATERIALIZED (SELECT query_id, doc_id, rank FROM (
         |    SELECT query_id, doc_id,
         |      row_number() OVER (PARTITION BY query_id
         |        ORDER BY struct_extract(m, 's') DESC, doc_id) AS rank
         |    FROM best) WHERE rank <= 10),
-        |qe AS (SELECT c2.doc_id AS query_id, e.embedding AS qv
+        |qe AS MATERIALIZED (SELECT c2.doc_id AS query_id, e.embedding AS qv
         |  FROM cl c2 JOIN embeddings e ON e.vec_id = c2.doc_id
         |  WHERE c2.doc_id % 97 = 0 AND c2.doc_id < 1000
         |    AND length(trim(c2.clean)) > 0),
-        |sc2 AS (SELECT qe.query_id, e.vec_id AS doc_id,
+        |sc2 AS MATERIALIZED (SELECT qe.query_id, e.vec_id AS doc_id,
         |  round(
         |   list_sum(list_transform(range(1, len(qe.qv)+1),
         |     i -> qe.qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
@@ -8317,7 +8317,7 @@ object PipelineQueries {
         |     i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))), 6)
         |    AS sim
         |  FROM embeddings e CROSS JOIN qe WHERE e.vec_id % 97 <> 0),
-        |vec AS (SELECT query_id, doc_id, rank FROM (
+        |vec AS MATERIALIZED (SELECT query_id, doc_id, rank FROM (
         |    SELECT query_id, doc_id,
         |      row_number() OVER (PARTITION BY query_id
         |        ORDER BY sim DESC, doc_id) AS rank
@@ -8334,15 +8334,15 @@ object PipelineQueries {
         |      END) AS BIGINT) AS rrf
         |  FROM u LEFT JOIN lex l USING (query_id, doc_id)
         |  LEFT JOIN vec v USING (query_id, doc_id)),
-        |fused AS (SELECT query_id, doc_id, rrf FROM (
+        |fused AS MATERIALIZED (SELECT query_id, doc_id, rrf FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id
         |      ORDER BY rrf DESC, doc_id) AS rank FROM fz) WHERE rank <= 10),
-        |bse AS (SELECT vec_id,
+        |bse AS MATERIALIZED (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v,
         |    sqrt(list_sum(list_transform(range(1, len(embedding)+1),
         |      j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE))) AS nrm
         |  FROM embeddings),
-        |sl AS (SELECT f.query_id, f.doc_id, b.v AS cv, b.nrm AS cn,
+        |sl AS MATERIALIZED (SELECT f.query_id, f.doc_id, b.v AS cv, b.nrm AS cn,
         |    CAST(f.rrf AS DOUBLE) / 32786884.0 AS rel
         |  FROM fused f JOIN bse b ON b.vec_id = f.doc_id),
         |r2 AS (
