@@ -1870,6 +1870,47 @@ object PipelineQueries {
         tagged, "text", "doc_id", "lang", budgets)
     }),
 
+    // Streaming multilingual admission (twin of pipeline_multilingual's
+    // budget stage): the share model freezes batch-side into per-
+    // language budgets (languages-count-sized driver map — the same
+    // train/apply split as the LM stream), then arrivals admit PER
+    // LANGUAGE in event-time order while each language's running total
+    // stays within its budget — keyed state shards by language, only
+    // metadata flows through it. Arrival order replaces quality order
+    // (admission control cannot know a corpus-wide score), so the
+    // oracle is the per-language id-ordered prefix sum under the same
+    // share-derived budgets.
+    "pipeline_multilingual_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val tagged = Tables.read(spark, dir, "documents")
+        .withColumn("lang", TextAnalysis.langId(col("text")))
+      val budgets = graft.functions.Curation
+        .temperatureShares(tagged, "lang")
+        .select(col("source"),
+          floor(col("share") * lit(16000.0)).cast("long").as("budget"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val meta = tagged.select(col("doc_id"), col("lang").as("key"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        timestamp_millis(lit(t0) + col("doc_id") * 1000L).as("ts"))
+      val (delaySec, sentinelTs) = sentinelBounds(
+        spark, meta.select(col("doc_id"), col("ts")))
+      val sentinel = Seq((-1L, "noop", 0L, sentinelTs))
+        .toDF("doc_id", "key", "n_tokens", "ts")
+      val streamed = graft.streaming.EventStream.keyedBudgetAdmitExact(
+        streamWithSentinel(spark, meta, sentinel, delaySec)
+          .as[graft.streaming.EventStream.KBudgetDoc],
+        budgets)
+      graft.streaming.EventStream.runToMemory(
+        streamed.toDF(), "pipeline_multilingual_stream_out",
+        OutputMode.Append())
+      spark.table("pipeline_multilingual_stream_out")
+        .where(col("doc_id") >= 0)
+        .select(col("key").as("lang"), col("doc_id"),
+          col("n_tokens"), col("cum_tokens"))
+    }),
+
     // Incremental zone-map maintenance: each ingest slice's stats shard
     // appends as files; the loaded merge (min/min, max/max, summed
     // counts) equals the from-scratch build — layout_stats_index's
@@ -7056,6 +7097,49 @@ object PipelineQueries {
         |FROM n WHERE nrep >= 1""".stripMargin,
     // budget replay: mirrored quality + token count, one flat ordered
     // cumsum (the oracle may funnel; the engine must not)
+    // streaming-admission replay: same langid + share-derived budgets,
+    // per-language ID-ordered prefix sums (event order is id order by
+    // construction; arrival replaces quality as the admission order)
+    "pipeline_multilingual_stream" -> s"""
+        |WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> list_contains(${markerList("en")}, x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(${markerList("fr")}, x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(${markerList("es")}, x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(${markerList("de")}, x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(${markerList("zh")}, x))) AS s_zh
+        |  FROM t),
+        |lg AS (SELECT doc_id, CASE
+        |  WHEN greatest(s_en, s_fr, s_es, s_de, s_zh) = 0 THEN 'und'
+        |  WHEN s_en = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'en'
+        |  WHEN s_fr = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'fr'
+        |  WHEN s_es = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'es'
+        |  WHEN s_de = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'de'
+        |  WHEN s_zh = greatest(s_en, s_fr, s_es, s_de, s_zh) THEN 'zh'
+        |  ELSE 'und' END AS lang
+        |  FROM sc),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM lg GROUP BY 1),
+        |pp AS (SELECT list(struct_pack(lang := lang, n := n)
+        |    ORDER BY lang, n) AS arr FROM c),
+        |dd AS (SELECT arr, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(arr, x -> sqrt(CAST(x.n AS DOUBLE)))),
+        |    (a, b) -> a + b) AS denom FROM pp),
+        |bb AS (SELECT x.lang AS lang,
+        |    CAST(floor(sqrt(CAST(x.n AS DOUBLE)) / denom * 16000.0)
+        |      AS BIGINT) AS budget
+        |  FROM (SELECT unnest(arr) AS x, denom FROM dd)),
+        |o AS (SELECT lg.lang, t.doc_id, CAST(t.ntok AS BIGINT) AS n_tokens,
+        |  CAST(sum(t.ntok) OVER (PARTITION BY lg.lang ORDER BY t.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        |  FROM t JOIN lg USING (doc_id))
+        |SELECT lang, doc_id, n_tokens, cum_tokens
+        |FROM o JOIN bb USING (lang) WHERE cum_tokens <= budget""".stripMargin,
     // multilingual-mix replay: langid markers → per-lang sqrt-share
     // fold (sorted list, one float sum) → floored budgets → per-lang
     // quality-ordered prefix sums, admission while cum ≤ budget

@@ -979,6 +979,50 @@ object EventStream {
       }
   }
 
+  final case class KBudgetDoc(doc_id: Long, key: String, n_tokens: Long,
+                              ts: java.sql.Timestamp)
+  final case class KBudgetOut(key: String, doc_id: Long, n_tokens: Long,
+                              cum_tokens: Long)
+
+  /** Keyed token-budget admission — [[tokenBudgetAdmitExact]] with ONE
+    * budget per key (language, source, tenant): each key admits docs in
+    * event-time (ts, id) order while ITS inclusive running total stays
+    * within `budgets(key)` (absent keys get budget 0 — a closed gate).
+    * This is the scale story the global operator states made concrete:
+    * state shards by key, admission runs data-parallel, and only the
+    * metadata stream enters the stateful operator. Watermark-buffered
+    * exact, Append emission.
+    */
+  def keyedBudgetAdmitExact(docs: Dataset[KBudgetDoc],
+                            budgets: Map[String, Long])
+      : Dataset[KBudgetOut] = {
+    import docs.sparkSession.implicits._
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    docs.groupByKey(_.key)
+      .flatMapGroupsWithState[BudgetAdmitState, KBudgetOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, it: Iterator[KBudgetDoc],
+         state: GroupState[BudgetAdmitState]) =>
+          val budget = budgets.getOrElse(key, 0L)
+          val prev = state.getOption
+            .getOrElse(BudgetAdmitState(0L, Vector.empty))
+          val buf = prev.buf ++
+            it.map(d => (d.ts.getTime, d.doc_id, d.n_tokens))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = buf.partition(_._1 <= wm)
+          var cum = prev.cum
+          val out = scala.collection.mutable.ArrayBuffer.empty[KBudgetOut]
+          ready.sortBy(x => (x._1, x._2)).foreach { case (_, id, n) =>
+            cum += n
+            if (cum <= budget) out += KBudgetOut(key, id, n, cum)
+          }
+          state.update(BudgetAdmitState(cum, hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(math.max(hold.map(_._1).min, wm + 1))
+          out.iterator
+      }
+  }
+
   final case class QuotaDoc(doc_id: Long, source: String,
                             ts: java.sql.Timestamp)
   final case class QuotaState(admitted: Long, buf: Vector[(Long, Long)])
