@@ -2656,6 +2656,48 @@ object PipelineQueries {
         docs.where(col("doc_id") % 97 =!= 0), "text", "doc_id", qt, k = 10)
     }),
 
+    // Ranker agreement eval: BM25 vs BM25F on the shared query suite —
+    // per query, top-10 overlap plus where each ranker's #1 lands in
+    // the other's list (0 = absent). The tuning-loop measurement that
+    // decides whether fielding changes anything before shipping it.
+    "search_ranker_eval" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      val qt = docs.where(col("doc_id") % 97 === 0 &&
+          col("doc_id") < 5000 && length(trim(col("text"))) > 0)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(
+            split(Dedup.normalizeText(col("text")), " "), 1, 5)))
+            .as("term"))
+      val a = graft.functions.Retrieval.bm25TopK(
+          corpus, "text", "doc_id", qt, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
+      val b = graft.functions.Retrieval.bm25fTopK(
+          corpus, "text", "doc_id", qt, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_b"))
+      val base = a.select("query_id").unionByName(b.select("query_id"))
+        .distinct()
+      val ov = a.join(b, Seq("query_id", "doc_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      val a1 = a.where(col("rank_a") === 1)
+        .join(b, Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("rank_b"), lit(0)).as("bm25_top1_rank_in_f"))
+      val b1 = b.where(col("rank_b") === 1)
+        .join(a, Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("rank_a"), lit(0)).as("f_top1_rank_in_bm25"))
+      base.join(ov, Seq("query_id"), "left")
+        .join(a1, Seq("query_id"), "left")
+        .join(b1, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          coalesce(col("bm25_top1_rank_in_f"), lit(0))
+            .as("bm25_top1_rank_in_f"),
+          coalesce(col("f_top1_rank_in_bm25"), lit(0))
+            .as("f_top1_rank_in_bm25"))
+    }),
+
     // Proximity search ("x NEAR/4 y"): each benchmark doc's tokens 1
     // and 3 (when distinct) form its pair; qualifying position pairs
     // counted per (query, doc) with the minimum distance.
@@ -5336,6 +5378,88 @@ object PipelineQueries {
     * vectors) as derived tables, fused by the identical integer RRF
     * (1e9 truncating-div, k = 60, absent list contributes 0).
     */
+  private lazy val bm25fOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |fl AS (SELECT doc_id, least(len(toks), 8) AS dl_t,
+        |    greatest(len(toks) - 8, 0) AS dl_b, toks
+        |  FROM t WHERE doc_id % 97 <> 0),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl_t) AS BIGINT) AS sum_t,
+        |    CAST(sum(dl_b) AS BIGINT) AS sum_b FROM fl),
+        |p AS (SELECT doc_id, dl_t, dl_b,
+        |    unnest(range(1, len(toks) + 1)) AS pos, toks FROM fl),
+        |pf AS (SELECT doc_id, dl_t, dl_b, toks[pos] AS term,
+        |    CASE WHEN pos <= 8 THEN 't' ELSE 'b' END AS field FROM p),
+        |g AS (SELECT term, doc_id, field, CAST(count(*) AS BIGINT) AS tf,
+        |    min(dl_t) AS dl_t, min(dl_b) AS dl_b
+        |  FROM pf GROUP BY 1, 2, 3),
+        |q AS (SELECT doc_id AS query_id,
+        |    unnest(list_distinct(toks[1:5])) AS term
+        |  FROM t WHERE doc_id % 97 = 0 AND doc_id < 5000),
+        |mg AS (SELECT * FROM g
+        |  WHERE term IN (SELECT DISTINCT term FROM q)),
+        |tn AS (SELECT term, doc_id, field, st.n,
+        |    CASE WHEN field = 't'
+        |      THEN CAST(tf AS DOUBLE) / (1.0 + 0.75 *
+        |        (CAST(dl_t AS DOUBLE) /
+        |         (CAST(st.sum_t AS DOUBLE) / CAST(st.n AS DOUBLE)) - 1.0))
+        |      ELSE CAST(tf AS DOUBLE) / (1.0 + 0.75 *
+        |        (CAST(dl_b AS DOUBLE) /
+        |         (CAST(st.sum_b AS DOUBLE) / CAST(st.n AS DOUBLE)) - 1.0))
+        |      END AS tfn
+        |  FROM mg CROSS JOIN st),
+        |cb AS (SELECT term, doc_id, min(n) AS n,
+        |    coalesce(sum(CASE WHEN field = 't' THEN tfn END), 0.0) AS ct,
+        |    coalesce(sum(CASE WHEN field = 'b' THEN tfn END), 0.0) AS cbv
+        |  FROM tn GROUP BY 1, 2),
+        |cc AS (SELECT term, doc_id, n,
+        |    CAST(2.0 AS DOUBLE) * ct + CAST(1.0 AS DOUBLE) * cbv AS c0
+        |  FROM cb),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM cc GROUP BY 1),
+        |co AS (SELECT q.query_id, cc.doc_id, q.term,
+        |    sqrt((CAST(cc.n - dfq.df AS DOUBLE) + 0.5) /
+        |         (CAST(dfq.df AS DOUBLE) + 0.5)) *
+        |      (cc.c0 / (CAST(1.2 AS DOUBLE) + cc.c0)) AS contrib
+        |  FROM cc JOIN dfq USING (term) JOIN q USING (term)),
+        |agg AS (SELECT query_id, doc_id,
+        |    list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
+        |      AS score
+        |  FROM co GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM agg)
+        |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+        |FROM r WHERE rank <= 10""".stripMargin
+
+  private lazy val rankerEvalOracle: String =
+    s"""WITH a AS MATERIALIZED (SELECT query_id, doc_id, rank
+      |  FROM ($bm25Oracle)),
+      |b AS MATERIALIZED (SELECT query_id, doc_id, rank
+      |  FROM ($bm25fOracle)),
+      |base AS (SELECT DISTINCT query_id FROM (
+      |  SELECT query_id FROM a UNION ALL SELECT query_id FROM b)),
+      |ov AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap
+      |  FROM a JOIN b USING (query_id, doc_id) GROUP BY 1),
+      |a1 AS (SELECT a.query_id,
+      |    CAST(coalesce(b.rank, 0) AS INT) AS bm25_top1_rank_in_f
+      |  FROM a LEFT JOIN b USING (query_id, doc_id) WHERE a.rank = 1),
+      |b1 AS (SELECT b.query_id,
+      |    CAST(coalesce(a.rank, 0) AS INT) AS f_top1_rank_in_bm25
+      |  FROM b LEFT JOIN a USING (query_id, doc_id) WHERE b.rank = 1)
+      |SELECT base.query_id,
+      |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CAST(coalesce(a1.bm25_top1_rank_in_f, 0) AS INT)
+      |    AS bm25_top1_rank_in_f,
+      |  CAST(coalesce(b1.f_top1_rank_in_bm25, 0) AS INT)
+      |    AS f_top1_rank_in_bm25
+      |FROM base LEFT JOIN ov USING (query_id)
+      |LEFT JOIN a1 USING (query_id)
+      |LEFT JOIN b1 USING (query_id)""".stripMargin
+
   private lazy val hybridRrfOracle: String =
     s"""WITH lex AS (SELECT query_id, doc_id, rank
       |  FROM (${bm25OracleBound(1000)})),
@@ -6783,62 +6907,10 @@ object PipelineQueries {
     "search_bm25" -> bm25Oracle,
     // fielded replay: per-field tf normalization, ×2 title combine, one
     // saturation, any-field df, the same term-ordered IEEE fold
-    "search_bm25f" ->
-      """WITH t AS (SELECT doc_id, string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |fl AS (SELECT doc_id, least(len(toks), 8) AS dl_t,
-        |    greatest(len(toks) - 8, 0) AS dl_b, toks
-        |  FROM t WHERE doc_id % 97 <> 0),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(dl_t) AS BIGINT) AS sum_t,
-        |    CAST(sum(dl_b) AS BIGINT) AS sum_b FROM fl),
-        |p AS (SELECT doc_id, dl_t, dl_b,
-        |    unnest(range(1, len(toks) + 1)) AS pos, toks FROM fl),
-        |pf AS (SELECT doc_id, dl_t, dl_b, toks[pos] AS term,
-        |    CASE WHEN pos <= 8 THEN 't' ELSE 'b' END AS field FROM p),
-        |g AS (SELECT term, doc_id, field, CAST(count(*) AS BIGINT) AS tf,
-        |    min(dl_t) AS dl_t, min(dl_b) AS dl_b
-        |  FROM pf GROUP BY 1, 2, 3),
-        |q AS (SELECT doc_id AS query_id,
-        |    unnest(list_distinct(toks[1:5])) AS term
-        |  FROM t WHERE doc_id % 97 = 0 AND doc_id < 5000),
-        |mg AS (SELECT * FROM g
-        |  WHERE term IN (SELECT DISTINCT term FROM q)),
-        |tn AS (SELECT term, doc_id, field, st.n,
-        |    CASE WHEN field = 't'
-        |      THEN CAST(tf AS DOUBLE) / (1.0 + 0.75 *
-        |        (CAST(dl_t AS DOUBLE) /
-        |         (CAST(st.sum_t AS DOUBLE) / CAST(st.n AS DOUBLE)) - 1.0))
-        |      ELSE CAST(tf AS DOUBLE) / (1.0 + 0.75 *
-        |        (CAST(dl_b AS DOUBLE) /
-        |         (CAST(st.sum_b AS DOUBLE) / CAST(st.n AS DOUBLE)) - 1.0))
-        |      END AS tfn
-        |  FROM mg CROSS JOIN st),
-        |cb AS (SELECT term, doc_id, min(n) AS n,
-        |    coalesce(sum(CASE WHEN field = 't' THEN tfn END), 0.0) AS ct,
-        |    coalesce(sum(CASE WHEN field = 'b' THEN tfn END), 0.0) AS cbv
-        |  FROM tn GROUP BY 1, 2),
-        |cc AS (SELECT term, doc_id, n,
-        |    CAST(2.0 AS DOUBLE) * ct + CAST(1.0 AS DOUBLE) * cbv AS c0
-        |  FROM cb),
-        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-        |  FROM cc GROUP BY 1),
-        |co AS (SELECT q.query_id, cc.doc_id, q.term,
-        |    sqrt((CAST(cc.n - dfq.df AS DOUBLE) + 0.5) /
-        |         (CAST(dfq.df AS DOUBLE) + 0.5)) *
-        |      (cc.c0 / (CAST(1.2 AS DOUBLE) + cc.c0)) AS contrib
-        |  FROM cc JOIN dfq USING (term) JOIN q USING (term)),
-        |agg AS (SELECT query_id, doc_id,
-        |    list_reduce(list(contrib ORDER BY term), (a, b) -> a + b)
-        |      AS score
-        |  FROM co GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score DESC, doc_id) AS rank
-        |  FROM agg)
-        |SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
-        |FROM r WHERE rank <= 10""".stripMargin,
+    "search_bm25f" -> bm25fOracle,
+    // agreement replay: both full ranker replays nested MATERIALIZED
+    // (each referenced 3x), overlap + cross-rank lookups with 0-absent
+    "search_ranker_eval" -> rankerEvalOracle,
     // the ingest entry's two appended batches union to the identical
     // corpus, and search-time stats make append ≡ rebuild — same replay
     "search_ingest" -> bm25Oracle,
