@@ -185,7 +185,8 @@ object Bench {
     // zone-map shard merge, calibrated join estimate, z-order depth
     "pipeline_rag_indexed", "pipeline_multilingual",
     "layout_stats_incremental", "profile_join_estimate_wide",
-    "layout_clustering_zorder", "events_hll_precise", "graph_sssp", "search_bm25f", "layout_stats_stream", "multimodal_frame_neardup")
+    "layout_clustering_zorder", "events_hll_precise", "graph_sssp", "search_bm25f", "layout_stats_stream", "multimodal_frame_neardup",
+    "pipeline_multilingual_stream", "search_ranker_eval")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough
