@@ -186,7 +186,10 @@ object Bench {
     "pipeline_rag_indexed", "pipeline_multilingual",
     "layout_stats_incremental", "profile_join_estimate_wide",
     "layout_clustering_zorder", "events_hll_precise", "graph_sssp", "search_bm25f", "layout_stats_stream", "multimodal_frame_neardup",
-    "pipeline_multilingual_stream", "search_ranker_eval")
+    "pipeline_multilingual_stream", "search_ranker_eval",
+    // r9-advice gap: the fourth streaming twin was gate-verified but
+    // never benchmarked
+    "layout_bloom_stream")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough
@@ -201,6 +204,9 @@ object Bench {
   private val ChunkSize = 40
 
   def main(args: Array[String]): Unit = {
+    // serialize with any other heavyweight graft JVM — the artifact
+    // number must be the isolated number (VERDICT r9 item 6)
+    graft.tools.RunLock.acquire("bench")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
@@ -420,6 +426,8 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_SKIP_10X", "1")
     pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
     if (!shard) pb.environment().put("SPARK_GRAFT_NO_SHARD", "1")
+    // parent already holds the run lock — child must not self-deadlock
+    pb.environment().put("GRAFT_LOCK_HELD", "1")
     pb.environment().put("SPARK_GRAFT_RESULT_FILE", resultFile)
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)

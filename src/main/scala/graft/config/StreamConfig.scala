@@ -43,6 +43,12 @@ object ReplicationMethod {
   *            reference's only mode, client.py:300-304), `"auto"` native
   *            with automatic pushdown fallback for SQL Spark can't
   *            parse/resolve
+  * @param jsonColumns EXPLICIT opt-in list (config key `json_columns`) of
+  *            result columns carrying PG json/jsonb text that the
+  *            FLATTENING hop should parse into structs before expansion.
+  *            When empty on a jdbc-executed stream, the remote's declared
+  *            json/jsonb type metadata fills it; a plain string column is
+  *            NEVER restructured by content sniffing (r9 ADVICE)
   */
 final case class StreamConfig(
     name: String,
@@ -55,7 +61,8 @@ final case class StreamConfig(
     database: String = "postgres",
     schema: String = "public",
     isSorted: Boolean = false,
-    execution: String = StreamConfig.DefaultExecution) {
+    execution: String = StreamConfig.DefaultExecution,
+    jsonColumns: Seq[String] = Nil) {
 
   def replicationMethod: ReplicationMethod =
     if (replicationKey.isDefined) ReplicationMethod.Incremental
@@ -261,7 +268,9 @@ object ConfigParser {
       batchSize = int(n, "batch_size").getOrElse(defaultBatch),
       database = database,
       isSorted = opt(n, "is_sorted").exists(_.asBoolean(false)),
-      execution = str(n, "execution").getOrElse(defaultExecution))
+      execution = str(n, "execution").getOrElse(defaultExecution),
+      jsonColumns = opt(n, "json_columns").toSeq
+        .flatMap(_.elements.asScala).map(_.asText))
 
   private def parseBatchConfig(n: JsonNode): BatchConfig =
     BatchConfig(

@@ -124,24 +124,42 @@ object Sketches {
   val CmDepth = 4
   val CmWidth = 256
 
-  /** Column index of `term` under hash row `j` (salted md5 prefix —
-    * the same portable trick as the hashing-trick featurizer).
+  /** md5 digest of a term, shared by all `CmDepth` hash rows: md5 is
+    * 128 bits = 32 hex chars and depth is 4, so each row slices its own
+    * disjoint 8-hex-char (32-bit) lane from ONE digest — a quarter of
+    * the per-row hash cost of the former salted-per-row md5, with
+    * identical portability (DuckDB replays `substring(md5(v), 1+8j, 8)`
+    * the same way).
     */
+  private[graft] def cmHash(term: Column): Column =
+    md5(term.cast("string").cast("binary"))
+
+  /** Column index under hash row `j` of a precomputed [[cmHash]]:
+    * lane j's 32-bit hex slice mod width (non-negative — conv of 8 hex
+    * chars stays below 2^32).
+    */
+  private[graft] def cmLane(h: Column, j: Int,
+                            width: Int = CmWidth): Column =
+    (conv(substring(h, 1 + 8 * j, 8), 16, 10).cast("long") % width)
+      .cast("int")
+
+  /** Column index of `term` under hash row `j` ([[cmHash]] lane `j`). */
   private[graft] def cmCol(term: Column, j: Int,
                            width: Int = CmWidth): Column =
-    (conv(substring(md5(concat(lit(s"$j:"), term).cast("binary")), 1, 8),
-      16, 10).cast("long") % width).cast("int")
+    cmLane(cmHash(term), j, width)
 
-  /** Build a count-min sketch over one string column: one explode (per
-    * hash row) + ONE partial-aggregated groupBy — the shuffle carries
-    * at most depth × width = 1024 combined rows per map task no matter
-    * the corpus size. Output: (`row`, `col`, `cnt`).
+  /** Build a count-min sketch over one string column: one md5 per item
+    * (lane-sliced across the depth rows), one explode + ONE
+    * partial-aggregated groupBy — the shuffle carries at most
+    * depth × width = 1024 combined rows per map task no matter the
+    * corpus size. Output: (`row`, `col`, `cnt`).
     */
   def countMinBuild(items: DataFrame, termCol: Column,
                     width: Int = CmWidth): DataFrame =
     items
+      .select(cmHash(termCol).as("__h"))
       .select(explode(array((0 until CmDepth).map(j =>
-        struct(lit(j).as("row"), cmCol(termCol, j, width).as("col"))): _*))
+        struct(lit(j).as("row"), cmLane(col("__h"), j, width).as("col"))): _*))
         .as("__cell"))
       .select(col("__cell.row").as("row"), col("__cell.col").as("col"))
       .groupBy("row", "col")
@@ -159,9 +177,12 @@ object Sketches {
     * sketch behind ONE partial-aggregated groupBy; the inner product
     * joins two 1024-row tables. The exact side (emitted for the gate's
     * benefit and for calibration runs) is the frequency-vector join —
-    * distinct keys only, never rows. Long headroom: cell products reach
-    * ~(rows/width)², exact at ~10¹² rows per side; beyond that switch
-    * the sums to DECIMAL(38,0).
+    * distinct keys only, never rows. Both sums accumulate in
+    * DECIMAL(38,0): cell products reach ~(rows/width)², which overflows
+    * Long near 10¹² rows per side, and an overflowed negative estimate
+    * would silently win the min — the decimal path keeps the bound
+    * exact to 10³⁸ and fails loudly (null/ANSI error) past that instead
+    * of emitting nonsense.
     */
   def countMinJoinEstimate(a: DataFrame, aKey: Column,
                            b: DataFrame, bKey: Column,
@@ -173,20 +194,24 @@ object Sketches {
       width)
       .withColumnRenamed("cnt", "cnt_b")
     val perRow = sa.join(sb, Seq("row", "col"))
-      .groupBy("row").agg(sum(col("cnt") * col("cnt_b")).as("est"))
+      .groupBy("row").agg(sum(col("cnt").cast("decimal(19,0)") *
+        col("cnt_b").cast("decimal(19,0)")).as("est"))
     // a hash row with ZERO shared cells proves the join is empty — it
     // must enter the min as 0, not drop out of it (low-overlap inputs
     // would otherwise report the overlapping rows' estimate)
     val allRows = a.sparkSession.range(CmDepth)
       .select(col("id").cast("int").as("row"))
     val est = allRows.join(perRow, Seq("row"), "left")
-      .agg(min(coalesce(col("est"), lit(0L))).as("cm_join_est"))
+      .agg(min(coalesce(col("est"), lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)").as("cm_join_est"))
     val fa = a.select(aKey.as("k")).groupBy("k")
       .agg(count(lit(1)).as("fa"))
     val fb = b.select(bKey.as("k")).groupBy("k")
       .agg(count(lit(1)).as("fb"))
     val exact = fa.join(fb, "k")
-      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
+      .agg(coalesce(sum(col("fa").cast("decimal(19,0)") *
+          col("fb").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").as("exact_join"))
     est.crossJoin(exact)
       .select(lit(label).as("pair"), col("cm_join_est"), col("exact_join"))
   }
@@ -200,8 +225,9 @@ object Sketches {
                     termCol: String): DataFrame = {
     val probes = queryTerms
       .select(col(termCol).as("term"))
+      .select(col("term"), cmHash(col("term")).as("__h"))
       .select(col("term"), explode(array((0 until CmDepth).map(j =>
-        struct(lit(j).as("row"), cmCol(col("term"), j).as("col"))): _*))
+        struct(lit(j).as("row"), cmLane(col("__h"), j).as("col"))): _*))
         .as("__cell"))
       .select(col("term"), col("__cell.row").as("row"),
         col("__cell.col").as("col"))

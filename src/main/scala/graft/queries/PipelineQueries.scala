@@ -2106,8 +2106,9 @@ object PipelineQueries {
     }),
 
     // Count-min frequency sketch over the corpus token stream: 4×256
-    // salted-md5 counter cells (the shuffle carries at most 1024
-    // combined rows per map task regardless of corpus size), probed
+    // counter cells from ONE md5 per term lane-sliced across the 4
+    // hash rows (the shuffle carries at most 1024 combined rows per
+    // map task regardless of corpus size), probed
     // for the exact top-20 terms — estimate is provably >= truth, and
     // the overcount column exposes the collision error directly.
     "text_countmin" -> ((spark, dir) => {
@@ -8565,38 +8566,43 @@ object PipelineQueries {
         |FROM lineitem GROUP BY 1""".stripMargin
 
   /** AGMS join-estimate replay at a given sketch width, shared by the
-    * demo-width (256) and calibrated (4096) entries: same salted-md5
-    * cells per side, per-row inner products left-joined against the
-    * full row set (zero-overlap rows count as 0), min over rows; exact
-    * side via frequency vectors.
+    * demo-width (256) and calibrated (4096) entries: ONE md5 per key,
+    * lane-sliced per hash row (`substring(md5(v), 1+8j, 8)` — the r9
+    * verdict's 4× constant cut), per-row inner products left-joined
+    * against the full row set (zero-overlap rows count as 0), min over
+    * rows; exact side via frequency vectors. Both sums accumulate in
+    * DECIMAL(38,0) (Long-overflow guard, mirrored in
+    * `Sketches.countMinJoinEstimate`).
     */
   private def joinEstimateOracle(width: Int): String = {
     def one(aTbl: String, aCol: String, bTbl: String, bCol: String,
             label: String): String =
       s"""SELECT '$label' AS pair, est.cm_join_est, ex.exact_join
          |FROM (
-         |  SELECT CAST(min(coalesce(p.est, 0)) AS BIGINT) AS cm_join_est
+         |  SELECT CAST(min(coalesce(p.est, 0)) AS DECIMAL(38,0))
+         |    AS cm_join_est
          |  FROM (SELECT unnest([0,1,2,3]) AS j) js
          |  LEFT JOIN (
-         |    SELECT sa.j, sum(sa.cnt * sb.cnt) AS est
+         |    SELECT sa.j, sum(CAST(sa.cnt AS DECIMAL(19,0)) *
+         |      CAST(sb.cnt AS DECIMAL(19,0))) AS est
          |    FROM (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt FROM (
          |        SELECT j, CAST(('0x' || substring(md5(
-         |            CAST(j AS VARCHAR) || ':' ||
-         |            CAST($aCol AS VARCHAR)), 1, 8))::BIGINT % $width
+         |            CAST($aCol AS VARCHAR)), 1 + 8 * j, 8))::BIGINT % $width
          |          AS INTEGER) AS c
          |        FROM $aTbl CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
          |      GROUP BY 1, 2) sa
          |    JOIN (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt FROM (
          |        SELECT j, CAST(('0x' || substring(md5(
-         |            CAST(j AS VARCHAR) || ':' ||
-         |            CAST($bCol AS VARCHAR)), 1, 8))::BIGINT % $width
+         |            CAST($bCol AS VARCHAR)), 1 + 8 * j, 8))::BIGINT % $width
          |          AS INTEGER) AS c
          |        FROM $bTbl CROSS JOIN (SELECT unnest([0,1,2,3]) AS j))
          |      GROUP BY 1, 2) sb
          |      ON sa.j = sb.j AND sa.c = sb.c
          |    GROUP BY sa.j) p ON js.j = p.j) est
          |CROSS JOIN (
-         |  SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS exact_join
+         |  SELECT CAST(coalesce(sum(CAST(fa AS DECIMAL(19,0)) *
+         |      CAST(fb AS DECIMAL(19,0))), 0) AS DECIMAL(38,0))
+         |    AS exact_join
          |  FROM (SELECT $aCol AS k, CAST(count(*) AS BIGINT) AS fa
          |        FROM $aTbl GROUP BY 1) a
          |  JOIN (SELECT $bCol AS k, CAST(count(*) AS BIGINT) AS fb
@@ -9758,8 +9764,9 @@ object PipelineQueries {
         |  CAST(sum(cents) AS BIGINT) AS attributed_cents,
         |  CAST(count(*) AS BIGINT) AS n_purchases
         |FROM a GROUP BY 1, 2""".stripMargin,
-    // count-min replay: same salted md5-prefix cells, same top-20 term
-    // suite (count desc, term tie-break), min over the 4 rows
+    // count-min replay: ONE md5 per term lane-sliced per hash row
+    // (substring(md5(term), 1+8j, 8)), same top-20 term suite (count
+    // desc, term tie-break), min over the 4 rows
     "text_countmin" ->
       """WITH t AS (SELECT unnest(regexp_split_to_array(
         |      trim(lower(text)), '\s+')) AS term
@@ -9773,14 +9780,14 @@ object PipelineQueries {
         |    FROM ex) WHERE rn <= 20),
         |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
         |cells AS (SELECT j,
-        |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term),
-        |      1, 8))::BIGINT % 256 AS INTEGER) AS c
+        |    CAST(('0x' || substring(md5(term),
+        |      1 + 8 * j, 8))::BIGINT % 256 AS INTEGER) AS c
         |  FROM f CROSS JOIN js),
         |sk AS (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt
         |  FROM cells GROUP BY 1, 2),
         |probe AS (SELECT term, exact_cnt, j,
-        |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || term),
-        |      1, 8))::BIGINT % 256 AS INTEGER) AS c
+        |    CAST(('0x' || substring(md5(term),
+        |      1 + 8 * j, 8))::BIGINT % 256 AS INTEGER) AS c
         |  FROM top CROSS JOIN js),
         |est AS (SELECT term, min(exact_cnt) AS exact_cnt,
         |    CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cm_est

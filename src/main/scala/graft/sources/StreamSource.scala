@@ -53,13 +53,57 @@ object StreamSource {
         case Some(v) => spark.conf.set(escKey, v)
         case None => spark.conf.unset(escKey)
       } }
-    // flattening enabled ⇒ JSON-string values (PG json/jsonb through
-    // JDBC/SQL) first parse through the bounded schema-inference hop,
-    // then expand like any struct
+    // flattening enabled + declared json_columns ⇒ those string values
+    // (PG json/jsonb through SQL) first parse through the bounded
+    // schema-inference hop, then expand like any struct; undeclared
+    // strings are never restructured (r9 ADVICE)
     val flat = flattenDepth
       .map(d => graft.operators.Flattener.flatten(
-        graft.operators.Flattener.parseJsonStrings(df), d)).getOrElse(df)
+        parseDeclaredJson(df, stream, stream.jsonColumns), d)).getOrElse(df)
     Conformance.conform(flat, stream.columns, stream.name)
+  }
+
+  /** The JSON hop over an EXPLICIT column list, sampled in replication/
+    * primary-key order so the inferred schema is stable across syncs.
+    */
+  private def parseDeclaredJson(df: DataFrame, stream: StreamConfig,
+                                jsonCols: Seq[String]): DataFrame =
+    if (jsonCols.isEmpty) df
+    else graft.operators.Flattener.parseJsonStrings(df, jsonCols,
+      orderBy = (stream.replicationKey.toSeq ++ stream.keyProperties).distinct)
+
+  /** Watermark-bound stream SQL — the exact text the remote executes. */
+  private def boundSql(stream: StreamConfig, state: TapState): String = {
+    val start = Bookmarks.resolveStart(stream, state)
+    val repKeyType = stream.replicationKey.map(k =>
+      TypeMapper.toDataType(stream.column(k).typeName))
+      .getOrElse(org.apache.spark.sql.types.StringType)
+    SqlDialect.bindRepKeyVal(stream.sql, start, repKeyType)
+  }
+
+  /** Columns whose DECLARED remote type is json/jsonb, via one
+    * driver-side prepared-statement metadata roundtrip (no rows fetched)
+    * — the type-metadata path of the FLATTENING JSON hop (r9 ADVICE:
+    * decide by the declared column type, never by content sniffing).
+    * Nil when the driver exposes no metadata for the query.
+    */
+  def jsonTypedColumns(tap: TapConfig, sql: String): Seq[String] = {
+    Class.forName(tap.resolvedJdbcDriver)
+    val props = new java.util.Properties()
+    if (tap.user.nonEmpty) props.setProperty("user", tap.user)
+    if (tap.password.nonEmpty) props.setProperty("password", tap.password)
+    val conn = java.sql.DriverManager
+      .getConnection(tap.resolvedJdbcUrl, props)
+    try {
+      val md = conn.prepareStatement(sql).getMetaData
+      if (md == null) Nil
+      else (1 to md.getColumnCount).toSeq.flatMap { i =>
+        Option(md.getColumnTypeName(i)).map(_.toLowerCase) match {
+          case Some("json") | Some("jsonb") => Some(md.getColumnLabel(i))
+          case _ => None
+        }
+      }
+    } finally conn.close()
   }
 
   /** JDBC pushdown options for a stream. `partitionColumn`/bounds enable
@@ -70,13 +114,9 @@ object StreamSource {
                   state: TapState = Bookmarks.empty,
                   numPartitions: Int = 1,
                   bounds: Option[(String, String)] = None): Map[String, String] = {
-    val start = Bookmarks.resolveStart(stream, state)
-    val repKeyType = stream.replicationKey.map(k =>
-      TypeMapper.toDataType(stream.column(k).typeName))
-      .getOrElse(org.apache.spark.sql.types.StringType)
     // No bind params in Spark JDBC either: render the typed literal
     // before pushdown (reference binds server-side at client.py:300-303).
-    val sql = SqlDialect.bindRepKeyVal(stream.sql, start, repKeyType)
+    val sql = boundSql(stream, state)
     val base = Map(
       "url" -> tap.resolvedJdbcUrl,
       "user" -> tap.user,
@@ -104,12 +144,18 @@ object StreamSource {
            flattenDepth: Option[Int] = None): DataFrame = {
     val df = spark.read.format("jdbc")
       .options(jdbcOptions(tap, stream, state, numPartitions, bounds)).load()
-    // flattening enabled ⇒ JSON-string values (PG json/jsonb through
-    // JDBC/SQL) first parse through the bounded schema-inference hop,
-    // then expand like any struct
-    val flat = flattenDepth
-      .map(d => graft.operators.Flattener.flatten(
-        graft.operators.Flattener.parseJsonStrings(df), d)).getOrElse(df)
+    // flattening enabled ⇒ the JSON hop runs over the stream's declared
+    // json_columns, or — when none are declared — over the columns the
+    // REMOTE declares as json/jsonb (metadata roundtrip); plain strings
+    // are never restructured by content sniffing (r9 ADVICE)
+    val flat = flattenDepth.map { d =>
+      val jsonCols =
+        if (stream.jsonColumns.nonEmpty) stream.jsonColumns
+        else scala.util.Try(jsonTypedColumns(tap, boundSql(stream, state)))
+          .getOrElse(Nil)
+      graft.operators.Flattener.flatten(
+        parseDeclaredJson(df, stream, jsonCols), d)
+    }.getOrElse(df)
     Conformance.conform(flat, stream.columns, stream.name)
   }
 
@@ -174,9 +220,7 @@ object StreamSource {
                           numPartitions: Int = 8,
                           flattenDepth: Option[Int] = None): DataFrame = {
     val boundsOpt = stream.replicationKey.flatMap { k =>
-      val start = Bookmarks.resolveStart(stream, state)
-      val repKeyType = TypeMapper.toDataType(stream.column(k).typeName)
-      val sql = SqlDialect.bindRepKeyVal(stream.sql, start, repKeyType)
+      val sql = boundSql(stream, state)
       Class.forName(tap.resolvedJdbcDriver)
       val props = new java.util.Properties()
       if (tap.user.nonEmpty) props.setProperty("user", tap.user)

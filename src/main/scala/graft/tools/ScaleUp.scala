@@ -29,6 +29,8 @@ object ScaleUp {
   val Shift = 100000000L
 
   def main(args: Array[String]): Unit = {
+    // serialize with any other heavyweight graft JVM (VERDICT r9 item 6)
+    RunLock.acquire("scaleup")
     val Array(src, dst, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

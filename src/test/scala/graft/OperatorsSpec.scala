@@ -55,26 +55,72 @@ class OperatorsSpec extends AnyFunSuite {
       Seq("id", "c__a", "c__b"))
   }
 
-  test("parseJsonStrings: object columns parse+flatten, others untouched") {
+  test("parseJsonStrings: declared columns parse+flatten, others untouched") {
     val df = Seq(
-      (1L, """{"a": 1, "b": {"c": "x"}}""", "plain", null.asInstanceOf[String]),
-      (2L, """{"a": 2, "b": {"c": "y"}}""", """{"not": "all rows"}""", null)
+      (1L, """{"a": 1, "b": {"c": "x"}}""", """{"looks": "like json"}""",
+        null.asInstanceOf[String]),
+      (2L, """{"a": 2, "b": {"c": "y"}}""", """{"but": "undeclared"}""", null)
     ).toDF("id", "props", "note", "empty")
-    val out = Flattener.flatten(Flattener.parseJsonStrings(df))
-    // props (all-object) expands; note has a non-object value in row 1 so
-    // it MUST stay a string; an all-null column stays as-is
+    val out = Flattener.flatten(
+      Flattener.parseJsonStrings(df, Seq("props"), orderBy = Seq("id")))
+    // ONLY the declared column expands (+ its raw fallback); `note` is
+    // object-shaped but undeclared, so it MUST stay a plain string —
+    // the r9-ADVICE no-content-sniffing contract
     assert(out.columns.toSeq ===
-      Seq("id", "props__a", "props__b__c", "note", "empty"))
+      Seq("id", "props__a", "props__b__c", "props__raw", "note", "empty"))
     val rows = out.orderBy("id").collect()
     assert(rows(0).getLong(1) === 1L && rows(0).getString(2) === "x")
     assert(rows(1).getLong(1) === 2L && rows(1).getString(2) === "y")
-    assert(rows(0).getString(3) === "plain")
+    assert(rows(0).isNullAt(3) && rows(1).isNullAt(3)) // all parsed → no raw
+    assert(rows(0).getString(4).contains("looks"))
+  }
+
+  test("parseJsonStrings: non-object rows fall back to __raw, never NULL") {
+    // PG json mixes objects/arrays/scalars in one column (r9 ADVICE high):
+    // the inferred schema comes from object rows; everything else keeps
+    // its ORIGINAL text in the raw sibling
+    val df = Seq(
+      (1L, """{"a": 1}"""),
+      (2L, """[1,2,3]"""),
+      (3L, "plain"),
+      (4L, """{"a": 4, "later": true}"""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "props")
+    val out = Flattener.flatten(
+      Flattener.parseJsonStrings(df, Seq("props"), orderBy = Seq("id")))
+    assert(out.columns.toSeq === Seq("id", "props__a", "props__later", "props__raw"))
+    val r = out.orderBy("id").collect()
+    assert(r(0).getLong(1) === 1L && r(0).isNullAt(3))
+    assert(r(1).isNullAt(1) && r(1).getString(3) === "[1,2,3]")
+    assert(r(2).isNullAt(1) && r(2).getString(3) === "plain")
+    assert(r(3).getLong(1) === 4L && r(3).getBoolean(2) && r(3).isNullAt(3))
+    assert(r(4).isNullAt(1) && r(4).isNullAt(3)) // null input → null raw
+    // a declared column with NO object-shaped sample stays untouched
+    val flat = Seq((1L, "x"), (2L, "y")).toDF("id", "props")
+    assert(Flattener.parseJsonStrings(flat, Seq("props"))
+      .schema("props").dataType === org.apache.spark.sql.types.StringType)
     // malformed JSON in an otherwise-object column: schema inference
     // flags _corrupt_record → the column is left untouched
     val bad = Seq((1L, """{"a": 1}"""), (2L, """{"a": """))
       .toDF("id", "props")
-    assert(Flattener.parseJsonStrings(bad).schema("props").dataType ===
-      org.apache.spark.sql.types.StringType)
+    assert(Flattener.parseJsonStrings(bad, Seq("props"))
+      .schema("props").dataType === org.apache.spark.sql.types.StringType)
+  }
+
+  test("detectJsonObjectColumns reports candidates; sample is key-ordered") {
+    val df = Seq(
+      (2L, """{"a": 2}""", "plain"),
+      (1L, """{"a": 1}""", """{"o": 1}""")
+    ).toDF("id", "props", "note")
+    // props is all-object → candidate; note has a non-object value → not
+    assert(Flattener.detectJsonObjectColumns(df, orderBy = Seq("id")) ===
+      Seq("props"))
+    // determinism (r9 ADVICE medium): with sampleRows=1 the ordered
+    // sample must pick id=1 regardless of input row order, so `note`
+    // (object-shaped at id=1 only) IS detected — plan-independent
+    assert(Flattener.detectJsonObjectColumns(
+      df.repartition(4), sampleRows = 1, orderBy = Seq("id")) ===
+      Seq("props", "note"))
   }
 
   test("stream maps: filter sees pre-drop columns; compute/alias/drop apply") {

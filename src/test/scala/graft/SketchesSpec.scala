@@ -85,7 +85,11 @@ class SketchesSpec extends AnyFunSuite {
     // fa = {a:2, b:1, c:3}, fb = {a:1, c:2, d:5} → exact = 2·1 + 3·2 = 8
     val a = Seq("a", "a", "b", "c", "c", "c").toDF("k")
     val b = Seq("a", "c", "c", "d", "d", "d", "d", "d").toDF("k")
+    // sums accumulate in DECIMAL(38,0) (overflow guard) — cast back
+    // for the assertion arithmetic
     val row = Sketches.countMinJoinEstimate(a, col("k"), b, col("k"), "ab")
+      .select(col("pair"), col("cm_join_est").cast("long"),
+        col("exact_join").cast("long"))
       .as[(String, Long, Long)].head()
     assert(row._1 === "ab")
     assert(row._3 === 8L)
@@ -93,6 +97,8 @@ class SketchesSpec extends AnyFunSuite {
     // disjoint key sets: exact 0, estimate still a valid (>=0) bound
     val d = Sketches.countMinJoinEstimate(
       Seq("x").toDF("k"), col("k"), Seq("y").toDF("k"), col("k"), "xy")
+      .select(col("pair"), col("cm_join_est").cast("long"),
+        col("exact_join").cast("long"))
       .as[(String, Long, Long)].head()
     assert(d._3 === 0L && d._2 >= 0L)
   }
