@@ -189,7 +189,12 @@ object Bench {
     "pipeline_multilingual_stream", "search_ranker_eval",
     // r9-advice gap: the fourth streaming twin was gate-verified but
     // never benchmarked
-    "layout_bloom_stream")
+    "layout_bloom_stream",
+    // round-10: unigram-LM tokenizer family (vocab, Viterbi encode,
+    // hard-EM recount), the full coreness decomposition, and the
+    // streaming index-maintenance RAG twin
+    "text_unigram_vocab", "text_unigram_apply", "text_unigram_em",
+    "graph_coreness", "pipeline_rag_stream")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

@@ -245,7 +245,24 @@ object Tap {
       val keys = s.keyProperties.map(q).mkString("[", ",", "]")
       val repKey = s.replicationKey.map(k => s",${q("replication_key")}:${q(k)}").getOrElse("")
       val method = if (s.replicationKey.isDefined) "INCREMENTAL" else "FULL_TABLE"
-      s"""{"tap_stream_id":${q(s.streamId)},"stream":${q(s.name)},"schema":${TypeMapper.jsonSchema(s)},"key_properties":$keys,"replication_method":${q(method)}$repKey}"""
+      // singer-sdk STANDARD METADATA (the discovery output a user edits
+      // for selection, r9 verdict item 8): one root-breadcrumb entry
+      // carrying selection + table facts, one ["properties", name]
+      // entry per column whose `inclusion` is `automatic` for key /
+      // replication-key properties (they sync regardless of user
+      // deselection) and `available` otherwise — so a catalog produced
+      // by --discover round-trips through deselectedProperties /
+      // applyCatalogSelection with no hand-added metadata.
+      val auto = (s.keyProperties ++ s.replicationKey)
+        .map(_.toLowerCase).toSet
+      val mdRoot =
+        s"""{"breadcrumb":[],"metadata":{"inclusion":"available","selected":true,"table-key-properties":$keys,"replication-method":${q(method)}${s.replicationKey.map(k => s""","replication-key":${q(k)}""").getOrElse("")}}}"""
+      val mdProps = s.columns.map { c =>
+        val inc = if (auto(c.name.toLowerCase)) "automatic" else "available"
+        s"""{"breadcrumb":["properties",${q(c.name)}],"metadata":{"inclusion":${q(inc)}}}"""
+      }
+      val metadata = (mdRoot +: mdProps).mkString("[", ",", "]")
+      s"""{"tap_stream_id":${q(s.streamId)},"stream":${q(s.name)},"schema":${TypeMapper.jsonSchema(s)},"key_properties":$keys,"replication_method":${q(method)}$repKey,"metadata":$metadata}"""
     }
     s"""{"streams":${entries.mkString("[", ",", "]")}}"""
   }
@@ -254,7 +271,7 @@ object Tap {
     * capabilities at tap.py:244-259).
     */
   def aboutJson: String =
-    """{"name":"graft","capabilities":["state","catalog","discover","about","stream-maps","flattening","batch"],"settings":["host","port","user","password","database","streams","batch_config","batch_size","stream_maps","stream_map_config","flattening_enabled","flattening_max_depth","state_message_frequency","execution"]}"""
+    """{"name":"graft","capabilities":["state","catalog","discover","about","stream-maps","flattening","batch"],"settings":["host","port","user","password","database","streams","batch_config","batch_size","stream_maps","stream_map_config","flattening_enabled","flattening_max_depth","json_columns","state_message_frequency","execution"]}"""
 }
 
 /** CLI entry point mirroring the reference's (`tap.py:262-263`):

@@ -1,0 +1,232 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer — the third member of the
+  * tokenizer family next to BPE (word/char) and WordPiece in
+  * [[Curation]]: a piece VOCABULARY with log-probabilities, and encoding
+  * as the Viterbi-best segmentation (the maximum-likelihood split of
+  * each word into vocabulary pieces), per Kudo 2018
+  * (arXiv:1804.10959) / Kudo & Richardson 2018 (SentencePiece,
+  * arXiv:1808.06226).
+  *
+  * Bit-portable cost plane: Viterbi compares SUMS of per-piece log
+  * probabilities, and a double sum is reduce-order-dependent — so the
+  * costs are fixed-point integers, `cost_fp = round(2^20 · log2 p)`,
+  * computed ONCE per vocabulary entry (a metadata-sized table) and
+  * summed exactly. The only floating step is that one per-piece log2,
+  * a deterministic scalar both engines evaluate from identical integer
+  * inputs with the division by ln 2 pinned to the same IEEE literal;
+  * everything downstream (DP sums, argmax, tie-breaks) is exact integer
+  * and string comparison, so the segmentation hash-matches a DuckDB
+  * replay.
+  *
+  * Scale shape: vocabulary induction is one explode of bounded
+  * substrings over the WORD HISTOGRAM (not the corpus) behind one
+  * partial-aggregated groupBy; encoding runs Viterbi once per DISTINCT
+  * word as a chain of [[MaxWordLen]] column projections (no shuffle, no
+  * UDF — whole-stage codegen), then documents re-encode through ONE
+  * word → segmentation join, the same production shape as
+  * `bpeCharApplyVocab`.
+  */
+object Unigram {
+
+  /** Longest candidate piece. Substring candidates per word are
+    * O(len · MaxPieceLen) — bounded work per histogram row.
+    */
+  val MaxPieceLen = 6
+
+  /** Longest segmentable word; the Viterbi plan unrolls this many
+    * projection steps. Words beyond it are rejected loudly (a real
+    * corpus pre-splits rare giant tokens; the fixture maxes at 8).
+    */
+  val MaxWordLen = 16
+
+  /** Fixed-point scale of the log2 cost plane: 2^20. */
+  val CostScale: Long = 1L << 20
+
+  /** ln 2 as the exact IEEE double both engines must divide by —
+    * rendered into the oracle as Scala's shortest-round-trip literal.
+    */
+  val Ln2: Double = 0.6931471805599453
+
+  /** Lowercased whitespace word histogram (`w`, `n`) — the same corpus
+    * normalization as the BPE/WordPiece inducers.
+    */
+  private def wordHist(df: DataFrame, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.where(length(trim(col(textCol))) > 0)
+      .select(explode(split(norm, " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+  }
+
+  /** Induce the unigram vocabulary: every single character (so any word
+    * of the corpus stays segmentable) plus the top-`k` multi-character
+    * substrings (length ≤ [[MaxPieceLen]]) by the SentencePiece seed
+    * score `frequency × length` (ties on the piece text). Emits
+    * (`piece`, `cnt`, `is_char`, `cost_fp`) where `cnt` is the
+    * substring's corpus occurrence count and
+    * `cost_fp = round(2^20 · log2(cnt / total))` over the selected
+    * vocabulary's total — the fixed-point log-probability the Viterbi
+    * encoder sums.
+    *
+    * Scale: candidates explode off the word HISTOGRAM (vocabulary-sized,
+    * not corpus-sized) and collapse behind one partial-aggregated
+    * groupBy; the top-k is a TakeOrdered, and the cost join broadcasts
+    * a one-row total.
+    */
+  def unigramVocab(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // piece histogram: computed once, reused by both vocab branches
+    val cands = wordHist(df, textCol)
+      .select(explode(flatten(transform(
+        sequence(lit(1), length(col("w"))), i =>
+          transform(
+            sequence(lit(1),
+              least(lit(MaxPieceLen), length(col("w")) - i + lit(1))),
+            l => col("w").substr(i, l))))).as("piece"), col("n"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+      .localCheckpoint(true)
+    val chars = cands.where(length(col("piece")) === 1)
+      .select(col("piece"), col("cnt"), lit(true).as("is_char"))
+    val multi = cands.where(length(col("piece")) > 1)
+      .orderBy((col("cnt") * length(col("piece"))).desc, col("piece"))
+      .limit(k)
+      .select(col("piece"), col("cnt"), lit(false).as("is_char"))
+    withCosts(chars.unionByName(multi), col("cnt"))
+  }
+
+  /** Attach the fixed-point cost plane to a (piece, cnt, is_char)
+    * vocabulary: `cost_fp = round(2^20 · ln(cnt/total) / ln2)` with the
+    * total taken over the given count column.
+    */
+  private def withCosts(vocab: DataFrame, cntCol: Column): DataFrame = {
+    val total = vocab.agg(sum(cntCol).as("total"))
+    vocab.crossJoin(broadcast(total))
+      .select(col("piece"), cntCol.as("cnt"), col("is_char"),
+        round(lit(CostScale.toDouble) *
+          log(cntCol.cast("double") / col("total").cast("double")) /
+          lit(Ln2)).cast("long").as("cost_fp"))
+  }
+
+  /** Driver-side (piece → cost_fp) table of a [[unigramVocab]] result —
+    * metadata-sized, the model artifact the encoder ships with (the
+    * same collect-the-model seam as the BPE merge tables).
+    */
+  def costTable(vocab: DataFrame): Map[String, Long] =
+    vocab.select(col("piece"), col("cost_fp")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** The better of two Viterbi states (nullable struct(c: cost sum,
+    * p: piece path)): maximize the cost sum, break exact ties on the
+    * lexicographically SMALLEST path — a total order, so the argmax is
+    * engine-independent (the oracle's `ORDER BY c DESC, p` row_number
+    * picks the identical state).
+    */
+  private def betterOf(a: Column, b: Column): Column =
+    when(a.isNull, b)
+      .when(b.isNull, a)
+      .when(b.getField("c") > a.getField("c"), b)
+      .when(b.getField("c") === a.getField("c") &&
+        b.getField("p") < a.getField("p"), b)
+      .otherwise(a)
+
+  /** Viterbi-best segmentation of each distinct word under a cost
+    * table: dp(i) = best state ending at char i, reached from any
+    * dp(j), i−MaxPieceLen ≤ j < i, through vocabulary piece w[j+1..i].
+    *
+    * The DP is ONE `aggregate` fold over the word's positions whose
+    * accumulator is the dp array itself — evaluated iteratively at
+    * runtime, so the plan carries a single compact expression. (The
+    * naive alternative, one chained projection per position, explodes
+    * in the optimizer: each dp column references MaxPieceLen
+    * predecessors, and inlining grows 6-ary — the analysis never
+    * returns.) Cost lookups hit a LITERAL map: no join, no shuffle.
+    * Returns (`w`, `seg`), `seg` the space-joined best piece sequence.
+    */
+  private[graft] def viterbiSegments(words: DataFrame,
+                                     costs: Map[String, Long]): DataFrame = {
+    val costMap = typedLit(costs)
+    val stateType = "struct<c:bigint,p:string>"
+    val init = array(struct(lit(0L).as("c"), lit("").as("p")))
+    // acc(j+1) = dp(j); fold position i appends dp(i)
+    val dpFull = aggregate(
+      sequence(lit(1), length(col("w"))),
+      init,
+      (acc, i) => {
+        val cands = transform(
+          sequence(greatest(i - lit(MaxPieceLen), lit(0)), i - lit(1)),
+          j => {
+            val piece = col("w").substr(j + lit(1), i - j)
+            val prev = element_at(acc, (j + lit(1)).cast("int"))
+            val pc = element_at(costMap, piece)
+            when(prev.isNotNull && pc.isNotNull,
+              struct((prev.getField("c") + pc).as("c"),
+                concat(prev.getField("p"), lit(" "), piece).as("p")))
+          })
+        val best = aggregate(cands, lit(null).cast(stateType), betterOf)
+        concat(acc, array(best))
+      })
+    words.select(col("w"),
+      ltrim(element_at(dpFull, lit(-1)).getField("p")).as("seg"))
+  }
+
+  /** Unigram-LM ENCODE: Viterbi-segment each DISTINCT word once under
+    * the fixed-point cost table, then re-encode documents through ONE
+    * word → segmentation join (the production shape — the DP runs over
+    * the vocabulary, never the corpus). Emits (id, `encoded`,
+    * `n_pieces`): the piece stream and the REAL tokens-per-doc count.
+    * Blank documents encode to the empty string.
+    */
+  def unigramApply(df: DataFrame, textCol: String, idCol: String,
+                   costs: Map[String, Long]): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // distinct words materialize ONCE (vocabulary-sized) — the require
+    // probe and the Viterbi both read the checkpoint, not the corpus
+    val words = df.where(length(trim(col(textCol))) > 0)
+      .select(explode(split(norm, " ")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+      .localCheckpoint(true)
+    require(words.where(length(col("w")) > MaxWordLen).isEmpty,
+      s"unigramApply: corpus contains a word longer than $MaxWordLen " +
+        "chars — pre-split giant tokens before encoding")
+    val segs = viterbiSegments(words, costs)
+    val exploded = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), posexplode(split(norm, " ")).as(Seq("pos", "w")))
+    val reassembled = exploded.join(segs, "w")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        x => x.getField("seg")), " ").as("encoded"))
+    df.select(col(idCol))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("encoded"), lit("")).as("encoded"))
+      .withColumn("n_pieces",
+        when(col("encoded") === "", lit(0L))
+          .otherwise(size(split(col("encoded"), " ")).cast("long")))
+  }
+
+  /** One hard-EM refinement round (the SentencePiece M-step under
+    * Viterbi hard assignment): re-count each piece by its USES in the
+    * corpus' best segmentation — `cnt_em(piece) = Σ_w n(w) ·
+    * uses(piece, seg(w))` — and rebuild the cost plane over the pieces
+    * that survive (a piece the Viterbi never picks prunes to zero and
+    * drops, the EM vocabulary-shrinking step). Emits the refreshed
+    * (`piece`, `cnt`, `is_char`, `cost_fp`).
+    *
+    * Scale: the recount explodes segmentations of the word HISTOGRAM —
+    * vocabulary-sized work — behind one partial-aggregated groupBy.
+    */
+  def unigramEmRecount(df: DataFrame, textCol: String,
+                       costs: Map[String, Long]): DataFrame = {
+    val wh = wordHist(df, textCol).localCheckpoint(true)
+    val segs = viterbiSegments(wh.select(col("w")).distinct(), costs)
+    val recount = wh.join(segs, "w")
+      .select(explode(split(col("seg"), " ")).as("piece"), col("n"))
+      .groupBy("piece").agg(sum(col("n")).as("cnt"))
+      .withColumn("is_char", length(col("piece")) === 1)
+    withCosts(recount, col("cnt"))
+  }
+}

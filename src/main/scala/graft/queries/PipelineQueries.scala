@@ -2571,74 +2571,53 @@ object PipelineQueries {
     "pipeline_rag_indexed" -> ((spark, dir) => {
       val docs = Tables.read(spark, dir, "documents")
       val emb = Tables.read(spark, dir, "embeddings")
-      val clean = docs.select(col("doc_id"),
-          concat(
-            when(col("doc_id") % 2 === 0,
-              lit("<html><body class=\"page\"><p>")).otherwise(lit("")),
-            col("text"),
-            when(col("doc_id") % 3 === 0,
-              lit(" <b>bold</b>&nbsp;&amp;&nbsp;more &lt;than&gt; that<br/>"))
-              .otherwise(lit("")),
-            when(col("doc_id") % 2 === 0, lit("</p></body></html>"))
-              .otherwise(lit(""))).as("t"))
-        .select(col("doc_id"),
-          graft.functions.Curation.stripMarkup(col("t")).as("clean"))
-      // checkpointed ONCE: both ingest shards read the same chunk
-      // table — without it each appendPostings re-runs strip+chunk
-      // over the corpus (measured ~0.7 s of the entry at sf0.1)
-      val chunks = graft.functions.Curation.chunkByTokens(
-          clean.where(col("doc_id") % 97 =!= 0), "clean", "doc_id",
-          window = 16, stride = 8)
-        .select((col("doc_id") * lit(1000000L) +
-            when(col("chunk_id") < lit(1000000L), col("chunk_id"))
-              .otherwise(raise_error(concat(
-                lit("pipeline_rag_indexed: chunk_id overflows ckey: "),
-                col("chunk_id").cast("string"))))).as("ckey"),
-          col("chunk_text"))
-        .localCheckpoint(true)
+      val clean = ragCleanCorpus(docs)
+      // checkpointed ONCE (inside ragChunks): both ingest shards read
+      // the same chunk table — without it each appendPostings re-runs
+      // strip+chunk over the corpus (measured ~0.7 s of the entry at
+      // sf0.1)
+      val chunks = ragChunks(clean, "pipeline_rag_indexed")
       val idxPath = graft.tools.Scratch.dir("graft_rag_idx") + "/postings"
       graft.functions.Retrieval.appendPostings(
         chunks.where(col("ckey") % 2 === 0), "chunk_text", "ckey", idxPath)
       graft.functions.Retrieval.appendPostings(
         chunks.where(col("ckey") % 2 === 1), "chunk_text", "ckey", idxPath)
       graft.functions.IndexMaintenance.compactPostings(spark, idxPath)
-      val postings = spark.read.parquet(idxPath)
-      val qdocs = clean.where(col("doc_id") % 97 === 0 &&
-        col("doc_id") < 1000 && length(trim(col("clean"))) > 0)
-      val qt = qdocs.select(col("doc_id").as("query_id"),
-        explode(array_distinct(slice(
-          split(Dedup.normalizeText(col("clean")), " "), 1, 5))).as("term"))
-      val hits = graft.functions.Retrieval.bm25TopKFromPostings(
-        postings, qt, k = 50)
-      val lex = hits
-        .groupBy(col("query_id"), expr("doc_id div 1000000").as("parent"))
-        .agg(max(struct(col("score"), (-col("doc_id")).as("nck"))).as("m"))
-        .select(col("query_id"), col("parent").as("doc_id"),
-          col("m.score").as("score"))
-        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("score").desc, col("doc_id"))))
-        .where(col("rank") <= 10)
-      val qv = emb
-        .join(broadcast(qdocs.select(col("doc_id").as("query_id"))),
-          col("vec_id") === col("query_id"))
-        .select(col("query_id"), col("embedding").as("qv"),
-          Similarity.norm(col("embedding")).as("qn"))
-      val vec = emb.where(col("vec_id") % 97 =!= 0)
-        .select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
-          Similarity.norm(col("embedding")).as("cn"))
-        .crossJoin(broadcast(qv))
-        .select(col("query_id"), col("doc_id"),
-          round(Similarity.cosinePrenormed(col("qv"), col("cv"),
-            col("qn") * col("cn")), 6).as("sim"))
-        .withColumn("rank", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("sim").desc, col("doc_id"))))
-        .where(col("rank") <= 10)
-      val fused = graft.functions.Retrieval.rrfFuse(lex, vec, k = 10)
-      val maxRrf = 2L * (1000000000L / 61L)
-      Similarity.mmrRerank(
-        fused.select(col("query_id"), col("doc_id"),
-          (col("rrf").cast("double") / lit(maxRrf.toDouble)).as("rel")),
-        emb, "vec_id", "embedding", k = 5)
+      ragQueryFromPostings(clean, emb, spark.read.parquet(idxPath))
+    }),
+
+    // Streaming twin of pipeline_rag_indexed (the continuous-intake
+    // shape the postings index was built for): CHUNKS arrive as a file
+    // stream one file per microbatch, each batch appends its postings
+    // shard via foreachBatch — arbitrary microbatch splits are safe
+    // because compaction's per-term sums are associative and
+    // bm25TopKFromPostings derives df/N/avgdl at search time (append ≡
+    // rebuild, spec-pinned) — then compact + the SAME hybrid
+    // query composition over the maintained index. SAME oracle as the
+    // batch entries, verbatim.
+    "pipeline_rag_stream" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val emb = Tables.read(spark, dir, "embeddings")
+      val clean = ragCleanCorpus(docs)
+      val chunks = ragChunks(clean, "pipeline_rag_stream")
+      val tmp = graft.tools.Scratch.dir("graft_rag_stream")
+      chunks.repartition(4).write.parquet(s"$tmp/feed")
+      val idxPath = s"$tmp/postings"
+      val q = spark.readStream.schema(chunks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/feed")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.functions.Retrieval.appendPostings(
+              batch, "chunk_text", "ckey", idxPath)
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      graft.functions.IndexMaintenance.compactPostings(spark, idxPath)
+      ragQueryFromPostings(clean, emb, spark.read.parquet(idxPath))
     }),
 
     // BM25F fielded ranking: title = first 8 tokens, body = the rest;
@@ -3942,6 +3921,30 @@ object PipelineQueries {
             .otherwise(lit("customer")).as("kind"))
     }),
 
+    // FULL coreness decomposition over the same bipartite graph —
+    // every node's core number in one pass of synchronous h-index
+    // supersteps (Lü et al. PNAS 2016: iterate "my value = h-index of
+    // my neighbors' values" from the degree; converges to coreness),
+    // where graph_kcore answers one fixed k. All-integer rounds, so
+    // the oracle unrolls the identical iteration; rounds past the
+    // fixpoint are no-ops.
+    "graph_coreness" -> ((spark, dir) => {
+      val orders = Tables.read(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.read(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          (col("l_suppkey").cast("long") + 10000000L).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.functions.Graph.coreness(edges, "src", "dst")
+        .select(col("node"), col("coreness"),
+          when(col("node") >= 10000000L, lit("supplier"))
+            .otherwise(lit("customer")).as("kind"))
+    }),
+
     // Multi-source BFS blast radius over the same customer–supplier
     // bipartite graph as graph_pagerank: hop distance (≤ 4) from the
     // 20 highest-degree customers. Frontier-only expansion — each node
@@ -4907,7 +4910,120 @@ object PipelineQueries {
         .unionByName(P.checkRefIntegrity(corrupted, "orders", "o_custkey",
           Tables.read(spark, dir, "customer"), "c_custkey"))
         .unionByName(P.checkRange(qty, "lineitem", "qty", 1L, 50L))
+    }),
+
+    // Unigram-LM (SentencePiece-style) vocabulary induction — the third
+    // tokenizer family member next to BPE and WordPiece: every corpus
+    // character plus the top-24 bounded substrings by the seed score
+    // freq×len, each carrying its ×2^20 fixed-point log2 probability
+    // (the bit-portable Viterbi cost plane — integer sums downstream,
+    // one deterministic scalar log per vocab entry).
+    "text_unigram_vocab" -> ((spark, dir) =>
+      graft.functions.Unigram.unigramVocab(
+        Tables.read(spark, dir, "documents"), "text", k = 24)),
+
+    // Unigram-LM ENCODE: Viterbi-best segmentation of each DISTINCT
+    // word under the fixed-point cost table (max Σ cost_fp, exact ties
+    // on the lexicographically smallest path — a total order both
+    // engines replay), documents re-encoded by ONE word → pieces join.
+    // The oracle unrolls the same DP position-by-position.
+    "text_unigram_apply" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val vocab = graft.functions.Unigram.unigramVocab(docs, "text", k = 24)
+      graft.functions.Unigram.unigramApply(docs, "text", "doc_id",
+        graft.functions.Unigram.costTable(vocab))
+    }),
+
+    // One hard-EM refinement round (the SentencePiece M-step): re-count
+    // every piece by its USES in the corpus' Viterbi segmentation and
+    // rebuild the cost plane; pieces the decoder never picks prune out
+    // — the vocabulary-shrinking step of unigram-LM training, exactly
+    // replayed by the oracle's recount over the same DP.
+    "text_unigram_em" -> ((spark, dir) => {
+      val docs = Tables.read(spark, dir, "documents")
+      val vocab = graft.functions.Unigram.unigramVocab(docs, "text", k = 24)
+      graft.functions.Unigram.unigramEmRecount(docs, "text",
+        graft.functions.Unigram.costTable(vocab))
     }))
+
+  /** The RAG corpus cleaner shared by the indexed/stream flagship
+    * twins: deterministic markup wrapping + stripMarkup (same text as
+    * pipeline_rag).
+    */
+  private def ragCleanCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0,
+            lit("<html><body class=\"page\"><p>")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" <b>bold</b>&nbsp;&amp;&nbsp;more &lt;than&gt; that<br/>"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit("</p></body></html>"))
+            .otherwise(lit(""))).as("t"))
+      .select(col("doc_id"),
+        graft.functions.Curation.stripMarkup(col("t")).as("clean"))
+
+  /** Context-window chunks of the clean corpus slice with the packed
+    * (doc, chunk) key — checkpointed ONCE so every ingest shard reads
+    * the chunk table, not the corpus.
+    */
+  private def ragChunks(clean: DataFrame, label: String): DataFrame =
+    graft.functions.Curation.chunkByTokens(
+        clean.where(col("doc_id") % 97 =!= 0), "clean", "doc_id",
+        window = 16, stride = 8)
+      .select((col("doc_id") * lit(1000000L) +
+          when(col("chunk_id") < lit(1000000L), col("chunk_id"))
+            .otherwise(raise_error(concat(
+              lit(s"$label: chunk_id overflows ckey: "),
+              col("chunk_id").cast("string"))))).as("ckey"),
+        col("chunk_text"))
+      .localCheckpoint(true)
+
+  /** The hybrid query tail shared by the persisted-index RAG twins:
+    * passage BM25 from the postings index → per-parent best chunk →
+    * RRF fusion with exact dense cosine → MMR rerank. Identical to
+    * pipeline_rag's tail, so all three entries share ONE oracle.
+    */
+  private def ragQueryFromPostings(clean: DataFrame, emb: DataFrame,
+                                   postings: DataFrame): DataFrame = {
+    val qdocs = clean.where(col("doc_id") % 97 === 0 &&
+      col("doc_id") < 1000 && length(trim(col("clean"))) > 0)
+    val qt = qdocs.select(col("doc_id").as("query_id"),
+      explode(array_distinct(slice(
+        split(Dedup.normalizeText(col("clean")), " "), 1, 5))).as("term"))
+    val hits = graft.functions.Retrieval.bm25TopKFromPostings(
+      postings, qt, k = 50)
+    val lex = hits
+      .groupBy(col("query_id"), expr("doc_id div 1000000").as("parent"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nck"))).as("m"))
+      .select(col("query_id"), col("parent").as("doc_id"),
+        col("m.score").as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .where(col("rank") <= 10)
+    val qv = emb
+      .join(broadcast(qdocs.select(col("doc_id").as("query_id"))),
+        col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("embedding").as("qv"),
+        Similarity.norm(col("embedding")).as("qn"))
+    val vec = emb.where(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("cv"),
+        Similarity.norm(col("embedding")).as("cn"))
+      .crossJoin(broadcast(qv))
+      .select(col("query_id"), col("doc_id"),
+        round(Similarity.cosinePrenormed(col("qv"), col("cv"),
+          col("qn") * col("cn")), 6).as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("doc_id"))))
+      .where(col("rank") <= 10)
+    val fused = graft.functions.Retrieval.rrfFuse(lex, vec, k = 10)
+    val maxRrf = 2L * (1000000000L / 61L)
+    Similarity.mmrRerank(
+      fused.select(col("query_id"), col("doc_id"),
+        (col("rrf").cast("double") / lit(maxRrf.toDouble)).as("rel")),
+      emb, "vec_id", "embedding", k = 5)
+  }
 
   /** Exact integer square as a Column (x*x — named for readability in
     * the anomaly inequality).
@@ -6484,7 +6600,114 @@ object PipelineQueries {
         |  greatest(1.0 - (punct_ratio + digit_ratio) * 2.0, 0.0) * 0.3 AS quality
         |FROM m""".stripMargin
 
+  /** Unigram-LM shared CTE prefix: word histogram → bounded substring
+    * candidates → vocabulary (all chars + top-k multi by freq×len) →
+    * the ×2^20 fixed-point log2 cost plane. The division is pinned to
+    * ln 2's exact IEEE literal (Scala shortest-round-trip repr — the
+    * same double `Unigram.Ln2` the Spark side multiplies by), so the
+    * one floating step per vocab entry evaluates from identical inputs.
+    */
+  private def unigramVocabCtes(k: Int): String =
+    s"""WITH wh AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents) WHERE length(w) > 0 GROUP BY w),
+       |upos AS (SELECT w, n, unnest(range(1, length(w) + 1)) AS i FROM wh),
+       |cand AS MATERIALIZED (
+       |  SELECT substring(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+       |    CAST(sum(n) AS BIGINT) AS cnt
+       |  FROM (SELECT w, n, i,
+       |      unnest(range(1, least(${graft.functions.Unigram.MaxPieceLen},
+       |        length(w) - i + 1) + 1)) AS l FROM upos)
+       |  GROUP BY 1),
+       |uchars AS (SELECT piece, cnt, true AS is_char FROM cand
+       |  WHERE length(piece) = 1),
+       |umulti AS (SELECT piece, cnt, false AS is_char FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt * length(piece) DESC, piece) AS rn
+       |    FROM cand WHERE length(piece) > 1) WHERE rn <= $k),
+       |uvocab AS (SELECT * FROM uchars UNION ALL SELECT * FROM umulti),
+       |utot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM uvocab),
+       |costs AS MATERIALIZED (
+       |  SELECT piece, cnt, is_char,
+       |    CAST(round(1048576.0 * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+       |      / ${graft.functions.Unigram.Ln2}) AS BIGINT) AS cost_fp
+       |  FROM uvocab CROSS JOIN utot)""".stripMargin
+
+  /** The unrolled Viterbi DP over distinct words: dp_i holds the best
+    * (max Σ cost_fp, tie → lexicographically smallest path) state
+    * ending at char i, reached from dp_j through piece w[j+1..i] for
+    * the ≤ MaxPieceLen predecessors — `rounds past a word's length are
+    * vacuous (WHERE length(w) >= i)`. MATERIALIZED is load-bearing as
+    * in the k-core replay: each dp_i is referenced by up to MaxPieceLen
+    * later steps, and DuckDB inlines plain CTEs per reference.
+    */
+  private def unigramDpCtes: String = {
+    val maxW = graft.functions.Unigram.MaxWordLen
+    val maxP = graft.functions.Unigram.MaxPieceLen
+    val steps = (1 to maxW).map { i =>
+      val branches = (math.max(0, i - maxP) until i).map { j =>
+        s"""SELECT d.w, d.c + v.cost_fp AS c,
+           |      d.p || ' ' || substring(d.w, ${j + 1}, ${i - j}) AS p
+           |    FROM dp$j d JOIN costs v
+           |      ON v.piece = substring(d.w, ${j + 1}, ${i - j})
+           |    WHERE length(d.w) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      s""",
+         |dp$i AS MATERIALIZED (SELECT w, c, p FROM (
+         |  SELECT w, c, p,
+         |    row_number() OVER (PARTITION BY w ORDER BY c DESC, p) AS rn
+         |  FROM ($branches)) WHERE rn = 1)""".stripMargin
+    }.mkString
+    s""",
+       |uwords AS (SELECT DISTINCT w FROM wh),
+       |dp0 AS (SELECT w, CAST(0 AS BIGINT) AS c, '' AS p FROM uwords)""".stripMargin +
+      steps +
+      s""",
+         |dpall AS (${(1 to maxW)
+          .map(i => s"SELECT w, $i AS i, p FROM dp$i")
+          .mkString("\n  UNION ALL ")}),
+         |segw AS MATERIALIZED (SELECT w, ltrim(p) AS seg FROM dpall
+         |  WHERE i = length(w))""".stripMargin
+  }
+
+  private def unigramVocabOracle: String =
+    unigramVocabCtes(24) +
+      "\nSELECT piece, cnt, is_char, cost_fp FROM costs"
+
+  private def unigramApplyOracle: String =
+    unigramVocabCtes(24) + unigramDpCtes +
+      s""",
+         |t AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents WHERE length(trim(text)) > 0),
+         |tw AS (SELECT doc_id, pos, toks[CAST(pos AS INTEGER)] AS w FROM (
+         |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+         |  FROM t)),
+         |enc AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS encoded,
+         |    CAST(sum(len(string_split(seg, ' '))) AS BIGINT) AS n_pieces
+         |  FROM tw JOIN segw USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(e.encoded, '') AS encoded,
+         |  CAST(coalesce(e.n_pieces, 0) AS BIGINT) AS n_pieces
+         |FROM documents d LEFT JOIN enc e USING (doc_id)""".stripMargin
+
+  private def unigramEmOracle: String =
+    unigramVocabCtes(24) + unigramDpCtes +
+      s""",
+         |emc AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(s.seg, ' ')) AS piece, wh.n
+         |    FROM wh JOIN segw s USING (w))
+         |  GROUP BY 1),
+         |emt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM emc)
+         |SELECT piece, cnt, length(piece) = 1 AS is_char,
+         |  CAST(round(1048576.0 * ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+         |    / ${graft.functions.Unigram.Ln2}) AS BIGINT) AS cost_fp
+         |FROM emc CROSS JOIN emt""".stripMargin
+
   private lazy val moreOracles: Map[String, String] = Map(
+    "text_unigram_vocab" -> unigramVocabOracle,
+    "text_unigram_apply" -> unigramApplyOracle,
+    "text_unigram_em" -> unigramEmOracle,
     "sample_reservoir" ->
       """WITH d AS (SELECT DISTINCT lang, source FROM documents),
         |r AS (SELECT lang, source, row_number() OVER (
@@ -6995,6 +7218,7 @@ object PipelineQueries {
     "pipeline_rag" -> ragOracle,
     // same replay: append = rebuild for the persisted postings index
     "pipeline_rag_indexed" -> ragOracle,
+    "pipeline_rag_stream" -> ragOracle,
     // proximity replay: matched position lists joined per (query, doc),
     // |px − py| ≤ 4 pairs counted, minimum distance kept
     "search_proximity" ->
@@ -8749,6 +8973,39 @@ object PipelineQueries {
          |FROM e$rounds GROUP BY src""".stripMargin
   }
 
+  /** Coreness replay: the identical h-index iteration, `rounds`
+    * unrolled — v0 = degree, v_{i+1}(node) = max over incoming
+    * neighbor values of least(desc-rank, value). The sequence is
+    * pointwise non-increasing with fixpoint = coreness, so any unroll
+    * ≥ the measured convergence depth replays exactly (the tail rounds
+    * are no-ops). MATERIALIZED for the same inlining reason as the
+    * k-core replay.
+    */
+  private def corenessOracle(rounds: Int): String = {
+    val head =
+      """WITH pairs AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+        |    CAST(l_suppkey AS BIGINT) + 10000000 AS s
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e0 AS (SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL SELECT s AS src, c AS dst FROM pairs),
+        |v0 AS MATERIALIZED (SELECT src AS node,
+        |  CAST(count(*) AS BIGINT) AS v FROM e0 GROUP BY src)""".stripMargin
+    val its = (1 to rounds).map { i =>
+      s""",
+         |v$i AS MATERIALIZED (SELECT node, max(least(rnk, v)) AS v FROM (
+         |  SELECT e.dst AS node, x.v, CAST(row_number() OVER (
+         |      PARTITION BY e.dst ORDER BY x.v DESC) AS BIGINT) AS rnk
+         |  FROM e0 e JOIN v${i - 1} x ON e.src = x.node)
+         |  GROUP BY node)""".stripMargin
+    }.mkString
+    head + its +
+      s"""
+         |SELECT node, v AS coreness,
+         |  CASE WHEN node >= 10000000 THEN 'supplier' ELSE 'customer' END
+         |    AS kind
+         |FROM v$rounds""".stripMargin
+  }
+
   private def pagerankOracle(iters: Int): String = {
     val head =
       """WITH pairs AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
@@ -9155,6 +9412,7 @@ object PipelineQueries {
     "events_scd2" -> scd2Oracle,
     "graph_pagerank" -> pagerankOracle(5),
     "graph_kcore" -> kcoreOracle(10, 12),
+    "graph_coreness" -> corenessOracle(24),
     // 4 unrolled relaxation rounds (min is confluent; MATERIALIZED for
     // the same multi-reference reason as the k-core replay)
     "graph_sssp" -> {

@@ -445,10 +445,15 @@ object SqlDialect {
   private def unquoteSqlLiteral(lit: String): String =
     lit.substring(1, lit.length - 1).replace("''", "'")
 
-  /** One JSON-path segment for a PG key/index token. */
-  private def jsonPathSegment(tok: String): String =
-    if (tok.matches("""\d+""")) s"[$tok]"
-    else if (tok.matches("""-\d+"""))
+  /** One JSON-path segment for a PG key/index token. `quoted` preserves
+    * PG's operand-type distinction: `-> 0` (integer) indexes an array,
+    * `-> '0'` (text) looks up the KEY "0" — a quoted numeric token must
+    * emit the bracket-quoted key form, never an index (divergence found
+    * by the r10 JSON-op property corpus).
+    */
+  private def jsonPathSegment(tok: String, quoted: Boolean): String =
+    if (!quoted && tok.matches("""\d+""")) s"[$tok]"
+    else if (!quoted && tok.matches("""-\d+"""))
       throw new IllegalArgumentException(
         s"JSON rewrite: negative array index '$tok' (PG from-the-end " +
           "indexing) has no Spark get_json_object equivalent")
@@ -456,18 +461,22 @@ object SqlDialect {
     else s"['$tok']"
 
   /** Spark JSON path for one PG operator application. `->`/`->>` take a
-    * key literal or array index; `#>`/`#>>` take a `'{a,b,0}'` path.
+    * key literal or array index; `#>`/`#>>` take a `'{a,b,0}'` path,
+    * whose elements PG resolves polymorphically at runtime (object key
+    * vs array index by node type) — the static translation maps digit
+    * elements to indexes, the overwhelmingly common reading.
     */
   private def jsonPathFor(op: String, right: String): String = {
-    val toks: Seq[String] =
+    val toks: Seq[(String, Boolean)] =
       if (op.startsWith("#")) {
         val body = unquoteSqlLiteral(right).trim
           .stripPrefix("{").stripSuffix("}")
         pgArrayElements(body).map(_.getOrElse(throw
           new IllegalArgumentException("JSON rewrite: NULL in a #> path")))
-      } else if (right.startsWith("'")) Seq(unquoteSqlLiteral(right))
-      else Seq(right)
-    "$" + toks.map(jsonPathSegment).mkString
+          .map(t => (t, false))
+      } else if (right.startsWith("'")) Seq((unquoteSqlLiteral(right), true))
+      else Seq((right, false))
+    "$" + toks.map { case (t, q) => jsonPathSegment(t, q) }.mkString
   }
 
   /** Rewrite PG JSON extraction operators to `get_json_object` calls:

