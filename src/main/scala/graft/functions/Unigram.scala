@@ -147,19 +147,27 @@ object Unigram {
     * Returns (`w`, `seg`), `seg` the space-joined best piece sequence.
     */
   private[graft] def viterbiSegments(words: DataFrame,
-                                     costs: Map[String, Long]): DataFrame = {
+                                     costs: Map[String, Long]): DataFrame =
+    words.select(col("w"), viterbiSeg(col("w"), costs).as("seg"))
+
+  /** The Viterbi fold as a pure COLUMN over one word — usable on a
+    * projected column, inside a `transform` lambda (the per-row
+    * streaming encode), or over the distinct-word table.
+    */
+  private[graft] def viterbiSeg(w: Column,
+                                costs: Map[String, Long]): Column = {
     val costMap = typedLit(costs)
     val stateType = "struct<c:bigint,p:string>"
     val init = array(struct(lit(0L).as("c"), lit("").as("p")))
     // acc(j+1) = dp(j); fold position i appends dp(i)
     val dpFull = aggregate(
-      sequence(lit(1), length(col("w"))),
+      sequence(lit(1), length(w)),
       init,
       (acc, i) => {
         val cands = transform(
           sequence(greatest(i - lit(MaxPieceLen), lit(0)), i - lit(1)),
           j => {
-            val piece = col("w").substr(j + lit(1), i - j)
+            val piece = w.substr(j + lit(1), i - j)
             val prev = element_at(acc, (j + lit(1)).cast("int"))
             val pc = element_at(costMap, piece)
             when(prev.isNotNull && pc.isNotNull,
@@ -169,8 +177,7 @@ object Unigram {
         val best = aggregate(cands, lit(null).cast(stateType), betterOf)
         concat(acc, array(best))
       })
-    words.select(col("w"),
-      ltrim(element_at(dpFull, lit(-1)).getField("p")).as("seg"))
+    ltrim(element_at(dpFull, lit(-1)).getField("p"))
   }
 
   /** Unigram-LM ENCODE: Viterbi-segment each DISTINCT word once under
@@ -206,6 +213,27 @@ object Unigram {
       .withColumn("n_pieces",
         when(col("encoded") === "", lit(0L))
           .otherwise(size(split(col("encoded"), " ")).cast("long")))
+  }
+
+  /** Per-ROW unigram encode: every word of the document segments
+    * inline through the [[viterbiSeg]] fold — a STATELESS projection
+    * (no join, no aggregation), the form a streaming encode needs
+    * (Append mode, exactly-once under any microbatch split). Output
+    * bit-identical to [[unigramApply]] (spec-pinned); the join form
+    * stays the batch production shape (DP once per DISTINCT word).
+    */
+  def unigramApplyPerRow(df: DataFrame, textCol: String, idCol: String,
+                         costs: Map[String, Long]): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val enc = when(length(trim(col(textCol))) === 0, lit(""))
+      .otherwise(concat_ws(" ",
+        transform(split(norm, " "), w => viterbiSeg(w, costs))))
+    df.select(col(idCol), col(textCol))
+      .withColumn("encoded", enc)
+      .withColumn("n_pieces",
+        when(col("encoded") === "", lit(0L))
+          .otherwise(size(split(col("encoded"), " ")).cast("long")))
+      .drop(textCol)
   }
 
   /** One hard-EM refinement round (the SentencePiece M-step under

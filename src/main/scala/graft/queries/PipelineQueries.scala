@@ -4944,6 +4944,32 @@ object PipelineQueries {
       val vocab = graft.functions.Unigram.unigramVocab(docs, "text", k = 24)
       graft.functions.Unigram.unigramEmRecount(docs, "text",
         graft.functions.Unigram.costTable(vocab))
+    }),
+
+    // Streaming unigram encode (twin of text_unigram_apply): the cost
+    // table trains batch-side, then documents arrive as a stream and
+    // every word segments inline through the per-row Viterbi fold — a
+    // STATELESS projection (no join, no state store, Append mode),
+    // exactly-once under any microbatch split, SAME oracle as the
+    // batch entry.
+    "text_unigram_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = Tables.read(spark, dir, "documents")
+      val costs = graft.functions.Unigram.costTable(
+        graft.functions.Unigram.unigramVocab(docs, "text", k = 24))
+      val feed = docs.select(col("doc_id"), col("text"), lit(t0).as("ts"))
+      val sentinel = Seq((-1L, "sentinel",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "text", "ts")
+      val enc = graft.functions.Unigram.unigramApplyPerRow(
+        streamWithSentinel(spark, feed, sentinel, delaySec = 3600L),
+        "text", "doc_id", costs)
+      graft.streaming.EventStream.runToMemory(
+        enc, "text_unigram_stream_out", OutputMode.Append())
+      spark.table("text_unigram_stream_out")
+        .where(col("doc_id") =!= -1L)
     }))
 
   /** The RAG corpus cleaner shared by the indexed/stream flagship
@@ -6707,6 +6733,7 @@ object PipelineQueries {
   private lazy val moreOracles: Map[String, String] = Map(
     "text_unigram_vocab" -> unigramVocabOracle,
     "text_unigram_apply" -> unigramApplyOracle,
+    "text_unigram_stream" -> unigramApplyOracle,
     "text_unigram_em" -> unigramEmOracle,
     "sample_reservoir" ->
       """WITH d AS (SELECT DISTINCT lang, source FROM documents),

@@ -76,6 +76,15 @@ class UnigramSpec extends AnyFunSuite {
     assert(!em.contains("y"))
   }
 
+  test("per-row encode is bit-identical to the join form") {
+    val docs = graft.Tables.read(spark, SparkTestSession.Sf, "documents")
+    val costs = Unigram.costTable(Unigram.unigramVocab(docs, "text", k = 24))
+    val joinForm = Unigram.unigramApply(docs, "text", "doc_id", costs)
+    val perRow = Unigram.unigramApplyPerRow(docs, "text", "doc_id", costs)
+    assert(joinForm.exceptAll(perRow).isEmpty)
+    assert(perRow.exceptAll(joinForm).isEmpty)
+  }
+
   test("fixture corpus: every word segments and piece counts add up") {
     val docs = graft.Tables.read(spark, SparkTestSession.Sf, "documents")
     val vocab = Unigram.unigramVocab(docs, "text", k = 24)
