@@ -59,8 +59,11 @@ object Flattener {
   def parseJsonStrings(df: DataFrame, jsonColumns: Seq[String],
                        sampleRows: Int = 256,
                        orderBy: Seq[String] = Nil): DataFrame = {
+    // case-insensitive resolution, same as Conformance: a JDBC source
+    // may fold identifiers (Derby/PG report ID vs id)
+    val wanted = jsonColumns.map(_.toLowerCase).toSet
     val present = df.schema.fields
-      .filter(f => f.dataType == StringType && jsonColumns.contains(f.name))
+      .filter(f => f.dataType == StringType && wanted(f.name.toLowerCase))
       .map(_.name).toSeq
     if (present.isEmpty) return df
     val sample = sampleFor(df, present, sampleRows, orderBy)
@@ -125,7 +128,10 @@ object Flattener {
     */
   private def sampleFor(df: DataFrame, cols: Seq[String], sampleRows: Int,
                         orderBy: Seq[String]): Array[org.apache.spark.sql.Row] = {
-    val sortCols = orderBy.filter(df.schema.fieldNames.contains)
+    val byLower = df.schema.fieldNames.groupBy(_.toLowerCase)
+    val sortCols = orderBy
+      .flatMap(c => byLower.getOrElse(c.toLowerCase, Array.empty[String])
+        .headOption)
     val base =
       if (sortCols.isEmpty) df
       else df.orderBy(sortCols.map(c => col(s"`$c`")): _*)

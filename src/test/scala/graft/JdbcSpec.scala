@@ -100,6 +100,54 @@ class JdbcSpec extends AnyFunSuite {
       full.streams.head).count() === 500)
   }
 
+  test("jdbc JSON hop: declared json_columns parse+flatten; undeclared never restructure") {
+    Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val url = "jdbc:derby:memory:graftjson;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE j (id BIGINT, props VARCHAR(128), note VARCHAR(64))")
+      st.execute("""INSERT INTO j VALUES
+        |(1, '{"cust": 10, "kind": "a"}', '{"sniff": "me"}'),
+        |(2, '[7, 8]', '{"sniff": "me too"}'),
+        |(3, '{"cust": 30, "kind": "c"}', 'plain')""".stripMargin)
+    } finally conn.close()
+    // Derby declares no json/jsonb type: the metadata path must come
+    // back EMPTY (and never error) — so without explicit json_columns
+    // the flatten path leaves every string column alone, even `note`,
+    // whose first rows are object-shaped (the r9 no-sniffing contract)
+    val base =
+      """{"jdbc_url":"jdbc:derby:memory:graftjson","jdbc_driver":"org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        |"streams":[{"name":"j","sql":"SELECT id, props, note FROM j",
+        | "key_properties":["id"],%s
+        | "columns":[{"name":"id","type":"bigint"},
+        |   %s{"name":"note","type":"text"}]}]}""".stripMargin
+    val noDecl = ConfigParser.parseTap(base.format("",
+      """{"name":"props","type":"text"},"""))
+    assert(StreamSource.jsonTypedColumns(noDecl,
+      "SELECT id, props, note FROM j") === Seq.empty)
+    val plain = StreamSource.jdbc(SparkTestSession.spark, noDecl,
+      noDecl.streams.head, flattenDepth = Some(Int.MaxValue))
+    assert(plain.columns.toSeq === Seq("id", "props", "note"))
+    assert(plain.where(org.apache.spark.sql.functions.col("id") === 2)
+      .head().getString(1) === "[7, 8]")
+    // explicit json_columns: props parses + flattens, its non-object
+    // row keeps the original text in props__raw; note stays a string
+    val decl = ConfigParser.parseTap(base.format(
+      """"json_columns":["props"],""",
+      """{"name":"props__cust","type":"bigint","nullable":true},
+        |{"name":"props__kind","type":"text","nullable":true},
+        |{"name":"props__raw","type":"text","nullable":true},""".stripMargin))
+    val flat = StreamSource.jdbc(SparkTestSession.spark, decl,
+      decl.streams.head, flattenDepth = Some(Int.MaxValue))
+      .orderBy("id").collect()
+    assert(flat(0).getLong(1) === 10L && flat(0).getString(2) === "a" &&
+      flat(0).isNullAt(3))
+    assert(flat(1).isNullAt(1) && flat(1).getString(3) === "[7, 8]")
+    assert(flat(2).getLong(1) === 30L && flat(2).isNullAt(3))
+    assert(flat(0).getString(4).contains("sniff")) // note untouched
+  }
+
   test("live partitioned JDBC extraction: parallel cursors, same rows") {
     // the genuine scale improvement over the reference's single cursor
     // (client.py:300-304): N Spark tasks each open their own slice cursor
