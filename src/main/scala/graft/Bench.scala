@@ -194,7 +194,9 @@ object Bench {
     // hard-EM recount), the full coreness decomposition, and the
     // streaming index-maintenance RAG twin
     "text_unigram_vocab", "text_unigram_apply", "text_unigram_em",
-    "graph_coreness", "pipeline_rag_stream", "text_unigram_stream")
+    "graph_coreness", "pipeline_rag_stream", "text_unigram_stream",
+    // round-10 close: functional-dependency discovery
+    "profile_fd")
 
   /** Max queries measured per JVM. After ~100+ query executions in one
     * local-mode JVM the shared driver+executor heap carries enough

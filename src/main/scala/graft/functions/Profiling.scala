@@ -179,6 +179,35 @@ object Profiling {
           " div n_child_distinct").as("containment_ppm"))
   }
 
+  /** Functional-dependency profile — does `det → dep` hold? The other
+    * half of schema discovery next to [[inclusionProfile]] (FKs relate
+    * tables; FDs expose keys, denormalization, and derived columns
+    * WITHIN one). Exact test on distinct projections: the determinant
+    * (possibly composite) determines `dep` iff every determinant tuple
+    * maps to exactly one dep value, i.e.
+    * |distinct(det)| = |distinct(det, dep)|. Emits one row per
+    * candidate: (`fd`, `n_det`, `n_pairs`, `violations` = n_pairs −
+    * n_det — the number of EXTRA (det, dep) associations, 0 iff the FD
+    * holds — and `holds`). Rows with a null determinant part or null
+    * dep are excluded (SQL null ≠ null makes them vacuous).
+    *
+    * Scale shape: ONE partial-aggregated distinct count per side over
+    * the candidate's projection — exchanges carry distinct tuples,
+    * never rows; a candidate matrix unions these constant-width rows.
+    */
+  def fdProfile(df: DataFrame, det: Seq[String], dep: String,
+                label: String): DataFrame = {
+    val dets = det.map(c => col(c).cast("string"))
+    val depC = col(dep).cast("string")
+    df.where(dets.map(_.isNotNull).reduce(_ && _) && depC.isNotNull)
+      .agg(
+        countDistinct(struct(dets: _*)).as("n_det"),
+        countDistinct(struct(dets :+ depC: _*)).as("n_pairs"))
+      .select(lit(label).as("fd"), col("n_det"), col("n_pairs"),
+        (col("n_pairs") - col("n_det")).as("violations"),
+        (col("n_pairs") === col("n_det")).as("holds"))
+  }
+
   /** k-anonymity audit — the governance check a dataset release runs
     * before publication: group rows by their QUASI-IDENTIFIER tuple
     * (the columns an attacker could link to an external register) and

@@ -2012,6 +2012,31 @@ object PipelineQueries {
       ).reduce(_ unionByName _)
     }),
 
+    // Functional-dependency discovery — the within-table half of schema
+    // profiling next to profile_fk: exact |distinct(det)| vs
+    // |distinct(det, dep)| over a candidate matrix (keys hold, composite
+    // PK holds, many-to-one relations violate with a counted excess).
+    // One partial-aggregated distinct pair per candidate; exchanges
+    // carry distinct tuples, never rows.
+    "profile_fd" -> ((spark, dir) => {
+      val P = graft.functions.Profiling
+      val li = Tables.read(spark, dir, "lineitem")
+      val o = Tables.read(spark, dir, "orders")
+      val n = Tables.read(spark, dir, "nation")
+      Seq(
+        P.fdProfile(o, Seq("o_orderkey"), "o_orderstatus",
+          "orders: o_orderkey -> o_orderstatus"),
+        P.fdProfile(o, Seq("o_custkey"), "o_orderstatus",
+          "orders: o_custkey -> o_orderstatus"),
+        P.fdProfile(li, Seq("l_orderkey", "l_linenumber"), "l_suppkey",
+          "lineitem: (l_orderkey, l_linenumber) -> l_suppkey"),
+        P.fdProfile(li, Seq("l_orderkey"), "l_suppkey",
+          "lineitem: l_orderkey -> l_suppkey"),
+        P.fdProfile(n, Seq("n_nationkey"), "n_name",
+          "nation: n_nationkey -> n_name")
+      ).reduce(_ unionByName _)
+    }),
+
     // Two-proportion A/B test on (user, day) exposure units: portable
     // md5 arm assignment, conversion = any purchase that day, and the
     // pooled z² significance verdict via the DIVISION-FREE rational
@@ -9961,6 +9986,38 @@ object PipelineQueries {
         one("lineitem", "l_suppkey", "supplier", "s_suppkey"),
         one("customer", "c_custkey", "orders", "o_custkey"),
         one("customer", "c_nationkey", "supplier", "s_suppkey")
+      ).mkString("\nUNION ALL\n")
+    },
+    // FD replay per candidate: distinct determinant tuples vs distinct
+    // (determinant, dependent) tuples over the null-filtered projection
+    "profile_fd" -> {
+      def one(tbl: String, det: Seq[String], dep: String,
+              label: String): String = {
+        val nn = (det :+ dep).map(c => s"$c IS NOT NULL").mkString(" AND ")
+        val detRow =
+          if (det.size == 1) s"CAST(${det.head} AS VARCHAR)"
+          else det.map(c => s"CAST($c AS VARCHAR)").mkString("(", ", ", ")")
+        val pairRow = (det :+ dep).map(c => s"CAST($c AS VARCHAR)")
+          .mkString("(", ", ", ")")
+        s"""SELECT '$label' AS fd,
+           |  CAST(count(DISTINCT $detRow) AS BIGINT) AS n_det,
+           |  CAST(count(DISTINCT $pairRow) AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT $pairRow) - count(DISTINCT $detRow)
+           |    AS BIGINT) AS violations,
+           |  count(DISTINCT $pairRow) = count(DISTINCT $detRow) AS holds
+           |FROM $tbl WHERE $nn""".stripMargin
+      }
+      Seq(
+        one("orders", Seq("o_orderkey"), "o_orderstatus",
+          "orders: o_orderkey -> o_orderstatus"),
+        one("orders", Seq("o_custkey"), "o_orderstatus",
+          "orders: o_custkey -> o_orderstatus"),
+        one("lineitem", Seq("l_orderkey", "l_linenumber"), "l_suppkey",
+          "lineitem: (l_orderkey, l_linenumber) -> l_suppkey"),
+        one("lineitem", Seq("l_orderkey"), "l_suppkey",
+          "lineitem: l_orderkey -> l_suppkey"),
+        one("nation", Seq("n_nationkey"), "n_name",
+          "nation: n_nationkey -> n_name")
       ).mkString("\nUNION ALL\n")
     },
     // A/B replay: same md5 arms, same conversion units, the identical

@@ -99,6 +99,30 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got("C") === (("C", 2L, 2L, false)))
   }
 
+  test("fdProfile: keys hold, many-to-one violates with counted excess") {
+    import graft.functions.Profiling
+    val t = Seq(
+      (1L, Option(10L), "a"), (2L, Option(10L), "a"), (3L, Option(20L), "b"),
+      (4L, Option(20L), "c"), (5L, Option.empty[Long], "d")
+    ).toDF("id", "grp", "v")
+    // id -> v holds (id is a key; the null-grp row still counts here)
+    val k = Profiling.fdProfile(t, Seq("id"), "v", "id->v").head()
+    assert(k.getLong(1) === 5L && k.getLong(2) === 5L &&
+      k.getLong(3) === 0L && k.getBoolean(4))
+    // grp -> v violated: grp 20 maps to {b, c} — one excess association;
+    // the null-grp row is excluded (2 distinct grps, 3 pairs)
+    val g = Profiling.fdProfile(t, Seq("grp"), "v", "grp->v").head()
+    assert(g.getLong(1) === 2L && g.getLong(2) === 3L &&
+      g.getLong(3) === 1L && !g.getBoolean(4))
+    // composite determinant: (grp, v) -> id violated (grp 10 has two
+    // ids under 'a'), but (id, grp) -> v trivially holds
+    val c = Profiling.fdProfile(t, Seq("grp", "v"), "id", "(grp,v)->id")
+      .head()
+    assert(c.getLong(3) === 1L && !c.getBoolean(4))
+    assert(Profiling.fdProfile(t, Seq("id", "grp"), "v", "x").head()
+      .getBoolean(4))
+  }
+
   test("profile drift: ppm null delta, distinct delta, range flag") {
     import graft.functions.Profiling
     val a = Seq((1L, Option("x")), (2L, Option("y")), (3L, None))
