@@ -214,6 +214,7 @@ object Bench {
     // serialize with any other heavyweight graft JVM — the artifact
     // number must be the isolated number (VERDICT r9 item 6)
     graft.tools.RunLock.acquire("bench")
+    benchFp = Some(graft.tools.BuildFingerprint.compute())
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
@@ -276,9 +277,21 @@ object Bench {
     * Keys mirror the full JSON; `queries` carries the 15 slowest entries,
     * with the complete set in the sidecar (`bench_result.json`).
     */
-  private def emit(json: String, total: Double, sfDir: String,
+  /** Captured at main() start; checked before emit so a bench artifact can
+    * never mix timings from two builds (VERDICT r10 item 1). */
+  @volatile private var benchFp: Option[graft.tools.BuildFingerprint.FP] = None
+
+  private def emit(json0: String, total: Double, sfDir: String,
                    results: Seq[(String, Double)],
                    tenxTotal: Option[Double]): Unit = {
+    // refuse to seal a bench artifact whose code moved mid-run
+    val json = benchFp match {
+      case Some(fp) =>
+        graft.tools.BuildFingerprint.check(fp, "bench")(())
+        System.err.println(s"[bench] build fingerprint: ${fp.render}")
+        json0.stripSuffix("}") + s""","build_fingerprint":${fp.json}}"""
+      case None => json0 // inline child chunks emit raw; coordinator stamps
+    }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_RESULT_FILE", "bench_result.json")),

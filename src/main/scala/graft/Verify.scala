@@ -8,6 +8,20 @@ object Verify {
     // serialize with any other heavyweight graft JVM (VERDICT r9 item 6)
     graft.tools.RunLock.acquire("verify")
     val Array(sfDir, outDir) = args
+    // Build-identity stamp (VERDICT r10 item 1): capture the classes-tree
+    // fingerprint up front, re-check it around every entry, abort (exit 3,
+    // dump deleted) if a compile swaps bytecode under this JVM mid-run —
+    // the r10 stale-class race that red-flagged two correct entries.
+    val fp0 = graft.tools.BuildFingerprint.compute()
+    def fpCheck(): Unit = graft.tools.BuildFingerprint.check(fp0, "verify") {
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = Paths.get(outDir)
+        if (Files.exists(root))
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+      } catch { case _: Exception => () }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,6 +39,7 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
+      fpCheck()
       try {
         // repartition(1), NOT coalesce(1): coalesce merges into the final
         // stage and would run each entry's last-stage work (joins,
@@ -57,7 +72,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUT__", outAbs))}" }
       .mkString("{", ",", "}")
+    // final drift check BEFORE the oracle dump: a fingerprint that moved
+    // invalidates every row above, so abort rather than seal the dump
+    fpCheck()
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // stamp the dump with the build identity the whole run verified against
+    Files.writeString(Paths.get(s"$outDir/build_fingerprint.json"), fp0.json)
+    System.err.println(s"[verify] build fingerprint: ${fp0.render}")
     spark.stop()
   }
 }
