@@ -349,21 +349,47 @@ object Graph {
     *
     * Returns (`node`, `coreness`) for every distinct endpoint.
     *
-    * 100 TB shape: per round ONE hash join (values ⋈ edges on the
-    * source key) and one key-partitioned window + partial-agg max per
-    * destination — h = max over neighbors of min(rank, value) with the
-    * values ranked descending per node. No collect, no global sort;
-    * each round's value table localCheckpoints so rounds never stack
-    * one plan. Convergence is Σvalue-based: values only decrease, so
-    * an unchanged sum IS the pointwise fixpoint.
+    * 100 TB shape (hot-node-bounded since round 11): the naive form
+    * ranks each destination's FULL neighbor list per round
+    * (`row_number` over partitionBy(dst)) — a celebrity node with 10⁸
+    * neighbors makes one task sort 10⁸ rows every round. The h-index
+    * never needs that sort: H({vᵤ}) is computable from the VALUE
+    * HISTOGRAM, and capping neighbor values at the node's own current
+    * value c is lossless (for any h ≤ c, x ≥ h ⟺ min(x,c) ≥ h, and
+    * H ≤ c by the monotone theorem — the sequence starting from
+    * degrees is pointwise non-increasing), so per round: one hash
+    * join on src for neighbor values, one on dst for the cap (both
+    * AQE-skew-splittable), a groupBy(dst, min(v,cap)) histogram whose
+    * MAP-SIDE partial agg collapses a celebrity's rows to ≤ cap+1
+    * entries per task before the shuffle, then a per-dst window over
+    * those ≤ cap+1 histogram rows (cum count desc) and
+    * max(min(value, cum)) — per-key reduce work O(h), not O(degree).
+    * No collect, no global sort; each round's value table
+    * localCheckpoints so rounds never stack one plan. Convergence is
+    * Σvalue-based: values only decrease, so an unchanged sum IS the
+    * pointwise fixpoint.
     *
-    * Bit-portable: every step is integer (degrees, ranks, mins) — the
+    * Histogram h-index identity (proof): H = max{h : |{x ≥ h}| ≥ h}.
+    * For each distinct value d with cum(d) = |{x ≥ d}|, take
+    * f(d) = min(d, cum(d)). If d ≤ H then f(d) ≤ H; if d > H then
+    * cum(d) ≤ H so f(d) ≤ H; and the smallest distinct d* ≥ H has
+    * cum(d*) = cum(H) ≥ H, f(d*) ≥ H. Hence max_d f(d) = H exactly —
+    * bit-identical to the ranked form, so the unrolled oracle replays
+    * unchanged.
+    *
+    * Bit-portable: every step is integer (degrees, counts, mins) — the
     * oracle replays the identical rounds; extra rounds past the
     * fixpoint are no-ops, so a fixed unroll ≥ the measured depth
-    * replays exactly.
+    * replays exactly. `oracleUnroll` pins that contract: pass the
+    * oracle's unroll depth and the measured convergence is asserted
+    * against it, so a dataset needing more rounds fails LOUDLY here
+    * instead of surfacing as an opaque hash mismatch (at scales DuckDB
+    * cannot replay, the independent exact checker is
+    * `tools/core_check.py`, a Batagelj–Zaversnik peel).
     */
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
-               maxRounds: Int = 50): DataFrame = {
+               maxRounds: Int = 50,
+               oracleUnroll: Option[Int] = None): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -377,19 +403,32 @@ object Graph {
     var rounds = 0
     var converged = false
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("dst").orderBy(col("v").desc)
+      .partitionBy("dst").orderBy(col("cv").desc)
     while (!converged && rounds < maxRounds) {
       val next = e.join(vals.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), col("v"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
+        // cap at the node's own current value (lossless, see scaladoc)
+        .join(vals.select(col("node").as("dst"), col("v").as("cap")), "dst")
+        .select(col("dst"), least(col("v"), col("cap")).as("cv"))
+        // capped-value histogram: map-side combine bounds a hot node's
+        // shuffle rows at cap+1 per task
+        .groupBy("dst", "cv").agg(count(lit(1)).as("cnt"))
+        // cum(d) = #neighbors with capped value >= d; H = max min(d, cum)
+        .withColumn("cum", sum(col("cnt")).over(w))
         .groupBy(col("dst").as("node"))
-        .agg(max(least(col("rnk"), col("v"))).as("v"))
+        .agg(max(least(col("cv"), col("cum"))).as("v"))
         .localCheckpoint(true)
       val s = next.agg(sum(col("v"))).head().getLong(0)
       if (s == prevSum) converged = true
       else { prevSum = s; vals = next; rounds += 1 }
     }
     require(converged, s"coreness: no fixpoint within $maxRounds rounds")
+    oracleUnroll.foreach { r =>
+      require(rounds <= r,
+        s"coreness converged in $rounds rounds > the oracle's $r-round " +
+          s"unroll — regenerate corenessOracle($rounds) (or use " +
+          s"tools/core_check.py at scales DuckDB cannot replay)")
+    }
     vals.select(col("node"), col("v").as("coreness"))
   }
 }

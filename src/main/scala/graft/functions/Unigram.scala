@@ -153,10 +153,24 @@ object Unigram {
   /** The Viterbi fold as a pure COLUMN over one word — usable on a
     * projected column, inside a `transform` lambda (the per-row
     * streaming encode), or over the distinct-word table.
+    *
+    * The cost plane inlines as a LITERAL map — right for a
+    * metadata-sized vocabulary, but `element_at` on a map literal is a
+    * LINEAR scan of the backing array per lookup, so a 100k-piece
+    * production vocabulary pays O(|vocab|) per candidate piece. Past
+    * [[LiteralMapCutover]] use the join form ([[unigramApplyBig]]),
+    * which never materializes the vocabulary in the plan.
     */
   private[graft] def viterbiSeg(w: Column,
-                                costs: Map[String, Long]): Column = {
-    val costMap = typedLit(costs)
+                                costs: Map[String, Long]): Column =
+    viterbiSegWith(w, typedLit(costs))
+
+  /** [[viterbiSeg]] over an arbitrary map-typed cost COLUMN — the form
+    * the join path feeds with each word's own (≤ |w|·MaxPieceLen entry)
+    * candidate-cost map, so lookups scan a per-word map instead of the
+    * whole vocabulary.
+    */
+  private[graft] def viterbiSegWith(w: Column, costMap: Column): Column = {
     val stateType = "struct<c:bigint,p:string>"
     val init = array(struct(lit(0L).as("c"), lit("").as("p")))
     // acc(j+1) = dp(j); fold position i appends dp(i)
@@ -200,6 +214,78 @@ object Unigram {
       s"unigramApply: corpus contains a word longer than $MaxWordLen " +
         "chars — pre-split giant tokens before encoding")
     val segs = viterbiSegments(words, costs)
+    reassemble(df, textCol, idCol, norm, segs)
+  }
+
+  /** Vocabulary size past which the encode must NOT inline the cost
+    * plane as a plan literal (VERDICT r10 item 3): a literal map is
+    * scanned linearly per lookup and a 100k-piece vocabulary rendered
+    * into generated code risks JVM constant-pool/method limits — above
+    * this, [[unigramApplyVocab]] routes to the join form.
+    */
+  val LiteralMapCutover = 4096
+
+  /** [[unigramApply]] with the vocabulary as a DATAFRAME and no plan
+    * literal anywhere — the 100k-piece production path: each distinct
+    * word explodes its ≤ |w|·MaxPieceLen candidate substrings, ONE
+    * broadcast join against the vocabulary prices them, and the Viterbi
+    * fold reads the word's own per-row candidate-cost map (≤ 96
+    * entries) instead of a whole-vocabulary literal. Output bit-equal
+    * to [[unigramApply]] (spec-pinned; same fold, same tie-breaks —
+    * only the lookup plumbing differs).
+    *
+    * `vocab` must carry (`piece`, `cost_fp`) with unique pieces (what
+    * [[unigramVocab]] / [[unigramEmRecount]] emit) — model-sized, so
+    * the join side broadcasts.
+    */
+  def unigramApplyBig(df: DataFrame, textCol: String, idCol: String,
+                      vocab: DataFrame): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val words = df.where(length(trim(col(textCol))) > 0)
+      .select(explode(split(norm, " ")).as("w"))
+      .where(length(col("w")) > 0).distinct()
+      .localCheckpoint(true)
+    require(words.where(length(col("w")) > MaxWordLen).isEmpty,
+      s"unigramApplyBig: corpus contains a word longer than $MaxWordLen " +
+        "chars — pre-split giant tokens before encoding")
+    // candidate substrings per word, deduped — the join key set
+    val cands = words.select(col("w"),
+      explode(array_distinct(flatten(transform(
+        sequence(lit(1), length(col("w"))), i =>
+          transform(
+            sequence(lit(1),
+              least(lit(MaxPieceLen), length(col("w")) - i + lit(1))),
+            l => col("w").substr(i, l)))))).as("piece"))
+    // vocabulary priced in by ONE broadcast join (model artifacts are
+    // metadata-sized); per-word candidate-cost map for the fold
+    val priced = cands
+      .join(broadcast(vocab.select(col("piece"), col("cost_fp"))), "piece")
+      .groupBy("w")
+      .agg(map_from_entries(
+        collect_list(struct(col("piece"), col("cost_fp")))).as("pc"))
+    // left join so a word with NO priced candidate still yields a null
+    // segmentation — identical to the literal path's missing-key null
+    val segs = words.join(priced, Seq("w"), "left")
+      .select(col("w"), viterbiSegWith(col("w"), col("pc")).as("seg"))
+    reassemble(df, textCol, idCol, norm, segs)
+  }
+
+  /** Size-aware encode entry point: literal-map fold under
+    * [[LiteralMapCutover]] pieces, broadcast word→segmentation join
+    * above it. `vocab` as in [[unigramApplyBig]].
+    */
+  def unigramApplyVocab(df: DataFrame, textCol: String, idCol: String,
+                        vocab: DataFrame): DataFrame = {
+    val n = vocab.count()
+    if (n <= LiteralMapCutover) unigramApply(df, textCol, idCol, costTable(vocab))
+    else unigramApplyBig(df, textCol, idCol, vocab)
+  }
+
+  /** Re-encode documents through the word → segmentation join — the
+    * shared tail of [[unigramApply]] and [[unigramApplyBig]].
+    */
+  private def reassemble(df: DataFrame, textCol: String, idCol: String,
+                         norm: Column, segs: DataFrame): DataFrame = {
     val exploded = df.where(length(trim(col(textCol))) > 0)
       .select(col(idCol), posexplode(split(norm, " ")).as(Seq("pos", "w")))
     val reassembled = exploded.join(segs, "w")
@@ -225,9 +311,19 @@ object Unigram {
   def unigramApplyPerRow(df: DataFrame, textCol: String, idCol: String,
                          costs: Map[String, Long]): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // the batch path probes the distinct-word table up front; a
+    // streaming projection has no such action, so the guard moves
+    // INTO the row (r10 ADVICE): a word past MaxWordLen — which the
+    // fold would segment fine but the 16-step unrolled oracle silently
+    // drops — fails the microbatch loudly instead of diverging
+    val segOrFail = (w: Column) =>
+      when(length(w) > MaxWordLen, raise_error(concat(
+        lit(s"unigramApplyPerRow: word longer than $MaxWordLen chars " +
+          "— pre-split giant tokens before encoding: "), w)))
+        .otherwise(viterbiSeg(w, costs))
     val enc = when(length(trim(col(textCol))) === 0, lit(""))
       .otherwise(concat_ws(" ",
-        transform(split(norm, " "), w => viterbiSeg(w, costs))))
+        transform(split(norm, " "), w => segOrFail(w))))
     df.select(col(idCol), col(textCol))
       .withColumn("encoded", enc)
       .withColumn("n_pieces",
@@ -250,6 +346,12 @@ object Unigram {
   def unigramEmRecount(df: DataFrame, textCol: String,
                        costs: Map[String, Long]): DataFrame = {
     val wh = wordHist(df, textCol).localCheckpoint(true)
+    // same loud pre-split probe as unigramApply (r10 ADVICE): a word
+    // past MaxWordLen segments fine in the fold but is silently absent
+    // from the 16-step unrolled oracle's recount
+    require(wh.where(length(col("w")) > MaxWordLen).isEmpty,
+      s"unigramEmRecount: corpus contains a word longer than " +
+        s"$MaxWordLen chars — pre-split giant tokens before recounting")
     val segs = viterbiSegments(wh.select(col("w")).distinct(), costs)
     val recount = wh.join(segs, "w")
       .select(explode(split(col("seg"), " ")).as("piece"), col("n"))

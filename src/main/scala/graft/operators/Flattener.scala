@@ -41,7 +41,10 @@ object Flattener {
     * carrying the ORIGINAL text of exactly the rows the parse rejected
     * (arrays, scalars, malformed rows — surfaced via the parser's
     * corrupt-record channel, since PERMISSIVE mode yields an all-null
-    * struct rather than a null for these). Object rows always parse;
+    * struct rather than a null for these; a JSON `null` LITERAL, which
+    * parses to a null struct without touching the corrupt channel, is
+    * caught by a null-struct-on-non-null-input guard). Object rows
+    * always parse;
     * fields first appearing outside the sample are dropped by the
     * inferred schema — the remaining documented limit of a
     * schema-inference hop (raise `sampleRows` to widen).
@@ -90,11 +93,19 @@ object Flattener {
             q, schema.add(corrupt, StringType),
             Map("mode" -> "PERMISSIVE",
               "columnNameOfCorruptRecord" -> corrupt))
+          // One reject shape bypasses the corrupt channel (r10 ADVICE):
+          // a JSON `null` LITERAL — valid in a PG json column — makes
+          // from_json return a NULL struct with a null corrupt field,
+          // which would silently drop the original text. Any non-null
+          // input that parses to a null struct keeps its text in c__raw.
+          val raw = org.apache.spark.sql.functions
+            .when(q.isNotNull && parsed.isNull, q)
+            .otherwise(parsed.getField(corrupt))
           // select (not withColumn) so c__raw sits next to its column
           acc.select(acc.schema.fieldNames.toSeq.flatMap { f =>
             if (f == c)
               Seq(parsed.dropFields(corrupt).as(c),
-                parsed.getField(corrupt).as(c + RawSuffix))
+                raw.as(c + RawSuffix))
             else Seq(col(s"`$f`"))
           }: _*)
         }

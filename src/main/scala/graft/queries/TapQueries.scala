@@ -301,20 +301,24 @@ object TapQueries {
         orderBy = Seq("okey")))
     }),
 
-    // The lossless-hop pin (r9 ADVICE high): PG json routinely mixes
-    // objects with arrays and scalars in ONE column. Object rows parse
-    // and flatten; every non-object row keeps its ORIGINAL text in
-    // `props__raw` — nothing silently NULLs. The three shapes key off
-    // o_orderkey % 3, so the oracle replays both the parsed field and
+    // The lossless-hop pin (r9 ADVICE high, r10 ADVICE null-literal
+    // gap): PG json routinely mixes objects with arrays, scalars and
+    // the JSON `null` LITERAL in ONE column. Object rows parse and
+    // flatten; every non-object row — INCLUDING the literal "null",
+    // which from_json turns into a null struct without touching the
+    // corrupt-record channel — keeps its ORIGINAL text in
+    // `props__raw`; nothing silently NULLs. The four shapes key off
+    // o_orderkey % 4, so the oracle replays both the parsed field and
     // the raw fallback exactly.
     "tap_flatten_json_mixed" -> ((spark, dir) => {
       val o = Tables.read(spark, dir, "orders").select(
         col("o_orderkey").cast("long").as("okey"),
-        when(col("o_orderkey") % 3 === 0,
+        when(col("o_orderkey") % 4 === 0,
             concat(lit("{\"cust\":"), col("o_custkey").cast("string"),
               lit("}")))
-          .when(col("o_orderkey") % 3 === 1,
+          .when(col("o_orderkey") % 4 === 1,
             concat(lit("["), col("o_custkey").cast("string"), lit(",7]")))
+          .when(col("o_orderkey") % 4 === 2, lit("null"))
           .otherwise(lit("plain text, not json")).as("props"))
       Flattener.flatten(Flattener.parseJsonStrings(o, Seq("props"),
         orderBy = Seq("okey")))
@@ -401,15 +405,16 @@ object TapQueries {
         |CAST(o_custkey AS BIGINT) AS props__cust,
         |o_orderstatus AS props__meta__status,
         |CAST(NULL AS VARCHAR) AS props__raw FROM orders""".stripMargin,
-    // mixed-shape hop: objects parse, arrays/scalars keep their exact
-    // original text in the raw fallback
+    // mixed-shape hop: objects parse; arrays/scalars/the JSON null
+    // literal keep their exact original text in the raw fallback
     "tap_flatten_json_mixed" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS okey,
-        |CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_custkey AS BIGINT) END
+        |CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_custkey AS BIGINT) END
         |  AS props__cust,
-        |CASE WHEN o_orderkey % 3 = 1
+        |CASE WHEN o_orderkey % 4 = 1
         |    THEN '[' || CAST(o_custkey AS VARCHAR) || ',7]'
-        |  WHEN o_orderkey % 3 = 2 THEN 'plain text, not json' END
+        |  WHEN o_orderkey % 4 = 2 THEN 'null'
+        |  WHEN o_orderkey % 4 = 3 THEN 'plain text, not json' END
         |  AS props__raw
         |FROM orders""".stripMargin)
 }

@@ -340,6 +340,40 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(byCoreness === byKcore)
   }
 
+  test("coreness: hot-node star fixture, and the oracle-unroll guard") {
+    def und(pairs: (Long, Long)*) = {
+      val p = pairs.toDF("a", "b")
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+    }
+    // celebrity star: one node with 20k neighbors — the shape that made
+    // the pre-r11 row_number form sort the full neighbor list in one
+    // task per round. Leaves are degree-1 so hub and plain leaves are
+    // 1-core; leaf 1 additionally completes a K4 with three fresh
+    // nodes, so those four are 3-core
+    val hub = 0L
+    val star = spark.range(1, 20001)
+      .select(lit(hub).as("src"), col("id").as("dst"))
+    val starUnd = star.unionByName(
+      star.select(col("dst").as("src"), col("src").as("dst")))
+    val k4 = und((1L, 30001L), (1L, 30002L), (1L, 30003L),
+      (30001L, 30002L), (30001L, 30003L), (30002L, 30003L))
+    val g = starUnd.unionByName(k4)
+    val c = Graph.coreness(g, "src", "dst").as[(Long, Long)]
+      .collect().toMap
+    assert(c(hub) === 1L)           // 20k degree-1 neighbors → h-index 1
+    assert(c(1L) === 3L)            // the leaf inside K4
+    assert(c(30001L) === 3L && c(30002L) === 3L && c(30003L) === 3L)
+    assert(c(2L) === 1L && c(20000L) === 1L)
+    assert(c.size === 20004)
+    // the oracle-unroll contract fails LOUDLY, not as a hash mismatch:
+    // this graph needs >0 rounds, so an unroll of 0 must be rejected
+    val e = intercept[IllegalArgumentException] {
+      Graph.coreness(g, "src", "dst", oracleUnroll = Some(0))
+    }
+    assert(e.getMessage.contains("unroll"))
+  }
+
   test("ssspBounded: hand-relaxed weighted paths, min over parallel routes") {
     // 1 -2-> 2 -3-> 3, and a direct 1 -9-> 3: 4 rounds must pick 5
     // (via 2), not 9; node 4 unreachable within the bound stays absent

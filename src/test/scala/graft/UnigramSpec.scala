@@ -85,6 +85,66 @@ class UnigramSpec extends AnyFunSuite {
     assert(perRow.exceptAll(joinForm).isEmpty)
   }
 
+  test("big-vocab join path is bit-identical to the literal-map path") {
+    val docs = graft.Tables.read(spark, SparkTestSession.Sf, "documents")
+    val vocab = Unigram.unigramVocab(docs, "text", k = 24)
+    val small = Unigram.unigramApply(docs, "text", "doc_id",
+      Unigram.costTable(vocab))
+    val big = Unigram.unigramApplyBig(docs, "text", "doc_id", vocab)
+    assert(small.exceptAll(big).isEmpty && big.exceptAll(small).isEmpty)
+  }
+
+  test("50k-piece vocab routes to the join form, same output, no map literal") {
+    val docs = graft.Tables.read(spark, SparkTestSession.Sf, "documents")
+    val vocab = Unigram.unigramVocab(docs, "text", k = 24)
+    // pad pieces longer than MaxPieceLen can never match a candidate
+    // substring, so the padded vocabulary must encode identically
+    val pad = spark.range(50000).select(
+      format_string("zzpadpiece%07d", col("id")).as("piece"),
+      lit(-999999999L).as("cost_fp"), lit(0L).as("cnt"),
+      lit(false).as("is_char"))
+    val padded = vocab.unionByName(pad)
+    assert(padded.count() > Unigram.LiteralMapCutover)
+    val out = Unigram.unigramApplyVocab(docs, "text", "doc_id", padded)
+    val ref = Unigram.unigramApply(docs, "text", "doc_id",
+      Unigram.costTable(vocab))
+    assert(out.exceptAll(ref).isEmpty && ref.exceptAll(out).isEmpty)
+    // the cutover really took the join route: the vocabulary must NOT
+    // appear as a plan literal (no MapType literal anywhere near 50k
+    // entries), and a broadcast join must price the candidates
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.MapData
+    val bigLits = out.queryExecution.analyzed.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case Literal(m: MapData, _) if m.numElements() > 1000 => m
+      })
+    }.flatten
+    assert(bigLits.isEmpty,
+      "50k-piece vocabulary leaked into the plan as a literal map")
+    assert(out.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("per-row encode fails loudly past the oracle's unroll bound") {
+    val docs = Seq((1L, "ok " + "a" * (Unigram.MaxWordLen + 1)))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Unigram.unigramApplyPerRow(docs, "text", "doc_id", Map("a" -> -1L))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("pre-split")))
+  }
+
+  test("EM recount rejects words past the oracle's unroll bound") {
+    val docs = Seq((1L, "a" * (Unigram.MaxWordLen + 1))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Unigram.unigramEmRecount(docs, "text", Map("a" -> -1L))
+    }
+    assert(e.getMessage.contains("longer"))
+  }
+
   test("fixture corpus: every word segments and piece counts add up") {
     val docs = graft.Tables.read(spark, SparkTestSession.Sf, "documents")
     val vocab = Unigram.unigramVocab(docs, "text", k = 24)
