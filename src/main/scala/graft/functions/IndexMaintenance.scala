@@ -130,6 +130,46 @@ object IndexMaintenance {
                       targetFiles: Int = 1): (Long, Long) =
     compact(spark, path, None, targetFiles)
 
+  /** Shuffle-FREE compaction of a term-bucketed postings index
+    * ([[Retrieval.appendPostingsBucketed]] accumulation): each
+    * `bucket=` partition's files merge through one `coalesce(1)` read
+    * → rewrite → atomic per-partition swap — no exchange anywhere,
+    * because the append already placed every term's rows in one bucket
+    * and postings rows are unique per (term, doc) by the append
+    * contract (batch doc ids are new), so there is nothing to
+    * de-duplicate or re-cluster (VERDICT r10 item 4; append ≡ rebuild
+    * spec-pinned). A double-submitted batch needs the healing
+    * [[compactPostings]] distinct instead — this is the fast path for
+    * the normal cadence. Buckets compact independently: at production
+    * scale run them as concurrent jobs; cost is bounded by the touched
+    * bucket's size, never the index's.
+    */
+  def compactPostingsBucketed(spark: SparkSession,
+                              path: String): (Long, Long) = {
+    val src = new HadoopPath(path)
+    val fs: FileSystem =
+      src.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(src).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    var before = 0L
+    var after = 0L
+    parts.foreach { p =>
+      val n = countDataFiles(fs, p.getPath)
+      before += n
+      if (n >= 2) {
+        // reading the partition dir drops the bucket column from the
+        // rows — right, the rewritten files return under the same
+        // `bucket=` directory (same note as compactFragmented)
+        val df = spark.read.parquet(p.getPath.toString).coalesce(1)
+        val tmp = new HadoopPath(p.getPath.toString + ".compact-tmp")
+        df.write.mode("overwrite").parquet(tmp.toString)
+        swap(fs, p.getPath, tmp)
+        after += countDataFiles(fs, p.getPath)
+      } else after += n
+    }
+    (before, after)
+  }
+
   /** Merge-rewrite an appended Bloom skipping index
     * ([[Layout.appendBloomIndex]] accumulation): unlike the distinct-
     * based compactions, shards carrying DIFFERENT bits for one

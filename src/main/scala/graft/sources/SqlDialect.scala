@@ -18,12 +18,18 @@ import org.apache.spark.sql.types._
 object SqlDialect {
 
   // operand: a quoted string literal (with '' escapes) or a (qualified) identifier
+  // operand: quoted literal, identifier, or an UNSIGNED numeric literal
+  // (PG allows `1::numeric/3`; the sign is excluded so `a -1::int` keeps
+  // its binary minus). Type: optional (p[,s]) args ride along so
+  // `::numeric(10,2)` / `::varchar(255)` map through TypeMapper instead
+  // of leaving the parenthesized args dangling after the CAST.
   private val castRe =
-    """('(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_\.]*)\s*::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s+with(?:out)?\s+time\s+zone)?)""".r
+    """('(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_\.]*|(?<![A-Za-z0-9_.'])\d+(?:\.\d+)?)\s*::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?(?:\s+with(?:out)?\s+time\s+zone)?)""".r
   private val tstzLitRe = """(?i)\btimestamptz\s*(')""".r
   private val tsLitRe = """(?i)\btimestamp\s+with(?:out)?\s+time\s+zone\s*(')""".r
 
-  private val parenCastRe = """\)\s*::\s*([A-Za-z_][A-Za-z0-9_]*)""".r
+  private val parenCastRe =
+    """\)\s*::\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)""".r
 
   // posix-regex match operators; the case-insensitive forms fold the
   // (?i) flag into the pattern literal
@@ -339,6 +345,7 @@ object SqlDialect {
         else Some(java.util.regex.Matcher.quoteReplacement(
           s"UNIX_TIMESTAMP(${m.group(1).trim})")))
     }
+    out = rewriteNumericTrunc(out)
     // iterate to handle chained casts like x::text::int
     var prev: String = null
     while (prev != out) {
@@ -1055,6 +1062,57 @@ object SqlDialect {
           sql.substring(0, start) + s"CAST($operand AS $tpe)" + sql.substring(m.end)
         }
     }
+
+  /** PG `trunc(x[, d])` is NUMERIC truncation toward zero — PG has no
+    * bare `trunc` over dates (that is `date_trunc`, which the `\btrunc`
+    * boundary never touches) — while Spark's `trunc` is DATE-only, so a
+    * pass-through would cast the operand to DATE and NULL out. Rewritten
+    * to the floor/ceil pair (Spark's 2-arg scale forms), which IS
+    * round-toward-zero: floor for non-negative operands, ceil for
+    * negative. One-arg trunc gets scale 0, matching PG.
+    */
+  def rewriteNumericTrunc(sql: String): String = {
+    val re = """(?i)(?<![A-Za-z0-9_])trunc\s*\(""".r
+    re.findAllMatchIn(sql).filterNot(m => inLiteral(sql, m.start))
+      .toSeq.headOption match {
+      case None => sql
+      case Some(m) =>
+        // balanced scan from the open paren, literal-aware, collecting
+        // top-level commas
+        var depth = 0
+        var i = m.end - 1
+        var close = -1
+        var inStr = false
+        var comma = -1
+        while (i < sql.length && close < 0) {
+          val c = sql.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false } // '' toggles twice, nets out
+          else c match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case ',' if depth == 1 && comma < 0 => comma = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close < 0) sql // unbalanced; leave untouched
+        else {
+          val open = m.end - 1
+          val (x, d) =
+            if (comma >= 0)
+              (sql.substring(open + 1, comma), sql.substring(comma + 1, close))
+            else (sql.substring(open + 1, close), "0")
+          val repl =
+            s"(CASE WHEN ($x) >= 0 THEN FLOOR(($x), ($d)) " +
+              s"ELSE CEIL(($x), ($d)) END)"
+          // recurse: later (or operand-nested) truncs; each pass removes
+          // one trunc( token and introduces none, so this terminates
+          rewriteNumericTrunc(
+            sql.substring(0, m.start) + repl + sql.substring(close + 1))
+        }
+    }
+  }
 
   /** Spark SQL name for a PG type string (uuid → STRING, etc.). */
   def sparkTypeName(pgType: String): String =

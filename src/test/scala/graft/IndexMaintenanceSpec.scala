@@ -157,4 +157,44 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(probe() === healthy,
       "compacted (deduped) index must score like a from-scratch build")
   }
+
+  test("bucketed postings: appends + shuffle-free compact score bit-identical") {
+    import graft.functions.Retrieval
+    val corpus = (0L until 90L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13} pad${i % 3}"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_postbkt").toString
+    // three disjoint appends straight into the bucket layout
+    Retrieval.appendPostingsBucketed(corpus.where(col("doc_id") < 30),
+      "text", "doc_id", s"$tmp/idx", nBuckets = 4)
+    Retrieval.appendPostingsBucketed(corpus.where(col("doc_id") >= 30 &&
+      col("doc_id") < 60), "text", "doc_id", s"$tmp/idx", nBuckets = 4)
+    Retrieval.appendPostingsBucketed(corpus.where(col("doc_id") >= 60),
+      "text", "doc_id", s"$tmp/idx", nBuckets = 4)
+    val qt = Seq((1L, "tok3"), (1L, "pad1")).toDF("query_id", "term")
+    val healthy = Retrieval.bm25TopK(corpus, "text", "doc_id", qt, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .sortBy(x => (x._1, x._3)).toSeq
+    def probe() = Retrieval.bm25TopKFromPostings(
+        spark.read.parquet(s"$tmp/idx").drop("bucket"), qt, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(probe() === healthy,
+      "bucketed appends must score like a from-scratch build")
+    // every term's postings landed in exactly one bucket — the layout
+    // invariant the shuffle-free compact relies on
+    val spread = spark.read.parquet(s"$tmp/idx")
+      .groupBy("term").agg(countDistinct(col("bucket")).as("nb"))
+      .where(col("nb") > 1)
+    assert(spread.isEmpty, "a term spilled across buckets")
+    val (nb, na) = IndexMaintenance.compactPostingsBucketed(spark, s"$tmp/idx")
+    assert(na < nb, s"$nb -> $na")
+    val buckets = spark.read.parquet(s"$tmp/idx")
+      .select("bucket").distinct().count()
+    assert(na === buckets, "one file per surviving bucket")
+    assert(probe() === healthy,
+      "bucket-compacted index must score like a from-scratch build")
+  }
 }

@@ -538,4 +538,40 @@ class SqlDialectSpec extends AnyFunSuite {
         s"ILIKE '<${r.getString(0)}>' ~~* '<${r.getString(1)}>'")
     }
   }
+
+  test("::numeric(p,s) parameterized casts and bare numeric-literal operands") {
+    assert(SqlDialect.rewrite("SELECT '12.345'::numeric(6,2)") ===
+      "SELECT CAST('12.345' AS DECIMAL(6,2))")
+    assert(SqlDialect.rewrite("SELECT price::numeric(10, 4) FROM t") ===
+      "SELECT CAST(price AS DECIMAL(10,4)) FROM t")
+    // bare numeric literals cast too (PG `1::numeric / 3`)
+    assert(SqlDialect.rewrite("SELECT 1::numeric") ===
+      "SELECT CAST(1 AS DECIMAL(38,18))")
+    assert(SqlDialect.rewrite("SELECT 2.5::int") === "SELECT CAST(2.5 AS INT)")
+    // a binary minus must NOT be swallowed into the literal
+    assert(SqlDialect.rewrite("SELECT a -1::int FROM t") ===
+      "SELECT a -CAST(1 AS INT) FROM t")
+    // parenthesized-expression casts take the args as well
+    assert(SqlDialect.rewrite("SELECT (a + b)::numeric(8,3) FROM t") ===
+      "SELECT CAST((a + b) AS DECIMAL(8,3)) FROM t")
+  }
+
+  test("numeric trunc rewrites toward-zero; date_trunc and literals untouched") {
+    val two = SqlDialect.rewrite("SELECT trunc(x, 2) FROM t")
+    assert(two ===
+      "SELECT (CASE WHEN (x) >= 0 THEN FLOOR((x), ( 2)) " +
+        "ELSE CEIL((x), ( 2)) END) FROM t", two)
+    val one = SqlDialect.rewrite("SELECT trunc(price) FROM t")
+    assert(one.contains("FLOOR((price), (0))") &&
+      one.contains("CEIL((price), (0))"), one)
+    // date_trunc is a DIFFERENT PG function and must pass through
+    val dt = SqlDialect.rewrite("SELECT date_trunc('day', ts) FROM t")
+    assert(dt === "SELECT date_trunc('day', ts) FROM t")
+    // occurrences inside string literals stay verbatim
+    val lit = SqlDialect.rewrite("SELECT 'use trunc(x, 1) here' FROM t")
+    assert(lit === "SELECT 'use trunc(x, 1) here' FROM t")
+    // nested args with their own parens/commas split at the TOP level
+    val nested = SqlDialect.rewrite("SELECT trunc(coalesce(a, b), 1)")
+    assert(nested.contains("FLOOR((coalesce(a, b)), ( 1))"), nested)
+  }
 }
