@@ -149,13 +149,22 @@ object IndexMaintenance {
     val src = new HadoopPath(path)
     val fs: FileSystem =
       src.getFileSystem(spark.sessionState.newHadoopConf())
+    // the doc-length sidecar accumulates one small file per append —
+    // fold it into the same maintenance pass
+    val sidecar = new HadoopPath(
+      graft.functions.Retrieval.doclensPath(path))
     val parts = fs.listStatus(src).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("bucket="))
-    var before = 0L
-    var after = 0L
-    parts.foreach { p =>
+      s.isDirectory && s.getPath.getName.startsWith("bucket=")) ++
+      (if (fs.exists(sidecar)) Seq(fs.getFileStatus(sidecar)) else Nil)
+    // buckets compact CONCURRENTLY — each rewrite is one single-task
+    // Spark job (the coalesce(1) read), so a sequential driver loop
+    // would leave the cluster idle; Spark schedules jobs from multiple
+    // threads fine. Parallelism is bounded by the bucket count.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = parts.map { p => Future {
       val n = countDataFiles(fs, p.getPath)
-      before += n
       if (n >= 2) {
         // reading the partition dir drops the bucket column from the
         // rows — right, the rewritten files return under the same
@@ -164,10 +173,10 @@ object IndexMaintenance {
         val tmp = new HadoopPath(p.getPath.toString + ".compact-tmp")
         df.write.mode("overwrite").parquet(tmp.toString)
         swap(fs, p.getPath, tmp)
-        after += countDataFiles(fs, p.getPath)
-      } else after += n
-    }
-    (before, after)
+        (n, countDataFiles(fs, p.getPath))
+      } else (n, n)
+    }}.map(Await.result(_, Duration.Inf))
+    (results.map(_._1).sum, results.map(_._2).sum)
   }
 
   /** Merge-rewrite an appended Bloom skipping index

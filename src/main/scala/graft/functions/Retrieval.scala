@@ -56,6 +56,29 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
   }
 
+  /** [[buildPostings]] WITHOUT the (term, doc) exchange: tf computed
+    * ROW-LOCALLY — explode the doc's distinct terms with per-term
+    * counts taken inside the row's own token array — so an ingest
+    * batch's postings job is scan + projection + write, no shuffle
+    * anywhere. The per-row work is quadratic in the doc's token count,
+    * so this is for BOUNDED-length texts only: context-window chunks
+    * (the RAG ingest shape — ≤ window tokens by construction), titles,
+    * fields. Emits bit-identical rows to [[buildPostings]]
+    * (spec-pinned); long free-text docs should keep the agg form.
+    */
+  def buildPostingsRowLocal(docs: DataFrame, textCol: String,
+                            idCol: String): DataFrame = {
+    val base = docs.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), toks(col(textCol)).as("__toks"))
+    base.select(
+        explode(transform(array_distinct(col("__toks")), t =>
+          struct(t.as("term"),
+            size(filter(col("__toks"), x => x === t)).as("tf")))).as("e"),
+        col("doc_id"), size(col("__toks")).as("dl"))
+      .select(col("e.term").as("term"), col("doc_id"),
+        col("e.tf").cast("long").as("tf"), col("dl"))
+  }
+
   /** Per-term statistics over a postings table: document frequency and
     * collection frequency. This IS the index metadata a query planner
     * needs; it aggregates postings rows, never the corpus.
@@ -181,12 +204,33 @@ object Retrieval {
     */
   def appendPostingsBucketed(batch: DataFrame, textCol: String,
                              idCol: String, path: String,
-                             nBuckets: Int = 8): Unit = {
+                             nBuckets: Int = 8,
+                             rowLocal: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    buildPostings(batch, textCol, idCol)
+    val postings =
+      if (rowLocal) buildPostingsRowLocal(batch, textCol, idCol)
+      else buildPostings(batch, textCol, idCol)
+    postings
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
       .write.mode("append").partitionBy("bucket").parquet(path)
+    // doc-length sidecar (index METADATA maintained at append time):
+    // one (doc_id, dl) row per batch doc, shuffle-free — dl is the
+    // identical size(toks) the postings carry, and batch doc ids are
+    // new by the append contract, so the sidecar accumulates exactly
+    // one row per indexed doc. Search derives N/avgdl from this
+    // doc-count-sized table instead of shuffling the WHOLE postings
+    // index per query batch (bm25TopKFromPostings doclens param).
+    batch.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        size(toks(col(textCol))).as("dl")) // same INT dl as the postings
+      .write.mode("append").parquet(doclensPath(path))
   }
+
+  /** Sidecar directory of [[appendPostingsBucketed]]'s per-doc lengths —
+    * a SIBLING of the postings dir (a subdirectory would corrupt the
+    * postings read's schema discovery).
+    */
+  def doclensPath(postingsPath: String): String = postingsPath + ".doclens"
 
   /** [[bm25TopK]] against an existing postings table (persisted index or
     * freshly built) — the search path shared by the batch and ingest
@@ -194,11 +238,18 @@ object Retrieval {
     */
   def bm25TopKFromPostings(postings: DataFrame, queryTerms: DataFrame,
                            k: Int, k1: Double = 1.2, b: Double = 0.75,
-                           maxDfPermille: Int = 1000): DataFrame = {
-    // N and avgdl off the index itself (a narrow columnar scan of
-    // (doc_id, dl) when the postings are persisted)
-    val dls = postings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
-    val stats = dls.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+                           maxDfPermille: Int = 1000,
+                           doclens: Option[DataFrame] = None): DataFrame = {
+    // N and avgdl: from the doc-length SIDECAR when the index maintains
+    // one ([[appendPostingsBucketed]] — a doc-count-sized scan, no
+    // shuffle over the postings), else off the index itself (a narrow
+    // columnar scan + per-doc agg of (doc_id, dl)). Same numbers by the
+    // sidecar contract (one row per indexed doc, identical dl) —
+    // spec-pinned bit-identical scores.
+    val dls = doclens.getOrElse(
+      postings.groupBy("doc_id").agg(first(col("dl")).as("dl")))
+    val stats = dls.agg(count(lit(1)).as("n"),
+      sum(col("dl").cast("long")).as("sum_dl"))
     bm25Core(postings, stats, queryTerms, k, k1, b, maxDfPermille)
   }
 

@@ -2626,18 +2626,27 @@ object PipelineQueries {
       val docs = Tables.read(spark, dir, "documents")
       val emb = Tables.read(spark, dir, "embeddings")
       val clean = ragCleanCorpus(docs)
-      val chunks = ragChunks(clean, "pipeline_rag_stream")
+      // no checkpoint: the feed parquet below IS the chunk
+      // materialization the stream reads
+      val chunks = ragChunks(clean, "pipeline_rag_stream",
+        checkpoint = false)
       val tmp = graft.tools.Scratch.dir("graft_rag_stream")
-      chunks.repartition(4).write.parquet(s"$tmp/feed")
+      // 32 feed files / 16 per trigger = two microbatches, with the
+      // feed write itself fully parallel (the old repartition(4)
+      // bottlenecked the chunk materialization on 4 tasks)
+      chunks.repartition(32).write.parquet(s"$tmp/feed")
       val idxPath = s"$tmp/postings"
       val q = spark.readStream.schema(chunks.schema)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 16)
         .parquet(s"$tmp/feed")
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           if (!batch.isEmpty)
+            // rowLocal: chunks are window-bounded (16 tokens), so the
+            // per-batch postings job is scan + projection + write —
+            // zero shuffles at ingest cadence
             graft.functions.Retrieval.appendPostingsBucketed(
-              batch, "chunk_text", "ckey", idxPath)
+              batch, "chunk_text", "ckey", idxPath, rowLocal = true)
           ()
         }
         .start()
@@ -2645,7 +2654,9 @@ object PipelineQueries {
       q.stop()
       graft.functions.IndexMaintenance.compactPostingsBucketed(spark, idxPath)
       ragQueryFromPostings(clean, emb,
-        spark.read.parquet(idxPath).drop("bucket"))
+        spark.read.parquet(idxPath).drop("bucket"),
+        doclens = Some(spark.read.parquet(
+          graft.functions.Retrieval.doclensPath(idxPath))))
     }),
 
     // BM25F fielded ranking: title = first 8 tokens, body = the rest;
@@ -5025,7 +5036,7 @@ object PipelineQueries {
     * twins: deterministic markup wrapping + stripMarkup (same text as
     * pipeline_rag).
     */
-  private def ragCleanCorpus(docs: DataFrame): DataFrame =
+  private[graft] def ragCleanCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         concat(
           when(col("doc_id") % 2 === 0,
@@ -5040,11 +5051,15 @@ object PipelineQueries {
         graft.functions.Curation.stripMarkup(col("t")).as("clean"))
 
   /** Context-window chunks of the clean corpus slice with the packed
-    * (doc, chunk) key — checkpointed ONCE so every ingest shard reads
-    * the chunk table, not the corpus.
+    * (doc, chunk) key — checkpointed ONCE (default) so every ingest
+    * shard reads the chunk table, not the corpus. The STREAM twin skips
+    * the checkpoint (`checkpoint = false`): its ingest reads the
+    * written FEED parquet, never this plan, so the checkpoint would
+    * materialize the chunk table a second time for nothing.
     */
-  private def ragChunks(clean: DataFrame, label: String): DataFrame =
-    graft.functions.Curation.chunkByTokens(
+  private[graft] def ragChunks(clean: DataFrame, label: String,
+                               checkpoint: Boolean = true): DataFrame = {
+    val c = graft.functions.Curation.chunkByTokens(
         clean.where(col("doc_id") % 97 =!= 0), "clean", "doc_id",
         window = 16, stride = 8)
       .select((col("doc_id") * lit(1000000L) +
@@ -5053,22 +5068,24 @@ object PipelineQueries {
               lit(s"$label: chunk_id overflows ckey: "),
               col("chunk_id").cast("string"))))).as("ckey"),
         col("chunk_text"))
-      .localCheckpoint(true)
+    if (checkpoint) c.localCheckpoint(true) else c
+  }
 
   /** The hybrid query tail shared by the persisted-index RAG twins:
     * passage BM25 from the postings index → per-parent best chunk →
     * RRF fusion with exact dense cosine → MMR rerank. Identical to
     * pipeline_rag's tail, so all three entries share ONE oracle.
     */
-  private def ragQueryFromPostings(clean: DataFrame, emb: DataFrame,
-                                   postings: DataFrame): DataFrame = {
+  private[graft] def ragQueryFromPostings(clean: DataFrame, emb: DataFrame,
+                                   postings: DataFrame,
+                                   doclens: Option[DataFrame] = None): DataFrame = {
     val qdocs = clean.where(col("doc_id") % 97 === 0 &&
       col("doc_id") < 1000 && length(trim(col("clean"))) > 0)
     val qt = qdocs.select(col("doc_id").as("query_id"),
       explode(array_distinct(slice(
         split(Dedup.normalizeText(col("clean")), " "), 1, 5))).as("term"))
     val hits = graft.functions.Retrieval.bm25TopKFromPostings(
-      postings, qt, k = 50)
+      postings, qt, k = 50, doclens = doclens)
     val lex = hits
       .groupBy(col("query_id"), expr("doc_id div 1000000").as("parent"))
       .agg(max(struct(col("score"), (-col("doc_id")).as("nck"))).as("m"))

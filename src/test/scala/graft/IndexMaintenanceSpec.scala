@@ -193,8 +193,33 @@ class IndexMaintenanceSpec extends AnyFunSuite {
     assert(na < nb, s"$nb -> $na")
     val buckets = spark.read.parquet(s"$tmp/idx")
       .select("bucket").distinct().count()
-    assert(na === buckets, "one file per surviving bucket")
+    assert(na === buckets + 1, "one file per surviving bucket + doclens")
     assert(probe() === healthy,
       "bucket-compacted index must score like a from-scratch build")
+    // the doc-length sidecar: one row per indexed doc, and the
+    // sidecar-stats path scores bit-identical to the index-derived path
+    val dls = spark.read.parquet(Retrieval.doclensPath(s"$tmp/idx"))
+    assert(dls.count() === 90L && dls.select("doc_id").distinct().count() === 90L)
+    val viaSidecar = Retrieval.bm25TopKFromPostings(
+        spark.read.parquet(s"$tmp/idx").drop("bucket"), qt, k = 10,
+        doclens = Some(dls))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(viaSidecar === healthy,
+      "doclens-sidecar stats must score like index-derived stats")
+  }
+
+  test("row-local postings builder emits bit-identical rows to the agg form") {
+    import graft.functions.Retrieval
+    val corpus = (0L until 120L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 7} pad${i % 3} tok${i % 11}"))
+      .toDF("doc_id", "text") // repeated terms exercise the tf counting
+    val agg = Retrieval.buildPostings(corpus, "text", "doc_id")
+    val rowLocal = Retrieval.buildPostingsRowLocal(corpus, "text", "doc_id")
+    assert(agg.exceptAll(rowLocal).isEmpty && rowLocal.exceptAll(agg).isEmpty)
+    // and truly shuffle-free: no exchange in the row-local plan
+    val plan = rowLocal.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
   }
 }
