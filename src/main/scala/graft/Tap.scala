@@ -34,35 +34,76 @@ object Tap {
     val flattenDepth =
       if (tap.flatteningEnabled) Some(tap.flatteningMaxDepth.getOrElse(Int.MaxValue))
       else None
-    val results = tap.streams
-      .filterNot(s => tap.removedStreams.contains(s.name))
-      .map { s =>
-        // The bookmark must reflect the rows actually EMITTED (a live JDBC
-        // source could commit rows between two lazy executions; the
-        // reference derives state from processed records, singer_sdk
-        // _sync_records). Each sink therefore executes the stream exactly
-        // ONCE: SingerSink tracks max(rep_key) inside the emit pass, and
-        // batch mode reads the max back from the files just written —
-        // no full-stream persist, which at a 100 TB extraction would
-        // materialize the whole stream on executor storage.
-        // Execution-mode dispatch (config key `execution`): native Catalyst,
-        // JDBC pushdown, or auto (native with pushdown fallback for SQL
-        // Spark can't parse — the reference's execute-anything contract,
-        // client.py:300-304).
-        val source = StreamSource.execute(spark, tap, s, state, flattenDepth)
-        // STREAM_MAPS transform the conformed stream (reference tap.py:256);
-        // key properties + replication key always survive an __else__ drop,
-        // and validate() rejects maps that drop/rename the replication key,
-        // so the bookmark still tracks inside the emit pass. With a
-        // __filter__, the bookmark advances over EMITTED rows only —
-        // deliberately conservative (at-least-once: filtered-out rows may
-        // re-extract next run, but data is never skipped), where the SDK
-        // advances state over processed-then-filtered records too.
-        val smap = tap.streamMaps.get(s.name)
-        val df = smap.map(m => StreamMaps(source, m,
-          alwaysKeep = s.keyProperties ++ s.replicationKey)).getOrElse(source)
-        val emitStream = smap.flatMap(_.alias)
-          .map(a => s.copy(name = a)).getOrElse(s)
+    // Build the conformed, mapped frame for one stream (lazy plan — no
+    // execution happens here).
+    //
+    // The bookmark must reflect the rows actually EMITTED (a live JDBC
+    // source could commit rows between two lazy executions; the
+    // reference derives state from processed records, singer_sdk
+    // _sync_records). Each sink therefore executes the stream exactly
+    // ONCE: SingerSink tracks max(rep_key) inside the emit pass, and
+    // batch mode reads the max back from the files just written —
+    // no full-stream persist, which at a 100 TB extraction would
+    // materialize the whole stream on executor storage.
+    // Execution-mode dispatch (config key `execution`): native Catalyst,
+    // JDBC pushdown, or auto (native with pushdown fallback for SQL
+    // Spark can't parse — the reference's execute-anything contract,
+    // client.py:300-304).
+    def planStream(s: StreamConfig, st: TapState)
+        : (DataFrame, StreamConfig, Option[graft.operators.StreamMap]) = {
+      val source = StreamSource.execute(spark, tap, s, st, flattenDepth)
+      // STREAM_MAPS transform the conformed stream (reference tap.py:256);
+      // key properties + replication key always survive an __else__ drop,
+      // and validate() rejects maps that drop/rename the replication key,
+      // so the bookmark still tracks inside the emit pass. With a
+      // __filter__, the bookmark advances over EMITTED rows only —
+      // deliberately conservative (at-least-once: filtered-out rows may
+      // re-extract next run, but data is never skipped), where the SDK
+      // advances state over processed-then-filtered records too.
+      val smap = tap.streamMaps.get(s.name)
+      val df = smap.map(m => StreamMaps(source, m,
+        alwaysKeep = s.keyProperties ++ s.replicationKey)).getOrElse(source)
+      val emitStream = smap.flatMap(_.alias)
+        .map(a => s.copy(name = a)).getOrElse(s)
+      (df, emitStream, smap)
+    }
+    val active = tap.streams.filterNot(s => tap.removedStreams.contains(s.name))
+    // Concurrent batch-mode extraction (config `sync_parallelism`, r10
+    // verdict item 7): up to N streams' BatchSink writes run in flight at
+    // once — each on its own FAIR scheduler pool slot so one long
+    // extraction cannot starve the others (set spark.scheduler.mode=FAIR
+    // to activate; under FIFO the jobs still interleave by stage).
+    // Watermark resolution reads the INITIAL state (bookmarks are
+    // per-stream, so order never mattered), and everything user-visible —
+    // BATCH/STATE message emission, state advancement — happens AFTER the
+    // writes, sequentially in config order: byte-identical output to a
+    // sequential run. Singer RECORD mode is one ordered stdout by
+    // construction and stays sequential regardless.
+    val results: Seq[StreamResult] = (tap.batchConfig, tap.syncParallelism) match {
+      case (Some(bc), par) if par > 1 && active.nonEmpty =>
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(par, active.size))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val state0 = state
+        try {
+          val written = active.zipWithIndex.map { case (s, i) =>
+            Future {
+              spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", s"graft-sync-${i % par}")
+              val (df, emitStream, _) = planStream(s, state0)
+              (s, emitStream, df, BatchSink.write(df, emitStream, bc))
+            }
+          }.map(Await.result(_, Duration.Inf))
+          written.map { case (s, emitStream, df, manifests) =>
+            state = emitBatchManifests(spark, s, emitStream, df, manifests,
+              state, out)
+            StreamResult(s, -1, manifests)
+          }
+        } finally pool.shutdown()
+      case _ => active.map { s =>
+        val (df, emitStream, smap) = planStream(s, state)
         tap.batchConfig match {
           case Some(bc) =>
             val manifests = BatchSink.write(df, emitStream, bc)
@@ -101,6 +142,7 @@ object Tap {
             StreamResult(s, n, Nil)
         }
       }
+    }
     SingerSink.emitState(state, out)
     statePath.foreach(p => Bookmarks.save(p, state, tap.streams))
     (results, state)
