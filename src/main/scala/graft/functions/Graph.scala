@@ -349,25 +349,32 @@ object Graph {
     *
     * Returns (`node`, `coreness`) for every distinct endpoint.
     *
-    * 100 TB shape (hot-node-bounded since round 11): the naive form
-    * ranks each destination's FULL neighbor list per round
-    * (`row_number` over partitionBy(dst)) — a celebrity node with 10⁸
-    * neighbors makes one task sort 10⁸ rows every round. The h-index
-    * never needs that sort: H({vᵤ}) is computable from the VALUE
-    * HISTOGRAM, and capping neighbor values at the node's own current
-    * value c is lossless (for any h ≤ c, x ≥ h ⟺ min(x,c) ≥ h, and
-    * H ≤ c by the monotone theorem — the sequence starting from
-    * degrees is pointwise non-increasing), so per round: one hash
-    * join on src for neighbor values, one on dst for the cap (both
-    * AQE-skew-splittable), a groupBy(dst, min(v,cap)) histogram whose
-    * MAP-SIDE partial agg collapses a celebrity's rows to ≤ cap+1
-    * entries per task before the shuffle, then a per-dst window over
-    * those ≤ cap+1 histogram rows (cum count desc) and
-    * max(min(value, cum)) — per-key reduce work O(h), not O(degree).
-    * No collect, no global sort; each round's value table
-    * localCheckpoints so rounds never stack one plan. Convergence is
-    * Σvalue-based: values only decrease, so an unchanged sum IS the
-    * pointwise fixpoint.
+    * 100 TB shape (hot-node-bounded since round 11): the base form
+    * ranks each destination's neighbor list per round (`row_number`
+    * over partitionBy(dst)) — a celebrity node with 10⁸ neighbors
+    * makes one task sort (and spill) 10⁸ rows every round. The
+    * h-index never needs that sort: H({vᵤ}) is computable from the
+    * VALUE HISTOGRAM, whose map-side combine collapses a hot node's
+    * edge rows to its distinct neighbor values before any shuffle,
+    * and capping those values at the node's own current value c is
+    * lossless (for any h ≤ c, x ≥ h ⟺ min(x,c) ≥ h, and H ≤ c by the
+    * monotone theorem), bounding the per-dst window input at cap+1
+    * rows. The histogram path costs two extra (histogram-sized)
+    * shuffles per round, though — and a single-task sort of even 10⁷
+    * longs is ~1-2 s (measured: at hub degree 10⁷ the pure histogram
+    * form is ~1.5× SLOWER than the ranked form; the sort only becomes
+    * the bottleneck near 10⁸ rows per key, where one task buffers
+    * gigabytes) — so the routing is HYBRID on static degree: when no
+    * node's degree reaches `hotDegree`, every round runs the plain
+    * ranked form (zero overhead vs the pre-r11 shape); otherwise the
+    * few hot destinations (broadcast semi/anti split) take the capped
+    * histogram while the rest keep the ranked form, and the union
+    * feeds the fixpoint check. Both paths are exact, so the routing
+    * never changes results. No collect (the hot SET is node-metadata
+    * and stays distributed; only its emptiness is checked), no global
+    * sort; each round's value table localCheckpoints so rounds never
+    * stack one plan. Convergence is Σvalue-based: values only
+    * decrease, so an unchanged sum IS the pointwise fixpoint.
     *
     * Histogram h-index identity (proof): H = max{h : |{x ≥ h}| ≥ h}.
     * For each distinct value d with cum(d) = |{x ≥ d}|, take
@@ -389,7 +396,8 @@ object Graph {
     */
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
                maxRounds: Int = 50,
-               oracleUnroll: Option[Int] = None): DataFrame = {
+               oracleUnroll: Option[Int] = None,
+               hotDegree: Long = 20000000L): DataFrame = {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -399,24 +407,44 @@ object Graph {
     var vals = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("v"))
       .localCheckpoint(true)
+    // hot destinations from STATIC degree (= the initial values): the
+    // set is node-metadata-sized (usually empty) and broadcast per
+    // round; only its emptiness is checked driver-side
+    val hot = vals.where(col("v") >= hotDegree)
+      .select(col("node").as("dst")).localCheckpoint(true)
+    val hasHot = hot.limit(1).count() > 0
     var prevSum = -1L
     var rounds = 0
     var converged = false
-    val w = org.apache.spark.sql.expressions.Window
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst").orderBy(col("v").desc)
+    val wHist = org.apache.spark.sql.expressions.Window
       .partitionBy("dst").orderBy(col("cv").desc)
+    // ranked h-index: per-dst desc rank, H = max min(rank, value)
+    def ranked(j1: DataFrame): DataFrame = j1
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .groupBy(col("dst").as("node"))
+      .agg(max(least(col("rnk"), col("v"))).as("v"))
+    // capped-histogram h-index: raw value histogram (map-side combine
+    // collapses a hot node's rows to its distinct values), cap at the
+    // node's own current value (lossless, see scaladoc; bounds the
+    // window input at cap+1 rows), cum count desc, H = max min(d, cum)
+    def capped(j1: DataFrame, cur: DataFrame): DataFrame = j1
+      .groupBy("dst", "v").agg(count(lit(1)).as("cnt"))
+      .join(cur.select(col("node").as("dst"), col("v").as("cap")), "dst")
+      .groupBy(col("dst"), least(col("v"), col("cap")).as("cv"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wHist))
+      .groupBy(col("dst").as("node"))
+      .agg(max(least(col("cv"), col("cum"))).as("v"))
     while (!converged && rounds < maxRounds) {
-      val next = e.join(vals.withColumnRenamed("node", "src"), "src")
+      val j1 = e.join(vals.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), col("v"))
-        // cap at the node's own current value (lossless, see scaladoc)
-        .join(vals.select(col("node").as("dst"), col("v").as("cap")), "dst")
-        .select(col("dst"), least(col("v"), col("cap")).as("cv"))
-        // capped-value histogram: map-side combine bounds a hot node's
-        // shuffle rows at cap+1 per task
-        .groupBy("dst", "cv").agg(count(lit(1)).as("cnt"))
-        // cum(d) = #neighbors with capped value >= d; H = max min(d, cum)
-        .withColumn("cum", sum(col("cnt")).over(w))
-        .groupBy(col("dst").as("node"))
-        .agg(max(least(col("cv"), col("cum"))).as("v"))
+      val next = (if (!hasHot) ranked(j1)
+        else
+          ranked(j1.join(broadcast(hot), Seq("dst"), "left_anti"))
+            .unionByName(
+              capped(j1.join(broadcast(hot), Seq("dst"), "left_semi"), vals)))
         .localCheckpoint(true)
       val s = next.agg(sum(col("v"))).head().getLong(0)
       if (s == prevSum) converged = true

@@ -25,14 +25,23 @@ object ProfCoreness {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.expressions.Window
 
-    // hub 0 — HubDeg leaves; leaves i..i+2 also chain into triangles so
-    // coreness has structure to iterate over (leaf coreness 2, hub 1...2)
+    // hub 0 — HubDeg leaves; the first min(HubDeg, 10⁶) leaves each
+    // close a triangle with two FRESH nodes (leaf-x-y-leaf), so the
+    // decomposition has structure (triangles 2-core, the hub h-indexes
+    // down over rounds) yet converges in a handful of rounds —
+    // INDEPENDENT triangles, unlike a chained background whose value
+    // decreases propagate one node per round from the ends (O(n)
+    // rounds, past any sane maxRounds). The star dominates the edge
+    // count, so the timing isolates the hot-node handling.
+    val triN = math.min(hubDeg, 1000000L)
     val star = spark.range(1, hubDeg + 1)
       .select(lit(0L).as("src"), col("id").as("dst"))
-    val tri = spark.range(1, hubDeg - 1)
-      .select(col("id").as("src"), (col("id") + 1).as("dst"))
-      .unionByName(spark.range(1, hubDeg - 1)
-        .select(col("id").as("src"), (col("id") + 2).as("dst")))
+    val x = (c: org.apache.spark.sql.Column) => c + lit(2L * hubDeg)
+    val y = (c: org.apache.spark.sql.Column) => c + lit(4L * hubDeg)
+    val leaves = spark.range(1, triN + 1)
+    val tri = leaves.select(col("id").as("src"), x(col("id")).as("dst"))
+      .unionByName(leaves.select(x(col("id")).as("src"), y(col("id")).as("dst")))
+      .unionByName(leaves.select(y(col("id")).as("src"), col("id").as("dst")))
     val half = star.unionByName(tri)
     val edges = half.unionByName(
         half.select(col("dst").as("src"), col("src").as("dst")))
@@ -70,8 +79,11 @@ object ProfCoreness {
       vals.select(col("node"), col("v").as("coreness"))
     }
 
-    val fast = time("histogram (new)") {
-      val r = graft.functions.Graph.coreness(edges, "src", "dst")
+    val fast = time("hybrid hot-path") {
+      // hotDegree forced below the hub so the capped-histogram branch
+      // engages regardless of HubDeg
+      val r = graft.functions.Graph.coreness(edges, "src", "dst",
+          hotDegree = math.max(1000L, hubDeg / 2))
         .localCheckpoint(true)
       r.count(); r
     }

@@ -359,13 +359,22 @@ class GraphOpsSpec extends AnyFunSuite {
     val k4 = und((1L, 30001L), (1L, 30002L), (1L, 30003L),
       (30001L, 30002L), (30001L, 30003L), (30002L, 30003L))
     val g = starUnd.unionByName(k4)
-    val c = Graph.coreness(g, "src", "dst").as[(Long, Long)]
-      .collect().toMap
+    // hotDegree forced low so the star hub routes through the capped-
+    // histogram branch — the hybrid's hot path — while the K4 and
+    // leaves take the ranked branch; the union must be the exact
+    // decomposition
+    val c = Graph.coreness(g, "src", "dst", hotDegree = 1000L)
+      .as[(Long, Long)].collect().toMap
     assert(c(hub) === 1L)           // 20k degree-1 neighbors → h-index 1
     assert(c(1L) === 3L)            // the leaf inside K4
     assert(c(30001L) === 3L && c(30002L) === 3L && c(30003L) === 3L)
     assert(c(2L) === 1L && c(20000L) === 1L)
     assert(c.size === 20004)
+    // both routes bit-equal: default cutoff (no hot node → pure ranked
+    // form) gives the identical map
+    val cRanked = Graph.coreness(g, "src", "dst").as[(Long, Long)]
+      .collect().toMap
+    assert(cRanked === c)
     // the oracle-unroll contract fails LOUDLY, not as a hash mismatch:
     // this graph needs >0 rounds, so an unroll of 0 must be rejected
     val e = intercept[IllegalArgumentException] {
