@@ -179,6 +179,30 @@ object SqlQueries {
           .cast("long").as("days_to_end"))
     }),
 
+    // PG datetime dialect end-to-end: date_trunc fields Spark lacks
+    // (decade, the plural sub-second spellings) and EXTRACT fields that
+    // rewrite (isodow/epoch/century/microseconds) or pass through (dow),
+    // run as PG TEXT through SqlDialect.rewrite — the exact path a
+    // stream config's SQL takes. Scan-shaped projection (no shuffle);
+    // semantics pinned against PG rules by PropertySpec's generated
+    // date_trunc/EXTRACT corpus, and against DuckDB here.
+    "q_date_dialect" -> ((spark, dir) => {
+      Tables.read(spark, dir, "events").createOrReplaceTempView("events_qdd")
+      spark.sql(graft.sources.SqlDialect.rewrite(
+        """SELECT event_id,
+          |date_trunc('decade', ts) AS decade_start,
+          |date_trunc('week', ts) AS week_start,
+          |date_trunc('milliseconds', ts) AS ms_trunc,
+          |CAST(extract(isodow from ts) AS BIGINT) AS isodow,
+          |CAST(extract(dow from ts) AS BIGINT) AS dow,
+          |extract(epoch from ts) AS epoch_s,
+          |CAST(extract(century from ts) AS BIGINT) AS century,
+          |extract(microseconds from ts) AS micros,
+          |to_char(ts, 'YYYY-MM-DD"T"HH24:MI:SS') AS fmt_iso,
+          |to_char(ts, 'Dy, DD Mon YYYY') AS fmt_rfc
+          |FROM events_qdd""".stripMargin))
+    }),
+
     // ORDER BY + LIMIT → TakeOrderedAndProject (no global sort).
     "q_topk" -> ((spark, dir) => {
       Tables.read(spark, dir, "orders")
@@ -926,6 +950,19 @@ object SqlQueries {
         |CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         |CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_end
         |FROM orders""".stripMargin,
+    "q_date_dialect" ->
+      """SELECT event_id,
+        |CAST(date_trunc('decade', ts) AS TIMESTAMP) AS decade_start,
+        |CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+        |CAST(date_trunc('milliseconds', ts) AS TIMESTAMP) AS ms_trunc,
+        |CAST(extract(isodow from ts) AS BIGINT) AS isodow,
+        |CAST(extract(dow from ts) AS BIGINT) AS dow,
+        |CAST(extract(epoch from ts) AS DOUBLE) AS epoch_s,
+        |CAST(extract(century from ts) AS BIGINT) AS century,
+        |CAST(extract(microseconds from ts) AS BIGINT) AS micros,
+        |strftime(ts, '%Y-%m-%dT%H:%M:%S') AS fmt_iso,
+        |strftime(ts, '%a, %d %b %Y') AS fmt_rfc
+        |FROM events""".stripMargin,
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,

@@ -35,7 +35,6 @@ object SqlDialect {
   // (?i) flag into the pattern literal
   private val ciNotMatchRe = """!~\*\s*('(?:[^']|'')*')""".r
   private val ciMatchRe = """~\*\s*('(?:[^']|'')*')""".r
-  private val epochRe = """(?i)\bextract\s*\(\s*epoch\s+from\s+([^()]+)\)""".r
   private val dquoteIdentRe = """"([A-Za-z_][A-Za-z0-9_$]*)"""".r
 
   /** True iff position `idx` falls inside a single-quoted string literal
@@ -338,13 +337,8 @@ object SqlDialect {
       c = c.replaceAll("""(?<![!<>=~])~(?![~*=])""", " RLIKE ")
       c
     }
-    locally {
-      val s3 = out
-      out = epochRe.replaceSomeIn(s3, m =>
-        if (inLiteral(s3, m.start)) None
-        else Some(java.util.regex.Matcher.quoteReplacement(
-          s"UNIX_TIMESTAMP(${m.group(1).trim})")))
-    }
+    out = rewriteDateTrunc(rewriteExtract(out))
+    out = rewriteToChar(out)
     out = rewriteNumericTrunc(out)
     // iterate to handle chained casts like x::text::int
     var prev: String = null
@@ -1111,6 +1105,240 @@ object SqlDialect {
           rewriteNumericTrunc(
             sql.substring(0, m.start) + repl + sql.substring(close + 1))
         }
+    }
+  }
+
+  private val extractRe = """(?i)\bextract\s*\(""".r
+  private val dateTruncRe = """(?i)\bdate_trunc\s*\(\s*'([A-Za-z]+)'\s*,""".r
+
+  /** Balanced close-paren index for the '(' at `openIdx` (literal-aware);
+    * -1 when unbalanced.
+    */
+  private def balancedClose(sql: String, openIdx: Int): Int = {
+    var depth = 0
+    var i = openIdx
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false } // '' toggles twice, nets out
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** PG `EXTRACT(field FROM expr)` fields Spark lacks or spells
+    * differently (PG functions-datetime §9.9 vs Spark's DatePart):
+    *   - `epoch`        → `UNIX_MICROS(CAST(x AS TIMESTAMP)) / 1e6`
+    *     (PG returns numeric WITH the fractional seconds; the previous
+    *     UNIX_TIMESTAMP form silently truncated microseconds, and a
+    *     direct `CAST(ts AS DOUBLE)` is forbidden under ANSI)
+    *   - `dow`          → `DAYOFWEEK - 1` (PG counts Sun=0…Sat=6; Spark's
+    *     DOW field is dayofweek's Sun=1…Sat=7, NOT PG's — found by the
+    *     PropertySpec corpus)
+    *   - `isodow`       → `DAYOFWEEK_ISO` (Mon=1…Sun=7 in both)
+    *   - `isoyear`      → `YEAROFWEEK`
+    *   - `decade`       → `FLOOR(YEAR(x) / 10)`
+    *   - `century`      → `CEIL(YEAR(x) / 100.0)` (AD years: 2000→20, 2001→21)
+    *   - `millennium`   → `CEIL(YEAR(x) / 1000.0)`
+    *   - `milliseconds` → `SECOND × 1000` (PG: seconds incl. fraction × 10³)
+    *   - `microseconds` → `SECOND × 10⁶` cast to BIGINT
+    * Every other field passes through — Spark's semantics match PG
+    * (`week` = ISO week number, `second` carries the fraction as
+    * DECIMAL), pinned by PropertySpec's generated corpus
+    * against an independent java.time PG-rules interpreter. The
+    * century/decade/millennium arithmetic assumes AD years (PG counts
+    * BC centuries differently; stream configs never carry BC dates).
+    * PG also allows `epoch` over INTERVAL values (total seconds) —
+    * not supported here; such statements ride the pushdown fallback.
+    */
+  def rewriteExtract(sql: String): String = {
+    val m = extractRe.findAllMatchIn(sql)
+      .find(mm => !inLiteral(sql, mm.start)).getOrElse(return sql)
+    val openIdx = m.end - 1
+    val close = balancedClose(sql, openIdx)
+    if (close < 0) return sql
+    val args = sql.substring(openIdx + 1, close)
+    val fromIdx = topLevelIndexOf(args, "FROM")
+    if (fromIdx < 0) return sql
+    val field = args.substring(0, fromIdx).trim.toLowerCase
+    val op = args.substring(fromIdx + 4).trim
+    val replaced = field match {
+      case "epoch" => s"(UNIX_MICROS(CAST($op AS TIMESTAMP)) / 1000000.0D)"
+      case "dow" => s"(EXTRACT(DAYOFWEEK FROM $op) - 1)"
+      case "isodow" => s"EXTRACT(DAYOFWEEK_ISO FROM $op)"
+      case "isoyear" => s"EXTRACT(YEAROFWEEK FROM $op)"
+      case "decade" => s"FLOOR(YEAR($op) / 10)"
+      case "century" => s"CEIL(YEAR($op) / 100.0)"
+      case "millennium" => s"CEIL(YEAR($op) / 1000.0)"
+      case "milliseconds" => s"(EXTRACT(SECOND FROM $op) * 1000)"
+      case "microseconds" =>
+        s"CAST(EXTRACT(SECOND FROM $op) * 1000000 AS BIGINT)"
+      case _ => null
+    }
+    if (replaced == null)
+      // pass-through field: recurse into the operand (a nested extract
+      // may hide inside) and the remainder
+      sql.substring(0, openIdx + 1) + rewriteExtract(args) + ")" +
+        rewriteExtract(sql.substring(close + 1))
+    else
+      // each pass eliminates one rewritable extract( and introduces at
+      // most pass-through ones, so this terminates
+      rewriteExtract(
+        sql.substring(0, m.start) + replaced + sql.substring(close + 1))
+  }
+
+  /** PG `date_trunc('field', expr)` fields Spark's `date_trunc` lacks:
+    * `decade`/`century`/`millennium` become a MAKE_TIMESTAMP on the
+    * period-start year (PG: decades start at y0, centuries/millennia at
+    * y1 — `date_trunc('century', 2000-05-01)` → 1901-01-01), and PG's
+    * plural sub-second spellings (`milliseconds`/`microseconds`, the
+    * canonical PG field names) fold to Spark's singular. All other
+    * fields pass through unchanged — Spark's `week` (Monday), `quarter`,
+    * etc. match PG, pinned by the PropertySpec corpus.
+    */
+  def rewriteDateTrunc(sql: String): String = {
+    val candidates = dateTruncRe.findAllMatchIn(sql)
+      .filterNot(mm => inLiteral(sql, mm.start))
+    val m = candidates.find { mm =>
+      val f = mm.group(1).toLowerCase
+      f == "decade" || f == "century" || f == "millennium" ||
+        f == "milliseconds" || f == "microseconds"
+    }.getOrElse(return sql)
+    val openIdx = sql.indexOf('(', m.start)
+    val close = balancedClose(sql, openIdx)
+    if (close < 0) return sql
+    val op = sql.substring(m.end, close).trim
+    val y = s"YEAR($op)"
+    val replaced = m.group(1).toLowerCase match {
+      case "decade" =>
+        s"MAKE_TIMESTAMP(CAST(FLOOR($y / 10) * 10 AS INT), 1, 1, 0, 0, 0)"
+      case "century" =>
+        s"MAKE_TIMESTAMP(CAST((CEIL($y / 100.0) - 1) * 100 + 1 AS INT), 1, 1, 0, 0, 0)"
+      case "millennium" =>
+        s"MAKE_TIMESTAMP(CAST((CEIL($y / 1000.0) - 1) * 1000 + 1 AS INT), 1, 1, 0, 0, 0)"
+      case "milliseconds" => s"date_trunc('MILLISECOND', $op)"
+      case "microseconds" => s"date_trunc('MICROSECOND', $op)"
+    }
+    rewriteDateTrunc(
+      sql.substring(0, m.start) + replaced + sql.substring(close + 1))
+  }
+
+  private val toCharRe = """(?i)\bto_char\s*\(""".r
+
+  // PG → DateTimeFormatter tokens with EXACT output parity (longest
+  // first so HH24 is not eaten by HH). Word tokens are case-sensitive
+  // in PG (template case controls output case: Mon/MON/mon) — only the
+  // capitalized forms map, because Java's en-US locale prints "Jan"/
+  // "Mon"; numeric tokens are case-insensitive in PG, so the common
+  // lowercase spellings map too.
+  private val toCharTokens: Seq[(String, String)] = Seq(
+    "HH24" -> "HH", "hh24" -> "HH", "HH12" -> "hh", "hh12" -> "hh",
+    "YYYY" -> "yyyy", "yyyy" -> "yyyy", "DDD" -> "DDD", "ddd" -> "DDD",
+    "MS" -> "SSS", "ms" -> "SSS", "US" -> "SSSSSS", "us" -> "SSSSSS",
+    "Mon" -> "MMM", "Dy" -> "EEE", "AM" -> "a", "PM" -> "a",
+    "YY" -> "yy", "yy" -> "yy", "MM" -> "MM", "mm" -> "MM",
+    "DD" -> "dd", "dd" -> "dd", "HH" -> "hh", "hh" -> "hh",
+    "MI" -> "mm", "mi" -> "mm", "SS" -> "ss", "ss" -> "ss",
+    "Q" -> "Q", "q" -> "Q")
+
+  // Template constructs with NO exact Spark equivalent: blank-padded
+  // word forms (Month/Day pad to 9 chars in PG), FM/FX/TH modifiers,
+  // seconds-past-midnight, ISO week/day-of-week numbers, eras, Julian
+  // days, lowercase meridiem (Java prints "AM" only). A template
+  // containing any of these is left untouched → execution="auto"
+  // streams push the ORIGINAL SQL down to the remote.
+  private val toCharUnsupported: Seq[String] = Seq(
+    "SSSSS", "SSSS", "sssss", "ssss", "MONTH", "Month", "month",
+    "MON", "mon", "DAY", "Day", "day", "DY", "dy", "IYYY", "IYY",
+    "IY", "IW", "iw", "WW", "ww", "CC", "cc", "TZ", "tz", "OF",
+    "FM", "fm", "FX", "fx", "TH", "th", "SP", "sp", "RM", "rm",
+    "A.M.", "P.M.", "a.m.", "p.m.", "am", "pm", "AD", "BC", "ad",
+    "bc", "A.D.", "B.C.", "J", "W", "w", "Y,YYY", "EPOCH", "FF")
+
+  /** PG `to_char` datetime template → Spark DateTimeFormatter pattern,
+    * or None when any token lacks an exact-parity translation.
+    * Double-quoted template text becomes a single-quoted pattern
+    * literal; plain punctuation/space separators pass through.
+    */
+  private[sources] def toCharPattern(tpl: String): Option[String] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < tpl.length) {
+      if (tpl.charAt(i) == '"') {
+        val end = tpl.indexOf('"', i + 1)
+        if (end < 0) return None
+        val text = tpl.substring(i + 1, end)
+        if (text.nonEmpty)
+          sb.append('\'').append(text.replace("'", "''")).append('\'')
+        i = end + 1
+      } else {
+        val rest = tpl.substring(i)
+        if (toCharUnsupported.exists(rest.startsWith)) return None
+        toCharTokens.find { case (pg, _) => rest.startsWith(pg) } match {
+          case Some((pg, j)) => sb.append(j); i += pg.length
+          case None =>
+            val c = rest.head
+            if (" -/:.,;()".indexOf(c.toInt) >= 0) { sb.append(c); i += 1 }
+            else return None
+        }
+      }
+    }
+    Some(sb.toString)
+  }
+
+  /** Rewrite PG `to_char(expr, '<datetime template>')` to Spark
+    * `DATE_FORMAT(expr, '<pattern>')` when the template translates with
+    * exact parity ([[toCharPattern]]); otherwise the call is left
+    * untouched — numeric templates ride Spark's own `to_char` where its
+    * number-format grammar accepts them, and everything else surfaces
+    * as an AnalysisException that the `auto` execution mode turns into
+    * remote pushdown. Semantics pinned by PropertySpec's generated
+    * template corpus vs an independent PG-rules renderer.
+    */
+  def rewriteToChar(sql: String): String = {
+    val m = toCharRe.findAllMatchIn(sql)
+      .find(mm => !inLiteral(sql, mm.start)).getOrElse(return sql)
+    val openIdx = m.end - 1
+    val close = balancedClose(sql, openIdx)
+    if (close < 0) return sql
+    def skipRest(): String =
+      sql.substring(0, close + 1) + rewriteToChar(sql.substring(close + 1))
+    val args = sql.substring(openIdx + 1, close)
+    val commaIdx = {
+      // first top-level comma, literal-aware
+      var d = 0; var j = 0; var inStr = false; var at = -1
+      while (j < args.length && at < 0) {
+        val c = args.charAt(j)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => d += 1
+          case ')' => d -= 1
+          case ',' if d == 0 => at = j
+          case _ =>
+        }
+        j += 1
+      }
+      at
+    }
+    if (commaIdx < 0) return skipRest()
+    val arg1 = args.substring(0, commaIdx).trim
+    val tplLit = args.substring(commaIdx + 1).trim
+    if (tplLit.length < 2 || tplLit.head != '\'' || tplLit.last != '\'')
+      return skipRest()
+    val tpl = tplLit.substring(1, tplLit.length - 1).replace("''", "'")
+    toCharPattern(tpl) match {
+      case None => skipRest()
+      case Some(p) =>
+        rewriteToChar(sql.substring(0, m.start) +
+          s"DATE_FORMAT($arg1, '${p.replace("'", "''")}')" +
+          sql.substring(close + 1))
     }
   }
 

@@ -43,11 +43,76 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(SqlDialect.rewrite("select '~tilde~' as s") === "select '~tilde~' as s")
   }
 
-  test("extract(epoch from ts) rewrites to unix_timestamp") {
+  test("extract(epoch from ts) rewrites to fractional unix micros") {
     assert(SqlDialect.rewrite("select extract(epoch from created_at) from t") ===
-      "select UNIX_TIMESTAMP(created_at) from t")
+      "select (UNIX_MICROS(CAST(created_at AS TIMESTAMP)) / 1000000.0D) from t")
     assert(SqlDialect.rewrite("select EXTRACT(EPOCH FROM ts) > 100 from t") ===
-      "select UNIX_TIMESTAMP(ts) > 100 from t")
+      "select (UNIX_MICROS(CAST(ts AS TIMESTAMP)) / 1000000.0D) > 100 from t")
+    // parenthesized operands resolve by balanced scan (the old regex form
+    // skipped any operand containing parens)
+    assert(SqlDialect.rewrite(
+      "select extract(epoch from date_trunc('day', ts)) from t") ===
+      "select (UNIX_MICROS(CAST(date_trunc('day', ts) AS TIMESTAMP)) / 1000000.0D) from t")
+  }
+
+  test("extract: PG-only fields rewrite; matching fields pass through") {
+    assert(SqlDialect.rewrite("SELECT extract(isodow from ts) FROM t") ===
+      "SELECT EXTRACT(DAYOFWEEK_ISO FROM ts) FROM t")
+    assert(SqlDialect.rewrite("SELECT extract(isoyear from ts) FROM t") ===
+      "SELECT EXTRACT(YEAROFWEEK FROM ts) FROM t")
+    assert(SqlDialect.rewrite("SELECT extract(decade from ts) FROM t") ===
+      "SELECT FLOOR(YEAR(ts) / 10) FROM t")
+    assert(SqlDialect.rewrite("SELECT extract(century from ts) FROM t") ===
+      "SELECT CEIL(YEAR(ts) / 100.0) FROM t")
+    assert(SqlDialect.rewrite("SELECT extract(microseconds from ts) FROM t") ===
+      "SELECT CAST(EXTRACT(SECOND FROM ts) * 1000000 AS BIGINT) FROM t")
+    // Spark's DOW is dayofweek (Sun=1..Sat=7), NOT PG's Sun=0..Sat=6 —
+    // the generated corpus caught this; the rewrite shifts it
+    assert(SqlDialect.rewrite("SELECT extract(dow from ts) FROM t") ===
+      "SELECT (EXTRACT(DAYOFWEEK FROM ts) - 1) FROM t")
+    // week/doy/second match PG natively — untouched
+    assert(SqlDialect.rewrite("SELECT extract(week from ts) FROM t") ===
+      "SELECT extract(week from ts) FROM t")
+    // inside a string literal — untouched
+    assert(SqlDialect.rewrite("SELECT 'extract(decade from x)' FROM t") ===
+      "SELECT 'extract(decade from x)' FROM t")
+  }
+
+  test("to_char: exact-parity datetime templates rewrite; the rest pass") {
+    assert(SqlDialect.rewrite(
+      "SELECT to_char(ts, 'YYYY-MM-DD HH24:MI:SS') FROM t") ===
+      "SELECT DATE_FORMAT(ts, 'yyyy-MM-dd HH:mm:ss') FROM t")
+    // quoted template text → quoted pattern literal, with the pattern's
+    // inner quotes doubled for the surrounding SQL string
+    assert(SqlDialect.rewrite(
+      "SELECT to_char(ts, 'YYYY-MM-DD\"T\"HH24:MI') FROM t") ===
+      "SELECT DATE_FORMAT(ts, 'yyyy-MM-dd''T''HH:mm') FROM t")
+    assert(SqlDialect.rewrite(
+      "SELECT to_char(created_at, 'Dy, DD Mon YYYY') FROM t") ===
+      "SELECT DATE_FORMAT(created_at, 'EEE, dd MMM yyyy') FROM t")
+    // blank-padded word form: PG pads 'Month' to 9 chars — no exact
+    // Spark equivalent, left for the auto-pushdown fallback
+    assert(SqlDialect.rewrite("SELECT to_char(ts, 'Month DD') FROM t") ===
+      "SELECT to_char(ts, 'Month DD') FROM t")
+    // FM modifier and numeric templates: untouched
+    assert(SqlDialect.rewrite("SELECT to_char(ts, 'FMDD') FROM t") ===
+      "SELECT to_char(ts, 'FMDD') FROM t")
+    assert(SqlDialect.rewrite("SELECT to_char(amount, '999D99') FROM t") ===
+      "SELECT to_char(amount, '999D99') FROM t")
+    // inside a string literal: untouched
+    assert(SqlDialect.rewrite("SELECT 'to_char(ts, ''YYYY'')' FROM t") ===
+      "SELECT 'to_char(ts, ''YYYY'')' FROM t")
+  }
+
+  test("date_trunc: PG-only fields rewrite; matching fields pass through") {
+    assert(SqlDialect.rewrite("SELECT date_trunc('decade', ts) FROM t") ===
+      "SELECT MAKE_TIMESTAMP(CAST(FLOOR(YEAR(ts) / 10) * 10 AS INT), 1, 1, 0, 0, 0) FROM t")
+    assert(SqlDialect.rewrite("SELECT date_trunc('century', ts) FROM t") ===
+      "SELECT MAKE_TIMESTAMP(CAST((CEIL(YEAR(ts) / 100.0) - 1) * 100 + 1 AS INT), 1, 1, 0, 0, 0) FROM t")
+    assert(SqlDialect.rewrite("SELECT date_trunc('milliseconds', ts) FROM t") ===
+      "SELECT date_trunc('MILLISECOND', ts) FROM t")
+    assert(SqlDialect.rewrite("SELECT date_trunc('week', ts) FROM t") ===
+      "SELECT date_trunc('week', ts) FROM t")
   }
 
   test("double-quoted identifiers become backticks (PG identifier semantics)") {
