@@ -5006,6 +5006,31 @@ object PipelineQueries {
         vocab.unionByName(pad, allowMissingColumns = false))
     }),
 
+    // URL canonicalization + canonical-URL dedup — the crawl pipeline's
+    // front door (C4/RefinedWeb/FineWeb all dedup at the URL level
+    // before any content pass). The synthetic URL derives from the SAME
+    // SQL snippet on both sides (the erRecords pattern): doc_id % 11
+    // fixes the URL's IDENTITY (subdomain, path, params, kept port),
+    // doc_id itself injects only canonicalization NOISE (scheme/host
+    // case, www., default ports, tracking params, param order,
+    // fragments, trailing slash), so dup groups form across documents
+    // and every rule is load-bearing in the hash.
+    "web_url_canon" -> ((spark, dir) =>
+      graft.functions.WebOps.urlDedup(webDocs(spark, dir), "url", "doc_id")),
+
+    // Per-registered-domain corpus stats over canonical hosts (the
+    // blocklist / per-site-cap decision table): eTLD+1 via the
+    // documented two-level-suffix subset, counts + exact size sum only.
+    "web_domain_stats" -> ((spark, dir) =>
+      graft.functions.WebOps.domainStats(webDocs(spark, dir), "url",
+        "n_chars")),
+
+    // Per-domain keep cap (sourceCap with the key DERIVED from the
+    // URL): smallest 8 doc_ids per registered domain survive.
+    "web_domain_cap" -> ((spark, dir) =>
+      graft.functions.WebOps.domainCap(webDocs(spark, dir), "url",
+        "doc_id", maxPerDomain = 8)),
+
     // Streaming unigram encode (twin of text_unigram_apply): the cost
     // table trains batch-side, then documents arrive as a stream and
     // every word segments inline through the per-row Viterbi fold — a
@@ -5031,6 +5056,119 @@ object PipelineQueries {
       spark.table("text_unigram_stream_out")
         .where(col("doc_id") =!= -1L)
     }))
+
+  /** Deterministic synthetic URL per document, built from the SAME SQL
+    * snippets on both sides (Spark `expr` here, DuckDB oracle below) —
+    * the erRecords pattern. `doc_id % 11` ("page") drives URL identity;
+    * raw `doc_id` residues drive only noise the canonicalizer must
+    * collapse. Shared snippets are dialect-common SQL: concat / case /
+    * cast(.. as string) / upper / `%` behave identically.
+    */
+  private val webQCoreSql: String =
+    "case when doc_id % 11 = 9 then '' else case when doc_id % 2 = 0 " +
+      "then concat('a=', lang, '&b=', cast(doc_id % 11 as string)) " +
+      "else concat('b=', cast(doc_id % 11 as string), '&a=', lang) end end"
+
+  private val webQTrackSql: String =
+    "concat(" +
+      "case when doc_id % 3 = 0 then concat('&utm_source=', source) else '' end, " +
+      "case when doc_id % 5 = 1 then '&gclid=zz1' else '' end, " +
+      "case when doc_id % 7 = 3 then '&ref=fp' else '' end)"
+
+  /** URL body; expects a column `qq` = webQCoreSql ++ webQTrackSql. */
+  private val webUrlSql: String =
+    """concat(
+      |  case when (doc_id % 11) % 2 = 0
+      |    then (case when doc_id % 5 = 0 then 'HTTPS' else 'https' end)
+      |    else (case when doc_id % 5 = 0 then 'HTTP' else 'http' end) end,
+      |  '://',
+      |  case when doc_id % 2 = 1
+      |    then (case when doc_id % 10 = 1 then 'WWW.' else 'www.' end)
+      |    else '' end,
+      |  case when (doc_id % 11) % 3 = 0 then 'm.'
+      |       when (doc_id % 11) % 3 = 1 then 'blog.' else '' end,
+      |  case when doc_id % 3 = 0 then upper(source) else source end,
+      |  '.',
+      |  case when lang = 'en' then 'co.uk' when lang = 'fr' then 'fr'
+      |       when lang = 'es' then 'com.mx' when lang = 'de' then 'de'
+      |       else 'com.cn' end,
+      |  case when doc_id % 11 = 7 then ':8080'
+      |       when doc_id % 7 = 0 then
+      |         (case when (doc_id % 11) % 2 = 0 then ':443' else ':80' end)
+      |       else '' end,
+      |  case when doc_id % 11 = 5 then ''
+      |       else concat('/', source, '/p', cast(doc_id % 11 as string),
+      |         case when doc_id % 4 = 0 then '/' else '' end) end,
+      |  case when qq = '' then '' else concat('?', qq) end,
+      |  case when doc_id % 6 = 0 then concat('#s', cast(doc_id % 4 as string))
+      |       else '' end)""".stripMargin
+
+  private[graft] def webDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.read(spark, dir, "documents")
+      .withColumn("qq", expr(s"concat($webQCoreSql, $webQTrackSql)"))
+      .withColumn("url", expr(webUrlSql))
+      .select("doc_id", "url", "n_chars")
+
+  /** Oracle CTE producing `canon(doc_id, n_chars, url, canon_url,
+    * chost)` — the DuckDB replay of [[graft.functions.WebOps]]'s rules
+    * over the same synthetic URLs. `coalesce(array_to_string(...),'')`
+    * papers over DuckDB returning NULL for an empty list where Spark's
+    * array_join returns ''.
+    */
+  private lazy val webCanonCte: String =
+    s"""WITH q0 AS (SELECT doc_id, lang, source, n_chars,
+       |    concat($webQCoreSql, $webQTrackSql) AS qq FROM documents),
+       |u AS (SELECT doc_id, n_chars, $webUrlSql AS url
+       |  FROM q0),
+       |c1 AS (SELECT doc_id, n_chars, url,
+       |    split_part(url, '#', 1) AS nofrag FROM u),
+       |c2 AS (SELECT *, split_part(nofrag, '?', 1) AS base,
+       |    CASE WHEN instr(nofrag, '?') > 0
+       |      THEN substring(nofrag,
+       |        length(split_part(nofrag, '?', 1)) + 2, 1073741823)
+       |      ELSE '' END AS query FROM c1),
+       |c3 AS (SELECT *, lower(split_part(base, '://', 1)) AS scheme,
+       |    CASE WHEN instr(base, '://') > 0
+       |      THEN substring(base,
+       |        length(split_part(base, '://', 1)) + 4, 1073741823)
+       |      ELSE base END AS rest FROM c2),
+       |c4 AS (SELECT *, lower(split_part(rest, '/', 1)) AS hostport,
+       |    substring(rest,
+       |      length(split_part(rest, '/', 1)) + 1, 1073741823) AS path0
+       |  FROM c3),
+       |c5 AS (SELECT *,
+       |    CASE WHEN scheme = 'http' THEN regexp_replace(
+       |        regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
+       |      WHEN scheme = 'https' THEN regexp_replace(
+       |        regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
+       |      ELSE regexp_replace(hostport, '^www\\.', '') END AS host2,
+       |    regexp_replace(path0, '/$$', '') AS path1,
+       |    coalesce(array_to_string(list_sort(list_filter(
+       |      string_split(query, '&'),
+       |      p -> NOT starts_with(p, 'utm_')
+       |        AND split_part(p, '=', 1)
+       |          NOT IN ('gclid','fbclid','msclkid','ref')
+       |        AND p <> '')), '&'), '') AS q1 FROM c4),
+       |canon AS (SELECT doc_id, n_chars, url,
+       |    concat(scheme, '://', host2, path1,
+       |      CASE WHEN q1 = '' THEN '' ELSE concat('?', q1) END)
+       |      AS canon_url,
+       |    regexp_replace(host2, ':[0-9]+$$', '') AS chost FROM c5)""".stripMargin
+
+  /** eTLD+1 over a host column named `chost` (two-level-suffix subset
+    * mirroring WebOps.TwoLevelSuffixes).
+    */
+  private lazy val webRegDomainSql: String =
+    "CASE WHEN len(string_split(chost, '.')) <= 2 THEN chost " +
+      "WHEN concat(string_split(chost, '.')[-2], '.', " +
+      "string_split(chost, '.')[-1]) IN " +
+      "('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp'," +
+      "'com.au','net.au','org.au','com.br','com.cn','com.mx','co.in'," +
+      "'co.kr','co.za','github.io','blogspot.com','herokuapp.com') " +
+      "THEN concat(string_split(chost, '.')[-3], '.', " +
+      "string_split(chost, '.')[-2], '.', string_split(chost, '.')[-1]) " +
+      "ELSE concat(string_split(chost, '.')[-2], '.', " +
+      "string_split(chost, '.')[-1]) END"
 
   /** The RAG corpus cleaner shared by the indexed/stream flagship
     * twins: deterministic markup wrapping + stripMarkup (same text as
@@ -9239,6 +9377,26 @@ object PipelineQueries {
         |FROM lab l JOIN surv s USING (entity_id)""".stripMargin
 
   private lazy val tailOracles: Map[String, String] = Map(
+    // URL canonicalization replay (webCanonCte) + keep = group-min id
+    "web_url_canon" ->
+      s"""$webCanonCte
+         |SELECT doc_id, url, canon_url,
+         |  doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep
+         |FROM canon""".stripMargin,
+    "web_domain_stats" ->
+      s"""$webCanonCte
+         |SELECT $webRegDomainSql AS domain,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT chost) AS BIGINT) AS n_hosts,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_size
+         |FROM canon GROUP BY 1""".stripMargin,
+    "web_domain_cap" ->
+      s"""$webCanonCte
+         |SELECT doc_id, domain,
+         |  row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 8
+         |    AS keep
+         |FROM (SELECT doc_id, $webRegDomainSql AS domain FROM canon)
+         |  t""".stripMargin,
     // bit-exact Morton replay: bit i of a → 2i, bit i of b → 2i+1
     "layout_zorder" ->
       """SELECT l_orderkey, l_linenumber,

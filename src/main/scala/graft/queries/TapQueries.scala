@@ -53,6 +53,16 @@ object TapQueries {
       |{"name":"n_nationkey","type":"int"},{"name":"n_name","type":"text"},
       |{"name":"starts_a","type":"int"}]}""".stripMargin
 
+  // PG numeric to_char templates — rewritten by SqlDialect to the
+  // native PG-rules renderer (pg_to_char_num / plans.PgNumFormat):
+  // padded+grouped, FM, forced zeros, trailing-S sign, over real
+  // positive AND negative acctbal values. The oracle replays each fixed
+  // template with DuckDB format/printf + the PG sign-column rules.
+  private val toCharNumericJson =
+    """{"name":"customer_tochar","sql":"SELECT c_custkey, to_char(c_acctbal::numeric(12,2), '99,990.00') AS amt_pad, to_char(c_acctbal::numeric(12,2), 'FM99,990.00') AS amt_fm, to_char(c_acctbal::numeric(12,2), '0000.00') AS amt_zero, to_char(c_acctbal::numeric(12,2), 'FM99,990.00S') AS amt_s FROM customer",
+      |"key_properties":["c_custkey"],
+      |"columns":[{"name":"c_custkey","type":"bigint"},{"name":"amt_pad","type":"text"},{"name":"amt_fm","type":"text"},{"name":"amt_zero","type":"text"},{"name":"amt_s","type":"text"}]}""".stripMargin
+
   // PG JSON extraction operators (`->`, `->>`, `#>>`) over the events
   // props column plus inline-built nested JSON — rewritten by SqlDialect
   // to get_json_object; DuckDB runs its native `->>` / JSONPath forms as
@@ -248,6 +258,7 @@ object TapQueries {
           .withColumn("bookmark", lit(bm(part))))
     }),
 
+    "tap_to_char_numeric" -> run(toCharNumericJson),
     "tap_raw_sql_scan" -> run(rawScanJson),
     "tap_incremental" -> run(incrementalJson),
     "tap_conform_cast" -> run(conformJson),
@@ -344,6 +355,23 @@ object TapQueries {
     "tap_conform_cast" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name,
         |CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal FROM customer""".stripMargin,
+    // fixed-template DuckDB replay of the PG numeric to_char rules:
+    // grouped format + lpad for the sign column, printf %0 for forced
+    // zeros, floating '-' adjacent to the digits
+    "tap_to_char_numeric" ->
+      """WITH v AS (SELECT c_custkey,
+        |    CAST(c_acctbal AS DECIMAL(12,2)) AS a FROM customer),
+        |f AS (SELECT c_custkey, a,
+        |    concat(format('{:,}', CAST(trunc(abs(a)) AS BIGINT)),
+        |      right(printf('%.2f', CAST(abs(a) AS DOUBLE)), 3)) AS g,
+        |    printf('%07.2f', CAST(abs(a) AS DOUBLE)) AS z FROM v)
+        |SELECT c_custkey,
+        |  lpad(CASE WHEN a < 0 THEN '-' || g ELSE g END, 10, ' ')
+        |    AS amt_pad,
+        |  CASE WHEN a < 0 THEN '-' || g ELSE g END AS amt_fm,
+        |  concat(CASE WHEN a < 0 THEN '-' ELSE ' ' END, z) AS amt_zero,
+        |  concat(g, CASE WHEN a < 0 THEN '-' ELSE '+' END) AS amt_s
+        |FROM f""".stripMargin,
     "tap_dialect_rewrite" ->
       """SELECT lower('1441C21D-9921-4a1d-B239-9C6EA18AF234') AS id,
         |TIMESTAMP '2021-11-22 11:45:11.062824' AS last_updated,

@@ -1292,14 +1292,17 @@ object SqlDialect {
     Some(sb.toString)
   }
 
-  /** Rewrite PG `to_char(expr, '<datetime template>')` to Spark
-    * `DATE_FORMAT(expr, '<pattern>')` when the template translates with
-    * exact parity ([[toCharPattern]]); otherwise the call is left
-    * untouched — numeric templates ride Spark's own `to_char` where its
-    * number-format grammar accepts them, and everything else surfaces
-    * as an AnalysisException that the `auto` execution mode turns into
-    * remote pushdown. Semantics pinned by PropertySpec's generated
-    * template corpus vs an independent PG-rules renderer.
+  /** Rewrite PG `to_char(expr, template)`: datetime templates translate
+    * to Spark `DATE_FORMAT(expr, '<pattern>')` when exact parity holds
+    * ([[toCharPattern]]); numeric templates (disjoint token set) go to
+    * the native PG-rules renderer `pg_to_char_num`
+    * ([[graft.plans.PgNumFormat]], session-registered by
+    * [[PgFunctions]]) — Spark's own `to_char` number grammar diverges
+    * from PG on sign columns, separator blanking and FM. Everything
+    * else is left untouched and surfaces as an AnalysisException that
+    * the `auto` execution mode turns into remote pushdown. Semantics
+    * pinned by PropertySpec's generated template corpora vs independent
+    * PG-rules renderers (datetime AND numeric).
     */
   def rewriteToChar(sql: String): String = {
     val m = toCharRe.findAllMatchIn(sql)
@@ -1334,7 +1337,18 @@ object SqlDialect {
       return skipRest()
     val tpl = tplLit.substring(1, tplLit.length - 1).replace("''", "'")
     toCharPattern(tpl) match {
-      case None => skipRest()
+      case None =>
+        // not a datetime template — numeric? PG numeric templates and
+        // datetime ones are disjoint (9/0/./,/S/MI/PR vs YYYY/MM/…), so
+        // a successful numeric parse is unambiguous. Rewrites to the
+        // registered native renderer (PgFunctions.ensureRegistered).
+        graft.plans.PgNumFormat.parse(tpl) match {
+          case Some(_) =>
+            rewriteToChar(sql.substring(0, m.start) +
+              s"pg_to_char_num($arg1, '${tpl.replace("'", "''")}')" +
+              sql.substring(close + 1))
+          case None => skipRest()
+        }
       case Some(p) =>
         rewriteToChar(sql.substring(0, m.start) +
           s"DATE_FORMAT($arg1, '${p.replace("'", "''")}')" +

@@ -47,6 +47,7 @@ object StreamSource {
     // regex/SIMILAR TO patterns like '\d+' or 'NATION\.5' survive intact.
     val escKey = "spark.sql.parser.escapedStringLiterals"
     val prevEsc = spark.conf.getOption(escKey)
+    PgFunctions.ensureRegistered(spark)
     val df =
       try { spark.conf.set(escKey, "true"); spark.sql(sql) }
       finally { prevEsc match {

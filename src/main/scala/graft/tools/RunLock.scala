@@ -17,20 +17,36 @@ package graft.tools
   */
 object RunLock {
 
+  // STRONG references to the channel + lock. An unreferenced FileChannel
+  // is garbage-collected, and channel finalization RELEASES its file
+  // locks — the original acquire() dropped both on the floor, so the
+  // "held for JVM life" lock actually lasted until the first full GC
+  // (observed round 11: an sbt compile sailed straight through lockGuard
+  // while a 200-entries-deep Verify was live; the fingerprint guard
+  // caught the resulting class swap and aborted the run).
+  @volatile private var held: Option[
+    (java.nio.channels.FileChannel, java.nio.channels.FileLock)] = None
+
   def acquire(tag: String): Unit = {
     if (sys.env.contains("GRAFT_LOCK_HELD") ||
         sys.env.contains("GRAFT_NO_LOCK")) return
+    if (held.isDefined) return // idempotent within one JVM
     val path = sys.env.getOrElse("GRAFT_LOCK_FILE", "/tmp/graft-spark.lock")
     val ch = java.nio.channels.FileChannel.open(
       java.nio.file.Paths.get(path),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
-    if (ch.tryLock() == null) {
-      System.err.println(
-        s"[$tag] waiting on $path — another graft JVM is running")
-      ch.lock() // blocks until the holder exits
-      System.err.println(s"[$tag] lock acquired, starting")
+    val lock = {
+      val t = ch.tryLock()
+      if (t != null) t
+      else {
+        System.err.println(
+          s"[$tag] waiting on $path — another graft JVM is running")
+        val l = ch.lock() // blocks until the holder exits
+        System.err.println(s"[$tag] lock acquired, starting")
+        l
+      }
     }
-    // intentionally never closed: held for the life of this JVM
+    held = Some((ch, lock)) // pinned until JVM exit; OS releases on death
   }
 }

@@ -710,6 +710,198 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // Numeric-to_char corpus (sixth generated-corpus installment): PG
+  // numeric templates through the FULL rewrite (→ pg_to_char_num) and
+  // Spark, vs an independent left-to-right PG-rules renderer, anchored
+  // first by the PostgreSQL documentation's own to_char examples
+  // verbatim (Table "to_char Examples") so both implementations are
+  // pinned to published behavior, not merely to each other.
+  test("to_char numeric templates agree with a PG-rules renderer") {
+    val spark = SparkTestSession.spark
+    graft.sources.PgFunctions.ensureRegistered(spark)
+    import java.math.{BigDecimal => JBD, BigInteger, RoundingMode}
+
+    // independent renderer: forward scan over the template, 'started'
+    // threshold from the left (PgNumFormat walks right-to-left with a
+    // printed-count; this restates the rules in the opposite direction)
+    def pgRef(v: JBD, tplS: String): String = {
+      var t = tplS
+      val fm = t.length >= 2 && t.substring(0, 2).equalsIgnoreCase("FM")
+      if (fm) t = t.substring(2)
+      var mode = "d"
+      if (t.nonEmpty && t.head.toUpper == 'S') { mode = "sl"; t = t.tail }
+      else if (t.toUpperCase.endsWith("MI")) { mode = "mi"; t = t.dropRight(2) }
+      else if (t.toUpperCase.endsWith("PR")) { mode = "pr"; t = t.dropRight(2) }
+      else if (t.nonEmpty && t.last.toUpper == 'S') { mode = "st"; t = t.dropRight(1) }
+      val dot = t.indexOf('.')
+      val intT = if (dot >= 0) t.substring(0, dot) else t
+      val fracT = if (dot >= 0) t.substring(dot + 1) else ""
+      val r = v.setScale(fracT.length, RoundingMode.HALF_UP)
+      val neg = r.signum() < 0
+      val abs = r.abs()
+      val nInt = intT.count(c => c == '9' || c == '0')
+      var digits = abs.toBigInteger.toString
+      if (digits == "0" && dot >= 0) digits = ""
+      val leftmostZero = intT.indexWhere(_ == '0') match {
+        case -1 => nInt // no forced position
+        case z => intT.substring(0, z).count(c => c == '9' || c == '0')
+      }
+      val over = digits.length > nInt
+      // first digit-position index (from left) that prints
+      val start = math.min(nInt - digits.length, leftmostZero)
+      val sb = new StringBuilder
+      var pos = 0
+      intT.foreach {
+        case c @ ('9' | '0') =>
+          if (over) sb.append('#')
+          else if (pos < start) sb.append(' ')
+          else {
+            val di = pos - (nInt - digits.length)
+            sb.append(if (di < 0) '0' else digits.charAt(di))
+          }
+          pos += 1
+        case ',' =>
+          sb.append(if (over || pos > start) ',' else ' ')
+      }
+      if (dot >= 0) {
+        sb.append('.')
+        if (over) sb.append("#" * fracT.length)
+        else {
+          val plain = abs.toPlainString
+          val pd = plain.indexOf('.')
+          var fd = if (pd < 0) "" else plain.substring(pd + 1)
+          while (fd.length < fracT.length) fd += "0"
+          if (fm) {
+            var k = fd.length
+            while (k > 0 && fd.charAt(k - 1) == '0' &&
+              fracT.charAt(k - 1) == '9') k -= 1
+            fd = fd.substring(0, k)
+          }
+          sb.append(fd)
+        }
+      }
+      val body = sb.toString
+      val isNeg = neg && !over
+      def float(mark: Char): String = {
+        val b = (" " + body).toCharArray
+        var i = 0
+        while (i < b.length && b(i) == ' ') i += 1
+        if (i >= b.length) i = b.length
+        b(math.max(i - 1, 0)) = mark
+        new String(b)
+      }
+      def strip(s: String) = s.replace(" ", "")
+      mode match {
+        case "d" =>
+          if (fm) (if (isNeg) "-" else "") + strip(body)
+          else if (isNeg) float('-') else " " + body
+        case "sl" =>
+          val m = if (isNeg) '-' else '+'
+          if (fm) m.toString + strip(body) else float(m)
+        case "st" =>
+          (if (fm) strip(body) else body) + (if (isNeg) "-" else "+")
+        case "mi" =>
+          (if (fm) strip(body) else body) +
+            (if (isNeg) "-" else if (fm) "" else " ")
+        case "pr" =>
+          if (fm) { val b = strip(body); if (isNeg) "<" + b + ">" else b }
+          else (if (isNeg) float('<') else " " + body) +
+            (if (isNeg) ">" else " ")
+      }
+    }
+
+    def sparkToChar(pairs: Seq[(String, String)]): Seq[String] = {
+      // pairs of (valueLiteral, template) through the FULL rewrite
+      val rewritten = pairs.map { case (vl, tpl) =>
+        val r = SqlDialect.rewrite(s"SELECT to_char($vl, '$tpl')")
+          .stripPrefix("SELECT ")
+        assert(r.startsWith("pg_to_char_num("), s"not rewritten: <$tpl>")
+        r
+      }
+      rewritten.grouped(100).flatMap { grp =>
+        val sql = grp.zipWithIndex.map { case (e, i) => s"$e AS c$i" }
+          .mkString("SELECT ", ", ", "")
+        val row = spark.sql(sql).head()
+        grp.indices.map(row.getString)
+      }.toSeq
+    }
+
+    // ---- the PostgreSQL documentation's own examples, verbatim
+    val docCases: Seq[(String, String, String)] = Seq(
+      ("485", "999", " 485"),
+      ("-485", "999", "-485"),
+      ("1485", "9,999", " 1,485"),
+      ("148.5", "999.999", " 148.500"),
+      ("148.5", "FM999.999", "148.5"),
+      ("148.5", "FM999.990", "148.500"),
+      // sign slot + 1 unused-digit blank + floated minus: PG's "output
+      // is one character wider than the 9s" rule applied to '99.99'
+      ("-0.1", "99.99", "  -.10"),
+      ("-0.1", "FM9.99", "-.1"),
+      ("0.1", "0.9", " 0.1"),
+      ("12", "9990999.9", "    0012.0"),
+      ("12", "FM9990999.9", "0012."),
+      ("-485", "999S", "485-"),
+      ("-485", "999MI", "485-"),
+      ("485", "FM999MI", "485"),
+      ("-485", "999PR", "<485>"))
+    val docGot = sparkToChar(docCases.map { case (v, t, _) =>
+      (s"'$v'::numeric", t) })
+    docCases.zip(docGot).foreach { case ((v, t, want), got) =>
+      assert(got === want, s"doc example to_char($v, '$t')")
+      assert(pgRef(new JBD(v), t) === want, s"ref doc example ($v, '$t')")
+    }
+
+    // ---- generated corpus vs the independent renderer
+    val genVal = for {
+      unscaled <- Gen.choose(-100000000000L, 100000000000L)
+      scale <- Gen.choose(0, 5)
+    } yield new JBD(BigInteger.valueOf(unscaled), scale)
+    val intTplGen = for {
+      n <- Gen.choose(1, 8)
+      chars <- Gen.listOfN(n, Gen.frequency(4 -> Gen.const('9'),
+        1 -> Gen.const('0')))
+      grouped <- Gen.oneOf(true, false)
+    } yield {
+      val base = chars.mkString
+      if (!grouped || base.length <= 3) base
+      else base.reverse.grouped(3).mkString(",").reverse
+    }
+    val caseGen = for {
+      v <- genVal
+      it <- intTplGen
+      nf <- Gen.choose(0, 4)
+      fchars <- Gen.listOfN(nf, Gen.frequency(3 -> Gen.const('9'),
+        1 -> Gen.const('0')))
+      fm <- Gen.oneOf("", "FM")
+      mode <- Gen.oneOf("", "S|", "|S", "|MI", "|PR")
+      withPoint <- Gen.oneOf(true, false)
+    } yield {
+      val frac = if (withPoint) "." + fchars.mkString else ""
+      val core = it + frac
+      val tpl = mode match {
+        case "S|" => fm + "S" + core
+        case "|S" => fm + core + "S"
+        case "|MI" => fm + core + "MI"
+        case "|PR" => fm + core + "PR"
+        case _ => fm + core
+      }
+      (v, tpl)
+    }
+    val gathered = scala.collection.mutable.ArrayBuffer.empty[(JBD, String)]
+    forAll(caseGen, n = 600) { case (v, tpl) =>
+      assert(graft.plans.PgNumFormat.parse(tpl).isDefined, s"parse '$tpl'")
+      gathered += ((v, tpl))
+    }
+    val got = sparkToChar(gathered.toSeq.map { case (v, tpl) =>
+      (s"'${v.toPlainString}'::numeric", tpl) })
+    gathered.zip(got).foreach { case ((v, tpl), g) =>
+      assert(g === pgRef(v, tpl),
+        s"to_char(${v.toPlainString}, '$tpl'): spark=<$g> " +
+          s"pg-rules=<${pgRef(v, tpl)}>")
+    }
+  }
+
   test("::interval casts: INTERVAL literal form, literal-safe, idempotent") {
     val unit = Gen.oneOf("day", "days", "hour", "hours", "minute",
       "minutes", "second", "month", "year")
