@@ -73,6 +73,28 @@ object Components {
     members.unionByName(roots).distinct()
   }
 
+  /** Connected components for BLOCK-CONFINED graphs — every edge's
+    * endpoints share the `blockCol` value (one blocking key per record,
+    * as in [[EntityResolution.blockedPairs]]), so components never span
+    * blocks and the whole labeling needs ONE shuffle: a per-block
+    * union-find aggregate ([[graft.plans.UnionFindPairs]], partial-agg
+    * mergeable) instead of the iterative star loop's 4 shuffles + 2
+    * checkpoints per round. Same output contract as
+    * [[connectedComponents]] (component = min member id, one row per
+    * node in `pairs`) — pinned equal by ComponentsSpec.
+    *
+    * 100 TB shape: the aggregation buffer is O(nodes in block) — use
+    * ONLY when blocks are bounded (a `maxBlock`-capped blocking key, a
+    * capped LSH bucket). Unbounded blocks belong to the iterative loop.
+    */
+  def blockLocalComponents(pairs: DataFrame, srcCol: String,
+                           dstCol: String, blockCol: String): DataFrame =
+    pairs.groupBy(col(blockCol))
+      .agg(graft.plans.UnionFindPairs.unionFind(
+        col(srcCol).cast("long"), col(dstCol).cast("long")).as("__uf"))
+      .select(explode(col("__uf")).as("__e"))
+      .select(col("__e.node").as("node"), col("__e.component").as("component"))
+
   /** INCREMENTAL component merge — fold a batch of NEW edges into
     * existing labels without re-running the loop over the original edge
     * set (the missing incremental path once every index had one):

@@ -36,7 +36,17 @@ object EntityResolution {
     */
   def blockedPairs(records: DataFrame, idCol: String, nameCol: String,
                    blockCol: org.apache.spark.sql.Column, maxEdits: Int,
-                   maxBlock: Long = 0L): DataFrame = {
+                   maxBlock: Long = 0L): DataFrame =
+    blockedPairsB(records, idCol, nameCol, blockCol, maxEdits, maxBlock)
+      .select("id_a", "id_b", "edit_dist")
+
+  /** [[blockedPairs]] retaining the block key — the block-local CC path
+    * ([[Components.blockLocalComponents]]) keys its single shuffle on it.
+    */
+  private def blockedPairsB(records: DataFrame, idCol: String,
+                            nameCol: String,
+                            blockCol: org.apache.spark.sql.Column,
+                            maxEdits: Int, maxBlock: Long): DataFrame = {
     val r = records.select(blockCol.as("__b"), col(idCol).as("__id"),
       col(nameCol).as("__name"))
     val bounded = if (maxBlock > 0L) {
@@ -53,8 +63,26 @@ object EntityResolution {
       .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxEdits)
       .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
       .where(col("edit_dist") <= maxEdits)
-      .select("id_a", "id_b", "edit_dist")
+      .select("__b", "id_a", "id_b", "edit_dist")
   }
+
+  /** Labels for a blocked-pair graph: block-local single-shuffle
+    * union-find when blocks are bounded (`maxBlock > 0` — buffer is
+    * O(block)); the general iterative loop otherwise. Identical output
+    * (ComponentsSpec pins the two paths equal on the er graph).
+    */
+  private def blockLabels(records: DataFrame, idCol: String,
+                          nameCol: String,
+                          blockCol: org.apache.spark.sql.Column,
+                          maxEdits: Int, maxBlock: Long): DataFrame =
+    if (maxBlock > 0L)
+      Components.blockLocalComponents(
+        blockedPairsB(records, idCol, nameCol, blockCol, maxEdits, maxBlock),
+        "id_a", "id_b", "__b")
+    else
+      Components.connectedComponents(
+        blockedPairs(records, idCol, nameCol, blockCol, maxEdits, maxBlock),
+        "id_a", "id_b")
 
   /** Candidate pairs TOUCHING a new batch — the incremental sibling of
     * [[blockedPairs]]: (corpus × batch) ∪ (batch × batch) within shared
@@ -101,9 +129,8 @@ object EntityResolution {
   def resolve(records: DataFrame, idCol: String, nameCol: String,
               blockCol: org.apache.spark.sql.Column, maxEdits: Int,
               rankCol: String, maxBlock: Long = 0L): DataFrame = {
-    val pairs = blockedPairs(records, idCol, nameCol, blockCol, maxEdits,
+    val labels = blockLabels(records, idCol, nameCol, blockCol, maxEdits,
       maxBlock)
-    val labels = Components.connectedComponents(pairs, "id_a", "id_b")
     survivorship(records, idCol, nameCol, rankCol, labels)
   }
 
@@ -139,9 +166,16 @@ object EntityResolution {
         (corpus.join(keep, blockCol === col("__b"), "left_semi"),
           batch.join(keep, blockCol === col("__b"), "left_semi"))
       } else (corpus, batch)
-    val labels0 = Components.connectedComponents(
-      blockedPairs(c2, idCol, nameCol, blockCol, maxEdits),
-      "id_a", "id_b")
+    // c2 is already restricted to capped blocks, so the single-shuffle
+    // block-local path applies even though no further cap is passed
+    val labels0 =
+      if (maxBlock > 0L)
+        Components.blockLocalComponents(
+          blockedPairsB(c2, idCol, nameCol, blockCol, maxEdits, 0L),
+          "id_a", "id_b", "__b")
+      else Components.connectedComponents(
+        blockedPairs(c2, idCol, nameCol, blockCol, maxEdits),
+        "id_a", "id_b")
     val newPairs = blockedPairsAgainst(c2, b2, idCol, nameCol,
       blockCol, maxEdits)
     val labels1 = Components.mergeComponents(labels0, newPairs,

@@ -26,20 +26,32 @@ object Profiling {
     */
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
-    val aggExprs = cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
-    } :+ count(lit(1)).as("__rows")
-    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
-    one.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column_name, n_nulls, n_distinct, min_value, max_value)",
-      "__rows AS n_rows")
+    // One grouped aggregation PER COLUMN instead of one multi-distinct
+    // agg: k exact countDistincts in a single agg plan as an Expand —
+    // every input row replicates k× before the exchange (measured 7.9 s
+    // at sf0.1 for k=5 ⇒ 3M expanded rows). Grouping by the column
+    // first is partial-agg friendly: map-side combine collapses each
+    // partition to its distinct values, so every exchange carries
+    // |distinct| rows, never k×|rows| — and all stats (nulls, distinct,
+    // min, max, total) derive from the SAME grouped result, one narrow
+    // column-pruned scan each. The k branches union into one plan and
+    // run as parallel stages of a single job.
+    val perCol = cols.map { c =>
+      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+        .agg(
+          sum(when(col("__v").isNull, col("__cnt")).otherwise(0L))
+            .as("n_nulls"),
+          count(when(col("__v").isNotNull, 1)).as("n_distinct"),
+          min(col("__v")).cast("string").as("min_value"),
+          max(col("__v")).cast("string").as("max_value"),
+          // count(lit(1)) semantics of the old single-agg form: 0, not
+          // NULL, on an empty slice (profileDrift's oracle pins it)
+          coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"))
+        .select(lit(c).as("column_name"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"),
+          col("n_rows"))
+    }
+    perCol.reduce(_.unionByName(_))
   }
 
   /** [[tableProfile]] with `approx_count_distinct` (HLL++) in place of

@@ -5031,6 +5031,33 @@ object PipelineQueries {
       graft.functions.WebOps.domainCap(webDocs(spark, dir), "url",
         "doc_id", maxPerDomain = 8)),
 
+    // STREAMING canonical-URL dedup (twin #41): canonicalization is a
+    // stateless projection, the keep verdict is (min id, count) per
+    // canonical group — SET properties, so the streamed result equals
+    // batch under any microbatch split; state is O(1) per group.
+    "web_url_canon_stream" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.OutputMode
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val docs = webDocs(spark, dir)
+        .select(col("doc_id"), col("url"), lit(t0).as("ts"))
+      val sentinel = Seq((-1L, " sentinel",
+        java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
+        .toDF("doc_id", "url", "ts")
+      val agg = streamWithSentinel(spark, docs, sentinel, delaySec = 3600L)
+        .groupBy(graft.functions.WebOps.canonicalizeUrl(col("url"))
+          .as("canon_url"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+      graft.streaming.EventStream.runToMemory(
+        agg, "web_url_canon_stream_out", OutputMode.Update())
+      spark.table("web_url_canon_stream_out")
+        .groupBy("canon_url")
+        .agg(min(col("keep_id")).as("keep_id"),
+          max(col("n_copies")).as("n_copies"))
+        .where(col("keep_id") >= 0) // drop the sentinel group
+    }),
+
     // Streaming unigram encode (twin of text_unigram_apply): the cost
     // table trains batch-side, then documents arrive as a stream and
     // every word segments inline through the per-row Viterbi fold — a
@@ -9397,6 +9424,13 @@ object PipelineQueries {
          |    AS keep
          |FROM (SELECT doc_id, $webRegDomainSql AS domain FROM canon)
          |  t""".stripMargin,
+    // group-level replay: streamed (min id, count) per canonical group
+    // must equal the batch grouping bit-for-bit
+    "web_url_canon_stream" ->
+      s"""$webCanonCte
+         |SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies
+         |FROM canon GROUP BY canon_url""".stripMargin,
     // bit-exact Morton replay: bit i of a → 2i, bit i of b → 2i+1
     "layout_zorder" ->
       """SELECT l_orderkey, l_linenumber,
