@@ -37,6 +37,27 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Edge count at or below which [[connectedComponents]] skips the
+    * iterative star loop and labels the whole graph with ONE global
+    * [[graft.plans.UnionFindPairs]] aggregation (map-side partial
+    * union-find per partition, one merge task). The final buffer holds
+    * ≤ 2·edges nodes — at the default 4M edges that is ≤ 8M LongMap
+    * entries ≈ 256 MB on one task, squarely inside a normal executor's
+    * execution memory — and replaces O(log n) loop rounds, each costing
+    * ~6 edge-sized exchanges plus a checkpoint and a fingerprint job.
+    * The dedup/ER pair graphs this engine builds are EDGE-SPARSE by
+    * construction (bucket caps, block caps, verified pairs only), so at
+    * 100 TB corpus scale the pair graph is still typically under this
+    * bound; a genuinely larger graph takes the loop unchanged. Override
+    * with system property `graft.cc.localMax` or env `GRAFT_CC_LOCAL_MAX`
+    * (negative disables the cutover — ComponentsSpec uses that to pin
+    * the two paths equal).
+    */
+  private def localUnionFindMax: Long =
+    sys.props.get("graft.cc.localMax")
+      .orElse(sys.env.get("GRAFT_CC_LOCAL_MAX"))
+      .map(_.toLong).getOrElse(4000000L)
+
   /** Per-node component assignment for the undirected graph given by
     * `pairs(srcCol, dstCol)`: returns (`node`, `component`) with
     * `component` = min node id of the component, one row per distinct
@@ -54,6 +75,17 @@ object Components {
       .distinct()
       .localCheckpoint(true)
     var fp = fingerprint(edges)
+    // small-graph cutover: the first fingerprint already counted the
+    // edges — below the bound, ONE mergeable union-find aggregation
+    // (identical min-member-id labels, pinned by ComponentsSpec)
+    // replaces the whole loop and its per-round actions
+    if (fp._1 <= localUnionFindMax)
+      return edges
+        .agg(graft.plans.UnionFindPairs.unionFind(col("u"), col("v"))
+          .as("__uf"))
+        .select(explode(col("__uf")).as("__e"))
+        .select(col("__e.node").as("node"),
+          col("__e.component").as("component"))
     var iter = 0
     var converged = fp._1 == 0L
     while (!converged && iter < maxIter) {
@@ -121,10 +153,21 @@ object Components {
     * edges; the corpus-sized work is two narrow hash joins against the
     * (node, component) table — one to contract, one to relabel.
     */
-  def mergeComponents(labels: DataFrame, newPairs: DataFrame,
+  def mergeComponents(labels0: DataFrame, newPairs: DataFrame,
                       srcCol: String, dstCol: String): DataFrame = {
+    // materialize both inputs ONCE: `labels` is consumed four times
+    // below (two contraction sides, the relabel join, the new-node
+    // anti-join) and `e` three times — without the checkpoint each
+    // consumer re-executes the caller's whole upstream subtree (the
+    // blocked self-join / LSH pipeline that produced the pairs), which
+    // measured as a 1,153-operator / 240-Exchange final plan on
+    // er_resolve_incremental. Both tables are the operator's own size
+    // class (labels = node-count rows, e = batch pairs), so the
+    // materialization is strictly smaller than ONE of the recomputes.
+    val labels = labels0.localCheckpoint(true)
     val e = newPairs
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .localCheckpoint(true)
     val lu = labels.select(col("node").as("u"), col("component").as("cu"))
     val lv = labels.select(col("node").as("v"), col("component").as("cv"))
     val contracted = e
@@ -132,10 +175,13 @@ object Components {
       .select(coalesce(col("cu"), col("u")).as("qa"),
         coalesce(col("cv"), col("v")).as("qb"))
     // quotient-graph components: node values here are old component
-    // labels and brand-new node ids
+    // labels and brand-new node ids. Checkpointed — `merged` feeds both
+    // relabel joins below, and its plan (the contracted CC) must run
+    // once, not twice.
     val mergedRaw = connectedComponents(contracted, "qa", "qb")
     val merged = mergedRaw.select(mergedRaw.col("node").as("component"),
       mergedRaw.col("component").as("merged"))
+      .localCheckpoint(true)
     val relabeledOld = labels.join(merged, Seq("component"), "left")
       .select(col("node"),
         coalesce(col("merged"), col("component")).as("component"))

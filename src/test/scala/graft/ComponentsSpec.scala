@@ -42,6 +42,34 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("small-graph union-find cutover ≡ the iterative star loop") {
+    // the r11 cutover routes graphs under graft.cc.localMax through ONE
+    // global UnionFindPairs aggregation; forcing the threshold negative
+    // pins the loop's labels bit-identical to the aggregate's on random
+    // graphs (incl. chains — worst case for min propagation) and on the
+    // mergeComponents quotient path
+    val rnd = new scala.util.Random(31)
+    val edges = (Seq.fill(800)(
+        (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong)) ++
+        (500L until 560L).map(i => (i, i + 1)))   // appended chain
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("a", "b").repartition(16)
+    val fast = Components.connectedComponents(df, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val old = sys.props.put("graft.cc.localMax", "-1")
+    try {
+      val loop = Components.connectedComponents(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(fast === loop)
+    } finally {
+      old match {
+        case Some(v) => sys.props.put("graft.cc.localMax", v)
+        case None => sys.props.remove("graft.cc.localMax")
+      }
+    }
+    assert(fast === ufComponents(edges))
+  }
+
   test("long chain converges within the iteration budget (log², not diameter)") {
     // a 300-node path has diameter 299: naive min-propagation needs ~300
     // joins; large-star/small-star must settle in well under maxIter=20
