@@ -402,6 +402,12 @@ object Retrieval {
         coalesce(sum(when(col("field") === "b", col("tfn"))), lit(0.0))
           .as("cb"))
       .withColumn("c0", lit(wTitle) * col("ct") + lit(wBody) * col("cb"))
+      // materialized ONCE (same rationale as bm25Core's `matched`): the
+      // df branch and the contribution branch both consume `combined`,
+      // whose plan holds the fielded-postings build — two corpus
+      // tokenizations (postings + field stats) — per consumer otherwise.
+      // Size is bounded by the queried terms' (term, doc) rows.
+      .localCheckpoint(true)
     val dfq = combined.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = sqrt((d(col("n") - col("df")) + lit(0.5)) /
       (d(col("df")) + lit(0.5)))

@@ -2691,9 +2691,14 @@ object PipelineQueries {
       val a = graft.functions.Retrieval.bm25TopK(
           corpus, "text", "doc_id", qt, k = 10)
         .select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
+        // queries×10 rows, four consumers below (base/overlap/top1 both
+        // ways): materialize the tiny list once so the full BM25 pass
+        // behind it runs once per ranker, not per consumer
+        .localCheckpoint(true)
       val b = graft.functions.Retrieval.bm25fTopK(
           corpus, "text", "doc_id", qt, k = 10)
         .select(col("query_id"), col("doc_id"), col("rank").as("rank_b"))
+        .localCheckpoint(true) // same four-consumer rationale as `a`
       val base = a.select("query_id").unionByName(b.select("query_id"))
         .distinct()
       val ov = a.join(b, Seq("query_id", "doc_id"))
