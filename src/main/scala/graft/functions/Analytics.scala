@@ -21,8 +21,16 @@ object Analytics {
     *
     * Returns the input columns plus `__rank` and `__n` (total rows).
     */
-  def globalRank(df: DataFrame, valueCol: String, tieCol: String,
+  def globalRank(df0: DataFrame, valueCol: String, tieCol: String,
       nRangeBuckets: Int = 256): DataFrame = {
+    // materialize the input ONCE: three consumers below (the bounds agg,
+    // the bucketed ranking, the per-bucket counts) otherwise re-execute
+    // the caller's upstream subtree per consumer — and rfmSegments CHAINS
+    // three of these passes, so the recompute compounds geometrically
+    // (events_rfm's final plan measured 9,006 operators / 261 Exchanges).
+    // The table is one row per ranked entity (user-count-sized here),
+    // the same size class the rank pass shuffles anyway.
+    val df = df0.localCheckpoint(true)
     val bounds = df.agg(min(col(valueCol)).as("__lo"),
       max(col(valueCol)).as("__hi"), count(lit(1)).as("__n"))
     val bucketed = df.crossJoin(broadcast(bounds))
