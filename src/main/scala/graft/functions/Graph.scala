@@ -40,14 +40,23 @@ object Graph {
     */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
                          iters: Int, scale: Long = 1000000L,
-                         dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+                         dampNum: Int = 85, dampDen: Int = 100,
+                         edgesDistinct: Boolean = false,
+                         checkpointEvery: Int = 8): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
-    val e = edges
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    // `edgesDistinct = true` skips the defensive dedup when the caller
+    // already guarantees one row per directed edge (the gate queries
+    // union two orientation-disjoint distinct pair sets) — dropping a
+    // full edge-list exchange; results are identical by the guarantee.
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
+    val e = if (edgesDistinct) e0 else e0.distinct()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // degree-annotated edges: computed once, reused every round
+    // degree-annotated edges: computed once, reused every round; the
+    // join leaves them hash-partitioned by src, exactly what each
+    // round's ranks-join needs (localCheckpoint preserves partitioning)
     val eDeg = e.join(outdeg, "src").localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -55,11 +64,17 @@ object Graph {
       .localCheckpoint(true)
     val base = (dampDen - dampNum).toLong * scale / dampDen
     var ranks = nodes.withColumn("rank", lit(scale))
+    // Each superstep references `ranks` exactly once, so stacking rounds
+    // keeps the plan LINEAR in iters — a fixed small power iteration
+    // (the gate's 5) runs as ONE job with no per-round materialization.
+    // `checkpointEvery` still truncates lineage on deep iterations so k
+    // rounds never stack k shuffle stages into one unbounded plan.
     var i = 0
     while (i < iters) {
       ranks = superstep(ranks, eDeg, nodes, base, dampNum, dampDen)
-        .localCheckpoint(true)
       i += 1
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
@@ -142,12 +157,17 @@ object Graph {
     */
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, seedCol: String,
-                maxHops: Int): DataFrame = {
+                maxHops: Int, edgesDistinct: Boolean = false): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
+    // repartition by the per-round join key BEFORE checkpointing: every
+    // hop joins the frontier on `src`, and a (src,dst)- or scan-
+    // partitioned edge table would re-exchange the FULL edge list each
+    // round; src-partitioned, the rounds reuse the checkpoint layout.
+    // `edgesDistinct` as in pageRankFixedPoint.
+    val e = (if (edgesDistinct) e0 else e0.distinct())
       .localCheckpoint(true)
     var visited = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct()
@@ -259,13 +279,20 @@ object Graph {
     */
   def ssspBounded(edges: DataFrame, srcCol: String, dstCol: String,
                   wCol: String, seeds: DataFrame, seedCol: String,
-                  rounds: Int): DataFrame = {
+                  rounds: Int, edgesMinimal: Boolean = false): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(wCol).cast("long").as("w"))
-      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+    // `edgesMinimal = true`: caller guarantees one minimum-weight row
+    // per directed edge already (the gate query pre-aggregates min per
+    // pair before orienting) — skip the defensive re-aggregate, saving
+    // a full edge exchange; identical input by the guarantee. Either
+    // way, partition by the per-round join key (`src`) before the
+    // checkpoint so relaxation rounds never re-exchange the edge list.
+    val e = (if (edgesMinimal) e0
+      else e0.groupBy("src", "dst").agg(min(col("w")).as("w")))
       .localCheckpoint(true)
     var dist = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct()
@@ -306,13 +333,18 @@ object Graph {
     * unchanged count IS the fixpoint.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int, maxRounds: Int = 50): DataFrame = {
+            k: Int, maxRounds: Int = 50,
+            edgesDistinct: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var cur = edges
+    // src-partitioned before the checkpoint (and re-established by
+    // ending each round on the src-keyed semi join) so the per-round
+    // degree groupBy(src) needs NO exchange; `edgesDistinct` as in
+    // pageRankFixedPoint.
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
+    var cur = (if (edgesDistinct) e0 else e0.distinct())
       .localCheckpoint(true)
     var prevNodes = -1L
     var rounds = 0
@@ -326,9 +358,12 @@ object Graph {
       if (n == prevNodes) converged = true
       else {
         prevNodes = n
+        // dst-keyed semi first, src-keyed LAST: the surviving edge set
+        // leaves the round src-partitioned, so the next round's degree
+        // count and src-semi reuse the layout instead of re-exchanging
         cur = cur
-          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .localCheckpoint(true)
         rounds += 1
       }
@@ -397,12 +432,17 @@ object Graph {
   def coreness(edges: DataFrame, srcCol: String, dstCol: String,
                maxRounds: Int = 50,
                oracleUnroll: Option[Int] = None,
-               hotDegree: Long = 20000000L): DataFrame = {
-    val e = edges
+               hotDegree: Long = 20000000L,
+               edgesDistinct: Boolean = false): DataFrame = {
+    // src-partitioned before the checkpoint: every round joins the value
+    // table on `src`, and a (src,dst)-partitioned edge list would
+    // re-exchange ALL edges per round; `edgesDistinct` as in
+    // pageRankFixedPoint.
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
+    val e = (if (edgesDistinct) e0 else e0.distinct())
       .localCheckpoint(true)
     var vals = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("v"))

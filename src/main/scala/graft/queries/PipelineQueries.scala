@@ -3903,8 +3903,11 @@ object PipelineQueries {
         .distinct()
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      // edgesDistinct: `pairs` is distinct and the two orientations are
+      // disjoint (customers < 10^7 <= shifted suppliers), so the union
+      // is one row per directed edge by construction
       graft.functions.Graph.pageRankFixedPoint(edges, "src", "dst",
-          iters = 5)
+          iters = 5, edgesDistinct = true)
         .orderBy(col("rank").desc, col("node"))
         .limit(20)
         .select(col("node"), col("rank"),
@@ -3935,8 +3938,9 @@ object PipelineQueries {
         .agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("node"))
         .limit(20)
+      // edgesMinimal: min-aggregated per pair above, orientations disjoint
       graft.functions.Graph.ssspBounded(edges, "src", "dst", "w",
-          seeds, "node", rounds = 4)
+          seeds, "node", rounds = 4, edgesMinimal = true)
         .select(col("node"), col("dist"),
           when(col("node") >= 10000000L, lit("supplier"))
             .otherwise(lit("customer")).as("kind"))
@@ -3959,7 +3963,9 @@ object PipelineQueries {
         .distinct()
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-      graft.functions.Graph.kCore(edges, "src", "dst", k = 10)
+      // edgesDistinct: distinct pairs, disjoint orientations (pagerank note)
+      graft.functions.Graph.kCore(edges, "src", "dst", k = 10,
+          edgesDistinct = true)
         .select(col("node"), col("core_deg"),
           when(col("node") >= 10000000L, lit("supplier"))
             .otherwise(lit("customer")).as("kind"))
@@ -3983,8 +3989,9 @@ object PipelineQueries {
         .distinct()
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+      // edgesDistinct: distinct pairs, disjoint orientations (pagerank note)
       graft.functions.Graph.coreness(edges, "src", "dst",
-          oracleUnroll = Some(24))
+          oracleUnroll = Some(24), edgesDistinct = true)
         .select(col("node"), col("coreness"),
           when(col("node") >= 10000000L, lit("supplier"))
             .otherwise(lit("customer")).as("kind"))
@@ -4011,8 +4018,9 @@ object PipelineQueries {
         .agg(count(lit(1)).as("deg"))
         .orderBy(col("deg").desc, col("node"))
         .limit(20)
+      // edgesDistinct: distinct pairs, disjoint orientations (pagerank note)
       graft.functions.Graph.bfsLevels(edges, "src", "dst",
-          seeds, "node", maxHops = 4)
+          seeds, "node", maxHops = 4, edgesDistinct = true)
         .select(col("node"), col("dist"),
           when(col("node") >= 10000000L, lit("supplier"))
             .otherwise(lit("customer")).as("kind"))

@@ -498,11 +498,18 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("events_rfm: every rank window is range-bucketed (no corpus-wide rank)") {
+    // globalRank checkpoints its input per pass (r11: the 3-pass chain
+    // otherwise re-executed the user aggregation up to 27x), so only the
+    // LAST rank phase is visible in the final plan — the earlier passes
+    // sit behind the checkpoint scans. Audit the visible phase's shape
+    // here; GlobalRankSpec/the oracle pin the other passes' values.
     val plan = executedPlan("events_rfm")
     val rankWindows = plan.split("\n").filter(_.contains("row_number()"))
-    assert(rankWindows.length >= 3, s"expected 3 rank phases:\n$plan")
+    assert(rankWindows.nonEmpty, s"expected a rank phase:\n$plan")
     rankWindows.foreach(l => assert(l.contains("__b"),
       s"rank window must partition by the range bucket:\n$l"))
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed earlier rank passes:\n$plan")
   }
 
   test("q_gap_fill: spine explodes from broadcast bounds; windows are keyed") {
