@@ -5391,7 +5391,11 @@ object PipelineQueries {
           .otherwise(concat(lit("X"), expr("substring(name, 2)")))
           .as("name"),
         (col("acctbal") - lit(1000000.0)).as("acctbal"))
-    cust.unionByName(dirty)
+    // materialized once: the ER entries fan this registry into many
+    // consumers (block keep-list, both self-join sides, batch-touching
+    // pairs, survivorship) — er_resolve_incremental's plan still carried
+    // 16 copies of the scan+union after the mergeComponents fix
+    cust.unionByName(dirty).localCheckpoint(true)
   }
 
   /** DuckDB SQL recomputing the exact cosine for each (query_id,
