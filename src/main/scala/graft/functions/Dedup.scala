@@ -330,14 +330,32 @@ object Dedup {
     * (never text), so the shuffle is cheap; inputs that already have
     * enough splits pass through untouched.
     */
-  private def rebalance(df: DataFrame): DataFrame = {
+  private[graft] def rebalance(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     // inputFiles inspects the source relations without converting the
     // plan to an RDD (which would bypass AQE and plan the query twice);
-    // sources with at least `target` files already scan in parallel, and
-    // non-file sources (empty list) conservatively repartition
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    // sources with at least `target` files already scan in parallel.
+    // Non-file sources (empty list — checkpoint scans, in-memory
+    // relations) pass through: their parallelism was set upstream, and
+    // a blind repartition would re-exchange corpus-sized text.
+    val files = df.inputFiles.length
+    if (files > 0 && files < target) df.repartition(target) else df
   }
+
+  /** [[rebalance]] applied to the RAW columns a downstream computation
+    * needs — the exchange then carries source rows and the expensive
+    * per-row work (normalization regexps, shingle hashing, chunking)
+    * runs AFTER it on every core, instead of inside the single scan
+    * task of a one-file source. Catalyst keeps projections where they
+    * are written, so computing the heavy expressions on the rebalanced
+    * side is load-bearing, not style (the previous form
+    * `rebalance(df.select(heavy))` left the heavy projection BELOW the
+    * exchange, measured single-task on the fixtures). No-op at
+    * production file counts, like [[rebalance]].
+    */
+  private[graft] def rebalanceRaw(df: DataFrame, cols: Column*): DataFrame =
+    rebalance(df.select(cols: _*))
 
   /** Shared pruned-postings construction for the exact set-overlap
     * family ([[ngramJaccardPairs]], [[ngramContainmentPairs]]): one
@@ -354,6 +372,13 @@ object Dedup {
     // is recovered with first() after the pair groupBy — no per-doc sizes
     // table, no extra joins, nothing that would need broadcasting a
     // billion-doc side at scale.
+    // The hash projection deliberately sits BELOW the rebalance exchange
+    // (measured, r11): this subtree re-executes per consumer (two join
+    // sides × three prune branches), so hashing above the exchange would
+    // run the raw-text exchange + hashing six times over — the compact
+    // per-doc hash ARRAYS are the cheaper thing to exchange. Contrast
+    // [[shingleTfCosinePairs]], whose single checkpoint makes the
+    // hash-above-exchange form pay.
     val base = rebalance(df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), k).as("shs")))
     maxDocFreq match {
@@ -399,6 +424,12 @@ object Dedup {
                         k: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Option[Int] = Some(AutoMaxDocFreq)
                        ): DataFrame = {
+    // NOT checkpointed (measured): the self-join does re-run the pruned
+    // postings build per side, but with the rebalanced scan that is
+    // parallel linear work, while materializing the postings-sized table
+    // cost more than it saved (jaccard 3.9→6.2 s at 10× WITH the
+    // checkpoint in the isolated r11 A/B). Contrast shingleTfCosinePairs,
+    // whose (id, h, tf)-aggregated table IS worth one materialization.
     val sh = prunedShinglePostings(df, textCol, idCol, k, maxDocFreq)
     sh.as("x").join(sh.as("y"), "sh")
       .where(col("x.id") < col("y.id"))
@@ -429,12 +460,18 @@ object Dedup {
                             k: Int = 3, threshold: Double = 0.8,
                             maxDocFreq: Option[Int] = Some(AutoMaxDocFreq)
                            ): DataFrame = {
+    // postings NOT checkpointed — same measured rationale as
+    // [[ngramJaccardPairs]]. The PAIR AGGREGATE is: it fans into the two
+    // direction projections (ab/ba), is pair-count-sized (post-groupBy,
+    // narrow longs), and without it the whole postings self-join runs
+    // twice.
     val sh = prunedShinglePostings(df, textCol, idCol, k, maxDocFreq)
     val pairs = sh.as("x").join(sh.as("y"), "sh")
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"),
         first(col("x.sz")).as("sz_a"), first(col("y.sz")).as("sz_b"))
+      .localCheckpoint(true)
     val ab = pairs.select(col("id_a").as("id_sub"), col("id_b").as("id_sup"),
       (col("n_common").cast("double") / col("sz_a").cast("double"))
         .as("containment"))
@@ -572,8 +609,12 @@ object Dedup {
                                  idCol: String, L: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     require(L >= 1, s"minLen must be >= 1, got $L")
-    val normAll = df.select(col(idCol).as("doc_id"),
-      normalizeText(col(textCol)).as("__nt"))
+    // rebalance the raw rows first: normalization, token split, and the
+    // window-hash explode below all run post-exchange on every core
+    // instead of inside a one-file source's single scan task
+    val normAll = rebalanceRaw(df,
+        col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .select(col("doc_id"), normalizeText(col("__t")).as("__nt"))
     val norm = normAll.where(size(split(col("__nt"), " ")) >= L)
     val toks = norm.select(col("doc_id"), split(col("__nt"), " ").as("toks"))
     val pos = norm.select(col("doc_id"),
@@ -615,6 +656,11 @@ object Dedup {
     // hot = window hashes at >= 2 positions corpus-wide
     val hot = pos.groupBy("h").agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1).select("h")
+    // NOT checkpointed (measured): `windows` does fan into two consumers,
+    // but it carries rebuilt window STRINGS and — on a low-entropy corpus
+    // where most window hashes repeat — approaches corpus-position size;
+    // materializing it lost 6.5 s at 10× on dedup_exact_substr while the
+    // rebalanced recompute is parallel scan work (isolated A/B r11).
     val windows = windowTexts(pos.join(hot, Seq("h"), "left_semi"), toks, L)
     (normAll, toks, windows)
   }
@@ -909,8 +955,8 @@ object Dedup {
                            k: Int = 3, threshold: Double = 0.5,
                            maxDocFreq: Option[Int] = Some(AutoMaxDocFreq)
                           ): DataFrame = {
-    val base = rebalance(df.select(col(idCol).as("id"),
-      shingleHashesAll(col(textCol), k).as("shs")))
+    val base = rebalanceRaw(df, col(idCol).as("id"), col(textCol).as("__t"))
+      .select(col("id"), shingleHashesAll(col("__t"), k).as("shs"))
     val p0 = base.select(col("id"), explode(col("shs")).as("h"))
       .groupBy("id", "h").agg(count(lit(1)).as("tf"))
     val p = maxDocFreq match {
@@ -932,8 +978,13 @@ object Dedup {
         p0.join(hot, Seq("h"), "left_anti")
       case None => p0
     }
-    val sq = p.groupBy("id").agg(sum(col("tf") * col("tf")).as("sq"))
-    val dots = p.as("x").join(p.as("y"), "h")
+    // materialized ONCE: `p` has three consumers (the Σtf² aggregate and
+    // both self-join sides), each of which otherwise re-runs the scan +
+    // shingle explode + (id, h) aggregate + stop-shingle prune — see the
+    // [[ngramJaccardPairs]] note.
+    val pm = p.localCheckpoint(true)
+    val sq = pm.groupBy("id").agg(sum(col("tf") * col("tf")).as("sq"))
+    val dots = pm.as("x").join(pm.as("y"), "h")
       .where(col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .agg(sum(col("x.tf") * col("y.tf")).as("dot"))

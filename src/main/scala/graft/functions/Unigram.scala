@@ -56,7 +56,10 @@ object Unigram {
     */
   private def wordHist(df: DataFrame, textCol: String): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    df.where(length(trim(col(textCol))) > 0)
+    // rebalanced raw rows: normalization + word explode run post-exchange
+    // on every core instead of a one-file source's single scan task
+    Dedup.rebalanceRaw(df, col(textCol).as(textCol))
+      .where(length(trim(col(textCol))) > 0)
       .select(explode(split(norm, " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -205,8 +208,10 @@ object Unigram {
                    costs: Map[String, Long]): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     // distinct words materialize ONCE (vocabulary-sized) — the require
-    // probe and the Viterbi both read the checkpoint, not the corpus
-    val words = df.where(length(trim(col(textCol))) > 0)
+    // probe and the Viterbi both read the checkpoint, not the corpus;
+    // rebalanced so the tokenize+explode runs on every core
+    val words = Dedup.rebalanceRaw(df, col(textCol).as(textCol))
+      .where(length(trim(col(textCol))) > 0)
       .select(explode(split(norm, " ")).as("w"))
       .where(length(col("w")) > 0).distinct()
       .localCheckpoint(true)
@@ -241,7 +246,8 @@ object Unigram {
   def unigramApplyBig(df: DataFrame, textCol: String, idCol: String,
                       vocab: DataFrame): DataFrame = {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    val words = df.where(length(trim(col(textCol))) > 0)
+    val words = Dedup.rebalanceRaw(df, col(textCol).as(textCol))
+      .where(length(trim(col(textCol))) > 0)
       .select(explode(split(norm, " ")).as("w"))
       .where(length(col("w")) > 0).distinct()
       .localCheckpoint(true)
@@ -286,7 +292,9 @@ object Unigram {
     */
   private def reassemble(df: DataFrame, textCol: String, idCol: String,
                          norm: Column, segs: DataFrame): DataFrame = {
-    val exploded = df.where(length(trim(col(textCol))) > 0)
+    val exploded = Dedup.rebalanceRaw(df,
+        col(idCol).as(idCol), col(textCol).as(textCol))
+      .where(length(trim(col(textCol))) > 0)
       .select(col(idCol), posexplode(split(norm, " ")).as(Seq("pos", "w")))
     val reassembled = exploded.join(segs, "w")
       .groupBy(col(idCol))

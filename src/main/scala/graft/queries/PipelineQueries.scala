@@ -2517,19 +2517,10 @@ object PipelineQueries {
       val docs = Tables.read(spark, dir, "documents")
       val emb = Tables.read(spark, dir, "embeddings")
       // 1. WET strip over the deterministically HTML-augmented corpus
-      //    (same augmentation contract as text_strip_markup)
-      val clean = docs.select(col("doc_id"),
-          concat(
-            when(col("doc_id") % 2 === 0,
-              lit("<html><body class=\"page\"><p>")).otherwise(lit("")),
-            col("text"),
-            when(col("doc_id") % 3 === 0,
-              lit(" <b>bold</b>&nbsp;&amp;&nbsp;more &lt;than&gt; that<br/>"))
-              .otherwise(lit("")),
-            when(col("doc_id") % 2 === 0, lit("</p></body></html>"))
-              .otherwise(lit(""))).as("t"))
-        .select(col("doc_id"),
-          graft.functions.Curation.stripMarkup(col("t")).as("clean"))
+      //    (same augmentation contract as text_strip_markup) — the
+      //    shared helper, which also rebalances the raw rows so the
+      //    strip regexps run on every core
+      val clean = ragCleanCorpus(docs)
       // 2. context-window chunking of the CLEAN corpus slice; ckey packs
       //    (doc, chunk) with search_passages' loud overflow guard
       val chunks = graft.functions.Curation.chunkByTokens(
@@ -2603,12 +2594,24 @@ object PipelineQueries {
       // sf0.1)
       val chunks = ragChunks(clean, "pipeline_rag_indexed")
       val idxPath = graft.tools.Scratch.dir("graft_rag_idx") + "/postings"
-      graft.functions.Retrieval.appendPostings(
-        chunks.where(col("ckey") % 2 === 0), "chunk_text", "ckey", idxPath)
-      graft.functions.Retrieval.appendPostings(
-        chunks.where(col("ckey") % 2 === 1), "chunk_text", "ckey", idxPath)
-      graft.functions.IndexMaintenance.compactPostings(spark, idxPath)
-      ragQueryFromPostings(clean, emb, spark.read.parquet(idxPath))
+      // bucketed layout + doclens sidecar (the stream twin's machinery,
+      // append ≡ rebuild spec-pinned, scores bit-identical): rowLocal
+      // postings (chunks are window-bounded, 16 tokens) make each append
+      // a scan + projection + write — no (term, doc) exchange; the
+      // compact is a per-bucket file concat instead of an index-wide
+      // distinct + repartition(1); and search derives N/avgdl from the
+      // doc-count-sized sidecar instead of a full-index groupBy(doc_id).
+      graft.functions.Retrieval.appendPostingsBucketed(
+        chunks.where(col("ckey") % 2 === 0), "chunk_text", "ckey", idxPath,
+        rowLocal = true)
+      graft.functions.Retrieval.appendPostingsBucketed(
+        chunks.where(col("ckey") % 2 === 1), "chunk_text", "ckey", idxPath,
+        rowLocal = true)
+      graft.functions.IndexMaintenance.compactPostingsBucketed(spark, idxPath)
+      ragQueryFromPostings(clean, emb,
+        spark.read.parquet(idxPath).drop("bucket"),
+        doclens = Some(spark.read.parquet(
+          graft.functions.Retrieval.doclensPath(idxPath))))
     }),
 
     // Streaming twin of pipeline_rag_indexed (the continuous-intake
@@ -5215,7 +5218,11 @@ object PipelineQueries {
     * pipeline_rag).
     */
   private[graft] def ragCleanCorpus(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // rebalanced raw rows: the markup strip (a chain of regexps) runs
+    // post-exchange on every core instead of a one-file source's single
+    // scan task; no-op at production file counts
+    Dedup.rebalanceRaw(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"),
         concat(
           when(col("doc_id") % 2 === 0,
             lit("<html><body class=\"page\"><p>")).otherwise(lit("")),

@@ -530,4 +530,34 @@ class DedupSpec extends AnyFunSuite {
       .winnowPairs(real, "text", "doc_id").count()
     assert(got > 0)
   }
+
+  // rebalance contract (round-11 scan-parallelism fix): a few-file scan
+  // spreads to the session's shuffle parallelism so per-row-heavy work
+  // after it runs on every core; non-file sources (in-memory relations,
+  // checkpoint scans) and streaming DataFrames pass through UNCHANGED —
+  // their parallelism was set upstream, and a blind repartition would
+  // re-exchange corpus-sized text (or break the zero-shuffle stream
+  // ingest path).
+  test("rebalance: few-file scans spread, non-file/streaming pass through") {
+    val target = spark.sessionState.conf.numShufflePartitions
+    // single-file parquet scan → repartitioned to the shuffle parallelism
+    val scan = Tables.read(spark, SparkTestSession.Sf, "documents")
+    assert(scan.inputFiles.length < target)
+    assert(Dedup.rebalance(scan).rdd.getNumPartitions === target)
+    // in-memory relation (no input files) → the SAME plan, untouched
+    val mem = docs
+    assert(Dedup.rebalance(mem) eq mem)
+    // localCheckpoint scan (no input files) → untouched
+    val ck = scan.localCheckpoint(true)
+    assert(Dedup.rebalance(ck) eq ck)
+    // streaming DataFrame → untouched (repartition would add a
+    // per-microbatch exchange to the stateless ingest paths)
+    val stream = spark.readStream.schema(scan.schema)
+      .parquet(SparkTestSession.Sf)
+    assert(Dedup.rebalance(stream) eq stream)
+    // rebalanceRaw output still carries exactly the requested columns
+    val cols = Dedup.rebalanceRaw(scan,
+      col("doc_id").as("id"), col("text").as("__t")).columns.toSeq
+    assert(cols === Seq("id", "__t"))
+  }
 }

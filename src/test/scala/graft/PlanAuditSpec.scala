@@ -108,18 +108,24 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("dedup_tf_cosine: postings hash-join, partial-agg counts, no cartesian") {
     // The TF-cosine self-join must be a hash join on the 8-byte shingle
-    // hash with map-side partial aggregation of the tf counts and dot
-    // products — the same narrow-shuffle contract as the n-gram path.
-    // (The auto df-cap's one-row corpus-count crossJoin legitimately
-    // plans as a single-row-build nested loop, as on the n-gram path —
-    // only a true pairwise cartesian is the scale-killer.)
+    // hash with map-side partial aggregation of the dot products — the
+    // same narrow-shuffle contract as the n-gram path. Since the r11
+    // optimization, the pruned (id, h, tf) postings materialize ONCE
+    // (localCheckpoint) before fanning into the Σtf² branch and both
+    // self-join sides, so the tf-count partial aggregation lives in the
+    // checkpoint-materialization job and the FINAL plan must carry no
+    // shingle-hashing Generate at all — three consumers, zero postings
+    // rebuilds. (The auto df-cap's one-row corpus-count crossJoin
+    // legitimately plans as a single-row-build nested loop, as on the
+    // n-gram path — only a true pairwise cartesian is the scale-killer.)
     val plan = finalSection(finalPlan("dedup_tf_cosine"))
     assert(!plan.contains("CartesianProduct"),
       s"tf-cosine must not plan a pairwise cartesian join:\n$plan")
     assert(plan.contains("partial_sum"),
       s"tf dot products must partial-aggregate before the exchange:\n$plan")
-    assert(plan.contains("partial_count"),
-      s"tf counts must partial-aggregate before the exchange:\n$plan")
+    assert(!plan.contains("graft_word_shingle_hashes"),
+      "the pruned postings must materialize once — a shingle-hash " +
+        s"Generate in the final plan means a consumer rebuilt them:\n$plan")
   }
 
   test("dedup_simhash verifies bucket-locally: no per-pair join back to arrays") {
