@@ -42,7 +42,7 @@ object Graph {
                          iters: Int, scale: Long = 1000000L,
                          dampNum: Int = 85, dampDen: Int = 100,
                          edgesDistinct: Boolean = false,
-                         checkpointEvery: Int = 8): DataFrame = {
+                         checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     // `edgesDistinct = true` skips the defensive dedup when the caller
@@ -64,11 +64,14 @@ object Graph {
       .localCheckpoint(true)
     val base = (dampDen - dampNum).toLong * scale / dampDen
     var ranks = nodes.withColumn("rank", lit(scale))
-    // Each superstep references `ranks` exactly once, so stacking rounds
-    // keeps the plan LINEAR in iters — a fixed small power iteration
-    // (the gate's 5) runs as ONE job with no per-round materialization.
-    // `checkpointEvery` still truncates lineage on deep iterations so k
-    // rounds never stack k shuffle stages into one unbounded plan.
+    // checkpointEvery = 1 (re-measured, r11): each superstep references
+    // `ranks` exactly once, so rounds CAN stack into one linear plan —
+    // but fresh-JVM A/B showed per-round materialization faster at BOTH
+    // scales (10×: 13.6-14.9 s vs 16.1-22.5 s stacked; sf0.1: 5.9-6.9
+    // vs 7.1-8.0): the stacked plan chains 2·iters shuffle stages into
+    // one job, serializing AQE stage scheduling and re-planning, while
+    // the per-round form keeps every stage shallow. Raise only with a
+    // measurement at the target scale.
     var i = 0
     while (i < iters) {
       ranks = superstep(ranks, eDeg, nodes, base, dampNum, dampDen)
@@ -169,15 +172,22 @@ object Graph {
     // `edgesDistinct` as in pageRankFixedPoint.
     val e = (if (edgesDistinct) e0 else e0.distinct())
       .localCheckpoint(true)
-    var visited = seeds.select(col(seedCol).cast("long").as("node"))
+    val seed = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct()
       .withColumn("dist", lit(0))
       .localCheckpoint(true)
-    var frontier = visited
+    // `visited` accumulates as a UNION of the per-hop checkpointed
+    // frontiers instead of re-materializing the whole growing set every
+    // hop (r11): the layers are disjoint by construction (each hop
+    // anti-joins everything seen), so the union is exact, the anti-join
+    // side is a cheap scan of ≤ maxHops small checkpoints, and each hop
+    // pays ONE materialization (its own frontier) instead of two.
+    var visited = seed
+    var frontier = seed
     var i = 1
     while (i <= maxHops && !frontier.isEmpty) {
       val next = bfsStep(frontier, e, visited, i).localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
+      visited = visited.unionByName(next)
       frontier = next
       i += 1
     }

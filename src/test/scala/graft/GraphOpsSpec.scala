@@ -303,6 +303,29 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sorted.toSeq
     assert(g3 === Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
+  // pins the r11 visited-as-union-of-layers rewrite: min hop distances,
+  // one row per reachable node (layers stay disjoint), hop bound honored,
+  // unreachable nodes absent
+  test("bfsLevels: hand graph distances, disjoint layers, hop bound") {
+    def und(pairs: (Long, Long)*) = {
+      val p = pairs.toDF("a", "b")
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+    }
+    // 1-2-3-4 path + branch 2-5, isolated pair 8-9; seeds {1}
+    val e = und((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (8L, 9L))
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsLevels(e, "src", "dst", seeds, "node", maxHops = 2)
+      .as[(Long, Int)].collect().sorted.toSeq
+    // node 4 is 3 hops out — beyond maxHops; 8/9 unreachable
+    assert(got === Seq((1L, 0), (2L, 1), (3L, 2), (5L, 2)))
+    // a cycle revisit must NOT duplicate a node at a later dist
+    val cyc = und((1L, 2L), (2L, 3L), (1L, 3L))
+    val got2 = Graph.bfsLevels(cyc, "src", "dst", seeds, "node", maxHops = 4)
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(got2 === Seq((1L, 0), (2L, 1), (3L, 1)))
+  }
+
   test("coreness: hand graph, and membership agrees with kCore") {
     def und(pairs: (Long, Long)*) = {
       val p = pairs.toDF("a", "b")
