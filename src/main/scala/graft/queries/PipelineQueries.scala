@@ -5092,7 +5092,8 @@ object PipelineQueries {
         java.sql.Timestamp.valueOf("2024-01-03 00:00:00")))
         .toDF("doc_id", "text", "ts")
       val enc = graft.functions.Unigram.unigramApplyPerRow(
-        streamWithSentinel(spark, feed, sentinel, delaySec = 3600L),
+        streamWithSentinel(spark, feed, sentinel, delaySec = 3600L,
+          rebalanceFeed = true),
         "text", "doc_id", costs)
       graft.streaming.EventStream.runToMemory(
         enc, "text_unigram_stream_out", OutputMode.Append())
@@ -5514,9 +5515,21 @@ object PipelineQueries {
   private def streamWithSentinel(spark: SparkSession, ev: DataFrame,
                                  sentinel: DataFrame,
                                  delaySec: Long,
-                                 watermarkOnTs: Boolean = true): DataFrame = {
+                                 watermarkOnTs: Boolean = true,
+                                 rebalanceFeed: Boolean = false): DataFrame = {
     val root = graft.tools.Scratch.dir("graft-stream-gate")
-    ev.write.parquet(s"$root/events")
+    // rebalanceFeed (r11): a one-file fixture lands as ONE feed file,
+    // and the file stream assigns one task per file — so a per-row-HEAVY
+    // stateless stage (the unigram stream's 2M Viterbi folds) runs
+    // single-task for the whole drain; more feed files = more batch-1
+    // tasks (batch composition unchanged: all event files share one
+    // mtime and maxFilesPerTrigger is their count). OPT-IN because for
+    // cheap-row stateful twins the extra feed exchange + map-task fanout
+    // into the state-store shuffle measured neutral-to-worse
+    // (events_concurrency_stream 7.8 vs 11.0 s at 10×); enabled where
+    // the win is measured (text_unigram_stream 13.5→7.2 s at 10×).
+    (if (rebalanceFeed) Dedup.rebalance(ev) else ev)
+      .write.parquet(s"$root/events")
     sentinel.coalesce(1).write.parquet(s"$root/sentinel")
     // file source reads oldest-mtime first: all event files land in
     // batch 1 (strictly older mtime + maxFilesPerTrigger = their count),
