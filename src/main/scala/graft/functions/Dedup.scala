@@ -650,12 +650,25 @@ object Dedup {
       .select("doc_id", "span_start", "span_len")
   }
 
+  /** `checkpointHot`: materialize the repeated-hash set once. It is
+    * aggregated (one row per repeated hash) and narrow (one long
+    * column), and sits inside the windows subtree callers re-execute
+    * per consumer — but whether paying the upfront materialization
+    * wins is EMPIRICAL per call site (measured, r11 fresh-JVM 10×):
+    * the standalone apply entry improved 11.8-14.9 → 9.2-9.5 s WITH
+    * it, while duplicateSpans (5.4-5.6 → 7.2 s) and the composed
+    * pretrain pipeline (3.2 → 17-18.6 s — the checkpointed set's
+    * missing stats interact badly with the downstream persist/joins)
+    * got WORSE. Default off; opt in only with a measurement.
+    */
   private def substrWindows(df: DataFrame, textCol: String, idCol: String,
-                            L: Int): (DataFrame, DataFrame, DataFrame) = {
+                            L: Int, checkpointHot: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame) = {
     val (normAll, toks, pos) = tokenizedPositions(df, textCol, idCol, L)
     // hot = window hashes at >= 2 positions corpus-wide
-    val hot = pos.groupBy("h").agg(count(lit(1)).as("__c"))
+    val hot0 = pos.groupBy("h").agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1).select("h")
+    val hot = if (checkpointHot) hot0.localCheckpoint(true) else hot0
     // NOT checkpointed (measured): `windows` does fan into two consumers,
     // but it carries rebuilt window STRINGS and — on a low-entropy corpus
     // where most window hashes repeat — approaches corpus-position size;
@@ -881,9 +894,11 @@ object Dedup {
     * Output: (doc_id, n_tokens, n_dropped, text_clean).
     */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
-                           minLen: Int): DataFrame = {
+                           minLen: Int,
+                           checkpointHot: Boolean = false): DataFrame = {
     val L = minLen
-    val (normAll, toks, windows) = substrWindows(df, textCol, idCol, L)
+    val (normAll, toks, windows) =
+      substrWindows(df, textCol, idCol, L, checkpointHot)
 
     // duplicated windows + their corpus-first occurrence
     val dupFirst = windows.groupBy("wtxt")

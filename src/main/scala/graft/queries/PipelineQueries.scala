@@ -3142,7 +3142,11 @@ object PipelineQueries {
           when(col("doc_id") % 7 === 0, lit(boiler + " ")).otherwise(lit("")),
           col("text"),
           when(col("doc_id") % 11 === 0, lit(" " + boiler)).otherwise(lit(""))))
-      Dedup.removeDuplicateSpans(docs, "text", "doc_id", minLen = 8)
+      // checkpointHot: measured faster for THIS standalone entry
+      // (9.2-9.5 vs 11.8-14.9 s at 10×); pipeline_pretrain keeps the
+      // default — the same flag cost it 5× (see the Dedup scaladoc)
+      Dedup.removeDuplicateSpans(docs, "text", "doc_id", minLen = 8,
+        checkpointHot = true)
     }),
 
     // Greedy next-fit bin packing (whole docs, 256-token budget, 64-id
