@@ -183,12 +183,18 @@ object Sketches {
     * sketch behind ONE partial-aggregated groupBy; the inner product
     * joins two 1024-row tables. The exact side (emitted for the gate's
     * benefit and for calibration runs) is the frequency-vector join —
-    * distinct keys only, never rows. Both sums accumulate in
+    * distinct keys only, never rows. Both sums ACCUMULATE in
     * DECIMAL(38,0): cell products reach ~(rows/width)², which overflows
     * Long near 10¹² rows per side, and an overflowed negative estimate
     * would silently win the min — the decimal path keeps the bound
-    * exact to 10³⁸ and fails loudly (null/ANSI error) past that instead
-    * of emitting nonsense.
+    * exact to 10³⁸ internally. The EMITTED columns are BIGINT: the two
+    * decimal-typed gate rounds (r10, r11) were the only entries in the
+    * whole suite whose driver hash went red with rows/schema green, on
+    * two engines whose decimal surface representations differ — casting
+    * the final scalars back to long (exact below 9.2·10¹⁸, far above
+    * any real join size; null past it under non-ANSI rather than a
+    * wrapped value) restores the r9 cross-engine-stable signature while
+    * keeping the overflow-proof accumulation.
     */
   def countMinJoinEstimate(a: DataFrame, aKey: Column,
                            b: DataFrame, bKey: Column,
@@ -219,7 +225,9 @@ object Sketches {
           col("fb").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
         .cast("decimal(38,0)").as("exact_join"))
     est.crossJoin(exact)
-      .select(lit(label).as("pair"), col("cm_join_est"), col("exact_join"))
+      .select(lit(label).as("pair"),
+        col("cm_join_est").cast("long").as("cm_join_est"),
+        col("exact_join").cast("long").as("exact_join"))
   }
 
   /** Point-frequency estimates: for each query term, min over the

@@ -9105,7 +9105,7 @@ object PipelineQueries {
             label: String): String =
       s"""SELECT '$label' AS pair, est.cm_join_est, ex.exact_join
          |FROM (
-         |  SELECT CAST(min(coalesce(p.est, 0)) AS DECIMAL(38,0))
+         |  SELECT CAST(min(coalesce(p.est, 0)) AS BIGINT)
          |    AS cm_join_est
          |  FROM (SELECT unnest([0,1,2,3]) AS j) js
          |  LEFT JOIN (
@@ -9127,7 +9127,7 @@ object PipelineQueries {
          |    GROUP BY sa.j) p ON js.j = p.j) est
          |CROSS JOIN (
          |  SELECT CAST(coalesce(sum(CAST(fa AS DECIMAL(19,0)) *
-         |      CAST(fb AS DECIMAL(19,0))), 0) AS DECIMAL(38,0))
+         |      CAST(fb AS DECIMAL(19,0))), 0) AS BIGINT)
          |    AS exact_join
          |  FROM (SELECT $aCol AS k, CAST(count(*) AS BIGINT) AS fa
          |        FROM $aTbl GROUP BY 1) a

@@ -85,11 +85,17 @@ class SketchesSpec extends AnyFunSuite {
     // fa = {a:2, b:1, c:3}, fb = {a:1, c:2, d:5} → exact = 2·1 + 3·2 = 8
     val a = Seq("a", "a", "b", "c", "c", "c").toDF("k")
     val b = Seq("a", "c", "c", "d", "d", "d", "d", "d").toDF("k")
-    // sums accumulate in DECIMAL(38,0) (overflow guard) — cast back
-    // for the assertion arithmetic
-    val row = Sketches.countMinJoinEstimate(a, col("k"), b, col("k"), "ab")
-      .select(col("pair"), col("cm_join_est").cast("long"),
-        col("exact_join").cast("long"))
+    // sums accumulate in DECIMAL(38,0) (overflow guard) but the emitted
+    // scalars are BIGINT — the decimal-typed emission was the only
+    // cross-engine hash divergence in the whole gate (r10/r11 driver
+    // red); pin the output schema so it cannot silently come back
+    val est = Sketches.countMinJoinEstimate(a, col("k"), b, col("k"), "ab")
+    assert(est.schema("cm_join_est").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(est.schema("exact_join").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val row = est
+      .select(col("pair"), col("cm_join_est"), col("exact_join"))
       .as[(String, Long, Long)].head()
     assert(row._1 === "ab")
     assert(row._3 === 8L)
