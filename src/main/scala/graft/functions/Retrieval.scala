@@ -205,14 +205,28 @@ object Retrieval {
   def appendPostingsBucketed(batch: DataFrame, textCol: String,
                              idCol: String, path: String,
                              nBuckets: Int = 8,
-                             rowLocal: Boolean = false): Unit = {
+                             rowLocal: Boolean = false,
+                             clustered: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val postings =
       if (rowLocal) buildPostingsRowLocal(batch, textCol, idCol)
       else buildPostings(batch, textCol, idCol)
-    postings
-      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
-      .write.mode("append").partitionBy("bucket").parquet(path)
+    // `clustered`: exchange the batch's postings by bucket before the
+    // write, so each `bucket=` partition receives ONE file instead of
+    // one sliver per map task (tasks × buckets files) and the follow-up
+    // compact finds nothing to merge. Worth it ONLY for a bulk/initial
+    // load that compacts immediately afterwards (one bounded exchange
+    // of this batch's postings replaces the compact's full re-read and
+    // rewrite of them); stream-cadence appends keep the default
+    // shuffle-free path — their batches are small, per-batch latency is
+    // the contract, and compaction runs at its own slow cadence.
+    val placed =
+      if (clustered) postings
+        .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+        .repartition(col("bucket"))
+      else postings
+        .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+    placed.write.mode("append").partitionBy("bucket").parquet(path)
     // doc-length sidecar (index METADATA maintained at append time):
     // one (doc_id, dl) row per batch doc, shuffle-free — dl is the
     // identical size(toks) the postings carry, and batch doc ids are

@@ -2602,11 +2602,8 @@ object PipelineQueries {
       // distinct + repartition(1); and search derives N/avgdl from the
       // doc-count-sized sidecar instead of a full-index groupBy(doc_id).
       graft.functions.Retrieval.appendPostingsBucketed(
-        chunks.where(col("ckey") % 2 === 0), "chunk_text", "ckey", idxPath,
-        rowLocal = true)
-      graft.functions.Retrieval.appendPostingsBucketed(
-        chunks.where(col("ckey") % 2 === 1), "chunk_text", "ckey", idxPath,
-        rowLocal = true)
+        chunks, "chunk_text", "ckey", idxPath,
+        rowLocal = true, clustered = true)
       graft.functions.IndexMaintenance.compactPostingsBucketed(spark, idxPath)
       ragQueryFromPostings(clean, emb,
         spark.read.parquet(idxPath).drop("bucket"),

@@ -210,6 +210,36 @@ class IndexMaintenanceSpec extends AnyFunSuite {
       "doclens-sidecar stats must score like index-derived stats")
   }
 
+  test("clustered bucketed append: identical index rows, one file per bucket") {
+    import graft.functions.Retrieval
+    val corpus = (0L until 90L).map(i =>
+      (i, s"tok${i % 7} tok${i % 11} tok${i % 13} pad${i % 3}"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_postclu").toString
+    Retrieval.appendPostingsBucketed(corpus.repartition(6), "text", "doc_id",
+      s"$tmp/clu", nBuckets = 4, clustered = true)
+    Retrieval.appendPostingsBucketed(corpus.repartition(6), "text", "doc_id",
+      s"$tmp/flat", nBuckets = 4)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("term", "doc_id", "tf", "dl", "bucket")
+      .as[(String, Long, Long, Int, Int)].collect().toSet
+    assert(rows(s"$tmp/clu") === rows(s"$tmp/flat"),
+      "clustered placement must not change the index rows")
+    // the exchange-by-bucket write leaves exactly one data file per
+    // bucket partition — the compact-is-a-no-op property it exists for
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val bucketDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tmp/clu"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { d =>
+      val dataFiles = fs.listStatus(d.getPath).map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      assert(dataFiles.length === 1,
+        s"${d.getPath.getName}: expected 1 file, got ${dataFiles.length}")
+    }
+  }
+
   test("row-local postings builder emits bit-identical rows to the agg form") {
     import graft.functions.Retrieval
     val corpus = (0L until 120L).map(i =>
