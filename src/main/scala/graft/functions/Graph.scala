@@ -429,6 +429,11 @@ object Graph {
     * sort; each round's value table localCheckpoints so rounds never
     * stack one plan. Convergence is Σvalue-based: values only
     * decrease, so an unchanged sum IS the pointwise fixpoint.
+    * Checkpoint cadence re-measured (r12, fresh-JVM 10×, 3 samples):
+    * stacking TWO rounds per materialization (probe every 2) read
+    * 16.0/16.6/18.0 s vs 15.7/16.6/16.6 s for the per-round form —
+    * flat-to-worse, the same serialized-stage-scheduling effect the
+    * pagerank stacking experiment measured, so the cadence stays 1.
     *
     * Histogram h-index identity (proof): H = max{h : |{x ≥ h}| ≥ h}.
     * For each distinct value d with cum(d) = |{x ≥ d}|, take
