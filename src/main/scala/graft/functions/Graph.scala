@@ -403,37 +403,59 @@ object Graph {
     *
     * Returns (`node`, `coreness`) for every distinct endpoint.
     *
-    * 100 TB shape (hot-node-bounded since round 11): the base form
-    * ranks each destination's neighbor list per round (`row_number`
-    * over partitionBy(dst)) — a celebrity node with 10⁸ neighbors
-    * makes one task sort (and spill) 10⁸ rows every round. The
-    * h-index never needs that sort: H({vᵤ}) is computable from the
-    * VALUE HISTOGRAM, whose map-side combine collapses a hot node's
-    * edge rows to its distinct neighbor values before any shuffle,
-    * and capping those values at the node's own current value c is
-    * lossless (for any h ≤ c, x ≥ h ⟺ min(x,c) ≥ h, and H ≤ c by the
-    * monotone theorem), bounding the per-dst window input at cap+1
-    * rows. The histogram path costs two extra (histogram-sized)
-    * shuffles per round, though — and a single-task sort of even 10⁷
-    * longs is ~1-2 s (measured: at hub degree 10⁷ the pure histogram
-    * form is ~1.5× SLOWER than the ranked form; the sort only becomes
-    * the bottleneck near 10⁸ rows per key, where one task buffers
-    * gigabytes) — so the routing is HYBRID on static degree: when no
-    * node's degree reaches `hotDegree`, every round runs the plain
-    * ranked form (zero overhead vs the pre-r11 shape); otherwise the
-    * few hot destinations (broadcast semi/anti split) take the capped
-    * histogram while the rest keep the ranked form, and the union
-    * feeds the fixpoint check. Both paths are exact, so the routing
-    * never changes results. No collect (the hot SET is node-metadata
-    * and stays distributed; only its emptiness is checked), no global
-    * sort; each round's value table localCheckpoints so rounds never
-    * stack one plan. Convergence is Σvalue-based: values only
-    * decrease, so an unchanged sum IS the pointwise fixpoint.
+    * 100 TB shape (histogram rounds since round 12): H({vᵤ}) is
+    * computed from the VALUE HISTOGRAM — groupBy(dst, v).count whose
+    * map-side combine collapses repeated neighbor values BEFORE the
+    * shuffle, then a per-dst cumulative count over the few distinct
+    * values. The pre-r12 form instead ranked each destination's full
+    * neighbor list per round (`row_number` over partitionBy(dst)),
+    * shuffling |E| rows per round and sorting whole neighbor lists;
+    * the histogram form shuffles |distinct (dst,v)| rows, which
+    * contracts sharply as values converge (r12 A/B at 10×, fresh-JVM
+    * 3+ samples: ranked 17.0/18.6/19.3 s → histogram+broadcast
+    * 11.5–13.3 s; the two fixes measured together). Hot destinations
+    * (static degree ≥ `hotDegree`, broadcast semi/anti split) take the
+    * CAPPED histogram: capping neighbor values at the node's own
+    * current value c is lossless (for any h ≤ c, x ≥ h ⟺ min(x,c) ≥ h,
+    * and H ≤ c by the monotone theorem), bounding the per-dst window
+    * input at cap+1 rows even when a 10⁸-degree hub's neighbors carry
+    * that many DISTINCT values. Both paths are exact (same identity,
+    * below), so the routing never changes results. The per-round vals
+    * join is broadcast-hinted when |V| ≤ `broadcastMaxNodes` (two-long
+    * rows; 4M keys ≈ tens of MB): a localCheckpoint scan reports no
+    * stats, so the unhinted plan was SortMergeJoin re-exchanging and
+    * re-sorting ALL edges every round — the measured dominant cost.
+    * Above the bound SMJ is the right strategy and the hint backs off
+    * (scale-adaptive on the counted |V|, not a local-mode constant).
+    * No collect (the hot SET is node-metadata and stays distributed;
+    * only its emptiness is checked), no global sort; each round's
+    * value table localCheckpoints so rounds never stack one plan.
+    * Convergence is Σvalue-based: values only decrease, so an
+    * unchanged sum IS the pointwise fixpoint.
     * Checkpoint cadence re-measured (r12, fresh-JVM 10×, 3 samples):
     * stacking TWO rounds per materialization (probe every 2) read
     * 16.0/16.6/18.0 s vs 15.7/16.6/16.6 s for the per-round form —
     * flat-to-worse, the same serialized-stage-scheduling effect the
     * pagerank stacking experiment measured, so the cadence stays 1.
+    *
+    * Delta rounds (the `plans/r12/coreness_delta_spec.md` variant:
+    * recompute only nodes with a changed in-neighbor, carry the rest)
+    * were IMPLEMENTED AND REVERTED in r12 after measurement: even with
+    * the sharp affected set (v recomputes only when a changed neighbor
+    * CROSSED v's current value — nv(u) < c(v) ≤ ov(u); drops entirely
+    * above or below c(v) provably cannot move H), 10× fresh-JVM A/Bs
+    * read 20.7/21.0/18.8 s (naive affected) and 16.9/18.4/19.0 s
+    * (sharp, on top of the histogram rounds) vs 11.5–13.3 s without —
+    * on this bipartite fixture the changed set is the HIGH-DEGREE side
+    * (suppliers), so "edges incident to affected" stays ≈ |E| while
+    * the extra per-round jobs (affected-set materialization, carry
+    * anti-join, changed diff) serialize scheduling, the same failure
+    * mode as the r11 superstep-stacking revert. The spec file records
+    * the analysis for a future skew-shaped dataset. `roundProbe` is a
+    * test-only hook (round index, that round's checkpointed value
+    * table) letting specs pin per-round equality of the histogram
+    * rounds against a ranked replay; the default is a no-op and costs
+    * nothing.
     *
     * Histogram h-index identity (proof): H = max{h : |{x ≥ h}| ≥ h}.
     * For each distinct value d with cum(d) = |{x ≥ d}|, take
@@ -457,7 +479,9 @@ object Graph {
                maxRounds: Int = 50,
                oracleUnroll: Option[Int] = None,
                hotDegree: Long = 20000000L,
-               edgesDistinct: Boolean = false): DataFrame = {
+               edgesDistinct: Boolean = false,
+               broadcastMaxNodes: Long = 4000000L,
+               roundProbe: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     // src-partitioned before the checkpoint: every round joins the value
     // table on `src`, and a (src,dst)-partitioned edge list would
     // re-exchange ALL edges per round; `edgesDistinct` as in
@@ -477,39 +501,63 @@ object Graph {
     val hot = vals.where(col("v") >= hotDegree)
       .select(col("node").as("dst")).localCheckpoint(true)
     val hasHot = hot.limit(1).count() > 0
-    var prevSum = -1L
+    val nNodes = vals.count()
     var rounds = 0
     var converged = false
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("dst").orderBy(col("v").desc)
+    // a localCheckpoint scan reports no stats, so without the hint the
+    // per-round vals join planned as SortMergeJoin and re-exchanged +
+    // re-sorted ALL edges every round (measured: the dominant round
+    // cost at 10×); vals is |V| rows of two longs, broadcast whenever
+    // the counted size is provably bounded, SMJ above the bound
+    def maybeBroadcast(df: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastMaxNodes) broadcast(df) else df
     val wHist = org.apache.spark.sql.expressions.Window
       .partitionBy("dst").orderBy(col("cv").desc)
-    // ranked h-index: per-dst desc rank, H = max min(rank, value)
-    def ranked(j1: DataFrame): DataFrame = j1
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
+    // histogram h-index: distinct-value counts (map-side combine
+    // collapses repeated neighbor values BEFORE the shuffle — the
+    // shuffled histogram is |distinct (dst, v)| rows, far fewer than
+    // edges once values contract toward the fixpoint), cum count desc,
+    // H = max min(d, cum) (identity proof in the scaladoc); per-key
+    // window input is the number of DISTINCT neighbor values (≤ degree)
+    val wVal = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst").orderBy(col("v").desc)
+    def hist(j1: DataFrame): DataFrame = j1
+      .groupBy("dst", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wVal))
       .groupBy(col("dst").as("node"))
-      .agg(max(least(col("rnk"), col("v"))).as("v"))
-    // capped-histogram h-index: raw value histogram (map-side combine
-    // collapses a hot node's rows to its distinct values), cap at the
-    // node's own current value (lossless, see scaladoc; bounds the
-    // window input at cap+1 rows), cum count desc, H = max min(d, cum)
+      .agg(max(least(col("v"), col("cum"))).as("v"))
+    // capped-histogram h-index for hot destinations: as `hist` but
+    // capped at the node's own current value (lossless, see scaladoc),
+    // bounding the per-key window input at cap+1 rows even when a hub's
+    // neighbors carry that many DISTINCT values
     def capped(j1: DataFrame, cur: DataFrame): DataFrame = j1
       .groupBy("dst", "v").agg(count(lit(1)).as("cnt"))
-      .join(cur.select(col("node").as("dst"), col("v").as("cap")), "dst")
+      .join(maybeBroadcast(
+        cur.select(col("node").as("dst"), col("v").as("cap")), nNodes), "dst")
       .groupBy(col("dst"), least(col("v"), col("cap")).as("cv"))
       .agg(sum(col("cnt")).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(wHist))
       .groupBy(col("dst").as("node"))
       .agg(max(least(col("cv"), col("cum"))).as("v"))
+    var prevSum = -1L
     while (!converged && rounds < maxRounds) {
-      val j1 = e.join(vals.withColumnRenamed("node", "src"), "src")
+      val j1 = e.join(
+          maybeBroadcast(vals.withColumnRenamed("node", "src"), nNodes),
+          "src")
         .select(col("dst"), col("v"))
-      val next = (if (!hasHot) ranked(j1)
+      val nextPlan = if (!hasHot) hist(j1)
         else
-          ranked(j1.join(broadcast(hot), Seq("dst"), "left_anti"))
+          hist(j1.join(broadcast(hot), Seq("dst"), "left_anti"))
             .unionByName(
-              capped(j1.join(broadcast(hot), Seq("dst"), "left_semi"), vals)))
-        .localCheckpoint(true)
+              capped(j1.join(broadcast(hot), Seq("dst"), "left_semi"), vals))
+      // dev probe: round-1 physical plan (the per-round shape never
+      // appears in the entry's final explain — that is just the last
+      // checkpoint scan)
+      if (rounds == 0 && sys.env.contains("GRAFT_CORENESS_EXPLAIN"))
+        System.err.println(nextPlan.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      val next = nextPlan.localCheckpoint(true)
+      roundProbe(rounds + 1, next)
       val s = next.agg(sum(col("v"))).head().getLong(0)
       if (s == prevSum) converged = true
       else { prevSum = s; vals = next; rounds += 1 }

@@ -406,6 +406,72 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unroll"))
   }
 
+  test("coreness: histogram rounds are per-round bit-equal to a ranked replay") {
+    def und(pairs: (Long, Long)*) = {
+      val p = pairs.toDF("a", "b")
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
+    }
+    // the pre-r12 ranked form, replayed round by round: per-dst desc
+    // row_number, H = max min(rank, value). The shipped histogram form
+    // must emit the identical value table EVERY round (H identity), so
+    // the unrolled oracle keeps replaying bit-exactly.
+    def rankedRounds(g: org.apache.spark.sql.DataFrame): Map[Int, Map[Long, Long]] = {
+      import org.apache.spark.sql.expressions.Window
+      val e = g.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst"))
+        .where(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+      var vals = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("v")).localCheckpoint(true)
+      val w = Window.partitionBy("dst").orderBy(col("v").desc)
+      val acc = scala.collection.mutable.Map[Int, Map[Long, Long]]()
+      var prevSum = -1L
+      var rounds = 0
+      var converged = false
+      while (!converged && rounds < 50) {
+        val next = e.join(vals.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"), col("v"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .groupBy(col("dst").as("node"))
+          .agg(max(least(col("rnk"), col("v"))).as("v"))
+          .localCheckpoint(true)
+        acc(rounds + 1) = next.as[(Long, Long)].collect().toMap
+        val s = next.agg(sum(col("v"))).head().getLong(0)
+        if (s == prevSum) converged = true
+        else { prevSum = s; vals = next; rounds += 1 }
+      }
+      acc.toMap
+    }
+    def histRounds(g: org.apache.spark.sql.DataFrame): Map[Int, Map[Long, Long]] = {
+      val acc = scala.collection.mutable.Map[Int, Map[Long, Long]]()
+      Graph.coreness(g, "src", "dst",
+        roundProbe = (i, df) => acc(i) = df.as[(Long, Long)].collect().toMap)
+      acc.toMap
+    }
+    def check(g: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val r = rankedRounds(g)
+      val h = histRounds(g)
+      assert(r.keySet === h.keySet, s"$tag: round sets differ")
+      r.keySet.foreach { i =>
+        assert(h(i) === r(i), s"$tag: round $i diverged")
+      }
+    }
+    // K4 + pendant chain — several rounds, ties in the desc sort
+    check(und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 9L), (9L, 10L), (10L, 11L), (11L, 12L)), "hand")
+    // the declared query's exact bipartite fixture shape
+    val o = Tables.read(spark, SparkTestSession.Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.read(spark, SparkTestSession.Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").cast("long").as("c"),
+        (col("l_suppkey").cast("long") + 10000000L).as("s")).distinct()
+    check(pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst"))),
+      "fixture")
+  }
+
   test("ssspBounded: hand-relaxed weighted paths, min over parallel routes") {
     // 1 -2-> 2 -3-> 3, and a direct 1 -9-> 3: 4 rounds must pick 5
     // (via 2), not 9; node 4 unreachable within the bound stays absent
