@@ -42,7 +42,8 @@ object Graph {
                          iters: Int, scale: Long = 1000000L,
                          dampNum: Int = 85, dampDen: Int = 100,
                          edgesDistinct: Boolean = false,
-                         checkpointEvery: Int = 1): DataFrame = {
+                         checkpointEvery: Int = 1,
+                         broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     // `edgesDistinct = true` skips the defensive dedup when the caller
@@ -63,6 +64,16 @@ object Graph {
       .distinct()
       .localCheckpoint(true)
     val base = (dampDen - dampNum).toLong * scale / dampDen
+    // r12: a localCheckpoint scan reports no stats, so each superstep's
+    // ranks ⋈ eDeg planned as SortMergeJoin, re-exchanging AND re-sorting
+    // the edge-sized eDeg EVERY round (plan-verified; the partitioning the
+    // checkpoint physically has is invisible to the planner). The rank
+    // table is |V| rows of two longs — broadcast it (and the superstep's
+    // node-sized aggregate) whenever the counted |V| is bounded; above
+    // the bound SMJ is the right strategy and the hint backs off.
+    val nNodes = nodes.count()
+    val bcast: DataFrame => DataFrame =
+      if (nNodes <= broadcastMaxNodes) broadcast else identity
     var ranks = nodes.withColumn("rank", lit(scale))
     // checkpointEvery = 1 (re-measured, r11): each superstep references
     // `ranks` exactly once, so rounds CAN stack into one linear plan —
@@ -74,7 +85,10 @@ object Graph {
     // measurement at the target scale.
     var i = 0
     while (i < iters) {
-      ranks = superstep(ranks, eDeg, nodes, base, dampNum, dampDen)
+      ranks = superstep(ranks, eDeg, nodes, base, dampNum, dampDen, bcast)
+      if (i == 1 && sys.env.contains("GRAFT_PR_EXPLAIN"))
+        System.err.println(ranks.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode))
       i += 1
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true)
@@ -160,7 +174,8 @@ object Graph {
     */
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
                 seeds: DataFrame, seedCol: String,
-                maxHops: Int, edgesDistinct: Boolean = false): DataFrame = {
+                maxHops: Int, edgesDistinct: Boolean = false,
+                broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
@@ -184,10 +199,22 @@ object Graph {
     // pays ONE materialization (its own frontier) instead of two.
     var visited = seed
     var frontier = seed
+    // r12: checkpoint scans report no stats, so the per-hop frontier ⋈
+    // edges join (and the visited anti-join) planned as SortMergeJoin
+    // re-exchanging the EDGE table every hop — broadcast the frontier
+    // and the visited union while their counted sizes stay bounded
+    // (count replaces the old isEmpty action: same one job per hop)
+    var nFrontier = seed.count()
+    var nVisited = nFrontier
+    def mb(df: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastMaxNodes) broadcast(df) else df
     var i = 1
-    while (i <= maxHops && !frontier.isEmpty) {
-      val next = bfsStep(frontier, e, visited, i).localCheckpoint(true)
+    while (i <= maxHops && nFrontier > 0) {
+      val next = bfsStep(mb(frontier, nFrontier), e,
+        mb(visited.select("node"), nVisited), i).localCheckpoint(true)
+      nFrontier = next.count()
       visited = visited.unionByName(next)
+      nVisited += nFrontier
       frontier = next
       i += 1
     }
@@ -215,15 +242,18 @@ object Graph {
     */
   private[graft] def superstep(ranks: DataFrame, eDeg: DataFrame,
                                nodes: DataFrame, base: Long,
-                               dampNum: Int, dampDen: Int): DataFrame = {
-    val contrib = ranks
+                               dampNum: Int, dampDen: Int,
+                               bcast: DataFrame => DataFrame = identity): DataFrame = {
+    // `bcast` (size-gated by the caller) hints both node-sized sides so
+    // the edge table is STREAMED, never exchanged or sorted per round
+    val contrib = bcast(ranks)
       .join(eDeg, col("node") === col("src"))
       .select(col("dst").as("node"),
         expr("rank div deg").as("c"))
       .groupBy("node")
       .agg(sum(col("c")).as("m"))
     nodes
-      .join(contrib, Seq("node"), "left")
+      .join(bcast(contrib), Seq("node"), "left")
       .select(col("node"),
         (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen"))
           .as("rank"))
@@ -298,7 +328,8 @@ object Graph {
     */
   def ssspBounded(edges: DataFrame, srcCol: String, dstCol: String,
                   wCol: String, seeds: DataFrame, seedCol: String,
-                  rounds: Int, edgesMinimal: Boolean = false): DataFrame = {
+                  rounds: Int, edgesMinimal: Boolean = false,
+                  broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(rounds >= 0, "rounds must be >= 0")
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
@@ -317,14 +348,23 @@ object Graph {
       .distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
+    // r12: checkpoint scans report no stats, so the per-round dists ⋈
+    // edges join planned as SortMergeJoin re-exchanging + re-sorting the
+    // EDGE table every round (plan-verified on pagerank, same shape) —
+    // broadcast the node-sized dist table while its counted size stays
+    // bounded; the count is one tiny job on the already-materialized
+    // checkpoint
+    var nDist = dist.count()
     var i = 0
     while (i < rounds) {
-      val relaxed = dist.join(e, col("node") === col("src"))
+      val distB = if (nDist <= broadcastMaxNodes) broadcast(dist) else dist
+      val relaxed = distB.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy("node").agg(min(col("dist")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
         .localCheckpoint(true)
+      nDist = dist.count()
       i += 1
     }
     dist
@@ -353,7 +393,8 @@ object Graph {
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, maxRounds: Int = 50,
-            edgesDistinct: Boolean = false): DataFrame = {
+            edgesDistinct: Boolean = false,
+            broadcastMaxNodes: Long = 4000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // src-partitioned before the checkpoint (and re-established by
     // ending each round on the src-keyed semi join) so the per-round
@@ -377,12 +418,16 @@ object Graph {
       if (n == prevNodes) converged = true
       else {
         prevNodes = n
-        // dst-keyed semi first, src-keyed LAST: the surviving edge set
-        // leaves the round src-partitioned, so the next round's degree
-        // count and src-semi reuse the layout instead of re-exchanging
+        // r12: `keep` is node-sized and already counted — broadcast both
+        // semi joins while n is bounded, so the surviving edge set is
+        // filtered in one streaming pass instead of two SortMergeJoin
+        // semi joins that each re-exchange + re-sort the edge table
+        // (checkpoint scans report no stats, so the planner never picked
+        // the broadcast on its own; plan-verified on pagerank/coreness)
+        val keepB = if (n <= broadcastMaxNodes) broadcast(keep) else keep
         cur = cur
-          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-          .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+          .join(keepB.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+          .join(keepB.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
           .localCheckpoint(true)
         rounds += 1
       }
